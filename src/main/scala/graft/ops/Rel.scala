@@ -1,0 +1,497 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables.t
+import Dets._
+
+/** Relational operator inventory (SURVEY.md §2): scans, filter/project,
+  * equi/broadcast/semi/anti joins, hash aggregates, rollup/cube, window
+  * functions, sort/limit/top-k, set ops, scalar functions, dedup.
+  *
+  * Every query is fully deterministic (unique ORDER BY; exact decimal
+  * arithmetic for aggregated doubles) so the DuckDB oracle hash-matches.
+  * Scale notes per query: filters/projections push to the parquet scan;
+  * small dimensions are broadcast explicitly; aggregates are partial
+  * (map-side combine) by construction of groupBy.agg.
+  */
+object Rel {
+
+  /** TPC-H Q1 shape: scan → filter → hash agg (map-side partials) → sort.
+    * At 100 TB the only shuffle is the 4-row-group exchange — optimal. */
+  private def q01(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= tsLit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dbl(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        dbl(sum((dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast(D4) * dec(lit(1) + col("l_tax")))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+      | COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Filter + projection + top-k. Catalyst pushes the shipdate filter and
+    * the 4-column projection into the parquet scan; top-k is a
+    * TakeOrderedAndProject (no global sort shuffle). */
+  private def q02(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(tsLit("1996-01-01"), tsLit("1996-12-31")))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q3 shape: 3-way join, two shuffles on the orderkey spine;
+    * customer side is filtered before the join so the build side shrinks.
+    * At scale: customer⋈orders shuffles on custkey, result⋈lineitem on
+    * orderkey; AQE handles skew. */
+  private def q03(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders").filter(col("o_orderdate") < tsLit("1998-01-01"))
+    val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > tsLit("1998-01-01"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dbl(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  private val q03Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      | AND o_orderdate < TIMESTAMP '1998-01-01'
+      | AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** Broadcast join: part is a small dimension — explicit broadcast()
+    * keeps the 100 TB fact table shuffle-free. */
+  private def q04(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+    val li = t(spark, dir, "lineitem")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  private val q04Sql =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q5 shape: 6-table join. region/nation broadcast; the
+    * customer⋈orders⋈lineitem⋈supplier spine shuffles on its keys. */
+  private def q05(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").filter(col("r_name") =!= "EUROPE")
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate").between(tsLit("1996-01-01"), tsLit("1997-12-31")))
+    val li = t(spark, dir, "lineitem")
+    val supp = t(spark, dir, "supplier")
+    cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dbl(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q05Sql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name <> 'EUROPE'
+      | AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6 shape: pure scan+filter+global agg — no shuffle beyond the
+    * single-row exchange; all three predicates push to parquet. */
+  private def q06(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(tsLit("1996-01-01"), tsLit("1996-12-31")) &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 25)
+      .agg(dbl(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+        .as("revenue"), count(lit(1)).as("n_rows"))
+
+  private val q06Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""".stripMargin
+
+  /** Left-semi join (EXISTS): customers having at least one urgent order.
+    * Semi join keeps only the probe side — no row multiplication. */
+  private def q07(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val urgent = t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q07Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent orders. */
+  private def q08(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val urgent = t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q08Sql =
+    """SELECT c_nationkey, COUNT(*) AS n_customers
+      |FROM customer WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Window top-N per group: 3 largest orders per customer.
+    * row_number over (custkey, totalprice desc) — single shuffle on
+    * custkey; the rank filter prunes before any further stage. */
+  private def q09(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val q09Sql =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running (cumulative) window aggregate per supplier, exact decimal. */
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .filter(col("l_suppkey") <= 10)
+      .withColumn("running_qty", dbl(sum(dec(col("l_quantity"))).over(w)))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private val q10Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem WHERE l_suppkey <= 10
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Lag/lead window: gap in days between consecutive orders per customer. */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), col("prev_date")).cast(LongType))
+      .filter(col("gap_days").isNotNull)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_days")).as("total_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+      .orderBy("o_custkey")
+  }
+
+  private val q11Sql =
+    """SELECT o_custkey, COUNT(*) AS n_gaps, SUM(gap_days) AS total_gap_days,
+      | MAX(gap_days) AS max_gap_days
+      |FROM (
+      | SELECT o_custkey, CAST(DATEDIFF('day',
+      |   LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |   o_orderdate) AS BIGINT) AS gap_days
+      | FROM orders)
+      |WHERE gap_days IS NOT NULL
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Set operations: INTERSECT and EXCEPT on key sets, union of both tags. */
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    val withOrders = t(spark, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+    val positive = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey"))
+    val both = withOrders.intersect(positive).withColumn("tag", lit("both"))
+    val onlyOrders = withOrders.except(positive).withColumn("tag", lit("orders_only"))
+    both.unionAll(onlyOrders)
+      .groupBy("tag").agg(count(lit(1)).as("n"), min("custkey").as("min_key"),
+        max("custkey").as("max_key"))
+      .orderBy("tag")
+  }
+
+  private val q12Sql =
+    """SELECT tag, COUNT(*) AS n, MIN(custkey) AS min_key, MAX(custkey) AS max_key
+      |FROM (
+      | SELECT custkey, 'both' AS tag FROM (
+      |  SELECT DISTINCT o_custkey AS custkey FROM orders
+      |  INTERSECT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0)
+      | UNION ALL
+      | SELECT custkey, 'orders_only' AS tag FROM (
+      |  SELECT DISTINCT o_custkey AS custkey FROM orders
+      |  EXCEPT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0))
+      |GROUP BY tag ORDER BY tag""".stripMargin
+
+  /** ROLLUP hierarchy totals (nulls ordered explicitly for parity). */
+  private def q13(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q13Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** CUBE over two dimensions. */
+  private def q14(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val q14Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      | COUNT(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Conditional aggregation (TPC-H Q14 shape): promo revenue share.
+    * CASE folds into the aggregate — one pass, broadcast dimension. */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(tsLit("1997-01-01"), tsLit("1997-12-31")))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        dbl(sum(when(col("p_type").startsWith("PROMO"),
+          dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .otherwise(lit(0).cast(D4)))).as("promo_revenue"),
+        dbl(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+          .as("total_revenue"))
+  }
+
+  private val q15Sql =
+    """SELECT
+      | CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+      |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'""".stripMargin
+
+  /** String scalar functions: substring/upper/length/replace + agg. */
+  private def q16(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        upper(substring(col("p_name"), 1, 1)).as("initial"),
+        length(col("p_name")).as("name_len"),
+        length(regexp_replace(col("p_name"), "[aeiou]", "")).as("consonant_len"))
+      .groupBy("initial")
+      .agg(count(lit(1)).as("n"), sum("name_len").as("total_len"),
+        sum("consonant_len").as("total_consonants"))
+      .orderBy("initial")
+
+  private val q16Sql =
+    """SELECT UPPER(SUBSTRING(p_name, 1, 1)) AS initial, COUNT(*) AS n,
+      | SUM(LENGTH(p_name)) AS total_len,
+      | SUM(LENGTH(REGEXP_REPLACE(p_name, '[aeiou]', '', 'g'))) AS total_consonants
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Date/time extraction and grouping. */
+  private def q17(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("yr", "mo")
+
+  private val q17Sql =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Math scalar functions over stable integer-ish inputs. */
+  private def q18(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        (col("l_orderkey") % 7).as("bucket"),
+        floor(col("l_quantity")).as("fq"),
+        ceil(col("l_quantity")).as("cq"),
+        abs(col("l_quantity") - 25).cast(D2).as("dev"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("fq").as("sum_floor"), sum("cq").as("sum_ceil"),
+        dbl(sum(col("dev"))).as("sum_dev"))
+      .orderBy("bucket")
+
+  private val q18Sql =
+    """SELECT l_orderkey % 7 AS bucket, COUNT(*) AS n,
+      | SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_floor,
+      | SUM(CAST(CEIL(l_quantity) AS BIGINT)) AS sum_ceil,
+      | CAST(SUM(CAST(ABS(l_quantity - 25) AS DECIMAL(18,2))) AS DOUBLE) AS sum_dev
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Correlated aggregate via window: customers above their nation's mean
+    * balance — window sum/count avoids a self-join + shuffle reuse. */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+    t(spark, dir, "customer")
+      .withColumn("nation_avg",
+        dbl(sum(dec(col("c_acctbal"))).over(w)) / count(lit(1)).over(w))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q19Sql =
+    """SELECT c_nationkey, COUNT(*) AS n_above FROM (
+      | SELECT c_nationkey, c_acctbal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+      |   / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+      | FROM customer)
+      |WHERE c_acctbal > nation_avg
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** NTILE bucketing over a unique ordering. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"),
+        min("c_custkey").as("min_key"))
+      .orderBy("quartile")
+  }
+
+  private val q20Sql =
+    """SELECT quartile, COUNT(*) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+      | MIN(c_custkey) AS min_key
+      |FROM (SELECT c_custkey, c_acctbal,
+      |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile FROM customer)
+      |GROUP BY quartile ORDER BY quartile""".stripMargin
+
+  /** Distinct aggregation: exact count-distinct per group. */
+  private def q21(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val q21Sql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+      | COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Multi-key join + grouped having-style filter (post-agg predicate). */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderstatus")
+      .agg(dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_lines"))
+      .filter(col("total_qty") > 150)
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  private val q22Sql =
+    """SELECT o_orderkey, o_orderstatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      | COUNT(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderstatus
+      |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01, Some(q01Sql)),
+    Q("q02_filter_topk", q02, Some(q02Sql)),
+    Q("q03_shipping_priority", q03, Some(q03Sql)),
+    Q("q04_broadcast_brand", q04, Some(q04Sql)),
+    Q("q05_regional_revenue", q05, Some(q05Sql)),
+    Q("q06_forecast_revenue", q06, Some(q06Sql)),
+    Q("q07_semi_join_exists", q07, Some(q07Sql)),
+    Q("q08_anti_join_not_exists", q08, Some(q08Sql)),
+    Q("q09_window_topn", q09, Some(q09Sql)),
+    Q("q10_window_running_sum", q10, Some(q10Sql)),
+    Q("q11_window_lag_gaps", q11, Some(q11Sql)),
+    Q("q12_set_ops", q12, Some(q12Sql)),
+    Q("q13_rollup", q13, Some(q13Sql)),
+    Q("q14_cube", q14, Some(q14Sql)),
+    Q("q15_conditional_agg", q15, Some(q15Sql)),
+    Q("q16_string_funcs", q16, Some(q16Sql)),
+    Q("q17_date_parts", q17, Some(q17Sql)),
+    Q("q18_math_funcs", q18, Some(q18Sql)),
+    Q("q19_window_vs_mean", q19, Some(q19Sql)),
+    Q("q20_ntile", q20, Some(q20Sql)),
+    Q("q21_count_distinct", q21, Some(q21Sql)),
+    Q("q22_having_topk", q22, Some(q22Sql)),
+  )
+}

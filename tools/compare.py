@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Dev-only oracle cross-check: reads Verify output parquet + oracle_sql.json,
+runs each SQL in DuckDB over the same sf dir, compares values column-name-sorted.
+Usage: compare.py <sfDir> <verifyOut>"""
+import sys, json, glob, os, math
+import duckdb, pyarrow.parquet as pq
+
+sfdir, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+def norm(v):
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    return repr(v)
+fails = 0
+for name, sql in sorted(oracle.items()):
+    pdir = f"{out}/{name}"
+    if not os.path.isdir(pdir):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        tbl = pq.read_table(pdir)
+    except Exception as e:
+        print(f"FAIL {name}: read error {e}"); fails += 1; continue
+    try:
+        res = con.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error {e}"); fails += 1; continue
+    scols = tbl.column_names
+    if sorted(scols) != sorted(dcols):
+        print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}"); fails += 1; continue
+    order = sorted(scols)
+    sidx = [scols.index(c) for c in order]
+    didx = [dcols.index(c) for c in order]
+    spark_rows = [tuple(norm(tbl.column(i)[r].as_py()) for i in sidx) for r in range(tbl.num_rows)]
+    duck_rows = [tuple(norm(row[i]) for i in didx) for row in drows]
+    if len(spark_rows) != len(duck_rows):
+        print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}"); fails += 1; continue
+    if spark_rows != duck_rows:
+        if sorted(spark_rows) == sorted(duck_rows):
+            print(f"WARN {name}: values match but ROW ORDER differs")
+            continue
+        bad = next(i for i,(a,b) in enumerate(zip(spark_rows, duck_rows)) if a != b)
+        print(f"FAIL {name}: first diff row {bad}:\n  spark={spark_rows[bad]}\n  duck ={duck_rows[bad]}"); fails += 1; continue
+    print(f"OK   {name} ({len(spark_rows)} rows)")
+print(f"\n{len(oracle)-fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
