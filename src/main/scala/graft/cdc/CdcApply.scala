@@ -1,0 +1,110 @@
+package graft.cdc
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.tables.TableStore
+
+/** Batch CDC application onto a managed table.
+  *
+  * Replaces the reference's one-Spark-job-per-record loop
+  * (SparkDestinationStream.java:71-85 — its #1 performance anti-pattern,
+  * SURVEY.md §6) with a single distributed pass:
+  *
+  *   1. decode all payloads at once (`from_json`, FAILFAST — reference S3,
+  *      SparkDestinationStream.java:221-227);
+  *   2. reduce to the NET effect per key (last write wins, window over the
+  *      record sequence);
+  *   3. one atomic `TableStore.applyNet` commit — the atomic replacement for
+  *      the reference's non-atomic delete-then-insert update
+  *      (SparkDestinationStream.java:110-114; README.md:74-77).
+  *
+  * No SQL strings are built anywhere: key predicates are Column equality
+  * joins, injection-safe by construction (vs the reference's jOOQ-inlined
+  * literals, SparkDestinationStream.java:124-135, tested at
+  * SparkDestinationStreamIT.java:309-325).
+  */
+object CdcApply {
+
+  final case class Stats(upserts: Long, deletes: Long)
+
+  /** Validated ingest config — the analogue of the reference's
+    * `DestinationConfig` required-key checks (DestinationConfig.java:45-118). */
+  final case class CdcConfig(table: String, keyCols: Seq[String]) {
+    require(table != null && table.nonEmpty, "config: table is required")
+    require(keyCols != null && keyCols.nonEmpty, "config: keyCols is required")
+  }
+
+  def apply(spark: SparkSession, store: TableStore, config: CdcConfig,
+      records: Seq[CdcRecord]): Stats = {
+    require(store.exists(config.table),
+      s"table ${config.table} does not exist — schema is catalog-owned, " +
+        "create it first (mirrors reference: connector never creates tables)")
+    if (records.isEmpty) return Stats(0, 0)
+    val schema = store.schema(config.table)
+    val keySchema = StructType(config.keyCols.map(c =>
+      schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"key column $c not in table schema"))))
+
+    // Driver-side decode of the envelope: key map (F1/F2 semantics incl.
+    // empty-key guard F6, SparkDestinationStream.java:119-122) and payload
+    // JSON (F4). Key/envelope data is tiny; row payloads stay distributed.
+    val rows = records.zipWithIndex.map { case (r, seq) =>
+      val isDelete = r.op == CdcOp.Delete
+      val keyData = r.key.getOrElse(
+        throw new IllegalArgumentException("record has no key"))
+      val keyMap = CdcDecode.keyFields(keyData)
+      if (keyMap.isEmpty)
+        throw new IllegalArgumentException("key has no fields")
+      val payload =
+        if (isDelete) null
+        else CdcDecode.normalizeIntegralFloats(CdcDecode.payloadJson(
+          r.after.getOrElse(throw new IllegalArgumentException(
+            s"${r.op} record has no after payload"))))
+      val keyJson = CdcDecode.normalizeIntegralFloats(
+        CdcDecode.payloadJson(StructuredData(keyMap)))
+      Row(seq.toLong, r.op.toString.toLowerCase, keyJson, payload)
+    }
+    val envSchema = StructType(Seq(
+      StructField("__seq", LongType), StructField("__op", StringType),
+      StructField("__key", StringType), StructField("__payload", StringType)))
+    val env = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), envSchema)
+
+    // Distributed decode: schema-enforced FAILFAST parse against the
+    // catalog-owned table schema (S3) and typed key struct.
+    val opts = Map("mode" -> "FAILFAST")
+    val decoded = env
+      .withColumn("__k", from_json(col("__key"), keySchema, opts))
+      .withColumn("__row", when(col("__payload").isNotNull,
+        from_json(col("__payload"), schema, opts)))
+
+    // Net effect per key: last record (by ingest order) wins.
+    val keyFields = config.keyCols.map(c => col("__k").getField(c).as(c))
+    val w = Window.partitionBy(config.keyCols.map(col): _*)
+      .orderBy(col("__seq").desc)
+    val net = decoded
+      .select((keyFields :+ col("__seq") :+ col("__op") :+ col("__row")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .cache()
+    try {
+      val upserts = net.filter(col("__op") =!= "delete")
+        .select(col("__row.*"))
+      val touchedKeys = net.select(config.keyCols.map(col): _*)
+      val nUpserts = upserts.count()
+      val nDeletes = net.filter(col("__op") === "delete").count()
+      store.applyNet(config.table, touchedKeys, upserts, config.keyCols)
+      Stats(nUpserts, nDeletes)
+    } finally { net.unpersist(); () }
+  }
+
+  /** Single-record conveniences mirroring the reference's per-record API
+    * (SparkDestinationStream.java:94-136). Batch is the fast path. */
+  def insert(spark: SparkSession, store: TableStore, config: CdcConfig,
+      r: CdcRecord): Stats = apply(spark, store, config, Seq(r))
+  def delete(spark: SparkSession, store: TableStore, config: CdcConfig,
+      r: CdcRecord): Stats = apply(spark, store, config, Seq(r))
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc._
+import graft.tables.TableStore
+import Tables.t
+
+/** End-to-end CDC-apply exercised through the correctness gate: seed a
+  * managed table from `customer`, apply a batch of OpenCDC records
+  * (insert/update/delete + a late delete overriding an earlier update —
+  * last-write-wins), read the table back. The oracle reproduces the net
+  * effect in pure ANSI SQL, so the whole decode→net→atomic-commit path is
+  * hash-checked against DuckDB.
+  */
+object CdcQueries {
+
+  private def cdcApplyCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val store = new TableStore(spark, s"/root/repo/target/cdc-demo/$sfTag")
+    val cust = t(spark, dir, "customer")
+    store.create("customer", cust.schema, overwrite = true)
+    store.append("customer", cust)
+
+    def key(id: Long) = Some(RawData(s"""{"c_custkey": $id}"""): CdcData)
+    def row(id: Long, name: String, nat: Int, bal: Double, seg: String) =
+      Some(RawData(
+        s"""{"c_custkey": $id, "c_name": "$name", "c_nationkey": $nat,
+           | "c_acctbal": $bal, "c_mktsegment": "$seg"}""".stripMargin): CdcData)
+
+    val batch = Seq(
+      // inserts (CREATE + SNAPSHOT routing, SparkDestinationStream.java:94-108)
+      CdcRecord(Array(1), CdcOp.Create, key = key(900000001L),
+        after = row(900000001L, "NEW#A", 3, 10.5, "MACHINERY")),
+      CdcRecord(Array(2), CdcOp.Snapshot, key = key(900000002L),
+        after = row(900000002L, "NEW#B", 4, -1.25, "HOUSEHOLD")),
+      // update = new full row for an existing key
+      CdcRecord(Array(3), CdcOp.Update, key = key(1L),
+        after = row(1L, "UPDATED#1", 7, 999.99, "BUILDING")),
+      // plain delete
+      CdcRecord(Array(4), CdcOp.Delete, key = key(2L)),
+      // update then delete on the same key — the delete must win
+      CdcRecord(Array(5), CdcOp.Update, key = key(3L),
+        after = row(3L, "SHOULD_NOT_SURVIVE", 1, 0.0, "BUILDING")),
+      CdcRecord(Array(6), CdcOp.Delete, key = key(3L)))
+
+    CdcApply(spark, store, CdcApply.CdcConfig("customer", Seq("c_custkey")), batch)
+    store.read("customer").orderBy("c_custkey")
+  }
+
+  private val cdcApplyCustomerSql =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
+      | SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      | FROM customer WHERE c_custkey NOT IN (1, 2, 3)
+      | UNION ALL SELECT CAST(1 AS BIGINT), 'UPDATED#1', CAST(7 AS INT), CAST(999.99 AS DOUBLE), 'BUILDING'
+      | UNION ALL SELECT CAST(900000001 AS BIGINT), 'NEW#A', CAST(3 AS INT), CAST(10.5 AS DOUBLE), 'MACHINERY'
+      | UNION ALL SELECT CAST(900000002 AS BIGINT), 'NEW#B', CAST(4 AS INT), CAST(-1.25 AS DOUBLE), 'HOUSEHOLD')
+      |ORDER BY c_custkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("cdc_apply_customer", cdcApplyCustomer, Some(cdcApplyCustomerSql)))
+}

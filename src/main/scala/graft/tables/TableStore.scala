@@ -1,0 +1,185 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Parquet-backed managed table with Iceberg-like snapshot semantics,
+  * re-providing the reference's table layer (no Iceberg jars in this
+  * environment — SURVEY.md §1.2, §7 stage 1).
+  *
+  * Layout per table under `root/<name>/`:
+  *   - `data/<uuid>-<part>.parquet` — immutable data files
+  *   - `manifest-<n>.txt`          — newline list of live data file names
+  *   - `_schema.json`              — StructType JSON, fixed at create
+  *                                   (catalog-owned schema, mirrors
+  *                                   reference SparkDestinationStream.java:216)
+  *   - `_current`                  — name of the live manifest; updated by
+  *                                   atomic rename, so readers always see a
+  *                                   complete snapshot (replaces Iceberg's
+  *                                   catalog commit, reference SparkUtils.java:45-50)
+  *
+  * Mutations are copy-on-write at file granularity: a delete/upsert only
+  * rewrites data files that actually contain affected rows (file pruning via
+  * `input_file_name`), everything else is carried over by manifest reference.
+  * That is the property that keeps a 100 TB table's update cost proportional
+  * to touched data, not table size. Single-writer by design, like the
+  * reference's one-sequential-gRPC-stream model (SURVEY.md §3).
+  */
+final class TableStore(spark: SparkSession, val root: String) {
+
+  private def tdir(name: String): Path = Paths.get(root, name)
+  private def dataDir(name: String): Path = tdir(name).resolve("data")
+
+  def exists(name: String): Boolean = Files.exists(tdir(name).resolve("_current"))
+
+  def create(name: String, schema: StructType, overwrite: Boolean = false): Unit = {
+    val d = tdir(name)
+    if (Files.exists(d)) {
+      require(overwrite, s"table $name already exists")
+      deleteRecursively(d)
+    }
+    Files.createDirectories(dataDir(name))
+    Files.writeString(d.resolve("_schema.json"), schema.json)
+    commitManifest(name, Nil)
+  }
+
+  def drop(name: String): Unit = deleteRecursively(tdir(name))
+
+  def schema(name: String): StructType =
+    DataType.fromJsonFile(tdir(name).resolve("_schema.json"))
+
+  /** Live data files (absolute paths) of the current snapshot. */
+  def currentFiles(name: String): Seq[String] = {
+    val cur = tdir(name).resolve("_current")
+    val manifest = tdir(name).resolve(Files.readString(cur).trim)
+    Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
+      .map(f => dataDir(name).resolve(f).toString)
+  }
+
+  def read(name: String): DataFrame = {
+    val files = currentFiles(name)
+    val sch = schema(name)
+    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+    else spark.read.schema(sch).parquet(files: _*)
+  }
+
+  /** Append-only write: new data files + manifest, no existing file touched
+    * (reference W1, SparkDestinationStream.java:229-232). */
+  def append(name: String, df: DataFrame): Unit = {
+    val newFiles = writeDataFiles(name, df)
+    commitManifest(name, currentFileNames(name) ++ newFiles)
+  }
+
+  /** Row-level delete (reference W2, SparkDestinationStream.java:124-135) as
+    * an anti-filter copy-on-write: rewrite only files containing matches. */
+  def delete(name: String, cond: Column): Unit = {
+    val files = currentFiles(name)
+    if (files.isEmpty) return
+    val sch = schema(name)
+    val df = spark.read.schema(sch).parquet(files: _*)
+    val affected = df.filter(cond).select(input_file_name().as("f"))
+      .distinct().collect().map(r => fileName(r.getString(0))).toSet
+    if (affected.isEmpty) return
+    val affectedPaths = files.filter(p => affected.contains(fileName(p)))
+    val survivors = spark.read.schema(sch).parquet(affectedPaths: _*).filter(!cond)
+    val rewritten = writeDataFiles(name, survivors)
+    commitManifest(name,
+      currentFileNames(name).filterNot(affected.contains) ++ rewritten)
+  }
+
+  /** Net CDC application in ONE snapshot commit: drop every row whose key
+    * appears in `keys`, then add `newRows` — the atomic replacement for the
+    * reference's non-atomic delete-then-insert update
+    * (SparkDestinationStream.java:110-114; README.md:74-77). */
+  def applyNet(name: String, keys: DataFrame, newRows: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    val files = currentFiles(name)
+    val sch = schema(name)
+    val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
+    var carried = currentFileNames(name)
+    var rewritten = Seq.empty[String]
+    if (files.nonEmpty) {
+      val cur = spark.read.schema(sch).parquet(files: _*)
+      // File pruning: a semi join marks the files that hold affected keys.
+      val affected = cur.join(distinctKeys, keyCols, "left_semi")
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => fileName(r.getString(0))).toSet
+      if (affected.nonEmpty) {
+        val affectedPaths = files.filter(p => affected.contains(fileName(p)))
+        val survivors = spark.read.schema(sch).parquet(affectedPaths: _*)
+          .join(distinctKeys, keyCols, "left_anti")
+        rewritten = writeDataFiles(name, survivors)
+        carried = carried.filterNot(affected.contains)
+      }
+    }
+    val appended = writeDataFiles(name, alignTo(sch, newRows))
+    commitManifest(name, carried ++ rewritten ++ appended)
+  }
+
+  /** Upsert = applyNet keyed by the new rows themselves. */
+  def upsert(name: String, rows: DataFrame, keyCols: Seq[String]): Unit =
+    applyNet(name, rows, rows, keyCols)
+
+  // ---- internals ----------------------------------------------------------
+
+  /** Project/reorder columns to the table schema (fixed, catalog-owned). */
+  private def alignTo(sch: StructType, df: DataFrame): DataFrame =
+    df.select(sch.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+  private def currentFileNames(name: String): Seq[String] =
+    currentFiles(name).map(fileName)
+
+  private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Write df as immutable data files; returns their file names. Data lands
+    * in a staging dir first so a failed job never pollutes `data/`. */
+  private def writeDataFiles(name: String, df: DataFrame): Seq[String] = {
+    val id = UUID.randomUUID().toString.take(8)
+    val staging = tdir(name).resolve(s"_staging-$id")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = Files.list(staging).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val fn = f"$id-part$i%05d.parquet"
+      Files.move(p, dataDir(name).resolve(fn), StandardCopyOption.ATOMIC_MOVE)
+      fn
+    }
+    deleteRecursively(staging)
+    named
+  }
+
+  private def commitManifest(name: String, files: Seq[String]): Unit = {
+    val d = tdir(name)
+    val n = nextManifestId(name)
+    val manifest = f"manifest-$n%06d.txt"
+    Files.writeString(d.resolve(manifest), files.mkString("\n"))
+    val tmp = d.resolve(s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, d.resolve("_current"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def nextManifestId(name: String): Int = {
+    val existing = Files.list(tdir(name)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
+      .map(f => f.stripPrefix("manifest-").stripSuffix(".txt").toInt).toSeq
+    if (existing.isEmpty) 1 else existing.max + 1
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+}
+
+private object DataType {
+  def fromJsonFile(p: Path): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(Files.readString(p))
+      .asInstanceOf[StructType]
+}

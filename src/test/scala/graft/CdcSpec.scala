@@ -1,0 +1,192 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.cdc._
+import graft.tables.TableStore
+import graft.cdc.CdcApply.CdcConfig
+
+/** CDC semantics, mirroring the reference's integration suite
+  * (SparkDestinationStreamIT.java) — typed round-trip (:138-164), delete by
+  * raw/structured key (:167-183,260-277), update (:279-307), negative paths
+  * (:186-258), SQL-injection safety (:309-325) — plus our batch semantics
+  * (last-write-wins) and the recursive integral-float normalization.
+  */
+class CdcSpec extends SparkSpec {
+
+  /** The IT schema (SparkDestinationStreamIT.java:60-69). */
+  private val itSchema = StructType(Seq(
+    StructField("string_field", StringType, nullable = false),
+    StructField("timestamp_field", TimestampType),
+    StructField("list_field", ArrayType(StringType)),
+    StructField("int_field", IntegerType),
+    StructField("float_field", FloatType),
+    StructField("map_field", MapType(StringType, StringType)),
+    StructField("integer_in_float_field", FloatType),
+    StructField("missing_field", IntegerType)))
+
+  private val cfg = CdcConfig("t", Seq("int_field"))
+
+  private def newTable(): TableStore = {
+    val st = new TableStore(spark, tmpDir("cdc-"))
+    st.create("t", itSchema)
+    st
+  }
+
+  private val fullPayload =
+    """{"string_field": "trace 1", "timestamp_field": "2024-03-01T10:20:30.123456Z",
+      | "list_field": ["a", "b"], "int_field": 12, "float_field": 1.25,
+      | "map_field": {"foo": "bar"}, "integer_in_float_field": 3}""".stripMargin
+
+  test("insert raw JSON record: every field type round-trips") {
+    val st = newTable()
+    val r = CdcRecord(Array(1), CdcOp.Create,
+      key = Some(RawData("""{"int_field": 12}""")),
+      after = Some(RawData(fullPayload)))
+    val stats = CdcApply(spark, st, cfg, Seq(r))
+    assert(stats === CdcApply.Stats(1, 0))
+    val rows = st.read("t").collect()
+    assert(rows.length === 1)
+    val row = rows(0)
+    assert(row.getAs[String]("string_field") === "trace 1")
+    assert(row.getAs[Timestamp]("timestamp_field") ===
+      Timestamp.valueOf("2024-03-01 10:20:30.123456"))
+    assert(row.getAs[Seq[String]]("list_field") === Seq("a", "b"))
+    assert(row.getAs[Int]("int_field") === 12)
+    assert(row.getAs[Float]("float_field") === 1.25f)
+    assert(row.getAs[Map[String, String]]("map_field") === Map("foo" -> "bar"))
+    assert(row.getAs[Float]("integer_in_float_field") === 3.0f)
+    // absent column lands as null (IT:68)
+    assert(row.isNullAt(row.fieldIndex("missing_field")))
+  }
+
+  test("insert structured record: same result through the Struct path") {
+    val st = newTable()
+    val r = CdcRecord(Array(1), CdcOp.Snapshot,
+      key = Some(StructuredData(Map("int_field" -> 12))),
+      after = Some(StructuredData(Map(
+        "string_field" -> "s", "int_field" -> 12, "float_field" -> 2.5f,
+        "list_field" -> Seq("x"), "map_field" -> Map("k" -> "v")))))
+    CdcApply(spark, st, cfg, Seq(r))
+    val row = st.read("t").collect()(0)
+    assert(row.getAs[String]("string_field") === "s")
+    assert(row.getAs[Float]("float_field") === 2.5f)
+    assert(row.getAs[Seq[String]]("list_field") === Seq("x"))
+  }
+
+  test("integer-in-float: 12.0 lands in an int column (recursive, F3+)") {
+    val st = newTable()
+    val r = CdcRecord(Array(1), CdcOp.Create,
+      key = Some(RawData("""{"int_field": 12.0}""")),
+      after = Some(RawData(
+        """{"string_field": "x", "int_field": 12.0, "float_field": 7,
+          | "list_field": ["y"]}""".stripMargin)))
+    CdcApply(spark, st, cfg, Seq(r))
+    val row = st.read("t").collect()(0)
+    assert(row.getAs[Int]("int_field") === 12)
+    assert(row.getAs[Float]("float_field") === 7.0f)
+  }
+
+  test("delete by key: survivor remains (raw and structured key)") {
+    val st = newTable()
+    def ins(id: Int) = CdcRecord(Array(id.toByte), CdcOp.Create,
+      key = Some(RawData(s"""{"int_field": $id}""")),
+      after = Some(RawData(s"""{"string_field": "row$id", "int_field": $id}""")))
+    CdcApply(spark, st, cfg, Seq(ins(100), ins(105)))
+    // structured key delete (IT:167-183)
+    CdcApply(spark, st, cfg, Seq(CdcRecord(Array(3), CdcOp.Delete,
+      key = Some(StructuredData(Map("int_field" -> 105))))))
+    val left = st.read("t").collect().map(_.getAs[Int]("int_field"))
+    assert(left.toSeq === Seq(100))
+    // raw key delete (IT:260-277)
+    CdcApply(spark, st, cfg, Seq(CdcRecord(Array(4), CdcOp.Delete,
+      key = Some(RawData("""{"int_field": 100}""")))))
+    assert(st.read("t").count() === 0)
+  }
+
+  test("update replaces the row atomically (vs reference delete-then-insert)") {
+    val st = newTable()
+    CdcApply(spark, st, cfg, Seq(
+      CdcRecord(Array(1), CdcOp.Create,
+        key = Some(RawData("""{"int_field": 1}""")),
+        after = Some(RawData("""{"string_field": "old", "int_field": 1}"""))),
+      CdcRecord(Array(2), CdcOp.Create,
+        key = Some(RawData("""{"int_field": 2}""")),
+        after = Some(RawData("""{"string_field": "keep", "int_field": 2}""")))))
+    CdcApply(spark, st, cfg, Seq(
+      CdcRecord(Array(3), CdcOp.Update,
+        key = Some(RawData("""{"int_field": 1}""")),
+        after = Some(RawData("""{"string_field": "new", "int_field": 1}""")))))
+    val got = st.read("t").collect()
+      .map(r => r.getAs[Int]("int_field") -> r.getAs[String]("string_field")).toMap
+    assert(got === Map(1 -> "new", 2 -> "keep"))
+  }
+
+  test("last write wins within a batch: update then delete on same key") {
+    val st = newTable()
+    CdcApply(spark, st, cfg, Seq(
+      CdcRecord(Array(1), CdcOp.Create,
+        key = Some(RawData("""{"int_field": 9}""")),
+        after = Some(RawData("""{"string_field": "a", "int_field": 9}"""))),
+      CdcRecord(Array(2), CdcOp.Update,
+        key = Some(RawData("""{"int_field": 9}""")),
+        after = Some(RawData("""{"string_field": "b", "int_field": 9}"""))),
+      CdcRecord(Array(3), CdcOp.Delete,
+        key = Some(RawData("""{"int_field": 9}""")))))
+    assert(st.read("t").count() === 0)
+  }
+
+  test("negative: malformed key JSON / non-object / empty key / no fields") {
+    val st = newTable()
+    def del(key: CdcData) = CdcRecord(Array(1), CdcOp.Delete, key = Some(key))
+    // invalid JSON (IT:186-205)
+    val e1 = intercept[IllegalArgumentException] {
+      CdcApply(spark, st, cfg, Seq(del(RawData("not json"))))
+    }
+    assert(e1.getMessage.contains("not JSON"))
+    // JSON but not an object
+    intercept[IllegalArgumentException] {
+      CdcApply(spark, st, cfg, Seq(del(RawData("[1,2]"))))
+    }
+    // empty object → "key has no fields" guard (F6, IT:207-258)
+    val e3 = intercept[IllegalArgumentException] {
+      CdcApply(spark, st, cfg, Seq(del(RawData("{}"))))
+    }
+    assert(e3.getMessage.contains("key has no fields"))
+    // all-null fields are dropped → same guard
+    intercept[IllegalArgumentException] {
+      CdcApply(spark, st, cfg, Seq(del(RawData("""{"int_field": null}"""))))
+    }
+    // nested key values rejected (SparkDestinationStream.java:161-170)
+    intercept[IllegalArgumentException] {
+      CdcApply(spark, st, cfg, Seq(del(RawData("""{"int_field": {"a": 1}}"""))))
+    }
+  }
+
+  test("SQL-injection-shaped key deletes nothing it shouldn't (IT:309-325)") {
+    val st = new TableStore(spark, tmpDir("cdc-"))
+    val sch = StructType(Seq(
+      StructField("string_field", StringType), StructField("int_field", IntegerType)))
+    st.create("t", sch)
+    val c = CdcConfig("t", Seq("string_field"))
+    def ins(id: Int) = CdcRecord(Array(id.toByte), CdcOp.Create,
+      key = Some(RawData(s"""{"string_field": "$id"}""")),
+      after = Some(RawData(s"""{"string_field": "$id", "int_field": $id}""")))
+    CdcApply(spark, st, c, Seq(ins(105), ins(106)))
+    // key predicates are Column equality joins — no SQL text anywhere
+    CdcApply(spark, st, c, Seq(CdcRecord(Array(9), CdcOp.Delete,
+      key = Some(RawData("""{"string_field": "105 OR 1=1"}""")))))
+    assert(st.read("t").count() === 2)
+  }
+
+  test("config validation mirrors DestinationConfig required-key checks") {
+    intercept[IllegalArgumentException] { CdcConfig("", Seq("k")) }
+    intercept[IllegalArgumentException] { CdcConfig("t", Nil) }
+    val st = new TableStore(spark, tmpDir("cdc-"))
+    intercept[IllegalArgumentException] {
+      CdcApply(spark, st, CdcConfig("missing", Seq("k")), Seq(
+        CdcRecord(Array(1), CdcOp.Delete, key = Some(RawData("""{"k": 1}""")))))
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.tables.TableStore
+
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore() = new TableStore(spark, tmpDir("tablestore-"))
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("create + append + read round-trip") {
+    val st = newStore()
+    st.create("t", schema)
+    assert(st.read("t").count() === 0)
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    st.append("t", Seq((3L, "c")).toDF("id", "v"))
+    val got = st.read("t").orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("delete rewrites only affected files (copy-on-write file pruning)") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val filesAfterBatch1 = st.currentFiles("t").toSet
+    st.append("t", Seq((10L, "x"), (11L, "y")).toDF("id", "v"))
+    st.delete("t", col("id") === 10L)
+    val filesAfterDelete = st.currentFiles("t").toSet
+    // batch-1 files must be carried over untouched
+    assert(filesAfterBatch1.subsetOf(filesAfterDelete))
+    assert(st.read("t").orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 11L))
+  }
+
+  test("delete with no matches leaves the snapshot unchanged") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    val before = st.currentFiles("t")
+    st.delete("t", col("id") === 999L)
+    assert(st.currentFiles("t") === before)
+  }
+
+  test("applyNet: one commit removes keys and adds rows atomically") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "old"), (2L, "keep")).toDF("id", "v"))
+    val newRows = Seq((1L, "new"), (3L, "ins")).toDF("id", "v")
+    st.applyNet("t", newRows, newRows, Seq("id"))
+    val got = st.read("t").orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+
+  test("upsert into empty table is an append") {
+    val st = newStore()
+    st.create("t", schema)
+    st.upsert("t", Seq((5L, "e")).toDF("id", "v"), Seq("id"))
+    assert(st.read("t").count() === 1)
+  }
+
+  test("schema is catalog-owned and fixed at create") {
+    val st = newStore()
+    st.create("t", schema)
+    assert(st.schema("t") === schema)
+    // rows are aligned (projected/cast) to the stored schema on applyNet
+    val extra = Seq((7L, "g", true)).toDF("id", "v", "junk")
+    st.applyNet("t", extra.select("id"), extra, Seq("id"))
+    assert(st.read("t").schema.fieldNames.toSeq === Seq("id", "v"))
+  }
+
+  test("create(overwrite) replaces an existing table") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    st.create("t", schema, overwrite = true)
+    assert(st.read("t").count() === 0)
+    intercept[IllegalArgumentException] { st.create("t", schema) }
+  }
+}
