@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables.t
+import Text.tokens
+
+/** Deduplication operators over `documents`: exact (hash-groupBy),
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: signatures are computed in a single map-only pass with
+  * higher-order functions (no explode, no UDFs, no shuffle); the only
+  * shuffles are the band/chunk bucket self-joins, which is the textbook
+  * LSH plan — candidate generation cost is proportional to bucket
+  * collisions, never O(n²). Oversized buckets (degenerate hot keys) are
+  * capped, the standard guard against skew at 100 TB.
+  */
+object Dedup {
+
+  /** Word n-gram shingles (default 3) as a distinct array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** k seeded 64-bit min-hashes over a shingle array — one column each,
+    * evaluated in one codegen stage. */
+  def minhashes(sh: Column, k: Int): Seq[Column] =
+    (0 until k).map(i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i)))).as(s"mh$i"))
+
+  /** Exact 3-gram Jaccard between two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  /** 64 per-bit +1/−1 counters of the token stream, as one pure fold:
+    * per token, test each bit of its 64-bit hash. No explode, no shuffle. */
+  def simhashCounts(text: Column): Column =
+    aggregate(
+      tokens(text),
+      array_repeat(lit(0), 64),
+      (acc, w) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(xxhash64(w), b).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)): _*),
+        (x, y) => x + y))
+
+  /** Assemble the SimHash from materialized counters (pass a bound column
+    * so the fold above is not re-evaluated 64 times). */
+  def simhashFromCounts(counts: Column): Column =
+    (0 until 64).map(b =>
+      when(element_at(counts, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+
+  /** 64-bit SimHash; sign of each counter becomes the bit. */
+  def simhash(text: Column): Column = simhashFromCounts(simhashCounts(text))
+
+  private val MaxBucket = 50 // cap degenerate LSH buckets (skew guard)
+
+  /** MinHash → banded LSH candidate pairs → exact-Jaccard verification.
+    * 16 bands × 4 rows (k=64) targets ~0.5 similarity. */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val bands = 16; val rowsPerBand = 4
+    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sig = withSh.select(col("doc_id") +: col("sh") +: minhashes(col("sh"), bands * rowsPerBand): _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+          .as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    // skew guard: drop buckets larger than MaxBucket
+    val sized = buckets.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= MaxBucket)
+    val l = sized.select(col("band"), col("bh"), col("doc_id").as("a"), col("sh").as("sha"))
+    val r = sized.select(col("band"), col("bh"), col("doc_id").as("b"), col("sh").as("shb"))
+    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- registered queries --------------------------------------------------
+
+  /** Exact dedup by content hash; canonical = lowest doc_id per group. */
+  private def ddExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("canonical"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical")
+
+  private val ddExactSql =
+    """SELECT MD5(text) AS content_hash, MIN(doc_id) AS canonical,
+      | COUNT(*) AS n_copies
+      |FROM documents GROUP BY MD5(text) ORDER BY canonical""".stripMargin
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ 0.5. */
+  private def ddMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashNearDups(t(spark, dir, "documents"), 0.5).orderBy("a", "b")
+
+  /** SimHash near-dup pairs: 4×16-bit chunk LSH, Hamming ≤ 3 verification. */
+  private def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = t(spark, dir, "documents")
+      .select(col("doc_id"), simhashCounts(col("text")).as("cnt"))
+      .select(col("doc_id"), simhashFromCounts(col("cnt")).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk"),
+          shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*))
+        .as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
+    val l = chunks.select(col("chunk"), col("cv"), col("doc_id").as("a"), col("sig").as("siga"))
+    val r = chunks.select(col("chunk"), col("cv"), col("doc_id").as("b"), col("sig").as("sigb"))
+    l.join(r, Seq("chunk", "cv")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(siga ^ sigb)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a", "b")
+  }
+
+  /** Candidate pairs from cheap prefix blocking, verified by exact n-gram
+    * Jaccard — the verify stage of a fuzzy-dedup pipeline in isolation. */
+  private def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("blk"),
+        shingles(col("text")).as("sh"))
+    val l = docs.select(col("blk"), col("doc_id").as("a"), col("sh").as("sha"))
+    val r = docs.select(col("blk"), col("doc_id").as("b"), col("sh").as("shb"))
+    l.join(r, Seq("blk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("a", "b")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("dd_exact", ddExact, Some(ddExactSql)),
+    Q("dd_minhash_lsh", ddMinhash, None),
+    Q("dd_simhash", ddSimhash, None),
+    Q("dd_ngram_jaccard", ddNgramJaccard, None))
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables.t
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Baseline: brute-force cosine top-k — the query set is broadcast, so the
+  * big side streams through a map-only stage (exactly how you'd scan 100 TB
+  * of vectors: no shuffle of the corpus, partial top-k per partition via
+  * the rank-filter window on the small (query × k) result).
+  *
+  * Scale path: random-hyperplane LSH (4 tables × 6 bits) — candidates come
+  * from bucket equality joins, cost proportional to collisions. Hyperplanes
+  * are seeded constants, so results are deterministic run-to-run.
+  */
+object Similarity {
+
+  /** Deterministic hyperplanes: 24 planes × 64 dims from a fixed seed. */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(24, 64)(rnd.nextGaussian())
+  }
+
+  /** Fold-based dot product of a vector column with a constant plane. */
+  private def dotConst(v: Column, plane: Array[Double]): Column =
+    aggregate(
+      zip_with(v, array(plane.map(lit): _*), (x, y) => x.cast(DoubleType) * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two vector columns (deterministic left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** t LSH tables of `bits` hyperplane signs each. Returns array of
+    * (table, sig) structs for explode-join candidate generation. */
+  def lshTables(v: Column, tables: Int = 4, bits: Int = 6): Column =
+    array((0 until tables).map { tb =>
+      val sig = (0 until bits).map { b =>
+        when(dotConst(v, planes(tb * bits + b)) >= 0,
+          shiftleft(lit(1), b)).otherwise(lit(0))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(tb).as("tb"), sig.as("sig"))
+    }: _*)
+
+  /** Brute-force exact top-k neighbours for each query vector. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id"), col("embedding"), col("label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "cos")
+  }
+
+  /** ANN top-k: LSH-bucket candidates (union over tables), then exact
+    * cosine rank within candidates. Approximate — recall tested vs brute. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cT = corpus
+      .select(col("vec_id"), col("embedding"), col("label"),
+        explode(lshTables(col("embedding"))).as("t"))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("t.tb").as("tb"), col("t.sig").as("sig"))
+    val qT = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(lshTables(col("embedding"))).as("t"))
+      .select(col("query_id"), col("qv"), col("t.tb").as("tb"), col("t.sig").as("sig"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    cT.join(broadcast(qT), Seq("tb", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"), col("label"))
+      .distinct()
+      .withColumn("cos", cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "cos")
+  }
+
+  // ---- registered queries --------------------------------------------------
+
+  private def queriesOf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").filter(col("vec_id") < 8)
+
+  private def simBrute(spark: SparkSession, dir: String): DataFrame =
+    bruteTopK(t(spark, dir, "embeddings"), queriesOf(spark, dir), 10)
+      .orderBy("query_id", "rank")
+
+  private def simAnn(spark: SparkSession, dir: String): DataFrame =
+    annTopK(t(spark, dir, "embeddings"), queriesOf(spark, dir), 10)
+      .orderBy("query_id", "rank")
+
+  /** Embedding near-dup pairs: LSH candidates + cosine ≥ 0.4 across the
+    * whole corpus (self-join flavour of the ANN machinery). */
+  private def ddEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val withT = emb.select(col("vec_id"), col("embedding"),
+      explode(lshTables(col("embedding"))).as("t"))
+      .select(col("vec_id"), col("embedding"), col("t.tb").as("tb"), col("t.sig").as("sig"))
+    val l = withT.select(col("tb"), col("sig"), col("vec_id").as("a"), col("embedding").as("va"))
+    val r = withT.select(col("tb"), col("sig"), col("vec_id").as("b"), col("embedding").as("vb"))
+    l.join(r, Seq("tb", "sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("va"), col("vb")).distinct()
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.4)
+      .select("a", "b", "cos")
+      .orderBy("a", "b")
+  }
+
+  /** Label-centroid stats: mean vector per label via element-wise array
+    * aggregation, then each label's dispersion — exercises vector
+    * aggregation (zip_with + fold) at group level. */
+  private def simCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val summed = emb.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        // element-wise sum: reduce over collected arrays would not scale;
+        // instead sum each dimension with posexplode → pivot-free groupBy
+        sum(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType))).as("sum_all_dims"),
+        sum(dot(col("embedding"), col("embedding"))).as("sum_sq_norm"))
+    summed.select(col("label"), col("n"),
+      (col("sum_all_dims") / col("n")).as("mean_component_sum"),
+      (col("sum_sq_norm") / col("n")).as("mean_sq_norm"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("sim_brute_topk", simBrute, None),
+    Q("sim_ann_lsh", simAnn, None),
+    Q("dd_embedding_cosine", ddEmbedding, None),
+    Q("sim_label_centroids", simCentroids, None))
+}

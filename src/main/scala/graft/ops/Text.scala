@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables.t
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting (whitespace + BPE-ish regex), quality scoring, language
+  * ID (stopword/n-gram heuristic), and rolling-hash fingerprinting.
+  *
+  * All operators are single-pass, codegen-friendly column expressions
+  * (split / higher-order functions / regexp_count — no UDFs), so at 100 TB
+  * they run as a map-only stage over the document scan with no shuffle
+  * until the final (small) aggregate.
+  */
+object Text {
+
+  /** Whitespace tokens of a trimmed document. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish subword count estimate: letter runs, single digits, and
+    * punctuation each count as one token (a common pre-tokenizer shape). */
+  def bpeishCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Per-language stopword profiles for the heuristic language scorer. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "que", "est"),
+    "es" -> Seq("el", "la", "y", "los", "de", "un", "una", "que", "es", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "eine", "zu", "ist", "nicht", "mit"),
+    "zh" -> Nil) // zh is detected by CJK codepoints, not stopwords
+
+  /** Count of tokens contained in `words` (built-in `filter` HOF). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    if (words.isEmpty) lit(0)
+    else size(filter(toks, w => w.isInCollection(words)))
+
+  /** CJK codepoint count — the n-gram signal for zh. */
+  def cjkChars(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[\\u4e00-\\u9fff]", ""))
+
+  /** Heuristic language ID: argmax of per-language scores; deterministic
+    * tie-break on language name. Returns a struct (lang, score). */
+  def langScores(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = (stopwords - "zh").toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(toks, words).cast(DoubleType).as("score"),
+        lit(lang).as("lang"))
+    } :+ struct((cjkChars(text) * lit(3)).cast(DoubleType).as("score"),
+      lit("zh").as("lang"))
+    // array_max on (score, lang) structs = lexicographic max → ties break on
+    // the LAST lang name; reverse sign trick not needed since ties on score
+    // pick max lang — make deterministic by sorting desc on score then asc
+    // lang via array_sort comparator.
+    array_max(array(scored: _*))
+  }
+
+  /** Polynomial rolling hash over the token stream — an order-sensitive
+    * document fingerprint (same token multiset in a different order
+    * fingerprints differently, unlike MinHash). State is masked to 32 bits
+    * each step so the fold never overflows under ANSI arithmetic. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => (acc * lit(1000003L) +
+        xxhash64(w).bitwiseAND(lit(0xFFFFFFFFL))).bitwiseAND(lit(0xFFFFFFFFL)))
+
+  // ---- registered queries --------------------------------------------------
+
+  /** Token statistics with a DuckDB oracle — integer counts plus double
+    * ratios derived only from int division (bit-deterministic). */
+  private def txtTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_measured"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq_tokens"),
+        bpeishCount(col("text")).cast(IntegerType).as("n_bpeish"),
+        aggregate(transform(toks, w => length(w)), lit(0),
+          (acc, x) => acc + x).as("sum_token_len"))
+      .withColumn("avg_token_len",
+        col("sum_token_len").cast(DoubleType) / col("n_tokens"))
+      .withColumn("uniq_ratio",
+        col("n_uniq_tokens").cast(DoubleType) / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val txtTokenStatsSql =
+    """SELECT doc_id,
+      | LENGTH(text) AS n_chars_measured,
+      | CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INT) AS n_tokens,
+      | CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS INT) AS n_uniq_tokens,
+      | CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish,
+      | CAST(LIST_SUM(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), w -> LENGTH(w))) AS INT) AS sum_token_len,
+      | CAST(LIST_SUM(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), w -> LENGTH(w))) AS DOUBLE)
+      |   / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS avg_token_len,
+      | CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS DOUBLE)
+      |   / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS uniq_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio, uniq ratio, length band — the usual
+    * cheap pre-training filters. Score is derived from int counts only. */
+  private def txtQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val en = stopwords("en")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        stopwordHits(toks, en).as("n_stopwords"),
+        size(array_distinct(toks)).as("n_uniq"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast(DoubleType) / col("n_tokens"))
+      .withColumn("uniq_ratio", col("n_uniq").cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality_score",
+        col("uniq_ratio") * lit(0.5)
+          + when(col("stopword_ratio").between(0.02, 0.6), lit(0.3)).otherwise(lit(0.0))
+          + when(col("n_tokens").between(20, 2000), lit(0.2)).otherwise(lit(0.0)))
+      .filter(col("quality_score") >= 0.4)
+      .orderBy("doc_id")
+  }
+
+  private val txtQualitySql =
+    """WITH q AS (
+      | SELECT doc_id, lang,
+      |  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS INT) AS n_tokens,
+      |  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+      |    w -> w IN ('the','and','of','to','a','in','is','it','you','that'))) AS INT) AS n_stopwords,
+      |  CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'))) AS INT) AS n_uniq
+      | FROM documents),
+      |q2 AS (
+      | SELECT doc_id, lang, n_tokens, n_stopwords, n_uniq,
+      |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+      |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+      |  CAST(n_uniq AS DOUBLE) / n_tokens * 0.5
+      |   + (CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens BETWEEN 0.02 AND 0.6 THEN 0.3 ELSE 0.0 END)
+      |   + (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 0.2 ELSE 0.0 END) AS quality_score
+      | FROM q)
+      |SELECT * FROM q2 WHERE quality_score >= 0.4 ORDER BY doc_id""".stripMargin
+
+  /** Language-ID over documents (heuristic scorer; deterministic, rows-only
+    * gate — the synthetic corpus shares one vocabulary across langs, so the
+    * heuristic's accuracy is exercised on real text in ScalaTest instead). */
+  private def txtLangid(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labelled_lang"),
+        langScores(col("text")).as("best"))
+      .select(col("doc_id"), col("labelled_lang"),
+        col("best.lang").as("pred_lang"), col("best.score").as("pred_score"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprints + duplicate-fingerprint groups. */
+  private def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
+      .orderBy("canonical")
+
+  val all: Seq[Q] = Seq(
+    Q("txt_token_stats", txtTokenStats, Some(txtTokenStatsSql)),
+    Q("txt_quality", txtQuality, Some(txtQualitySql)),
+    Q("txt_langid", txtLangid, None),
+    Q("txt_fingerprint", txtFingerprint, None))
+}

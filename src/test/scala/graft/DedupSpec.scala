@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+  private val base = (words + " ") * 4 + words // ~115 tokens
+
+  test("shingles: distinct word trigrams; short docs degrade gracefully") {
+    val df = Seq("a b c d e", "x y").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toSeq)
+    assert(got(0) === Seq("a b c", "b c d", "c d e"))
+    assert(got(1) === Seq("x y"))
+  }
+
+  test("jaccard: exact overlap ratio") {
+    val df = Seq(("a b c d e f", "c d e f g h")).toDF("t1", "t2")
+      .select(Dedup.jaccard(Dedup.shingles(col("t1")), Dedup.shingles(col("t2"))).as("j"))
+    // shingles t1: abc bcd cde def; t2: cde def efg fgh → inter 2, union 6
+    assert(math.abs(df.collect()(0).getDouble(0) - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val nearDup = base.replace("echo", "zulu") // small perturbation
+    val unrelated = (0 until 120).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))  // exact dup
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical → equal; near → close; unrelated → far") {
+    val nearDup = base.replace("echo", "zulu")
+    val unrelated = (0 until 120).map(i => s"q$i").mkString(" ")
+    val df = Seq((0L, base), (1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m(0L) === m(1L))
+    assert(hamming(m(0L), m(2L)) <= 6)
+    assert(hamming(m(0L), m(3L)) > 10)
+  }
+}

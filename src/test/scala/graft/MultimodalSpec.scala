@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("FakeCodec is deterministic and fixed-width") {
+    val bytes = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val a = Multimodal.FakeCodec.decode(bytes)
+    val b = Multimodal.FakeCodec.decode(bytes)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 8)
+    assert(math.abs(a(0) - (1 + 9) / 255.0f) < 1e-6)
+  }
+
+  test("media table: opaque binary payload + typed metadata") {
+    val media = Multimodal.mediaTable(spark, dir)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val row = media.filter(col("media_id") === 0).collect()(0)
+    assert(row.getAs[String]("kind") === "image")
+    assert(row.getAs[Array[Byte]]("payload").length === 32) // sha256
+    assert(media.count() === 500)
+  }
+
+  test("extractFeatures runs partition-wise and keeps row count") {
+    val media = Multimodal.mediaTable(spark, dir).repartition(4)
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.count() === 500)
+    val f = feats.filter(col("media_id") === 1).collect()(0)
+    assert(f.feature.length === 8)
+    assert(f.n_bytes === 32)
+  }
+
+  test("sampleFrames: every step-th frame, only for video") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val sampled = Multimodal.sampleFrames(media, 4)
+    // media_id=2 → n_frames = 2%24+1 = 3 → frames 0 (step 4 → just 0)
+    val m2 = sampled.filter(col("media_id") === 2)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(m2.toSeq === Seq(0))
+    // media_id=23 → video (23%3=2), n_frames=24 → 0,4,8,12,16,20
+    val m23 = sampled.filter(col("media_id") === 23)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(m23.toSeq === Seq(0, 4, 8, 12, 16, 20))
+    assert(sampled.filter(col("media_id") === 1).count() === 0) // audio row
+  }
+}

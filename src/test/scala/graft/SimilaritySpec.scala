@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("cosine matches hand-computed values") {
+    val df = Seq(
+      (vec(1, 0, 0, 0), vec(1, 0, 0, 0), 1.0),
+      (vec(1, 0, 0, 0), vec(0, 1, 0, 0), 0.0),
+      (vec(1, 1, 0, 0), vec(1, 0, 0, 0), 1.0 / math.sqrt(2))).toDF("a", "b", "want")
+      .select(Similarity.cosine(col("a"), col("b")).as("cos"), col("want"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-7)
+    }
+  }
+
+  test("brute-force top-k ranks an identical vector first") {
+    val rnd = new scala.util.Random(7)
+    def noise() = Array.fill(64)((rnd.nextGaussian() / 100).toFloat)
+    val q = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val close = q.zip(noise()).map { case (x, n) => x + n }
+    val corpus = (Seq((100L, close, 0)) ++
+      (0 until 50).map(i => (200L + i, Array.fill(64)(rnd.nextGaussian().toFloat), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((0L, q, 0)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteTopK(corpus, queries, 3)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("vec_id") === 100L)
+    assert(top(0).getAs[Double]("cos") > 0.99)
+  }
+
+  test("LSH ANN recalls planted near-neighbours") {
+    val rnd = new scala.util.Random(11)
+    val bases = (0 until 8).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    // corpus: 5 tight neighbours around each base + 100 random
+    val corpus = (bases.zipWithIndex.flatMap { case (b, bi) =>
+      (0 until 5).map { j =>
+        (bi * 10L + j, b.map(x => x + (rnd.nextGaussian() / 50).toFloat), bi)
+      }
+    } ++ (0 until 100).map(i =>
+      (1000L + i, Array.fill(64)(rnd.nextGaussian().toFloat), 99)))
+      .toDF("vec_id", "embedding", "label")
+    val queries = bases.zipWithIndex
+      .map { case (b, bi) => (5000L + bi, b, bi) }
+      .toDF("vec_id", "embedding", "label")
+    val ann = Similarity.annTopK(corpus, queries, 5).collect()
+    // every query must recall at least 3 of its 5 planted neighbours
+    val byQuery = ann.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 8)
+    byQuery.foreach { case (qid, rows) =>
+      val cluster = (qid - 5000L).toInt
+      val hits = rows.count(_.getAs[Int]("label") == cluster)
+      assert(hits >= 3, s"query $qid recalled only $hits planted neighbours")
+    }
+  }
+}

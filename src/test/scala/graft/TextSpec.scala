@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Text
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and BPE-ish counts on known strings") {
+    val df = Seq(
+      (1L, "hello world  foo"),
+      (2L, "don't stop, it's 42 now!"),
+      (3L, "one")).toDF("id", "text")
+      .select(col("id"), size(Text.tokens(col("text"))).as("n"),
+        Text.bpeishCount(col("text")).as("b"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1L) === ((3, 3))) // 3 ws tokens; 3 letter runs
+    // don ' t stop , it ' s 4 2 now ! → letter runs: don,t,stop,it,s,now=6; digits 4,2=2; punct ',',',!=4 → 12
+    assert(m(2L) === ((5, 12)))
+    assert(m(3L) === ((1, 1)))
+  }
+
+  test("language ID picks the right language on real text") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy that you came to see it"),
+      ("fr", "le chat est sur la table et les enfants mangent du pain que nous aimons"),
+      ("es", "el perro y la casa de los vecinos es una historia que en verdad paso"),
+      ("de", "der hund und die katze sind ein gutes team das ist nicht zu glauben mit"),
+      ("zh", "这是一个中文句子 它包含很多汉字 所以检测应该很容易"))
+    val df = samples.toDF("expected", "text")
+      .select(col("expected"), Text.langScores(col("text")).getField("lang").as("pred"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) === r.getString(0),
+        s"expected ${r.getString(0)} got ${r.getString(1)}")
+    }
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),
+      (3L, "alpha beta gamma")).toDF("id", "text")
+      .select(col("id"), Text.fingerprint(col("text")).as("fp"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(3L))
+    assert(m(1L) !== m(2L))
+    // stable across evaluations
+    val again = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === again)
+  }
+
+  test("stopword hits count only exact matches") {
+    val df = Seq("the theme of the play").toDF("text")
+      .select(Text.stopwordHits(Text.tokens(col("text")), Seq("the", "of")).as("n"))
+    assert(df.collect()(0).getInt(0) === 3) // the, of, the — not "theme"
+  }
+}

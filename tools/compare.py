@@ -11,6 +11,15 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# rows-only report for queries without an oracle
+for pdir in sorted(glob.glob(f"{out}/*/")):
+    name = os.path.basename(pdir.rstrip('/'))
+    if name not in oracle:
+        try:
+            n = pq.read_table(pdir).num_rows
+            print(f"ROWS {name}: {n}" + ("  <-- EMPTY!" if n == 0 else ""))
+        except Exception as e:
+            print(f"ROWS {name}: unreadable: {e}")
 def norm(v):
     if isinstance(v, float):
         return f"{v:.10g}"
