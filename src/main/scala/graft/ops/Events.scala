@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables.t
+import graft.streaming.StreamOps
+
+/** Event-stream analytics registered through the batch gate. These run the
+  * SAME plan functions as the Structured Streaming queries (StreamOps) —
+  * batch execution here, streaming execution in StreamingSpec.
+  */
+object Events {
+
+  /** The events parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default — read nanos as long, then convert to a µs TimestampType col
+    * (truncation matches the oracle's DATE_TRUNC('second') downstream). */
+  private def ev(spark: SparkSession, dir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def evTumbling(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.tumblingStats(ev(spark, dir), "1 hour")
+      .orderBy("window_start", "event_type")
+
+  private val evTumblingSql =
+    """SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start,
+      | event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def evSliding(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.slidingCounts(ev(spark, dir), "2 hours", "1 hour")
+      .orderBy("window_start", "event_type")
+
+  /** Sliding = union of the two aligned hourly phases in plain SQL. */
+  private val evSlidingSql =
+    """SELECT CAST(EPOCH(w) AS BIGINT) AS window_start, event_type,
+      | COUNT(*) AS n_events
+      |FROM (
+      | SELECT DATE_TRUNC('hour', ts) AS w, event_type FROM events
+      | UNION ALL
+      | SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR AS w, event_type FROM events)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def evSessions(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionStats(ev(spark, dir), "30 minutes")
+      .orderBy("user_id", "session_start")
+
+  /** Gaps-and-islands reproduction of session_window semantics: a new
+    * session starts when the previous event is ≥ 30 min away. */
+  private val evSessionsSql =
+    """WITH e AS (
+      | SELECT user_id, DATE_TRUNC('second', ts) AS tss, value FROM events),
+      |flagged AS (
+      | SELECT user_id, tss, value,
+      |  CASE WHEN tss - LAG(tss) OVER (PARTITION BY user_id ORDER BY tss)
+      |        < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      | FROM e),
+      |sess AS (
+      | SELECT user_id, tss, value,
+      |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM flagged)
+      |SELECT user_id, CAST(EPOCH(MIN(tss)) AS BIGINT) AS session_start,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  private def evDedup(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.dedupEvents(ev(spark, dir), streaming = false)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  private val evDedupSql =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT DISTINCT ON (event_id) event_id, event_type, user_id FROM events ORDER BY event_id)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** JSON prop extraction from the props column (semi-structured path). */
+  private def evProps(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val evPropsSql =
+    """SELECT event_type, COUNT(*) AS n,
+      | SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS sum_k,
+      | MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("ev_tumbling_window", evTumbling, Some(evTumblingSql)),
+    Q("ev_sliding_window", evSliding, Some(evSlidingSql)),
+    Q("ev_session_windows", evSessions, Some(evSessionsSql)),
+    Q("ev_dedup", evDedup, Some(evDedupSql)),
+    Q("ev_json_props", evProps, Some(evPropsSql)))
+}

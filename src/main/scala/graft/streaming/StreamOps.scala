@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming analytics over the `events` stream (streaming analogue of the
+  * reference's record stream, SURVEY.md §2 row S1).
+  *
+  * Every transform here is expressed against an unbounded-table plan —
+  * `window`/`session_window` aggregations with event-time watermarks — so
+  * the SAME function runs in a batch job (driver correctness gate) and in a
+  * Structured Streaming query (`readStream`/`writeStream`, exercised with
+  * MemoryStream in StreamingSpec). `withWatermark` is a no-op on batch
+  * inputs, which is what makes the single-source-of-truth possible.
+  */
+object StreamOps {
+
+  /** Event-time watermarked source prep: seconds-truncated event time
+    * (parquet carries ns; Spark is µs; second-precision keeps every
+    * downstream aggregate bit-identical with the DuckDB oracle). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withWatermark("ts_sec", "10 minutes")
+
+  /** Tumbling-window counts/sums per event type. */
+  def tumblingStats(events: DataFrame, width: String): DataFrame =
+    withEventTime(events)
+      .groupBy(window(col("ts_sec"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window event rate per type. */
+  def slidingCounts(events: DataFrame, width: String, slide: String): DataFrame =
+    withEventTime(events)
+      .groupBy(window(col("ts_sec"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Session windows per user: events within `gap` of each other merge into
+    * one session (native session_window — works batch AND streaming). */
+  def sessionStats(events: DataFrame, gap: String): DataFrame =
+    withEventTime(events)
+      .groupBy(session_window(col("ts_sec"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Exactly-once style dedup on event_id (streaming:
+    * dropDuplicatesWithinWatermark keeps state bounded). */
+  def dedupEvents(events: DataFrame, streaming: Boolean): DataFrame = {
+    val e = withEventTime(events)
+    if (streaming) e.dropDuplicatesWithinWatermark(Seq("event_id"))
+    else e.dropDuplicates(Seq("event_id"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.streaming.StreamOps
+import graft.cdc._
+import graft.tables.TableStore
+
+/** Structured Streaming semantics: the same StreamOps plans that the batch
+  * gate checks, executed as real streaming queries over MemoryStream —
+  * watermark + windowed aggs, dedup-within-watermark, custom state
+  * (mapGroupsWithState), and foreachBatch CDC-apply into TableStore (the
+  * streaming analogue of the reference's record stream, SURVEY.md S1).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def mkEvents(rows: Ev*): MemoryStream[Ev] = {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows: _*)
+    ms
+  }
+
+  test("tumbling window agg with watermark emits per-hour totals") {
+    val ms = mkEvents(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 10:55:00"), 1, "click", 2.0, "{}"),
+      Ev(3, ts("2024-01-01 11:05:00"), 2, "view", 5.0, "{}"),
+      // late-but-within-watermark event
+      Ev(4, ts("2024-01-01 10:59:00"), 2, "click", 4.0, "{}"))
+    val q = StreamOps.tumblingStats(ms.toDF(), "1 hour")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("tumbling").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val h10 = ts("2024-01-01 10:00:00").getTime / 1000
+      val h11 = ts("2024-01-01 11:00:00").getTime / 1000
+      assert(got.toSeq === Seq(
+        (h10, "click", 3L, 7.0), (h11, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap across batches") {
+    val ms = mkEvents(
+      Ev(1, ts("2024-01-01 09:00:00"), 7, "click", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 09:10:00"), 7, "click", 1.0, "{}"))
+    val q = StreamOps.sessionStats(ms.toDF(), "30 minutes")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      // second batch: one event continuing the session, one starting a new one
+      ms.addData(
+        Ev(3, ts("2024-01-01 09:30:00"), 7, "click", 1.0, "{}"),
+        Ev(4, ts("2024-01-01 12:00:00"), 7, "click", 9.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("sessions").orderBy("session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === Seq((7L, 3L, 3.0), (7L, 1L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event_ids") {
+    val ms = mkEvents(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"), // replay
+      Ev(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0, "{}"))
+    val q = StreamOps.dedupEvents(ms.toDF(), streaming = true)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: running per-user counters survive batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"))
+    val counts = ms.toDS().groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counts.toDF("user_id", "n")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("counters").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(Ev(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0, "{}"),
+        Ev(3, ts("2024-01-01 10:06:00"), 2, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val last = spark.table("counters").groupBy("user_id")
+        .agg(max("n").as("n")).orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(last.toSeq === Seq((1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch applies a CDC stream into TableStore") {
+    val store = new TableStore(spark, tmpDir("stream-cdc-"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    store.create("t", schema)
+    val cfg = CdcApply.CdcConfig("t", Seq("id"))
+
+    implicit val sqlCtx = spark.sqlContext
+    // stream of (op, id, v) triples standing in for decoded CDC envelopes
+    val ms = MemoryStream[(String, Long, String)]
+    ms.addData(("create", 1L, "a"), ("create", 2L, "b"))
+    val q = ms.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long, String)], _: Long) =>
+        val records = batch.collect().toSeq.map { case (op, id, v) =>
+          CdcRecord(Array(id.toByte), CdcOp.fromString(op),
+            key = Some(RawData(s"""{"id": $id}""")),
+            after = if (op == "delete") None
+              else Some(RawData(s"""{"id": $id, "v": "$v"}""")))
+        }
+        if (records.nonEmpty) { CdcApply(spark, store, cfg, records); () }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      ms.addData(("update", 1L, "a2"), ("delete", 2L, ""), ("create", 3L, "c"))
+      q.processAllAvailable()
+      val got = store.read("t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === Seq((1L, "a2"), (3L, "c")))
+    } finally q.stop()
+  }
+}
