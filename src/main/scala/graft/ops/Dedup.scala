@@ -19,19 +19,39 @@ import Text.tokens
 object Dedup {
 
   /** Word n-gram shingles (default 3) as a distinct array. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromToks(tokens(text), n)
+
+  /** Same, over a materialized token-array column (see shingleHashesFromToks
+    * for why the two-step matters). */
+  def shinglesFromToks(toks: Column, n: Int = 3): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
 
-  /** k seeded 64-bit min-hashes over a shingle array — one column each,
-    * evaluated in one codegen stage. */
-  def minhashes(sh: Column, k: Int): Seq[Column] =
-    (0 until k).map(i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i)))).as(s"mh$i"))
+  /** k seeded min-hash AGGREGATES over exploded shingle rows — codegen'd
+    * hash + min with map-side partial aggregation (one row per doc leaves
+    * the map stage). */
+  def minhashAggs(s: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => min(xxhash64(s, lit(i))).as(s"mh$i"))
+
+  /** Hashed word-trigram shingles: one 64-bit hash per trigram via three
+    * element_at lookups — no string concatenation, no slice allocation.
+    * MinHash over the hash multiset equals MinHash over the distinct set
+    * (duplicates never change a min), so no distinct is needed here. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    shingleHashesFromToks(tokens(text), n)
+
+  /** Same, over an already-MATERIALIZED token-array column. Inside an HOF
+    * lambda every outer subexpression is re-evaluated per element, so the
+    * caller must bind `split()` to an attribute first (two-step select) —
+    * otherwise tokenization runs once per shingle instead of once per doc. */
+  def shingleHashesFromToks(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*)))
 
   /** Exact 3-gram Jaccard between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -39,14 +59,15 @@ object Dedup {
       size(array_union(a, b)).cast(DoubleType)
 
   /** 64 per-bit +1/−1 counters of the token stream, as one pure fold:
-    * per token, test each bit of its 64-bit hash. No explode, no shuffle. */
+    * hash each token ONCE (`transform`), then test each bit of the bound
+    * hash value. No explode, no shuffle, no per-bit re-hashing. */
   def simhashCounts(text: Column): Column =
     aggregate(
-      tokens(text),
+      transform(tokens(text), w => xxhash64(w)),
       array_repeat(lit(0), 64),
-      (acc, w) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         array((0 until 64).map(b =>
-          when(shiftright(xxhash64(w), b).bitwiseAND(lit(1L)) === 1L, 1)
+          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1)
             .otherwise(-1)): _*),
         (x, y) => x + y))
 
@@ -66,25 +87,42 @@ object Dedup {
     * 16 bands × 4 rows (k=64) targets ~0.5 similarity. */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     val bands = 16; val rowsPerBand = 4
-    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sig = withSh.select(col("doc_id") +: col("sh") +: minhashes(col("sh"), bands * rowsPerBand): _*)
+    // Signatures via explode + codegen'd min() aggregates: the 64 seeded
+    // hashes run inside whole-stage codegen over trigram-hash ROWS (HOF
+    // folds over arrays would be interpreted), and map-side partial
+    // aggregation collapses to one row per doc before any shuffle.
+    val shRows = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingleHashesFromToks(col("toks"))).as("s"))
+    val mhAggs = minhashAggs(col("s"), bands * rowsPerBand)
+    val sig = shRows.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
           .as("bh"))
     }
     val buckets = sig
-      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     // skew guard: drop buckets larger than MaxBucket
     val sized = buckets.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .filter(col("bucket_n") <= MaxBucket)
-    val l = sized.select(col("band"), col("bh"), col("doc_id").as("a"), col("sh").as("sha"))
-    val r = sized.select(col("band"), col("bh"), col("doc_id").as("b"), col("sh").as("shb"))
-    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+    val l = sized.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = sized.select(col("band"), col("bh"), col("doc_id").as("b"))
+    val pairs = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact-Jaccard verify on the candidate SUBSET only: semi-join the
+    // corpus down to candidate ids before computing shingle sets
+    val candIds = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val candSh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(shingleHashesFromToks(col("toks"))).as("sh"))
+    pairs
+      .join(candSh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(candSh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -106,11 +144,22 @@ object Dedup {
   private def ddMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashNearDups(t(spark, dir, "documents"), 0.5).orderBy("a", "b")
 
-  /** SimHash near-dup pairs: 4×16-bit chunk LSH, Hamming ≤ 3 verification. */
+  /** SimHash near-dup pairs: 4×16-bit chunk LSH, Hamming ≤ 3 verification.
+    * Signatures via explode + 64 codegen'd conditional-sum aggregates
+    * (the HOF fold form exists as `simhash(col)` for expression-level use,
+    * but interpreted HOF evaluation is ~10× slower in the hot path). */
   private def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = t(spark, dir, "documents")
-      .select(col("doc_id"), simhashCounts(col("text")).as("cnt"))
-      .select(col("doc_id"), simhashFromCounts(col("cnt")).as("sig"))
+    val hashes = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(transform(tokens(col("text")), w => xxhash64(w))).as("h"))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"c$b"))
+    val counts = hashes.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sigs = counts.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("chunk"),
@@ -130,12 +179,18 @@ object Dedup {
   /** Candidate pairs from cheap prefix blocking, verified by exact n-gram
     * Jaccard — the verify stage of a fuzzy-dedup pipeline in isolation. */
   private def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("blk"),
-        shingles(col("text")).as("sh"))
-    val l = docs.select(col("blk"), col("doc_id").as("a"), col("sh").as("sha"))
-    val r = docs.select(col("blk"), col("doc_id").as("b"), col("sh").as("shb"))
+    val raw = t(spark, dir, "documents")
+    // blocking join carries ids only; shingle arrays are computed once per
+    // side of the (small) verify join, never shuffled with the block key
+    val blocks = raw.select(col("doc_id"), substring(col("text"), 1, 40).as("blk"))
+    val withSh = raw.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromToks(col("toks")).as("sh"))
+    val l = blocks.select(col("blk"), col("doc_id").as("a"))
+    val r = blocks.select(col("blk"), col("doc_id").as("b"))
     l.join(r, Seq("blk")).filter(col("a") < col("b"))
+      .select("a", "b")
+      .join(withSh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(withSh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy("a", "b")

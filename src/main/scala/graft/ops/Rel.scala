@@ -415,11 +415,13 @@ object Rel {
       |WHERE c_acctbal > nation_avg
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
-  /** NTILE bucketing over a unique ordering. */
+  /** NTILE bucketing over a unique ordering — built-in `ntile` over an
+    * unpartitioned window collapses to ONE partition, so this uses the
+    * scale-correct two-pass implementation (ScaleOps.distributedNtile)
+    * with identical SQL semantics, hash-checked against DuckDB's NTILE. */
   private def q20(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    t(spark, dir, "customer")
-      .withColumn("quartile", ntile(4).over(w))
+    ScaleOps.distributedNtile(t(spark, dir, "customer"), 4,
+      Seq(col("c_acctbal"), col("c_custkey")), "quartile")
       .groupBy("quartile")
       .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"),
         min("c_custkey").as("min_key"))

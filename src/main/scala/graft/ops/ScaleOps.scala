@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.IntegerType
+
+/** Operators whose built-in form does not survive scale, re-expressed with
+  * scalable plans.
+  *
+  * `NTILE(n) OVER (ORDER BY …)` — an empty PARTITION BY — makes Spark's
+  * WindowExec move the whole table to ONE partition (it even warns). At
+  * 100 TB that is not a slowdown, it is an OOM. The same semantics are
+  * computable with a range-partitioned sort plus two linear passes:
+  *
+  *   1. range-repartition + sort-within-partitions on the order key — the
+  *      scalable global sort (range boundaries are ordered by partition
+  *      index, so partition i holds strictly smaller keys than i+1);
+  *   2. count rows per partition (tiny driver-side array);
+  *   3. per partition, global rank = partition offset + local index, and
+  *      the exact SQL NTILE bucket formula on (rank, total).
+  *
+  * Genuine per-partition imperative logic — the documented case where
+  * dropping to the RDD layer is the right call.
+  */
+object ScaleOps {
+
+  /** Exact SQL NTILE semantics (first `total % n` buckets get the extra
+    * row), computed without any single-partition stage. Order columns must
+    * form a unique key for deterministic output. */
+  def distributedNtile(df: DataFrame, n: Int, orderCols: Seq[Column],
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .persist()
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val total = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val q = total / n
+    val r = total % n
+    val schema = df.schema.add(outCol, IntegerType, nullable = false)
+    val out = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = bOffsets.value(i)
+      it.map { row =>
+        rank += 1
+        val bucket =
+          if (q == 0L) rank.toInt // fewer rows than buckets
+          else if (rank <= r * (q + 1)) ((rank - 1) / (q + 1) + 1).toInt
+          else (r + (rank - 1 - r * (q + 1)) / q + 1).toInt
+        Row.fromSeq(row.toSeq :+ bucket)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+}

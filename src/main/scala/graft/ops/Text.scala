@@ -69,22 +69,33 @@ object Text {
   // ---- registered queries --------------------------------------------------
 
   /** Token statistics with a DuckDB oracle — integer counts plus double
-    * ratios derived only from int division (bit-deterministic). */
+    * ratios derived only from int division (bit-deterministic).
+    *
+    * Shape: per-doc scalars in a pre-explode projection (computed once),
+    * token-level stats via explode + codegen'd aggregates with map-side
+    * combine — one row per doc leaves the map stage. A single projection
+    * with HOF folds would re-evaluate interpreted lambdas per referencing
+    * alias; this shape keeps everything in whole-stage codegen. */
   private def txtTokenStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    t(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        length(col("text")).as("n_chars_measured"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_uniq_tokens"),
-        bpeishCount(col("text")).cast(IntegerType).as("n_bpeish"),
-        aggregate(transform(toks, w => length(w)), lit(0),
-          (acc, x) => acc + x).as("sum_token_len"))
-      .withColumn("avg_token_len",
-        col("sum_token_len").cast(DoubleType) / col("n_tokens"))
-      .withColumn("uniq_ratio",
-        col("n_uniq_tokens").cast(DoubleType) / col("n_tokens"))
+    // scalars + token array materialized BELOW the generate: Spark places
+    // a combined projection ABOVE it, re-evaluating the regexp per token row
+    val exploded = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("nc"),
+        bpeishCount(col("text")).cast(IntegerType).as("nb"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("nc"), col("nb"), explode(col("toks")).as("tok"))
+    exploded.groupBy("doc_id")
+      .agg(
+        min("nc").as("n_chars_measured"),
+        min("nb").as("n_bpeish"),
+        count(lit(1)).cast(IntegerType).as("n_tokens"),
+        countDistinct(col("tok")).cast(IntegerType).as("n_uniq_tokens"),
+        sum(length(col("tok"))).cast(IntegerType).as("sum_token_len"))
+      .select(col("doc_id"), col("n_chars_measured"), col("n_tokens"),
+        col("n_uniq_tokens"), col("n_bpeish"), col("sum_token_len"),
+        (col("sum_token_len").cast(DoubleType) / col("n_tokens")).as("avg_token_len"),
+        (col("n_uniq_tokens").cast(DoubleType) / col("n_tokens")).as("uniq_ratio"))
       .orderBy("doc_id")
   }
 
@@ -104,13 +115,16 @@ object Text {
   /** Quality scoring: stopword ratio, uniq ratio, length band — the usual
     * cheap pre-training filters. Score is derived from int counts only. */
   private def txtQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(lower(col("text")))
     val en = stopwords("en")
-    t(spark, dir, "documents")
+    val exploded = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        size(toks).as("n_tokens"),
-        stopwordHits(toks, en).as("n_stopwords"),
-        size(array_distinct(toks)).as("n_uniq"))
+        explode(tokens(lower(col("text")))).as("tok"))
+    exploded.groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_tokens"),
+        sum(when(col("tok").isInCollection(en), 1).otherwise(0))
+          .cast(IntegerType).as("n_stopwords"),
+        countDistinct(col("tok")).cast(IntegerType).as("n_uniq"))
       .withColumn("stopword_ratio",
         col("n_stopwords").cast(DoubleType) / col("n_tokens"))
       .withColumn("uniq_ratio", col("n_uniq").cast(DoubleType) / col("n_tokens"))
@@ -143,13 +157,30 @@ object Text {
   /** Language-ID over documents (heuristic scorer; deterministic, rows-only
     * gate — the synthetic corpus shares one vocabulary across langs, so the
     * heuristic's accuracy is exercised on real text in ScalaTest instead). */
-  private def txtLangid(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+  private def txtLangid(spark: SparkSession, dir: String): DataFrame = {
+    val langs = (stopwords - "zh").toSeq.sortBy(_._1)
+    // zh regexp scalar materialized below the generate (see txtTokenStats)
+    val exploded = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang").as("labelled_lang"),
-        langScores(col("text")).as("best"))
+        (cjkChars(col("text")) * 3).cast(DoubleType).as("zh_score"),
+        tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("labelled_lang"), col("zh_score"),
+        explode(col("toks")).as("tok"))
+    val hitAggs = langs.map { case (lang, words) =>
+      sum(when(col("tok").isInCollection(words), 1).otherwise(0))
+        .cast(DoubleType).as(s"s_$lang")
+    }
+    val scored = exploded.groupBy("doc_id", "labelled_lang", "zh_score")
+      .agg(hitAggs.head, hitAggs.tail: _*)
+    val candidates = langs.map { case (lang, _) =>
+      struct(col(s"s_$lang").as("score"), lit(lang).as("lang"))
+    } :+ struct(col("zh_score").as("score"), lit("zh").as("lang"))
+    scored
+      .withColumn("best", greatest(candidates: _*))
       .select(col("doc_id"), col("labelled_lang"),
         col("best.lang").as("pred_lang"), col("best.score").as("pred_score"))
       .orderBy("doc_id")
+  }
 
   /** Rolling-hash fingerprints + duplicate-fingerprint groups. */
   private def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
