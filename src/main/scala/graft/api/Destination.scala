@@ -1,0 +1,88 @@
+package graft.api
+
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.SparkSession
+import graft.cdc._
+import graft.tables.TableStore
+
+/** Library-facing ingest API with the reference connector's lifecycle and
+  * guarantees, minus the wire protocol (SURVEY.md §0: the gRPC plumbing is
+  * the reference's transport, not its engine):
+  *
+  *   Configure → Start → Open(stream) → write records → Stop/Teardown
+  *   (reference DestinationService.java:39-113)
+  *
+  * Acks: every accepted record's `position` is returned after its write is
+  * durably committed — the same at-least-once contract as the reference's
+  * `responseWith(position)` (SparkDestinationStream.java:75,87-92, W4).
+  * Errors surface as `Failure` with the decode/validation cause, mirroring
+  * the gRPC `onError` path (:264-270).
+  */
+object Destination {
+
+  /** Connector-spec analogue (reference SpecifierService.java:42-146):
+    * parameter inventory with required/validation metadata, so callers can
+    * introspect the config surface programmatically. */
+  final case class ParamSpec(name: String, required: Boolean, description: String)
+
+  val name = "graft-table"
+  val version = "v0.1.0"
+
+  val parameters: Seq[ParamSpec] = Seq(
+    ParamSpec("store.root", required = true,
+      "Root directory of the managed TableStore"),
+    ParamSpec("table", required = true,
+      "Target table name (must already exist — schema is catalog-owned)"),
+    ParamSpec("key.columns", required = true,
+      "Comma-separated key column names for delete/update matching"))
+
+  final case class Config(storeRoot: String, table: String, keyCols: Seq[String])
+
+  /** Required-key validation with exact-cause errors (reference
+    * DestinationConfig.java:45-49,110-118 and its unit tests). */
+  def configure(params: Map[String, String]): Try[Config] = Try {
+    def req(k: String): String = params.get(k).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(s"required parameter missing: $k"))
+    val unknown = params.keySet.diff(parameters.map(_.name).toSet)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown parameters: ${unknown.toSeq.sorted.mkString(", ")}")
+    Config(req("store.root"), req("table"),
+      req("key.columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  def open(spark: SparkSession, config: Config): DestinationStream = {
+    val store = new TableStore(spark, config.storeRoot)
+    require(store.exists(config.table),
+      s"table ${config.table} does not exist in ${config.storeRoot}")
+    new DestinationStream(spark, store,
+      CdcApply.CdcConfig(config.table, config.keyCols))
+  }
+}
+
+/** An open ingest stream. Thread-unsafe single-writer, like the reference's
+  * strictly-sequential record stream (SURVEY.md §3). */
+final class DestinationStream private[api] (
+    spark: SparkSession, store: TableStore, cfg: CdcApply.CdcConfig) {
+
+  final case class Ack(position: Array[Byte])
+
+  /** Per-record write → ack, the reference's exact contract (one record,
+    * one durable commit, one ack). Prefer `writeBatch` — the reference's
+    * one-Spark-job-per-record shape is its own documented bottleneck. */
+  def write(record: CdcRecord): Try[Ack] =
+    Try { CdcApply(spark, store, cfg, Seq(record)); Ack(record.position) }
+
+  /** Batched write: ONE distributed apply + ONE atomic snapshot commit for
+    * the whole batch; acks preserve record order. All-or-nothing — on
+    * failure no record in the batch is applied (stronger than the
+    * reference's record-at-a-time partial progress). */
+  def writeBatch(records: Seq[CdcRecord]): Try[Seq[Ack]] =
+    Try {
+      CdcApply(spark, store, cfg, records)
+      records.map(r => Ack(r.position))
+    }
+
+  /** Current table contents (read-your-writes after an ack). */
+  def table = store.read(cfg.table)
+}

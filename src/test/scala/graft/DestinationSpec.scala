@@ -1,0 +1,86 @@
+package graft
+
+import scala.util.{Failure, Success}
+import org.apache.spark.sql.types._
+import graft.api.Destination
+import graft.cdc._
+import graft.tables.TableStore
+
+/** API lifecycle parity with the reference connector: config validation
+  * (DestinationConfigTest), spec introspection (SpecifierServiceTest), and
+  * the write→ack contract (SparkDestinationStream W4). */
+class DestinationSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("spec surface: name, version, parameter inventory") {
+    assert(Destination.name === "graft-table")
+    assert(Destination.parameters.map(_.name) ===
+      Seq("store.root", "table", "key.columns"))
+    assert(Destination.parameters.forall(_.required))
+  }
+
+  test("configure: each missing required key fails with exact cause") {
+    val full = Map("store.root" -> "/x", "table" -> "t", "key.columns" -> "id")
+    assert(Destination.configure(full).isSuccess)
+    full.keys.foreach { k =>
+      Destination.configure(full - k) match {
+        case Failure(e) => assert(e.getMessage.contains(k))
+        case Success(_) => fail(s"expected failure without $k")
+      }
+    }
+    Destination.configure(full + ("bogus" -> "1")) match {
+      case Failure(e) => assert(e.getMessage.contains("bogus"))
+      case Success(_) => fail("expected unknown-parameter failure")
+    }
+  }
+
+  test("open + write/ack round-trip; acks carry record positions") {
+    val root = tmpDir("dest-")
+    new TableStore(spark, root).create("t", schema)
+    val cfg = Destination.configure(Map(
+      "store.root" -> root, "table" -> "t", "key.columns" -> "id")).get
+    val stream = Destination.open(spark, cfg)
+    val r1 = CdcRecord("p1".getBytes, CdcOp.Create,
+      key = Some(RawData("""{"id": 1}""")),
+      after = Some(RawData("""{"id": 1, "v": "a"}""")))
+    val ack = stream.write(r1)
+    assert(ack.isSuccess)
+    assert(new String(ack.get.position) === "p1")
+    assert(stream.table.count() === 1)
+
+    val batch = Seq(
+      CdcRecord("p2".getBytes, CdcOp.Update,
+        key = Some(RawData("""{"id": 1}""")),
+        after = Some(RawData("""{"id": 1, "v": "a2"}"""))),
+      CdcRecord("p3".getBytes, CdcOp.Create,
+        key = Some(RawData("""{"id": 2}""")),
+        after = Some(RawData("""{"id": 2, "v": "b"}"""))))
+    val acks = stream.writeBatch(batch)
+    assert(acks.get.map(a => new String(a.position)) === Seq("p2", "p3"))
+    val got = stream.table.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a2"), (2L, "b")))
+  }
+
+  test("write failure surfaces the decode cause and applies nothing") {
+    val root = tmpDir("dest-")
+    new TableStore(spark, root).create("t", schema)
+    val stream = Destination.open(spark,
+      Destination.configure(Map(
+        "store.root" -> root, "table" -> "t", "key.columns" -> "id")).get)
+    val bad = CdcRecord("p9".getBytes, CdcOp.Delete,
+      key = Some(RawData("not json")))
+    stream.write(bad) match {
+      case Failure(e) => assert(e.getMessage.contains("not JSON"))
+      case Success(_) => fail("expected decode failure")
+    }
+    assert(stream.table.count() === 0)
+    // open on a missing table is rejected (schema is catalog-owned)
+    intercept[IllegalArgumentException] {
+      Destination.open(spark, Destination.configure(Map(
+        "store.root" -> root, "table" -> "missing", "key.columns" -> "id")).get)
+    }
+  }
+}
