@@ -472,6 +472,37 @@ object Rel {
       |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
       |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin
 
+  /** Skew-safe aggregation: deterministic salted two-phase sum/count over
+    * the 3-value returnflag key (a worst-case hot-key distribution), with
+    * exact decimal arithmetic so it still hash-matches the plain GROUP BY
+    * oracle. */
+  private def q23(spark: SparkSession, dir: String): DataFrame =
+    ScaleOps.saltedSumCount(
+      t(spark, dir, "lineitem"),
+      Seq("l_returnflag"), col("l_orderkey"), 32,
+      dec(col("l_quantity")), "sum_qty_dec")
+      .select(col("l_returnflag"), dbl(col("sum_qty_dec")).as("sum_qty"),
+        col("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val q23Sql =
+    """SELECT l_returnflag,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sketch aggregates: approx_count_distinct (HLL++) next to the exact
+    * count — rows-only gate (sketch estimates are engine-specific); the
+    * relative-error contract is asserted in RelSpec. */
+  private def q24(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy("l_returnflag")
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -495,5 +526,7 @@ object Rel {
     Q("q20_ntile", q20, Some(q20Sql)),
     Q("q21_count_distinct", q21, Some(q21Sql)),
     Q("q22_having_topk", q22, Some(q22Sql)),
+    Q("q23_salted_agg", q23, Some(q23Sql)),
+    Q("q24_approx_distinct", q24, None),
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
 /** Operators whose built-in form does not survive scale, re-expressed with
@@ -22,6 +23,22 @@ import org.apache.spark.sql.types.IntegerType
   * dropping to the RDD layer is the right call.
   */
 object ScaleOps {
+
+  /** Two-phase (salted) aggregation for skewed group keys: when a handful
+    * of keys dominate (here: 3 returnflags over the whole fact table), a
+    * plain groupBy sends each hot key's entire volume to one reducer.
+    * Salting splits every key into `salt` deterministic sub-keys (hash of a
+    * high-cardinality column — no randomness, so results are reproducible),
+    * partially aggregates, then combines the partials. Exactly equivalent
+    * for any decomposable aggregate (sum/count/min/max).
+    */
+  def saltedSumCount(df: DataFrame, groupCols: Seq[String], saltFrom: Column,
+      salt: Int, sumCol: Column, sumName: String): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltFrom), lit(salt)))
+      .groupBy((groupCols :+ "__salt").map(col): _*)
+      .agg(sum(sumCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("__psum").as(sumName), sum("__pcnt").as("n_rows"))
 
   /** Exact SQL NTILE semantics (first `total % n` buckets get the extra
     * row), computed without any single-partition stage. Order columns must

@@ -180,6 +180,29 @@ class CdcSpec extends SparkSpec {
     assert(st.read("t").count() === 2)
   }
 
+  test("multi-column keys use intended-AND semantics (reference F5 bug fixed)") {
+    // The reference's jOOQ condition builder discards all but the first key
+    // field (SparkDestinationStream.java:126-134) — we implement the
+    // intended conjunction: a delete must match on ALL key columns.
+    val st = new TableStore(spark, tmpDir("cdc-"))
+    val sch = StructType(Seq(
+      StructField("k1", IntegerType), StructField("k2", StringType),
+      StructField("v", StringType)))
+    st.create("t", sch)
+    val c = CdcConfig("t", Seq("k1", "k2"))
+    def ins(k1: Int, k2: String) = CdcRecord(Array(1), CdcOp.Create,
+      key = Some(RawData(s"""{"k1": $k1, "k2": "$k2"}""")),
+      after = Some(RawData(s"""{"k1": $k1, "k2": "$k2", "v": "$k1-$k2"}""")))
+    CdcApply(spark, st, c, Seq(ins(1, "a"), ins(1, "b"), ins(2, "a")))
+    // delete (1, "a") — with the reference's first-field-only bug this
+    // would also kill (1, "b")
+    CdcApply(spark, st, c, Seq(CdcRecord(Array(9), CdcOp.Delete,
+      key = Some(RawData("""{"k1": 1, "k2": "a"}""")))))
+    val left = st.read("t").orderBy("k1", "k2").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(left.toSeq === Seq((1, "b"), (2, "a")))
+  }
+
   test("config validation mirrors DestinationConfig required-key checks") {
     intercept[IllegalArgumentException] { CdcConfig("", Seq("k")) }
     intercept[IllegalArgumentException] { CdcConfig("t", Nil) }
