@@ -97,6 +97,15 @@ object CdcDecode {
       mapper.writeValueAsString(node)
   }
 
+  /** Timestamps render as UTC `yyyy-MM-dd HH:mm:ss.SSS` strings — the form
+    * Spark's JSON reader parses back to TimestampType losslessly at ms
+    * precision under a UTC session. */
+  private val tsFormat = {
+    val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    f
+  }
+
   private def putAny(node: ObjectNode, k: String, v: Any): Unit = v match {
     case null => node.putNull(k)
     case b: Boolean => node.put(k, b)
@@ -105,6 +114,10 @@ object CdcDecode {
     case f: Float => node.put(k, f)
     case d: Double => node.put(k, d)
     case s: String => node.put(k, s)
+    case t: java.sql.Timestamp => node.put(k, tsFormat.synchronized(tsFormat.format(t)))
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ row values
+      node.put(k, t.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")))
     case seq: Seq[_] =>
       val arr = node.putArray(k); seq.foreach(addAny(arr, _))
     case m: Map[_, _] =>

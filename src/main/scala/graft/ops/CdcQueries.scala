@@ -57,6 +57,58 @@ object CdcQueries {
       | UNION ALL SELECT CAST(900000002 AS BIGINT), 'NEW#B', CAST(4 AS INT), CAST(-1.25 AS DOUBLE), 'HOUSEHOLD')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Bulk CDC throughput: thousands of updates + deletes derived
+    * deterministically from `orders`, applied in ONE batch / ONE snapshot
+    * commit. This is the headline ingest metric — the reference applies one
+    * record per Spark job (SURVEY.md §6, implied 1–10 rec/s); this path is
+    * records-per-batch bounded only by the distributed apply. The oracle
+    * reproduces the net effect in pure SQL.
+    */
+  private def cdcBulkOrders(spark: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val store = new TableStore(spark, s"/root/repo/target/cdc-bulk/$sfTag")
+    val orders = t(spark, dir, "orders")
+    store.create("orders", orders.schema, overwrite = true)
+    store.append("orders", orders)
+
+    // updates: +1000.0 on totalprice for orderkey % 97 == 0
+    // deletes: orderkey % 101 == 0 (overlap resolves to whichever is later
+    // in the batch — deletes win, mirrored in the oracle)
+    val toUpdate = orders.filter(col("o_orderkey") % 97 === 0).collect()
+    val updates = toUpdate.map { r =>
+      CdcRecord(Array(1), CdcOp.Update,
+        key = Some(RawData(s"""{"o_orderkey": ${r.getLong(0)}}""")),
+        after = Some(StructuredData(Map(
+          "o_orderkey" -> r.getLong(0),
+          "o_custkey" -> r.getLong(1),
+          "o_orderstatus" -> r.getString(2),
+          "o_totalprice" -> (r.getDouble(3) + 1000.0),
+          "o_orderdate" -> r.get(4), // timestamp_ntz → LocalDateTime
+          "o_orderpriority" -> r.getString(5)))))
+    }
+    val deletes = orders.filter(col("o_orderkey") % 101 === 0)
+      .select("o_orderkey").collect().map { r =>
+        CdcRecord(Array(2), CdcOp.Delete,
+          key = Some(RawData(s"""{"o_orderkey": ${r.getLong(0)}}""")))
+      }
+    CdcApply(spark, store,
+      CdcApply.CdcConfig("orders", Seq("o_orderkey")),
+      (updates ++ deletes).toSeq)
+    store.read("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  private val cdcBulkOrdersSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      | CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+      |      ELSE o_totalprice END AS o_totalprice,
+      | o_orderpriority
+      |FROM orders WHERE o_orderkey % 101 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("cdc_apply_customer", cdcApplyCustomer, Some(cdcApplyCustomerSql)))
+    Q("cdc_apply_customer", cdcApplyCustomer, Some(cdcApplyCustomerSql)),
+    Q("cdc_bulk_orders", cdcBulkOrders, Some(cdcBulkOrdersSql)))
 }

@@ -503,6 +503,30 @@ object Rel {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** Scalar-function breadth: string manipulation + IEEE-exact math inside
+    * order-independent aggregates (min/max only — sums of irrational
+    * doubles would be accumulation-order-dependent). */
+  private def q25(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .groupBy("p_size")
+      .agg(
+        count(lit(1)).as("n"),
+        min(reverse(col("p_name"))).as("min_rev_name"),
+        max(translate(col("p_brand"), "#", "_")).as("max_brand_t"),
+        min(sqrt(col("p_retailprice"))).as("min_sqrt_price"),
+        max(lpad(col("p_brand"), 12, "*")).as("max_padded"),
+        min(concat_ws("|", col("p_type"), col("p_brand"))).as("min_concat"))
+      .orderBy("p_size")
+
+  private val q25Sql =
+    """SELECT p_size, COUNT(*) AS n,
+      | MIN(REVERSE(p_name)) AS min_rev_name,
+      | MAX(TRANSLATE(p_brand, '#', '_')) AS max_brand_t,
+      | MIN(SQRT(p_retailprice)) AS min_sqrt_price,
+      | MAX(LPAD(p_brand, 12, '*')) AS max_padded,
+      | MIN(CONCAT_WS('|', p_type, p_brand)) AS min_concat
+      |FROM part GROUP BY p_size ORDER BY p_size""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -528,5 +552,6 @@ object Rel {
     Q("q22_having_topk", q22, Some(q22Sql)),
     Q("q23_salted_agg", q23, Some(q23Sql)),
     Q("q24_approx_distinct", q24, None),
+    Q("q25_scalar_breadth", q25, Some(q25Sql)),
   )
 }

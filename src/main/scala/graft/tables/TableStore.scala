@@ -36,15 +36,29 @@ final class TableStore(spark: SparkSession, val root: String) {
 
   def exists(name: String): Boolean = Files.exists(tdir(name).resolve("_current"))
 
-  def create(name: String, schema: StructType, overwrite: Boolean = false): Unit = {
+  /** `partitionBy` columns give hive-style `col=value` data layout, so
+    * reads with partition-key predicates prune whole directories at plan
+    * time (the managed-table analogue of Iceberg partition pruning,
+    * SURVEY.md §4). */
+  def create(name: String, schema: StructType, overwrite: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit = {
     val d = tdir(name)
     if (Files.exists(d)) {
       require(overwrite, s"table $name already exists")
       deleteRecursively(d)
     }
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
     Files.createDirectories(dataDir(name))
     Files.writeString(d.resolve("_schema.json"), schema.json)
+    Files.writeString(d.resolve("_partitions"), partitionBy.mkString(","))
     commitManifest(name, Nil)
+  }
+
+  def partitionCols(name: String): Seq[String] = {
+    val p = tdir(name).resolve("_partitions")
+    if (!Files.exists(p)) Nil
+    else Files.readString(p).trim.split(",").toSeq.filter(_.nonEmpty)
   }
 
   def drop(name: String): Unit = deleteRecursively(tdir(name))
@@ -52,26 +66,48 @@ final class TableStore(spark: SparkSession, val root: String) {
   def schema(name: String): StructType =
     DataType.fromJsonFile(tdir(name).resolve("_schema.json"))
 
-  /** Live data files (absolute paths) of the current snapshot. */
-  def currentFiles(name: String): Seq[String] = {
+  /** Manifest-relative data file paths of the current snapshot. */
+  def currentRelPaths(name: String): Seq[String] = {
     val cur = tdir(name).resolve("_current")
     val manifest = tdir(name).resolve(Files.readString(cur).trim)
     Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
-      .map(f => dataDir(name).resolve(f).toString)
   }
 
-  def read(name: String): DataFrame = {
-    val files = currentFiles(name)
+  /** Live data files (absolute paths) of the current snapshot. */
+  def currentFiles(name: String): Seq[String] =
+    currentRelPaths(name).map(f => dataDir(name).resolve(f).toString)
+
+  def read(name: String): DataFrame = readFiles(name, currentFiles(name))
+
+  /** Time travel: read the table as of an earlier snapshot (manifests are
+    * immutable and retained — the analogue of Iceberg snapshot reads). */
+  def readVersion(name: String, version: Int): DataFrame = {
+    val manifest = tdir(name).resolve(f"manifest-$version%06d.txt")
+    require(Files.exists(manifest), s"no snapshot $version for table $name")
+    val files = Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
+      .map(f => dataDir(name).resolve(f).toString)
+    readFiles(name, files)
+  }
+
+  def currentVersion(name: String): Int =
+    Files.readString(tdir(name).resolve("_current")).trim
+      .stripPrefix("manifest-").stripSuffix(".txt").toInt
+
+  private def readFiles(name: String, files: Seq[String]): DataFrame = {
     val sch = schema(name)
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), sch)
-    else spark.read.schema(sch).parquet(files: _*)
+    else if (partitionCols(name).isEmpty) spark.read.schema(sch).parquet(files: _*)
+    else spark.read.schema(sch)
+      .option("basePath", dataDir(name).toString)
+      .parquet(files: _*)
+      .select(sch.fieldNames.map(col).toSeq: _*)
   }
 
   /** Append-only write: new data files + manifest, no existing file touched
     * (reference W1, SparkDestinationStream.java:229-232). */
   def append(name: String, df: DataFrame): Unit = {
-    val newFiles = writeDataFiles(name, df)
-    commitManifest(name, currentFileNames(name) ++ newFiles)
+    val newFiles = writeDataFiles(name, alignTo(schema(name), df))
+    commitManifest(name, currentRelPaths(name) ++ newFiles)
   }
 
   /** Row-level delete (reference W2, SparkDestinationStream.java:124-135) as
@@ -79,16 +115,16 @@ final class TableStore(spark: SparkSession, val root: String) {
   def delete(name: String, cond: Column): Unit = {
     val files = currentFiles(name)
     if (files.isEmpty) return
-    val sch = schema(name)
-    val df = spark.read.schema(sch).parquet(files: _*)
+    val df = read(name)
     val affected = df.filter(cond).select(input_file_name().as("f"))
       .distinct().collect().map(r => fileName(r.getString(0))).toSet
     if (affected.isEmpty) return
     val affectedPaths = files.filter(p => affected.contains(fileName(p)))
-    val survivors = spark.read.schema(sch).parquet(affectedPaths: _*).filter(!cond)
+    val survivors = readFiles(name, affectedPaths).filter(!cond)
     val rewritten = writeDataFiles(name, survivors)
     commitManifest(name,
-      currentFileNames(name).filterNot(affected.contains) ++ rewritten)
+      currentRelPaths(name).filterNot(p => affected.contains(fileName(p)))
+        ++ rewritten)
   }
 
   /** Net CDC application in ONE snapshot commit: drop every row whose key
@@ -100,20 +136,19 @@ final class TableStore(spark: SparkSession, val root: String) {
     val files = currentFiles(name)
     val sch = schema(name)
     val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
-    var carried = currentFileNames(name)
+    var carried = currentRelPaths(name)
     var rewritten = Seq.empty[String]
     if (files.nonEmpty) {
-      val cur = spark.read.schema(sch).parquet(files: _*)
       // File pruning: a semi join marks the files that hold affected keys.
-      val affected = cur.join(distinctKeys, keyCols, "left_semi")
+      val affected = read(name).join(distinctKeys, keyCols, "left_semi")
         .select(input_file_name().as("f")).distinct()
         .collect().map(r => fileName(r.getString(0))).toSet
       if (affected.nonEmpty) {
         val affectedPaths = files.filter(p => affected.contains(fileName(p)))
-        val survivors = spark.read.schema(sch).parquet(affectedPaths: _*)
+        val survivors = readFiles(name, affectedPaths)
           .join(distinctKeys, keyCols, "left_anti")
         rewritten = writeDataFiles(name, survivors)
-        carried = carried.filterNot(affected.contains)
+        carried = carried.filterNot(p => affected.contains(fileName(p)))
       }
     }
     val appended = writeDataFiles(name, alignTo(sch, newRows))
@@ -130,23 +165,29 @@ final class TableStore(spark: SparkSession, val root: String) {
   private def alignTo(sch: StructType, df: DataFrame): DataFrame =
     df.select(sch.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
-  private def currentFileNames(name: String): Seq[String] =
-    currentFiles(name).map(fileName)
-
   private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
-  /** Write df as immutable data files; returns their file names. Data lands
-    * in a staging dir first so a failed job never pollutes `data/`. */
+  /** Write df as immutable data files; returns their manifest-relative
+    * paths (hive-style `col=value/` subdirs for partitioned tables). Data
+    * lands in a staging dir first so a failed job never pollutes `data/`. */
   private def writeDataFiles(name: String, df: DataFrame): Seq[String] = {
     val id = UUID.randomUUID().toString.take(8)
     val staging = tdir(name).resolve(s"_staging-$id")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val parts = Files.list(staging).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+    val pCols = partitionCols(name)
+    val writer = df.write.mode("overwrite")
+    (if (pCols.isEmpty) writer else writer.partitionBy(pCols: _*))
+      .parquet(staging.toString)
+    val parts = Files.walk(staging).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.toString)
     val named = parts.zipWithIndex.map { case (p, i) =>
+      val subDir = staging.relativize(p.getParent).toString
       val fn = f"$id-part$i%05d.parquet"
-      Files.move(p, dataDir(name).resolve(fn), StandardCopyOption.ATOMIC_MOVE)
-      fn
+      val rel = if (subDir.isEmpty) fn else s"$subDir/$fn"
+      val target = dataDir(name).resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      rel
     }
     deleteRecursively(staging)
     named

@@ -73,6 +73,45 @@ class TableStoreSpec extends SparkSpec {
     assert(st.read("t").schema.fieldNames.toSeq === Seq("id", "v"))
   }
 
+  test("partitioned table: layout, round-trip, and partition pruning") {
+    val st = newStore()
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType),
+      StructField("v", StringType)))
+    st.create("t", sch, partitionBy = Seq("cat"))
+    st.append("t", Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z"))
+      .toDF("id", "cat", "v"))
+    // hive-style layout on disk
+    assert(st.currentRelPaths("t").forall(p => p.startsWith("cat=")))
+    // full round-trip with partition column restored in schema order
+    val got = st.read("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z")))
+    // partition-key predicate prunes at plan time
+    val plan = st.read("t").filter(col("cat") === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cat"), plan)
+    // mutations keep the partitioned layout
+    st.delete("t", col("id") === 1L)
+    assert(st.read("t").count() === 2)
+    assert(st.currentRelPaths("t").forall(p => p.startsWith("cat=")))
+    st.upsert("t", Seq((2L, "b", "y2")).toDF("id", "cat", "v"), Seq("id"))
+    assert(st.read("t").filter(col("id") === 2L).collect()(0).getString(2) === "y2")
+  }
+
+  test("time travel: every snapshot remains readable") {
+    val st = newStore()
+    st.create("t", schema)
+    val v0 = st.currentVersion("t")
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    val v1 = st.currentVersion("t")
+    st.delete("t", col("id") === 1L)
+    assert(st.read("t").count() === 0)
+    assert(st.readVersion("t", v0).count() === 0)
+    assert(st.readVersion("t", v1).count() === 1)
+    intercept[IllegalArgumentException] { st.readVersion("t", 999) }
+  }
+
   test("create(overwrite) replaces an existing table") {
     val st = newStore()
     st.create("t", schema)
