@@ -527,6 +527,90 @@ object Rel {
       | MIN(CONCAT_WS('|', p_type, p_brand)) AS min_concat
       |FROM part GROUP BY p_size ORDER BY p_size""".stripMargin
 
+  /** Window-function breadth: rank family + value functions + frame-bounded
+    * aggregates, all over a unique ordering within partitions. */
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    t(spark, dir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        first(col("s_suppkey")).over(w).as("first_key"),
+        lead(col("s_suppkey"), 1).over(w).as("next_key"),
+        dbl(sum(dec(col("s_acctbal")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("running_bal"))
+      .orderBy("s_nationkey", "rnk")
+  }
+
+  private val q26Sql =
+    """SELECT s_nationkey, s_suppkey,
+      | RANK() OVER w AS rnk,
+      | DENSE_RANK() OVER w AS drnk,
+      | PERCENT_RANK() OVER w AS prnk,
+      | CUME_DIST() OVER w AS cdist,
+      | FIRST_VALUE(s_suppkey) OVER w AS first_key,
+      | LEAD(s_suppkey, 1) OVER w AS next_key,
+      | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+      |ORDER BY s_nationkey, rnk""".stripMargin
+
+  /** Outer-join family: left/full outer with null handling via coalesce. */
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val bigCust = t(spark, dir, "customer").filter(col("c_acctbal") > 4500)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_rich"))
+    nation.join(bigCust, nation("n_nationkey") === bigCust("c_nationkey"), "full_outer")
+      .select(
+        coalesce(col("n_nationkey"), col("c_nationkey")).as("nationkey"),
+        coalesce(col("n_name"), lit("<none>")).as("nation_name"),
+        coalesce(col("n_rich"), lit(0L)).as("n_rich"))
+      .orderBy("nationkey")
+  }
+
+  private val q27Sql =
+    """SELECT COALESCE(n_nationkey, c_nationkey) AS nationkey,
+      | COALESCE(n_name, '<none>') AS nation_name,
+      | COALESCE(n_rich, 0) AS n_rich
+      |FROM nation FULL OUTER JOIN (
+      | SELECT c_nationkey, COUNT(*) AS n_rich FROM customer
+      | WHERE c_acctbal > 4500 GROUP BY c_nationkey) ON n_nationkey = c_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Explicit GROUPING SETS with grouping_id, via the SQL surface. */
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY g_status, g_prio,
+        | o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val q28Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      | CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |  (o_orderstatus, o_orderpriority))
+      |ORDER BY g_status, g_prio,
+      | o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -553,5 +637,8 @@ object Rel {
     Q("q23_salted_agg", q23, Some(q23Sql)),
     Q("q24_approx_distinct", q24, None),
     Q("q25_scalar_breadth", q25, Some(q25Sql)),
+    Q("q26_window_breadth", q26, Some(q26Sql)),
+    Q("q27_outer_join", q27, Some(q27Sql)),
+    Q("q28_grouping_sets", q28, Some(q28Sql)),
   )
 }

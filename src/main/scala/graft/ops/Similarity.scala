@@ -91,6 +91,52 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "label", "cos")
   }
 
+  /** IVF (inverted-file) ANN: the second scale path besides LSH.
+    * Centroids are a deterministic corpus sample (every (n/k)-th vector);
+    * each corpus vector is assigned to its best centroid ONCE (broadcast
+    * centroids, codegen'd dot — a map-only pass), queries probe their
+    * `nprobe` best cells, and exact cosine ranks within the probed cells.
+    * At 100 TB the corpus side stays partitioned by cell; only the tiny
+    * (query × nprobe) set is broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val step = math.max(1L, n / nCells)
+    val centroids = corpus.filter(col("vec_id") % step === 0)
+      .limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cellScores(v: Column): Seq[(Long, Column)] =
+      centroids.toSeq.map { case (cid, cvec) =>
+        cid -> graft.functions.VectorExprs.vec_dot(v, array(cvec.map(lit): _*))
+      }
+    // argmax centroid per corpus vector (greatest over (score, cell) structs)
+    def bestCells(v: Column, take: Int): Column = {
+      val scored = array(cellScores(v).map { case (cid, s) =>
+        struct(s.as("score"), lit(cid).as("cell"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, take)
+    }
+    val cAssigned = corpus
+      .select(col("vec_id"), col("embedding"), col("label"),
+        bestCells(col("embedding"), 1).getItem(0).getField("cell").as("cell"))
+    val qProbes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(bestCells(col("embedding"), nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    cAssigned.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "cos")
+  }
+
   // ---- registered queries --------------------------------------------------
 
   private def queriesOf(spark: SparkSession, dir: String): DataFrame =
@@ -144,9 +190,14 @@ object Similarity {
       .orderBy("label")
   }
 
+  private def simIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(t(spark, dir, "embeddings"), queriesOf(spark, dir), 10)
+      .orderBy("query_id", "rank")
+
   val all: Seq[Q] = Seq(
     Q("sim_brute_topk", simBrute, None),
     Q("sim_ann_lsh", simAnn, None),
+    Q("sim_ann_ivf", simIvf, None),
     Q("dd_embedding_cosine", ddEmbedding, None),
     Q("sim_label_centroids", simCentroids, None))
 }

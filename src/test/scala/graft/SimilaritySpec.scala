@@ -34,6 +34,30 @@ class SimilaritySpec extends SparkSpec {
     assert(top(0).getAs[Double]("cos") > 0.99)
   }
 
+  test("IVF ANN recalls planted near-neighbours") {
+    val rnd = new scala.util.Random(13)
+    val bases = (0 until 6).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    // vec_ids laid out so the centroid sample (every n/k-th id) lands in
+    // different clusters; 8 tight vectors per base
+    val corpus = bases.zipWithIndex.flatMap { case (b, bi) =>
+      (0 until 8).map { j =>
+        (bi * 8L + j, b.map(x => x + (rnd.nextGaussian() / 60).toFloat), bi)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    val queries = bases.zipWithIndex
+      .map { case (b, bi) => (9000L + bi, b, bi) }
+      .toDF("vec_id", "embedding", "label")
+    val ivf = Similarity.ivfTopK(corpus, queries, 5, nCells = 6, nprobe = 2)
+      .collect()
+    val byQuery = ivf.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 6)
+    byQuery.foreach { case (qid, rows) =>
+      val cluster = (qid - 9000L).toInt
+      val hits = rows.count(_.getAs[Int]("label") == cluster)
+      assert(hits >= 4, s"query $qid recalled only $hits planted neighbours")
+    }
+  }
+
   test("LSH ANN recalls planted near-neighbours") {
     val rnd = new scala.util.Random(11)
     val bases = (0 until 8).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
