@@ -50,15 +50,18 @@ object Events {
     StreamOps.sessionStats(ev(spark, dir), "30 minutes")
       .orderBy("user_id", "session_start")
 
-  /** Gaps-and-islands reproduction of session_window semantics: a new
-    * session starts when the previous event is ≥ 30 min away. */
+  /** Gaps-and-islands reproduction of session_window semantics: an event at
+    * EXACTLY gap distance still merges (Spark's session end is inclusive of
+    * a touching next event — verified empirically at sf0.1, where one exact
+    * 30-minute gap exists), so a new session starts only when the previous
+    * event is STRICTLY more than 30 min away. */
   private val evSessionsSql =
     """WITH e AS (
       | SELECT user_id, DATE_TRUNC('second', ts) AS tss, value FROM events),
       |flagged AS (
       | SELECT user_id, tss, value,
       |  CASE WHEN tss - LAG(tss) OVER (PARTITION BY user_id ORDER BY tss)
-      |        < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      |        <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
       | FROM e),
       |sess AS (
       | SELECT user_id, tss, value,
