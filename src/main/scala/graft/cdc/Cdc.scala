@@ -59,7 +59,7 @@ object CdcDecode {
           throw new IllegalArgumentException("input data is not JSON", e) }
       if (node == null || !node.isObject)
         throw new IllegalArgumentException("input data is not JSON object")
-      node.fields().asScala.flatMap { e =>
+      node.properties().asScala.flatMap { e =>
         val v = e.getValue
         if (v.isNull || v.isMissingNode) None
         else if (v.isBoolean) Some(e.getKey -> v.booleanValue())

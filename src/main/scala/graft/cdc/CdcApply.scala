@@ -94,10 +94,13 @@ object CdcApply {
       val upserts = net.filter(col("__op") =!= "delete")
         .select(col("__row.*"))
       val touchedKeys = net.select(config.keyCols.map(col): _*)
-      val nUpserts = upserts.count()
-      val nDeletes = net.filter(col("__op") === "delete").count()
+      // one job for both stats (not one count() per op kind)
+      val statsRow = net.agg(
+        sum(when(col("__op") =!= "delete", 1L).otherwise(0L)).as("u"),
+        sum(when(col("__op") === "delete", 1L).otherwise(0L)).as("d"))
+        .collect()(0)
       store.applyNet(config.table, touchedKeys, upserts, config.keyCols)
-      Stats(nUpserts, nDeletes)
+      Stats(statsRow.getLong(0), statsRow.getLong(1))
     } finally { net.unpersist(); () }
   }
 

@@ -28,7 +28,7 @@ object Similarity {
   /** Fold-based dot product of a vector column with a constant plane. */
   private def dotConst(v: Column, plane: Array[Double]): Column =
     aggregate(
-      zip_with(v, array(plane.map(lit): _*), (x, y) => x.cast(DoubleType) * y),
+      zip_with(v, array(plane.toIndexedSeq.map(lit): _*), (x, y) => x.cast(DoubleType) * y),
       lit(0.0), (acc, x) => acc + x)
 
   /** Dot product of two vector columns — native codegen'd expression
@@ -111,7 +111,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     def cellScores(v: Column): Seq[(Long, Column)] =
       centroids.toSeq.map { case (cid, cvec) =>
-        cid -> graft.functions.VectorExprs.vec_dot(v, array(cvec.map(lit): _*))
+        cid -> graft.functions.VectorExprs.vec_dot(v, array(cvec.toIndexedSeq.map(lit): _*))
       }
     // argmax centroid per corpus vector (greatest over (score, cell) structs)
     def bestCells(v: Column, take: Int): Column = {

@@ -112,6 +112,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: views enriched with prior clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    clicks.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0, "{}"))
+    views.addData(
+      Ev(10, ts("2024-01-01 10:05:00"), 7, "view", 2.0, "{}"),  // within 10 min
+      Ev(11, ts("2024-01-01 11:30:00"), 7, "view", 3.0, "{}"))  // too late
+    val c = clicks.toDF().select(col("user_id").as("c_user"),
+      col("ts").as("c_ts")).withWatermark("c_ts", "1 hour")
+    val v = views.toDF().select(col("event_id").as("v_id"),
+      col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = v.join(c,
+      expr("""v_user = c_user AND v_ts >= c_ts
+             | AND v_ts <= c_ts + interval 10 minutes""".stripMargin))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssjoin").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").select("v_id").collect().map(_.getLong(0))
+      assert(got.toSeq === Seq(10L))
+    } finally q.stop()
+  }
+
   test("foreachBatch applies a CDC stream into TableStore") {
     val store = new TableStore(spark, tmpDir("stream-cdc-"))
     val schema = StructType(Seq(
