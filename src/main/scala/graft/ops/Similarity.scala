@@ -51,18 +51,31 @@ object Similarity {
       struct(lit(tb).as("tb"), sig.as("sig"))
     }: _*)
 
-  /** Brute-force exact top-k neighbours for each query vector. */
+  /** Brute-force exact top-k neighbours for each query vector.
+    *
+    * Scoring is a map-only pass (query set broadcast, codegen'd cosine);
+    * ranking uses the bounded TopKAggregator, so partial aggregation keeps
+    * only k candidates per query map-side — (queries × k) rows cross the
+    * shuffle, never the scored corpus (a window row_number would shuffle
+    * and sort every scored row). */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id"), col("embedding"), col("label"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("embedding"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "label", "cos")
+      .select(col("query_id"),
+        cosine(col("embedding"), col("qv")).as("score"),
+        col("vec_id").as("id"), col("label").as("payload"))
+      .as[graft.functions.ScoredRow]
+    scored.groupByKey(_.query_id)
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.payload").as("label"),
+        col("col.score").as("cos"))
   }
 
   /** ANN top-k: LSH-bucket candidates (union over tables), then exact

@@ -159,6 +159,40 @@ final class TableStore(spark: SparkSession, val root: String) {
   def upsert(name: String, rows: DataFrame, keyCols: Seq[String]): Unit =
     applyNet(name, rows, rows, keyCols)
 
+  /** Compaction: rewrite the current snapshot into `numFiles` fresh data
+    * files (repartition, so a 100 TB table compacts in parallel). Many small
+    * CDC batches fragment a table into per-batch files; compaction restores
+    * scan efficiency. The rewrite is itself just a new snapshot — readers of
+    * older versions are unaffected. */
+  def compact(name: String, numFiles: Int = 0): Unit = {
+    val cur = read(name)
+    val df = if (numFiles > 0) cur.repartition(numFiles) else cur
+    val rewritten = writeDataFiles(name, df)
+    commitManifest(name, rewritten)
+  }
+
+  /** Snapshot expiry: drop manifests older than the last `keepLast` and
+    * physically delete data files no surviving manifest references — the
+    * maintenance op that bounds storage growth under copy-on-write. */
+  def expireSnapshots(name: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val d = tdir(name)
+    val manifests = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
+      .toSeq.sorted
+    val current = Files.readString(d.resolve("_current")).trim
+    val keep = (manifests.takeRight(keepLast) :+ current).distinct
+    val live = keep.flatMap(m =>
+      Files.readAllLines(d.resolve(m)).asScala.filter(_.nonEmpty)).toSet
+    // delete unreferenced data files, then the expired manifests
+    Files.walk(dataDir(name)).iterator().asScala.toSeq
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => !live.contains(dataDir(name).relativize(p).toString))
+      .foreach(Files.delete)
+    manifests.filterNot(keep.contains).foreach(m => Files.delete(d.resolve(m)))
+  }
+
   // ---- internals ----------------------------------------------------------
 
   /** Project/reorder columns to the table schema (fixed, catalog-owned). */

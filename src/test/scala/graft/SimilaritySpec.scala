@@ -34,6 +34,30 @@ class SimilaritySpec extends SparkSpec {
     assert(top(0).getAs[Double]("cos") > 0.99)
   }
 
+  test("TopKAggregator equals the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat), i % 5))
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val agg = Similarity.bruteTopK(corpus, queries, 7)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+    // independent window-based reference
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val ref = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(agg.toSeq === ref.toSeq)
+  }
+
   test("IVF ANN recalls planted near-neighbours") {
     val rnd = new scala.util.Random(13)
     val bases = (0 until 6).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 import graft.tables.TableStore
 
 class TableStoreSpec extends SparkSpec {
@@ -110,6 +111,36 @@ class TableStoreSpec extends SparkSpec {
     assert(st.readVersion("t", v0).count() === 0)
     assert(st.readVersion("t", v1).count() === 1)
     intercept[IllegalArgumentException] { st.readVersion("t", 999) }
+  }
+
+  test("compaction merges fragmented files without changing contents") {
+    val st = newStore()
+    st.create("t", schema)
+    (1 to 5).foreach(i => st.append("t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    assert(st.currentRelPaths("t").size >= 5)
+    st.compact("t", numFiles = 1)
+    assert(st.currentRelPaths("t").size === 1)
+    assert(st.read("t").orderBy("id").select("id").as[Long].collect().toSeq
+      === (1L to 5L))
+  }
+
+  test("expireSnapshots deletes unreferenced files, keeps current readable") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    st.upsert("t", Seq((1L, "a2")).toDF("id", "v"), Seq("id")) // rewrites file
+    val before = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(st.root, "t", "data")).iterator()
+    val nBefore = before.asScala.count(p => java.nio.file.Files.isRegularFile(p))
+    st.expireSnapshots("t", keepLast = 1)
+    val nAfter = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(st.root, "t", "data")).iterator()
+      .asScala.count(p => java.nio.file.Files.isRegularFile(p))
+    assert(nAfter < nBefore)
+    assert(st.read("t").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a2")))
+    // expired versions are gone
+    intercept[IllegalArgumentException] { st.readVersion("t", 1) }
   }
 
   test("create(overwrite) replaces an existing table") {
