@@ -1,0 +1,49 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+import graft.cdc._
+import graft.tables.TableStore
+
+/** Session builder with the engine's recommended configuration — what the
+  * reference assembles in SparkUtils.create (SparkUtils.java:36-58), minus
+  * the Iceberg/S3 wiring this environment replaces with TableStore.
+  */
+object GraftSession {
+  def builder(appName: String = "graft",
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}
+
+/** Streaming CDC sink: attach a Structured Streaming source of CDC
+  * envelopes to a managed table via foreachBatch — the streaming analogue
+  * of the reference's record stream (SURVEY.md S1), one atomic snapshot
+  * commit per micro-batch.
+  *
+  * Expected input columns: op STRING, key STRING (JSON object),
+  * payload STRING (JSON object, null for deletes).
+  */
+object CdcStreamSink {
+  def attach(spark: SparkSession, stream: DataFrame, store: TableStore,
+      cfg: CdcApply.CdcConfig): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      import org.apache.spark.sql.functions._
+      // fully distributed: the micro-batch is never collected — sequence
+      // numbers are unique and preserve per-partition arrival order
+      // (a micro-batch carries no total order across partitions anyway)
+      val env = batch
+        .withColumn("__seq", monotonically_increasing_id())
+        .select(col("__seq"), lower(col("op")).as("__op"),
+          col("key").as("__key"), col("payload").as("__payload"))
+      CdcApply.applyEnvelopes(spark, store, cfg, env); ()
+    }
+}

@@ -60,26 +60,46 @@ object CdcApply {
         throw new IllegalArgumentException("key has no fields")
       val payload =
         if (isDelete) null
-        else CdcDecode.normalizeIntegralFloats(CdcDecode.payloadJson(
-          r.after.getOrElse(throw new IllegalArgumentException(
-            s"${r.op} record has no after payload"))))
-      val keyJson = CdcDecode.normalizeIntegralFloats(
-        CdcDecode.payloadJson(StructuredData(keyMap)))
+        else CdcDecode.payloadJson(r.after.getOrElse(
+          throw new IllegalArgumentException(
+            s"${r.op} record has no after payload")))
+      val keyJson = CdcDecode.payloadJson(StructuredData(keyMap))
       Row(seq.toLong, r.op.toString.toLowerCase, keyJson, payload)
     }
-    val envSchema = StructType(Seq(
-      StructField("__seq", LongType), StructField("__op", StringType),
-      StructField("__key", StringType), StructField("__payload", StringType)))
     val env = spark.createDataFrame(
-      new java.util.ArrayList[Row](rows.asJava), envSchema)
+      new java.util.ArrayList[Row](rows.asJava), envelopeSchema)
+    applyEnvelopes(spark, store, config, env)
+  }
+
+  /** Envelope schema for the DataFrame path: a sequence number (intra-batch
+    * order for last-write-wins), the operation, and key/payload JSON. */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("__seq", LongType), StructField("__op", StringType),
+    StructField("__key", StringType), StructField("__payload", StringType)))
+
+  /** Fully DISTRIBUTED apply path: envelopes stay in a DataFrame end to
+    * end — integral-float normalization runs as a UDF on executors, decode
+    * is `from_json`, and nothing is collected to the driver. This is the
+    * scale path for streams (CdcStreamSink) and bulk loads; the Seq-based
+    * `apply` above adds the reference's per-record driver-side validation
+    * semantics on top of it. */
+  def applyEnvelopes(spark: SparkSession, store: TableStore,
+      config: CdcConfig, env: DataFrame): Stats = {
+    require(store.exists(config.table), s"table ${config.table} does not exist")
+    val schema = store.schema(config.table)
+    val keySchema = StructType(config.keyCols.map(c =>
+      schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"key column $c not in table schema"))))
+    val normalize = udf((s: String) =>
+      if (s == null) null else CdcDecode.normalizeIntegralFloats(s))
 
     // Distributed decode: schema-enforced FAILFAST parse against the
     // catalog-owned table schema (S3) and typed key struct.
     val opts = Map("mode" -> "FAILFAST")
     val decoded = env
-      .withColumn("__k", from_json(col("__key"), keySchema, opts))
+      .withColumn("__k", from_json(normalize(col("__key")), keySchema, opts))
       .withColumn("__row", when(col("__payload").isNotNull,
-        from_json(col("__payload"), schema, opts)))
+        from_json(normalize(col("__payload")), schema, opts)))
 
     // Net effect per key: last record (by ingest order) wins.
     val keyFields = config.keyCols.map(c => col("__k").getField(c).as(c))
@@ -94,11 +114,16 @@ object CdcApply {
       val upserts = net.filter(col("__op") =!= "delete")
         .select(col("__row.*"))
       val touchedKeys = net.select(config.keyCols.map(col): _*)
-      // one job for both stats (not one count() per op kind)
+      // one job for stats AND the distributed empty/partial-key guard (F6)
+      val anyKeyNull = config.keyCols.map(col(_).isNull).reduce(_ || _)
       val statsRow = net.agg(
         sum(when(col("__op") =!= "delete", 1L).otherwise(0L)).as("u"),
-        sum(when(col("__op") === "delete", 1L).otherwise(0L)).as("d"))
+        sum(when(col("__op") === "delete", 1L).otherwise(0L)).as("d"),
+        sum(when(anyKeyNull, 1L).otherwise(0L)).as("bad"))
         .collect()(0)
+      if (statsRow.getLong(2) > 0)
+        throw new IllegalArgumentException(
+          "key has no fields (a record's key is missing a key column)")
       store.applyNet(config.table, touchedKeys, upserts, config.keyCols)
       Stats(statsRow.getLong(0), statsRow.getLong(1))
     } finally { net.unpersist(); () }

@@ -126,6 +126,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS and pick one canonical
+    * doc (smallest id) per cluster — distributed min-label propagation:
+    * each node repeatedly adopts the smallest canonical id among itself and
+    * its neighbours until fixpoint. Converges in O(log(cluster diameter))
+    * iterations of two hash joins; no driver-side graph, so it holds when
+    * the pair set itself is large. Returns (doc_id, canonical).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("canonical", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighbourMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("canonical", "nb_canonical"), Seq("b"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min("nb_canonical").as("nb_min"))
+      val updated = labels.join(neighbourMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical"), coalesce(col("nb_min"), col("canonical")))
+            .as("canonical"))
+        .persist()
+      val changed = updated.join(labels.withColumnRenamed("canonical", "old"),
+        Seq("doc_id"))
+        .filter(col("canonical") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   // ---- registered queries --------------------------------------------------
 
   /** Exact dedup by content hash; canonical = lowest doc_id per group. */
@@ -196,9 +232,20 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Full fuzzy-dedup pipeline: MinHash pairs → cluster resolution → one
+    * canonical survivor per cluster. */
+  private def ddDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDups(t(spark, dir, "documents"), 0.5)
+    dupClusters(pairs)
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_member"))
+      .orderBy("canonical")
+  }
+
   val all: Seq[Q] = Seq(
     Q("dd_exact", ddExact, Some(ddExactSql)),
     Q("dd_minhash_lsh", ddMinhash, None),
     Q("dd_simhash", ddSimhash, None),
-    Q("dd_ngram_jaccard", ddNgramJaccard, None))
+    Q("dd_ngram_jaccard", ddNgramJaccard, None),
+    Q("dd_dup_clusters", ddDupClusters, None))
 }

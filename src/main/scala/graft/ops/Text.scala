@@ -189,9 +189,49 @@ object Text {
       .groupBy("fp").agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
       .orderBy("canonical")
 
+  /** TF-IDF: classic two-aggregate shape — term frequency per (doc, term)
+    * and document frequency per term (both map-side-combined explode aggs),
+    * joined on term. Top terms per doc via the bounded TopKAggregator, so
+    * nothing but (docs × k) rows crosses the final shuffle. Rows-only gate
+    * (log() is libm-dependent cross-engine); semantics pinned in TextSpec. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val nDocs = docs.count()
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .select(col("doc_id").as("query_id"),
+        (col("tf") * log(lit(nDocs.toDouble + 1) / (col("df") + 1))).as("score"),
+        xxhash64(col("term")).as("id"), lit(0).as("payload"),
+        col("term"))
+    // carry the term through the top-k by re-joining on its hash
+    val topk = scored.select(col("query_id"), col("score"), col("id"), col("payload"))
+      .as[graft.functions.ScoredRow]
+      .groupByKey(_.query_id)
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
+      .toDF("doc_id", "topk")
+      .select(col("doc_id"), posexplode(col("topk")))
+      .select(col("doc_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col.id").as("term_hash"), col("col.score").as("tfidf"))
+    topk.join(
+      scored.select(col("query_id").as("doc_id"), col("id").as("term_hash"),
+        col("term")).distinct(),
+      Seq("doc_id", "term_hash"))
+      .select("doc_id", "rank", "term", "tfidf")
+  }
+
+  private def txtTfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(t(spark, dir, "documents"), 5).orderBy("doc_id", "rank")
+
   val all: Seq[Q] = Seq(
     Q("txt_token_stats", txtTokenStats, Some(txtTokenStatsSql)),
     Q("txt_quality", txtQuality, Some(txtQualitySql)),
     Q("txt_langid", txtLangid, None),
-    Q("txt_fingerprint", txtFingerprint, None))
+    Q("txt_fingerprint", txtFingerprint, None),
+    Q("txt_tfidf", txtTfidf, None))
 }

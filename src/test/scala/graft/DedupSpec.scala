@@ -38,6 +38,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dupClusters resolves transitive pairs to the smallest canonical id") {
+    // pairs: 1-2, 2-3 (chain) and 7-8; singleton 9 never appears
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val labels = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("simhash: identical → equal; near → close; unrelated → far") {
     val nearDup = base.replace("echo", "zulu")
     val unrelated = (0 until 120).map(i => s"q$i").mkString(" ")

@@ -137,6 +137,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CdcStreamSink applies envelope micro-batches without collecting") {
+    val store = new TableStore(spark, tmpDir("sink-cdc-"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    store.create("t", schema)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, String, String)]
+    ms.addData(
+      ("create", """{"id": 1}""", """{"id": 1, "v": "a"}"""),
+      ("create", """{"id": 2}""", """{"id": 2, "v": "b"}"""))
+    val q = graft.api.CdcStreamSink.attach(spark,
+      ms.toDF().toDF("op", "key", "payload"), store,
+      CdcApply.CdcConfig("t", Seq("id"))).start()
+    try {
+      q.processAllAvailable()
+      ms.addData(("delete", """{"id": 1}""", null),
+        ("update", """{"id": 2}""", """{"id": 2, "v": "b2"}"""))
+      q.processAllAvailable()
+      val got = store.read("t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === Seq((2L, "b2")))
+    } finally q.stop()
+  }
+
   test("foreachBatch applies a CDC stream into TableStore") {
     val store = new TableStore(spark, tmpDir("stream-cdc-"))
     val schema = StructType(Seq(

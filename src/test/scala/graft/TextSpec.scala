@@ -49,6 +49,18 @@ class TextSpec extends SparkSpec {
     assert(m === again)
   }
 
+  test("TF-IDF ranks a doc's distinctive term above corpus-wide terms") {
+    val docs = Seq(
+      (0L, "common common common zebra zebra zebra zebra"),
+      (1L, "common common other"),
+      (2L, "common filler words here")).toDF("doc_id", "text")
+    val top = graft.ops.Text.tfidfTopTerms(docs, 2)
+      .filter(col("doc_id") === 0).orderBy("rank").collect()
+    // zebra: tf=4, df=1 → high idf; common: tf=3 but df=3 → idf ≈ 0
+    assert(top(0).getAs[String]("term") === "zebra")
+    assert(top(0).getAs[Double]("tfidf") > top(1).getAs[Double]("tfidf"))
+  }
+
   test("stopword hits count only exact matches") {
     val df = Seq("the theme of the play").toDF("text")
       .select(Text.stopwordHits(Text.tokens(col("text")), Seq("the", "of")).as("n"))
