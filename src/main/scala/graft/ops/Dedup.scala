@@ -83,6 +83,28 @@ object Dedup {
 
   private val MaxBucket = 50 // cap degenerate LSH buckets (skew guard)
 
+  /** Candidate pairs from bucketed ids: group each bucket once, cap its
+    * size (skew guard), and expand id pairs from the collected array. ONE
+    * pass over the signature pipeline — a bucket SELF-join would evaluate
+    * the whole upstream twice (observed in the physical plan) and shuffle
+    * it twice. Buckets are bounded by MaxBucket, so the expansion arrays
+    * are tiny. Input: (bucket key columns ++ doc_id). */
+  def bucketPairs(buckets: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val grouped = buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(array_sort(array_distinct(col("ids"))).as("ids"))
+    grouped
+      .select(explode(
+        flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(sequence(i + 1, size(col("ids")) - 1), j =>
+            struct(element_at(col("ids"), i + 1).as("a"),
+              element_at(col("ids"), j + 1).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
   /** MinHash → banded LSH candidate pairs → exact-Jaccard verification.
     * 16 bands × 4 rows (k=64) targets ~0.5 similarity. */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
@@ -104,14 +126,21 @@ object Dedup {
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    // skew guard: drop buckets larger than MaxBucket
+    // Pair generation via bucket-key self-join on ids: cheaper in COLD
+    // runtime than collect_list+expansion (less generated code to compile,
+    // and the exchange under both sides is reused). Skew guard caps bucket
+    // size first. The (tiny) result is materialized once — it feeds three
+    // consumers below, and without a persist each would re-run the whole
+    // signature pipeline (observed 7× runtime in the bench).
     val sized = buckets.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bh")))
       .filter(col("bucket_n") <= MaxBucket)
     val l = sized.select(col("band"), col("bh"), col("doc_id").as("a"))
     val r = sized.select(col("band"), col("bh"), col("doc_id").as("b"))
     val pairs = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b").distinct().persist()
+    pairs.count() // force materialization before the fan-out
     // exact-Jaccard verify on the candidate SUBSET only: semi-join the
     // corpus down to candidate ids before computing shingle sets
     val candIds = pairs.select(col("a").as("doc_id"))
@@ -134,8 +163,11 @@ object Dedup {
     * the pair set itself is large. Returns (doc_id, canonical).
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // the edge set is consulted every iteration — materialize it once
+    // rather than re-running the upstream candidate pipeline per step
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("canonical", col("doc_id"))
     var iter = 0
@@ -146,11 +178,24 @@ object Dedup {
           .withColumnRenamed("canonical", "nb_canonical"), Seq("b"))
         .groupBy(col("a").as("doc_id"))
         .agg(min("nb_canonical").as("nb_min"))
-      val updated = labels.join(neighbourMin, Seq("doc_id"), "left")
+      // localCheckpoint (eager) BREAKS LINEAGE: with persist() alone the
+      // logical plan still nests per iteration and planning cost grows
+      // without bound (observed: seconds per iteration, then stack
+      // overflow rendering the plan tree on long chains)
+      val stepped = labels.join(neighbourMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("canonical"), coalesce(col("nb_min"), col("canonical")))
             .as("canonical"))
-        .persist()
+      // pointer jumping: additionally adopt the canonical's canonical, so
+      // label distance doubles per iteration — maxIter=10 covers chains of
+      // diameter 2^10, not 10
+      val updated = stepped.as("x")
+        .join(stepped.select(col("doc_id").as("canonical"),
+          col("canonical").as("cc")), Seq("canonical"), "left")
+        .select(col("doc_id"),
+          least(col("canonical"), coalesce(col("cc"), col("canonical")))
+            .as("canonical"))
+        .localCheckpoint(true)
       val changed = updated.join(labels.withColumnRenamed("canonical", "old"),
         Seq("doc_id"))
         .filter(col("canonical") =!= col("old")).limit(1).count()
@@ -159,6 +204,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 
@@ -202,11 +248,20 @@ object Dedup {
           shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*))
         .as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
-    val l = chunks.select(col("chunk"), col("cv"), col("doc_id").as("a"), col("sig").as("siga"))
-    val r = chunks.select(col("chunk"), col("cv"), col("doc_id").as("b"), col("sig").as("sigb"))
-    l.join(r, Seq("chunk", "cv")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        expr("bit_count(siga ^ sigb)").as("hamming"))
+    // the signature travels WITH the pair (collect struct, expand pairs) —
+    // one pass over the signature pipeline, no verify rejoin
+    val grouped = chunks.groupBy("chunk", "cv")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(array_sort(array_distinct(col("ids"))).as("ids"))
+    grouped
+      .select(explode(
+        flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(sequence(i + 1, size(col("ids")) - 1), j =>
+            struct(element_at(col("ids"), i + 1).as("x"),
+              element_at(col("ids"), j + 1).as("y")))))).as("p"))
+      .select(col("p.x.doc_id").as("a"), col("p.y.doc_id").as("b"),
+        expr("bit_count(p.x.sig ^ p.y.sig)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("a", "b")

@@ -43,6 +43,23 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes, scales, re-encodes. The
+    * deterministic fake derives output bytes from (payload, target dims) so
+    * the pipeline shape — new payload + updated metadata — is real. */
+  def resize(spark: SparkSession, media: DataFrame,
+      newW: Int, newH: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val scale = math.max(1, (m.width.toLong * m.height) / (newW.toLong * newH)).toInt
+        val out = new Array[Byte](math.max(1, m.payload.length / scale))
+        var i = 0
+        while (i < out.length) { out(i) = m.payload(i % m.payload.length); i += 1 }
+        m.copy(width = newW, height = newH, payload = out)
+      }
+    }.toDF()
+  }
+
   /** Synthesize a deterministic media table from `documents`: payload =
     * sha256 bytes of the text (opaque, fixed 32 bytes), metadata derived
     * from doc_id. Stands in for a real parquet-with-binary source. */

@@ -167,16 +167,13 @@ object Similarity {
     * whole corpus (self-join flavour of the ANN machinery). */
   private def ddEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val withT = emb.select(col("vec_id"), col("embedding"),
+    val withT = emb.select(col("vec_id").as("doc_id"),
       explode(lshTables(col("embedding"))).as("t"))
-      .select(col("vec_id"), col("embedding"), col("t.tb").as("tb"), col("t.sig").as("sig"))
-    val l = withT.select(col("tb"), col("sig"), col("vec_id").as("a"))
-    val r = withT.select(col("tb"), col("sig"), col("vec_id").as("b"))
+      .select(col("doc_id"), col("t.tb").as("tb"), col("t.sig").as("sig"))
     val byId = emb.select(col("vec_id"), col("embedding"))
-    // distinct on the id pair BEFORE touching vectors: deduping wide array
-    // rows through a shuffle is the expensive mistake this avoids
-    l.join(r, Seq("tb", "sig")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    // single pass over the LSH pipeline (bucket collect + pair expansion),
+    // vectors rejoin only for the candidate pairs
+    Dedup.bucketPairs(withT, Seq("tb", "sig"))
       .join(byId.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "va"), Seq("a"))
       .join(byId.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "vb"), Seq("b"))
       .withColumn("cos", cosine(col("va"), col("vb")))

@@ -34,6 +34,17 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes === 32)
   }
 
+  test("resize updates dims and shrinks payload deterministically") {
+    val media = Multimodal.mediaTable(spark, dir).filter(col("media_id") < 10)
+    val resized = Multimodal.resize(spark, media, 160, 90)
+    val rows = resized.collect()
+    assert(rows.forall(r => r.getAs[Int]("width") === 160))
+    assert(rows.forall(r => r.getAs[Int]("height") === 90))
+    val again = Multimodal.resize(spark, media, 160, 90).collect()
+    assert(rows.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq ===
+      again.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq)
+  }
+
   test("sampleFrames: every step-th frame, only for video") {
     val media = Multimodal.mediaTable(spark, dir)
     val sampled = Multimodal.sampleFrames(media, 4)
