@@ -100,10 +100,68 @@ object Events {
       | MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AS-OF join, composed from built-ins (the preferred path before any
+    * custom operator — SURVEY.md §2 mapping): for every click, the most
+    * recent prior purchase by the same user. Union the two slices, tag
+    * them, and take `last(purchase_ts) IGNORE NULLS` over the preceding
+    * window — one shuffle on user_id, no range self-join explosion. */
+  private def evAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .withColumn("tss", date_trunc("second", col("ts")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tss"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("purchase_ts",
+        when(col("event_type") === "purchase", col("tss")))
+      .withColumn("last_purchase",
+        last(col("purchase_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("tss")).as("click_ts"),
+        unix_timestamp(col("last_purchase")).as("asof_purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  private val evAsofSql =
+    """SELECT event_id, user_id,
+      | CAST(EPOCH(tss) AS BIGINT) AS click_ts,
+      | CAST(EPOCH(last_purchase) AS BIGINT) AS asof_purchase_ts
+      |FROM (
+      | SELECT event_id, user_id, event_type, tss,
+      |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN tss END IGNORE NULLS)
+      |   OVER (PARTITION BY user_id ORDER BY tss, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+      | FROM (SELECT event_id, user_id, event_type, DATE_TRUNC('second', ts) AS tss
+      |       FROM events WHERE event_type IN ('click', 'purchase')))
+      |WHERE event_type = 'click'
+      |ORDER BY event_id""".stripMargin
+
+  /** Pivot: event counts per user pivoted by event type (fixed column set
+    * so the schema is deterministic); oracle is conditional aggregation. */
+  private def evPivot(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  private val evPivotSql =
+    """SELECT user_id,
+      | SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      | SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+      | SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      | SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ev_tumbling_window", evTumbling, Some(evTumblingSql)),
     Q("ev_sliding_window", evSliding, Some(evSlidingSql)),
     Q("ev_session_windows", evSessions, Some(evSessionsSql)),
     Q("ev_dedup", evDedup, Some(evDedupSql)),
-    Q("ev_json_props", evProps, Some(evPropsSql)))
+    Q("ev_json_props", evProps, Some(evPropsSql)),
+    Q("ev_asof_join", evAsof, Some(evAsofSql)),
+    Q("ev_pivot", evPivot, Some(evPivotSql)))
 }
