@@ -290,7 +290,8 @@ object Dedup {
   /** Full fuzzy-dedup pipeline: MinHash pairs → cluster resolution → one
     * canonical survivor per cluster. */
   private def ddDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashNearDups(t(spark, dir, "documents"), 0.5)
+    // verified pairs feed dupClusters' edge union twice — materialize once
+    val pairs = minhashNearDups(t(spark, dir, "documents"), 0.5).persist()
     dupClusters(pairs)
       .groupBy("canonical")
       .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_member"))

@@ -611,6 +611,32 @@ object Rel {
       |ORDER BY g_status, g_prio,
       | o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Array-function family over an array built from the name tokens:
+    * containment, position, sorting, distinct — all with DuckDB list-fn
+    * oracles. */
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    val arr = split(col("p_name"), " ")
+    t(spark, dir, "part")
+      .select(col("p_partkey"), arr.as("words"))
+      .select(
+        col("p_partkey"),
+        size(col("words")).as("n_words"),
+        array_contains(col("words"), "green").as("has_green"),
+        array_position(col("words"), "green").cast(LongType).as("green_pos"),
+        element_at(array_sort(col("words")), 1).as("first_sorted"),
+        size(array_distinct(col("words"))).as("n_distinct"))
+      .orderBy("p_partkey")
+  }
+
+  private val q29Sql =
+    """SELECT p_partkey,
+      | CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INT) AS n_words,
+      | LIST_CONTAINS(STRING_SPLIT(p_name, ' '), 'green') AS has_green,
+      | CAST(COALESCE(LIST_POSITION(STRING_SPLIT(p_name, ' '), 'green'), 0) AS BIGINT) AS green_pos,
+      | LIST_SORT(STRING_SPLIT(p_name, ' '))[1] AS first_sorted,
+      | CAST(LEN(LIST_DISTINCT(STRING_SPLIT(p_name, ' '))) AS INT) AS n_distinct
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -640,5 +666,6 @@ object Rel {
     Q("q26_window_breadth", q26, Some(q26Sql)),
     Q("q27_outer_join", q27, Some(q27Sql)),
     Q("q28_grouping_sets", q28, Some(q28Sql)),
+    Q("q29_array_funcs", q29, Some(q29Sql)),
   )
 }
