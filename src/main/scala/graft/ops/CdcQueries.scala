@@ -19,7 +19,8 @@ object CdcQueries {
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val store = new TableStore(spark, s"/root/repo/target/cdc-demo/$sfTag")
     val cust = t(spark, dir, "customer")
-    store.create("customer", cust.schema, overwrite = true)
+    store.create("customer", cust.schema, overwrite = true,
+      zoneCols = Seq("c_custkey"))
     store.append("customer", cust)
 
     def key(id: Long) = Some(RawData(s"""{"c_custkey": $id}"""): CdcData)
@@ -68,7 +69,8 @@ object CdcQueries {
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val store = new TableStore(spark, s"/root/repo/target/cdc-bulk/$sfTag")
     val orders = t(spark, dir, "orders")
-    store.create("orders", orders.schema, overwrite = true)
+    store.create("orders", orders.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
     store.append("orders", orders)
 
     // updates: +1000.0 on totalprice for orderkey % 97 == 0

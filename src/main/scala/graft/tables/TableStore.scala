@@ -41,18 +41,27 @@ final class TableStore(spark: SparkSession, val root: String) {
     * time (the managed-table analogue of Iceberg partition pruning,
     * SURVEY.md §4). */
   def create(name: String, schema: StructType, overwrite: Boolean = false,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, zoneCols: Seq[String] = Nil): Unit = {
     val d = tdir(name)
     if (Files.exists(d)) {
       require(overwrite, s"table $name already exists")
       deleteRecursively(d)
     }
-    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c not in schema"))
+    (partitionBy ++ zoneCols).foreach(c => require(schema.fieldNames.contains(c),
+      s"column $c not in schema"))
     Files.createDirectories(dataDir(name))
+    Files.createDirectories(d.resolve("stats"))
     Files.writeString(d.resolve("_schema.json"), schema.json)
     Files.writeString(d.resolve("_partitions"), partitionBy.mkString(","))
+    Files.writeString(d.resolve("_zonecols"), zoneCols.mkString(","))
     commitManifest(name, Nil)
+  }
+
+  /** Columns with per-file min/max zone maps (file skipping for CDC). */
+  def zoneCols(name: String): Seq[String] = {
+    val p = tdir(name).resolve("_zonecols")
+    if (!Files.exists(p)) Nil
+    else Files.readString(p).trim.split(",").toSeq.filter(_.nonEmpty)
   }
 
   def partitionCols(name: String): Seq[String] = {
@@ -133,27 +142,42 @@ final class TableStore(spark: SparkSession, val root: String) {
     * (SparkDestinationStream.java:110-114; README.md:74-77). */
   def applyNet(name: String, keys: DataFrame, newRows: DataFrame,
       keyCols: Seq[String]): Unit = {
-    val files = currentFiles(name)
     val sch = schema(name)
     val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
     var carried = currentRelPaths(name)
     var rewritten = Seq.empty[String]
-    if (files.nonEmpty) {
-      // File pruning: a semi join marks the files that hold affected keys.
-      val affected = read(name).join(distinctKeys, keyCols, "left_semi")
-        .select(input_file_name().as("f")).distinct()
-        .collect().map(r => fileName(r.getString(0))).toSet
-      if (affected.nonEmpty) {
-        val affectedPaths = files.filter(p => affected.contains(fileName(p)))
-        val survivors = readFiles(name, affectedPaths)
-          .join(distinctKeys, keyCols, "left_anti")
-        rewritten = writeDataFiles(name, survivors)
-        carried = carried.filterNot(p => affected.contains(fileName(p)))
+    if (carried.nonEmpty) {
+      // Stage 1 — zone pruning: discard files whose key range cannot
+      // intersect the batch, from manifest stats alone (no file opened).
+      val candidates = pruneByZones(name, carried,
+        keyBounds(distinctKeys, keyCols, zoneCols(name)))
+      if (candidates.nonEmpty) {
+        val candidatePaths = candidates.map(r => dataDir(name).resolve(r).toString)
+        // Stage 2 — exact pruning: a semi join over the candidates marks
+        // the files that truly hold affected keys.
+        val affected = readFiles(name, candidatePaths)
+          .join(distinctKeys, keyCols, "left_semi")
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(r => fileName(r.getString(0))).toSet
+        if (affected.nonEmpty) {
+          val affectedPaths = candidatePaths.filter(p => affected.contains(fileName(p)))
+          val survivors = readFiles(name, affectedPaths)
+            .join(distinctKeys, keyCols, "left_anti")
+          rewritten = writeDataFiles(name, survivors)
+          carried = carried.filterNot(p => affected.contains(fileName(p)))
+        }
       }
     }
     val appended = writeDataFiles(name, alignTo(sch, newRows))
     commitManifest(name, carried ++ rewritten ++ appended)
   }
+
+  /** Zone-pruned candidate files for a key batch — exposed for tests and
+    * for callers that want to observe skipping behavior. */
+  def candidateFilesForKeys(name: String, keys: DataFrame,
+      keyCols: Seq[String]): Seq[String] =
+    pruneByZones(name, currentRelPaths(name),
+      keyBounds(keys.select(keyCols.map(col): _*).distinct(), keyCols, zoneCols(name)))
 
   /** Upsert = applyNet keyed by the new rows themselves. */
   def upsert(name: String, rows: DataFrame, keyCols: Seq[String]): Unit =
@@ -189,8 +213,106 @@ final class TableStore(spark: SparkSession, val root: String) {
     Files.walk(dataDir(name)).iterator().asScala.toSeq
       .filter(p => Files.isRegularFile(p))
       .filter(p => !live.contains(dataDir(name).relativize(p).toString))
-      .foreach(Files.delete)
+      .foreach { p =>
+        Files.delete(p)
+        Files.deleteIfExists(statsPath(name, dataDir(name).relativize(p).toString))
+        ()
+      }
     manifests.filterNot(keep.contains).foreach(m => Files.delete(d.resolve(m)))
+  }
+
+  // ---- zone maps ----------------------------------------------------------
+
+  /** Per-file min/max of the zone columns, captured at write time from the
+    * fresh files' parquet footers (aggregate pushdown — no data scan) and
+    * kept as tiny driver-readable sidecars. This is the Iceberg-manifest
+    * column-stats idea: a mutation can discard files whose key range
+    * cannot intersect the batch WITHOUT opening them — at 100 TB that is
+    * the difference between touching a few files and listing-scanning the
+    * whole table. */
+  private def writeZoneStats(name: String, relPaths: Seq[String]): Unit = {
+    val zc = zoneCols(name)
+    if (zc.isEmpty || relPaths.isEmpty) return
+    val sch = schema(name)
+    relPaths.foreach { rel =>
+      val p = dataDir(name).resolve(rel).toString
+      val aggs = zc.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val row = spark.read.schema(sch)
+        .option("aggregatePushdown", "true")
+        .parquet(p).agg(aggs.head, aggs.tail: _*).collect()(0)
+      val pairs = zc.zipWithIndex.map { case (c, i) =>
+        s""""$c": [${statJson(row.get(2 * i))}, ${statJson(row.get(2 * i + 1))}]"""
+      }
+      Files.writeString(statsPath(name, rel), pairs.mkString("{", ",", "}"))
+    }
+  }
+
+  private def statsPath(name: String, rel: String): Path = {
+    val flat = rel.replace("/", "__")
+    tdir(name).resolve("stats").resolve(s"$flat.json")
+  }
+
+  private def statJson(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case other => other.toString
+  }
+
+  /** Prune manifest files by zone overlap with the batch's key bounds.
+    * Files without stats (or non-comparable bounds) stay candidates. */
+  private def pruneByZones(name: String, relPaths: Seq[String],
+      bounds: Map[String, (Any, Any)]): Seq[String] = {
+    if (bounds.isEmpty) return relPaths
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    relPaths.filter { rel =>
+      val sp = statsPath(name, rel)
+      if (!Files.exists(sp)) true
+      else {
+        val node = mapper.readTree(Files.readString(sp))
+        bounds.forall { case (c, (lo, hi)) =>
+          val s = node.get(c)
+          if (s == null || s.get(0).isNull || s.get(1).isNull) true
+          else overlap(jsonVal(s.get(0)), jsonVal(s.get(1)), lo, hi)
+        }
+      }
+    }
+  }
+
+  private def jsonVal(n: com.fasterxml.jackson.databind.JsonNode): Any =
+    if (n.isTextual) n.textValue()
+    else if (n.isIntegralNumber) n.longValue()
+    else n.doubleValue()
+
+  private def overlap(fMin: Any, fMax: Any, bMin: Any, bMax: Any): Boolean =
+    (fMin, fMax, bMin, bMax) match {
+      case (a: Long, b: Long, c: Long, d: Long) => b >= c && a <= d
+      case (a: String, b: String, c: String, d: String) => b >= c && a <= d
+      case _ =>
+        (toD(fMin), toD(fMax), toD(bMin), toD(bMax)) match {
+          case (Some(a), Some(b), Some(c), Some(d)) => b >= c && a <= d
+          case _ => true // non-comparable → keep as candidate
+        }
+    }
+
+  private def toD(v: Any): Option[Double] = v match {
+    case x: Long => Some(x.toDouble); case x: Int => Some(x.toDouble)
+    case x: Double => Some(x); case x: Float => Some(x.toDouble)
+    case x: Short => Some(x.toDouble); case x: Byte => Some(x.toDouble)
+    case _ => None
+  }
+
+  /** Batch key bounds (one tiny agg job) for zone pruning; only zone
+    * columns participate. */
+  private def keyBounds(keys: DataFrame, keyCols: Seq[String],
+      zc: Seq[String]): Map[String, (Any, Any)] = {
+    val cols = keyCols.filter(zc.contains)
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val row = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
+      if (lo == null || hi == null) None else Some(c -> ((lo, hi)))
+    }.toMap
   }
 
   // ---- internals ----------------------------------------------------------
@@ -224,6 +346,7 @@ final class TableStore(spark: SparkSession, val root: String) {
       rel
     }
     deleteRecursively(staging)
+    writeZoneStats(name, named)
     named
   }
 

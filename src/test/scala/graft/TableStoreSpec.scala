@@ -143,6 +143,26 @@ class TableStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { st.readVersion("t", 1) }
   }
 
+  test("zone maps: key batches prune non-overlapping files without reads") {
+    val st = newStore()
+    st.create("t", schema, zoneCols = Seq("id"))
+    // three appends with disjoint id ranges → three stat'd file sets
+    st.append("t", (1L to 10L).map(i => (i, s"a$i")).toDF("id", "v"))
+    st.append("t", (100L to 110L).map(i => (i, s"b$i")).toDF("id", "v"))
+    st.append("t", (1000L to 1010L).map(i => (i, s"c$i")).toDF("id", "v"))
+    val all = st.currentRelPaths("t")
+    val keys = Seq(105L).toDF("id")
+    val candidates = st.candidateFilesForKeys("t", keys, Seq("id"))
+    assert(candidates.size < all.size, s"expected pruning, got $candidates")
+    // the pruned set must still contain the file holding id=105
+    st.upsert("t", Seq((105L, "UPDATED")).toDF("id", "v"), Seq("id"))
+    val got = st.read("t").filter(col("id") === 105L).collect()
+    assert(got.length === 1 && got(0).getString(1) === "UPDATED")
+    assert(st.read("t").count() === 32)
+    // out-of-range keys prune everything
+    assert(st.candidateFilesForKeys("t", Seq(999999L).toDF("id"), Seq("id")).isEmpty)
+  }
+
   test("create(overwrite) replaces an existing table") {
     val st = newStore()
     st.create("t", schema)
