@@ -234,16 +234,23 @@ final class TableStore(spark: SparkSession, val root: String) {
     val zc = zoneCols(name)
     if (zc.isEmpty || relPaths.isEmpty) return
     val sch = schema(name)
+    val paths = relPaths.map(r => dataDir(name).resolve(r).toString)
+    // ONE job for all fresh files (grouped by file), not one per file —
+    // the data is page-cache hot right after the write. (A per-file
+    // footer-only read via aggregate pushdown is the alternative when
+    // re-scanning fresh data is too costly.)
+    val aggs = zc.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val rows = spark.read.schema(sch).parquet(paths: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val byName = rows.map(r => fileName(r.getString(0)) -> r).toMap
     relPaths.foreach { rel =>
-      val p = dataDir(name).resolve(rel).toString
-      val aggs = zc.flatMap(c => Seq(min(col(c)), max(col(c))))
-      val row = spark.read.schema(sch)
-        .option("aggregatePushdown", "true")
-        .parquet(p).agg(aggs.head, aggs.tail: _*).collect()(0)
-      val pairs = zc.zipWithIndex.map { case (c, i) =>
-        s""""$c": [${statJson(row.get(2 * i))}, ${statJson(row.get(2 * i + 1))}]"""
+      byName.get(fileName(rel)).foreach { row =>
+        val pairs = zc.zipWithIndex.map { case (c, i) =>
+          s""""$c": [${statJson(row.get(2 * i + 1))}, ${statJson(row.get(2 * i + 2))}]"""
+        }
+        Files.writeString(statsPath(name, rel), pairs.mkString("{", ",", "}"))
       }
-      Files.writeString(statsPath(name, rel), pairs.mkString("{", ",", "}"))
     }
   }
 
