@@ -121,11 +121,14 @@ object CdcApply {
         sum(when(col("__op") === "delete", 1L).otherwise(0L)).as("d"),
         sum(when(anyKeyNull, 1L).otherwise(0L)).as("bad"))
         .collect()(0)
-      if (statsRow.getLong(2) > 0)
-        throw new IllegalArgumentException(
-          "key has no fields (a record's key is missing a key column)")
-      store.applyNet(config.table, touchedKeys, upserts, config.keyCols)
-      Stats(statsRow.getLong(0), statsRow.getLong(1))
+      if (statsRow.isNullAt(0)) Stats(0, 0) // empty batch: nothing to apply
+      else {
+        if (statsRow.getLong(2) > 0)
+          throw new IllegalArgumentException(
+            "key has no fields (a record's key is missing a key column)")
+        store.applyNet(config.table, touchedKeys, upserts, config.keyCols)
+        Stats(statsRow.getLong(0), statsRow.getLong(1))
+      }
     } finally { net.unpersist(); () }
   }
 

@@ -203,6 +203,15 @@ class CdcSpec extends SparkSpec {
     assert(left.toSeq === Seq((1, "b"), (2, "a")))
   }
 
+  test("empty envelope batch is a no-op (streaming sink sends empty batches)") {
+    val st = newTable()
+    val env = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      CdcApply.envelopeSchema)
+    val stats = CdcApply.applyEnvelopes(spark, st, cfg, env)
+    assert(stats === CdcApply.Stats(0, 0))
+    assert(st.read("t").count() === 0)
+  }
+
   test("config validation mirrors DestinationConfig required-key checks") {
     intercept[IllegalArgumentException] { CdcConfig("", Seq("k")) }
     intercept[IllegalArgumentException] { CdcConfig("t", Nil) }
