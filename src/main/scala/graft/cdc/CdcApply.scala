@@ -100,36 +100,59 @@ object CdcApply {
       .withColumn("__k", from_json(normalize(col("__key")), keySchema, opts))
       .withColumn("__row", when(col("__payload").isNotNull,
         from_json(normalize(col("__payload")), schema, opts)))
-
-    // Net effect per key: last record (by ingest order) wins.
-    val keyFields = config.keyCols.map(c => col("__k").getField(c).as(c))
-    val w = Window.partitionBy(config.keyCols.map(col): _*)
-      .orderBy(col("__seq").desc)
-    val net = decoded
-      .select((keyFields :+ col("__seq") :+ col("__op") :+ col("__row")): _*)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
       .cache()
     try {
+      // Distributed per-record validation over ALL records (not just net
+      // winners — the reference rejects per record), one aggregate job:
+      //  - unknown/null op would otherwise silently act as a delete;
+      //  - a non-delete with no payload would upsert an all-null ghost row;
+      //  - an envelope key disagreeing with the payload's own key columns
+      //    would delete one key and append another, duplicating keys;
+      //  - a key missing a key column (F6 guard).
+      val upsertOps = Seq("create", "update", "snapshot")
+      val anyKeyNull = config.keyCols
+        .map(c => col("__k").getField(c).isNull).reduce(_ || _)
+      val keyMismatch = config.keyCols
+        .map(c => !(col("__row").getField(c) <=> col("__k").getField(c)))
+        .reduce(_ || _)
+      val checks = decoded.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__op").isNull ||
+          !col("__op").isin((upsertOps :+ "delete"): _*), 1L).otherwise(0L)).as("bad_op"),
+        sum(when(col("__op").isin(upsertOps: _*) && col("__row").isNull, 1L)
+          .otherwise(0L)).as("no_payload"),
+        sum(when(col("__row").isNotNull && keyMismatch, 1L).otherwise(0L)).as("key_mismatch"),
+        sum(when(anyKeyNull, 1L).otherwise(0L)).as("bad_key"))
+        .collect()(0)
+      if (checks.getLong(0) == 0) return Stats(0, 0) // empty batch
+      if (checks.getLong(1) > 0) throw new IllegalArgumentException(
+        s"${checks.getLong(1)} record(s) with unknown operation")
+      if (checks.getLong(2) > 0) throw new IllegalArgumentException(
+        s"${checks.getLong(2)} non-delete record(s) have no after payload")
+      if (checks.getLong(3) > 0) throw new IllegalArgumentException(
+        s"${checks.getLong(3)} record(s) whose payload key columns disagree " +
+          "with the record key")
+      if (checks.getLong(4) > 0) throw new IllegalArgumentException(
+        "key has no fields (a record's key is missing a key column)")
+
+      // Net effect per key: last record (by ingest order) wins.
+      val keyFields = config.keyCols.map(c => col("__k").getField(c).as(c))
+      val w = Window.partitionBy(config.keyCols.map(col): _*)
+        .orderBy(col("__seq").desc)
+      val net = decoded
+        .select((keyFields :+ col("__seq") :+ col("__op") :+ col("__row")): _*)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
       val upserts = net.filter(col("__op") =!= "delete")
         .select(col("__row.*"))
       val touchedKeys = net.select(config.keyCols.map(col): _*)
-      // one job for stats AND the distributed empty/partial-key guard (F6)
-      val anyKeyNull = config.keyCols.map(col(_).isNull).reduce(_ || _)
       val statsRow = net.agg(
         sum(when(col("__op") =!= "delete", 1L).otherwise(0L)).as("u"),
-        sum(when(col("__op") === "delete", 1L).otherwise(0L)).as("d"),
-        sum(when(anyKeyNull, 1L).otherwise(0L)).as("bad"))
+        sum(when(col("__op") === "delete", 1L).otherwise(0L)).as("d"))
         .collect()(0)
-      if (statsRow.isNullAt(0)) Stats(0, 0) // empty batch: nothing to apply
-      else {
-        if (statsRow.getLong(2) > 0)
-          throw new IllegalArgumentException(
-            "key has no fields (a record's key is missing a key column)")
-        store.applyNet(config.table, touchedKeys, upserts, config.keyCols)
-        Stats(statsRow.getLong(0), statsRow.getLong(1))
-      }
-    } finally { net.unpersist(); () }
+      store.applyNet(config.table, touchedKeys, upserts, config.keyCols)
+      Stats(statsRow.getLong(0), statsRow.getLong(1))
+    } finally { decoded.unpersist(); () }
   }
 
   /** Single-record conveniences mirroring the reference's per-record API

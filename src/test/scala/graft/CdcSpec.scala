@@ -212,6 +212,36 @@ class CdcSpec extends SparkSpec {
     assert(st.read("t").count() === 0)
   }
 
+  test("envelope path rejects bad op, missing payload, and key mismatch") {
+    val st = newTable()
+    def env(rows: Seq[(Long, String, String, String)]) = {
+      import org.apache.spark.sql.Row
+      val data = new java.util.ArrayList[Row]()
+      rows.foreach { case (s, op, k, p) => data.add(Row(s, op, k, p)) }
+      spark.createDataFrame(data, CdcApply.envelopeSchema)
+    }
+    // unknown op would otherwise silently act as a delete
+    val e1 = intercept[IllegalArgumentException] {
+      CdcApply.applyEnvelopes(spark, st, cfg, env(Seq(
+        (0L, "upsert", """{"int_field": 1}""", """{"int_field": 1}"""))))
+    }
+    assert(e1.getMessage.contains("unknown operation"))
+    // non-delete without payload would upsert an all-null ghost row
+    val e2 = intercept[IllegalArgumentException] {
+      CdcApply.applyEnvelopes(spark, st, cfg, env(Seq(
+        (0L, "create", """{"int_field": 1}""", null))))
+    }
+    assert(e2.getMessage.contains("no after payload"))
+    // envelope key disagreeing with payload key would duplicate keys
+    val e3 = intercept[IllegalArgumentException] {
+      CdcApply.applyEnvelopes(spark, st, cfg, env(Seq(
+        (0L, "create", """{"int_field": 1}""",
+          """{"string_field": "x", "int_field": 2}"""))))
+    }
+    assert(e3.getMessage.contains("disagree"))
+    assert(st.read("t").count() === 0) // nothing was applied
+  }
+
   test("config validation mirrors DestinationConfig required-key checks") {
     intercept[IllegalArgumentException] { CdcConfig("", Seq("k")) }
     intercept[IllegalArgumentException] { CdcConfig("t", Nil) }
