@@ -27,19 +27,22 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
+      val ok =
+        try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // queries may persist intermediates internally; drop them so later
       // queries aren't skewed by accumulated cache memory
       spark.catalog.clearCache()
-      q.name -> elapsed
+      // a failed query reports -1, never a plausible-looking partial time
+      q.name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -30,18 +30,25 @@ object GraftSession {
   * commit per micro-batch.
   *
   * Expected input columns: op STRING, key STRING (JSON object),
-  * payload STRING (JSON object, null for deletes).
+  * payload STRING (JSON object, null for deletes), and optionally a
+  * caller-named sequence column for cross-partition last-write-wins.
+  *
+  * ORDERING CONTRACT: without `seqCol`, last-write-wins order within a
+  * micro-batch follows partition index then arrival order inside each
+  * partition (monotonically_increasing_id) — two updates to the same key
+  * in DIFFERENT partitions of one batch resolve arbitrarily. Sources that
+  * carry an offset/LSN should pass it as `seqCol`.
   */
 object CdcStreamSink {
   def attach(spark: SparkSession, stream: DataFrame, store: TableStore,
-      cfg: CdcApply.CdcConfig): DataStreamWriter[Row] =
+      cfg: CdcApply.CdcConfig, seqCol: Option[String] = None): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       import org.apache.spark.sql.functions._
-      // fully distributed: the micro-batch is never collected — sequence
-      // numbers are unique and preserve per-partition arrival order
-      // (a micro-batch carries no total order across partitions anyway)
+      // fully distributed: the micro-batch is never collected
+      val seq = seqCol.map(c => col(c).cast("long"))
+        .getOrElse(monotonically_increasing_id())
       val env = batch
-        .withColumn("__seq", monotonically_increasing_id())
+        .withColumn("__seq", seq)
         .select(col("__seq"), lower(col("op")).as("__op"),
           col("key").as("__key"), col("payload").as("__payload"))
       CdcApply.applyEnvelopes(spark, store, cfg, env); ()

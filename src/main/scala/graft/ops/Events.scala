@@ -14,12 +14,24 @@ import graft.streaming.StreamOps
 object Events {
 
   /** The events parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default — read nanos as long, then convert to a µs TimestampType col
-    * (truncation matches the oracle's DATE_TRUNC('second') downstream). */
+    * default. Scope the legacy nanos-as-long conf to this read only (set,
+    * build the eager schema-inferring reader, restore) so the behavior
+    * never leaks into other parquet reads in the session, then convert to
+    * a µs TimestampType col (truncation matches the oracle's
+    * DATE_TRUNC('second') downstream). */
   private def ev(spark: SparkSession, dir: String) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val raw = t(spark, dir, "events")
+      // materialize the schema now, while the conf is in force
+      raw.schema
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private def evTumbling(spark: SparkSession, dir: String): DataFrame =

@@ -42,7 +42,9 @@ object Similarity {
 
   /** t LSH tables of `bits` hyperplane signs each. Returns array of
     * (table, sig) structs for explode-join candidate generation. */
-  def lshTables(v: Column, tables: Int = 4, bits: Int = 6): Column =
+  def lshTables(v: Column, tables: Int = 4, bits: Int = 6): Column = {
+    require(tables * bits <= planes.length,
+      s"tables*bits = ${tables * bits} exceeds the ${planes.length} seeded planes")
     array((0 until tables).map { tb =>
       val sig = (0 until bits).map { b =>
         when(dotConst(v, planes(tb * bits + b)) >= 0,
@@ -50,6 +52,7 @@ object Similarity {
       }.reduce(_.bitwiseOR(_))
       struct(lit(tb).as("tb"), sig.as("sig"))
     }: _*)
+  }
 
   /** Brute-force exact top-k neighbours for each query vector.
     *

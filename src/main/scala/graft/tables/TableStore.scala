@@ -49,6 +49,12 @@ final class TableStore(spark: SparkSession, val root: String) {
     }
     (partitionBy ++ zoneCols).foreach(c => require(schema.fieldNames.contains(c),
       s"column $c not in schema"))
+    zoneCols.foreach { c =>
+      val dt = schema(schema.fieldIndex(c)).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.StringType,
+        s"zone column $c must be numeric or string, got ${dt.simpleString}")
+    }
     Files.createDirectories(dataDir(name))
     Files.createDirectories(d.resolve("stats"))
     Files.writeString(d.resolve("_schema.json"), schema.json)
@@ -129,7 +135,10 @@ final class TableStore(spark: SparkSession, val root: String) {
       .distinct().collect().map(r => fileName(r.getString(0))).toSet
     if (affected.isEmpty) return
     val affectedPaths = files.filter(p => affected.contains(fileName(p)))
-    val survivors = readFiles(name, affectedPaths).filter(!cond)
+    // SQL DELETE WHERE semantics: rows where cond is NULL are KEPT — a bare
+    // !cond would silently drop them (NOT(NULL) filters the row out)
+    val survivors = readFiles(name, affectedPaths)
+      .filter(!coalesce(cond, lit(false)))
     val rewritten = writeDataFiles(name, survivors)
     commitManifest(name,
       currentRelPaths(name).filterNot(p => affected.contains(fileName(p)))
@@ -154,10 +163,14 @@ final class TableStore(spark: SparkSession, val root: String) {
       if (candidates.nonEmpty) {
         val candidatePaths = candidates.map(r => dataDir(name).resolve(r).toString)
         // Stage 2 — exact pruning: a semi join over the candidates marks
-        // the files that truly hold affected keys.
+        // the files that truly hold affected keys. input_file_name() MUST
+        // be projected in the scan stage, BEFORE the join: after a
+        // non-broadcast (shuffled) join it evaluates in a post-shuffle
+        // stage and returns "", which would silently mark nothing affected.
         val affected = readFiles(name, candidatePaths)
+          .withColumn("__file", input_file_name())
           .join(distinctKeys, keyCols, "left_semi")
-          .select(input_file_name().as("f")).distinct()
+          .select(col("__file")).distinct()
           .collect().map(r => fileName(r.getString(0))).toSet
         if (affected.nonEmpty) {
           val affectedPaths = candidatePaths.filter(p => affected.contains(fileName(p)))
@@ -261,8 +274,13 @@ final class TableStore(spark: SparkSession, val root: String) {
 
   private def statJson(v: Any): String = v match {
     case null => "null"
-    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    case other => other.toString
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case other => other.toString // numeric only — enforced at create()
   }
 
   /** Prune manifest files by zone overlap with the batch's key bounds.
@@ -336,25 +354,26 @@ final class TableStore(spark: SparkSession, val root: String) {
   private def writeDataFiles(name: String, df: DataFrame): Seq[String] = {
     val id = UUID.randomUUID().toString.take(8)
     val staging = tdir(name).resolve(s"_staging-$id")
-    val pCols = partitionCols(name)
-    val writer = df.write.mode("overwrite")
-    (if (pCols.isEmpty) writer else writer.partitionBy(pCols: _*))
-      .parquet(staging.toString)
-    val parts = Files.walk(staging).iterator().asScala.toSeq
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .sortBy(_.toString)
-    val named = parts.zipWithIndex.map { case (p, i) =>
-      val subDir = staging.relativize(p.getParent).toString
-      val fn = f"$id-part$i%05d.parquet"
-      val rel = if (subDir.isEmpty) fn else s"$subDir/$fn"
-      val target = dataDir(name).resolve(rel)
-      Files.createDirectories(target.getParent)
-      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      rel
-    }
-    deleteRecursively(staging)
-    writeZoneStats(name, named)
-    named
+    try {
+      val pCols = partitionCols(name)
+      val writer = df.write.mode("overwrite")
+      (if (pCols.isEmpty) writer else writer.partitionBy(pCols: _*))
+        .parquet(staging.toString)
+      val parts = Files.walk(staging).iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.toString)
+      val named = parts.zipWithIndex.map { case (p, i) =>
+        val subDir = staging.relativize(p.getParent).toString
+        val fn = f"$id-part$i%05d.parquet"
+        val rel = if (subDir.isEmpty) fn else s"$subDir/$fn"
+        val target = dataDir(name).resolve(rel)
+        Files.createDirectories(target.getParent)
+        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        rel
+      }
+      writeZoneStats(name, named)
+      named
+    } finally deleteRecursively(staging) // never strand staging garbage
   }
 
   private def commitManifest(name: String, files: Seq[String]): Unit = {
