@@ -106,7 +106,12 @@ object Dedup {
   }
 
   /** MinHash → banded LSH candidate pairs → exact-Jaccard verification.
-    * 16 bands × 4 rows (k=64) targets ~0.5 similarity. */
+    * 16 bands × 4 rows (k=64) targets ~0.5 similarity.
+    *
+    * NOTE: persists the candidate pair set internally (the returned frame
+    * depends on it lazily). Long-lived sessions calling this repeatedly
+    * should `spark.catalog.clearCache()` after materializing results —
+    * the bench/verify harnesses do. */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     val bands = 16; val rowsPerBand = 4
     // Signatures via explode + codegen'd min() aggregates: the 64 seeded
@@ -290,9 +295,13 @@ object Dedup {
   /** Full fuzzy-dedup pipeline: MinHash pairs → cluster resolution → one
     * canonical survivor per cluster. */
   private def ddDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // verified pairs feed dupClusters' edge union twice — materialize once
+    // verified pairs feed dupClusters' edge union twice — materialize once;
+    // dupClusters materializes its labels (localCheckpoint) before
+    // returning, so the pair cache can be dropped immediately after
     val pairs = minhashNearDups(t(spark, dir, "documents"), 0.5).persist()
-    dupClusters(pairs)
+    val labels = dupClusters(pairs)
+    pairs.unpersist()
+    labels
       .groupBy("canonical")
       .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_member"))
       .orderBy("canonical")

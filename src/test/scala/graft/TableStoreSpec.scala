@@ -143,6 +143,34 @@ class TableStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { st.readVersion("t", 1) }
   }
 
+  test("applyNet deletes correctly with a NON-broadcast (shuffled) semi join") {
+    // regression: input_file_name() projected after a shuffled join returns
+    // "" and affected files were silently missed
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val newRows = (1L to 50L).map(i => (i, "upd")).toDF("id", "v")
+      st.applyNet("t", newRows, newRows, Seq("id"))
+      assert(st.read("t").count() === 100) // no duplicate keys
+      assert(st.read("t").filter(col("v") === "upd").count() === 50)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("delete keeps rows where the predicate evaluates to NULL") {
+    val st = newStore()
+    st.create("t", schema)
+    import org.apache.spark.sql.Row
+    val data = new java.util.ArrayList[Row]()
+    data.add(Row(1L, "a")); data.add(Row(null, "null-id"))
+    st.append("t", spark.createDataFrame(data, schema))
+    st.delete("t", col("id") === 1L)
+    val left = st.read("t").collect().map(_.getString(1))
+    assert(left.toSeq === Seq("null-id")) // NULL-predicate row survives
+  }
+
   test("zone maps: key batches prune non-overlapping files without reads") {
     val st = newStore()
     st.create("t", schema, zoneCols = Seq("id"))
