@@ -54,6 +54,31 @@ object Similarity {
     }: _*)
   }
 
+  /** Multiprobe variant for the QUERY side: besides each table's bucket,
+    * probe the bucket with the least-confident bit flipped (smallest |dot|
+    * against its hyperplane) — the standard recall boost that costs one
+    * extra probe instead of another full table. Deterministic. */
+  def lshTablesMultiprobe(v: Column, tables: Int = 4, bits: Int = 6): Column = {
+    require(tables * bits <= planes.length,
+      s"tables*bits = ${tables * bits} exceeds the ${planes.length} seeded planes")
+    array((0 until tables).flatMap { tb =>
+      val dots = (0 until bits).map(b => dotConst(v, planes(tb * bits + b)))
+      val sig = dots.zipWithIndex.map { case (d, b) =>
+        when(d >= 0, shiftleft(lit(1), b)).otherwise(lit(0))
+      }.reduce(_.bitwiseOR(_))
+      // weakest bit = argmin |dot| (deterministic tie-break on bit index)
+      val weakest = array_min(array(dots.zipWithIndex.map { case (d, b) =>
+        struct(abs(d).as("a"), lit(b).as("b"))
+      }: _*)).getField("b")
+      // shiftleft needs a literal shift amount — select the flip via CASE
+      val flipped = (0 until bits).map(b =>
+        when(weakest === b, sig.bitwiseXOR(lit(1 << b))))
+        .reduce((a, b) => coalesce(a, b))
+      Seq(struct(lit(tb).as("tb"), sig.as("sig")),
+        struct(lit(tb).as("tb"), flipped.as("sig")))
+    }: _*)
+  }
+
   /** Brute-force exact top-k neighbours for each query vector.
     *
     * Scoring is a map-only pass (query set broadcast, codegen'd cosine);
@@ -91,8 +116,9 @@ object Similarity {
       .select(col("vec_id"), col("t.tb").as("tb"), col("t.sig").as("sig"))
     val qT = queries
       .select(col("vec_id").as("query_id"),
-        explode(lshTables(col("embedding"))).as("t"))
+        explode(lshTablesMultiprobe(col("embedding"))).as("t"))
       .select(col("query_id"), col("t.tb").as("tb"), col("t.sig").as("sig"))
+      .distinct()
     val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))

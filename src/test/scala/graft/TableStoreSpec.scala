@@ -191,6 +191,21 @@ class TableStoreSpec extends SparkSpec {
     assert(st.candidateFilesForKeys("t", Seq(999999L).toDF("id"), Seq("id")).isEmpty)
   }
 
+  test("upsert is idempotent: applying the same rows twice changes nothing") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val rows = Seq((1L, "a2"), (3L, "c")).toDF("id", "v")
+    st.upsert("t", rows, Seq("id"))
+    val first = st.read("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    st.upsert("t", rows, Seq("id"))
+    val second = st.read("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(first === Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    assert(second === first)
+  }
+
   test("create(overwrite) replaces an existing table") {
     val st = newStore()
     st.create("t", schema)
