@@ -213,6 +213,21 @@ object Dedup {
     labels
   }
 
+  /** End-to-end corpus cleaning — the composed training-data pipeline:
+    * 1. near-dup detection (MinHash LSH + exact-Jaccard verify),
+    * 2. cluster resolution (label propagation), keep each cluster's
+    *    canonical (smallest doc_id) plus all unclustered docs,
+    * 3. return the surviving corpus.
+    * Every stage is the library operator used standalone elsewhere. */
+  def cleanCorpus(docs: DataFrame, dedupThreshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(docs, dedupThreshold).persist()
+    val labels = dupClusters(pairs) // (doc_id, canonical), clustered docs only
+    pairs.unpersist()
+    val losers = labels.filter(col("doc_id") =!= col("canonical"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // ---- registered queries --------------------------------------------------
 
   /** Exact dedup by content hash; canonical = lowest doc_id per group. */
@@ -307,8 +322,17 @@ object Dedup {
       .orderBy("canonical")
   }
 
+  /** The composed pipeline through the gate: surviving-corpus summary per
+    * (lang, source) after near-dup removal. */
+  private def ddCleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    cleanCorpus(t(spark, dir, "documents"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang", "source")
+
   val all: Seq[Q] = Seq(
     Q("dd_exact", ddExact, Some(ddExactSql)),
+    Q("dd_clean_corpus", ddCleanCorpus, None),
     Q("dd_minhash_lsh", ddMinhash, None),
     Q("dd_simhash", ddSimhash, None),
     Q("dd_ngram_jaccard", ddNgramJaccard, None),

@@ -46,6 +46,18 @@ class DedupSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("cleanCorpus keeps canonicals and unclustered docs only") {
+    val nearDup = base.replace("echo", "zulu")
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, nearDup),
+      (3L, (0 until 120).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.cleanCorpus(docs)
+      .select("doc_id").as[Long].collect().sorted
+    // 0,1,2 cluster together → canonical 0 survives; 3 untouched
+    assert(kept.toSeq === Seq(0L, 3L))
+  }
+
   test("simhash: identical → equal; near → close; unrelated → far") {
     val nearDup = base.replace("echo", "zulu")
     val unrelated = (0 until 120).map(i => s"q$i").mkString(" ")

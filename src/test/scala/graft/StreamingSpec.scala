@@ -161,6 +161,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CdcStreamSink honors an explicit source sequence column for LWW") {
+    val store = new TableStore(spark, tmpDir("sink-seq-"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    store.create("t", schema)
+    implicit val sqlCtx = spark.sqlContext
+    // arrival order says "old" last, but the source offset says "new" wins
+    val ms = MemoryStream[(Long, String, String, String)]
+    ms.addData(
+      (2L, "create", """{"id": 1}""", """{"id": 1, "v": "new"}"""),
+      (1L, "create", """{"id": 1}""", """{"id": 1, "v": "old"}"""))
+    val q = graft.api.CdcStreamSink.attach(spark,
+      ms.toDF().toDF("offset", "op", "key", "payload"), store,
+      CdcApply.CdcConfig("t", Seq("id")), seqCol = Some("offset")).start()
+    try {
+      q.processAllAvailable()
+      val got = store.read("t").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === Seq((1L, "new")))
+    } finally q.stop()
+  }
+
   test("foreachBatch applies a CDC stream into TableStore") {
     val store = new TableStore(spark, tmpDir("stream-cdc-"))
     val schema = StructType(Seq(
