@@ -167,7 +167,34 @@ object Dedup {
     * iterations of two hash joins; no driver-side graph, so it holds when
     * the pair set itself is large. Returns (doc_id, canonical).
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10,
+      smallGraphThreshold: Long = 100000L): DataFrame = {
+    // Fast path: LSH candidate graphs are tiny relative to the corpus —
+    // when the pair set fits comfortably on the driver, exact union-find
+    // beats paying per-iteration distributed job overhead. The distributed
+    // propagation below remains the path for genuinely large pair sets.
+    val spark = pairs.sparkSession
+    val pairRows = pairs.select(col("a").cast("long"), col("b").cast("long"))
+    if (pairRows.limit((smallGraphThreshold + 1).toInt).count() <= smallGraphThreshold) {
+      val es = pairRows.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+          parent(hi) = lo }
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.sorted.map(d => (d, find(d)))
+        .toDF("doc_id", "canonical")
+    }
     // the edge set is consulted every iteration — materialize it once
     // rather than re-running the upstream candidate pipeline per step
     val edges = pairs.select(col("a"), col("b"))

@@ -41,9 +41,15 @@ class DedupSpec extends SparkSpec {
   test("dupClusters resolves transitive pairs to the smallest canonical id") {
     // pairs: 1-2, 2-3 (chain) and 7-8; singleton 9 never appears
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
-    val labels = Dedup.dupClusters(pairs).collect()
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+    // driver union-find fast path
+    val fast = Dedup.dupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    assert(fast === want)
+    // distributed label-propagation path (forced) must agree
+    val dist = Dedup.dupClusters(pairs, smallGraphThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === want)
   }
 
   test("cleanCorpus keeps canonicals and unclustered docs only") {
