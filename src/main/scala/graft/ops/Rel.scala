@@ -637,6 +637,31 @@ object Rel {
       | CAST(LEN(LIST_DISTINCT(STRING_SPLIT(p_name, ' '))) AS INT) AS n_distinct
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Null-handling / conditional scalar family: NULLIF, COALESCE,
+    * LEAST/GREATEST, and null-aware aggregation (COUNT skips nulls). */
+  private def q30(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("<redacted>"))
+          .as("seg_filled"),
+        least(col("c_acctbal"), lit(0.0)).as("neg_part"),
+        greatest(col("c_acctbal"), lit(0.0)).as("pos_part"))
+      .groupBy("seg_filled")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("seg_or_null")).as("n_nonnull"),
+        dbl(sum(dec(col("neg_part")))).as("sum_neg"),
+        dbl(sum(dec(col("pos_part")))).as("sum_pos"))
+      .orderBy("seg_filled")
+
+  private val q30Sql =
+    """SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<redacted>') AS seg_filled,
+      | COUNT(*) AS n_rows,
+      | COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_nonnull,
+      | CAST(SUM(CAST(LEAST(c_acctbal, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_neg,
+      | CAST(SUM(CAST(GREATEST(c_acctbal, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_pos
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -667,5 +692,6 @@ object Rel {
     Q("q27_outer_join", q27, Some(q27Sql)),
     Q("q28_grouping_sets", q28, Some(q28Sql)),
     Q("q29_array_funcs", q29, Some(q29Sql)),
+    Q("q30_null_funcs", q30, Some(q30Sql)),
   )
 }
