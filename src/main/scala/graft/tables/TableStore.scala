@@ -377,14 +377,29 @@ final class TableStore(spark: SparkSession, val root: String) {
   }
 
   private def commitManifest(name: String, files: Seq[String]): Unit = {
+    // Single-writer guard: the store is single-writer by design (like the
+    // reference's one sequential stream); an advisory lock turns a second
+    // concurrent writer into a fast, loud failure instead of a corrupted
+    // manifest chain. CREATE_NEW is atomic on POSIX filesystems.
     val d = tdir(name)
-    val n = nextManifestId(name)
-    val manifest = f"manifest-$n%06d.txt"
-    Files.writeString(d.resolve(manifest), files.mkString("\n"))
-    val tmp = d.resolve(s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, manifest)
-    Files.move(tmp, d.resolve("_current"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val lock = d.resolve("_commit.lock")
+    try {
+      Files.write(lock, Array.emptyByteArray,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"table $name has a concurrent writer (stale lock? delete $lock)")
+    }
+    try {
+      val n = nextManifestId(name)
+      val manifest = f"manifest-$n%06d.txt"
+      Files.writeString(d.resolve(manifest), files.mkString("\n"))
+      val tmp = d.resolve(s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
+      Files.writeString(tmp, manifest)
+      Files.move(tmp, d.resolve("_current"), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally { Files.deleteIfExists(lock); () }
   }
 
   private def nextManifestId(name: String): Int = {

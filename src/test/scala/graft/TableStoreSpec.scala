@@ -206,6 +206,20 @@ class TableStoreSpec extends SparkSpec {
     assert(second === first)
   }
 
+  test("commit lock: a concurrent writer fails fast, then recovers") {
+    val st = newStore()
+    st.create("t", schema)
+    val lock = java.nio.file.Paths.get(st.root, "t", "_commit.lock")
+    java.nio.file.Files.createFile(lock) // simulate another writer mid-commit
+    val e = intercept[IllegalStateException] {
+      st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    java.nio.file.Files.delete(lock)
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    assert(st.read("t").count() === 1)
+  }
+
   test("create(overwrite) replaces an existing table") {
     val st = newStore()
     st.create("t", schema)
