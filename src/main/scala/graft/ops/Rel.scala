@@ -662,6 +662,34 @@ object Rel {
       | CAST(SUM(CAST(GREATEST(c_acctbal, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_pos
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Non-equi (range) join: orders against an inline era dimension on
+    * date containment — broadcast nested-loop on the tiny dimension, the
+    * correct plan for a small range table against a large fact. */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eras = Seq(
+      ("early", "1995-01-01", "1997-12-31"),
+      ("late", "1998-01-01", "2001-12-31")).toDF("era", "start_d", "end_d")
+      .select(col("era"), col("start_d").cast(TimestampType).as("start_ts"),
+        col("end_d").cast(TimestampType).as("end_ts"))
+    val ord = t(spark, dir, "orders")
+    ord.join(broadcast(eras),
+      ord("o_orderdate") >= eras("start_ts") && ord("o_orderdate") <= eras("end_ts"))
+      .groupBy("era")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("era")
+  }
+
+  private val q31Sql =
+    """SELECT era, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN (VALUES
+      |  ('early', TIMESTAMP '1995-01-01', TIMESTAMP '1997-12-31'),
+      |  ('late',  TIMESTAMP '1998-01-01', TIMESTAMP '2001-12-31'))
+      |  AS eras(era, start_ts, end_ts)
+      | ON o_orderdate >= start_ts AND o_orderdate <= end_ts
+      |GROUP BY era ORDER BY era""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -693,5 +721,6 @@ object Rel {
     Q("q28_grouping_sets", q28, Some(q28Sql)),
     Q("q29_array_funcs", q29, Some(q29Sql)),
     Q("q30_null_funcs", q30, Some(q30Sql)),
+    Q("q31_range_join", q31, Some(q31Sql)),
   )
 }
