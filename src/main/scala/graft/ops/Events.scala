@@ -92,9 +92,13 @@ object Events {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
+  /** DISTINCT ON with a full secondary ORDER BY mirrors the batch
+    * dedupEvents row_number pick — both engines keep the same survivor even
+    * if duplicated event_ids were to differ in payload. */
   private val evDedupSql =
     """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
-      |FROM (SELECT DISTINCT ON (event_id) event_id, event_type, user_id FROM events ORDER BY event_id)
+      |FROM (SELECT DISTINCT ON (event_id) event_id, event_type, user_id FROM events
+      |      ORDER BY event_id, event_type, user_id, DATE_TRUNC('second', ts))
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** JSON prop extraction from the props column (semi-structured path). */
@@ -108,7 +112,7 @@ object Events {
 
   private val evPropsSql =
     """SELECT event_type, COUNT(*) AS n,
-      | SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS sum_k,
+      | CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       | MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -161,11 +165,11 @@ object Events {
 
   private val evPivotSql =
     """SELECT user_id,
-      | SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      | SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-      | SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      | SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -110,9 +110,9 @@ object Multimodal {
 
   private val mmMetadataSql =
     """SELECT kind, format, COUNT(*) AS n,
-      | SUM(OCTET_LENGTH(payload)) AS total_bytes,
-      | SUM(CAST(width AS BIGINT) * height) AS total_pixels,
-      | SUM(n_frames) AS total_frames
+      | CAST(SUM(OCTET_LENGTH(payload)) AS BIGINT) AS total_bytes,
+      | CAST(SUM(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels,
+      | CAST(SUM(n_frames) AS BIGINT) AS total_frames
       |FROM (
       | SELECT doc_id AS media_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,

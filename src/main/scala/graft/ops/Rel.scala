@@ -255,7 +255,8 @@ object Rel {
   }
 
   private val q11Sql =
-    """SELECT o_custkey, COUNT(*) AS n_gaps, SUM(gap_days) AS total_gap_days,
+    """SELECT o_custkey, COUNT(*) AS n_gaps,
+      | CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
       | MAX(gap_days) AS max_gap_days
       |FROM (
       | SELECT o_custkey, CAST(DATEDIFF('day',
@@ -356,8 +357,8 @@ object Rel {
 
   private val q16Sql =
     """SELECT UPPER(SUBSTRING(p_name, 1, 1)) AS initial, COUNT(*) AS n,
-      | SUM(LENGTH(p_name)) AS total_len,
-      | SUM(LENGTH(REGEXP_REPLACE(p_name, '[aeiou]', '', 'g'))) AS total_consonants
+      | CAST(SUM(LENGTH(p_name)) AS BIGINT) AS total_len,
+      | CAST(SUM(LENGTH(REGEXP_REPLACE(p_name, '[aeiou]', '', 'g'))) AS BIGINT) AS total_consonants
       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Date/time extraction and grouping. */
@@ -388,8 +389,8 @@ object Rel {
 
   private val q18Sql =
     """SELECT l_orderkey % 7 AS bucket, COUNT(*) AS n,
-      | SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_floor,
-      | SUM(CAST(CEIL(l_quantity) AS BIGINT)) AS sum_ceil,
+      | CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_floor,
+      | CAST(SUM(CAST(CEIL(l_quantity) AS BIGINT)) AS BIGINT) AS sum_ceil,
       | CAST(SUM(CAST(ABS(l_quantity - 25) AS DECIMAL(18,2))) AS DOUBLE) AS sum_dev
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -51,10 +51,20 @@ object StreamOps {
         col("n_events"), col("sum_value"))
 
   /** Exactly-once style dedup on event_id (streaming:
-    * dropDuplicatesWithinWatermark keeps state bounded). */
+    * dropDuplicatesWithinWatermark keeps state bounded). The batch path
+    * picks the (event_type, user_id, ts_sec)-minimal row per event_id via
+    * row_number, not dropDuplicates, so the survivor is DETERMINISTIC even
+    * when replayed ids carry differing payloads — required for a stable
+    * cross-engine oracle. */
   def dedupEvents(events: DataFrame, streaming: Boolean): DataFrame = {
     val e = withEventTime(events)
     if (streaming) e.dropDuplicatesWithinWatermark(Seq("event_id"))
-    else e.dropDuplicates(Seq("event_id"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id")
+        .orderBy(col("event_type"), col("user_id"), col("ts_sec"))
+      e.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
   }
 }
