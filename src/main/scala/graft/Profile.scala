@@ -16,10 +16,31 @@ object Profile {
     spark.range(2000000L).selectExpr("sum(id)").collect()
     val q = SparkEntry.registry.find(_.name == name).get
     if (args.contains("explain")) q.fn(spark, sfDir).explain("formatted")
+    if (args.contains("plan")) (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val df = q.fn(spark, sfDir)
+      df.queryExecution.executedPlan // force analysis + optimization + planning
+      println(f"[profile] $name plan$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (args.contains("stages")) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+          stages.add(f"stage ${si.stageId}%3d ${si.numTasks}%3d tasks ${ms}%5d ms  ${si.name.takeWhile(_ != '\n').take(60)}")
+        }
+      })
     (1 to 3).foreach { i =>
+      stages.clear()
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"[profile] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (args.contains("stages") && i == 3) {
+        Thread.sleep(300)
+        stages.forEach(s => println(s"[profile]   $s"))
+      }
     }
     spark.stop()
   }

@@ -31,8 +31,15 @@ class TopKAggregator(k: Int)
   override def reduce(buf: Vector[Scored], row: ScoredRow): Vector[Scored] =
     insert(buf, Scored(row.score, row.id, row.payload))
 
+  /** Exact duplicates — same (score, id) — collapse to one entry, so LSH
+    * callers can feed one candidate row per matching hash table without a
+    * separate dedup shuffle: the same corpus vector matching a query in
+    * several tables scores identically every time. A duplicate whose copy
+    * was already evicted is itself rejected by the bounded-buffer test
+    * (identical score, identical id → never `better` than the survivor). */
   private def insert(buf: Vector[Scored], x: Scored): Vector[Scored] = {
     if (buf.length == k && !better(x, buf.last)) buf
+    else if (buf.exists(e => e.id == x.id && e.score == x.score)) buf
     else {
       val i = buf.indexWhere(e => better(x, e)) match {
         case -1 => buf.length

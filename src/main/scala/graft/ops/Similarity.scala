@@ -25,12 +25,6 @@ object Similarity {
     Array.fill(24, 64)(rnd.nextGaussian())
   }
 
-  /** Fold-based dot product of a vector column with a constant plane. */
-  private def dotConst(v: Column, plane: Array[Double]): Column =
-    aggregate(
-      zip_with(v, array(plane.toIndexedSeq.map(lit): _*), (x, y) => x.cast(DoubleType) * y),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Dot product of two vector columns — native codegen'd expression
     * (graft.functions.VectorDot); same left-to-right double accumulation
     * as the HOF formulation, ~10× faster in the hot loop. */
@@ -40,44 +34,29 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.cosine_sim(a, b)
 
-  /** t LSH tables of `bits` hyperplane signs each. Returns array of
-    * (table, sig) structs for explode-join candidate generation. */
-  def lshTables(v: Column, tables: Int = 4, bits: Int = 6): Column = {
+  /** Combined (table<<32 | signature) LSH bucket keys — the whole
+    * dots→signature(→multiprobe flip) computation fused into ONE codegen'd
+    * expression (graft.functions.LshBuckets). The spelled-out composition
+    * of built-ins planned to a ~1500-node tree (≈0.5 s analysis + a
+    * comparable codegen-compile hit per query) and originally evaluated
+    * each hyperplane dot as an interpreted higher-order fold — the reason
+    * round-1 sim_ann_lsh lost to the brute-force scan it is meant to
+    * beat. Multiprobe adds, per table, the bucket with the
+    * least-confident bit flipped (smallest |dot|; ties → lower bit). */
+  def lshBuckets(v: Column, tables: Int = 4, bits: Int = 6,
+      multiprobe: Boolean = false): Column = {
     require(tables * bits <= planes.length,
       s"tables*bits = ${tables * bits} exceeds the ${planes.length} seeded planes")
-    array((0 until tables).map { tb =>
-      val sig = (0 until bits).map { b =>
-        when(dotConst(v, planes(tb * bits + b)) >= 0,
-          shiftleft(lit(1), b)).otherwise(lit(0))
-      }.reduce(_.bitwiseOR(_))
-      struct(lit(tb).as("tb"), sig.as("sig"))
-    }: _*)
+    graft.functions.LshExprs.lsh_buckets(
+      v, planes.take(tables * bits).flatten, tables, bits, multiprobe)
   }
 
-  /** Multiprobe variant for the QUERY side: besides each table's bucket,
-    * probe the bucket with the least-confident bit flipped (smallest |dot|
-    * against its hyperplane) — the standard recall boost that costs one
-    * extra probe instead of another full table. Deterministic. */
-  def lshTablesMultiprobe(v: Column, tables: Int = 4, bits: Int = 6): Column = {
-    require(tables * bits <= planes.length,
-      s"tables*bits = ${tables * bits} exceeds the ${planes.length} seeded planes")
-    array((0 until tables).flatMap { tb =>
-      val dots = (0 until bits).map(b => dotConst(v, planes(tb * bits + b)))
-      val sig = dots.zipWithIndex.map { case (d, b) =>
-        when(d >= 0, shiftleft(lit(1), b)).otherwise(lit(0))
-      }.reduce(_.bitwiseOR(_))
-      // weakest bit = argmin |dot| (deterministic tie-break on bit index)
-      val weakest = array_min(array(dots.zipWithIndex.map { case (d, b) =>
-        struct(abs(d).as("a"), lit(b).as("b"))
-      }: _*)).getField("b")
-      // shiftleft needs a literal shift amount — select the flip via CASE
-      val flipped = (0 until bits).map(b =>
-        when(weakest === b, sig.bitwiseXOR(lit(1 << b))))
-        .reduce((a, b) => coalesce(a, b))
-      Seq(struct(lit(tb).as("tb"), sig.as("sig")),
-        struct(lit(tb).as("tb"), flipped.as("sig")))
-    }: _*)
-  }
+  /** LSH bucket keys exploded to (id, bucket) rows for bucket-equality
+    * candidate generation. */
+  def lshBucketRows(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, tables: Int = 4, bits: Int = 6): DataFrame =
+    df.select(col(idCol).as(outId),
+      explode(lshBuckets(col(vecCol), tables, bits)).as("bucket"))
 
   /** Brute-force exact top-k neighbours for each query vector.
     *
@@ -107,30 +86,45 @@ object Similarity {
   }
 
   /** ANN top-k: LSH-bucket candidates (union over tables), then exact
-    * cosine rank within candidates. Approximate — recall tested vs brute. */
+    * cosine rank within candidates. Approximate — recall tested vs brute.
+    *
+    * Single corpus scan: signatures AND scoring happen in one map-only
+    * pass (query probes broadcast WITH their vectors), so no corpus
+    * re-scan or shuffle rejoin for candidate vectors. Only scored
+    * (query_id, id, score, payload) rows — never embeddings — cross the
+    * two small shuffles (per-table dedup, then bounded top-k). */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // candidate generation carries IDs only — vectors rejoin after the
-    // (id, id) distinct, so no array column crosses a shuffle twice
-    val cT = corpus
-      .select(col("vec_id"), explode(lshTables(col("embedding"))).as("t"))
-      .select(col("vec_id"), col("t.tb").as("tb"), col("t.sig").as("sig"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // query probes (multiprobe) carry the query vector: 2×tables rows per
+    // query — tiny, broadcast. No dedup needed: within a table the flip
+    // probe always differs from the base signature by construction, so
+    // (query_id, bucket) rows are already distinct.
     val qT = queries
-      .select(col("vec_id").as("query_id"),
-        explode(lshTablesMultiprobe(col("embedding"))).as("t"))
-      .select(col("query_id"), col("t.tb").as("tb"), col("t.sig").as("sig"))
-      .distinct()
-    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    cT.join(broadcast(qT), Seq("tb", "sig"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(lshBuckets(col("embedding"), multiprobe = true)).as("bucket"))
+    // corpus pass: one fused signature expression, bucket-match against
+    // the broadcast probes, score in place
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"), col("label"),
+        explode(lshBuckets(col("embedding"))).as("bucket"))
+      .join(broadcast(qT), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct()
-      .join(corpus.select(col("vec_id"), col("embedding"), col("label")), Seq("vec_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .withColumn("cos", cosine(col("embedding"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "label", "cos")
+      .select(col("query_id"),
+        cosine(col("embedding"), col("qv")).as("score"),
+        col("vec_id").as("id"), col("label").as("payload"))
+    // a vector matching a query in several tables produces exact duplicate
+    // (score, id) rows — TopKAggregator collapses those in its bounded
+    // buffer, so no dedup shuffle stands between scoring and ranking
+    scored
+      .as[graft.functions.ScoredRow]
+      .groupByKey(_.query_id)
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.payload").as("label"),
+        col("col.score").as("cos"))
   }
 
   /** IVF (inverted-file) ANN: the second scale path besides LSH.
@@ -151,32 +145,48 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def cellScores(v: Column): Seq[(Long, Column)] =
-      centroids.toSeq.map { case (cid, cvec) =>
-        cid -> graft.functions.VectorExprs.vec_dot(v, array(cvec.toIndexedSeq.map(lit): _*))
-      }
-    // argmax centroid per corpus vector (greatest over (score, cell) structs)
-    def bestCells(v: Column, take: Int): Column = {
-      val scored = array(cellScores(v).map { case (cid, s) =>
-        struct(s.as("score"), lit(cid).as("cell"))
+    // all centroid dots in ONE codegen'd expression (MatVecDots) — bound
+    // to an attribute so the argmax/probe derivation reads materialized
+    // scores instead of re-evaluating 16 separate dot expressions
+    val flatCentroids: Array[Double] =
+      centroids.flatMap(_._2.map(_.toDouble))
+    def cellDots(v: Column): Column =
+      graft.functions.VectorExprs.mat_vec_dots(v, flatCentroids, centroids.length)
+    // argmax centroid from bound scores (greatest over (score, cell) structs)
+    def bestCells(scores: Column, take: Int): Column = {
+      val scored = array(centroids.toIndexedSeq.zipWithIndex.map { case ((cid, _), i) =>
+        struct(element_at(scores, i + 1).as("score"), lit(cid).as("cell"))
       }: _*)
       slice(reverse(array_sort(scored)), 1, take)
     }
     val cAssigned = corpus
       .select(col("vec_id"), col("embedding"), col("label"),
-        bestCells(col("embedding"), 1).getItem(0).getField("cell").as("cell"))
+        cellDots(col("embedding")).as("_s"))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        bestCells(col("_s"), 1).getItem(0).getField("cell").as("cell"))
     val qProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(bestCells(col("embedding"), nprobe)).as("p"))
+        cellDots(col("embedding")).as("_s"))
+      .select(col("query_id"), col("qv"),
+        explode(bestCells(col("_s"), nprobe)).as("p"))
       .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
+    // bounded top-k (not a window): partial aggregation keeps ≤k rows per
+    // query map-side. No dedup concern — each corpus vector lives in
+    // exactly one cell, so a (query, vec) pair scores at most once.
+    import spark.implicits._
     cAssigned.join(broadcast(qProbes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("embedding"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "label", "cos")
+      .select(col("query_id"),
+        cosine(col("embedding"), col("qv")).as("score"),
+        col("vec_id").as("id"), col("label").as("payload"))
+      .as[graft.functions.ScoredRow]
+      .groupByKey(_.query_id)
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.payload").as("label"),
+        col("col.score").as("cos"))
   }
 
   // ---- registered queries --------------------------------------------------
@@ -196,13 +206,11 @@ object Similarity {
     * whole corpus (self-join flavour of the ANN machinery). */
   private def ddEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val withT = emb.select(col("vec_id").as("doc_id"),
-      explode(lshTables(col("embedding"))).as("t"))
-      .select(col("doc_id"), col("t.tb").as("tb"), col("t.sig").as("sig"))
+    val withT = lshBucketRows(emb, "vec_id", "embedding", "doc_id")
     val byId = emb.select(col("vec_id"), col("embedding"))
     // single pass over the LSH pipeline (bucket collect + pair expansion),
     // vectors rejoin only for the candidate pairs
-    Dedup.bucketPairs(withT, Seq("tb", "sig"))
+    Dedup.bucketPairs(withT, Seq("bucket"))
       .join(byId.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "va"), Seq("a"))
       .join(byId.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "vb"), Seq("b"))
       .withColumn("cos", cosine(col("va"), col("vb")))

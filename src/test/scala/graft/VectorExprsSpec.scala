@@ -35,13 +35,29 @@ class VectorExprsSpec extends SparkSpec {
     assert(got(1).isNullAt(0)) // null input → null output
   }
 
-  test("vec_dot rejects mismatched element types at analysis") {
-    val df = Seq((Array(1f), Array(1.0))).toDF("a", "b")
+  test("vec_dot: mixed float/double operands widen per element") {
+    // float embedding × double hyperplane — the LSH hot path
+    val df = Seq((Array(1f, 2f, 3f), Array(0.5, 0.25, 2.0))).toDF("a", "b")
+    val got = df.select(VectorExprs.vec_dot(col("a"), col("b")).as("d"))
+      .collect()(0).getDouble(0)
+    assert(got === 1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 2.0)
+  }
+
+  test("vec_dot rejects non-floating element types at analysis") {
+    val df = Seq((Array(1, 2), Array(1.0, 2.0))).toDF("a", "b")
     val e = intercept[Exception] {
       df.select(VectorExprs.vec_dot(col("a"), col("b"))).collect()
     }
     assert(e.getMessage.toLowerCase.contains("vec_dot") ||
       e.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
+  test("vec_dot on mismatched lengths computes over the common prefix") {
+    // documents the deliberate divergence from the zip_with formulation
+    val df = Seq((Array(1f, 2f, 3f), Array(10f, 10f))).toDF("a", "b")
+    val got = df.select(VectorExprs.vec_dot(col("a"), col("b")).as("d"))
+      .collect()(0).getDouble(0)
+    assert(got === 30.0)
   }
 
   test("cosine_sim of identical vectors is 1") {
