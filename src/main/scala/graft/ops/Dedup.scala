@@ -30,16 +30,16 @@ object Dedup {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
 
-  /** k seeded min-hash AGGREGATES over exploded shingle rows — codegen'd
-    * hash + min with map-side partial aggregation (one row per doc leaves
-    * the map stage). */
-  def minhashAggs(s: Column, k: Int): Seq[Column] =
-    (0 until k).map(i => min(xxhash64(s, lit(i))).as(s"mh$i"))
+  /** k min-hash AGGREGATES over a bound base-hash column — universal-hash
+    * permutations of ONE md5-derived hash per shingle (see
+    * [[PortableHash]]: cross-engine deterministic, and cheaper than k
+    * seeded hash calls), codegen'd min with map-side partial aggregation
+    * (one row per doc leaves the map stage). */
+  def minhashAggs(h: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => min(PortableHash.perm(i, h)).as(s"mh$i"))
 
-  /** Hashed word-trigram shingles: one 64-bit hash per trigram via three
-    * element_at lookups — no string concatenation, no slice allocation.
-    * MinHash over the hash multiset equals MinHash over the distinct set
-    * (duplicates never change a min), so no distinct is needed here. */
+  /** Hashed word-trigram shingles (portable md5-derived hash, see
+    * [[PortableHash]] — one hash value per trigram string). */
   def shingleHashes(text: Column, n: Int = 3): Column =
     shingleHashesFromToks(tokens(text), n)
 
@@ -48,10 +48,7 @@ object Dedup {
     * caller must bind `split()` to an attribute first (two-step select) —
     * otherwise tokenization runs once per shingle instead of once per doc. */
   def shingleHashesFromToks(toks: Column, n: Int = 3): Column =
-    when(size(toks) < n, array(xxhash64(concat_ws(" ", toks))))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    transform(shinglesFromToks(toks, n), s => PortableHash.h60(s))
 
   /** Exact 3-gram Jaccard between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -60,10 +57,12 @@ object Dedup {
 
   /** 64 per-bit +1/−1 counters of the token stream, as one pure fold:
     * hash each token ONCE (`transform`), then test each bit of the bound
-    * hash value. No explode, no shuffle, no per-bit re-hashing. */
+    * hash value. No explode, no shuffle, no per-bit re-hashing. The
+    * portable hash is 60-bit, so bits 60–63 always count negative — a
+    * slightly weaker signature, traded for cross-engine verifiability. */
   def simhashCounts(text: Column): Column =
     aggregate(
-      transform(tokens(text), w => xxhash64(w)),
+      transform(tokens(text), w => PortableHash.h60(w)),
       array_repeat(lit(0), 64),
       (acc, h) => zip_with(acc,
         array((0 until 64).map(b =>
@@ -106,58 +105,67 @@ object Dedup {
   }
 
   /** MinHash → banded LSH candidate pairs → exact-Jaccard verification.
-    * 16 bands × 4 rows (k=64) targets ~0.5 similarity.
+    * 16 bands × 4 rows (k=64) targets ~0.5 similarity. Every hash is
+    * md5-derived ([[PortableHash]]), so the WHOLE pipeline — signatures,
+    * band buckets, candidate pairs, verified Jaccard — is reproduced by
+    * the DuckDB oracle SQL ([[minhashPairsCte]]).
     *
-    * NOTE: persists the candidate pair set internally (the returned frame
-    * depends on it lazily). Long-lived sessions calling this repeatedly
-    * should `spark.catalog.clearCache()` after materializing results —
-    * the bench/verify harnesses do. */
+    * Returns an eagerly materialized frame (localCheckpoint) and releases
+    * every internal cache before returning — callers can fan out over the
+    * result without re-running the signature pipeline and without owning
+    * this operator's cache lifecycle. */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     val bands = 16; val rowsPerBand = 4
-    // Signatures via explode + codegen'd min() aggregates: the 64 seeded
-    // hashes run inside whole-stage codegen over trigram-hash ROWS (HOF
-    // folds over arrays would be interpreted), and map-side partial
-    // aggregation collapses to one row per doc before any shuffle.
-    val shRows = docs
+    // One distinct-shingle array per doc (strings — the md5 hash needs the
+    // joined text anyway), reused by both the signature and verify stages.
+    // ensureParallelism: a single-row-group corpus file must not serialize
+    // the per-shingle hashing onto one core.
+    val shDocs = ScaleOps.ensureParallelism(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingleHashesFromToks(col("toks"))).as("s"))
-    val mhAggs = minhashAggs(col("s"), bands * rowsPerBand)
+      .select(col("doc_id"), shinglesFromToks(col("toks")).as("sh"))
+    // Signatures via explode + codegen'd min() aggregates over the bound
+    // base hash (HOF folds over arrays would be interpreted); map-side
+    // partial aggregation collapses to one row per doc before any shuffle.
+    val shRows = shDocs
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .select(col("doc_id"), PortableHash.h31(col("s")).as("h"))
+    val mhAggs = minhashAggs(col("h"), bands * rowsPerBand)
     val sig = shRows.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-          .as("bh"))
+    // one LONG bucket key per band: band<<32 | combined minhash values
+    val bucketCols = (0 until bands).map { b =>
+      lit(b.toLong) * lit(4294967296L) + PortableHash.combine(
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")))
     }
-    val buckets = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets = sig.select(col("doc_id"),
+      explode_outer(array(bucketCols: _*)).as("bucket"))
     // Pair generation via bucket-key self-join on ids: cheaper in COLD
     // runtime than collect_list+expansion (less generated code to compile,
     // and the exchange under both sides is reused). Skew guard caps bucket
-    // size first. The (tiny) result is materialized once — it feeds three
-    // consumers below, and without a persist each would re-run the whole
-    // signature pipeline (observed 7× runtime in the bench).
+    // size first. The (tiny) result is materialized once — it feeds the
+    // verify stage twice, and without a persist each side would re-run the
+    // whole signature pipeline (observed 7× runtime in the bench).
     val sized = buckets.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "bh")))
+        .partitionBy("bucket")))
       .filter(col("bucket_n") <= MaxBucket)
-    val l = sized.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val r = sized.select(col("band"), col("bh"), col("doc_id").as("b"))
-    val pairs = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+    val l = sized.select(col("bucket"), col("doc_id").as("a"))
+    val r = sized.select(col("bucket"), col("doc_id").as("b"))
+    val pairs = l.join(r, Seq("bucket")).filter(col("a") < col("b"))
       .select("a", "b").distinct().persist()
     pairs.count() // force materialization before the fan-out
     // exact-Jaccard verify on the candidate SUBSET only: semi-join the
     // corpus down to candidate ids before computing shingle sets
     val candIds = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
-    val candSh = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), array_distinct(shingleHashesFromToks(col("toks"))).as("sh"))
-    pairs
+    val candSh = shDocs.join(candIds, Seq("doc_id"), "left_semi")
+    val verified = pairs
       .join(candSh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(candSh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true) // eager + lineage-free: owns its own lifecycle
+    pairs.unpersist()
+    verified
   }
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS and pick one canonical
@@ -175,8 +183,12 @@ object Dedup {
     // propagation below remains the path for genuinely large pair sets.
     val spark = pairs.sparkSession
     val pairRows = pairs.select(col("a").cast("long"), col("b").cast("long"))
-    if (pairRows.limit((smallGraphThreshold + 1).toInt).count() <= smallGraphThreshold) {
-      val es = pairRows.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE action decides the path AND fetches the small graph: collecting
+    // threshold+1 narrow rows is cheap, and avoids evaluating the upstream
+    // pair pipeline twice (once for a count probe, again for the collect)
+    val probe = pairRows.limit((smallGraphThreshold + 1).toInt).collect()
+    if (probe.length <= smallGraphThreshold) {
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -247,9 +259,10 @@ object Dedup {
     * 3. return the surviving corpus.
     * Every stage is the library operator used standalone elsewhere. */
   def cleanCorpus(docs: DataFrame, dedupThreshold: Double = 0.5): DataFrame = {
-    val pairs = minhashNearDups(docs, dedupThreshold).persist()
+    // minhashNearDups returns a materialized (checkpointed) frame — safe
+    // to fan out over without extra caching here
+    val pairs = minhashNearDups(docs, dedupThreshold)
     val labels = dupClusters(pairs) // (doc_id, canonical), clustered docs only
-    pairs.unpersist()
     val losers = labels.filter(col("doc_id") =!= col("canonical"))
       .select("doc_id")
     docs.join(losers, Seq("doc_id"), "left_anti")
@@ -278,9 +291,12 @@ object Dedup {
     * (the HOF fold form exists as `simhash(col)` for expression-level use,
     * but interpreted HOF evaluation is ~10× slower in the hot path). */
   private def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(transform(tokens(col("text")), w => xxhash64(w))).as("h"))
+    // explode tokens THEN hash — the md5 runs codegen'd per row instead of
+    // interpreted inside an HOF lambda; repartition first so the per-token
+    // hashing parallelizes even from a one-row-group input file
+    val hashes = ScaleOps.ensureParallelism(t(spark, dir, "documents"))
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), PortableHash.h60(col("w")).as("h"))
     val bitAggs = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"c$b"))
@@ -289,15 +305,15 @@ object Dedup {
       (0 until 64).map(b =>
         when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_.bitwiseOR(_)).as("sig"))
+    // one LONG bucket key per 16-bit chunk: chunk<<32 | chunk value
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(j =>
-        struct(lit(j).as("chunk"),
-          shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*))
-        .as("ck"))
-      .select(col("doc_id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
+        lit(j.toLong) * lit(4294967296L) +
+          shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as("bucket"))
     // the signature travels WITH the pair (collect struct, expand pairs) —
     // one pass over the signature pipeline, no verify rejoin
-    val grouped = chunks.groupBy("chunk", "cv")
+    val grouped = chunks.groupBy("bucket")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
       .select(array_sort(array_distinct(col("ids"))).as("ids"))
@@ -337,12 +353,10 @@ object Dedup {
   /** Full fuzzy-dedup pipeline: MinHash pairs → cluster resolution → one
     * canonical survivor per cluster. */
   private def ddDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // verified pairs feed dupClusters' edge union twice — materialize once;
-    // dupClusters materializes its labels (localCheckpoint) before
-    // returning, so the pair cache can be dropped immediately after
-    val pairs = minhashNearDups(t(spark, dir, "documents"), 0.5).persist()
+    // minhashNearDups returns a materialized frame, so dupClusters' edge
+    // union and probe all read cached partitions
+    val pairs = minhashNearDups(t(spark, dir, "documents"), 0.5)
     val labels = dupClusters(pairs)
-    pairs.unpersist()
     labels
       .groupBy("canonical")
       .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_member"))
@@ -357,11 +371,119 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang", "source")
 
+  // ---- DuckDB oracles for the portable-hash pipelines ----------------------
+
+  /** Trigram-shingle CTEs shared by every dedup oracle (mirrors
+    * `shinglesFromToks`: <3 tokens → one joined shingle, else distinct
+    * trigram strings). */
+  private val shingleCtes =
+    """tk AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks FROM documents),
+      |shd AS (SELECT doc_id,
+      |         CASE WHEN LEN(toks) < 3 THEN [ARRAY_TO_STRING(toks, ' ')]
+      |              ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+      |                     i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) END AS sh
+      |        FROM tk)""".stripMargin
+
+  private def jaccardSql(a: String, b: String): String =
+    s"CAST(LEN(LIST_INTERSECT($a, $b)) AS DOUBLE) / LEN(LIST_DISTINCT(LIST_CONCAT($a, $b)))"
+
+  /** The full MinHash+LSH pipeline as CTEs, ending in `jp(a, b, jaccard)`
+    * — verified candidate pairs. Reproduces minhashNearDups step by step:
+    * 31-bit base hash per shingle, 64 universal-hash min aggregates,
+    * 16 band buckets of 4 combined values, bucket cap ≤ MaxBucket,
+    * a<b distinct pairs, exact Jaccard over distinct shingle sets. */
+  private def minhashCtes: String = {
+    val mins = (0 until 64).map(i =>
+      s"MIN(${PortableHash.permSql(i, "h")}) AS mh$i").mkString(", ")
+    val bucketList = (0 until 16).map { b =>
+      val comb = PortableHash.combineSql((0 until 4).map(r => s"mh${b * 4 + r}"))
+      s"(${b}::BIGINT * 4294967296 + $comb)"
+    }.mkString(", ")
+    s"""$shingleCtes,
+       |hx AS (SELECT doc_id, ${PortableHash.h31Sql("s")} AS h
+       |       FROM (SELECT doc_id, UNNEST(sh) AS s FROM shd)),
+       |sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+       |bk AS (SELECT doc_id, UNNEST([$bucketList]) AS bucket FROM sig),
+       |caps AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= $MaxBucket),
+       |bkc AS (SELECT bk.doc_id, bk.bucket FROM bk JOIN caps USING (bucket)),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |         FROM bkc l JOIN bkc r USING (bucket) WHERE l.doc_id < r.doc_id),
+       |jp AS (SELECT a, b, ${jaccardSql("x.sh", "y.sh")} AS jaccard
+       |       FROM cand JOIN shd x ON x.doc_id = cand.a
+       |                 JOIN shd y ON y.doc_id = cand.b)""".stripMargin
+  }
+
+  private def ddMinhashSql: String =
+    s"""WITH $minhashCtes
+       |SELECT a, b, jaccard FROM jp WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+
+  /** Connected components over verified pairs via recursive CTE (min
+    * reachable label = Spark's min-label propagation fixpoint). */
+  private def clusterCtes: String =
+    s"""$minhashCtes,
+       |vp AS (SELECT a, b FROM jp WHERE jaccard >= 0.5),
+       |edges AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+       |cc AS (SELECT DISTINCT a AS doc_id, a AS lbl FROM edges
+       |       UNION
+       |       SELECT e.a AS doc_id, cc.lbl FROM edges e JOIN cc ON e.b = cc.doc_id),
+       |labels AS (SELECT doc_id, MIN(lbl) AS canonical FROM cc GROUP BY doc_id)""".stripMargin
+
+  private def ddDupClustersSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT canonical, COUNT(*) AS cluster_size, MAX(doc_id) AS max_member
+       |FROM labels GROUP BY canonical ORDER BY canonical""".stripMargin
+
+  private def ddCleanCorpusSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       | CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM labels l
+       |                  WHERE l.doc_id = d.doc_id AND l.doc_id <> l.canonical)
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** SimHash oracle: 64 per-bit counters, sig assembled from signed bit
+    * constants (1<<63 spelled as its negative literal — DuckDB's << errors
+    * at 63), chunk buckets, cap, pairs, Hamming via bit_count(xor). */
+  private def ddSimhashSql: String = {
+    val counters = (0 until 64).map(b =>
+      s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS c$b").mkString(", ")
+    val sigBits = (0 until 64).map(b =>
+      s"(CASE WHEN c$b > 0 THEN ${1L << b} ELSE 0 END)::BIGINT").mkString(" | ")
+    val chunkList = (0 until 4).map(j =>
+      s"($j::BIGINT * 4294967296 + ((sig >> ${j * 16}) & 65535))").mkString(", ")
+    s"""WITH hx AS (SELECT doc_id, ${PortableHash.h60Sql("w")} AS h
+       |            FROM (SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS w
+       |                  FROM documents)),
+       |cnt AS (SELECT doc_id, $counters FROM hx GROUP BY doc_id),
+       |sg AS (SELECT doc_id, ($sigBits) AS sig FROM cnt),
+       |ck AS (SELECT doc_id, sig, UNNEST([$chunkList]) AS bucket FROM sg),
+       |caps AS (SELECT bucket FROM ck GROUP BY bucket
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+       |ckc AS (SELECT ck.doc_id, ck.sig, ck.bucket FROM ck JOIN caps USING (bucket))
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       | CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+       |FROM ckc l JOIN ckc r USING (bucket)
+       |WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sig, r.sig)) <= 3
+       |ORDER BY a, b""".stripMargin
+  }
+
+  private def ddNgramJaccardSql: String =
+    s"""WITH $shingleCtes,
+       |blocks AS (SELECT doc_id, SUBSTR(text, 1, 40) AS blk FROM documents),
+       |cand AS (SELECT l.doc_id AS a, r.doc_id AS b
+       |         FROM blocks l JOIN blocks r USING (blk) WHERE l.doc_id < r.doc_id)
+       |SELECT a, b, jaccard FROM (
+       | SELECT a, b, ${jaccardSql("x.sh", "y.sh")} AS jaccard
+       | FROM cand JOIN shd x ON x.doc_id = cand.a
+       |           JOIN shd y ON y.doc_id = cand.b)
+       |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dd_exact", ddExact, Some(ddExactSql)),
-    Q("dd_clean_corpus", ddCleanCorpus, None),
-    Q("dd_minhash_lsh", ddMinhash, None),
-    Q("dd_simhash", ddSimhash, None),
-    Q("dd_ngram_jaccard", ddNgramJaccard, None),
-    Q("dd_dup_clusters", ddDupClusters, None))
+    Q("dd_clean_corpus", ddCleanCorpus, Some(ddCleanCorpusSql)),
+    Q("dd_minhash_lsh", ddMinhash, Some(ddMinhashSql)),
+    Q("dd_simhash", ddSimhash, Some(ddSimhashSql)),
+    Q("dd_ngram_jaccard", ddNgramJaccard, Some(ddNgramJaccardSql)),
+    Q("dd_dup_clusters", ddDupClusters, Some(ddDupClustersSql)))
 }

@@ -24,6 +24,24 @@ import org.apache.spark.sql.types.IntegerType
   */
 object ScaleOps {
 
+  /** Guarantee at least `minParts` partitions before a CPU-heavy map stage.
+    *
+    * A small parquet input (one row group) arrives as ONE partition, and
+    * Spark cannot split below row-group granularity — so an expression-
+    * heavy stage (per-shingle hashing, per-token md5) serializes on one
+    * core no matter how many executors exist (observed: the MinHash
+    * signature stage ran 3.6 s in a single task at local[8]). The
+    * round-robin repartition costs one small shuffle of the raw rows and
+    * buys full parallelism for everything downstream. At scale, inputs
+    * already arrive in many partitions and this is a no-op. */
+  def ensureParallelism(df: DataFrame, minParts: Int): DataFrame =
+    if (df.rdd.getNumPartitions >= minParts) df else df.repartition(minParts)
+
+  /** Default floor: the session's shuffle-partition setting. */
+  def ensureParallelism(df: DataFrame): DataFrame =
+    ensureParallelism(df,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** Two-phase (salted) aggregation for skewed group keys: when a handful
     * of keys dominate (here: 3 returnflags over the whole fact table), a
     * plain groupBy sends each hot key's entire volume to one reducer.

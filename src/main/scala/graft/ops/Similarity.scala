@@ -56,7 +56,7 @@ object Similarity {
   def lshBucketRows(df: DataFrame, idCol: String, vecCol: String,
       outId: String, tables: Int = 4, bits: Int = 6): DataFrame =
     df.select(col(idCol).as(outId),
-      explode(lshBuckets(col(vecCol), tables, bits)).as("bucket"))
+      explode_outer(lshBuckets(col(vecCol), tables, bits)).as("bucket"))
 
   /** Brute-force exact top-k neighbours for each query vector.
     *
@@ -102,12 +102,12 @@ object Similarity {
     // (query_id, bucket) rows are already distinct.
     val qT = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(lshBuckets(col("embedding"), multiprobe = true)).as("bucket"))
+        explode_outer(lshBuckets(col("embedding"), multiprobe = true)).as("bucket"))
     // corpus pass: one fused signature expression, bucket-match against
     // the broadcast probes, score in place
     val scored = corpus
       .select(col("vec_id"), col("embedding"), col("label"),
-        explode(lshBuckets(col("embedding"))).as("bucket"))
+        explode_outer(lshBuckets(col("embedding"))).as("bucket"))
       .join(broadcast(qT), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"),

@@ -60,11 +60,13 @@ object Text {
   /** Polynomial rolling hash over the token stream — an order-sensitive
     * document fingerprint (same token multiset in a different order
     * fingerprints differently, unlike MinHash). State is masked to 32 bits
-    * each step so the fold never overflows under ANSI arithmetic. */
+    * each step so the fold never overflows under ANSI arithmetic. Token
+    * hashes come from [[PortableHash]] (md5-derived), so the whole
+    * fingerprint is reproducible in the DuckDB oracle. */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, w) => (acc * lit(1000003L) +
-        xxhash64(w).bitwiseAND(lit(0xFFFFFFFFL))).bitwiseAND(lit(0xFFFFFFFFL)))
+        PortableHash.h60(w).bitwiseAND(lit(0xFFFFFFFFL))).bitwiseAND(lit(0xFFFFFFFFL)))
 
   // ---- registered queries --------------------------------------------------
 
@@ -84,7 +86,7 @@ object Text {
         length(col("text")).as("nc"),
         bpeishCount(col("text")).cast(IntegerType).as("nb"),
         tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("nc"), col("nb"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("nc"), col("nb"), explode_outer(col("toks")).as("tok"))
     exploded.groupBy("doc_id")
       .agg(
         min("nc").as("n_chars_measured"),
@@ -118,7 +120,7 @@ object Text {
     val en = stopwords("en")
     val exploded = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        explode(tokens(lower(col("text")))).as("tok"))
+        explode_outer(tokens(lower(col("text")))).as("tok"))
     exploded.groupBy("doc_id", "lang")
       .agg(
         count(lit(1)).cast(IntegerType).as("n_tokens"),
@@ -154,9 +156,11 @@ object Text {
       | FROM q)
       |SELECT * FROM q2 WHERE quality_score >= 0.4 ORDER BY doc_id""".stripMargin
 
-  /** Language-ID over documents (heuristic scorer; deterministic, rows-only
-    * gate — the synthetic corpus shares one vocabulary across langs, so the
-    * heuristic's accuracy is exercised on real text in ScalaTest instead). */
+  /** Language-ID over documents (heuristic scorer; accuracy on real text is
+    * exercised in ScalaTest — the synthetic corpus shares one vocabulary
+    * across langs). Fully oracle-checked: integer stopword counts, CJK
+    * codepoint counts, and a lexicographic (score, lang) argmax that DuckDB
+    * reproduces with list_max over structs. */
   private def txtLangid(spark: SparkSession, dir: String): DataFrame = {
     val langs = (stopwords - "zh").toSeq.sortBy(_._1)
     // zh regexp scalar materialized below the generate (see txtTokenStats)
@@ -165,7 +169,7 @@ object Text {
         (cjkChars(col("text")) * 3).cast(DoubleType).as("zh_score"),
         tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), col("labelled_lang"), col("zh_score"),
-        explode(col("toks")).as("tok"))
+        explode_outer(col("toks")).as("tok"))
     val hitAggs = langs.map { case (lang, words) =>
       sum(when(col("tok").isInCollection(words), 1).otherwise(0))
         .cast(DoubleType).as(s"s_$lang")
@@ -189,6 +193,20 @@ object Text {
       .groupBy("fp").agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
       .orderBy("canonical")
 
+  /** Same fold in DuckDB: list_reduce with a prepended 0 accumulator. */
+  private val txtFingerprintSql = {
+    val hw = PortableHash.h60Sql("w")
+    s"""SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical
+       |FROM (
+       | SELECT doc_id, LIST_REDUCE(
+       |   LIST_PREPEND(CAST(0 AS BIGINT), LIST_TRANSFORM(
+       |     REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+       |     w -> ($hw & 4294967295))),
+       |   (acc, h) -> ((acc * 1000003 + h) & 4294967295)) AS fp
+       | FROM documents)
+       |GROUP BY fp ORDER BY canonical""".stripMargin
+  }
+
   /** TF-IDF: classic two-aggregate shape — term frequency per (doc, term)
     * and document frequency per term (both map-side-combined explode aggs),
     * joined on term. Top terms per doc via the bounded TopKAggregator, so
@@ -199,7 +217,7 @@ object Text {
     import spark.implicits._
     val terms = docs
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("term"))
     val nDocs = docs.count()
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.select("doc_id", "term").distinct()
@@ -228,10 +246,39 @@ object Text {
   private def txtTfidf(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTerms(t(spark, dir, "documents"), 5).orderBy("doc_id", "rank")
 
+  /** DuckDB argmax via list_max over (score, lang) structs — the same
+    * lexicographic comparison as Spark's greatest() over structs, so ties
+    * on score break toward the later language name on both engines. */
+  private val txtLangidSql = {
+    val langFilters = (stopwords - "zh").toSeq.sortBy(_._1).map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(LEN(LIST_FILTER(toks, w -> w IN ($inList))) AS DOUBLE) AS s_$lang"
+    }
+    val structs = (stopwords - "zh").toSeq.sortBy(_._1).map { case (lang, _) =>
+      s"{'score': s_$lang, 'lang': '$lang'}"
+    } :+ "{'score': s_zh, 'lang': 'zh'}"
+    // the CJK range is written as literal chars (Scala \u escapes) so the
+    // DuckDB regex sees the same class as Spark's [一-鿿]
+    s"""SELECT doc_id, labelled_lang,
+       | struct_extract(best, 'lang') AS pred_lang,
+       | struct_extract(best, 'score') AS pred_score
+       |FROM (
+       | SELECT doc_id, labelled_lang,
+       |  list_max([${structs.mkString(", ")}]) AS best
+       | FROM (
+       |  SELECT doc_id, lang AS labelled_lang,
+       |   ${langFilters.mkString(",\n   ")},
+       |   CAST((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[一-鿿]', '', 'g'))) * 3 AS DOUBLE) AS s_zh
+       |  FROM (SELECT doc_id, lang, text,
+       |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS toks
+       |        FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("txt_token_stats", txtTokenStats, Some(txtTokenStatsSql)),
     Q("txt_quality", txtQuality, Some(txtQualitySql)),
-    Q("txt_langid", txtLangid, None),
-    Q("txt_fingerprint", txtFingerprint, None),
+    Q("txt_langid", txtLangid, Some(txtLangidSql)),
+    Q("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
     Q("txt_tfidf", txtTfidf, None))
 }
