@@ -1,8 +1,7 @@
 package graft.tables
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -10,6 +9,16 @@ import org.apache.spark.sql.types.StructType
 /** Parquet-backed managed table with Iceberg-like snapshot semantics,
   * re-providing the reference's table layer (no Iceberg jars in this
   * environment — SURVEY.md §1.2, §7 stage 1).
+  *
+  * Storage goes through the Hadoop `FileSystem` API, so a table root can
+  * live on any configured scheme — `file:`, `hdfs:`, `s3a:`, ... —
+  * matching the reference's S3-resident tables (SparkUtils.java:47
+  * `S3FileIO`); a local path without a scheme resolves against the
+  * default filesystem exactly as before. Snapshot commits rely on
+  * ATOMIC RENAME of the `_current` pointer: that holds on HDFS and local
+  * filesystems, but S3A implements rename as copy+delete — on S3, front
+  * the `_current` pointer with a real catalog (the reference does exactly
+  * this via the Iceberg catalog) or accept a small non-atomic window.
   *
   * Layout per table under `root/<name>/`:
   *   - `data/<uuid>-<part>.parquet` — immutable data files
@@ -27,14 +36,59 @@ import org.apache.spark.sql.types.StructType
   * `input_file_name`), everything else is carried over by manifest reference.
   * That is the property that keeps a 100 TB table's update cost proportional
   * to touched data, not table size. Single-writer by design, like the
-  * reference's one-sequential-gRPC-stream model (SURVEY.md §3).
+  * reference's one-sequential-gRPC-stream model (SURVEY.md §3); a
+  * crash-stranded `_commit.lock` older than [[TableStore.StaleLockMs]] is
+  * reclaimed automatically.
   */
 final class TableStore(spark: SparkSession, val root: String) {
 
-  private def tdir(name: String): Path = Paths.get(root, name)
-  private def dataDir(name: String): Path = tdir(name).resolve("data")
+  private val hconf = spark.sessionState.newHadoopConf()
+  private val rootPath = new HPath(root)
+  private val fs: FileSystem = rootPath.getFileSystem(hconf)
+  // FileContext provides rename-with-overwrite (FileSystem.rename refuses
+  // an existing destination on HDFS); atomic on rename-capable stores
+  private lazy val fctx: FileContext =
+    FileContext.getFileContext(fs.getUri, hconf)
 
-  def exists(name: String): Boolean = Files.exists(tdir(name).resolve("_current"))
+  private def tdir(name: String): HPath = new HPath(rootPath, name)
+  private def dataDir(name: String): HPath = new HPath(tdir(name), "data")
+
+  // ---- small FS helpers ----------------------------------------------------
+
+  private def writeString(p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def readLines(p: HPath): Seq[String] =
+    readString(p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** All regular files under `dir`, recursively. */
+  private def listFilesRec(dir: HPath): Seq[HPath] = {
+    if (!fs.exists(dir)) return Nil
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[HPath]
+    while (it.hasNext) buf += it.next().getPath
+    buf.result()
+  }
+
+  private def listNames(dir: HPath): Seq[String] =
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+
+  /** Path of `p` relative to ancestor `base`, with '/' separators. */
+  private def relativize(base: HPath, p: HPath): String = {
+    val b = base.toUri.getPath.stripSuffix("/")
+    val s = p.toUri.getPath
+    require(s.startsWith(b + "/"), s"$p not under $base")
+    s.substring(b.length + 1)
+  }
+
+  def exists(name: String): Boolean = fs.exists(new HPath(tdir(name), "_current"))
 
   /** `partitionBy` columns give hive-style `col=value` data layout, so
     * reads with partition-key predicates prune whole directories at plan
@@ -43,9 +97,9 @@ final class TableStore(spark: SparkSession, val root: String) {
   def create(name: String, schema: StructType, overwrite: Boolean = false,
       partitionBy: Seq[String] = Nil, zoneCols: Seq[String] = Nil): Unit = {
     val d = tdir(name)
-    if (Files.exists(d)) {
+    if (fs.exists(d)) {
       require(overwrite, s"table $name already exists")
-      deleteRecursively(d)
+      fs.delete(d, true)
     }
     (partitionBy ++ zoneCols).foreach(c => require(schema.fieldNames.contains(c),
       s"column $c not in schema"))
@@ -55,57 +109,57 @@ final class TableStore(spark: SparkSession, val root: String) {
         dt == org.apache.spark.sql.types.StringType,
         s"zone column $c must be numeric or string, got ${dt.simpleString}")
     }
-    Files.createDirectories(dataDir(name))
-    Files.createDirectories(d.resolve("stats"))
-    Files.writeString(d.resolve("_schema.json"), schema.json)
-    Files.writeString(d.resolve("_partitions"), partitionBy.mkString(","))
-    Files.writeString(d.resolve("_zonecols"), zoneCols.mkString(","))
+    fs.mkdirs(dataDir(name))
+    fs.mkdirs(new HPath(d, "stats"))
+    writeString(new HPath(d, "_schema.json"), schema.json)
+    writeString(new HPath(d, "_partitions"), partitionBy.mkString(","))
+    writeString(new HPath(d, "_zonecols"), zoneCols.mkString(","))
     commitManifest(name, Nil)
   }
 
   /** Columns with per-file min/max zone maps (file skipping for CDC). */
   def zoneCols(name: String): Seq[String] = {
-    val p = tdir(name).resolve("_zonecols")
-    if (!Files.exists(p)) Nil
-    else Files.readString(p).trim.split(",").toSeq.filter(_.nonEmpty)
+    val p = new HPath(tdir(name), "_zonecols")
+    if (!fs.exists(p)) Nil
+    else readString(p).trim.split(",").toSeq.filter(_.nonEmpty)
   }
 
   def partitionCols(name: String): Seq[String] = {
-    val p = tdir(name).resolve("_partitions")
-    if (!Files.exists(p)) Nil
-    else Files.readString(p).trim.split(",").toSeq.filter(_.nonEmpty)
+    val p = new HPath(tdir(name), "_partitions")
+    if (!fs.exists(p)) Nil
+    else readString(p).trim.split(",").toSeq.filter(_.nonEmpty)
   }
 
-  def drop(name: String): Unit = deleteRecursively(tdir(name))
+  def drop(name: String): Unit = { fs.delete(tdir(name), true); () }
 
   def schema(name: String): StructType =
-    DataType.fromJsonFile(tdir(name).resolve("_schema.json"))
+    org.apache.spark.sql.types.DataType
+      .fromJson(readString(new HPath(tdir(name), "_schema.json")))
+      .asInstanceOf[StructType]
 
   /** Manifest-relative data file paths of the current snapshot. */
   def currentRelPaths(name: String): Seq[String] = {
-    val cur = tdir(name).resolve("_current")
-    val manifest = tdir(name).resolve(Files.readString(cur).trim)
-    Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
+    val cur = readString(new HPath(tdir(name), "_current")).trim
+    readLines(new HPath(tdir(name), cur))
   }
 
   /** Live data files (absolute paths) of the current snapshot. */
   def currentFiles(name: String): Seq[String] =
-    currentRelPaths(name).map(f => dataDir(name).resolve(f).toString)
+    currentRelPaths(name).map(f => new HPath(dataDir(name), f).toString)
 
   def read(name: String): DataFrame = readFiles(name, currentFiles(name))
 
   /** Time travel: read the table as of an earlier snapshot (manifests are
     * immutable and retained — the analogue of Iceberg snapshot reads). */
   def readVersion(name: String, version: Int): DataFrame = {
-    val manifest = tdir(name).resolve(f"manifest-$version%06d.txt")
-    require(Files.exists(manifest), s"no snapshot $version for table $name")
-    val files = Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
-      .map(f => dataDir(name).resolve(f).toString)
+    val manifest = new HPath(tdir(name), f"manifest-$version%06d.txt")
+    require(fs.exists(manifest), s"no snapshot $version for table $name")
+    val files = readLines(manifest).map(f => new HPath(dataDir(name), f).toString)
     readFiles(name, files)
   }
 
   def currentVersion(name: String): Int =
-    Files.readString(tdir(name).resolve("_current")).trim
+    readString(new HPath(tdir(name), "_current")).trim
       .stripPrefix("manifest-").stripSuffix(".txt").toInt
 
   private def readFiles(name: String, files: Seq[String]): DataFrame = {
@@ -161,7 +215,7 @@ final class TableStore(spark: SparkSession, val root: String) {
       val candidates = pruneByZones(name, carried,
         keyBounds(distinctKeys, keyCols, zoneCols(name)))
       if (candidates.nonEmpty) {
-        val candidatePaths = candidates.map(r => dataDir(name).resolve(r).toString)
+        val candidatePaths = candidates.map(r => new HPath(dataDir(name), r).toString)
         // Stage 2 — exact pruning: a semi join over the candidates marks
         // the files that truly hold affected keys. input_file_name() MUST
         // be projected in the scan stage, BEFORE the join: after a
@@ -214,24 +268,22 @@ final class TableStore(spark: SparkSession, val root: String) {
   def expireSnapshots(name: String, keepLast: Int = 1): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val d = tdir(name)
-    val manifests = Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    val manifests = listNames(d)
       .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
-      .toSeq.sorted
-    val current = Files.readString(d.resolve("_current")).trim
+      .sorted
+    val current = readString(new HPath(d, "_current")).trim
     val keep = (manifests.takeRight(keepLast) :+ current).distinct
-    val live = keep.flatMap(m =>
-      Files.readAllLines(d.resolve(m)).asScala.filter(_.nonEmpty)).toSet
+    val live = keep.flatMap(m => readLines(new HPath(d, m))).toSet
     // delete unreferenced data files, then the expired manifests
-    Files.walk(dataDir(name)).iterator().asScala.toSeq
-      .filter(p => Files.isRegularFile(p))
-      .filter(p => !live.contains(dataDir(name).relativize(p).toString))
+    listFilesRec(dataDir(name))
+      .filter(p => !live.contains(relativize(dataDir(name), p)))
       .foreach { p =>
-        Files.delete(p)
-        Files.deleteIfExists(statsPath(name, dataDir(name).relativize(p).toString))
+        val rel = relativize(dataDir(name), p)
+        fs.delete(p, false)
+        fs.delete(statsPath(name, rel), false)
         ()
       }
-    manifests.filterNot(keep.contains).foreach(m => Files.delete(d.resolve(m)))
+    manifests.filterNot(keep.contains).foreach(m => fs.delete(new HPath(d, m), false))
   }
 
   // ---- zone maps ----------------------------------------------------------
@@ -247,7 +299,7 @@ final class TableStore(spark: SparkSession, val root: String) {
     val zc = zoneCols(name)
     if (zc.isEmpty || relPaths.isEmpty) return
     val sch = schema(name)
-    val paths = relPaths.map(r => dataDir(name).resolve(r).toString)
+    val paths = relPaths.map(r => new HPath(dataDir(name), r).toString)
     // ONE job for all fresh files (grouped by file), not one per file —
     // the data is page-cache hot right after the write. (A per-file
     // footer-only read via aggregate pushdown is the alternative when
@@ -262,14 +314,14 @@ final class TableStore(spark: SparkSession, val root: String) {
         val pairs = zc.zipWithIndex.map { case (c, i) =>
           s""""$c": [${statJson(row.get(2 * i + 1))}, ${statJson(row.get(2 * i + 2))}]"""
         }
-        Files.writeString(statsPath(name, rel), pairs.mkString("{", ",", "}"))
+        writeString(statsPath(name, rel), pairs.mkString("{", ",", "}"))
       }
     }
   }
 
-  private def statsPath(name: String, rel: String): Path = {
+  private def statsPath(name: String, rel: String): HPath = {
     val flat = rel.replace("/", "__")
-    tdir(name).resolve("stats").resolve(s"$flat.json")
+    new HPath(new HPath(tdir(name), "stats"), s"$flat.json")
   }
 
   private def statJson(v: Any): String = v match {
@@ -291,9 +343,9 @@ final class TableStore(spark: SparkSession, val root: String) {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     relPaths.filter { rel =>
       val sp = statsPath(name, rel)
-      if (!Files.exists(sp)) true
+      if (!fs.exists(sp)) true
       else {
-        val node = mapper.readTree(Files.readString(sp))
+        val node = mapper.readTree(readString(sp))
         bounds.forall { case (c, (lo, hi)) =>
           val s = node.get(c)
           if (s == null || s.get(0).isNull || s.get(1).isNull) true
@@ -353,72 +405,85 @@ final class TableStore(spark: SparkSession, val root: String) {
     * lands in a staging dir first so a failed job never pollutes `data/`. */
   private def writeDataFiles(name: String, df: DataFrame): Seq[String] = {
     val id = UUID.randomUUID().toString.take(8)
-    val staging = tdir(name).resolve(s"_staging-$id")
+    val staging = new HPath(tdir(name), s"_staging-$id")
     try {
       val pCols = partitionCols(name)
       val writer = df.write.mode("overwrite")
       (if (pCols.isEmpty) writer else writer.partitionBy(pCols: _*))
         .parquet(staging.toString)
-      val parts = Files.walk(staging).iterator().asScala.toSeq
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      val parts = listFilesRec(staging)
+        .filter(p => p.getName.endsWith(".parquet"))
         .sortBy(_.toString)
       val named = parts.zipWithIndex.map { case (p, i) =>
-        val subDir = staging.relativize(p.getParent).toString
+        val subDir = {
+          val rel = relativize(staging, p)
+          val cut = rel.lastIndexOf('/')
+          if (cut < 0) "" else rel.substring(0, cut)
+        }
         val fn = f"$id-part$i%05d.parquet"
         val rel = if (subDir.isEmpty) fn else s"$subDir/$fn"
-        val target = dataDir(name).resolve(rel)
-        Files.createDirectories(target.getParent)
-        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        val target = new HPath(dataDir(name), rel)
+        fs.mkdirs(target.getParent)
+        require(fs.rename(p, target), s"rename $p -> $target failed")
         rel
       }
       writeZoneStats(name, named)
       named
-    } finally deleteRecursively(staging) // never strand staging garbage
+    } finally { fs.delete(staging, true); () } // never strand staging garbage
   }
 
   private def commitManifest(name: String, files: Seq[String]): Unit = {
-    // Single-writer guard: the store is single-writer by design (like the
-    // reference's one sequential stream); an advisory lock turns a second
-    // concurrent writer into a fast, loud failure instead of a corrupted
-    // manifest chain. CREATE_NEW is atomic on POSIX filesystems.
     val d = tdir(name)
-    val lock = d.resolve("_commit.lock")
-    try {
-      Files.write(lock, Array.emptyByteArray,
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"table $name has a concurrent writer (stale lock? delete $lock)")
-    }
+    val lock = new HPath(d, "_commit.lock")
+    acquireLock(name, lock)
     try {
       val n = nextManifestId(name)
       val manifest = f"manifest-$n%06d.txt"
-      Files.writeString(d.resolve(manifest), files.mkString("\n"))
-      val tmp = d.resolve(s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
-      Files.writeString(tmp, manifest)
-      Files.move(tmp, d.resolve("_current"), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    } finally { Files.deleteIfExists(lock); () }
+      writeString(new HPath(d, manifest), files.mkString("\n"))
+      val tmp = new HPath(d, s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
+      writeString(tmp, manifest)
+      // rename-with-overwrite: atomic pointer swap on HDFS/local (S3 caveat
+      // in the class doc — there, put a catalog in front of _current)
+      fctx.rename(tmp, new HPath(d, "_current"), Options.Rename.OVERWRITE)
+    } finally { fs.delete(lock, false); () }
+  }
+
+  /** Single-writer guard: the store is single-writer by design (like the
+    * reference's one sequential stream); an advisory lock turns a second
+    * concurrent writer into a fast, loud failure instead of a corrupted
+    * manifest chain. A lock file left behind by a crashed writer is
+    * reclaimed once it is older than [[TableStore.StaleLockMs]] — commit
+    * windows are seconds, so a lock aged tens of minutes cannot belong to
+    * a live commit. */
+  private def acquireLock(name: String, lock: HPath): Unit = {
+    def tryCreate(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(lock) => false
+      }
+    if (tryCreate()) return
+    // stale-lock recovery: reclaim if the lock is older than the threshold
+    val age = try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+    catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    if (age > TableStore.StaleLockMs) {
+      fs.delete(lock, false)
+      if (tryCreate()) return
+    }
+    throw new IllegalStateException(
+      s"table $name has a concurrent writer (lock $lock, age ${age}ms; " +
+        s"locks older than ${TableStore.StaleLockMs}ms are reclaimed automatically)")
   }
 
   private def nextManifestId(name: String): Int = {
-    val existing = Files.list(tdir(name)).iterator().asScala
-      .map(_.getFileName.toString)
+    val existing = listNames(tdir(name))
       .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
-      .map(f => f.stripPrefix("manifest-").stripSuffix(".txt").toInt).toSeq
+      .map(f => f.stripPrefix("manifest-").stripSuffix(".txt").toInt)
     if (existing.isEmpty) 1 else existing.max + 1
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
 }
 
-private object DataType {
-  def fromJsonFile(p: Path): StructType =
-    org.apache.spark.sql.types.DataType.fromJson(Files.readString(p))
-      .asInstanceOf[StructType]
+object TableStore {
+  /** Locks older than this are treated as crash debris and reclaimed. */
+  val StaleLockMs: Long = 10 * 60 * 1000L
 }

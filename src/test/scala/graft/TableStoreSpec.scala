@@ -228,4 +228,41 @@ class TableStoreSpec extends SparkSpec {
     assert(st.read("t").count() === 0)
     intercept[IllegalArgumentException] { st.create("t", schema) }
   }
+
+  test("stale commit lock is reclaimed automatically (crash recovery)") {
+    val st = newStore()
+    st.create("t", schema)
+    // simulate a crashed writer: lock exists and is older than the
+    // staleness threshold (backdate via Hadoop setTimes)
+    val conf = spark.sessionState.newHadoopConf()
+    val lock = new org.apache.hadoop.fs.Path(st.root + "/t/_commit.lock")
+    val fs = lock.getFileSystem(conf)
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - TableStore.StaleLockMs - 1000, -1)
+    // no manual deletion: the store must reclaim and commit
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    assert(st.read("t").count() === 1)
+    // a FRESH lock (live writer) must still fail fast
+    fs.create(lock, false).close()
+    val e = intercept[IllegalStateException] {
+      st.append("t", Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    fs.delete(lock, false)
+  }
+
+  test("table root on an explicit file:-scheme Hadoop URI works end to end") {
+    val st = new TableStore(spark, "file://" + tmpDir("tablestore-uri-"))
+    st.create("t", schema, zoneCols = Seq("id"))
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    st.upsert("t", Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    st.delete("t", col("v") === "a")
+    val got = st.read("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((2L, "b2"), (3L, "c")))
+    assert(st.currentVersion("t") === 4)
+    st.compact("t", 1)
+    st.expireSnapshots("t", keepLast = 1)
+    assert(st.read("t").count() === 2)
+  }
 }
