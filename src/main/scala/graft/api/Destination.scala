@@ -22,41 +22,75 @@ object Destination {
 
   /** Connector-spec analogue (reference SpecifierService.java:42-146):
     * parameter inventory with required/validation metadata, so callers can
-    * introspect the config surface programmatically. */
-  final case class ParamSpec(name: String, required: Boolean, description: String)
+    * introspect the config surface programmatically. `inclusion` mirrors the
+    * reference's TYPE_INCLUSION validations (catalog-impl whitelist,
+    * AWS-region whitelist — SpecifierService.java:62-146): a non-empty list
+    * restricts the parameter to exactly those values. */
+  final case class ParamSpec(name: String, required: Boolean,
+      description: String, inclusion: Seq[String] = Nil)
 
   val name = "graft-table"
   val version = "v0.1.0"
 
   val parameters: Seq[ParamSpec] = Seq(
     ParamSpec("store.root", required = true,
-      "Root directory of the managed TableStore"),
+      "Root URI of the managed TableStore (file:/hdfs:/s3a: or schemeless local path)"),
     ParamSpec("table", required = true,
       "Target table name (must already exist — schema is catalog-owned)"),
     ParamSpec("key.columns", required = true,
-      "Comma-separated key column names for delete/update matching"))
+      "Comma-separated key column names for delete/update matching"),
+    ParamSpec("batch.validation", required = false,
+      "Record validation scope: 'strict' rejects a batch on ANY invalid " +
+        "record (reference per-record semantics); 'net-only' validates only " +
+        "the per-key net winners (faster on large replays; a malformed " +
+        "record that loses last-write-wins cannot fail the batch)",
+      inclusion = Seq("strict", "net-only")))
 
-  final case class Config(storeRoot: String, table: String, keyCols: Seq[String])
+  /** Passthrough namespace, the analogue of the reference's `catalog.*`
+    * properties (DestinationConfig.java:44,95-105): every `hadoop.`-prefixed
+    * parameter is stripped of the prefix and applied to the store's Hadoop
+    * configuration — e.g. `hadoop.fs.s3a.endpoint`, `hadoop.fs.s3a.access.key`
+    * (the role the reference's `s3.*` params play). Unknown keys OUTSIDE the
+    * namespace are rejected. */
+  val passthroughPrefix = "hadoop."
 
-  /** Required-key validation with exact-cause errors (reference
+  final case class Config(storeRoot: String, table: String, keyCols: Seq[String],
+      validation: String = "strict", hadoopProps: Map[String, String] = Map.empty)
+
+  /** Required-key + inclusion validation with exact-cause errors (reference
     * DestinationConfig.java:45-49,110-118 and its unit tests). */
   def configure(params: Map[String, String]): Try[Config] = Try {
     def req(k: String): String = params.get(k).filter(_.nonEmpty).getOrElse(
       throw new IllegalArgumentException(s"required parameter missing: $k"))
-    val unknown = params.keySet.diff(parameters.map(_.name).toSet)
+    val unknown = params.keySet
+      .filterNot(_.startsWith(passthroughPrefix))
+      .diff(parameters.map(_.name).toSet)
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"unknown parameters: ${unknown.toSeq.sorted.mkString(", ")}")
+    parameters.filter(_.inclusion.nonEmpty).foreach { p =>
+      params.get(p.name).foreach { v =>
+        if (!p.inclusion.contains(v))
+          throw new IllegalArgumentException(
+            s"parameter ${p.name} value '$v' not in [${p.inclusion.mkString(", ")}]")
+      }
+    }
+    val hadoopProps = params.collect {
+      case (k, v) if k.startsWith(passthroughPrefix) =>
+        k.stripPrefix(passthroughPrefix) -> v
+    }
     Config(req("store.root"), req("table"),
-      req("key.columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      req("key.columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      params.getOrElse("batch.validation", "strict"), hadoopProps)
   }
 
   def open(spark: SparkSession, config: Config): DestinationStream = {
-    val store = new TableStore(spark, config.storeRoot)
+    val store = new TableStore(spark, config.storeRoot, config.hadoopProps)
     require(store.exists(config.table),
       s"table ${config.table} does not exist in ${config.storeRoot}")
     new DestinationStream(spark, store,
-      CdcApply.CdcConfig(config.table, config.keyCols))
+      CdcApply.CdcConfig(config.table, config.keyCols,
+        strictValidation = config.validation == "strict"))
   }
 }
 

@@ -138,6 +138,61 @@ object CdcDecode {
       s"unsupported array element: ${other.getClass}")
   }
 
+  /** Structured payload → typed Row aligned to the table schema — the
+    * DIRECT path for StructuredData (reference F4 done right): no JSON
+    * render+reparse, so nothing is lost to text formatting. Sub-millisecond
+    * timestamps and 17-significant-digit doubles survive exactly (the JSON
+    * round-trip truncated timestamps to ms — SURVEY.md §2 row F4 promised
+    * this path). Missing fields become NULL (same as a schema'd JSON parse);
+    * numeric widenings (int→long, float→double, integral→floating) follow
+    * the JSON path's semantics.
+    */
+  def structToRow(fields: Map[String, Any],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(schema.fields.map(f =>
+      fields.get(f.name).map(v => convertTo(v, f.dataType)).orNull).toIndexedSeq: _*)
+
+  private def convertTo(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => null
+      case (b: Boolean, BooleanType) => b
+      case (i: Int, IntegerType) => i
+      case (i: Int, LongType) => i.toLong
+      case (i: Int, DoubleType) => i.toDouble
+      case (l: Long, LongType) => l
+      case (l: Long, IntegerType) =>
+        require(l >= Int.MinValue && l <= Int.MaxValue, s"int overflow: $l"); l.toInt
+      case (l: Long, DoubleType) => l.toDouble
+      case (i: Int, FloatType) => i.toFloat
+      case (l: Long, FloatType) => l.toFloat
+      case (f: Float, FloatType) => f
+      case (f: Float, DoubleType) => f.toDouble
+      case (d: Double, DoubleType) => d
+      // integral-float normalization, struct path (F3): 12.0 → 12 for an
+      // integer column, matching the JSON path's normalizeIntegralFloats
+      case (d: Double, IntegerType) if d.isWhole =>
+        require(d >= Int.MinValue && d <= Int.MaxValue, s"int overflow: $d"); d.toInt
+      case (d: Double, LongType) if d.isWhole => d.toLong
+      case (f: Float, IntegerType) if f.isWhole => f.toInt
+      case (f: Float, LongType) if f.isWhole => f.toLong
+      case (d: Double, FloatType) => d.toFloat
+      case (s: String, StringType) => s
+      case (t: java.sql.Timestamp, TimestampType) => t
+      case (t: java.time.Instant, TimestampType) => t
+      case (t: java.time.LocalDateTime, TimestampNTZType) => t
+      case (d: java.sql.Date, DateType) => d
+      case (d: java.time.LocalDate, DateType) => d
+      case (seq: Seq[_], ArrayType(et, _)) => seq.map(convertTo(_, et))
+      case (m: Map[_, _], MapType(kt, vt, _)) =>
+        m.map { case (k, x) => convertTo(k, kt) -> convertTo(x, vt) }
+      case (m: Map[_, _], st: StructType) =>
+        structToRow(m.map { case (k, x) => k.toString -> x }, st)
+      case (other, t) => throw new IllegalArgumentException(
+        s"cannot convert ${other.getClass.getSimpleName} to ${t.simpleString}")
+    }
+  }
+
   /** Integral-float normalization (reference F3,
     * SparkDestinationStream.java:237-262): JSON has one number type, so a
     * `5.0` meant for an int column must become `5` before a schema-enforced

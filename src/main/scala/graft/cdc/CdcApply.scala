@@ -31,8 +31,13 @@ object CdcApply {
   final case class Stats(upserts: Long, deletes: Long)
 
   /** Validated ingest config — the analogue of the reference's
-    * `DestinationConfig` required-key checks (DestinationConfig.java:45-118). */
-  final case class CdcConfig(table: String, keyCols: Seq[String]) {
+    * `DestinationConfig` required-key checks (DestinationConfig.java:45-118).
+    * `strictValidation` = reference per-record semantics (ANY invalid record
+    * fails the batch); false validates only per-key net winners — faster on
+    * large replays, and a malformed record that loses last-write-wins
+    * cannot fail the batch. */
+  final case class CdcConfig(table: String, keyCols: Seq[String],
+      strictValidation: Boolean = true) {
     require(table != null && table.nonEmpty, "config: table is required")
     require(keyCols != null && keyCols.nonEmpty, "config: keyCols is required")
   }
@@ -49,8 +54,11 @@ object CdcApply {
         throw new IllegalArgumentException(s"key column $c not in table schema"))))
 
     // Driver-side decode of the envelope: key map (F1/F2 semantics incl.
-    // empty-key guard F6, SparkDestinationStream.java:119-122) and payload
-    // JSON (F4). Key/envelope data is tiny; row payloads stay distributed.
+    // empty-key guard F6, SparkDestinationStream.java:119-122). Raw payloads
+    // carry their JSON (parsed distributed); STRUCTURED payloads convert to
+    // typed Rows directly (F4 without the lossy JSON round-trip — exact
+    // sub-ms timestamps and full-precision doubles). Envelope data is tiny;
+    // row payloads stay distributed.
     val rows = records.zipWithIndex.map { case (r, seq) =>
       val isDelete = r.op == CdcOp.Delete
       val keyData = r.key.getOrElse(
@@ -58,16 +66,20 @@ object CdcApply {
       val keyMap = CdcDecode.keyFields(keyData)
       if (keyMap.isEmpty)
         throw new IllegalArgumentException("key has no fields")
-      val payload =
-        if (isDelete) null
-        else CdcDecode.payloadJson(r.after.getOrElse(
-          throw new IllegalArgumentException(
-            s"${r.op} record has no after payload")))
+      // a non-delete with a MISSING payload is not rejected here: the
+      // distributed validation handles it under the configured scope
+      // (strict = any record, net-only = net winners)
+      val after = if (isDelete) None else r.after
+      val (payload, srow) = after match {
+        case None => (null, null)
+        case Some(sd: StructuredData) => (null, CdcDecode.structToRow(sd.fields, schema))
+        case Some(raw) => (CdcDecode.payloadJson(raw), null)
+      }
       val keyJson = CdcDecode.payloadJson(StructuredData(keyMap))
-      Row(seq.toLong, r.op.toString.toLowerCase, keyJson, payload)
+      Row(seq.toLong, r.op.toString.toLowerCase, keyJson, payload, srow)
     }
     val env = spark.createDataFrame(
-      new java.util.ArrayList[Row](rows.asJava), envelopeSchema)
+      new java.util.ArrayList[Row](rows.asJava), envelopeSchemaFor(schema))
     applyEnvelopes(spark, store, config, env)
   }
 
@@ -76,6 +88,12 @@ object CdcApply {
   val envelopeSchema: StructType = StructType(Seq(
     StructField("__seq", LongType), StructField("__op", StringType),
     StructField("__key", StringType), StructField("__payload", StringType)))
+
+  /** Envelope schema extended with a typed `__srow` column (the table's row
+    * struct) for payloads that arrive already structured — those skip the
+    * JSON round-trip entirely. */
+  def envelopeSchemaFor(tableSchema: StructType): StructType =
+    StructType(envelopeSchema.fields :+ StructField("__srow", tableSchema))
 
   /** Fully DISTRIBUTED apply path: envelopes stay in a DataFrame end to
     * end — integral-float normalization runs as a UDF on executors, decode
@@ -94,28 +112,44 @@ object CdcApply {
       if (s == null) null else CdcDecode.normalizeIntegralFloats(s))
 
     // Distributed decode: schema-enforced FAILFAST parse against the
-    // catalog-owned table schema (S3) and typed key struct.
+    // catalog-owned table schema (S3) and typed key struct. Envelopes that
+    // carry a typed __srow (structured payloads) bypass the JSON parse.
     val opts = Map("mode" -> "FAILFAST")
+    val jsonRow = when(col("__payload").isNotNull,
+      from_json(normalize(col("__payload")), schema, opts))
     val decoded = env
       .withColumn("__k", from_json(normalize(col("__key")), keySchema, opts))
-      .withColumn("__row", when(col("__payload").isNotNull,
-        from_json(normalize(col("__payload")), schema, opts)))
+      .withColumn("__row",
+        if (env.columns.contains("__srow")) coalesce(col("__srow"), jsonRow)
+        else jsonRow)
       .cache()
     try {
-      // Distributed per-record validation over ALL records (not just net
-      // winners — the reference rejects per record), one aggregate job:
+      val keyFields = config.keyCols.map(c => col("__k").getField(c).as(c))
+      val flat = decoded
+        .select((keyFields :+ col("__seq") :+ col("__op") :+ col("__row")): _*)
+      // Net effect per key: last record (by ingest order) wins.
+      val w = Window.partitionBy(config.keyCols.map(col): _*)
+        .orderBy(col("__seq").desc)
+      val net = flat
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+
+      // Distributed per-record validation, one aggregate job:
       //  - unknown/null op would otherwise silently act as a delete;
       //  - a non-delete with no payload would upsert an all-null ghost row;
       //  - an envelope key disagreeing with the payload's own key columns
       //    would delete one key and append another, duplicating keys;
       //  - a key missing a key column (F6 guard).
+      // Scope: ALL records under strict validation (the reference rejects
+      // per record), net winners only under net-only.
+      val toValidate = if (config.strictValidation) flat else net
       val upsertOps = Seq("create", "update", "snapshot")
       val anyKeyNull = config.keyCols
-        .map(c => col("__k").getField(c).isNull).reduce(_ || _)
+        .map(c => col(c).isNull).reduce(_ || _)
       val keyMismatch = config.keyCols
-        .map(c => !(col("__row").getField(c) <=> col("__k").getField(c)))
+        .map(c => !(col("__row").getField(c) <=> col(c)))
         .reduce(_ || _)
-      val checks = decoded.agg(
+      val checks = toValidate.agg(
         count(lit(1)).as("n"),
         sum(when(col("__op").isNull ||
           !col("__op").isin((upsertOps :+ "delete"): _*), 1L).otherwise(0L)).as("bad_op"),
@@ -134,15 +168,6 @@ object CdcApply {
           "with the record key")
       if (checks.getLong(4) > 0) throw new IllegalArgumentException(
         "key has no fields (a record's key is missing a key column)")
-
-      // Net effect per key: last record (by ingest order) wins.
-      val keyFields = config.keyCols.map(c => col("__k").getField(c).as(c))
-      val w = Window.partitionBy(config.keyCols.map(col): _*)
-        .orderBy(col("__seq").desc)
-      val net = decoded
-        .select((keyFields :+ col("__seq") :+ col("__op") :+ col("__row")): _*)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
       val upserts = net.filter(col("__op") =!= "delete")
         .select(col("__row.*"))
       val touchedKeys = net.select(config.keyCols.map(col): _*)

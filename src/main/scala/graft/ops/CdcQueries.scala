@@ -75,27 +75,28 @@ object CdcQueries {
 
     // updates: +1000.0 on totalprice for orderkey % 97 == 0
     // deletes: orderkey % 101 == 0 (overlap resolves to whichever is later
-    // in the batch — deletes win, mirrored in the oracle)
-    val toUpdate = orders.filter(col("o_orderkey") % 97 === 0).collect()
-    val updates = toUpdate.map { r =>
-      CdcRecord(Array(1), CdcOp.Update,
-        key = Some(RawData(s"""{"o_orderkey": ${r.getLong(0)}}""")),
-        after = Some(StructuredData(Map(
-          "o_orderkey" -> r.getLong(0),
-          "o_custkey" -> r.getLong(1),
-          "o_orderstatus" -> r.getString(2),
-          "o_totalprice" -> (r.getDouble(3) + 1000.0),
-          "o_orderdate" -> r.get(4), // timestamp_ntz → LocalDateTime
-          "o_orderpriority" -> r.getString(5)))))
-    }
+    // in the batch — deletes win, mirrored in the oracle).
+    // Envelopes are BUILT distributively (to_json on executors) and applied
+    // through the fully distributed applyEnvelopes path — no collect()
+    // anywhere in the headline ingest gate. Sequence numbers order deletes
+    // after updates per key (2k vs 2k+1), preserving last-write-wins.
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .select(
+        (col("o_orderkey") * 2).as("__seq"),
+        lit("update").as("__op"),
+        to_json(struct(col("o_orderkey"))).as("__key"),
+        to_json(struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))).as("__payload"))
     val deletes = orders.filter(col("o_orderkey") % 101 === 0)
-      .select("o_orderkey").collect().map { r =>
-        CdcRecord(Array(2), CdcOp.Delete,
-          key = Some(RawData(s"""{"o_orderkey": ${r.getLong(0)}}""")))
-      }
-    CdcApply(spark, store,
+      .select(
+        (col("o_orderkey") * 2 + 1).as("__seq"),
+        lit("delete").as("__op"),
+        to_json(struct(col("o_orderkey"))).as("__key"),
+        lit(null).cast("string").as("__payload"))
+    CdcApply.applyEnvelopes(spark, store,
       CdcApply.CdcConfig("orders", Seq("o_orderkey")),
-      (updates ++ deletes).toSeq)
+      updates.unionByName(deletes))
     store.read("orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority")

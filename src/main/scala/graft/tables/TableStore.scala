@@ -40,9 +40,16 @@ import org.apache.spark.sql.types.StructType
   * crash-stranded `_commit.lock` older than [[TableStore.StaleLockMs]] is
   * reclaimed automatically.
   */
-final class TableStore(spark: SparkSession, val root: String) {
+final class TableStore(spark: SparkSession, val root: String,
+    hadoopProps: Map[String, String] = Map.empty) {
 
-  private val hconf = spark.sessionState.newHadoopConf()
+  private val hconf = {
+    val c = spark.sessionState.newHadoopConf()
+    // per-store overrides (endpoint, credentials, ...) — the Destination's
+    // `hadoop.*` passthrough namespace lands here
+    hadoopProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   private val rootPath = new HPath(root)
   private val fs: FileSystem = rootPath.getFileSystem(hconf)
   // FileContext provides rename-with-overwrite (FileSystem.rename refuses

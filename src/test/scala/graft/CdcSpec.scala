@@ -242,6 +242,52 @@ class CdcSpec extends SparkSpec {
     assert(st.read("t").count() === 0) // nothing was applied
   }
 
+  test("structured payload keeps exact sub-ms timestamps and full-precision doubles (F4)") {
+    // the JSON round-trip truncated timestamps to ms and reformatted floats;
+    // the direct structToRow path must preserve both exactly
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("d", DoubleType)))
+    val st = new TableStore(spark, tmpDir("cdc-f4-"))
+    st.create("t", schema)
+    val exactTs = java.time.LocalDateTime.of(2024, 3, 1, 10, 20, 30, 123456000) // µs — not representable in ms
+    val exactD = 0.12345678901234567 // 17 significant digits
+    CdcApply(spark, st, CdcConfig("t", Seq("id")), Seq(
+      CdcRecord(Array(1), CdcOp.Create,
+        key = Some(RawData("""{"id": 1}""")),
+        after = Some(StructuredData(Map(
+          "id" -> 1L, "ts" -> exactTs, "d" -> exactD))))))
+    val row = st.read("t").collect()(0)
+    assert(row.getAs[java.time.LocalDateTime]("ts") === exactTs)
+    assert(row.getAs[Double]("d") === exactD) // bit-exact
+  }
+
+  test("net-only validation: a malformed record that loses last-write-wins passes") {
+    val st = newTable()
+    val lenient = CdcConfig("t", Seq("int_field"), strictValidation = false)
+    def rec(seq: Int, op: CdcOp, payload: Option[String]) =
+      CdcRecord(Array(seq.toByte), op,
+        key = Some(RawData("""{"int_field": 1}""")),
+        after = payload.map(RawData(_)))
+    // seq 0: create with NO payload (invalid) — overridden by seq 1
+    val batch = Seq(
+      CdcRecord(Array(0), CdcOp.Create, key = Some(RawData("""{"int_field": 1}"""))),
+      rec(1, CdcOp.Create, Some("""{"string_field": "ok", "int_field": 1}""")))
+    // strict mode rejects the whole batch (reference per-record semantics)
+    intercept[IllegalArgumentException] { CdcApply(spark, st, cfg, batch) }
+    // net-only mode applies the net winner
+    val stats = CdcApply(spark, st, lenient, batch)
+    assert(stats === CdcApply.Stats(1, 0))
+    assert(st.read("t").count() === 1)
+    // but an invalid net WINNER still fails in net-only mode
+    intercept[IllegalArgumentException] {
+      CdcApply(spark, st, lenient, Seq(
+        rec(0, CdcOp.Create, Some("""{"string_field": "x", "int_field": 1}""")),
+        CdcRecord(Array(1), CdcOp.Update, key = Some(RawData("""{"int_field": 1}""")))))
+    }
+  }
+
   test("config validation mirrors DestinationConfig required-key checks") {
     intercept[IllegalArgumentException] { CdcConfig("", Seq("k")) }
     intercept[IllegalArgumentException] { CdcConfig("t", Nil) }

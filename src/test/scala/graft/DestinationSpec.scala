@@ -17,8 +17,38 @@ class DestinationSpec extends SparkSpec {
   test("spec surface: name, version, parameter inventory") {
     assert(Destination.name === "graft-table")
     assert(Destination.parameters.map(_.name) ===
+      Seq("store.root", "table", "key.columns", "batch.validation"))
+    assert(Destination.parameters.filter(_.required).map(_.name) ===
       Seq("store.root", "table", "key.columns"))
-    assert(Destination.parameters.forall(_.required))
+    // inclusion metadata is introspectable (SpecifierService TYPE_INCLUSION)
+    val bv = Destination.parameters.find(_.name == "batch.validation").get
+    assert(bv.inclusion === Seq("strict", "net-only"))
+  }
+
+  test("configure: inclusion-validated parameter rejects out-of-list values") {
+    val full = Map("store.root" -> "/x", "table" -> "t", "key.columns" -> "id")
+    assert(Destination.configure(full + ("batch.validation" -> "net-only"))
+      .get.validation === "net-only")
+    Destination.configure(full + ("batch.validation" -> "lenient")) match {
+      case Failure(e) => assert(e.getMessage ===
+        "parameter batch.validation value 'lenient' not in [strict, net-only]")
+      case Success(_) => fail("expected inclusion failure")
+    }
+  }
+
+  test("configure: hadoop.* passthrough namespace; unknown prefixes rejected") {
+    val full = Map("store.root" -> "/x", "table" -> "t", "key.columns" -> "id",
+      "hadoop.fs.s3a.endpoint" -> "http://minio:9000",
+      "hadoop.fs.s3a.access.key" -> "ak")
+    val cfg = Destination.configure(full).get
+    assert(cfg.hadoopProps === Map(
+      "fs.s3a.endpoint" -> "http://minio:9000", "fs.s3a.access.key" -> "ak"))
+    // a key OUTSIDE the namespace is an unknown parameter (exact message)
+    Destination.configure(full + ("hadop.fs.s3a.endpoint" -> "x")) match {
+      case Failure(e) =>
+        assert(e.getMessage === "unknown parameters: hadop.fs.s3a.endpoint")
+      case Success(_) => fail("expected unknown-parameter failure")
+    }
   }
 
   test("configure: each missing required key fails with exact cause") {
