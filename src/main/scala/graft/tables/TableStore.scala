@@ -156,6 +156,24 @@ final class TableStore(spark: SparkSession, val root: String,
 
   def read(name: String): DataFrame = readFiles(name, currentFiles(name))
 
+  /** Zone-pruned range scan: files whose zone-map range cannot intersect
+    * [lo, hi] on `zoneCol` are discarded from the MANIFEST SIDECARS ALONE —
+    * before the scan is planned, no parquet footer opened. This is the read
+    * analogue of applyNet's stage-1 pruning (Iceberg scan planning over
+    * manifest column stats): at 100 TB a selective key-range query touches
+    * the few overlapping files instead of listing-scanning the table. The
+    * exact predicate still applies on the surviving files. */
+  def readRange(name: String, zoneCol: String, lo: Any, hi: Any): DataFrame = {
+    require(zoneCols(name).contains(zoneCol),
+      s"$zoneCol is not a zone column of table $name (zone columns: " +
+        s"${zoneCols(name).mkString(", ")})")
+    val candidates = pruneByZones(name, currentRelPaths(name),
+      Map(zoneCol -> ((lo, hi))))
+    val files = candidates.map(r => new HPath(dataDir(name), r).toString)
+    readFiles(name, files)
+      .filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
+  }
+
   /** Time travel: read the table as of an earlier snapshot (manifests are
     * immutable and retained — the analogue of Iceberg snapshot reads). */
   def readVersion(name: String, version: Int): DataFrame = {

@@ -191,6 +191,25 @@ class TableStoreSpec extends SparkSpec {
     assert(st.candidateFilesForKeys("t", Seq(999999L).toDF("id"), Seq("id")).isEmpty)
   }
 
+  test("readRange scans only files whose zone range can overlap") {
+    val st = newStore()
+    st.create("t", schema, zoneCols = Seq("id"))
+    st.append("t", (1L to 10L).map(i => (i, s"a$i")).toDF("id", "v"))
+    st.append("t", (100L to 110L).map(i => (i, s"b$i")).toDF("id", "v"))
+    st.append("t", (1000L to 1010L).map(i => (i, s"c$i")).toDF("id", "v"))
+    val got = st.readRange("t", "id", 100L, 200L)
+    // correctness: exactly the middle batch
+    assert(got.orderBy("id").select("id").as[Long].collect().toSeq ===
+      (100L to 110L))
+    // pruning: the planned scan reads strictly fewer files than the table has
+    val scanned = got.select(input_file_name()).distinct().count()
+    assert(scanned < st.currentFiles("t").size)
+    // an empty range plans an empty scan, not a full one
+    assert(st.readRange("t", "id", 5000L, 6000L).count() === 0)
+    // non-zone column is rejected loudly
+    intercept[IllegalArgumentException] { st.readRange("t", "v", "a", "b") }
+  }
+
   test("upsert is idempotent: applying the same rows twice changes nothing") {
     val st = newStore()
     st.create("t", schema)
