@@ -22,8 +22,10 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromToks(tokens(text), n)
 
-  /** Same, over a materialized token-array column (see shingleHashesFromToks
-    * for why the two-step matters). */
+  /** Same, over a materialized token-array column: inside an HOF lambda
+    * every outer subexpression is re-evaluated per element, so callers bind
+    * `split()` to an attribute first (two-step select) — otherwise
+    * tokenization runs once per shingle instead of once per doc. */
   def shinglesFromToks(toks: Column, n: Int = 3): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(transform(
@@ -37,18 +39,6 @@ object Dedup {
     * (one row per doc leaves the map stage). */
   def minhashAggs(h: Column, k: Int): Seq[Column] =
     (0 until k).map(i => min(PortableHash.perm(i, h)).as(s"mh$i"))
-
-  /** Hashed word-trigram shingles (portable md5-derived hash, see
-    * [[PortableHash]] — one hash value per trigram string). */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    shingleHashesFromToks(tokens(text), n)
-
-  /** Same, over an already-MATERIALIZED token-array column. Inside an HOF
-    * lambda every outer subexpression is re-evaluated per element, so the
-    * caller must bind `split()` to an attribute first (two-step select) —
-    * otherwise tokenization runs once per shingle instead of once per doc. */
-  def shingleHashesFromToks(toks: Column, n: Int = 3): Column =
-    transform(shinglesFromToks(toks, n), s => PortableHash.h60(s))
 
   /** Exact 3-gram Jaccard between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
