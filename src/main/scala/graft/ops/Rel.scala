@@ -691,6 +691,105 @@ object Rel {
       | ON o_orderdate >= start_ts AND o_orderdate <= end_ts
       |GROUP BY era ORDER BY era""".stripMargin
 
+  /** Exact positional quantiles (median + p90) — deterministic and fully
+    * oracle-checkable, unlike interpolating percentile_cont (whose FP
+    * interpolation differs across engines) or approx_percentile (engine-
+    * specific sketch): the quantile is THE element at an integer rank
+    * position under a total order with a unique tie-break, computed with
+    * pure integer arithmetic (`div`), no floating point anywhere in the
+    * position logic. */
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val cw = Window.partitionBy("l_returnflag")
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("pos_med", expr("(n + 1) div 2"))
+      .withColumn("pos_p90", greatest(lit(1L), expr("(9 * n) div 10")))
+      .filter(col("rn") === col("pos_med") || col("rn") === col("pos_p90"))
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("rn") === col("pos_med"), col("l_quantity"))).as("median_qty"),
+        min(when(col("rn") === col("pos_p90"), col("l_quantity"))).as("p90_qty"),
+        max("n").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q32Sql =
+    """SELECT l_returnflag,
+      | MIN(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS median_qty,
+      | MIN(CASE WHEN rn = GREATEST(1, (9 * n) // 10) THEN l_quantity END) AS p90_qty,
+      | CAST(MAX(n) AS BIGINT) AS n_rows
+      |FROM (
+      | SELECT l_returnflag, l_quantity,
+      |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      | FROM lineitem)
+      |WHERE rn = (n + 1) // 2 OR rn = GREATEST(1, (9 * n) // 10)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Pearson correlation from EXACT decimal sums: built-in corr() folds
+    * doubles in partition order (not reproducible, not oracle-able); here
+    * every sufficient statistic (Σx, Σy, Σxy, Σx², Σy², n) is an exact
+    * DECIMAL sum, and only the final closed-form combination runs in
+    * IEEE double — identical on any engine and any partitioning. */
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dbl(sum(x)).as("sx"), dbl(sum(y)).as("sy"),
+        dbl(sum(x * y)).as("sxy"),
+        dbl(sum(x * x)).as("sxx"), dbl(sum(y * y)).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q33Sql =
+    """SELECT l_returnflag, n,
+      | (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+      |   AS corr_qty_price
+      |FROM (
+      | SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |  CAST(SUM(x * y) AS DOUBLE) AS sxy,
+      |  CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy
+      | FROM (SELECT l_returnflag,
+      |        CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |        CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |       FROM lineitem)
+      | GROUP BY 1)
+      |ORDER BY 1""".stripMargin
+
+  /** Fixed-width histogram with pure integer bucket arithmetic (cents
+    * `div` bucket-width-in-cents — no floating-point boundary ambiguity),
+    * capped into a final overflow bucket. */
+  private def q34(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("bucket",
+        least(lit(9L), expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 6000000")))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority", "bucket")
+
+  private val q34Sql =
+    """SELECT o_orderpriority,
+      | LEAST(9, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 6000000) AS bucket,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -723,5 +822,8 @@ object Rel {
     Q("q29_array_funcs", q29, Some(q29Sql)),
     Q("q30_null_funcs", q30, Some(q30Sql)),
     Q("q31_range_join", q31, Some(q31Sql)),
+    Q("q32_exact_quantiles", q32, Some(q32Sql)),
+    Q("q33_exact_corr", q33, Some(q33Sql)),
+    Q("q34_histogram", q34, Some(q34Sql)),
   )
 }

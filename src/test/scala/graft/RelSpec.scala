@@ -31,6 +31,55 @@ class RelSpec extends SparkSpec {
       === plain.map(t => (t._1, t._2.doubleValue, t._3)).toSeq)
   }
 
+  test("exact positional quantiles match a driver-side sort on sf0.001") {
+    val li = Tables.t(spark, dir, "lineitem")
+    val rows = SparkEntry.queries("q32_exact_quantiles")(spark, dir).collect()
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val sorted = li.filter(col("l_returnflag") === flag)
+        .select(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .collect()
+        .sortBy(x => (x.getDouble(0), x.getLong(1), x.getInt(2)))
+        .map(_.getDouble(0))
+      val n = sorted.length
+      assert(r.getLong(3) === n.toLong)
+      assert(r.getDouble(1) === sorted((n + 1) / 2 - 1), s"median $flag")
+      assert(r.getDouble(2) === sorted(math.max(1, 9 * n / 10) - 1), s"p90 $flag")
+    }
+  }
+
+  test("exact-decimal corr agrees with built-in corr to FP tolerance; =1 on linear data") {
+    val got = SparkEntry.queries("q33_exact_corr")(spark, dir).collect()
+    val builtin = Tables.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(2) - builtin(r.getString(0))) < 1e-9)
+    }
+    // perfectly linear relation → corr 1 (sanity of the closed form)
+    val lin = (1 to 100).map(i => ("k", i.toDouble, 3.0 * i + 7)).toDF("g", "x", "y")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(18,2)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(18,2)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(18,2)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(18,2)")).cast("double").as("syy"))
+      .select(((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")))).as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(lin - 1.0) < 1e-12)
+  }
+
+  test("histogram buckets partition all rows and cap at the overflow bucket") {
+    val got = SparkEntry.queries("q34_histogram")(spark, dir).collect()
+    val total = got.map(_.getLong(2)).sum
+    assert(total === Tables.t(spark, dir, "orders").count())
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9))
+  }
+
   test("approx_count_distinct is within its error bound of exact") {
     val got = SparkEntry.queries("q24_approx_distinct")(spark, dir).collect()
     got.foreach { r =>
