@@ -41,6 +41,22 @@ object Text {
   def cjkChars(c: Column): Column =
     length(c) - length(regexp_replace(c, "[\\u4e00-\\u9fff]", ""))
 
+  // Conservative regexes (plain classes + quantifiers, no alternation or
+  // backreferences) so Java regex (Spark) and RE2 (DuckDB) match the same
+  // spans — the property the oracle relies on.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Canonical text normalization (the CCNet/Dolma-style cleanup pass):
+    * collapse whitespace runs, trim, lowercase. */
+  def normalize(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** PII redaction: emails and URLs replaced by stable tags — runs as two
+    * codegen'd regexp_replace passes, map-only at any scale. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+
   /** Heuristic language ID: argmax of per-language scores; deterministic
     * tie-break on language name. Returns a struct (lang, score). */
   def langScores(text: Column): Column = {
@@ -246,6 +262,45 @@ object Text {
   private def txtTfidf(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTerms(t(spark, dir, "documents"), 5).orderBy("doc_id", "rank")
 
+  /** Normalization + redaction stats per source — every value an integer
+    * count or length, hash-checked cross-engine. (The synthetic corpus
+    * carries no PII, so the redaction counters legitimately verify as
+    * zero here; their match semantics are pinned on planted fixtures in
+    * TextSpec.) */
+  private def txtNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), col("text"), normalize(col("text")).as("norm"))
+      .select(col("source"), col("text"), col("norm"),
+        redactPii(col("norm")).as("red"))
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("sum_chars_raw"),
+        sum(length(col("norm"))).cast(LongType).as("sum_chars_norm"),
+        sum(regexp_count(col("norm"), lit(EmailRe))).cast(LongType).as("n_emails"),
+        sum(regexp_count(col("norm"), lit(UrlRe))).cast(LongType).as("n_urls"),
+        sum(length(col("red"))).cast(LongType).as("sum_chars_redacted"))
+      .orderBy("source")
+  }
+
+  private val txtNormalizeSql = {
+    // the same regex source strings — DuckDB's RE2 and Java regex agree on
+    // these conservative patterns (classes + quantifiers only)
+    val email = EmailRe
+    val url = UrlRe
+    s"""SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars_raw,
+       | CAST(SUM(LENGTH(norm)) AS BIGINT) AS sum_chars_norm,
+       | CAST(SUM(LEN(REGEXP_EXTRACT_ALL(norm, '$email'))) AS BIGINT) AS n_emails,
+       | CAST(SUM(LEN(REGEXP_EXTRACT_ALL(norm, '$url'))) AS BIGINT) AS n_urls,
+       | CAST(SUM(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(norm, '$email', '<EMAIL>', 'g'),
+       |   '$url', '<URL>', 'g'))) AS BIGINT) AS sum_chars_redacted
+       |FROM (SELECT source, text,
+       |       LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS norm
+       |      FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** DuckDB argmax via list_max over (score, lang) structs — the same
     * lexicographic comparison as Spark's greatest() over structs, so ties
     * on score break toward the later language name on both engines. */
@@ -280,5 +335,6 @@ object Text {
     Q("txt_quality", txtQuality, Some(txtQualitySql)),
     Q("txt_langid", txtLangid, Some(txtLangidSql)),
     Q("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
-    Q("txt_tfidf", txtTfidf, None))
+    Q("txt_tfidf", txtTfidf, None),
+    Q("txt_normalize", txtNormalize, Some(txtNormalizeSql)))
 }

@@ -35,6 +35,22 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("normalize collapses whitespace and lowercases; redactPii replaces spans") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      "  Mixed   CASE\t\ttext \n with  runs  ",
+      "mail me at First.Last+tag@example.co.uk today",
+      "see https://example.com/a?b=c#d and http://x.io then stop",
+      "no pii here").toDF("text")
+      .select(col("text"), Text.normalize(col("text")).as("n"))
+      .select(col("n"), Text.redactPii(col("n")).as("r"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0)._1 === "mixed case text with runs")
+    assert(rows(1)._2 === "mail me at <EMAIL> today")
+    assert(rows(2)._2 === "see <URL> and <URL> then stop")
+    assert(rows(3)._2 === "no pii here")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val df = Seq(
       (1L, "alpha beta gamma"),
