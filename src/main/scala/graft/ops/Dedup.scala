@@ -98,7 +98,7 @@ object Dedup {
     * 16 bands × 4 rows (k=64) targets ~0.5 similarity. Every hash is
     * md5-derived ([[PortableHash]]), so the WHOLE pipeline — signatures,
     * band buckets, candidate pairs, verified Jaccard — is reproduced by
-    * the DuckDB oracle SQL ([[minhashPairsCte]]).
+    * the DuckDB oracle SQL ([[minhashCtes]]).
     *
     * Returns an eagerly materialized frame (localCheckpoint) and releases
     * every internal cache before returning — callers can fan out over the

@@ -248,6 +248,20 @@ class TableStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { st.create("t", schema) }
   }
 
+  test("reader isolation: a DataFrame read before a commit still sees its snapshot") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val before = st.read("t") // plan pins the CURRENT file list
+    st.upsert("t", Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    // data files are immutable and retained until expireSnapshots — the
+    // pre-commit reader keeps its consistent snapshot
+    assert(before.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+    assert(st.read("t").orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
   test("stale commit lock is reclaimed automatically (crash recovery)") {
     val st = newStore()
     st.create("t", schema)
