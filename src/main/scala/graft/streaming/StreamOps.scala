@@ -50,6 +50,21 @@ object StreamOps {
       .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming CONTENT dedup for a document stream: drop any doc whose
+    * rolling-hash fingerprint (graft.ops.Text.fingerprint — order-sensitive,
+    * portable) was already seen inside the watermark window. The state
+    * store keys on the 64-bit fingerprint, never the text, so state stays
+    * tiny at ingest scale; the watermark bounds it. This is the streaming
+    * half of the exact-dedup training-data pass (batch half: dd_exact).
+    * `eventTimeCol` must be an event-time timestamp column on `docs`. */
+  def dedupDocsByContent(docs: DataFrame, eventTimeCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("__fp", graft.ops.Text.fingerprint(col("text")))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp")
+
   /** Exactly-once style dedup on event_id (streaming:
     * dropDuplicatesWithinWatermark keeps state bounded). The batch path
     * picks the (event_type, user_id, ts_sec)-minimal row per event_id via

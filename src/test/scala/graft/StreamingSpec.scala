@@ -86,6 +86,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupDocsByContent drops replayed and duplicated document text across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    ms.addData(
+      (1L, ts("2024-01-01 10:00:00"), "alpha beta gamma"),
+      (2L, ts("2024-01-01 10:01:00"), "alpha beta gamma"), // same content, new id
+      (3L, ts("2024-01-01 10:02:00"), "delta epsilon"))
+    val q = StreamOps.dedupDocsByContent(
+      ms.toDF().toDF("doc_id", "ts", "text"), "ts", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("docdedup").start()
+    try {
+      q.processAllAvailable()
+      // next batch replays content seen in the previous batch (state works
+      // ACROSS batches) plus one genuinely new doc
+      ms.addData(
+        (4L, ts("2024-01-01 10:03:00"), "delta epsilon"),
+        (5L, ts("2024-01-01 10:04:00"), "zeta eta"))
+      q.processAllAvailable()
+      val got = spark.table("docdedup").orderBy("doc_id")
+        .collect().map(_.getLong(0))
+      assert(got.toSeq === Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-user counters survive batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
