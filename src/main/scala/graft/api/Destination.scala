@@ -94,12 +94,13 @@ object Destination {
   }
 }
 
+/** Write acknowledgement: the durably-committed record's position. */
+final case class Ack(position: Array[Byte])
+
 /** An open ingest stream. Thread-unsafe single-writer, like the reference's
   * strictly-sequential record stream (SURVEY.md §3). */
 final class DestinationStream private[api] (
     spark: SparkSession, store: TableStore, cfg: CdcApply.CdcConfig) {
-
-  final case class Ack(position: Array[Byte])
 
   /** Per-record write → ack, the reference's exact contract (one record,
     * one durable commit, one ack). Prefer `writeBatch` — the reference's

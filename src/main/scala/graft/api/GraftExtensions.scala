@@ -25,7 +25,8 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, "", name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def lit(e: Expression, what: String): Literal = e match {
     case l: Literal => l
