@@ -2,9 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import graft.functions._
 
 /** SparkSessionExtensions installer exposing the engine's native Catalyst
@@ -39,14 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case i: Int => i
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
-    }
-
-  private def doubleArray(e: Expression, what: String): Array[Double] =
-    lit(e, what).value match {
-      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toDoubleArray()
-      case other => throw new IllegalArgumentException(
-        s"$what must be an array<double> literal, got $other")
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -51,16 +51,19 @@ object StreamOps {
         col("n_events"), col("sum_value"))
 
   /** Streaming CONTENT dedup for a document stream: drop any doc whose
-    * rolling-hash fingerprint (graft.ops.Text.fingerprint — order-sensitive,
-    * portable) was already seen inside the watermark window. The state
-    * store keys on the 64-bit fingerprint, never the text, so state stays
-    * tiny at ingest scale; the watermark bounds it. This is the streaming
-    * half of the exact-dedup training-data pass (batch half: dd_exact).
-    * `eventTimeCol` must be an event-time timestamp column on `docs`. */
+    * token-normalized content hash was already seen inside the watermark
+    * window. The key is a 60-bit md5-derived hash of the whitespace-
+    * normalized token join (graft.ops.PortableHash.h60 — NOT the 32-bit
+    * rolling fingerprint, whose birthday bound would silently merge
+    * distinct docs after ~77k per window), so the state store keys on 8
+    * bytes, never the text, and the watermark bounds it. This is the
+    * streaming half of the exact-dedup training-data pass (batch half:
+    * dd_exact). `eventTimeCol` must be an event-time timestamp column. */
   def dedupDocsByContent(docs: DataFrame, eventTimeCol: String,
       watermark: String): DataFrame =
     docs
-      .withColumn("__fp", graft.ops.Text.fingerprint(col("text")))
+      .withColumn("__fp", graft.ops.PortableHash.h60(
+        concat_ws(" ", graft.ops.Text.tokens(col("text")))))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("__fp"))
       .drop("__fp")

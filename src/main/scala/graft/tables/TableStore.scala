@@ -50,8 +50,10 @@ final class TableStore(spark: SparkSession, val root: String,
     hadoopProps.foreach { case (k, v) => c.set(k, v) }
     c
   }
-  private val rootPath = new HPath(root)
-  private val fs: FileSystem = rootPath.getFileSystem(hconf)
+  private val fs: FileSystem = new HPath(root).getFileSystem(hconf)
+  // qualified (scheme + absolute) so path arithmetic like relativize works
+  // for RELATIVE local roots too — listFiles always returns qualified paths
+  private val rootPath = fs.makeQualified(new HPath(root))
   // FileContext provides rename-with-overwrite (FileSystem.rename refuses
   // an existing destination on HDFS); atomic on rename-capable stores
   private lazy val fctx: FileContext =
@@ -479,21 +481,41 @@ final class TableStore(spark: SparkSession, val root: String,
     * manifest chain. A lock file left behind by a crashed writer is
     * reclaimed once it is older than [[TableStore.StaleLockMs]] — commit
     * windows are seconds, so a lock aged tens of minutes cannot belong to
-    * a live commit. */
+    * a live commit.
+    *
+    * Atomicity: on `file:` the O_EXCL java.nio create is used (Hadoop's
+    * RawLocalFileSystem create(overwrite=false) is check-then-create);
+    * elsewhere fs.create(overwrite=false) is atomic (HDFS). Stale
+    * reclamation is race-free: contenders RENAME the stale lock to a
+    * unique name — exactly one rename succeeds — and only the winner
+    * retries the create. */
   private def acquireLock(name: String, lock: HPath): Unit = {
     def tryCreate(): Boolean =
-      try { fs.create(lock, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if fs.exists(lock) => false
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { fs.create(lock, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if fs.exists(lock) => false
+        }
       }
     if (tryCreate()) return
-    // stale-lock recovery: reclaim if the lock is older than the threshold
+    // stale-lock recovery: claim via rename (only one contender wins it)
     val age = try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
     catch { case _: java.io.FileNotFoundException => Long.MaxValue }
     if (age > TableStore.StaleLockMs) {
-      fs.delete(lock, false)
-      if (tryCreate()) return
+      val claim = new HPath(lock.getParent,
+        s"_commit.lock.reclaim-${UUID.randomUUID().toString.take(8)}")
+      val won = try fs.rename(lock, claim) catch { case _: java.io.IOException => false }
+      if (won) {
+        fs.delete(claim, false)
+        if (tryCreate()) return
+      }
     }
     throw new IllegalStateException(
       s"table $name has a concurrent writer (lock $lock, age ${age}ms; " +

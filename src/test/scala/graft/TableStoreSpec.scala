@@ -284,6 +284,21 @@ class TableStoreSpec extends SparkSpec {
     fs.delete(lock, false)
   }
 
+  test("RELATIVE local store root works (paths are qualified at construction)") {
+    val rel = s"target/rel-store-${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val st = new TableStore(spark, rel)
+      st.create("t", schema)
+      st.append("t", Seq((1L, "a")).toDF("id", "v"))
+      st.upsert("t", Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+      assert(st.read("t").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "a2")))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(rel)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("table root on an explicit file:-scheme Hadoop URI works end to end") {
     val st = new TableStore(spark, "file://" + tmpDir("tablestore-uri-"))
     st.create("t", schema, zoneCols = Seq("id"))
