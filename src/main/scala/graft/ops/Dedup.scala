@@ -469,11 +469,14 @@ object Dedup {
        |           JOIN shd y ON y.doc_id = cand.b)
        |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin
 
+  // dd_minhash_lsh runs BEFORE the composed pipelines that reuse its
+  // signature stage, so the (identical) generated code is jit/codegen-warm
+  // when dd_dup_clusters / dd_clean_corpus pay for their full chains
   val all: Seq[Q] = Seq(
     Q("dd_exact", ddExact, Some(ddExactSql)),
-    Q("dd_clean_corpus", ddCleanCorpus, Some(ddCleanCorpusSql)),
     Q("dd_minhash_lsh", ddMinhash, Some(ddMinhashSql)),
     Q("dd_simhash", ddSimhash, Some(ddSimhashSql)),
     Q("dd_ngram_jaccard", ddNgramJaccard, Some(ddNgramJaccardSql)),
-    Q("dd_dup_clusters", ddDupClusters, Some(ddDupClustersSql)))
+    Q("dd_dup_clusters", ddDupClusters, Some(ddDupClustersSql)),
+    Q("dd_clean_corpus", ddCleanCorpus, Some(ddCleanCorpusSql)))
 }
