@@ -34,8 +34,10 @@ object CdcApply {
     * `DestinationConfig` required-key checks (DestinationConfig.java:45-118).
     * `strictValidation` = reference per-record semantics (ANY invalid record
     * fails the batch); false validates only per-key net winners — faster on
-    * large replays, and a malformed record that loses last-write-wins
-    * cannot fail the batch. */
+    * large replays, and an invalid record (malformed payload JSON included)
+    * that loses last-write-wins cannot fail the batch. Record KEYS must
+    * always parse in either mode: a record whose key is unreadable cannot
+    * even be placed in the per-key ordering. */
   final case class CdcConfig(table: String, keyCols: Seq[String],
       strictValidation: Boolean = true) {
     require(table != null && table.nonEmpty, "config: table is required")
@@ -108,17 +110,35 @@ object CdcApply {
     val keySchema = StructType(config.keyCols.map(c =>
       schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"key column $c not in table schema"))))
+    // malformed JSON passes through unchanged: the PERMISSIVE from_json
+    // flags it via the corrupt-record column under the validation scope
+    // (a throw here would fail the batch even for net losers)
     val normalize = udf((s: String) =>
-      if (s == null) null else CdcDecode.normalizeIntegralFloats(s))
+      if (s == null) null
+      else try CdcDecode.normalizeIntegralFloats(s)
+      catch { case _: com.fasterxml.jackson.core.JacksonException => s })
 
-    // Distributed decode: schema-enforced FAILFAST parse against the
-    // catalog-owned table schema (S3) and typed key struct. Envelopes that
-    // carry a typed __srow (structured payloads) bypass the JSON parse.
-    val opts = Map("mode" -> "FAILFAST")
-    val jsonRow = when(col("__payload").isNotNull,
-      from_json(normalize(col("__payload")), schema, opts))
+    // Distributed decode: schema-enforced parse against the catalog-owned
+    // table schema (S3) and typed key struct. Payloads parse PERMISSIVE
+    // with a corrupt-record capture column, so malformedness is a COUNTED
+    // validation outcome under the configured scope (strict = any record,
+    // net-only = net winners) instead of a FAILFAST throw that would fail
+    // the batch even for records that lose last-write-wins. Keys still
+    // parse FAILFAST: an unreadable key cannot be placed in the per-key
+    // ordering at all. Envelopes that carry a typed __srow (structured
+    // payloads) bypass the JSON parse.
+    val extSchema = StructType(schema.fields :+
+      StructField("__corrupt", StringType))
+    val parsed = when(col("__payload").isNotNull,
+      from_json(normalize(col("__payload")), extSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__corrupt")))
+    val jsonRow = when(col("__parsed").isNotNull, struct(
+      schema.fields.map(f => col("__parsed").getField(f.name).as(f.name)).toSeq: _*))
     val decoded = env
-      .withColumn("__k", from_json(normalize(col("__key")), keySchema, opts))
+      .withColumn("__k",
+        from_json(normalize(col("__key")), keySchema, Map("mode" -> "FAILFAST")))
+      .withColumn("__parsed", parsed)
+      .withColumn("__corrupt", col("__parsed").getField("__corrupt"))
       .withColumn("__row",
         if (env.columns.contains("__srow")) coalesce(col("__srow"), jsonRow)
         else jsonRow)
@@ -126,7 +146,8 @@ object CdcApply {
     try {
       val keyFields = config.keyCols.map(c => col("__k").getField(c).as(c))
       val flat = decoded
-        .select((keyFields :+ col("__seq") :+ col("__op") :+ col("__row")): _*)
+        .select((keyFields :+ col("__seq") :+ col("__op") :+ col("__row")
+          :+ col("__corrupt")): _*)
       // Net effect per key: last record (by ingest order) wins.
       val w = Window.partitionBy(config.keyCols.map(col): _*)
         .orderBy(col("__seq").desc)
@@ -156,9 +177,12 @@ object CdcApply {
         sum(when(col("__op").isin(upsertOps: _*) && col("__row").isNull, 1L)
           .otherwise(0L)).as("no_payload"),
         sum(when(col("__row").isNotNull && keyMismatch, 1L).otherwise(0L)).as("key_mismatch"),
-        sum(when(anyKeyNull, 1L).otherwise(0L)).as("bad_key"))
+        sum(when(anyKeyNull, 1L).otherwise(0L)).as("bad_key"),
+        sum(when(col("__corrupt").isNotNull, 1L).otherwise(0L)).as("malformed"))
         .collect()(0)
       if (checks.getLong(0) == 0) return Stats(0, 0) // empty batch
+      if (checks.getLong(5) > 0) throw new IllegalArgumentException(
+        s"${checks.getLong(5)} record(s) with malformed payload JSON")
       if (checks.getLong(1) > 0) throw new IllegalArgumentException(
         s"${checks.getLong(1)} record(s) with unknown operation")
       if (checks.getLong(2) > 0) throw new IllegalArgumentException(

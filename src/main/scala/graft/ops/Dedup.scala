@@ -283,8 +283,13 @@ object Dedup {
   private def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     // explode tokens THEN hash — the md5 runs codegen'd per row instead of
     // interpreted inside an HOF lambda; repartition first so the per-token
-    // hashing parallelizes even from a one-row-group input file
+    // hashing parallelizes even from a one-row-group input file. Null-text
+    // docs are dropped explicitly: explode_outer would otherwise keep a
+    // null-token row whose bit tests all fall to -1, producing sig=0 docs
+    // that bucket with legitimate zero chunks (the oracle's UNNEST drops
+    // null-text docs, so both engines must drop them identically).
     val hashes = ScaleOps.ensureParallelism(t(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("w"))
       .select(col("doc_id"), PortableHash.h60(col("w")).as("h"))
     val bitAggs = (0 until 64).map(b =>

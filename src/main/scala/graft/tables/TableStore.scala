@@ -15,10 +15,14 @@ import org.apache.spark.sql.types.StructType
   * matching the reference's S3-resident tables (SparkUtils.java:47
   * `S3FileIO`); a local path without a scheme resolves against the
   * default filesystem exactly as before. Snapshot commits rely on
-  * ATOMIC RENAME of the `_current` pointer: that holds on HDFS and local
-  * filesystems, but S3A implements rename as copy+delete — on S3, front
-  * the `_current` pointer with a real catalog (the reference does exactly
-  * this via the Iceberg catalog) or accept a small non-atomic window.
+  * ATOMIC RENAME of the `_current` pointer. On `file:` that means
+  * java.nio `ATOMIC_MOVE` (Hadoop's FileContext rename-with-overwrite
+  * falls back to delete-then-rename on local filesystems — a crash in
+  * between would leave no `_current` at all); on HDFS, FileContext's
+  * overwriting rename is natively atomic. S3A implements rename as
+  * copy+delete — on S3, front the `_current` pointer with a real catalog
+  * (the reference does exactly this via the Iceberg catalog) or accept a
+  * small non-atomic window.
   *
   * Layout per table under `root/<name>/`:
   *   - `data/<uuid>-<part>.parquet` — immutable data files
@@ -469,9 +473,22 @@ final class TableStore(spark: SparkSession, val root: String,
       writeString(new HPath(d, manifest), files.mkString("\n"))
       val tmp = new HPath(d, s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
       writeString(tmp, manifest)
-      // rename-with-overwrite: atomic pointer swap on HDFS/local (S3 caveat
-      // in the class doc — there, put a catalog in front of _current)
-      fctx.rename(tmp, new HPath(d, "_current"), Options.Rename.OVERWRITE)
+      val current = new HPath(d, "_current")
+      if (fs.getScheme == "file") {
+        // FileContext's overwrite rename is delete-then-rename on local
+        // filesystems (only HDFS overrides it atomically) — a crash between
+        // the two would strand the table with NO `_current`. java.nio
+        // ATOMIC_MOVE is a true atomic replace on POSIX.
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(current.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        // atomic pointer swap on HDFS (S3 caveat in the class doc — there,
+        // put a catalog in front of _current)
+        fctx.rename(tmp, current, Options.Rename.OVERWRITE)
+      }
     } finally { fs.delete(lock, false); () }
   }
 
@@ -505,16 +522,26 @@ final class TableStore(spark: SparkSession, val root: String,
         }
       }
     if (tryCreate()) return
-    // stale-lock recovery: claim via rename (only one contender wins it)
     val age = try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-    catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    catch {
+      case _: java.io.FileNotFoundException =>
+        // the competing writer released the lock between our failed create
+        // and the stat — a benign race, not a conflict: retry the create
+        // once before declaring a concurrent writer
+        if (tryCreate()) return else 0L
+    }
     if (age > TableStore.StaleLockMs) {
+      // stale-lock recovery: claim via rename (only one contender wins it)
       val claim = new HPath(lock.getParent,
         s"_commit.lock.reclaim-${UUID.randomUUID().toString.take(8)}")
       val won = try fs.rename(lock, claim) catch { case _: java.io.IOException => false }
       if (won) {
         fs.delete(claim, false)
         if (tryCreate()) return
+      } else if (tryCreate()) {
+        // rename lost because the lock vanished (holder released, or another
+        // contender reclaimed and finished) — the slot may be free now
+        return
       }
     }
     throw new IllegalStateException(

@@ -288,6 +288,32 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("malformed payload JSON is counted under the validation scope, not FAILFAST") {
+    val st = newTable()
+    val lenient = CdcConfig("t", Seq("int_field"), strictValidation = false)
+    def rec(seq: Int, payload: String) =
+      CdcRecord(Array(seq.toByte), CdcOp.Create,
+        key = Some(RawData("""{"int_field": 1}""")),
+        after = Some(RawData(payload)))
+    val batch = Seq(
+      rec(0, """{"int_field": 1, "string_field": BROKEN"""), // malformed, loses
+      rec(1, """{"int_field": 1, "string_field": "ok"}"""))
+    // strict: ANY malformed record fails the batch, with a counted error
+    // (not a mid-job FAILFAST SparkException)
+    val e = intercept[IllegalArgumentException] { CdcApply(spark, st, cfg, batch) }
+    assert(e.getMessage.contains("malformed payload JSON"))
+    // net-only: the malformed record loses last-write-wins → batch applies
+    assert(CdcApply(spark, st, lenient, batch) === CdcApply.Stats(1, 0))
+    assert(st.read("t").count() === 1)
+    // net-only with a malformed WINNER still fails
+    val e2 = intercept[IllegalArgumentException] {
+      CdcApply(spark, st, lenient, Seq(
+        rec(0, """{"int_field": 1, "string_field": "x"}"""),
+        rec(1, """{"int_field": 1, BROKEN""")))
+    }
+    assert(e2.getMessage.contains("malformed payload JSON"))
+  }
+
   test("config validation mirrors DestinationConfig required-key checks") {
     intercept[IllegalArgumentException] { CdcConfig("", Seq("k")) }
     intercept[IllegalArgumentException] { CdcConfig("t", Nil) }
