@@ -25,6 +25,25 @@ object Similarity {
     Array.fill(24, 64)(rnd.nextGaussian())
   }
 
+  /** Hyperplanes quantized to whole-valued doubles (×1e6, rounded) — the
+    * constants behind [[lshBucketsQ]] and inlined verbatim into the DuckDB
+    * oracle SQL, so both engines hash with the exact same integers. */
+  private lazy val qplanes: Array[Array[Double]] =
+    planes.map(_.map(p => math.round(p * 1e6).toDouble))
+
+  /** Quantize a float-vector column to WHOLE-VALUED doubles:
+    * `round(x * 1e6)`. Components stay ≤ ~5e5 in magnitude, so every dot
+    * product and squared norm over 64 dims is an exact integer below 2^53
+    * — exactly representable in double REGARDLESS of accumulation order,
+    * which makes cosine = dot/(sqrt(n1)*sqrt(n2)) a chain of correctly-
+    * rounded IEEE ops: bit-identical in any engine. This is what lets the
+    * similarity gates be DuckDB-oracled (floats would differ by summation
+    * order); the ~1e-6 relative quantization error is far below any
+    * similarity threshold in use. Spark `round` and DuckDB `ROUND` both
+    * round half away from zero. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x * lit(1e6)))
+
   /** Dot product of two vector columns — native codegen'd expression
     * (graft.functions.VectorDot); same left-to-right double accumulation
     * as the HOF formulation, ~10× faster in the hot loop. */
@@ -49,6 +68,18 @@ object Similarity {
       s"tables*bits = ${tables * bits} exceeds the ${planes.length} seeded planes")
     graft.functions.LshExprs.lsh_buckets(
       v, planes.take(tables * bits).flatten, tables, bits, multiprobe)
+  }
+
+  /** [[lshBuckets]] against the QUANTIZED planes, for quantized vectors:
+    * every hyperplane dot is an exact integer, so the sign bits and the
+    * multiprobe argmin are exact comparisons — cross-engine reproducible
+    * (the oracle SQL recomputes them from the same inlined constants). */
+  def lshBucketsQ(v: Column, tables: Int = 4, bits: Int = 6,
+      multiprobe: Boolean = false): Column = {
+    require(tables * bits <= qplanes.length,
+      s"tables*bits = ${tables * bits} exceeds the ${qplanes.length} seeded planes")
+    graft.functions.LshExprs.lsh_buckets(
+      v, qplanes.take(tables * bits).flatten, tables, bits, multiprobe)
   }
 
   /** LSH bucket keys exploded to (id, bucket) rows for bucket-equality
@@ -93,21 +124,25 @@ object Similarity {
     * re-scan or shuffle rejoin for candidate vectors. Only scored
     * (query_id, id, score, payload) rows — never embeddings — cross the
     * two small shuffles (per-table dedup, then bounded top-k). */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      quantizedHashing: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    def bkts(v: Column, multiprobe: Boolean): Column =
+      if (quantizedHashing) lshBucketsQ(v, multiprobe = multiprobe)
+      else lshBuckets(v, multiprobe = multiprobe)
     // query probes (multiprobe) carry the query vector: 2×tables rows per
     // query — tiny, broadcast. No dedup needed: within a table the flip
     // probe always differs from the base signature by construction, so
     // (query_id, bucket) rows are already distinct.
     val qT = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode_outer(lshBuckets(col("embedding"), multiprobe = true)).as("bucket"))
+        explode_outer(bkts(col("embedding"), multiprobe = true)).as("bucket"))
     // corpus pass: one fused signature expression, bucket-match against
     // the broadcast probes, score in place
     val scored = corpus
       .select(col("vec_id"), col("embedding"), col("label"),
-        explode_outer(lshBuckets(col("embedding"))).as("bucket"))
+        explode_outer(bkts(col("embedding"), multiprobe = false)).as("bucket"))
       .join(broadcast(qT), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"),
@@ -128,23 +163,29 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: the second scale path besides LSH.
-    * Centroids are a deterministic corpus sample (every (n/k)-th vector);
-    * each corpus vector is assigned to its best centroid ONCE (broadcast
-    * centroids, codegen'd dot — a map-only pass), queries probe their
-    * `nprobe` best cells, and exact cosine ranks within the probed cells.
-    * At 100 TB the corpus side stays partitioned by cell; only the tiny
-    * (query × nprobe) set is broadcast.
+    * Centroids are a deterministic corpus sample (every (n/k)-th vector,
+    * selected by an explicit id predicate — NOT limit(), whose row choice
+    * depends on scan order); each corpus vector is assigned to its best
+    * centroid ONCE (broadcast centroids, codegen'd dot — a map-only
+    * pass), queries probe their `nprobe` best cells, and exact cosine
+    * ranks within the probed cells. At 100 TB the corpus side stays
+    * partitioned by cell; only the tiny (query × nprobe) set is
+    * broadcast.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     val n = corpus.count()
     val step = math.max(1L, n / nCells)
-    val centroids = corpus.filter(col("vec_id") % step === 0)
-      .limit(nCells)
+    val centroids = corpus
+      .filter(col("vec_id") % step === 0 && col("vec_id") < step * nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => other.toString.toDouble
+      }.toArray))
     // all centroid dots in ONE codegen'd expression (MatVecDots) — bound
     // to an attribute so the argmax/probe derivation reads materialized
     // scores instead of re-evaluating 16 separate dot expressions
@@ -190,23 +231,38 @@ object Similarity {
   }
 
   // ---- registered queries --------------------------------------------------
+  //
+  // Gates run over the QUANTIZED embedding view ([[quantize]]): every dot,
+  // norm and LSH signature bit is exact integer arithmetic in double, so
+  // each gate has a value-exact DuckDB oracle. The float-vector library
+  // entry points above stay as the production API; quantization is itself
+  // a standard large-corpus trick (int8/int16 embedding compression).
 
-  private def queriesOf(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings").filter(col("vec_id") < 8)
+  /** Quantized embedding view shared by gates and oracles. */
+  private def qEmb(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("embedding"),
+        col("label"))
 
-  private def simBrute(spark: SparkSession, dir: String): DataFrame =
-    bruteTopK(t(spark, dir, "embeddings"), queriesOf(spark, dir), 10)
+  private def queriesOf(df: DataFrame): DataFrame = df.filter(col("vec_id") < 8)
+
+  private def simBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(spark, dir)
+    bruteTopK(emb, queriesOf(emb), 10).orderBy("query_id", "rank")
+  }
+
+  private def simAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(spark, dir)
+    annTopK(emb, queriesOf(emb), 10, quantizedHashing = true)
       .orderBy("query_id", "rank")
-
-  private def simAnn(spark: SparkSession, dir: String): DataFrame =
-    annTopK(t(spark, dir, "embeddings"), queriesOf(spark, dir), 10)
-      .orderBy("query_id", "rank")
+  }
 
   /** Embedding near-dup pairs: LSH candidates + cosine ≥ 0.4 across the
     * whole corpus (self-join flavour of the ANN machinery). */
   private def ddEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val withT = lshBucketRows(emb, "vec_id", "embedding", "doc_id")
+    val emb = qEmb(spark, dir)
+    val withT = emb.select(col("vec_id").as("doc_id"),
+      explode_outer(lshBucketsQ(col("embedding"))).as("bucket"))
     val byId = emb.select(col("vec_id"), col("embedding"))
     // single pass over the LSH pipeline (bucket collect + pair expansion),
     // vectors rejoin only for the candidate pairs
@@ -221,30 +277,167 @@ object Similarity {
 
   /** Label-centroid stats: mean vector per label via element-wise array
     * aggregation, then each label's dispersion — exercises vector
-    * aggregation (zip_with + fold) at group level. */
+    * aggregation (fold + codegen'd dot) at group level. Sums are exact
+    * integers (quantized components), descaled back to embedding units
+    * at the end. */
   private def simCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+    val emb = qEmb(spark, dir)
     val summed = emb.groupBy("label")
       .agg(count(lit(1)).as("n"),
         // element-wise sum: reduce over collected arrays would not scale;
-        // instead sum each dimension with posexplode → pivot-free groupBy
+        // the fold is exact (whole-valued doubles), so accumulation order
+        // is irrelevant
         sum(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast(DoubleType))).as("sum_all_dims"),
+          (acc, x) => acc + x)).as("sum_all_dims"),
         sum(dot(col("embedding"), col("embedding"))).as("sum_sq_norm"))
     summed.select(col("label"), col("n"),
-      (col("sum_all_dims") / col("n")).as("mean_component_sum"),
-      (col("sum_sq_norm") / col("n")).as("mean_sq_norm"))
+      (col("sum_all_dims") / col("n") / lit(1e6)).as("mean_component_sum"),
+      (col("sum_sq_norm") / col("n") / lit(1e12)).as("mean_sq_norm"))
       .orderBy("label")
   }
 
-  private def simIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfTopK(t(spark, dir, "embeddings"), queriesOf(spark, dir), 10)
-      .orderBy("query_id", "rank")
+  private def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(spark, dir)
+    ivfTopK(emb, queriesOf(emb), 10).orderBy("query_id", "rank")
+  }
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  /** Quantized-view CTE shared by every oracle (mirrors [[qEmb]]). */
+  private val qvCte =
+    """qv AS (SELECT vec_id, LIST_TRANSFORM(embedding,
+      |          x -> ROUND(x * 1e6)) AS v, label FROM embeddings)""".stripMargin
+
+  /** Cosine over the quantized view — SAME op sequence as
+    * VectorExprs.cosine_sim: dot / (sqrt(dot_aa) * sqrt(dot_bb)). */
+  private def cosSql(a: String, b: String): String =
+    s"LIST_DOT_PRODUCT($a, $b) / (SQRT(LIST_DOT_PRODUCT($a, $a)) * " +
+      s"SQRT(LIST_DOT_PRODUCT($b, $b)))"
+
+  /** The 24 quantized hyperplanes as a VALUES list — the same integers
+    * [[qplanes]] feeds to LshBuckets, so both engines compute identical
+    * signature bits. `e0` suffix forces DOUBLE literals (a bare `.0`
+    * would lex as DECIMAL in DuckDB). */
+  private def planesValuesSql: String =
+    qplanes.zipWithIndex.map { case (row, i) =>
+      row.map(v => s"${v.toLong}e0").mkString(s"($i, [", ", ", "])")
+    }.mkString(",\n")
+
+  /** Per-(vec, table) signature + weakest-bit CTEs (base LSH; the probe
+    * CTE is appended only by the ANN oracle). */
+  private def lshCtes: String =
+    s"""pl(pid, p) AS (VALUES
+       |$planesValuesSql),
+       |$qvCte,
+       |dots AS (SELECT vec_id, pid, LIST_DOT_PRODUCT(v, p) AS d
+       |         FROM qv CROSS JOIN pl),
+       |sigs AS (SELECT vec_id, pid // 6 AS tb,
+       |           CAST(SUM(CASE WHEN d >= 0
+       |             THEN (CAST(1 AS BIGINT) << (pid % 6)) ELSE 0 END) AS BIGINT) AS sig
+       |         FROM dots GROUP BY vec_id, pid // 6),
+       |bk AS (SELECT vec_id, tb * 4294967296 + sig AS bucket FROM sigs)""".stripMargin
+
+  private def simBruteSql: String =
+    s"""WITH $qvCte,
+       |sc AS (SELECT q.vec_id AS query_id, c.vec_id, c.label,
+       |         ${cosSql("c.v", "q.v")} AS cos
+       |       FROM qv c CROSS JOIN qv q
+       |       WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |rk AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, vec_id) AS INT) AS "rank",
+       |         vec_id, label, cos FROM sc)
+       |SELECT query_id, "rank", vec_id, label, cos FROM rk
+       |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+
+  /** ANN oracle: corpus buckets = base signatures; query probes add, per
+    * table, the signature with the least-confident bit flipped (smallest
+    * |dot|, ties → lower bit — exact integer comparisons). Candidates
+    * dedupe across tables (TopKAggregator collapses identical (score,id)
+    * rows on the Spark side), then exact cosine ranks. */
+  private def simAnnSql: String =
+    s"""WITH $lshCtes,
+       |wk AS (SELECT vec_id, tb, wbit FROM (
+       |         SELECT vec_id, pid // 6 AS tb, pid % 6 AS wbit,
+       |                ROW_NUMBER() OVER (PARTITION BY vec_id, pid // 6
+       |                  ORDER BY ABS(d), pid) AS rn
+       |         FROM dots) WHERE rn = 1),
+       |qsig AS (SELECT s.vec_id, s.tb, s.sig,
+       |           xor(s.sig, (CAST(1 AS BIGINT) << w.wbit)) AS psig
+       |         FROM sigs s JOIN wk w ON s.vec_id = w.vec_id AND s.tb = w.tb
+       |         WHERE s.vec_id < 8),
+       |qbk AS (SELECT vec_id AS query_id, tb * 4294967296 + sig AS bucket FROM qsig
+       |        UNION ALL
+       |        SELECT vec_id, tb * 4294967296 + psig FROM qsig),
+       |cand AS (SELECT DISTINCT q.query_id, c.vec_id
+       |         FROM qbk q JOIN bk c USING (bucket)
+       |         WHERE c.vec_id <> q.query_id),
+       |sc AS (SELECT cand.query_id, cand.vec_id, cv.label,
+       |         ${cosSql("cv.v", "qq.v")} AS cos
+       |       FROM cand JOIN qv cv ON cv.vec_id = cand.vec_id
+       |                 JOIN qv qq ON qq.vec_id = cand.query_id),
+       |rk AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, vec_id) AS INT) AS "rank",
+       |         vec_id, label, cos FROM sc)
+       |SELECT query_id, "rank", vec_id, label, cos FROM rk
+       |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+
+  /** Near-dup oracle: bucket sizes capped like Dedup.bucketPairs
+    * (2..MaxBucket=50), pairs a<b distinct, verified at cosine ≥ 0.4. */
+  private def ddEmbeddingSql: String =
+    s"""WITH $lshCtes,
+       |ok AS (SELECT bucket FROM bk GROUP BY bucket
+       |       HAVING COUNT(*) BETWEEN 2 AND 50),
+       |pr AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |       FROM bk x JOIN bk y USING (bucket) JOIN ok USING (bucket)
+       |       WHERE x.vec_id < y.vec_id)
+       |SELECT a, b, ${cosSql("va.v", "vb.v")} AS cos
+       |FROM pr JOIN qv va ON va.vec_id = pr.a
+       |        JOIN qv vb ON vb.vec_id = pr.b
+       |WHERE ${cosSql("va.v", "vb.v")} >= 0.4
+       |ORDER BY a, b""".stripMargin
+
+  private def simCentroidsSql: String =
+    s"""WITH $qvCte
+       |SELECT label, COUNT(*) AS n,
+       |  SUM(LIST_SUM(v)) / COUNT(*) / 1e6 AS mean_component_sum,
+       |  SUM(LIST_DOT_PRODUCT(v, v)) / COUNT(*) / 1e12 AS mean_sq_norm
+       |FROM qv GROUP BY label ORDER BY label""".stripMargin
+
+  /** IVF oracle: centroid rule (every (n/16)-th vector, ids < step*16),
+    * assignment/probes by (dot DESC, cell DESC) — Spark's
+    * reverse(array_sort(struct(score, cell))) ordering — then exact
+    * cosine ranks within probed cells. */
+  private def simIvfSql: String =
+    s"""WITH $qvCte,
+       |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS step FROM qv),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM qv, st
+       |         WHERE vec_id % step = 0 AND vec_id < step * 16),
+       |cd AS (SELECT q.vec_id, c.cell, LIST_DOT_PRODUCT(q.v, c.cv) AS d
+       |       FROM qv q CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cell FROM (
+       |          SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY d DESC, cell DESC) AS rn FROM cd) WHERE rn = 1),
+       |prb AS (SELECT vec_id AS query_id, cell FROM (
+       |          SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY d DESC, cell DESC) AS rn FROM cd
+       |          WHERE vec_id < 8) WHERE rn <= 3),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |         FROM prb p JOIN asg a USING (cell)
+       |         WHERE a.vec_id <> p.query_id),
+       |sc AS (SELECT cand.query_id, cand.vec_id, cv.label,
+       |         ${cosSql("cv.v", "qq.v")} AS cos
+       |       FROM cand JOIN qv cv ON cv.vec_id = cand.vec_id
+       |                 JOIN qv qq ON qq.vec_id = cand.query_id),
+       |rk AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, vec_id) AS INT) AS "rank",
+       |         vec_id, label, cos FROM sc)
+       |SELECT query_id, "rank", vec_id, label, cos FROM rk
+       |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("sim_brute_topk", simBrute, None),
-    Q("sim_ann_lsh", simAnn, None),
-    Q("sim_ann_ivf", simIvf, None),
-    Q("dd_embedding_cosine", ddEmbedding, None),
-    Q("sim_label_centroids", simCentroids, None))
+    Q("sim_brute_topk", simBrute, Some(simBruteSql)),
+    Q("sim_ann_lsh", simAnn, Some(simAnnSql)),
+    Q("sim_ann_ivf", simIvf, Some(simIvfSql)),
+    Q("dd_embedding_cosine", ddEmbedding, Some(ddEmbeddingSql)),
+    Q("sim_label_centroids", simCentroids, Some(simCentroidsSql)))
 }
