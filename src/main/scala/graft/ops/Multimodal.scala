@@ -30,13 +30,16 @@ object Multimodal {
 
   /** STUB codec: a real implementation would decode image/audio bytes.
     * Here: deterministic 8-dim "features" from payload bytes — the
-    * contract (bytes in, fixed-width float vector out) is the real one. */
+    * contract (bytes in, fixed-width float vector out) is the real one.
+    * Slots accumulate RAW byte values (whole numbers, exact in float up
+    * to 2^24 — far above any payload here), so every downstream sum is
+    * order-independent and the feature gate is DuckDB-oracle-able. */
   object FakeCodec {
     def decode(payload: Array[Byte]): Array[Float] = {
       val out = new Array[Float](8)
       var i = 0
       while (i < payload.length) {
-        out(i % 8) += (payload(i) & 0xFF) / 255.0f
+        out(i % 8) += (payload(i) & 0xFF)
         i += 1
       }
       out
@@ -124,9 +127,10 @@ object Multimodal {
       | FROM documents)
       |GROUP BY kind, format ORDER BY kind, format""".stripMargin
 
-  /** Feature extraction through the stubbed codec (rows-only gate; exact
-    * feature values are asserted in ScalaTest). Aggregated so the output
-    * is small and stable. */
+  /** Feature extraction through the stubbed codec. The fake features are
+    * integer byte accumulations, so the per-kind mass is an exact sum the
+    * oracle reproduces from the sha256 hex digest (Σ slots = Σ payload
+    * bytes); exact per-slot values are asserted in ScalaTest. */
   private def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(spark, mediaTable(spark, dir))
     feats.toDF()
@@ -137,6 +141,21 @@ object Multimodal {
           (acc, x) => acc + x.cast(DoubleType))).as("sum_feature_mass"))
       .orderBy("kind")
   }
+
+  /** The payload is FROM_HEX(SHA256(text)); its byte values are read back
+    * out of the hex string two digits at a time. */
+  private val mmFeaturesSql =
+    """SELECT kind, COUNT(*) AS n,
+      | CAST(SUM(OCTET_LENGTH(FROM_HEX(h))) AS BIGINT) AS total_bytes,
+      | CAST(SUM(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32),
+      |   i -> CAST(('0x' || SUBSTR(h, 2*i + 1, 2)) AS BIGINT)))) AS DOUBLE)
+      |   AS sum_feature_mass
+      |FROM (
+      | SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |        SHA256(text) AS h
+      | FROM documents)
+      |GROUP BY kind ORDER BY kind""".stripMargin
 
   /** Frame sampling plumbing with oracle (pure integer generate+agg). */
   private def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
@@ -154,6 +173,6 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
-    Q("mm_features", mmFeatures, None),
+    Q("mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)))
 }

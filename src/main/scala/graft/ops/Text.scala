@@ -226,8 +226,9 @@ object Text {
   /** TF-IDF: classic two-aggregate shape — term frequency per (doc, term)
     * and document frequency per term (both map-side-combined explode aggs),
     * joined on term. Top terms per doc via the bounded TopKAggregator, so
-    * nothing but (docs × k) rows crosses the final shuffle. Rows-only gate
-    * (log() is libm-dependent cross-engine); semantics pinned in TextSpec. */
+    * nothing but (docs × k) rows crosses the final shuffle. Tie-break on
+    * the PORTABLE md5-derived term hash, so the ranking is reproducible by
+    * the DuckDB oracle. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -241,8 +242,8 @@ object Text {
     val scored = tf.join(df, "term")
       .select(col("doc_id").as("query_id"),
         (col("tf") * log(lit(nDocs.toDouble + 1) / (col("df") + 1))).as("score"),
-        xxhash64(col("term")).as("id"), lit(0).as("payload"),
-        col("term"))
+        PortableHash.h60(col("term")).as("id"), lit(0).as("payload"),
+        col("term"), col("tf"), col("df"))
     // carry the term through the top-k by re-joining on its hash
     val topk = scored.select(col("query_id"), col("score"), col("id"), col("payload"))
       .as[graft.functions.ScoredRow]
@@ -254,13 +255,44 @@ object Text {
         col("col.id").as("term_hash"), col("col.score").as("tfidf"))
     topk.join(
       scored.select(col("query_id").as("doc_id"), col("id").as("term_hash"),
-        col("term")).distinct(),
+        col("term"), col("tf"), col("df")).distinct(),
       Seq("doc_id", "term_hash"))
-      .select("doc_id", "rank", "term", "tfidf")
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf")
   }
 
+  /** Gate projection: integer/string columns only. The score itself stays
+    * out of the hash check — ln() is libm-dependent (measured: ~0.1% of
+    * the idf domain differs by 1 ulp between the JVM and DuckDB) — but the
+    * RANKING is oracle-checked: a 1-ulp score wobble would have to land
+    * exactly on a rank boundary to flip it (verified stable at sf0.01 and
+    * sf0.1). */
   private def txtTfidf(spark: SparkSession, dir: String): DataFrame =
-    tfidfTopTerms(t(spark, dir, "documents"), 5).orderBy("doc_id", "rank")
+    tfidfTopTerms(t(spark, dir, "documents"), 5)
+      .select("doc_id", "rank", "term", "tf", "df")
+      .orderBy("doc_id", "rank")
+
+  /** Mirrors [[tfidfTopTerms]]: identical score formula (ln on both
+    * sides), identical tie-break (portable term hash). Only the integer
+    * rank/tf/df and the term string are output-checked. */
+  private val txtTfidfSql = {
+    val th = PortableHash.h60Sql("term")
+    s"""WITH tk AS (SELECT doc_id,
+       |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS toks
+       |      FROM documents),
+       |tr AS (SELECT doc_id, UNNEST(toks) AS term FROM tk),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tr GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tr GROUP BY term),
+       |nd AS (SELECT COUNT(*) AS n FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         tf.tf * LN((CAST(n AS DOUBLE) + 1) / (df.df + 1)) AS score,
+       |         $th AS thash
+       |       FROM tf JOIN df USING (term), nd),
+       |rk AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |         ORDER BY score DESC, thash) AS INT) AS "rank",
+       |         term, tf, df FROM sc)
+       |SELECT doc_id, "rank", term, tf, df FROM rk
+       |WHERE "rank" <= 5 ORDER BY doc_id, "rank"""".stripMargin
+  }
 
   /** Normalization + redaction stats per source — every value an integer
     * count or length, hash-checked cross-engine. (The synthetic corpus
@@ -335,6 +367,6 @@ object Text {
     Q("txt_quality", txtQuality, Some(txtQualitySql)),
     Q("txt_langid", txtLangid, Some(txtLangidSql)),
     Q("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
-    Q("txt_tfidf", txtTfidf, None),
+    Q("txt_tfidf", txtTfidf, Some(txtTfidfSql)),
     Q("txt_normalize", txtNormalize, Some(txtNormalizeSql)))
 }

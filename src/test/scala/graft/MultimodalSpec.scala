@@ -13,7 +13,7 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.FakeCodec.decode(bytes)
     assert(a.toSeq === b.toSeq)
     assert(a.length === 8)
-    assert(math.abs(a(0) - (1 + 9) / 255.0f) < 1e-6)
+    assert(a(0) === (1 + 9).toFloat) // slot 0 = bytes 0 and 8, exact integers
   }
 
   test("media table: opaque binary payload + typed metadata") {
