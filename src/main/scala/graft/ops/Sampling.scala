@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables.t
+import Text.tokens
+import Dedup.shinglesFromToks
+
+/** Dataset-construction operators a large-scale training-data pipeline
+  * needs around dedup/quality: deterministic sampling, stratified
+  * downsampling, and benchmark decontamination.
+  *
+  * Scale design:
+  *   - hash sampling is a MAP-ONLY filter (no RNG state, no shuffle, no
+  *     driver coordination; reproducible across retries/stragglers — the
+  *     reason production pipelines sample by content/id hash, not rand());
+  *   - stratified fixed-k shuffles once on the stratum key; the per-
+  *     stratum sort is bounded by stratum size (strata = languages /
+  *     sources — few and fat, so a window is the right tool, unlike
+  *     per-key top-k over millions of keys where the bounded aggregator
+  *     wins);
+  *   - decontamination hashes benchmark n-grams once, BROADCASTS the
+  *     (small) benchmark hash set, and filters the 100 TB training side
+  *     map-side — the join never shuffles the corpus.
+  *
+  * Everything hashes via [[PortableHash]] (md5-derived), so each gate has
+  * a value-exact DuckDB oracle.
+  */
+object Sampling {
+
+  /** 60-bit portable hash of a row id — the sampling key. */
+  private def idHash(id: Column): Column =
+    PortableHash.h60(id.cast(StringType))
+
+  /** Deterministic uniform sample: keep rows whose id-hash lands below
+    * `pct` of the modulus. Same id → same decision, forever. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(idHash(col(idCol)) % 100 < pct)
+
+  /** Deterministic stratified downsample: at most `k` rows per stratum,
+    * chosen by hash order (a reproducible "random" k without RNG state).
+    * Ties cannot happen in the hash-order sort (id breaks them). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap check):
+    * which training docs share word n-gram shingles with the benchmark
+    * set, and how much. Returns (doc_id, n_hits, n_shingles, ratio) for
+    * contaminated docs. `bench` needs columns (doc_id, text); shingle
+    * hashes are distinct-per-doc trigrams via [[Dedup.shinglesFromToks]]. */
+  def contamination(train: DataFrame, bench: DataFrame): DataFrame = {
+    def shingleHashes(docs: DataFrame): DataFrame = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode_outer(shinglesFromToks(col("toks"))).as("s"))
+      .select(col("doc_id"), PortableHash.h60(col("s")).as("h"))
+    // the benchmark hash set is tiny relative to the corpus — broadcast it
+    // so the training side is filtered map-side, never shuffled
+    val benchH = shingleHashes(bench).select("h").distinct()
+      .withColumn("hit", lit(1))
+    shingleHashes(train)
+      .join(broadcast(benchH), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        (col("n_hits").cast(DoubleType) / col("n_shingles")).as("ratio"))
+  }
+
+  // ---- registered queries --------------------------------------------------
+
+  private def idHashSql(x: String): String =
+    PortableHash.h60Sql(s"CAST($x AS VARCHAR)")
+
+  /** 10% uniform hash sample, summarized per lang. */
+  private def dsSampleHash(spark: SparkSession, dir: String): DataFrame =
+    hashSample(t(spark, dir, "documents"), "doc_id", 10)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("n_chars").cast(LongType).as("total_chars"))
+      .orderBy("lang")
+
+  private val dsSampleHashSql =
+    s"""SELECT lang, COUNT(*) AS n_sampled,
+       | CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |WHERE ${idHashSql("doc_id")} % 100 < 10
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Fixed-size per-stratum sample: exact membership is the check. */
+  private def dsSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(t(spark, dir, "documents"), "lang", "doc_id", 40)
+      .select("lang", "doc_id", "n_chars")
+      .orderBy("lang", "doc_id")
+
+  private val dsSampleStratifiedSql =
+    s"""SELECT lang, doc_id, n_chars FROM (
+       | SELECT lang, doc_id, n_chars,
+       |  ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY ${idHashSql("doc_id")}, doc_id) AS rn
+       | FROM documents)
+       |WHERE rn <= 40 ORDER BY lang, doc_id""".stripMargin
+
+  /** Decontamination gate: benchmark = every 97th doc (a stand-in eval
+    * set), training = the rest; contaminated docs with overlap ratios. */
+  private def txtContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    contamination(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+      .orderBy("doc_id")
+  }
+
+  private val txtContaminationSql = {
+    val hs = PortableHash.h60Sql("s")
+    s"""WITH tk AS (SELECT doc_id,
+       |        REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS toks
+       |      FROM documents WHERE text IS NOT NULL),
+       |sh AS (SELECT doc_id, UNNEST(
+       |        CASE WHEN LEN(toks) < 3 THEN [ARRAY_TO_STRING(toks, ' ')]
+       |             ELSE LIST_DISTINCT(LIST_TRANSFORM(
+       |               GENERATE_SERIES(1, LEN(toks) - 2),
+       |               i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) END) AS s
+       |      FROM tk),
+       |bh AS (SELECT DISTINCT $hs AS h FROM sh WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, $hs AS h FROM sh WHERE doc_id % 97 <> 0),
+       |ct AS (SELECT t.doc_id, COUNT(*) AS n_shingles,
+       |        CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |       FROM tr t LEFT JOIN bh b ON t.h = b.h
+       |       GROUP BY t.doc_id)
+       |SELECT doc_id, n_hits, n_shingles,
+       | CAST(n_hits AS DOUBLE) / n_shingles AS ratio
+       |FROM ct WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("ds_sample_hash", dsSampleHash, Some(dsSampleHashSql)),
+    Q("ds_sample_stratified", dsSampleStratified, Some(dsSampleStratifiedSql)),
+    Q("txt_contamination", txtContamination, Some(txtContaminationSql)))
+}
