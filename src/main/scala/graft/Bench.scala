@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; a full-registry
+      // warmup compiles several hundred, so by the time a query's timed run
+      // comes around its classes may have been evicted and recompiled —
+      // raise the cap so the warmup's compilation actually persists
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/parquet-reader warmup outside any query's timing — runs
