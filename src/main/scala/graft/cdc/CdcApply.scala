@@ -127,6 +127,8 @@ object CdcApply {
     // parse FAILFAST: an unreadable key cannot be placed in the per-key
     // ordering at all. Envelopes that carry a typed __srow (structured
     // payloads) bypass the JSON parse.
+    require(!schema.fieldNames.contains("__corrupt"),
+      "table schema uses the reserved column name __corrupt")
     val extSchema = StructType(schema.fields :+
       StructField("__corrupt", StringType))
     val parsed = when(col("__payload").isNotNull,

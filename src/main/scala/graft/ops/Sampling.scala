@@ -76,6 +76,29 @@ object Sampling {
         (col("n_hits").cast(DoubleType) / col("n_shingles")).as("ratio"))
   }
 
+  /** Sequence packing: assign docs (in deterministic id order) to fixed
+    * token-budget training sequences — the standard pre-training step that
+    * concatenates documents into model-context-length rows. A doc's
+    * sequence is the one its starting token offset falls in (greedy
+    * concatenation; long docs spill into following sequences, whose ids
+    * later docs then start from — offset arithmetic, not bin capacity, is
+    * the ground truth). Runs as ONE window pass partitioned by `groupCol`
+    * (shard/source): each stratum packs independently and in parallel,
+    * which is also what keeps the sort bounded at 100 TB — never a global
+    * single-partition order. Returns the input plus (n_tokens, seq_id). */
+  def packSequences(docs: DataFrame, groupCol: String, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("doc_id"))
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast(LongType))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // budget ≤ 2^20 and offsets < 2^53: the double division is exact
+      // enough that floor() equals integer floor-division here
+      .withColumn("seq_id", floor(col("__start") / lit(budget)).cast(LongType))
+      .drop("__start")
+  }
+
   // ---- registered queries --------------------------------------------------
 
   private def idHashSql(x: String): String =
@@ -142,8 +165,30 @@ object Sampling {
        |FROM ct WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
   }
 
+  /** Packing summary per (source, seq_id): how full each 256-token
+    * sequence is — the packing-efficiency view a pipeline monitors. */
+  private def dsPackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(t(spark, dir, "documents"), "source", 256)
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast(LongType).as("n_tokens"))
+      .orderBy("source", "seq_id")
+
+  private val dsPackSequencesSql =
+    s"""SELECT source, seq_id, COUNT(*) AS n_docs,
+       | CAST(SUM(nt) AS BIGINT) AS n_tokens
+       |FROM (
+       | SELECT source, doc_id, nt,
+       |  CAST((SUM(nt) OVER (PARTITION BY source ORDER BY doc_id) - nt) // 256
+       |    AS BIGINT) AS seq_id
+       | FROM (SELECT source, doc_id,
+       |        LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS nt
+       |       FROM documents WHERE text IS NOT NULL))
+       |GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ds_sample_hash", dsSampleHash, Some(dsSampleHashSql)),
     Q("ds_sample_stratified", dsSampleStratified, Some(dsSampleStratifiedSql)),
+    Q("ds_pack_sequences", dsPackSequences, Some(dsPackSequencesSql)),
     Q("txt_contamination", txtContamination, Some(txtContaminationSql)))
 }

@@ -50,6 +50,25 @@ class SamplingSpec extends SparkSpec {
     assert(partial.getLong(1) > 0 && partial.getLong(1) < partial.getLong(2))
   }
 
+  test("packSequences assigns docs to token-budget bins by start offset") {
+    // docs of 6 tokens each, budget 10: starts 0,6,12,18 → seqs 0,0,1,1
+    val df = (0L until 4L).map(i => (i, "a b c d e f", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.packSequences(df, "source", 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 6L, 0L), (1L, 6L, 0L), (2L, 6L, 1L), (3L, 6L, 1L)))
+    // strata pack independently: same ids in another source restart at seq 0
+    val two = ((0L until 2L).map(i => (i, "a b c d e f", "s0")) ++
+      (10L until 12L).map(i => (i, "a b c d e f", "s1")))
+      .toDF("doc_id", "text", "source")
+    val seqs = Sampling.packSequences(two, "source", 10)
+      .groupBy("source").agg(min("seq_id"), max("seq_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(seqs === Set(("s0", 0L, 0L), ("s1", 0L, 0L)))
+  }
+
   test("contamination drops null-text docs on both sides") {
     val bench = docs((1000L, "a b c d", "en"))
     val train = Seq((1L, null: String, "en"), (2L, "a b c d", "en"))
