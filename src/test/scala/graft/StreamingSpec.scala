@@ -239,4 +239,27 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq === Seq((1L, "a2"), (3L, "c")))
     } finally q.stop()
   }
+
+  test("hash sampling is a streaming-compatible map-only filter") {
+    // the dataset-construction sampler has no RNG state and no shuffle, so
+    // the SAME operator runs unchanged on a stream — and picks the same
+    // ids a batch run picks (retry/replay stability is the whole point)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(0L until 500L: _*)
+    val sampled = graft.ops.Sampling.hashSample(
+      ms.toDF().withColumnRenamed("value", "doc_id"), "doc_id", 10)
+    val q = sampled.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("hash_sample").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hash_sample")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.ops.Sampling.hashSample(
+        (0L until 500L).toDF("doc_id"), "doc_id", 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
