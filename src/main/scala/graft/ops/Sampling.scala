@@ -99,6 +99,49 @@ object Sampling {
       .drop("__start")
   }
 
+  /** Data-mixture reweighting: per-stratum sampling weights that would
+    * rebalance the corpus toward a UNIFORM token share across strata
+    * (weight = total_tokens / (n_strata × stratum_tokens); >1 means
+    * upsample, <1 downsample). The input to mixture-aware samplers; one
+    * tiny aggregate over token counts, computed in one pass. Token sums
+    * are exact integers, so the shares/weights are correctly-rounded
+    * double divisions — cross-engine deterministic. */
+  def mixtureWeights(docs: DataFrame, stratumCol: String): DataFrame = {
+    val perStratum = docs
+      .filter(col("text").isNotNull)
+      .select(col(stratumCol), size(tokens(col("text"))).cast(LongType).as("nt"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), sum("nt").cast(LongType).as("n_tokens"))
+    // totals as a broadcast one-row frame over the (few-row) stratum agg —
+    // no second scan of the corpus, no single-partition window
+    val totals = perStratum.agg(
+      sum("n_tokens").cast(LongType).as("__total"),
+      count(lit(1)).as("__k"))
+    perStratum.crossJoin(broadcast(totals))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) / col("__total")).as("share"),
+        (col("__total").cast(DoubleType) / (col("__k") * col("n_tokens")))
+          .as("weight"))
+  }
+
+  /** Chunking: split each doc into fixed-size token windows with overlap
+    * (the RAG/embedding-indexing shape). A pure generate — sequence +
+    * explode, no shuffle, no driver loop; chunk boundaries are integer
+    * arithmetic on the bound token count. */
+  def chunk(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val step = size - overlap
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), org.apache.spark.sql.functions.size(tokens(col("text"))).as("nt"))
+      .select(col("doc_id"), col("nt"),
+        posexplode(sequence(lit(0), greatest(col("nt") - 1, lit(0)), lit(step))))
+      .select(col("doc_id"), col("nt"),
+        col("pos").cast(LongType).as("chunk_id"),
+        col("col").as("start_tok"),
+        least(col("col") + size, col("nt")).as("end_tok"))
+  }
+
   // ---- registered queries --------------------------------------------------
 
   private def idHashSql(x: String): String =
@@ -186,9 +229,45 @@ object Sampling {
        |       FROM documents WHERE text IS NOT NULL))
        |GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
+  /** Uniform-target mixture weights by language. */
+  private def dsMixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeights(t(spark, dir, "documents"), "lang").orderBy("lang")
+
+  private val dsMixtureWeightsSql =
+    s"""WITH s AS (SELECT lang, COUNT(*) AS n_docs,
+       |   CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))) AS BIGINT)
+       |     AS n_tokens
+       | FROM documents WHERE text IS NOT NULL GROUP BY lang),
+       |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS k FROM s)
+       |SELECT lang, n_docs, n_tokens,
+       | CAST(n_tokens AS DOUBLE) / total AS share,
+       | CAST(total AS DOUBLE) / (k * n_tokens) AS weight
+       |FROM s, tt ORDER BY lang""".stripMargin
+
+  /** Chunking summary per doc: 64-token chunks, 16-token overlap. */
+  private def txtChunks(spark: SparkSession, dir: String): DataFrame =
+    chunk(t(spark, dir, "documents"), 64, 16)
+      .groupBy("doc_id")
+      .agg(max(col("nt")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("end_tok") - col("start_tok")).cast(LongType).as("sum_chunk_toks"))
+      .orderBy("doc_id")
+
+  private val txtChunksSql =
+    s"""SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, COUNT(*) AS n_chunks,
+       | CAST(SUM(LEAST(s + 64, nt) - s) AS BIGINT) AS sum_chunk_toks
+       |FROM (
+       | SELECT doc_id, nt, UNNEST(RANGE(0, GREATEST(nt - 1, 0) + 1, 48)) AS s
+       | FROM (SELECT doc_id,
+       |        LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS nt
+       |       FROM documents WHERE text IS NOT NULL))
+       |GROUP BY doc_id, nt ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ds_sample_hash", dsSampleHash, Some(dsSampleHashSql)),
     Q("ds_sample_stratified", dsSampleStratified, Some(dsSampleStratifiedSql)),
     Q("ds_pack_sequences", dsPackSequences, Some(dsPackSequencesSql)),
+    Q("ds_mixture_weights", dsMixtureWeights, Some(dsMixtureWeightsSql)),
+    Q("txt_chunks", txtChunks, Some(txtChunksSql)),
     Q("txt_contamination", txtContamination, Some(txtContaminationSql)))
 }

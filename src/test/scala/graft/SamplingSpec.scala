@@ -69,6 +69,35 @@ class SamplingSpec extends SparkSpec {
     assert(seqs === Set(("s0", 0L, 0L), ("s1", 0L, 0L)))
   }
 
+  test("chunk emits fixed-stride token windows clamped to doc length") {
+    val df = Seq((1L, ("w " * 100).trim), (2L, "a b")).toDF("doc_id", "text")
+    val out = Sampling.chunk(df, 64, 16)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "end_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // 100 tokens, stride 48: starts 0, 48, 96
+    assert(out.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 0L, 0, 64), (1L, 1L, 48, 100), (1L, 2L, 96, 100)))
+    // short doc: one clamped chunk
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0, 2)))
+  }
+
+  test("mixtureWeights rebalances toward uniform token share") {
+    val df = (Seq.fill(30)("t t t t") ++ Seq.fill(10)("t t")).zipWithIndex
+      .map { case (txt, i) => (i.toLong, txt, if (i < 30) "big" else "small") }
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.mixtureWeights(df, "lang").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // big: 120 tokens, small: 20 → total 140, k=2
+    assert(out("big")._1 === 120L && out("small")._1 === 20L)
+    assert(math.abs(out("big")._2 - 120.0 / 140) < 1e-12)
+    assert(math.abs(out("big")._3 - 140.0 / (2 * 120)) < 1e-12) // downsample
+    assert(math.abs(out("small")._3 - 140.0 / (2 * 20)) < 1e-12) // upsample
+    // weighted token mass equalizes across strata
+    assert(math.abs(out("big")._1 * out("big")._3 -
+      out("small")._1 * out("small")._3) < 1e-9)
+  }
+
   test("contamination drops null-text docs on both sides") {
     val bench = docs((1000L, "a b c d", "en"))
     val train = Seq((1L, null: String, "en"), (2L, "a b c d", "en"))
