@@ -158,6 +158,62 @@ object Dedup {
     verified
   }
 
+  /** Incremental ingest dedup: which docs of a NEW batch near-duplicate
+    * the EXISTING corpus (the decision an ingest pipeline makes per
+    * arriving batch — reject or keep). Same MinHash banding as
+    * [[minhashNearDups]], but candidates come from a new-side × corpus-side
+    * bucket join instead of a self-join, so cost is proportional to the
+    * BATCH, not the corpus: at 100 TB the corpus signatures/buckets are
+    * computed once (or read precomputed from a signature table) and only
+    * the new batch is shingled per ingest. Oversized corpus buckets are
+    * capped (skew guard) exactly like the batch path. Returns verified
+    * (new_id, corpus_id, jaccard ≥ threshold) pairs. */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val bands = 16; val rowsPerBand = 4
+    def shOf(d: DataFrame): DataFrame = ScaleOps.ensureParallelism(d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromToks(col("toks")).as("sh"))
+    def bucketsOf(shd: DataFrame): DataFrame = {
+      val rows = shd
+        .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+        .select(col("doc_id"), PortableHash.h31(col("s")).as("h"))
+      val mhAggs = minhashAggs(col("h"), bands * rowsPerBand)
+      val sig = rows.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      val bucketCols = (0 until bands).map { b =>
+        lit(b.toLong) * lit(4294967296L) + PortableHash.combine(
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")))
+      }
+      sig.select(col("doc_id"), explode_outer(array(bucketCols: _*)).as("bucket"))
+    }
+    val shNew = shOf(newDocs)
+    val shCorpus = shOf(corpus)
+    // corpus-side skew cap BEFORE the join, as in the batch pipeline
+    val cb = bucketsOf(shCorpus).withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket")))
+      .filter(col("bucket_n") <= MaxBucket)
+      .select(col("bucket"), col("doc_id").as("corpus_id"))
+    val nb = bucketsOf(shNew).select(col("bucket"), col("doc_id").as("new_id"))
+    val pairs = nb.join(cb, Seq("bucket"))
+      .select("new_id", "corpus_id").distinct().persist()
+    pairs.count() // materialize before fanning out to the two semi-joins
+    val newSh = shNew.join(
+      pairs.select(col("new_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val corpSh = shCorpus.join(
+      pairs.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val verified = pairs
+      .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("sha")), Seq("new_id"))
+      .join(corpSh.select(col("doc_id").as("corpus_id"), col("sh").as("shb")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    pairs.unpersist()
+    verified
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS and pick one canonical
     * doc (smallest id) per cluster — distributed min-label propagation:
     * each node repeatedly adopts the smallest canonical id among itself and
@@ -345,6 +401,16 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Incremental ingest gate: every 10th doc arrives as the "new batch",
+    * the rest are the standing corpus; which arrivals are near-dups. */
+  private def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    incrementalNearDups(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0), 0.5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Full fuzzy-dedup pipeline: MinHash pairs → cluster resolution → one
     * canonical survivor per cluster. */
   private def ddDupClusters(spark: SparkSession, dir: String): DataFrame = {
@@ -463,6 +529,22 @@ object Dedup {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Same signature/bucket CTEs, but candidates come from a new-side ×
+    * corpus-side bucket join with the cap applied to the CORPUS side. */
+  private def ddIncrementalSql: String =
+    s"""WITH $minhashCtes,
+       |cb AS (SELECT doc_id AS corpus_id, bucket FROM bk WHERE doc_id % 10 <> 0),
+       |ccaps AS (SELECT bucket FROM cb GROUP BY bucket HAVING COUNT(*) <= $MaxBucket),
+       |cbc AS (SELECT cb.corpus_id, cb.bucket FROM cb JOIN ccaps USING (bucket)),
+       |nb AS (SELECT doc_id AS new_id, bucket FROM bk WHERE doc_id % 10 = 0),
+       |icand AS (SELECT DISTINCT n.new_id, c.corpus_id
+       |          FROM nb n JOIN cbc c USING (bucket))
+       |SELECT new_id, corpus_id, jaccard FROM (
+       | SELECT new_id, corpus_id, ${jaccardSql("x.sh", "y.sh")} AS jaccard
+       | FROM icand JOIN shd x ON x.doc_id = icand.new_id
+       |            JOIN shd y ON y.doc_id = icand.corpus_id)
+       |WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""".stripMargin
+
   private def ddNgramJaccardSql: String =
     s"""WITH $shingleCtes,
        |blocks AS (SELECT doc_id, SUBSTR(text, 1, 40) AS blk FROM documents),
@@ -482,6 +564,7 @@ object Dedup {
     Q("dd_minhash_lsh", ddMinhash, Some(ddMinhashSql)),
     Q("dd_simhash", ddSimhash, Some(ddSimhashSql)),
     Q("dd_ngram_jaccard", ddNgramJaccard, Some(ddNgramJaccardSql)),
+    Q("dd_incremental", ddIncremental, Some(ddIncrementalSql)),
     Q("dd_dup_clusters", ddDupClusters, Some(ddDupClustersSql)),
     Q("dd_clean_corpus", ddCleanCorpus, Some(ddCleanCorpusSql)))
 }

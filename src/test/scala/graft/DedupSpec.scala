@@ -38,6 +38,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incrementalNearDups flags arrivals that near-dup the corpus, batch-side only") {
+    val nearDup = base.replace("echo", "zulu")
+    val unrelated = (0 until 120).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, base), (3L, unrelated)).toDF("doc_id", "text")
+    // arrival 10 duplicates corpus doc 1; arrival 20 is novel;
+    // arrivals 10 and 30 duplicate EACH OTHER — intra-batch pairs are
+    // explicitly NOT this operator's job (minhashNearDups covers that)
+    val batch = Seq((10L, nearDup), (20L, "completely different words here entirely"),
+      (30L, base)).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(batch, corpus, 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((10L, 1L)))
+    assert(got.contains((30L, 1L)))
+    assert(!got.exists(_._1 == 20L)) // novel doc untouched
+    assert(!got.exists(p => p._1 == 10L && p._2 == 30L)) // no intra-batch pair
+  }
+
   test("dupClusters resolves transitive pairs to the smallest canonical id") {
     // pairs: 1-2, 2-3 (chain) and 7-8; singleton 9 never appears
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
