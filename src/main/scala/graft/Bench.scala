@@ -53,8 +53,12 @@ object Bench {
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // queries may persist intermediates internally; drop them so later
-      // queries aren't skewed by accumulated cache memory
+      // queries aren't skewed by accumulated cache memory. localCheckpoint
+      // blocks are NOT in the catalog cache — without the explicit RDD
+      // unpersist they accumulate across the dedup family and the block-
+      // manager pressure shows up as multi-second noise in later queries
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       // a failed query reports -1, never a plausible-looking partial time
       q.name -> (if (ok) elapsed else -1.0)
     }
