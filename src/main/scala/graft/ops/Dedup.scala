@@ -104,30 +104,41 @@ object Dedup {
     * every internal cache before returning — callers can fan out over the
     * result without re-running the signature pipeline and without owning
     * this operator's cache lifecycle. */
-  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val bands = 16; val rowsPerBand = 4
-    // One distinct-shingle array per doc (strings — the md5 hash needs the
-    // joined text anyway), reused by both the signature and verify stages.
-    // ensureParallelism: a single-row-group corpus file must not serialize
-    // the per-shingle hashing onto one core.
-    val shDocs = ScaleOps.ensureParallelism(docs)
+  /** One distinct-shingle array per non-null-text doc — the shared head
+    * of every MinHash pipeline (strings: the md5 hash needs the joined
+    * text anyway). ensureParallelism: a single-row-group corpus file must
+    * not serialize the per-shingle hashing onto one core. Null-text docs
+    * are dropped, matching the oracle CTEs' UNNEST semantics. */
+  private[ops] def shingleDocs(docs: DataFrame): DataFrame =
+    ScaleOps.ensureParallelism(docs)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromToks(col("toks")).as("sh"))
-    // Signatures via explode + codegen'd min() aggregates over the bound
-    // base hash (HOF folds over arrays would be interpreted); map-side
-    // partial aggregation collapses to one row per doc before any shuffle.
-    val shRows = shDocs
+
+  /** Banded LSH bucket keys per doc: signatures via explode + codegen'd
+    * min() aggregates over the bound base hash (HOF folds over arrays
+    * would be interpreted; map-side partial aggregation collapses to one
+    * row per doc before any shuffle), then one LONG key per band —
+    * band<<32 | combined minhash values. The ONE Scala implementation the
+    * batch and incremental pipelines share, paired with the oracle's
+    * `minhashCtes` — change banding/hashing here and there, nowhere else. */
+  private[ops] def bandBuckets(shd: DataFrame,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val shRows = shd
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .select(col("doc_id"), PortableHash.h31(col("s")).as("h"))
     val mhAggs = minhashAggs(col("h"), bands * rowsPerBand)
     val sig = shRows.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    // one LONG bucket key per band: band<<32 | combined minhash values
     val bucketCols = (0 until bands).map { b =>
       lit(b.toLong) * lit(4294967296L) + PortableHash.combine(
         (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")))
     }
-    val buckets = sig.select(col("doc_id"),
-      explode_outer(array(bucketCols: _*)).as("bucket"))
+    sig.select(col("doc_id"), explode_outer(array(bucketCols: _*)).as("bucket"))
+  }
+
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val shDocs = shingleDocs(docs)
+    val buckets = bandBuckets(shDocs)
     // Pair generation via bucket-key self-join on ids: cheaper in COLD
     // runtime than collect_list+expansion (less generated code to compile,
     // and the exchange under both sides is reused). Skew guard caps bucket
@@ -170,32 +181,15 @@ object Dedup {
     * (new_id, corpus_id, jaccard ≥ threshold) pairs. */
   def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
       threshold: Double): DataFrame = {
-    val bands = 16; val rowsPerBand = 4
-    def shOf(d: DataFrame): DataFrame = ScaleOps.ensureParallelism(d)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromToks(col("toks")).as("sh"))
-    def bucketsOf(shd: DataFrame): DataFrame = {
-      val rows = shd
-        .select(col("doc_id"), explode_outer(col("sh")).as("s"))
-        .select(col("doc_id"), PortableHash.h31(col("s")).as("h"))
-      val mhAggs = minhashAggs(col("h"), bands * rowsPerBand)
-      val sig = rows.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-      val bucketCols = (0 until bands).map { b =>
-        lit(b.toLong) * lit(4294967296L) + PortableHash.combine(
-          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")))
-      }
-      sig.select(col("doc_id"), explode_outer(array(bucketCols: _*)).as("bucket"))
-    }
-    val shNew = shOf(newDocs)
-    val shCorpus = shOf(corpus)
+    val shNew = shingleDocs(newDocs)
+    val shCorpus = shingleDocs(corpus)
     // corpus-side skew cap BEFORE the join, as in the batch pipeline
-    val cb = bucketsOf(shCorpus).withColumn("bucket_n",
+    val cb = bandBuckets(shCorpus).withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy("bucket")))
       .filter(col("bucket_n") <= MaxBucket)
       .select(col("bucket"), col("doc_id").as("corpus_id"))
-    val nb = bucketsOf(shNew).select(col("bucket"), col("doc_id").as("new_id"))
+    val nb = bandBuckets(shNew).select(col("bucket"), col("doc_id").as("new_id"))
     val pairs = nb.join(cb, Seq("bucket"))
       .select("new_id", "corpus_id").distinct().persist()
     pairs.count() // materialize before fanning out to the two semi-joins

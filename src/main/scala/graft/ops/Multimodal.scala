@@ -79,10 +79,12 @@ object Multimodal {
       to_binary(sha2(col("text"), 256), lit("hex")).as("payload"))
 
   /** Decode/feature-extract via typed mapPartitions — batch-shaped like
-    * mapInPandas: one iterator per partition, no per-row driver calls. */
+    * mapInPandas: one iterator per partition, no per-row driver calls.
+    * Rows with a null payload (undecodable media) are skipped — the same
+    * rows a SQL aggregate would skip as NULLs. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
+    media.filter(col("payload").isNotNull).as[MediaRow].mapPartitions { it =>
       it.map { m =>
         MediaFeatures(m.media_id, m.kind, m.payload.length,
           FakeCodec.decode(m.payload))
@@ -154,7 +156,7 @@ object Multimodal {
       | SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
       |             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
       |        SHA256(text) AS h
-      | FROM documents)
+      | FROM documents WHERE text IS NOT NULL)
       |GROUP BY kind ORDER BY kind""".stripMargin
 
   /** Frame sampling plumbing with oracle (pure integer generate+agg). */

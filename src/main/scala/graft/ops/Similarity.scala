@@ -82,13 +82,6 @@ object Similarity {
       v, qplanes.take(tables * bits).flatten, tables, bits, multiprobe)
   }
 
-  /** LSH bucket keys exploded to (id, bucket) rows for bucket-equality
-    * candidate generation. */
-  def lshBucketRows(df: DataFrame, idCol: String, vecCol: String,
-      outId: String, tables: Int = 4, bits: Int = 6): DataFrame =
-    df.select(col(idCol).as(outId),
-      explode_outer(lshBuckets(col(vecCol), tables, bits)).as("bucket"))
-
   /** Brute-force exact top-k neighbours for each query vector.
     *
     * Scoring is a map-only pass (query set broadcast, codegen'd cosine);
@@ -277,22 +270,25 @@ object Similarity {
 
   /** Label-centroid stats: mean vector per label via element-wise array
     * aggregation, then each label's dispersion — exercises vector
-    * aggregation (fold + codegen'd dot) at group level. Sums are exact
-    * integers (quantized components), descaled back to embedding units
-    * at the end. */
+    * aggregation (fold + codegen'd dot) at group level. The PER-ROW fold
+    * and dot are exact integers (quantized components), and the CROSS-ROW
+    * sums go through DECIMAL(38,0), so the totals stay exact at ANY label
+    * cardinality — a plain double sum() would silently turn accumulation-
+    * order-dependent once a label's total passed 2^53 (~9e15; a sq-norm
+    * total is ~1e12 per unit vector, i.e. ~9k rows per label away). */
   private def simCentroids(spark: SparkSession, dir: String): DataFrame = {
     val emb = qEmb(spark, dir)
+    val d380 = DecimalType(38, 0)
     val summed = emb.groupBy("label")
       .agg(count(lit(1)).as("n"),
-        // element-wise sum: reduce over collected arrays would not scale;
-        // the fold is exact (whole-valued doubles), so accumulation order
-        // is irrelevant
         sum(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x)).as("sum_all_dims"),
-        sum(dot(col("embedding"), col("embedding"))).as("sum_sq_norm"))
+          (acc, x) => acc + x).cast(d380)).as("sum_all_dims"),
+        sum(dot(col("embedding"), col("embedding")).cast(d380)).as("sum_sq_norm"))
     summed.select(col("label"), col("n"),
-      (col("sum_all_dims") / col("n") / lit(1e6)).as("mean_component_sum"),
-      (col("sum_sq_norm") / col("n") / lit(1e12)).as("mean_sq_norm"))
+      (col("sum_all_dims").cast(DoubleType) / col("n") / lit(1e6))
+        .as("mean_component_sum"),
+      (col("sum_sq_norm").cast(DoubleType) / col("n") / lit(1e12))
+        .as("mean_sq_norm"))
       .orderBy("label")
   }
 
@@ -399,8 +395,10 @@ object Similarity {
   private def simCentroidsSql: String =
     s"""WITH $qvCte
        |SELECT label, COUNT(*) AS n,
-       |  SUM(LIST_SUM(v)) / COUNT(*) / 1e6 AS mean_component_sum,
-       |  SUM(LIST_DOT_PRODUCT(v, v)) / COUNT(*) / 1e12 AS mean_sq_norm
+       |  CAST(SUM(CAST(LIST_SUM(v) AS DECIMAL(38,0))) AS DOUBLE)
+       |    / COUNT(*) / 1e6 AS mean_component_sum,
+       |  CAST(SUM(CAST(LIST_DOT_PRODUCT(v, v) AS DECIMAL(38,0))) AS DOUBLE)
+       |    / COUNT(*) / 1e12 AS mean_sq_norm
        |FROM qv GROUP BY label ORDER BY label""".stripMargin
 
   /** IVF oracle: centroid rule (every (n/16)-th vector, ids < step*16),

@@ -232,7 +232,11 @@ object Text {
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // null-text docs are dropped explicitly: explode_outer would keep a
+    // null-term row whose h60 hash is null (crashing the non-nullable
+    // ScoredRow encoder), while the oracle's UNNEST drops them silently
     val terms = docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), explode_outer(col("toks")).as("term"))
     val nDocs = docs.count()

@@ -16,6 +16,16 @@ class MultimodalSpec extends SparkSpec {
     assert(a(0) === (1 + 9).toFloat) // slot 0 = bytes 0 and 8, exact integers
   }
 
+  test("extractFeatures skips null payloads (undecodable media) instead of NPE") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "png", 8, 8, 1, Array[Byte](1, 2)),
+      Multimodal.MediaRow(2L, "image", "png", 8, 8, 1, null))
+      .toDF()
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.map(_.media_id).toSeq === Seq(1L))
+  }
+
   test("media table: opaque binary payload + typed metadata") {
     val media = Multimodal.mediaTable(spark, dir)
     assert(media.schema("payload").dataType.typeName === "binary")

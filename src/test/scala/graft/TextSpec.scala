@@ -77,6 +77,13 @@ class TextSpec extends SparkSpec {
     assert(top(0).getAs[Double]("tfidf") > top(1).getAs[Double]("tfidf"))
   }
 
+  test("TF-IDF drops null-text docs instead of crashing the id encoder") {
+    val docs = Seq((0L, "alpha beta gamma"), (1L, null: String))
+      .toDF("doc_id", "text")
+    val top = graft.ops.Text.tfidfTopTerms(docs, 5).collect()
+    assert(top.map(_.getLong(0)).toSet === Set(0L))
+  }
+
   test("stopword hits count only exact matches") {
     val df = Seq("the theme of the play").toDF("text")
       .select(Text.stopwordHits(Text.tokens(col("text")), Seq("the", "of")).as("n"))
