@@ -240,6 +240,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedups each micro-batch against the standing corpus") {
+    // the full ingestion shape: stream of docs -> per-batch incremental
+    // near-dup check against the TableStore corpus -> append survivors;
+    // later batches then dedup against earlier batches' survivors too
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "stream-dedup-").toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    store.create("corpus", schema)
+    val seed = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val seedDoc = (seed + " ") * 3 + seed
+    store.append("corpus", Seq((1L, seedDoc)).toDF("doc_id", "text"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val corpus = store.read("corpus")
+        val dupIds = graft.ops.Dedup
+          .incrementalNearDups(batch, corpus, 0.5)
+          .select(col("new_id").as("doc_id")).distinct()
+        val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
+        store.append("corpus", survivors)
+        ()
+      }
+      .start()
+    try {
+      // batch 1: a near-dup of the seed (rejected) + a novel doc (kept)
+      ms.addData((10L, seedDoc.replace("echo", "zulu")),
+        (11L, (0 until 80).map(i => s"n$i").mkString(" ")))
+      q.processAllAvailable()
+      // batch 2: a near-dup of batch 1's SURVIVOR is rejected too
+      ms.addData((20L, (0 until 80).map(i => if (i == 7) "x" else s"n$i").mkString(" ")))
+      q.processAllAvailable()
+      val ids = store.read("corpus").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 11L))
+    } finally q.stop()
+  }
+
   test("hash sampling is a streaming-compatible map-only filter") {
     // the dataset-construction sampler has no RNG state and no shuffle, so
     // the SAME operator runs unchanged on a stream — and picks the same
