@@ -298,6 +298,39 @@ object Text {
        |WHERE "rank" <= 5 ORDER BY doc_id, "rank"""".stripMargin
   }
 
+  /** Corpus vocabulary statistics per source — the standard corpus-health
+    * diagnostics (vocabulary size, hapax legomena count, type-token
+    * ratio). Two map-side-combined aggregates over the exploded term
+    * stream: per-(source, term) counts, then per-source rollup — the
+    * shuffle carries one row per distinct term, never the token stream.
+    * All integers plus one exact-int double division. */
+  private def txtVocab(spark: SparkSession, dir: String): DataFrame = {
+    val terms = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), tokens(lower(col("text"))).as("toks"))
+      .select(col("source"), explode_outer(col("toks")).as("term"))
+    terms.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(sum("cnt").cast(LongType).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        (col("vocab").cast(DoubleType) / col("n_tokens")).as("type_token_ratio"))
+      .orderBy("source")
+  }
+
+  private val txtVocabSql =
+    """SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      | COUNT(*) AS vocab,
+      | CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS type_token_ratio
+      |FROM (
+      | SELECT source, term, COUNT(*) AS cnt FROM (
+      |  SELECT source, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS term
+      |  FROM documents WHERE text IS NOT NULL)
+      | GROUP BY source, term)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Normalization + redaction stats per source — every value an integer
     * count or length, hash-checked cross-engine. (The synthetic corpus
     * carries no PII, so the redaction counters legitimately verify as
@@ -372,5 +405,6 @@ object Text {
     Q("txt_langid", txtLangid, Some(txtLangidSql)),
     Q("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
     Q("txt_tfidf", txtTfidf, Some(txtTfidfSql)),
+    Q("txt_vocab", txtVocab, Some(txtVocabSql)),
     Q("txt_normalize", txtNormalize, Some(txtNormalizeSql)))
 }
