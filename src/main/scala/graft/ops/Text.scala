@@ -298,6 +298,48 @@ object Text {
        |WHERE "rank" <= 5 ORDER BY doc_id, "rank"""".stripMargin
   }
 
+  /** Bigram novelty per doc: the fraction of a doc's distinct word
+    * bigrams that occur in NO other document — a rarity signal (high =
+    * unusual/creative/noisy text, low = boilerplate) used alongside
+    * quality scores when curating training data. Shape is the tf-idf
+    * df-side aggregate: one (bigram → doc-frequency) shuffle carrying a
+    * row per distinct bigram, then a rejoin — never an all-pairs
+    * comparison. All counts integer; the ratio is one exact-int double
+    * division. */
+  private def txtNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val bg = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        explode_outer(Dedup.shinglesFromToks(col("toks"), 2)).as("b"))
+    val dfc = bg.groupBy("b").agg(count(lit(1)).as("df"))
+    bg.join(dfc, Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).cast(LongType).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_bigrams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  private val txtNoveltySql =
+    """WITH tk AS (SELECT doc_id,
+      |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT doc_id, UNNEST(
+      |        CASE WHEN LEN(toks) < 2 THEN [ARRAY_TO_STRING(toks, ' ')]
+      |             ELSE LIST_DISTINCT(LIST_TRANSFORM(
+      |               GENERATE_SERIES(1, LEN(toks) - 1),
+      |               i -> ARRAY_TO_STRING(toks[i:i+1], ' '))) END) AS b
+      |      FROM tk),
+      |dfc AS (SELECT b, COUNT(*) AS df FROM bg GROUP BY b)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |   AS novelty
+      |FROM bg JOIN dfc USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary statistics per source — the standard corpus-health
     * diagnostics (vocabulary size, hapax legomena count, type-token
     * ratio). Two map-side-combined aggregates over the exploded term
@@ -406,5 +448,6 @@ object Text {
     Q("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
     Q("txt_tfidf", txtTfidf, Some(txtTfidfSql)),
     Q("txt_vocab", txtVocab, Some(txtVocabSql)),
+    Q("txt_novelty", txtNovelty, Some(txtNoveltySql)),
     Q("txt_normalize", txtNormalize, Some(txtNormalizeSql)))
 }
