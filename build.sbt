@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // 70+ whole-stage-codegen'd queries × (warmup + timed) generate enough
+  // Janino classes to fill the default 240 MB code cache mid-run, at
+  // which point HotSpot silently stops JIT-compiling and late queries
+  // (the dedup family) intermittently run ~3x slower interpreted
+  "-XX:ReservedCodeCacheSize=512m",
 )
