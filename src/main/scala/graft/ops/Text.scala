@@ -340,6 +340,49 @@ object Text {
       |FROM bg JOIN dfc USING (b)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Within-doc repetition (the Gopher-rules boilerplate detector): the
+    * share of a doc's bigram OCCURRENCES taken by its single most
+    * frequent bigram — high values flag spam/template text. Unlike
+    * [[txtNovelty]] this is per-doc only: explode non-distinct bigrams,
+    * count per (doc, bigram) with map-side combine, take the per-doc max
+    * — no cross-doc join at all, so it scales as a map + one bounded
+    * aggregation. */
+  private def txtRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val bg = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      // non-distinct bigrams — occurrence counts are the point here
+      .select(col("doc_id"), explode_outer(
+        when(size(col("toks")) < 2, array(concat_ws(" ", col("toks"))))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      ).as("b"))
+    bg.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast(LongType).as("n_bigrams"),
+        max("cnt").cast(LongType).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        (col("top_bigram_n").cast(DoubleType) / col("n_bigrams")).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val txtRepetitionSql =
+    """SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      | CAST(MAX(cnt) AS BIGINT) AS top_bigram_n,
+      | CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS rep_ratio
+      |FROM (
+      | SELECT doc_id, b, COUNT(*) AS cnt FROM (
+      |  SELECT doc_id, UNNEST(
+      |    CASE WHEN LEN(toks) < 2 THEN [ARRAY_TO_STRING(toks, ' ')]
+      |         ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+      |           i -> ARRAY_TO_STRING(toks[i:i+1], ' ')) END) AS b
+      |  FROM (SELECT doc_id,
+      |         REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks
+      |        FROM documents WHERE text IS NOT NULL))
+      | GROUP BY doc_id, b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary statistics per source — the standard corpus-health
     * diagnostics (vocabulary size, hapax legomena count, type-token
     * ratio). Two map-side-combined aggregates over the exploded term
@@ -449,5 +492,6 @@ object Text {
     Q("txt_tfidf", txtTfidf, Some(txtTfidfSql)),
     Q("txt_vocab", txtVocab, Some(txtVocabSql)),
     Q("txt_novelty", txtNovelty, Some(txtNoveltySql)),
+    Q("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
     Q("txt_normalize", txtNormalize, Some(txtNormalizeSql)))
 }
