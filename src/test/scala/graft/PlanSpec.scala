@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SQLExecution
 
 /** Physical-plan regression guards: the scale properties the engine is
   * designed around — broadcast joins for small sides, filter/column
@@ -42,8 +41,11 @@ class PlanSpec extends SparkSpec {
     // node would mean the partial phase (and the shuffle reduction) is
     // gone. (dd_minhash_lsh can't be probed this way — it returns an
     // eagerly checkpointed frame whose plan is an ExistingRDD scan.)
+    // count TREE nodes only ("+- HashAggregate"): formatted explain prints
+    // every node a second time in the details section, so an unanchored
+    // substring count would stay >= 2 even with partial aggregation gone
     val p = planOf("txt_token_stats")
-    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("""\+- HashAggregate""".r.findAllIn(p).size >= 2)
   }
 
   test("hash sampling is map-only: no exchange between scan and sample filter") {

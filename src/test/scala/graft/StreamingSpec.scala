@@ -244,9 +244,7 @@ class StreamingSpec extends SparkSpec {
     // the full ingestion shape: stream of docs -> per-batch incremental
     // near-dup check against the TableStore corpus -> append survivors;
     // later batches then dedup against earlier batches' survivors too
-    val store = new TableStore(spark,
-      java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("target"), "stream-dedup-").toString)
+    val store = new TableStore(spark, tmpDir("stream-dedup-"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     store.create("corpus", schema)

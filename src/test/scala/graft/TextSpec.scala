@@ -84,6 +84,32 @@ class TextSpec extends SparkSpec {
     assert(top.map(_.getLong(0)).toSet === Set(0L))
   }
 
+  test("vocab/novelty/repetition gates drop null-text docs end to end") {
+    // the sf fixtures contain no null text, so the gates' null path only
+    // gets exercised by this planted fixture (project invariant: every
+    // documents-table operator needs an isNotNull + a planted-null test)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "nulldocs-").toString
+    Seq(
+      (0L, "alpha beta alpha beta", "en", "s0", 21L),
+      (1L, null: String, "en", "s0", 0L),
+      (2L, "gamma delta epsilon zeta", "en", "s1", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    for (gate <- Seq("txt_vocab", "txt_novelty", "txt_repetition")) {
+      val out = SparkEntry.queries(gate)(spark, dir).collect()
+      assert(out.nonEmpty, gate)
+      gate match {
+        case "txt_vocab" =>
+          // null doc contributes nothing to s0's counts
+          val s0 = out.find(_.getString(0) == "s0").get
+          assert(s0.getLong(1) === 4L && s0.getLong(2) === 2L)
+        case _ =>
+          assert(out.map(_.getLong(0)).toSet === Set(0L, 2L), gate)
+      }
+    }
+  }
+
   test("stopword hits count only exact matches") {
     val df = Seq("the theme of the play").toDF("text")
       .select(Text.stopwordHits(Text.tokens(col("text")), Seq("the", "of")).as("n"))
