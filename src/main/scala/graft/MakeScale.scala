@@ -47,11 +47,13 @@ object MakeScale {
     write("orders", replicate(t("orders"), Seq("o_orderkey", "o_custkey")))
     write("lineitem", replicate(t("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")))
-    // events carries TIMESTAMP(NANOS): read it as a plain long (same conf
-    // Events.ev uses) and write the long back — the gates' `ts div 1000`
-    // conversion treats both encodings identically
+    // events carries TIMESTAMP(NANOS): read ns-as-long (same conf
+    // Events.ev uses) and write back as µs TimestampType — the exact
+    // truncation the gates apply, and a type DuckDB can DATE_TRUNC
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write("events", replicate(t("events"), Seq("event_id", "user_id")))
+    write("events", replicate(
+      t("events").withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+      Seq("event_id", "user_id")))
     write("documents", replicate(t("documents"), Seq("doc_id"),
       (d, k) => if (k == 0) d
         else d.withColumn("text", concat(col("text"), lit(s" r$k")))))

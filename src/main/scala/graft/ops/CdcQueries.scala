@@ -49,10 +49,15 @@ object CdcQueries {
     store.read("customer").orderBy("c_custkey")
   }
 
+  // every touched key is excluded from the base scan — inserts REPLACE any
+  // pre-existing row with the same key (upsert semantics), which only shows
+  // on corpora where the sentinel keys exist (e.g. MakeScale 10× data; on
+  // the driver fixtures the two NEW keys are absent and NOT IN is a no-op)
   private val cdcApplyCustomerSql =
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
       | SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-      | FROM customer WHERE c_custkey NOT IN (1, 2, 3)
+      | FROM customer
+      | WHERE c_custkey NOT IN (1, 2, 3, 900000001, 900000002)
       | UNION ALL SELECT CAST(1 AS BIGINT), 'UPDATED#1', CAST(7 AS INT), CAST(999.99 AS DOUBLE), 'BUILDING'
       | UNION ALL SELECT CAST(900000001 AS BIGINT), 'NEW#A', CAST(3 AS INT), CAST(10.5 AS DOUBLE), 'MACHINERY'
       | UNION ALL SELECT CAST(900000002 AS BIGINT), 'NEW#B', CAST(4 AS INT), CAST(-1.25 AS DOUBLE), 'HOUSEHOLD')

@@ -27,7 +27,13 @@ object Events {
       val raw = t(spark, dir, "events")
       // materialize the schema now, while the conf is in force
       raw.schema
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        // driver testdata: ns-as-long → truncate to µs TimestampType
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // already a timestamp (µs) — e.g. MakeScale-synthesized dirs
+        case _ => raw
+      }
     } finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

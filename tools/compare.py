@@ -15,7 +15,9 @@ sfdir, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata is single-file; MakeScale output is a spark directory
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 # rows-only report for queries without an oracle
 for pdir in sorted(glob.glob(f"{out}/*/")):
