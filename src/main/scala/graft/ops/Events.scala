@@ -64,6 +64,33 @@ object Events {
       | SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR AS w, event_type FROM events)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Windowed top-k (the streaming trending-items shape): the k most
+    * frequent event types per tumbling hour. Composed from the SAME
+    * tumbling aggregate the streaming path runs, plus a rank over the
+    * tiny per-window aggregate — the window function sorts (windows ×
+    * types) rows, never events. Ties break on event_type. */
+  private def evWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n_events").desc, col("event_type"))
+    StreamOps.tumblingStats(ev(spark, dir), "1 hour")
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= 3)
+      .select("window_start", "rank", "event_type", "n_events")
+      .orderBy("window_start", "rank")
+  }
+
+  private val evWindowTopkSql =
+    """SELECT window_start, "rank", event_type, n_events FROM (
+      | SELECT window_start, event_type, n_events,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+      |    ORDER BY n_events DESC, event_type) AS INT) AS "rank"
+      | FROM (
+      |  SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start,
+      |   event_type, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2))
+      |WHERE "rank" <= 3 ORDER BY window_start, "rank"""".stripMargin
+
   private def evSessions(spark: SparkSession, dir: String): DataFrame =
     StreamOps.sessionStats(ev(spark, dir), "30 minutes")
       .orderBy("user_id", "session_start")
@@ -181,6 +208,7 @@ object Events {
   val all: Seq[Q] = Seq(
     Q("ev_tumbling_window", evTumbling, Some(evTumblingSql)),
     Q("ev_sliding_window", evSliding, Some(evSlidingSql)),
+    Q("ev_window_topk", evWindowTopk, Some(evWindowTopkSql)),
     Q("ev_session_windows", evSessions, Some(evSessionsSql)),
     Q("ev_dedup", evDedup, Some(evDedupSql)),
     Q("ev_json_props", evProps, Some(evPropsSql)),
