@@ -205,6 +205,175 @@ object Events {
       | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Funnel analysis (step i completed within `within` of step i−1's
+    * first completion): the standard product-analytics conversion query.
+    * Input needs (user_id, event_type, tss). One shuffle total — every
+    * per-user step time is a window MIN over the SAME user_id partitioning
+    * (sequential projections let each step's window predicate reference
+    * the previous step's bound column, and Spark reuses one exchange);
+    * the per-user reduction and the k-row unpivot are negligible on top. */
+  def funnel(e: DataFrame, steps: Seq[String], within: String): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy("user_id")
+    val staged = steps.zipWithIndex.foldLeft(
+      e.filter(col("event_type").isin(steps: _*))) {
+      case (df, (step, 0)) =>
+        df.withColumn("t1",
+          min(when(col("event_type") === step, col("tss"))).over(w))
+      case (df, (step, i)) =>
+        df.withColumn(s"t${i + 1}",
+          min(when(col("event_type") === step &&
+            col("tss") >= col(s"t$i") &&
+            col("tss") <= col(s"t$i") + expr(s"INTERVAL $within"),
+            col("tss"))).over(w))
+    }
+    val ts = steps.indices.map(i => s"t${i + 1}")
+    val perUser = staged.groupBy("user_id")
+      .agg(min(ts.head).as(ts.head), ts.tail.map(t => min(t).as(t)): _*)
+    val counts = perUser.agg(
+      count(col(ts.head)).as("u1"),
+      ts.tail.zipWithIndex.map { case (t, i) =>
+        count(col(t)).as(s"u${i + 2}") }: _*)
+    counts
+      .select(explode(array(steps.indices.map(i =>
+        struct(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+          col(s"u${i + 1}").as("n_users"))): _*)).as("s"), col("u1"))
+      .select(col("s.step"), col("s.step_name"), col("s.n_users"),
+        when(col("u1") > 0,
+          col("s.n_users").cast(DoubleType) / col("u1")).as("conversion"))
+      .orderBy("step")
+  }
+
+  private def evFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(
+      ev(spark, dir).select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss")),
+      Seq("view", "click", "purchase"), "24 HOURS")
+
+  private val evFunnelSql =
+    """WITH e AS (
+      | SELECT user_id, event_type, DATE_TRUNC('second', ts) AS tss
+      | FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tss END)
+      |        OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tss >= t1
+      |        AND tss <= t1 + INTERVAL 24 HOUR THEN tss END)
+      |        OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tss >= t2
+      |        AND tss <= t2 + INTERVAL 24 HOUR THEN tss END)
+      |        OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |pu AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+      |       FROM s3 GROUP BY user_id),
+      |c AS (SELECT COUNT(t1) AS u1, COUNT(t2) AS u2, COUNT(t3) AS u3 FROM pu)
+      |SELECT step, step_name, n_users,
+      | CASE WHEN u1 > 0 THEN CAST(n_users AS DOUBLE) / u1 END AS conversion
+      |FROM (
+      | SELECT 1 AS step, 'view' AS step_name, u1 AS n_users, u1 FROM c
+      | UNION ALL SELECT 2, 'click', u2, u1 FROM c
+      | UNION ALL SELECT 3, 'purchase', u3, u1 FROM c)
+      |ORDER BY step""".stripMargin
+
+  /** Cohort retention: users grouped by first-activity day, retention =
+    * share of the cohort active again N days later (offsets 0–7). The
+    * cohort day is a window MIN on the user_id partitioning (one shuffle),
+    * the count-distinct reduces per (cohort, offset), and the cohort-size
+    * denominator comes from a window over the TINY aggregate — never a
+    * second scan of the events. */
+  def retention(e: DataFrame, maxOffset: Int): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val counts = e
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+    val cw = Window.partitionBy("cohort_day")
+    counts
+      .withColumn("n_cohort",
+        max(when(col("day_offset") === 0, col("n_active"))).over(cw))
+      .select(col("cohort_day"), col("day_offset").cast(IntegerType),
+        col("n_active"),
+        (col("n_active").cast(DoubleType) / col("n_cohort")).as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private def evRetention(spark: SparkSession, dir: String): DataFrame =
+    retention(
+      ev(spark, dir).select(col("user_id"), to_date(col("ts")).as("day")), 7)
+
+  private val evRetentionSql =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |wc AS (SELECT user_id, day,
+      |        MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM e),
+      |f AS (SELECT user_id, day, cohort_day,
+      |       DATEDIFF('day', cohort_day, day) AS day_offset FROM wc),
+      |c AS (SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_active
+      |      FROM f WHERE day_offset <= 7 GROUP BY 1, 2)
+      |SELECT cohort_day, CAST(day_offset AS INT) AS day_offset, n_active,
+      | CAST(n_active AS DOUBLE) /
+      |  MAX(CASE WHEN day_offset = 0 THEN n_active END)
+      |   OVER (PARTITION BY cohort_day) AS retention
+      |FROM c ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Robust outlier detection per event type: median/MAD from EXACT
+    * positional quantiles (integer rank arithmetic over a total order —
+    * the q32 pattern; interpolating percentiles and stddev-based z-scores
+    * are not reproducible across engines), outlier = |v − median| > 3·MAD
+    * in exact DECIMAL arithmetic. The two rank passes shuffle on
+    * event_type; the 5-row median/MAD frames broadcast back. */
+  def madOutliers(e: DataFrame): DataFrame = {
+    import graft.ops.Dets._
+    val cw = Window.partitionBy("event_type")
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col(valueCol), col("event_id"))
+      df.withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = medianOf(e, "v", "med")
+    val withDev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = medianOf(withDev, "dev", "mad")
+    withDev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        dbl(min("med")).as("median_value"),
+        dbl(min("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        col("n_outliers").cast(DoubleType) / col("n_events"))
+      .orderBy("event_type")
+  }
+
+  private def evOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(ev(spark, dir).select(col("event_type"), col("event_id"),
+      Dets.dec(col("value")).as("v")))
+
+  private val evOutliersSql =
+    """WITH e AS (SELECT event_type, event_id,
+      |        CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |r1 AS (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+      |med AS (SELECT event_type, v AS med FROM r1 WHERE rn = (n + 1) // 2),
+      |wd AS (SELECT e.event_type, e.event_id, e.v, med.med,
+      |        ABS(e.v - med.med) AS dev
+      |       FROM e JOIN med USING (event_type)),
+      |r2 AS (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM wd),
+      |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT wd.event_type, COUNT(*) AS n_events,
+      | CAST(MIN(med) AS DOUBLE) AS median_value,
+      | CAST(MIN(mad.mad) AS DOUBLE) AS mad,
+      | CAST(SUM(CASE WHEN dev > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      | CAST(SUM(CASE WHEN dev > mad.mad * 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |   AS outlier_share
+      |FROM wd JOIN mad USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ev_tumbling_window", evTumbling, Some(evTumblingSql)),
     Q("ev_sliding_window", evSliding, Some(evSlidingSql)),
@@ -213,5 +382,8 @@ object Events {
     Q("ev_dedup", evDedup, Some(evDedupSql)),
     Q("ev_json_props", evProps, Some(evPropsSql)),
     Q("ev_asof_join", evAsof, Some(evAsofSql)),
-    Q("ev_pivot", evPivot, Some(evPivotSql)))
+    Q("ev_pivot", evPivot, Some(evPivotSql)),
+    Q("ev_funnel", evFunnel, Some(evFunnelSql)),
+    Q("ev_retention", evRetention, Some(evRetentionSql)),
+    Q("ev_outliers", evOutliers, Some(evOutliersSql)))
 }
