@@ -418,6 +418,42 @@ object Dedup {
       .orderBy("canonical")
   }
 
+  /** Cluster resolution with a QUALITY-aware survivor (the production
+    * near-dup policy: keep the best copy, not the arbitrary lowest id):
+    * per duplicate cluster, the surviving doc is the longest one
+    * (n_chars, ties → lowest doc_id). The cluster labels come from the
+    * same label-propagation fixpoint; picking the survivor is a
+    * row_number over the (tiny) cluster-member frame, never the corpus. */
+  def bestPerCluster(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val members = labels.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    members.withColumn("rk", row_number().over(w))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("cluster_size"),
+        min(when(col("rk") === 1, col("doc_id"))).as("best_doc"),
+        min(when(col("rk") === 1, col("n_chars"))).as("best_n_chars"))
+  }
+
+  private def ddKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = minhashNearDups(docs, 0.5)
+    bestPerCluster(dupClusters(pairs), docs).orderBy("canonical")
+  }
+
+  private def ddKeepBestSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT canonical, COUNT(*) AS cluster_size,
+       | MIN(CASE WHEN rk = 1 THEN doc_id END) AS best_doc,
+       | MIN(CASE WHEN rk = 1 THEN n_chars END) AS best_n_chars
+       |FROM (
+       | SELECT l.canonical, l.doc_id, d.n_chars,
+       |  ROW_NUMBER() OVER (PARTITION BY canonical
+       |    ORDER BY n_chars DESC, doc_id) AS rk
+       | FROM labels l JOIN documents d USING (doc_id))
+       |GROUP BY canonical ORDER BY canonical""".stripMargin
+
   /** The composed pipeline through the gate: surviving-corpus summary per
     * (lang, source) after near-dup removal. */
   private def ddCleanCorpus(spark: SparkSession, dir: String): DataFrame =
@@ -560,5 +596,6 @@ object Dedup {
     Q("dd_ngram_jaccard", ddNgramJaccard, Some(ddNgramJaccardSql)),
     Q("dd_incremental", ddIncremental, Some(ddIncrementalSql)),
     Q("dd_dup_clusters", ddDupClusters, Some(ddDupClustersSql)),
+    Q("dd_keep_best", ddKeepBest, Some(ddKeepBestSql)),
     Q("dd_clean_corpus", ddCleanCorpus, Some(ddCleanCorpusSql)))
 }

@@ -142,6 +142,29 @@ object Sampling {
         least(col("col") + size, col("nt")).as("end_tok"))
   }
 
+  /** Percentile-based quality filtering (the relative cousin of the
+    * absolute-threshold txt_quality gate): per stratum, keep docs whose
+    * quality score clears the stratum's p25 cutoff — "drop the worst
+    * quarter of every language" rather than one global threshold that
+    * over-prunes low-resource strata. The cutoff is an EXACT positional
+    * element (integer rank arithmetic over a (score, doc_id) total order
+    * — reproducible, unlike interpolating percentiles), found with one
+    * window pass per stratum; the few-row cutoff frame broadcasts back
+    * onto the scored corpus, so the big side is filtered map-side. */
+  def qualityPercentileFilter(scored: DataFrame, stratumCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("quality_score"), col("doc_id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+    val cutoffs = scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(cw))
+      .filter(col("rn") === greatest(lit(1L), expr("n div 4")))
+      .select(col(stratumCol), col("quality_score").as("cutoff"))
+    scored.join(broadcast(cutoffs), Seq(stratumCol))
+      .filter(col("quality_score") >= col("cutoff"))
+  }
+
   // ---- registered queries --------------------------------------------------
 
   private def idHashSql(x: String): String =
@@ -263,11 +286,37 @@ object Sampling {
        |       FROM documents WHERE text IS NOT NULL))
        |GROUP BY doc_id, nt ORDER BY doc_id""".stripMargin
 
+  /** Per-lang p25 quality filter, summarized per lang: how many docs and
+    * tokens survive, and where the cutoff landed. */
+  private def dsFilterQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityPercentileFilter(
+      Text.qualityScores(t(spark, dir, "documents")), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        min("cutoff").as("cutoff"),
+        sum(col("n_tokens").cast(LongType)).as("kept_tokens"))
+      .orderBy("lang")
+
+  private val dsFilterQualitySql =
+    s"""WITH ${Text.qualityCtes},
+       |r AS (SELECT *,
+       |       ROW_NUMBER() OVER (PARTITION BY lang
+       |         ORDER BY quality_score, doc_id) AS rn,
+       |       COUNT(*) OVER (PARTITION BY lang) AS n FROM q2),
+       |cut AS (SELECT lang, quality_score AS cutoff FROM r
+       |        WHERE rn = GREATEST(1, n // 4))
+       |SELECT q2.lang, COUNT(*) AS n_kept, MIN(cutoff) AS cutoff,
+       | CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+       |FROM q2 JOIN cut USING (lang)
+       |WHERE quality_score >= cutoff
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ds_sample_hash", dsSampleHash, Some(dsSampleHashSql)),
     Q("ds_sample_stratified", dsSampleStratified, Some(dsSampleStratifiedSql)),
     Q("ds_pack_sequences", dsPackSequences, Some(dsPackSequencesSql)),
     Q("ds_mixture_weights", dsMixtureWeights, Some(dsMixtureWeightsSql)),
     Q("txt_chunks", txtChunks, Some(txtChunksSql)),
-    Q("txt_contamination", txtContamination, Some(txtContaminationSql)))
+    Q("txt_contamination", txtContamination, Some(txtContaminationSql)),
+    Q("ds_filter_quality", dsFilterQuality, Some(dsFilterQualitySql)))
 }

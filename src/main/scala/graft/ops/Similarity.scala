@@ -432,10 +432,54 @@ object Similarity {
        |SELECT query_id, "rank", vec_id, label, cos FROM rk
        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
 
+  /** Symmetric int8 quantization per vector (the standard embedding-index
+    * compression step): scale = 127/amax over the quantized-integer view,
+    * qi = round(x·127/amax). Every reported stat is order-INDEPENDENT —
+    * amax/max_abs_err are maxes, sum_q sums integers ≤127 (exact in
+    * double at any count), n_nonzero counts — so the gate is value-exact
+    * cross-engine even though the per-element math is floating-point
+    * (each element's chain is correctly-rounded IEEE ops on integers).
+    * Map-only: no shuffle, no UDF; at 100 TB this runs embedded in the
+    * scan stage. */
+  def int8QuantStats(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("amax", array_max(transform(col("q"), x => abs(x))))
+      .filter(col("amax") > 0)
+      .withColumn("qi",
+        transform(col("q"), x => round(x * lit(127.0) / col("amax"))))
+      .select(col("vec_id"),
+        col("amax").cast(LongType).as("amax"),
+        aggregate(col("qi"), lit(0L), (acc, x) => acc + x.cast(LongType))
+          .as("sum_q"),
+        size(filter(col("qi"), x => x =!= 0.0)).cast(IntegerType)
+          .as("n_nonzero"),
+        array_max(zip_with(col("q"), col("qi"),
+          (x, i) => abs(x - i * col("amax") / lit(127.0)))).as("max_abs_err"))
+
+  private def simQuantize(spark: SparkSession, dir: String): DataFrame =
+    int8QuantStats(t(spark, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("q")))
+      .orderBy("vec_id")
+
+  private def simQuantizeSql: String =
+    s"""WITH $qvCte,
+       |a AS (SELECT vec_id, v,
+       |       LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS amax FROM qv),
+       |qi AS (SELECT vec_id, v, amax,
+       |        LIST_TRANSFORM(v, x -> ROUND(x * 127.0 / amax)) AS qiv
+       |       FROM a WHERE amax > 0)
+       |SELECT vec_id, CAST(amax AS BIGINT) AS amax,
+       | CAST(LIST_SUM(qiv) AS BIGINT) AS sum_q,
+       | CAST(LEN(LIST_FILTER(qiv, x -> x <> 0)) AS INT) AS n_nonzero,
+       | LIST_MAX(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(v)),
+       |   i -> ABS(v[i] - qiv[i] * amax / 127.0))) AS max_abs_err
+       |FROM qi ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sim_brute_topk", simBrute, Some(simBruteSql)),
     Q("sim_ann_lsh", simAnn, Some(simAnnSql)),
     Q("sim_ann_ivf", simIvf, Some(simIvfSql)),
     Q("dd_embedding_cosine", ddEmbedding, Some(ddEmbeddingSql)),
-    Q("sim_label_centroids", simCentroids, Some(simCentroidsSql)))
+    Q("sim_label_centroids", simCentroids, Some(simCentroidsSql)),
+    Q("sim_quantize", simQuantize, Some(simQuantizeSql)))
 }

@@ -130,11 +130,16 @@ object Text {
       |   / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS uniq_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Quality scoring: stopword ratio, uniq ratio, length band — the usual
-    * cheap pre-training filters. Score is derived from int counts only. */
-  private def txtQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc quality scores: stopword ratio, uniq ratio, length band — the
+    * usual cheap pre-training filters. Score is derived from int counts
+    * only (the ratio divisions and three-term sum are correctly-rounded
+    * IEEE ops — cross-engine deterministic). Null-text docs are dropped,
+    * matching the SQL mirror's NULL-propagating LEN(). Shared by the
+    * txt_quality gate and the percentile filter ([[Sampling]]). */
+  def qualityScores(docs: DataFrame): DataFrame = {
     val en = stopwords("en")
-    val exploded = t(spark, dir, "documents")
+    val exploded = docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         explode_outer(tokens(lower(col("text")))).as("tok"))
     exploded.groupBy("doc_id", "lang")
@@ -150,18 +155,24 @@ object Text {
         col("uniq_ratio") * lit(0.5)
           + when(col("stopword_ratio").between(0.02, 0.6), lit(0.3)).otherwise(lit(0.0))
           + when(col("n_tokens").between(20, 2000), lit(0.2)).otherwise(lit(0.0)))
-      .filter(col("quality_score") >= 0.4)
-      .orderBy("doc_id")
   }
 
-  private val txtQualitySql =
-    """WITH q AS (
+  /** Quality gate: docs passing the absolute score threshold. */
+  private def txtQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityScores(t(spark, dir, "documents"))
+      .filter(col("quality_score") >= 0.4)
+      .orderBy("doc_id")
+
+  /** The q/q2 scoring CTEs, shared by the txt_quality oracle and the
+    * percentile-filter oracle in [[Sampling]] (mirrors [[qualityScores]]). */
+  private[ops] val qualityCtes =
+    """q AS (
       | SELECT doc_id, lang,
       |  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS INT) AS n_tokens,
       |  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
       |    w -> w IN ('the','and','of','to','a','in','is','it','you','that'))) AS INT) AS n_stopwords,
       |  CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'))) AS INT) AS n_uniq
-      | FROM documents),
+      | FROM documents WHERE text IS NOT NULL),
       |q2 AS (
       | SELECT doc_id, lang, n_tokens, n_stopwords, n_uniq,
       |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
@@ -169,8 +180,11 @@ object Text {
       |  CAST(n_uniq AS DOUBLE) / n_tokens * 0.5
       |   + (CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens BETWEEN 0.02 AND 0.6 THEN 0.3 ELSE 0.0 END)
       |   + (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 0.2 ELSE 0.0 END) AS quality_score
-      | FROM q)
-      |SELECT * FROM q2 WHERE quality_score >= 0.4 ORDER BY doc_id""".stripMargin
+      | FROM q)""".stripMargin
+
+  private val txtQualitySql =
+    s"""WITH $qualityCtes
+       |SELECT * FROM q2 WHERE quality_score >= 0.4 ORDER BY doc_id""".stripMargin
 
   /** Language-ID over documents (heuristic scorer; accuracy on real text is
     * exercised in ScalaTest — the synthetic corpus shares one vocabulary

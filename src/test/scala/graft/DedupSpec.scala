@@ -81,6 +81,19 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(0L, 3L))
   }
 
+  test("bestPerCluster keeps the longest member, ties to the lowest id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "canonical")
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "n_chars")
+    val out = graft.ops.Dedup.bestPerCluster(labels, docs)
+      .orderBy("canonical").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cluster 1: docs 2 and 3 tie at 50 chars → lower id 2 wins;
+    // cluster 7: doc 7 and 8 tie at 5 → 7 wins
+    assert(out.toSeq === Seq((1L, 3L, 2L, 50L), (7L, 2L, 7L, 5L)))
+  }
+
   test("simhash: identical → equal; near → close; unrelated → far") {
     val nearDup = base.replace("echo", "zulu")
     val unrelated = (0 until 120).map(i => s"q$i").mkString(" ")

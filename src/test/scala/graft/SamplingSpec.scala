@@ -98,6 +98,19 @@ class SamplingSpec extends SparkSpec {
       out("small")._1 * out("small")._3) < 1e-9)
   }
 
+  test("qualityPercentileFilter cuts each stratum at its own p25") {
+    // stratum A: scores 0.1..0.8 (8 docs) → p25 cutoff = element at
+    // rank 8 div 4 = 2 → 0.2 → keeps 0.2..0.8 (7 docs);
+    // stratum B: uniformly high scores — a GLOBAL cutoff would keep all,
+    // the per-stratum rule still drops B's own worst quarter
+    val scored = ((1L to 8L).map(i => (i, "A", i / 10.0, 100)) ++
+      (11L to 18L).map(i => (i, "B", 0.9 + (i - 10) / 100.0, 100)))
+      .toDF("doc_id", "lang", "quality_score", "n_tokens")
+    val kept = graft.ops.Sampling.qualityPercentileFilter(scored, "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === ((2L to 8L) ++ (12L to 18L)).toSet)
+  }
+
   test("contamination drops null-text docs on both sides") {
     val bench = docs((1000L, "a b c d", "en"))
     val train = Seq((1L, null: String, "en"), (2L, "a b c d", "en"))

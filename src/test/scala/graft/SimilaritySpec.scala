@@ -106,4 +106,25 @@ class SimilaritySpec extends SparkSpec {
       assert(hits >= 3, s"query $qid recalled only $hits planted neighbours")
     }
   }
+
+  test("int8QuantStats: range, reconstruction bound, zero-vector drop") {
+    val emb = Seq(
+      (1L, Seq(100.0, -50.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0)), // zero vector: no valid scale → dropped
+      (3L, Seq(-7.0, 7.0, 3.0)))
+      .toDF("vec_id", "q")
+    val out = Similarity.int8QuantStats(emb).orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val r1 = out.head
+    assert(r1.getLong(1) === 100L) // amax
+    // qi = [127, round(-63.5) = -64, 0] → sum 63, two nonzero
+    assert(r1.getLong(2) === 63L)
+    assert(r1.getInt(3) === 2)
+    // worst reconstruction error ≤ half a quantization step (amax/254)
+    // plus the half-ulp of the rounding chain
+    out.foreach { r =>
+      assert(r.getDouble(4) <= r.getLong(1) / 254.0 + 1e-9,
+        s"vec ${r.getLong(0)} err ${r.getDouble(4)} exceeds half-step")
+    }
+  }
 }
