@@ -801,6 +801,29 @@ object Rel {
       |FROM orders
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Skew-safe salted JOIN ([[ScaleOps.saltedJoin]]): lineitem joined to
+    * orders on orderkey with the orders side replicated over 8 salts, then
+    * revenue per orderpriority. Results are EXACTLY the plain join's (the
+    * oracle is the unsalted SQL), which is the point: the salt only
+    * reshapes the shuffle so a hot orderkey spreads over 8 reducers. */
+  private def q35(spark: SparkSession, dir: String): DataFrame =
+    ScaleOps.saltedJoin(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_extendedprice"),
+          col("l_linenumber")),
+      t(spark, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority")),
+      "okey", saltFrom = col("l_linenumber"), salt = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  private val q35Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -836,5 +859,6 @@ object Rel {
     Q("q32_exact_quantiles", q32, Some(q32Sql)),
     Q("q33_exact_corr", q33, Some(q33Sql)),
     Q("q34_histogram", q34, Some(q34Sql)),
+    Q("q35_salted_join", q35, Some(q35Sql)),
   )
 }

@@ -58,6 +58,27 @@ object ScaleOps {
       .groupBy(groupCols.map(col): _*)
       .agg(sum("__psum").as(sumName), sum("__pcnt").as("n_rows"))
 
+  /** Salted equi-JOIN for skewed probe keys: when a few join keys carry a
+    * disproportionate share of the fact side, a plain shuffle join sends
+    * each hot key's entire volume to one reducer task (AQE's skew-join
+    * split mitigates this only within its thresholds, and not for
+    * sort-merge buckets it can't subdivide). Salting spreads every fact
+    * key over `salt` deterministic sub-keys (hashed from a fact-side
+    * column — no randomness, reproducible) and replicates the BUILD side
+    * once per sub-key, so each reducer sees ~1/salt of any hot key.
+    * Exactly equivalent to the plain join for any 1:N equi-join where
+    * `build` is unique on `key`. Cost: build side × salt (choose build =
+    * the smaller input; if it were broadcast-small you'd broadcast
+    * instead — salting is for the mid-size build that must shuffle). */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+      saltFrom: Column, salt: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(saltFrom), lit(salt)))
+    val saltedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedFact.join(saltedBuild, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Exact SQL NTILE semantics (first `total % n` buckets get the extra
     * row), computed without any single-partition stage. Order columns must
     * form a unique key for deterministic output. */

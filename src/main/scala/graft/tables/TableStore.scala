@@ -145,6 +145,31 @@ final class TableStore(spark: SparkSession, val root: String,
 
   def drop(name: String): Unit = { fs.delete(tdir(name), true); () }
 
+  /** Additive schema evolution (the Iceberg add-column shape): register
+    * new NULLABLE columns on the catalog-owned schema. No data file is
+    * touched — existing files simply lack the column and every read path
+    * backfills null through the explicit-schema parquet scan, exactly how
+    * Iceberg reads pre-evolution files. At 100 TB this is the only sane
+    * evolution primitive: a backfilling rewrite would be a full-table
+    * copy. New columns must be nullable for that reason; appends written
+    * without the new columns keep working (alignTo fills nulls), so
+    * producers can upgrade after the schema does. */
+  def addColumns(name: String, cols: StructType): Unit = {
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val cur = schema(name)
+      cols.fields.foreach { f =>
+        require(!cur.fieldNames.contains(f.name),
+          s"column ${f.name} already exists in table $name")
+        require(f.nullable,
+          s"new column ${f.name} must be nullable — existing files backfill null")
+      }
+      writeString(new HPath(tdir(name), "_schema.json"),
+        StructType(cur.fields ++ cols.fields).json)
+    } finally { fs.delete(lock, false); () }
+  }
+
   def schema(name: String): StructType =
     org.apache.spark.sql.types.DataType
       .fromJson(readString(new HPath(tdir(name), "_schema.json")))
@@ -425,9 +450,20 @@ final class TableStore(spark: SparkSession, val root: String,
 
   // ---- internals ----------------------------------------------------------
 
-  /** Project/reorder columns to the table schema (fixed, catalog-owned). */
-  private def alignTo(sch: StructType, df: DataFrame): DataFrame =
-    df.select(sch.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  /** Project/reorder columns to the table schema (catalog-owned). A
+    * nullable column the incoming frame lacks — a pre-evolution producer —
+    * is backfilled with null; a missing non-nullable column is an error. */
+  private def alignTo(sch: StructType, df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(sch.fields.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else {
+        require(f.nullable,
+          s"incoming data lacks non-nullable column ${f.name}")
+        lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toSeq: _*)
+  }
 
   private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 

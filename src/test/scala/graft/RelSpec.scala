@@ -16,6 +16,19 @@ class RelSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin equals the plain join on a skewed key") {
+    // every 10th fact row collapses onto key 1 — a hot key
+    val fact = (1 to 1000)
+      .map(i => (if (i % 10 == 0) 1L else i.toLong, i.toLong))
+      .toDF("k", "id")
+    val dim = (1 to 1000).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val salted = ScaleOps.saltedJoin(fact, dim, "k", col("id"), 8)
+      .select("k", "id", "name").orderBy("k", "id").collect()
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "id", "name").orderBy("k", "id").collect()
+    assert(salted.toSeq === plain.toSeq)
+  }
+
   test("salted two-phase aggregation equals the plain groupBy") {
     val li = Tables.t(spark, dir, "lineitem")
     val salted = ScaleOps.saltedSumCount(li, Seq("l_returnflag"),

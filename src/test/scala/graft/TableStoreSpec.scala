@@ -24,6 +24,33 @@ class TableStoreSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("addColumns: old files backfill null, old-shape producers keep writing") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    st.addColumns("t", StructType(Seq(StructField("score", DoubleType))))
+    // pre-evolution file reads back with a null score
+    val r1 = st.read("t").orderBy("id").collect()
+    assert(r1.map(r => (r.getLong(0), r.isNullAt(2))).toSeq === Seq((1L, true)))
+    // new-shape append carries the column; old-shape append still works
+    st.append("t", Seq((2L, "b", 0.5)).toDF("id", "v", "score"))
+    st.append("t", Seq((3L, "c")).toDF("id", "v"))
+    val got = st.read("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq === Seq((1L, None), (2L, Some(0.5)), (3L, None)))
+    // mutations across the evolution boundary stay file-pruned and correct
+    st.delete("t", col("id") === 1L)
+    assert(st.read("t").count() === 2)
+    // duplicate and non-nullable additions are rejected
+    intercept[IllegalArgumentException] {
+      st.addColumns("t", StructType(Seq(StructField("score", DoubleType))))
+    }
+    intercept[IllegalArgumentException] {
+      st.addColumns("t",
+        StructType(Seq(StructField("strict", LongType, nullable = false))))
+    }
+  }
+
   test("delete rewrites only affected files (copy-on-write file pruning)") {
     val st = newStore()
     st.create("t", schema)
