@@ -498,6 +498,98 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** BM25 keyword retrieval (Robertson/Sparck-Jones; the standard lexical
+    * search baseline a data platform exposes next to vector search): score
+    * every doc containing a query term, return the top k.
+    *
+    * Scale shape: the explode is filtered to the query terms IMMEDIATELY
+    * (the per-term frame carries only matching (doc, term) rows — at
+    * 100 TB the corpus never shuffles, only matches do); df and the corpus
+    * length stats are tiny aggregates that broadcast back; final top-k is
+    * orderBy+limit → TakeOrdered (per-partition top-k, k-row merge).
+    *
+    * Determinism: the per-doc score is a FIXED-ORDER sum over the query
+    * terms (coalesce chain, not a float groupBy fold — a parallel sum of
+    * doubles is accumulation-order-dependent), every constant is
+    * interpolated into the oracle from the SAME Scala double, and ties
+    * rank by doc_id. Like tf-idf, ln() keeps the raw score out of the
+    * hash check: the gate outputs the RANKING plus integer evidence. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = base.agg(sum(col("dl").cast(LongType)).as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode_outer(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs"))
+      .withColumn("idf", log(
+        (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val termAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      min(when(col("term") === t, col("s"))).as(s"__s$i") }
+    val perDoc = scored.groupBy("doc_id", "dl")
+      .agg(count(lit(1)).cast(IntegerType).as("n_hit"),
+        sum("tf").cast(LongType).as("sum_tf") +: termAggs: _*)
+      .withColumn("score", queryTerms.indices
+        .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+        .reduce(_ + _))
+    perDoc
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast(IntegerType))
+      .select("rank", "doc_id", "dl", "n_hit", "sum_tf")
+  }
+
+  private val bm25Terms = Seq("spark", "join", "vector")
+
+  private def txtBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(t(spark, dir, "documents"), bm25Terms, 15).orderBy("rank")
+
+  /** Mirrors [[bm25TopK]] op-for-op; constants interpolated from the same
+    * Scala doubles so both engines parse identical literals. */
+  private val txtBm25Sql = {
+    val (k1, b) = (1.2, 0.75)
+    val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val fixedSum = bm25Terms.map(t =>
+      s"COALESCE(MIN(CASE WHEN term = '$t' THEN s END), 0.0)").mkString("\n   + ")
+    s"""WITH base AS (SELECT doc_id,
+       |        LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS dl,
+       |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS toks
+       |      FROM documents WHERE text IS NOT NULL),
+       |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_docs
+       |       FROM base),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM base)
+       |       WHERE term IN ($inList) GROUP BY 1, 2, 3),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id, tf.dl, tf.term, tf.tf,
+       |        LN((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |          * (tf * ${k1 + 1}) /
+       |          (tf + $k1 * (${1 - b} + $b * dl /
+       |            (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+       |       FROM tf JOIN df USING (term), st),
+       |pd AS (SELECT doc_id, dl, CAST(COUNT(*) AS INT) AS n_hit,
+       |        CAST(SUM(tf) AS BIGINT) AS sum_tf,
+       |        $fixedSum AS score
+       |       FROM sc GROUP BY doc_id, dl)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+       |   AS "rank",
+       | doc_id, CAST(dl AS INT) AS dl, n_hit, sum_tf
+       |FROM pd ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("txt_token_stats", txtTokenStats, Some(txtTokenStatsSql)),
     Q("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -507,5 +599,6 @@ object Text {
     Q("txt_vocab", txtVocab, Some(txtVocabSql)),
     Q("txt_novelty", txtNovelty, Some(txtNoveltySql)),
     Q("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
-    Q("txt_normalize", txtNormalize, Some(txtNormalizeSql)))
+    Q("txt_normalize", txtNormalize, Some(txtNormalizeSql)),
+    Q("txt_bm25", txtBm25, Some(txtBm25Sql)))
 }

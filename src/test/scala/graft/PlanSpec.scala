@@ -48,6 +48,27 @@ class PlanSpec extends SparkSpec {
     assert("""\+- HashAggregate""".r.findAllIn(p).size >= 2)
   }
 
+  test("saltedJoin shuffles on (key, salt) once the build side outgrows broadcast") {
+    // with broadcast disabled (standing in for a build side too big to
+    // broadcast), the join must key-partition BOTH sides on (k, __salt) —
+    // the property that splits a hot key across reducers. hashpartitioning
+    // must mention the salt column, and the join must not be broadcast.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val fact = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "id")
+      val dim = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      val p = graft.ops.ScaleOps.saltedJoin(fact, dim, "k", col("id"), 8)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("BroadcastHashJoin"))
+      assert("""hashpartitioning\(k#\d+L?, __salt""".r.findFirstIn(p).nonEmpty,
+        s"expected (k, __salt) hash partitioning in:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("hash sampling is map-only: no exchange between scan and sample filter") {
     // the sampler itself must not shuffle; the only exchanges in the gate
     // plan belong to the downstream groupBy/orderBy summary. Formatted

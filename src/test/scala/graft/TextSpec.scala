@@ -110,6 +110,24 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("BM25 rewards term frequency, penalizes length, weights rare terms") {
+    val docs = Seq(
+      (1L, "cat dog bird fish"), // one hit
+      (2L, "cat cat dog bird"), // two hits, same length → above doc 1
+      (3L, "cat dog bird fish mouse horse goat sheep cow hen duck pig"),
+      (4L, "rare dog bird fish"), // the corpus-rare term outweighs 'cat'
+      (5L, "nothing matches here"),
+      (6L, null: String))
+      .toDF("doc_id", "text")
+    val out = Text.bm25TopK(docs, Seq("cat", "rare"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val rankOf = out.map { case (rk, id) => id -> rk }.toMap
+    assert(!rankOf.contains(5L) && !rankOf.contains(6L))
+    assert(rankOf(2L) < rankOf(1L)) // tf: two cats beat one
+    assert(rankOf(1L) < rankOf(3L)) // length: same tf, shorter doc wins
+    assert(rankOf(4L) < rankOf(1L)) // idf: the rarer term scores higher
+  }
+
   test("stopword hits count only exact matches") {
     val df = Seq("the theme of the play").toDF("text")
       .select(Text.stopwordHits(Text.tokens(col("text")), Seq("the", "of")).as("n"))
