@@ -395,6 +395,63 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Containment dedup (subset-duplicate detection): Jaccard misses a
+    * small doc pasted inside a bigger one (the union dilutes the overlap
+    * below any LSH threshold), so curation pipelines also check
+    * CONTAINMENT |A∩B| / min(|A|,|B|) — how much of the smaller shingle
+    * set the pair shares. MinHash bands would bias candidates toward
+    * high-JACCARD pairs (exactly the ones containment is not for);
+    * instead candidates come from capped shingle POSTING LISTS: any pair
+    * sharing a shingle whose corpus document-frequency is ≤ MaxBucket.
+    * A contained doc shares ALL its shingles with its container, so the
+    * pair is found unless every one of its shingles is corpus-common —
+    * and the df cap is what bounds the self-join (cost ∝ Σ df² over
+    * capped shingles, the standard frequency-capped blocking; postings
+    * carry (hash, id) only, never shingle strings). */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val shDocs = shingleDocs(docs)
+    val posts = shDocs
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .select(col("doc_id"), PortableHash.h31(col("s")).as("h"))
+    val capped = posts.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("h")))
+      .filter(col("df").between(2, MaxBucket))
+    val l = capped.select(col("h"), col("doc_id").as("a"))
+    val r = capped.select(col("h"), col("doc_id").as("b"))
+    val pairs = l.join(r, Seq("h")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val inter = size(array_intersect(col("sha"), col("shb")))
+      .cast(DoubleType)
+    pairs
+      .join(shDocs.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(shDocs.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (inter / least(size(col("sha")), size(col("shb")))
+          .cast(DoubleType)).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  private def ddContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(t(spark, dir, "documents"), 0.8).orderBy("a", "b")
+
+  private def ddContainmentSql: String =
+    s"""WITH $shingleCtes,
+       |hx AS (SELECT doc_id, ${PortableHash.h31Sql("s")} AS h
+       |       FROM (SELECT doc_id, UNNEST(sh) AS s FROM shd)),
+       |caps AS (SELECT h FROM hx GROUP BY h
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+       |hc AS (SELECT hx.doc_id, hx.h FROM hx JOIN caps USING (h)),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |         FROM hc l JOIN hc r USING (h) WHERE l.doc_id < r.doc_id)
+       |SELECT a, b, containment FROM (
+       | SELECT cand.a, cand.b,
+       |  CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE)
+       |    / LEAST(LEN(x.sh), LEN(y.sh)) AS containment
+       | FROM cand JOIN shd x ON x.doc_id = cand.a
+       |           JOIN shd y ON y.doc_id = cand.b)
+       |WHERE containment >= 0.8 ORDER BY a, b""".stripMargin
+
   /** Incremental ingest gate: every 10th doc arrives as the "new batch",
     * the rest are the standing corpus; which arrivals are near-dups. */
   private def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
@@ -594,6 +651,7 @@ object Dedup {
     Q("dd_minhash_lsh", ddMinhash, Some(ddMinhashSql)),
     Q("dd_simhash", ddSimhash, Some(ddSimhashSql)),
     Q("dd_ngram_jaccard", ddNgramJaccard, Some(ddNgramJaccardSql)),
+    Q("dd_containment", ddContainment, Some(ddContainmentSql)),
     Q("dd_incremental", ddIncremental, Some(ddIncrementalSql)),
     Q("dd_dup_clusters", ddDupClusters, Some(ddDupClustersSql)),
     Q("dd_keep_best", ddKeepBest, Some(ddKeepBestSql)),

@@ -374,6 +374,37 @@ object Events {
       |FROM wd JOIN mad USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Rolling 24 h per-user activity features (a VALUE-range window frame,
+    * not a row frame — q26 covers ROWS BETWEEN; this is RANGE BETWEEN,
+    * where the frame is defined by the ORDER-BY value, so same-timestamp
+    * peers always share a frame): for every event, how many events and how much
+    * value the SAME user produced in the trailing 24 hours inclusive.
+    * One shuffle on user_id; count/exact-decimal-sum over a value range
+    * are order-independent, so the gate is value-exact cross-engine. */
+  private def evRolling(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dets._
+    val e = ev(spark, dir).select(col("event_id"), col("user_id"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+      dec(col("value")).as("v"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+      .rangeBetween(-86399L, Window.currentRow)
+    e.withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h", dbl(sum(col("v")).over(w)))
+      .select("event_id", "user_id", "ts_sec", "n_24h", "sum_24h")
+      .orderBy("event_id")
+  }
+
+  private val evRollingSql =
+    """SELECT event_id, user_id, ts_sec,
+      | COUNT(*) OVER w AS n_24h,
+      | CAST(SUM(v) OVER w AS DOUBLE) AS sum_24h
+      |FROM (SELECT event_id, user_id,
+      |       CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS ts_sec,
+      |       CAST(value AS DECIMAL(18,2)) AS v FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+      |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ev_tumbling_window", evTumbling, Some(evTumblingSql)),
     Q("ev_sliding_window", evSliding, Some(evSlidingSql)),
@@ -383,6 +414,7 @@ object Events {
     Q("ev_json_props", evProps, Some(evPropsSql)),
     Q("ev_asof_join", evAsof, Some(evAsofSql)),
     Q("ev_pivot", evPivot, Some(evPivotSql)),
+    Q("ev_rolling_24h", evRolling, Some(evRollingSql)),
     Q("ev_funnel", evFunnel, Some(evFunnelSql)),
     Q("ev_retention", evRetention, Some(evRetentionSql)),
     Q("ev_outliers", evOutliers, Some(evOutliersSql)))

@@ -81,6 +81,21 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(0L, 3L))
   }
 
+  test("containment finds a small doc pasted inside a big one (low Jaccard)") {
+    val small = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (100 until 200).map(i => s"pad$i").mkString(" ")
+    val unrelated = (300 until 420).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, unrelated))
+      .toDF("doc_id", "text")
+    // jaccard is ~18/118 ≈ 0.15 — far below the minhash gate's 0.5 — but
+    // every shingle of doc 1 is inside doc 2: containment 1.0
+    val out = Dedup.containmentPairs(docs, 0.8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(out.head.getDouble(2) === 1.0)
+    val jac = Dedup.minhashNearDups(docs, 0.5).collect()
+    assert(jac.isEmpty) // the pair jaccard-LSH cannot see
+  }
+
   test("bestPerCluster keeps the longest member, ties to the lowest id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
       .toDF("doc_id", "canonical")
