@@ -416,8 +416,11 @@ object Dedup {
     * its single rarest shingle under the cap, while blocking cost falls
     * with the cap's square (measured on the dense synthetic corpus:
     * df ≤ 5 generates 70× fewer raw pairs than df ≤ 50 and finds the
-    * identical verified pair set). */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * identical verified pair set). The right cap is corpus-dependent —
+    * it must exceed the expected copy-count of a dup cluster — so it is
+    * a parameter; the gate pins the default for its oracle. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      dfCap: Int = ContainmentDfCap): DataFrame = {
     val shDocs = shingleDocs(docs)
     val posts = shDocs
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
@@ -425,20 +428,32 @@ object Dedup {
     val capped = posts.withColumn("df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy("h")))
-      .filter(col("df").between(2, ContainmentDfCap))
+      .filter(col("df").between(2, dfCap))
     val l = capped.select(col("h"), col("doc_id").as("a"))
     val r = capped.select(col("h"), col("doc_id").as("b"))
+    // materialize the (small) pair set once: it feeds the verify stage
+    // through three branches, and without a persist each branch would
+    // re-run the whole posting pipeline (same lesson as minhashNearDups)
     val pairs = l.join(r, Seq("h")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b").distinct().persist()
+    pairs.count()
+    // verify on the candidate SUBSET only: semi-join the corpus down to
+    // candidate ids before shuffling shingle arrays anywhere
+    val candIds = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val candSh = shDocs.join(candIds, Seq("doc_id"), "left_semi")
     val inter = size(array_intersect(col("sha"), col("shb")))
       .cast(DoubleType)
-    pairs
-      .join(shDocs.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(shDocs.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+    val verified = pairs
+      .join(candSh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(candSh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
         (inter / least(size(col("sha")), size(col("shb")))
           .cast(DoubleType)).as("containment"))
       .filter(col("containment") >= threshold)
+      .localCheckpoint(true)
+    pairs.unpersist()
+    verified
   }
 
   private def ddContainment(spark: SparkSession, dir: String): DataFrame =

@@ -144,10 +144,15 @@ object Sampling {
 
   /** Percentile-based quality filtering (the relative cousin of the
     * absolute-threshold txt_quality gate): per stratum, keep docs whose
-    * quality score clears the stratum's p25 cutoff — "drop the worst
-    * quarter of every language" rather than one global threshold that
-    * over-prunes low-resource strata. The cutoff is an EXACT positional
-    * element (integer rank arithmetic over a (score, doc_id) total order
+    * quality score is AT OR ABOVE the stratum's p25 positional element
+    * (rank max(1, n div 4) under a (score, doc_id) total order) — a
+    * per-stratum cutoff rather than one global threshold that over-prunes
+    * low-resource strata. The cutoff element itself survives, and score
+    * ties with it survive too, so slightly LESS than a quarter is dropped
+    * — and for tiny strata (n < 8) the cutoff is at or near the minimum
+    * and the filter deliberately degrades toward keeping everything
+    * (pruning a 5-doc language by "a quarter" is noise, not curation).
+    * The cutoff is an EXACT positional element (integer rank arithmetic
     * — reproducible, unlike interpolating percentiles), found with one
     * window pass per stratum; the few-row cutoff frame broadcasts back
     * onto the scored corpus, so the big side is filtered map-side. */

@@ -72,6 +72,8 @@ object ScaleOps {
     * instead — salting is for the mid-size build that must shuffle). */
   def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
       saltFrom: Column, salt: Int): DataFrame = {
+    require(!(fact.columns ++ build.columns).contains("__salt"),
+      "saltedJoin reserves the __salt column name")
     val saltedFact = fact.withColumn("__salt",
       pmod(hash(saltFrom), lit(salt)))
     val saltedBuild = build.withColumn("__salt",

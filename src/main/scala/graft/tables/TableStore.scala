@@ -27,9 +27,13 @@ import org.apache.spark.sql.types.StructType
   * Layout per table under `root/<name>/`:
   *   - `data/<uuid>-<part>.parquet` — immutable data files
   *   - `manifest-<n>.txt`          — newline list of live data file names
-  *   - `_schema.json`              — StructType JSON, fixed at create
-  *                                   (catalog-owned schema, mirrors
-  *                                   reference SparkDestinationStream.java:216)
+  *   - `_schema.json`              — StructType JSON (catalog-owned schema,
+  *                                   mirrors reference
+  *                                   SparkDestinationStream.java:216); grows
+  *                                   only by additive evolution (addColumns),
+  *                                   swapped atomically
+  *   - `_evolved`                  — names of columns added after create
+  *                                   (the only ones a writer may omit)
   *   - `_current`                  — name of the live manifest; updated by
   *                                   atomic rename, so readers always see a
   *                                   complete snapshot (replaces Iceberg's
@@ -80,6 +84,36 @@ final class TableStore(spark: SparkSession, val root: String,
 
   private def readLines(p: HPath): Seq[String] =
     readString(p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Replace `p`'s content atomically: write a tmp sibling, rename over.
+    * Readers concurrently opening `p` see either the old or the new
+    * content, never a truncated file. Same local-fs caveat as the
+    * `_current` swap: FileContext's overwrite rename is delete-then-
+    * rename on local filesystems, so `file:` goes through java.nio
+    * ATOMIC_MOVE. */
+  private def atomicWrite(p: HPath, content: String): Unit = {
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.tmp-${UUID.randomUUID().toString.take(8)}")
+    writeString(tmp, content)
+    if (fs.getScheme == "file") {
+      // the java.nio move happens behind Hadoop's ChecksumFileSystem, so
+      // a stale `.<name>.crc` sidecar (from a direct fs.create of p, e.g.
+      // _schema.json at create time) would fail every later read with a
+      // ChecksumException — drop the sidecars; readString verifies only
+      // when a crc exists
+      def crcOf(f: HPath) = new HPath(f.getParent, s".${f.getName}.crc")
+      fs.delete(crcOf(p), false)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      fs.delete(crcOf(tmp), false)
+    } else {
+      fctx.rename(tmp, p, Options.Rename.OVERWRITE)
+    }
+    ()
+  }
 
   /** All regular files under `dir`, recursively. */
   private def listFilesRec(dir: HPath): Seq[HPath] = {
@@ -152,22 +186,44 @@ final class TableStore(spark: SparkSession, val root: String,
     * Iceberg reads pre-evolution files. At 100 TB this is the only sane
     * evolution primitive: a backfilling rewrite would be a full-table
     * copy. New columns must be nullable for that reason; appends written
-    * without the new columns keep working (alignTo fills nulls), so
-    * producers can upgrade after the schema does. */
+    * without the EVOLVED columns keep working (alignTo backfills null for
+    * exactly the recorded evolved set — a frame missing any ORIGINAL
+    * column still fails loudly), so producers can upgrade after the
+    * schema does. The schema swap is tmp-write + atomic rename, like the
+    * `_current` pointer: readers call schema() on every access and must
+    * never observe a truncated file. Snapshots are read under the LIVE
+    * schema — time travel to a pre-evolution version shows the new
+    * columns as null (Iceberg pins schema per snapshot; this store keeps
+    * one live schema, documented divergence). */
   def addColumns(name: String, cols: StructType): Unit = {
     val lock = new HPath(tdir(name), "_commit.lock")
     acquireLock(name, lock)
     try {
       val cur = schema(name)
+      // case-insensitive duplicate check: Spark resolves column names
+      // case-insensitively by default, and a schema with both "score"
+      // and "Score" fails every subsequent read
+      val existing = cur.fieldNames.map(_.toLowerCase).toSet
       cols.fields.foreach { f =>
-        require(!cur.fieldNames.contains(f.name),
+        require(!existing.contains(f.name.toLowerCase),
           s"column ${f.name} already exists in table $name")
         require(f.nullable,
           s"new column ${f.name} must be nullable — existing files backfill null")
       }
-      writeString(new HPath(tdir(name), "_schema.json"),
+      atomicWrite(new HPath(tdir(name), "_schema.json"),
         StructType(cur.fields ++ cols.fields).json)
+      val ev = new HPath(tdir(name), "_evolved")
+      val prior = if (fs.exists(ev)) readString(ev).trim else ""
+      atomicWrite(ev, (prior.split(",").toSeq.filter(_.nonEmpty) ++
+        cols.fields.map(_.name)).mkString(","))
     } finally { fs.delete(lock, false); () }
+  }
+
+  /** Columns added after create() — the only ones writes may omit. */
+  private def evolvedCols(name: String): Set[String] = {
+    val p = new HPath(tdir(name), "_evolved")
+    if (!fs.exists(p)) Set.empty
+    else readString(p).trim.split(",").toSeq.filter(_.nonEmpty).toSet
   }
 
   def schema(name: String): StructType =
@@ -231,7 +287,7 @@ final class TableStore(spark: SparkSession, val root: String,
   /** Append-only write: new data files + manifest, no existing file touched
     * (reference W1, SparkDestinationStream.java:229-232). */
   def append(name: String, df: DataFrame): Unit = {
-    val newFiles = writeDataFiles(name, alignTo(schema(name), df))
+    val newFiles = writeDataFiles(name, alignTo(name, schema(name), df))
     commitManifest(name, currentRelPaths(name) ++ newFiles)
   }
 
@@ -291,7 +347,7 @@ final class TableStore(spark: SparkSession, val root: String,
         }
       }
     }
-    val appended = writeDataFiles(name, alignTo(sch, newRows))
+    val appended = writeDataFiles(name, alignTo(name, sch, newRows))
     commitManifest(name, carried ++ rewritten ++ appended)
   }
 
@@ -450,16 +506,20 @@ final class TableStore(spark: SparkSession, val root: String,
 
   // ---- internals ----------------------------------------------------------
 
-  /** Project/reorder columns to the table schema (catalog-owned). A
-    * nullable column the incoming frame lacks — a pre-evolution producer —
-    * is backfilled with null; a missing non-nullable column is an error. */
-  private def alignTo(sch: StructType, df: DataFrame): DataFrame = {
+  /** Project/reorder columns to the table schema (catalog-owned). Only a
+    * column recorded as ADDED BY EVOLUTION may be absent from the incoming
+    * frame (the pre-evolution-producer case; it backfills null) — a frame
+    * missing any create-time column fails loudly, so a misspelled column
+    * stays an error instead of silently committing nulls. */
+  private def alignTo(name: String, sch: StructType, df: DataFrame): DataFrame = {
     val have = df.columns.toSet
+    lazy val evolved = evolvedCols(name)
     df.select(sch.fields.map { f =>
       if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else {
-        require(f.nullable,
-          s"incoming data lacks non-nullable column ${f.name}")
+        require(evolved.contains(f.name),
+          s"incoming data for table $name lacks column ${f.name} " +
+            "(only columns added by addColumns may be omitted)")
         lit(null).cast(f.dataType).as(f.name)
       }
     }.toSeq: _*)
@@ -507,24 +567,9 @@ final class TableStore(spark: SparkSession, val root: String,
       val n = nextManifestId(name)
       val manifest = f"manifest-$n%06d.txt"
       writeString(new HPath(d, manifest), files.mkString("\n"))
-      val tmp = new HPath(d, s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
-      writeString(tmp, manifest)
-      val current = new HPath(d, "_current")
-      if (fs.getScheme == "file") {
-        // FileContext's overwrite rename is delete-then-rename on local
-        // filesystems (only HDFS overrides it atomically) — a crash between
-        // the two would strand the table with NO `_current`. java.nio
-        // ATOMIC_MOVE is a true atomic replace on POSIX.
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(current.toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } else {
-        // atomic pointer swap on HDFS (S3 caveat in the class doc — there,
-        // put a catalog in front of _current)
-        fctx.rename(tmp, current, Options.Rename.OVERWRITE)
-      }
+      // atomic pointer swap (S3 caveat in the class doc — there, put a
+      // catalog in front of _current)
+      atomicWrite(new HPath(d, "_current"), manifest)
     } finally { fs.delete(lock, false); () }
   }
 

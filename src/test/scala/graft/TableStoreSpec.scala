@@ -41,13 +41,21 @@ class TableStoreSpec extends SparkSpec {
     // mutations across the evolution boundary stay file-pruned and correct
     st.delete("t", col("id") === 1L)
     assert(st.read("t").count() === 2)
-    // duplicate and non-nullable additions are rejected
+    // duplicate (incl. case-variant), and non-nullable additions rejected
     intercept[IllegalArgumentException] {
       st.addColumns("t", StructType(Seq(StructField("score", DoubleType))))
     }
     intercept[IllegalArgumentException] {
+      st.addColumns("t", StructType(Seq(StructField("Score", DoubleType))))
+    }
+    intercept[IllegalArgumentException] {
       st.addColumns("t",
         StructType(Seq(StructField("strict", LongType, nullable = false))))
+    }
+    // a frame missing a CREATE-time column is an error, not a null commit:
+    // only evolved columns may be omitted
+    intercept[IllegalArgumentException] {
+      st.append("t", Seq((9L, 0.1)).toDF("id", "score"))
     }
   }
 
