@@ -824,6 +824,34 @@ object Rel {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The textual-SQL surface through the driver gate (the T rows of
+    * SURVEY §2 are otherwise ScalaTest-only): a correlated EXISTS
+    * subquery — TPC-H Q4's shape on this schema — submitted as ONE
+    * spark.sql() string over temp views. Catalyst rewrites the EXISTS to
+    * a left-semi hash join on l_orderkey with the date predicate pushed
+    * into the join condition; the oracle is the IDENTICAL ANSI text, so
+    * the gate also proves the SQL dialect surface agrees, not just the
+    * DataFrame plans. */
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("q36_orders")
+    t(spark, dir, "lineitem").createOrReplaceTempView("q36_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS late_orders
+        |FROM q36_orders
+        |WHERE EXISTS (SELECT 1 FROM q36_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q36Sql =
+    """SELECT o_orderpriority, COUNT(*) AS late_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -860,5 +888,6 @@ object Rel {
     Q("q33_exact_corr", q33, Some(q33Sql)),
     Q("q34_histogram", q34, Some(q34Sql)),
     Q("q35_salted_join", q35, Some(q35Sql)),
+    Q("q36_sql_exists", q36, Some(q36Sql)),
   )
 }
