@@ -405,6 +405,48 @@ object Events {
       |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Gap-filled per-user daily activity: a distributed date spine
+    * (sequence + explode between each user's first and last active day)
+    * left-joined back onto the daily rollup, zero-filling silent days —
+    * the standard shape for "fill missing periods" without a calendar
+    * cross join or a driver loop. The spine generates map-side from the
+    * tiny per-user bounds aggregate, so at 100 TB the cost is one shuffle
+    * for the daily rollup; spine size is bounded by users × span, never
+    * by event volume. The gate scopes OUTPUT to a deterministic user
+    * slice (user_id % 199 = 0); counts and exact decimal sums make it
+    * value-exact cross-engine. */
+  private def evGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dets._
+    val daily = ev(spark, dir)
+      .filter(col("user_id") % 199 === 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("user_id", "day")
+  }
+
+  private val evGapFillSql =
+    """WITH d AS (
+      | SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      | FROM events WHERE user_id % 199 = 0 GROUP BY 1, 2),
+      |b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1),
+      |sp AS (SELECT user_id, CAST(UNNEST(GENERATE_SERIES(
+      |         CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+      |         INTERVAL 1 DAY)) AS DATE) AS day
+      |       FROM b)
+      |SELECT sp.user_id, sp.day,
+      | COALESCE(n_events, 0) AS n_events,
+      | COALESCE(sum_value, 0.0) AS sum_value
+      |FROM sp LEFT JOIN d ON sp.user_id = d.user_id AND sp.day = d.day
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ev_tumbling_window", evTumbling, Some(evTumblingSql)),
     Q("ev_sliding_window", evSliding, Some(evSlidingSql)),
@@ -415,6 +457,7 @@ object Events {
     Q("ev_asof_join", evAsof, Some(evAsofSql)),
     Q("ev_pivot", evPivot, Some(evPivotSql)),
     Q("ev_rolling_24h", evRolling, Some(evRollingSql)),
+    Q("ev_gap_fill", evGapFill, Some(evGapFillSql)),
     Q("ev_funnel", evFunnel, Some(evFunnelSql)),
     Q("ev_retention", evRetention, Some(evRetentionSql)),
     Q("ev_outliers", evOutliers, Some(evOutliersSql)))

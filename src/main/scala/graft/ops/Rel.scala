@@ -852,6 +852,101 @@ object Rel {
       |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Multiset (ALL) set operations — the bag semantics q12's distinct
+    * INTERSECT/EXCEPT don't cover: per-customer order multiplicities in
+    * 1995 vs 1996. Spark compiles intersectAll/exceptAll to a
+    * count-and-replay plan (tag both sides, aggregate counts per key,
+    * regenerate min/diff copies) — one shuffle per side, no row-by-row
+    * anti-join cascade, so bag semantics cost the same as distinct ones
+    * at 100 TB. */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def keys(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("custkey"))
+    val both = keys(1995).intersectAll(keys(1996))
+      .withColumn("tag", lit("both_all"))
+    val only95 = keys(1995).exceptAll(keys(1996))
+      .withColumn("tag", lit("only95_all"))
+    both.unionAll(only95)
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("custkey")).as("n_keys"),
+        min("custkey").as("min_key"), max("custkey").as("max_key"))
+      .orderBy("tag")
+  }
+
+  private val q37Sql =
+    """SELECT tag, COUNT(*) AS n, COUNT(DISTINCT custkey) AS n_keys,
+      | MIN(custkey) AS min_key, MAX(custkey) AS max_key
+      |FROM (
+      | SELECT custkey, 'both_all' AS tag FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996)
+      | UNION ALL
+      | SELECT custkey, 'only95_all' AS tag FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996))
+      |GROUP BY tag ORDER BY tag""".stripMargin
+
+  /** Wide→long reshape (melt): conditional per-linestatus sums computed
+    * wide in one scan (partial aggs combine map-side), then
+    * `Dataset.unpivot` back to long — the inverse of ev_pivot. unpivot is
+    * an Expand over the already-tiny agg output: zero extra shuffle.
+    * Absent (flag,status) combinations stay NULL in both engines (melt
+    * keeps nulls; the UNION-ALL oracle reproduces them). */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        dbl(sum(when(col("l_linestatus") === "O", dec(col("l_quantity")))))
+          .as("qty_O"),
+        dbl(sum(when(col("l_linestatus") === "F", dec(col("l_quantity")))))
+          .as("qty_F"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty_O"), col("qty_F")), "linestatus", "sum_qty")
+      .withColumn("linestatus", substring(col("linestatus"), 5, 1))
+      .orderBy("l_returnflag", "linestatus")
+  }
+
+  private val q38Sql =
+    """WITH w AS (SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+      | FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'F' AS linestatus, qty_F AS sum_qty FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'O' AS linestatus, qty_O AS sum_qty FROM w
+      |ORDER BY l_returnflag, linestatus""".stripMargin
+
+  /** Several DISTINCT aggregates (one under a conditional scope) plus a
+    * plain count in ONE aggregation — exercises Catalyst's Expand-based
+    * multi-distinct rewrite: each distinct set gets its own projection,
+    * partials still combine map-side, instead of N self-joined
+    * single-distinct aggregations. */
+  private def q39(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("l_quantity") > 25, col("l_orderkey")))
+          .as("n_big_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val q39Sql =
+    """SELECT l_returnflag,
+      | COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_suppkey) AS n_supps,
+      | COUNT(DISTINCT CASE WHEN l_quantity > 25 THEN l_orderkey END)
+      |   AS n_big_orders,
+      | COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -889,5 +984,8 @@ object Rel {
     Q("q34_histogram", q34, Some(q34Sql)),
     Q("q35_salted_join", q35, Some(q35Sql)),
     Q("q36_sql_exists", q36, Some(q36Sql)),
+    Q("q37_multiset_ops", q37, Some(q37Sql)),
+    Q("q38_unpivot", q38, Some(q38Sql)),
+    Q("q39_multi_distinct", q39, Some(q39Sql)),
   )
 }

@@ -170,6 +170,20 @@ object Sampling {
       .filter(col("quality_score") >= col("cutoff"))
   }
 
+  /** Deterministic train/val/test assignment by content-id hash — the
+    * split every training pipeline needs to be STABLE across reruns and
+    * incremental ingests (a doc never migrates between splits when the
+    * corpus grows, unlike fraction-based randomSplit). Map-only: the
+    * split label is a pure function of the id, so there is no shuffle, no
+    * RNG state, and retried tasks make identical decisions. Buckets:
+    * hash%100 < trainPct → train, < trainPct+valPct → val, else test. */
+  def trainValTestSplit(df: DataFrame, idCol: String,
+      trainPct: Int, valPct: Int): DataFrame =
+    df.withColumn("split",
+      when(idHash(col(idCol)) % 100 < trainPct, "train")
+        .when(idHash(col(idCol)) % 100 < trainPct + valPct, "val")
+        .otherwise("test"))
+
   // ---- registered queries --------------------------------------------------
 
   private def idHashSql(x: String): String =
@@ -316,6 +330,26 @@ object Sampling {
        |WHERE quality_score >= cutoff
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 90/5/5 split summarized per (split, lang): stability of the split is
+    * what the oracle checks — both engines derive the same label from the
+    * same md5 hash. */
+  private def dsTrainSplit(spark: SparkSession, dir: String): DataFrame =
+    trainValTestSplit(t(spark, dir, "documents"), "doc_id", 90, 5)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast(LongType).as("total_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("split", "lang")
+
+  private val dsTrainSplitSql =
+    s"""SELECT CASE WHEN h % 100 < 90 THEN 'train'
+       |  WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+       | lang, COUNT(*) AS n_docs,
+       | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM (SELECT *, ${idHashSql("doc_id")} AS h FROM documents)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ds_sample_hash", dsSampleHash, Some(dsSampleHashSql)),
     Q("ds_sample_stratified", dsSampleStratified, Some(dsSampleStratifiedSql)),
@@ -323,5 +357,6 @@ object Sampling {
     Q("ds_mixture_weights", dsMixtureWeights, Some(dsMixtureWeightsSql)),
     Q("txt_chunks", txtChunks, Some(txtChunksSql)),
     Q("txt_contamination", txtContamination, Some(txtContaminationSql)),
-    Q("ds_filter_quality", dsFilterQuality, Some(dsFilterQualitySql)))
+    Q("ds_filter_quality", dsFilterQuality, Some(dsFilterQualitySql)),
+    Q("ds_train_split", dsTrainSplit, Some(dsTrainSplitSql)))
 }
