@@ -415,12 +415,10 @@ object Events {
     * by event volume. The gate scopes OUTPUT to a deterministic user
     * slice (user_id % 199 = 0); counts and exact decimal sums make it
     * value-exact cross-engine. */
-  private def evGapFill(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Dets._
-    val daily = ev(spark, dir)
-      .filter(col("user_id") % 199 === 0)
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+  /** Spine+join core of the gap fill, over an already-rolled-up daily
+    * frame (user_id, day, n_events, sum_value). Public for the planted
+    * fixture tests. */
+  def gapFillDaily(daily: DataFrame): DataFrame = {
     val spine = daily.groupBy("user_id")
       .agg(min("day").as("d0"), max("day").as("d1"))
       .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
@@ -428,7 +426,15 @@ object Events {
       .select(col("user_id"), col("day"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
-      .orderBy("user_id", "day")
+  }
+
+  private def evGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dets._
+    val daily = ev(spark, dir)
+      .filter(col("user_id") % 199 === 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    gapFillDaily(daily).orderBy("user_id", "day")
   }
 
   private val evGapFillSql =

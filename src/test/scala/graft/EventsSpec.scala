@@ -80,4 +80,23 @@ class EventsSpec extends SparkSpec {
     assert(out.getLong(4) === 1L) // only the 100.0 exceeds 3·MAD
     assert(out.getDouble(5) === 0.1)
   }
+
+  test("gapFillDaily zero-fills silent days inside each user's span only") {
+    val daily = Seq(
+      (1L, "2024-01-01", 2L, 5.0),
+      (1L, "2024-01-04", 1L, 2.5), // days 2,3 silent → zero-filled
+      (2L, "2024-02-10", 3L, 1.0)) // single-day span → one row, no fill
+      .toDF("user_id", "d", "n_events", "sum_value")
+      .select(col("user_id"), to_date(col("d")).as("day"),
+        col("n_events"), col("sum_value"))
+    val out = Events.gapFillDaily(daily).orderBy("user_id", "day")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01", 2L, 5.0),
+      (1L, "2024-01-02", 0L, 0.0),
+      (1L, "2024-01-03", 0L, 0.0),
+      (1L, "2024-01-04", 1L, 2.5),
+      (2L, "2024-02-10", 3L, 1.0)))
+  }
 }

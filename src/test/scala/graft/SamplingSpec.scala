@@ -118,4 +118,24 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.contamination(train, bench).collect()
     assert(out.map(_.getLong(0)).toSeq === Seq(2L))
   }
+
+  test("trainValTestSplit is exhaustive, disjoint, stable under corpus growth") {
+    val small = (0L until 500L).map(i => (i, s"t$i", "en")).toDF("doc_id", "text", "lang")
+    val grown = (0L until 2000L).map(i => (i, s"t$i", "en")).toDF("doc_id", "text", "lang")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.trainValTestSplit(df, "doc_id", 90, 5)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = splits(small)
+    val s2 = splits(grown)
+    // every doc gets exactly one label; rates are near 90/5/5
+    assert(s2.size === 2000)
+    val byLabel = s2.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel("train") > 1700 && byLabel("train") < 1900)
+    assert(byLabel("val") > 40 && byLabel("val") < 180)
+    assert(byLabel("test") > 40 && byLabel("test") < 180)
+    // growth stability: docs present in both corpora keep their label
+    s1.foreach { case (id, label) => assert(s2(id) === label) }
+  }
 }
