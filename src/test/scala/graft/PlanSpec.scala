@@ -80,4 +80,38 @@ class PlanSpec extends SparkSpec {
     assert(filterIdx >= 0)
     assert(filterIdx > lastExchange)
   }
+
+  test("train/val/test assignment adds no exchange") {
+    // the split label is a pure projection of the id hash; a rewrite that
+    // introduces a shuffle (e.g. via a window or join) breaks the map-only
+    // contract that makes the split free at 100 TB
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val p = graft.ops.Sampling.trainValTestSplit(df, "doc_id", 90, 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"split must stay map-only:\n$p")
+  }
+
+  test("multiset ops run as count-and-replay, never a join cascade") {
+    // intersectAll/exceptAll must plan as Union -> count aggregate ->
+    // Generate(ReplicateRows): one shuffle per side on the key. A
+    // join-based rewrite would put a Join node (and a per-row probe) in
+    // the plan.
+    val p = planOf("q37_multiset_ops")
+    assert(p.contains("Generate"))
+    assert(!p.contains("Join"), s"bag set ops must not plan as joins:\n$p")
+  }
+
+  test("unpivot is an Expand over one scan, not a union of rescans") {
+    // melt as UNION ALL of per-column selects would scan the fact table
+    // once per value column; Dataset.unpivot must keep a single scan with
+    // an Expand above the aggregate
+    val p = planOf("q38_unpivot")
+    assert(p.contains("Expand"))
+    // count TREE nodes only ("+- Scan parquet"): the details section
+    // repeats every node once more (same trick as the partial-agg guard)
+    assert("""\+- Scan parquet""".r.findAllIn(p).size === 1,
+      s"unpivot must read the input exactly once:\n$p")
+  }
 }
