@@ -165,12 +165,13 @@ object Similarity {
     * partitioned by cell; only the tiny (query × nprobe) set is
     * broadcast.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nprobe: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Deterministic centroid seeds: every (n/k)-th vector, selected by an
+    * explicit id predicate — NOT limit(), whose row choice depends on
+    * scan order. */
+  def seedCentroids(corpus: DataFrame, nCells: Int): Array[(Long, Array[Double])] = {
     val n = corpus.count()
     val step = math.max(1L, n / nCells)
-    val centroids = corpus
+    corpus
       .filter(col("vec_id") % step === 0 && col("vec_id") < step * nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
       .collect()
@@ -179,20 +180,75 @@ object Similarity {
         case d: Double => d
         case other => other.toString.toDouble
       }.toArray))
-    // all centroid dots in ONE codegen'd expression (MatVecDots) — bound
-    // to an attribute so the argmax/probe derivation reads materialized
-    // scores instead of re-evaluating 16 separate dot expressions
-    val flatCentroids: Array[Double] =
-      centroids.flatMap(_._2.map(_.toDouble))
-    def cellDots(v: Column): Column =
-      graft.functions.VectorExprs.mat_vec_dots(v, flatCentroids, centroids.length)
-    // argmax centroid from bound scores (greatest over (score, cell) structs)
-    def bestCells(scores: Column, take: Int): Column = {
-      val scored = array(centroids.toIndexedSeq.zipWithIndex.map { case ((cid, _), i) =>
-        struct(element_at(scores, i + 1).as("score"), lit(cid).as("cell"))
-      }: _*)
-      slice(reverse(array_sort(scored)), 1, take)
+  }
+
+  /** All centroid dots in ONE codegen'd expression (MatVecDots) — bound
+    * to an attribute so argmax/probe derivations read materialized scores
+    * instead of re-evaluating k separate dot expressions. */
+  private def cellDotsFor(cents: Array[(Long, Array[Double])])(v: Column): Column =
+    graft.functions.VectorExprs.mat_vec_dots(
+      v, cents.flatMap(_._2), cents.length)
+
+  /** Best `take` cells from bound scores (greatest over (score, cell)
+    * structs; deterministic — cell id breaks score ties). */
+  private def bestCellsFor(cents: Array[(Long, Array[Double])])(
+      scores: Column, take: Int): Column = {
+    val scored = array(cents.toIndexedSeq.zipWithIndex.map { case ((cid, _), i) =>
+      struct(element_at(scores, i + 1).as("score"), lit(cid).as("cell"))
+    }: _*)
+    slice(reverse(array_sort(scored)), 1, take)
+  }
+
+  /** Lloyd-refined IVF centroids: start from the deterministic seeds and
+    * run `iters` distributed assign+average rounds. Each round is one
+    * map-only assignment (broadcast centroids inside the codegen'd
+    * MatVecDots literal) plus one per-(cell, dim) sum — posexplode feeds
+    * a partial aggregate that collapses to ≤ cells×dim rows map-side, so
+    * the shuffle is centroid-sized, not corpus-sized. Only cells×dim
+    * doubles ever reach the driver; a cell that loses all members keeps
+    * its previous centroid (k never decays). Deterministic end to end:
+    * seeded init, exact per-dim double sums in Spark's fixed partial/
+    * final combine, id-tie-broken assignment. */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int = 16,
+      iters: Int = 2): Array[(Long, Array[Double])] = {
+    var cents = seedCentroids(corpus, nCells)
+    val dim = cents.head._2.length
+    for (_ <- 1 to iters) {
+      val assigned = corpus
+        .select(col("embedding"), cellDotsFor(cents)(col("embedding")).as("_s"))
+        .select(col("embedding"),
+          bestCellsFor(cents)(col("_s"), 1).getItem(0).getField("cell").as("cell"))
+      val stats = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col").cast(DoubleType)).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        stats.get(cid) match {
+          case Some(rows) =>
+            val mean = Array.ofDim[Double](dim)
+            rows.foreach { r =>
+              mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+            }
+            (cid, mean)
+          case None => (cid, old) // empty cell: keep previous centroid
+        }
+      }
     }
+    cents
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 3,
+      centroidsOverride: Array[(Long, Array[Double])] = null): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids =
+      if (centroidsOverride != null) centroidsOverride
+      else seedCentroids(corpus, nCells)
+    def cellDots(v: Column): Column = cellDotsFor(centroids)(v)
+    def bestCells(scores: Column, take: Int): Column =
+      bestCellsFor(centroids)(scores, take)
     val cAssigned = corpus
       .select(col("vec_id"), col("embedding"), col("label"),
         cellDots(col("embedding")).as("_s"))

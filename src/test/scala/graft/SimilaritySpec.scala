@@ -107,6 +107,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids: one Lloyd round lands on exact member means; empty cells persist") {
+    // two tight clusters, one seed in each (ids 0,3 at step n/k = 3);
+    // exactly representable components so the refined centroid must equal
+    // the hand-computed mean bit-for-bit
+    val corpus = Seq(
+      (0L, vec(1.0, 0, 0, 0), 0),
+      (1L, vec(0.5, 0, 0, 0), 0),
+      (2L, vec(0.75, 0, 0, 0), 0),
+      (3L, vec(0, 1.0, 0, 0), 1),
+      (4L, vec(0, 0.5, 0, 0), 1),
+      (5L, vec(0, 0.75, 0, 0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansCentroids(corpus, nCells = 2, iters = 1)
+      .toMap
+    assert(cents(0L).toSeq === Seq(0.75, 0.0, 0.0, 0.0))
+    assert(cents(3L).toSeq === Seq(0.0, 0.75, 0.0, 0.0))
+    // identical vectors: score ties break to ONE cell, the other goes
+    // empty and must keep its seed instead of collapsing to NaN
+    val same = (0L until 4L).map(i => (i, vec(1, 0, 0, 0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val kept = Similarity.kmeansCentroids(same, nCells = 2, iters = 2).toMap
+    assert(kept.values.forall(_.forall(x => !x.isNaN)))
+    assert(kept(0L).toSeq === Seq(1.0, 0.0, 0.0, 0.0))
+  }
+
+  test("Lloyd-refined IVF recall is at least the seeded-centroid recall") {
+    val rnd = new scala.util.Random(13)
+    val bases = (0 until 6).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    val corpus = bases.zipWithIndex.flatMap { case (b, bi) =>
+      (0 until 8).map { j =>
+        (bi * 8L + j, b.map(x => x + (rnd.nextGaussian() / 60).toFloat), bi)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    val queries = bases.zipWithIndex
+      .map { case (b, bi) => (9000L + bi, b, bi) }
+      .toDF("vec_id", "embedding", "label")
+    def totalHits(cents: Array[(Long, Array[Double])]): Int =
+      Similarity.ivfTopK(corpus, queries, 5, nCells = 6, nprobe = 2,
+          centroidsOverride = cents)
+        .collect()
+        .count(r => r.getAs[Int]("label") == (r.getAs[Long]("query_id") - 9000L).toInt)
+    val seeded = totalHits(Similarity.seedCentroids(corpus, 6))
+    val refined = totalHits(Similarity.kmeansCentroids(corpus, 6, iters = 2))
+    assert(refined >= seeded, s"refined recall $refined < seeded $seeded")
+    assert(refined >= 24) // at least 4 of 5 per query on average
+  }
+
   test("int8QuantStats: range, reconstruction bound, zero-vector drop") {
     val emb = Seq(
       (1L, Seq(100.0, -50.0, 0.0)),
