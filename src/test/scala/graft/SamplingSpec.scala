@@ -138,4 +138,33 @@ class SamplingSpec extends SparkSpec {
     // growth stability: docs present in both corpora keep their label
     s1.foreach { case (id, label) => assert(s2(id) === label) }
   }
+
+  test("end-to-end corpus prep composes: clean -> split -> pack") {
+    // the full training-data pipeline over planted docs: near-dup removal
+    // keeps each cluster's canonical, every survivor gets a split label,
+    // and packing assigns token-budget sequences per split
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base),                       // canonical of the dup cluster
+      (2L, base + " iota"),             // near-dup of 1 → dropped
+      (10L, "one two three four five six seven eight"),
+      (11L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (12L, "seventeen eighteen nineteen twenty twentyone twentytwo twentythree twentyfour"))
+      .toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.cleanCorpus(docs, 0.5)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds === Set(1L, 10L, 11L, 12L), s"got $keptIds")
+    val split = Sampling.trainValTestSplit(kept, "doc_id", 90, 5)
+    assert(split.filter(col("split").isNull).count() === 0)
+    val packed = Sampling.packSequences(split, "split", 16)
+      .select("doc_id", "split", "n_tokens", "seq_id").collect()
+    assert(packed.length === 4)
+    // 8 tokens per doc, budget 16 → within a split, docs pack two per
+    // sequence in id order
+    packed.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val seqs = rows.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+      assert(seqs === seqs.sorted)
+      rows.foreach(r => assert(r.getLong(2) === 8L))
+    }
+  }
 }
