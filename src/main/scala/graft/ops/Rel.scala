@@ -947,6 +947,31 @@ object Rel {
       | COUNT(*) AS n_rows
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bloom semi-join reduction ([[ScaleOps.bloomJoin]]): the urgent-order
+    * key set (one fifth of orders — too many rows to broadcast
+    * comfortably at scale, but a ~1 MB key sketch) prunes lineitem
+    * MAP-SIDE before the shuffle join. The oracle is the PLAIN join SQL:
+    * Bloom false positives are removed by the exact join, so the result
+    * must be bit-identical — that equivalence is the gate. */
+  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    ScaleOps.bloomJoin(li, urgent, "o_orderkey")
+      .groupBy((col("o_custkey") % 100).as("cust_bucket"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("cust_bucket")
+  }
+
+  private val q40Sql =
+    """SELECT o_custkey % 100 AS cust_bucket, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -987,5 +1012,6 @@ object Rel {
     Q("q37_multiset_ops", q37, Some(q37Sql)),
     Q("q38_unpivot", q38, Some(q38Sql)),
     Q("q39_multi_distinct", q39, Some(q39Sql)),
+    Q("q40_bloom_join", q40, Some(q40Sql)),
   )
 }

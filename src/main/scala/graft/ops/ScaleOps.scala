@@ -81,6 +81,27 @@ object ScaleOps {
     saltedFact.join(saltedBuild, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom semi-join reduction — a DIY runtime filter for the join whose
+    * build side is too big to broadcast but whose KEY SET still fits a
+    * sketch: build a Bloom filter over the build side's keys (one small
+    * driver job over the build side only), then drop fact rows MAP-SIDE
+    * before the shuffle join via the codegen'd
+    * [[graft.functions.BloomMightContain]] probe. No false negatives, so
+    * the exact join downstream returns the identical result; false
+    * positives only cost shuffle bytes (fpp trades sketch memory vs
+    * reduction). At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling only the ~selectivity fraction that
+    * can actually match — the same technique Spark's InjectRuntimeFilter
+    * applies, but available deliberately, at a chosen fpp/size, on any
+    * integral key. `build` must be unique on `key` for 1:N semantics. */
+  def bloomJoin(fact: DataFrame, build: DataFrame, key: String,
+      expectedKeys: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
+    val bloom = build.stat.bloomFilter(key, expectedKeys, fpp)
+    fact.filter(graft.functions.BloomExprs.bloom_might_contain(
+        org.apache.spark.sql.functions.col(key), bloom))
+      .join(build, Seq(key))
+  }
+
   /** Exact SQL NTILE semantics (first `total % n` buckets get the extra
     * row), computed without any single-partition stage. Order columns must
     * form a unique key for deterministic output. */

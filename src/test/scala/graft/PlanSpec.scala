@@ -81,6 +81,19 @@ class PlanSpec extends SparkSpec {
     assert(filterIdx > lastExchange)
   }
 
+  test("bloom probe filters the fact side below the join") {
+    // the bloom_might_contain Filter must sit on the fact branch UNDER
+    // the join (map-side pruning before the shuffle); a rewrite that
+    // hoists it above the join would shuffle the unpruned fact table
+    val p = planOf("q40_bloom_join")
+    assert(p.contains("bloom_might_contain"), s"bloom probe missing:\n$p")
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("bloom_might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "probe must appear deeper in the tree (after the join node) in " +
+        s"root-first formatted output:\n$p")
+  }
+
   test("train/val/test assignment adds no exchange") {
     // the split label is a pure projection of the id hash; a rewrite that
     // introduces a shuffle (e.g. via a window or join) breaks the map-only

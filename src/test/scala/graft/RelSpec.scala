@@ -16,6 +16,21 @@ class RelSpec extends SparkSpec {
     }
   }
 
+  test("bloomJoin equals the plain join, including keys absent from the build side") {
+    // fact keys 1..2000, build keys only the multiples of 7 — the bloom
+    // must never drop a true match (no false negatives), and the exact
+    // join must erase any false positives the sketch lets through
+    val fact = (1 to 2000).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    val build = (1 to 2000).filter(_ % 7 == 0)
+      .map(i => (i.toLong, s"b$i")).toDF("k", "name")
+    val viaBloom = ScaleOps.bloomJoin(fact, build, "k", expectedKeys = 1000)
+      .select("k", "v", "name").orderBy("k").collect()
+    val plain = fact.join(build, Seq("k"))
+      .select("k", "v", "name").orderBy("k").collect()
+    assert(viaBloom.toSeq === plain.toSeq)
+    assert(plain.length === 2000 / 7)
+  }
+
   test("saltedJoin equals the plain join on a skewed key") {
     // every 10th fact row collapses onto key 1 — a hot key
     val fact = (1 to 1000)
