@@ -88,5 +88,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LshBuckets(children(0), children(1),
           intLit(children(2), "tables"), intLit(children(3), "bits"), mp)
       }))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(key, bloomBytes) - probe an integral key " +
+          "against a serialized spark.util.sketch BloomFilter (binary literal)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "bloom_might_contain(key, bloomBytes) takes 2 arguments")
+        val bytes = lit(children(1), "bloomBytes").value match {
+          case b: Array[Byte] => b
+          case other => throw new IllegalArgumentException(
+            s"bloomBytes must be a binary literal, got $other")
+        }
+        BloomMightContain(children(0),
+          org.apache.spark.util.sketch.BloomFilter.readFrom(bytes))
+      }))
   }
 }

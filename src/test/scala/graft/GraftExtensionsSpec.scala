@@ -50,6 +50,20 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite
     assert(r.getSeq[Long](4) === Seq(3L))
   }
 
+  test("bloom_might_contain in SQL: serialized sketch as a binary literal") {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(7L, 42L, 1000L).foreach(bloom.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val hex = bos.toByteArray.map(b => f"$b%02X").mkString
+    val r = spark.sql(
+      s"""SELECT bloom_might_contain(42L, X'$hex') AS hit,
+         |       bloom_might_contain(43L, X'$hex') AS miss""".stripMargin)
+      .collect()(0)
+    assert(r.getBoolean(0)) // member: never a false negative
+    assert(!r.getBoolean(1)) // 1% fpp on a 100-capacity sketch: miss stays miss
+  }
+
   test("SQL and Scala APIs produce identical values") {
     val s = spark
     import s.implicits._
