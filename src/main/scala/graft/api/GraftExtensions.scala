@@ -103,5 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomMightContain(children(0),
           org.apache.spark.util.sketch.BloomFilter.readFrom(bytes))
       }))
+    // whole-operator extension: the native AS-OF join planner strategy
+    // (graft.ops.AsOf.asofJoin also self-registers on plain sessions via
+    // experimental.extraStrategies — this covers extension-built sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Bridge
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+import Tables.t
+
+/** User-facing entry for the native AS-OF join ([[graft.plans.AsOfJoinPlan]]):
+  * joins each left row to the right row with the largest time ≤ the left
+  * time per key (LEFT OUTER; optional tolerance). Unlike the
+  * window-composed formulation (Events.evAsof), the result carries the
+  * FULL right row, either side may have its own schema, and the plan is
+  * a single co-partitioned merge instead of a union + window.
+  */
+object AsOf {
+
+  /** Native as-of join. `keys` must exist on both sides under the same
+    * names; all other column names must be disjoint (rename before the
+    * call). `toleranceMicros < 0` = unbounded lookback. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      toleranceMicros: Long = -1L): DataFrame = {
+    val spark = left.sparkSession
+    Bridge.addStrategy(spark, AsOfJoinStrategy)
+    val lPlan = left.queryExecution.analyzed
+    // both sides often derive from the same base frame (self-as-of), which
+    // would give the children CONFLICTING attribute ids — the analyzer's
+    // DeduplicateRelations only repairs that for built-in node types, so
+    // mint fresh ids on the right via an alias projection (collapses in
+    // the optimizer; costs nothing at runtime)
+    val rPlan = right
+      .select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    val dup = (lPlan.output.map(_.name).toSet -- keys)
+      .intersect(rPlan.output.map(_.name).toSet -- keys)
+    require(dup.isEmpty, s"non-key columns must be disjoint, both sides have: $dup")
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        sys.error(s"column $name not found in [${plan.output.map(_.name).mkString(", ")}]"))
+    Bridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceMicros))
+  }
+
+  // ---- registered gate -----------------------------------------------------
+
+  /** Clicks enriched with each user's latest at-or-before purchase via the
+    * NATIVE as-of operator (ev_asof_join covers the window-composed
+    * formulation; this gate proves the custom plan end to end). The
+    * output keeps the matched purchase TIME — deterministic even when
+    * several purchases share the as-of instant. */
+  private def evAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Events.ev(spark, dir)
+      .withColumn("tss", date_trunc("second", col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tss"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tss").as("ptss"))
+    asofJoin(clicks, purchases, Seq("user_id"), "tss", "ptss")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("tss")).as("click_ts"),
+        unix_timestamp(col("ptss")).as("asof_purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  private val evAsofNativeSql =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |            DATE_TRUNC('second', ts) AS tss FROM events),
+      |c AS (SELECT event_id, user_id, tss FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, tss AS ptss FROM e WHERE event_type = 'purchase'),
+      |m AS (SELECT c.event_id, c.user_id, c.tss, MAX(p.ptss) AS ptss
+      |      FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ptss <= c.tss
+      |      GROUP BY 1, 2, 3)
+      |SELECT event_id, user_id,
+      | CAST(EPOCH(tss) AS BIGINT) AS click_ts,
+      | CAST(EPOCH(ptss) AS BIGINT) AS asof_purchase_ts
+      |FROM m ORDER BY event_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("ev_asof_native", evAsofNative, Some(evAsofNativeSql)))
+}
