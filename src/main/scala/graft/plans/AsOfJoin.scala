@@ -84,6 +84,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
+  // rows never leave their left-side partition, so downstream operators
+  // clustered on the same keys (a following groupBy, another as-of) can
+  // reuse the exchange instead of reshuffling
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     import AsOfJoinExec.timeToLong
     val leftOut = left.output

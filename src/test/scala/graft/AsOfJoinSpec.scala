@@ -81,6 +81,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.length === 800) // left outer: every left row present
   }
 
+  test("empty right side and keys with no right rows stay left-outer") {
+    val l = (1 to 100).map(i => (i.toLong, (i % 10).toLong, i.toLong))
+      .toDF("id", "k", "t")
+    val emptyR = Seq.empty[(Long, Long, String)].toDF("k", "rt", "v")
+    val out = AsOf.asofJoin(l, emptyR, Seq("k"), "t", "rt")
+    assert(out.count() === 100)
+    assert(out.filter(col("v").isNotNull).count() === 0)
+    // right rows only for ONE key: other keys' partitions see an
+    // exhausted right stream mid-merge
+    val oneKey = Seq((3L, 1L, "only")).toDF("k", "rt", "v")
+    val out2 = AsOf.asofJoin(l, oneKey, Seq("k"), "t", "rt")
+      .filter(col("v").isNotNull)
+    assert(out2.select("k").distinct().collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("downstream aggregation on the join keys reuses the exchange") {
+    val l = Seq((1L, 1L, 2L)).toDF("id", "k", "t")
+    val r = Seq((1L, 1L, "x")).toDF("k", "rt", "v")
+    val p = AsOf.asofJoin(l, r, Seq("k"), "t", "rt")
+      .groupBy("k").agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    // outputPartitioning passthrough: only the join's two child
+    // exchanges may appear — a third would mean the groupBy reshuffled
+    assert("""Exchange hashpartitioning""".r.findAllIn(p).size === 2,
+      s"groupBy on the as-of key must not add an exchange:\n$p")
+  }
+
   test("physical plan: co-partitioned exchanges + sorts around AsOfJoinExec") {
     val l = Seq((1L, 1L, 1L)).toDF("id", "k", "t")
     val r = Seq((1L, 1L, "x")).toDF("k", "rt", "v")
