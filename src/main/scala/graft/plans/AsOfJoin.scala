@@ -113,8 +113,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       // bind the (deduplicated) output against the FULL joined row — the
-      // right keys exist in the input but are dropped by the projection
-      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // right keys exist in the input but are dropped by the projection.
+      // The right attrs MUST bind as nullable here even when the child
+      // schema says otherwise: unmatched left rows read from the all-null
+      // GenericInternalRow, and a nullable=false BoundReference would skip
+      // the null check and read the slot as 0 instead of null
+      val resultProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rightOut.length)
       val joined = new JoinedRow
 

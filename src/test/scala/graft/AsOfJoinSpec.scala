@@ -81,6 +81,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.length === 800) // left outer: every left row present
   }
 
+  test("randomized differential: native matches a driver-side reference across seeds") {
+    // duplicate keys, duplicate times, keys on one side only, and (on
+    // even seeds) a tolerance bound — compared against an exhaustive
+    // per-row reference computed on the driver
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(8)
+      val tol = if (seed % 2 == 0) rnd.nextInt(20).toLong else -1L
+      val lRows = (1 to 150).map(i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong))
+      val rRows = (1 to 120).map(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong, i.toLong))
+      val l = lRows.toDF("id", "k", "t")
+      val r = rRows.toDF("k", "rt", "p")
+      // right times repeat per key: the matched TIME is deterministic,
+      // the payload is not — compare times
+      val native = AsOf.asofJoin(l, r, Seq("k"), "t", "rt", tol)
+        .select("id", "rt").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+      val byKey = rRows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      lRows.foreach { case (id, k, t) =>
+        val expect = byKey.get(k)
+          .flatMap(_.takeWhile(_ <= t).lastOption)
+          .filter(rt => tol < 0 || t - rt <= tol)
+          .getOrElse(-1L)
+        assert(native(id) === expect, s"seed=$seed id=$id k=$k t=$t tol=$tol")
+      }
+    }
+  }
+
   test("empty right side and keys with no right rows stay left-outer") {
     val l = (1 to 100).map(i => (i.toLong, (i % 10).toLong, i.toLong))
       .toDF("id", "k", "t")
