@@ -212,6 +212,7 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, nCells: Int = 16,
       iters: Int = 2): Array[(Long, Array[Double])] = {
     var cents = seedCentroids(corpus, nCells)
+    require(cents.nonEmpty, "kmeansCentroids needs a non-empty corpus")
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val assigned = corpus

@@ -71,6 +71,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     left.output ++ AsOfJoinPlan.nonKeyRight(right.output, rightKeys)
       .map(_.withNullability(true))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   // the SAME contract a shuffled join declares: cluster both sides on the
   // join keys (EnsureRequirements co-partitions them) and sort by
   // (keys, time) so the per-partition merge sees both streams in order
@@ -103,6 +109,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val ltType = lt.dataType
     val rtType = rt.dataType
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, leftOut)
       val rKeyProj = UnsafeProjection.create(rk, rightOut)
@@ -141,6 +149,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val lTimeRow = lTimeProj(l)
           if (lNullKey || lTimeRow.isNullAt(0)) {
             // null key or null time never matches (SQL join-key semantics)
+            numOutputRows += 1
             return resultProj(joined(l, nullRight))
           }
           val lTime = timeToLong(ltType, lTimeRow)
@@ -172,6 +181,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           }
           val matched = lastMatch != null &&
             (tol < 0 || lTime - lastMatchTime <= tol)
+          numOutputRows += 1
+          if (matched) numMatched += 1
           resultProj(joined(l, if (matched) lastMatch else nullRight))
         }
       }
