@@ -972,6 +972,41 @@ object Rel {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Map-typed column family (the one scalar family q29's arrays don't
+    * cover): build a per-flag linestatus→quantity map from aggregated
+    * arrays, then read it back via element_at / map_keys / size /
+    * map_filter. The map stays INTERNAL plumbing — the gate outputs only
+    * scalars derived from it, because map iteration order is not part of
+    * either engine's contract; the oracle computes the same scalars with
+    * conditional aggregation. */
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(dbl(sum(dec(col("l_quantity")))).as("qty"))
+      .groupBy("l_returnflag")
+      .agg(map_from_arrays(collect_list(col("l_linestatus")),
+        collect_list(col("qty"))).as("m"))
+    wide.select(col("l_returnflag"),
+        size(col("m")).as("n_statuses"),
+        element_at(col("m"), "O").as("qty_O"),
+        element_at(col("m"), "F").as("qty_F"),
+        size(map_filter(col("m"), (_, v) => v > 100.0)).as("n_big"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("statuses"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q41Sql =
+    """SELECT l_returnflag,
+      | CAST(COUNT(*) AS INT) AS n_statuses,
+      | MAX(CASE WHEN l_linestatus = 'O' THEN qty END) AS qty_O,
+      | MAX(CASE WHEN l_linestatus = 'F' THEN qty END) AS qty_F,
+      | CAST(SUM(CASE WHEN qty > 100.0 THEN 1 ELSE 0 END) AS INT) AS n_big,
+      | STRING_AGG(l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+      |FROM (SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |      FROM lineitem GROUP BY 1, 2)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -1013,5 +1048,6 @@ object Rel {
     Q("q38_unpivot", q38, Some(q38Sql)),
     Q("q39_multi_distinct", q39, Some(q39Sql)),
     Q("q40_bloom_join", q40, Some(q40Sql)),
+    Q("q41_map_funcs", q41, Some(q41Sql)),
   )
 }
