@@ -405,19 +405,15 @@ object Events {
       |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
-  /** Gap-filled per-user daily activity: a distributed date spine
-    * (sequence + explode between each user's first and last active day)
-    * left-joined back onto the daily rollup, zero-filling silent days —
-    * the standard shape for "fill missing periods" without a calendar
-    * cross join or a driver loop. The spine generates map-side from the
-    * tiny per-user bounds aggregate, so at 100 TB the cost is one shuffle
-    * for the daily rollup; spine size is bounded by users × span, never
-    * by event volume. The gate scopes OUTPUT to a deterministic user
-    * slice (user_id % 199 = 0); counts and exact decimal sums make it
-    * value-exact cross-engine. */
   /** Spine+join core of the gap fill, over an already-rolled-up daily
-    * frame (user_id, day, n_events, sum_value). Public for the planted
-    * fixture tests. */
+    * frame (user_id, day, n_events, sum_value): a distributed date spine
+    * (sequence + explode between each user's first and last active day)
+    * left-joined back onto the rollup, zero-filling silent days — the
+    * standard "fill missing periods" shape without a calendar cross join
+    * or a driver loop. The spine generates map-side from the tiny
+    * per-user bounds aggregate, so at 100 TB the cost is one shuffle for
+    * the daily rollup; spine size is bounded by users × span, never by
+    * event volume. Public for the planted fixture tests. */
   def gapFillDaily(daily: DataFrame): DataFrame = {
     val spine = daily.groupBy("user_id")
       .agg(min("day").as("d0"), max("day").as("d1"))
@@ -428,6 +424,9 @@ object Events {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
+  /** Gate: scopes OUTPUT to a deterministic user slice (user_id % 199
+    * = 0); counts and exact decimal sums make it value-exact
+    * cross-engine. */
   private def evGapFill(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dets._
     val daily = ev(spark, dir)

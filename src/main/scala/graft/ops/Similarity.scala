@@ -206,9 +206,12 @@ object Similarity {
     * a partial aggregate that collapses to ≤ cells×dim rows map-side, so
     * the shuffle is centroid-sized, not corpus-sized. Only cells×dim
     * doubles ever reach the driver; a cell that loses all members keeps
-    * its previous centroid (k never decays). Deterministic end to end:
-    * seeded init, exact per-dim double sums in Spark's fixed partial/
-    * final combine, id-tie-broken assignment. */
+    * its previous centroid (k never decays). Seeded init and id-tie-broken
+    * assignment make the ROUND STRUCTURE deterministic; the per-dim double
+    * sums combine in task-completion order, so centroid bits can differ at
+    * the last ulp across runs on general float data (irrelevant to recall;
+    * bit-exact only when components are exactly representable, as in the
+    * unit tests). */
   def kmeansCentroids(corpus: DataFrame, nCells: Int = 16,
       iters: Int = 2): Array[(Long, Array[Double])] = {
     var cents = seedCentroids(corpus, nCells)
