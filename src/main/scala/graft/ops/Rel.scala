@@ -1007,6 +1007,41 @@ object Rel {
       |      FROM lineitem GROUP BY 1, 2)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bucketed interval join ([[ScaleOps.intervalJoin]]): events as time
+    * points against 120 generated 2-hour maintenance windows (every 6
+    * hours over the data's month). q31 broadcasts its 2-row era table;
+    * this is the general form — an EQUI join on time buckets plus a
+    * residual range filter, so the plan stays a hash join however many
+    * windows exist (a bare range predicate would nested-loop). Window
+    * spine is generated distributively (spark.range / generate_series)
+    * in both engines. */
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Events.ev(spark, dir)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("s"))
+    val windows = spark.range(0, 120)
+      .select(col("id").as("w_id"),
+        (lit(1704067200L) + col("id") * 21600L).as("ws"))
+      .withColumn("we", col("ws") + 7200L)
+    ScaleOps.intervalJoin(pts, "s", windows, "ws", "we", 7200L)
+      .groupBy("w_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("w_id")
+  }
+
+  private val q42Sql =
+    """WITH w AS (SELECT i AS w_id, 1704067200 + i * 21600 AS ws,
+      |            1704067200 + i * 21600 + 7200 AS we
+      |           FROM GENERATE_SERIES(0, 119) t(i)),
+      |e AS (SELECT user_id,
+      |       CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS s
+      |      FROM events)
+      |SELECT w_id, COUNT(*) AS n_events,
+      | COUNT(DISTINCT user_id) AS n_users
+      |FROM w JOIN e ON s >= ws AND s < we
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -1049,5 +1084,6 @@ object Rel {
     Q("q39_multi_distinct", q39, Some(q39Sql)),
     Q("q40_bloom_join", q40, Some(q40Sql)),
     Q("q41_map_funcs", q41, Some(q41Sql)),
+    Q("q42_interval_join", q42, Some(q42Sql)),
   )
 }

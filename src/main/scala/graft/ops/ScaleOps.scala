@@ -102,6 +102,36 @@ object ScaleOps {
       .join(build, Seq(key))
   }
 
+  /** Bucketed interval join — point-in-interval matching when the
+    * interval side is too big to broadcast: Spark plans a bare range
+    * predicate as a nested-loop join (O(points × intervals)). Bucketing
+    * by a fixed width turns it into an EQUI join: each point lands in
+    * exactly one bucket (floor(p / w)), each half-open interval [s, e)
+    * replicates to the buckets it overlaps (one `sequence` + `explode`,
+    * no driver loop), and the residual range filter runs after the hash
+    * join. Every (point, interval) pair appears at most once — the point
+    * has one bucket — so no dedup pass is needed. Cost model: interval
+    * replication = ceil(length / w); pick `bucketWidth` near the typical
+    * interval length so replication stays O(1). Empty/inverted intervals
+    * are dropped (they can match nothing, and their descending bucket
+    * sequence would be malformed). */
+  def intervalJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!(points.columns ++ intervals.columns).contains("__bucket"),
+      "intervalJoin reserves the __bucket column name")
+    val pb = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
+    val ib = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(startCol) / bucketWidth),
+        floor((col(endCol) - 1) / bucketWidth))))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+
   /** Exact SQL NTILE semantics (first `total % n` buckets get the extra
     * row), computed without any single-partition stage. Order columns must
     * form a unique key for deterministic output. */

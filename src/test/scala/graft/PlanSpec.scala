@@ -81,6 +81,15 @@ class PlanSpec extends SparkSpec {
     assert(filterIdx > lastExchange)
   }
 
+  test("interval join plans as a hash join on buckets, never a nested loop") {
+    // the whole point of bucketing: a bare range predicate would plan as
+    // BroadcastNestedLoopJoin (O(points x intervals)); the bucketed form
+    // must keep an equi hash join with the range as a residual filter
+    val p = planOf("q42_interval_join")
+    assert(!p.contains("NestedLoop"), s"interval join degenerated:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash join on __bucket:\n$p")
+  }
+
   test("bloom probe filters the fact side below the join") {
     // the bloom_might_contain Filter must sit on the fact branch UNDER
     // the join (map-side pruning before the shuffle); a rewrite that

@@ -16,6 +16,32 @@ class RelSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin equals the naive range join; half-open bounds; bad intervals dropped") {
+    val rnd = new scala.util.Random(9)
+    val points = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "p")
+    // interval lengths straddle the bucket width (some span many buckets),
+    // plus an inverted and an empty interval that must match nothing
+    val intervals = ((1 to 60).map { i =>
+      val s = rnd.nextInt(950).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(200))
+    } ++ Seq((900L, 500L, 500L), (901L, 600L, 400L)))
+      .toDF("iid", "s", "e")
+    val bucketed = ScaleOps.intervalJoin(points, "p", intervals, "s", "e", 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("p") >= col("s") && col("p") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === naive)
+    assert(!bucketed.exists(_._2 >= 900L)) // empty/inverted never match
+    // boundary semantics: start inclusive, end exclusive
+    val bp = Seq((1L, 10L), (2L, 19L), (3L, 20L)).toDF("pid", "p")
+    val bi = Seq((7L, 10L, 20L)).toDF("iid", "s", "e")
+    val hits = ScaleOps.intervalJoin(bp, "p", bi, "s", "e", 8L)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 2L))
+  }
+
   test("bloomJoin equals the plain join, including keys absent from the build side") {
     // fact keys 1..2000, build keys only the multiples of 7 — the bloom
     // must never drop a true match (no false negatives), and the exact
