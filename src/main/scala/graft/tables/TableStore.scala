@@ -274,6 +274,52 @@ final class TableStore(spark: SparkSession, val root: String,
     readString(new HPath(tdir(name), "_current")).trim
       .stripPrefix("manifest-").stripSuffix(".txt").toInt
 
+  /** Incremental read: rows in data files ADDED since snapshot `version`
+    * (the incremental-consumer primitive — a downstream job processes
+    * only what appended, never rescanning the table). Exact for
+    * append-only history; a copy-on-write mutation rewrites files, so
+    * its rewritten rows surface here as "new" — callers that interleave
+    * mutations should diff by key ([[diffVersions]]) instead. */
+  def readAppendedSince(name: String, version: Int): DataFrame = {
+    val baseline = {
+      val manifest = new HPath(tdir(name), f"manifest-$version%06d.txt")
+      require(fs.exists(manifest), s"no snapshot $version for table $name")
+      readLines(manifest).toSet
+    }
+    val added = currentRelPaths(name).filterNot(baseline)
+    readFiles(name, added.map(f => new HPath(dataDir(name), f).toString))
+  }
+
+  /** Key-level diff between two snapshots: one row per key whose presence
+    * changed — change = 'added' | 'removed' (keys present in both with
+    * different non-key values are 'changed' when `compareCols` is
+    * non-empty). One full-outer join on the key columns; both sides scan
+    * only their snapshot's files, so cost is bounded by the two
+    * snapshots, not the table's history. */
+  def diffVersions(name: String, fromVersion: Int, toVersion: Int,
+      keyCols: Seq[String], compareCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "diffVersions needs at least one key column")
+    val before = readVersion(name, fromVersion)
+      .select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__b", lit(1))
+    val after = readVersion(name, toVersion)
+      .select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__a", lit(1))
+    val joined = before.as("b").join(after.as("a"),
+      keyCols.map(k => before(k) <=> after(k)).reduce(_ && _), "full_outer")
+    val changed: Column =
+      if (compareCols.isEmpty) lit(false)
+      else compareCols.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+        .reduce(_ || _)
+    joined.select(
+      keyCols.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) :+
+        when(col("__b").isNull, lit("added"))
+          .when(col("__a").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("same")).as("change"): _*)
+      .filter(col("change") =!= "same")
+  }
+
   private def readFiles(name: String, files: Seq[String]): DataFrame = {
     val sch = schema(name)
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), sch)

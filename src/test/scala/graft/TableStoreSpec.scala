@@ -14,6 +14,34 @@ class TableStoreSpec extends SparkSpec {
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("v", StringType)))
 
+  test("readAppendedSince returns only post-snapshot appends; diffVersions classifies changes") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = st.currentVersion("t")
+    st.append("t", Seq((3L, "c")).toDF("id", "v"))
+    st.append("t", Seq((4L, "d")).toDF("id", "v"))
+    // incremental consumer: sees exactly the two appended batches
+    val inc = st.readAppendedSince("t", v1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(inc.toSeq === Seq((3L, "c"), (4L, "d")))
+    // nothing appended since the current snapshot
+    assert(st.readAppendedSince("t", st.currentVersion("t")).count() === 0)
+    // key-level diff across a mutation: delete 1, upsert-change 2, add 5
+    st.delete("t", col("id") === 1L)
+    st.upsert("t", Seq((2L, "B"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    val diff = st.diffVersions("t", v1, st.currentVersion("t"),
+      Seq("id"), compareCols = Seq("v"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(diff.toSeq === Seq(
+      (1L, "removed"), (2L, "changed"), (3L, "added"), (4L, "added"), (5L, "added")))
+    // presence-only diff ignores value changes
+    val presence = st.diffVersions("t", v1, st.currentVersion("t"), Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(presence.toSeq === Seq(
+      (1L, "removed"), (3L, "added"), (4L, "added"), (5L, "added")))
+  }
+
   test("create + append + read round-trip") {
     val st = newStore()
     st.create("t", schema)
