@@ -121,12 +121,21 @@ object ScaleOps {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(!(points.columns ++ intervals.columns).contains("__bucket"),
       "intervalJoin reserves the __bucket column name")
-    val pb = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
+    // EXACT floor division, not floor(x / w): the double division inside
+    // floor() loses exactness past 2^53 and could assign a point and its
+    // covering interval to different buckets. pmod's non-negative
+    // remainder makes (c - pmod) the exact floor multiple of the width
+    // (negatives included, equal-width buckets everywhere); the decimal
+    // division of that multiple is exact at any long magnitude.
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))).cast("decimal(38,0)")
+        / lit(bucketWidth)).cast("long")
+    val pb = points.withColumn("__bucket", bucketOf(col(pointCol)))
     val ib = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
-        floor(col(startCol) / bucketWidth),
-        floor((col(endCol) - 1) / bucketWidth))))
+        bucketOf(col(startCol)),
+        bucketOf(col(endCol) - 1))))
     pb.join(ib, Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")

@@ -18,12 +18,14 @@ class RelSpec extends SparkSpec {
 
   test("intervalJoin equals the naive range join; half-open bounds; bad intervals dropped") {
     val rnd = new scala.util.Random(9)
-    val points = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    // negative and positive points: bucket arithmetic must stay
+    // consistent across zero (exact floor division via pmod)
+    val points = (1 to 500).map(i => (i.toLong, (rnd.nextInt(2000) - 1000).toLong))
       .toDF("pid", "p")
     // interval lengths straddle the bucket width (some span many buckets),
     // plus an inverted and an empty interval that must match nothing
     val intervals = ((1 to 60).map { i =>
-      val s = rnd.nextInt(950).toLong
+      val s = (rnd.nextInt(1900) - 1000).toLong
       (i.toLong, s, s + 1 + rnd.nextInt(200))
     } ++ Seq((900L, 500L, 500L), (901L, 600L, 400L)))
       .toDF("iid", "s", "e")
