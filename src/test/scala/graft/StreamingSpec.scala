@@ -163,6 +163,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch enriches a stream with the native as-of join") {
+    // the operational shape for streaming enrichment against a slowly
+    // changing reference table: each micro-batch runs the custom
+    // AsOfJoin plan (strategy self-registers on the batch's session)
+    val purchases = Seq((7L, 100L, "early"), (7L, 300L, "late"))
+      .toDF("user_id", "pt", "tag")
+    val clicks = mkEvents(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 11:00:00"), 7, "click", 1.0, "{}"),
+      Ev(3, ts("2024-01-01 12:00:00"), 8, "click", 1.0, "{}"))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = clicks.toDF()
+      .select(col("event_id"),
+        col("user_id"), (col("event_id") * 100L + 50L).as("ct"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val enriched = graft.ops.AsOf
+          .asofJoin(batch, purchases, Seq("user_id"), "ct", "pt")
+          .select("event_id", "tag").collect()
+        out.synchronized {
+          out ++= enriched.map(r =>
+            (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(out.sortBy(_._1).toSeq === Seq(
+        (1L, "early"), // ct=150: only the 100 purchase is at-or-before
+        (2L, "early"), // ct=250: still before the 300 purchase
+        (3L, null))) // user 8 has no purchases
+    } finally q.stop()
+  }
+
   test("CdcStreamSink applies envelope micro-batches without collecting") {
     val store = new TableStore(spark, tmpDir("sink-cdc-"))
     val schema = StructType(Seq(
