@@ -350,6 +350,40 @@ object Sampling {
        |FROM (SELECT *, ${idHashSql("doc_id")} AS h FROM documents)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Packed-sequence PAYLOAD construction — the step after seq-id
+    * assignment: concatenate each sequence's docs (in doc_id order) into
+    * one training row. collect_list order is execution-dependent, so the
+    * docs collect as (doc_id, text) structs and sort INSIDE the group
+    * before joining — deterministic at any parallelism. The gate outputs
+    * the md5 + length of each packed payload, not the text itself (keeps
+    * result rows small while still pinning every byte). */
+  private def dsPackText(spark: SparkSession, dir: String): DataFrame =
+    packSequences(t(spark, dir, "documents"), "source", 256)
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        array_sort(collect_list(struct(col("doc_id"), col("text"))))
+          .as("docs"))
+      .select(col("source"), col("seq_id"), col("n_docs"),
+        md5(array_join(transform(col("docs"), d => d.getField("text")),
+          "\n")).as("payload_md5"),
+        length(array_join(transform(col("docs"), d => d.getField("text")),
+          "\n")).cast(LongType).as("payload_len"))
+      .orderBy("source", "seq_id")
+
+  private val dsPackTextSql =
+    s"""SELECT source, seq_id, COUNT(*) AS n_docs,
+       | MD5(STRING_AGG(text, chr(10) ORDER BY doc_id)) AS payload_md5,
+       | CAST(LENGTH(STRING_AGG(text, chr(10) ORDER BY doc_id)) AS BIGINT)
+       |   AS payload_len
+       |FROM (
+       | SELECT source, doc_id, text,
+       |  CAST((SUM(nt) OVER (PARTITION BY source ORDER BY doc_id) - nt) // 256
+       |    AS BIGINT) AS seq_id
+       | FROM (SELECT source, doc_id, text,
+       |        LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS nt
+       |       FROM documents WHERE text IS NOT NULL))
+       |GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ds_sample_hash", dsSampleHash, Some(dsSampleHashSql)),
     Q("ds_sample_stratified", dsSampleStratified, Some(dsSampleStratifiedSql)),
@@ -358,5 +392,6 @@ object Sampling {
     Q("txt_chunks", txtChunks, Some(txtChunksSql)),
     Q("txt_contamination", txtContamination, Some(txtContaminationSql)),
     Q("ds_filter_quality", dsFilterQuality, Some(dsFilterQualitySql)),
-    Q("ds_train_split", dsTrainSplit, Some(dsTrainSplitSql)))
+    Q("ds_train_split", dsTrainSplit, Some(dsTrainSplitSql)),
+    Q("ds_pack_text", dsPackText, Some(dsPackTextSql)))
 }
