@@ -1042,6 +1042,35 @@ object Rel {
       |FROM w JOIN e ON s >= ws AND s < we
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): every customer key walks
+    * its binary-heap ancestor chain (node → node div 2) to the root — a
+    * variable-depth traversal no fixed-length join chain can express.
+    * Each recursion level executes as a distributed step over the
+    * previous level's frame; depth is bounded by log2(max key), rows by
+    * keys × chain length. Aggregated per depth for a compact oracle. */
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("q43_customer")
+    spark.sql(
+      """WITH RECURSIVE anc(custkey, node, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM q43_customer
+        |  UNION ALL
+        |  SELECT custkey, node DIV 2, depth + 1 FROM anc WHERE node > 1)
+        |SELECT depth, COUNT(*) AS n_nodes,
+        | COUNT(DISTINCT custkey) AS n_keys,
+        | CAST(SUM(node) AS BIGINT) AS sum_node
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  private val q43Sql =
+    """WITH RECURSIVE anc(custkey, node, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT custkey, node // 2, depth + 1 FROM anc WHERE node > 1)
+      |SELECT depth, COUNT(*) AS n_nodes,
+      | COUNT(DISTINCT custkey) AS n_keys,
+      | CAST(SUM(node) AS BIGINT) AS sum_node
+      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -1085,5 +1114,6 @@ object Rel {
     Q("q40_bloom_join", q40, Some(q40Sql)),
     Q("q41_map_funcs", q41, Some(q41Sql)),
     Q("q42_interval_join", q42, Some(q42Sql)),
+    Q("q43_recursive_cte", q43, Some(q43Sql)),
   )
 }
