@@ -1,10 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Bridge
 import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
-import Tables.t
 
 /** User-facing entry for the native AS-OF join ([[graft.plans.AsOfJoinPlan]]):
   * joins each left row to the right row with the largest time ≤ the left
