@@ -1071,6 +1071,47 @@ object Rel {
       | CAST(SUM(node) AS BIGINT) AS sum_node
       |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** OLS regression (slope + intercept) from EXACT sufficient statistics
+    * — q33's determinism argument extended: decimal sums are exact, every
+    * derived op (product, difference, division) is a correctly-rounded
+    * IEEE step applied in the same order by both engines, so the fitted
+    * line is bit-identical cross-engine where the builtin regr_slope's
+    * streaming accumulation would be order-dependent. */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dbl(sum(x)).as("sx"), dbl(sum(y)).as("sy"),
+        dbl(sum(x * y)).as("sxy"), dbl(sum(x * x)).as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n"))
+      .select("l_returnflag", "n", "slope", "intercept")
+      .orderBy("l_returnflag")
+  }
+
+  private val q44Sql =
+    """SELECT l_returnflag, n, slope, (sy - slope * sx) / n AS intercept
+      |FROM (
+      | SELECT l_returnflag, n, sx, sy,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      | FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+      |   CAST(SUM(x * x) AS DOUBLE) AS sxx
+      |  FROM (SELECT l_returnflag,
+      |         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |        FROM lineitem)
+      |  GROUP BY 1))
+      |ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_topk", q02, Some(q02Sql)),
@@ -1115,5 +1156,6 @@ object Rel {
     Q("q41_map_funcs", q41, Some(q41Sql)),
     Q("q42_interval_join", q42, Some(q42Sql)),
     Q("q43_recursive_cte", q43, Some(q43Sql)),
+    Q("q44_regression", q44, Some(q44Sql)),
   )
 }
