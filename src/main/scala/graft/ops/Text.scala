@@ -98,6 +98,7 @@ object Text {
     // scalars + token array materialized BELOW the generate: Spark places
     // a combined projection ABOVE it, re-evaluating the regexp per token row
     val exploded = t(spark, dir, "documents")
+      .filter(col("text").isNotNull) // null-text docs drop on BOTH sides
       .select(col("doc_id"),
         length(col("text")).as("nc"),
         bpeishCount(col("text")).cast(IntegerType).as("nb"),
@@ -128,7 +129,7 @@ object Text {
       |   / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS avg_token_len,
       | CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS DOUBLE)
       |   / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS uniq_ratio
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   /** Per-doc quality scores: stopword ratio, uniq ratio, length band — the
     * usual cheap pre-training filters. Score is derived from int counts
@@ -195,6 +196,7 @@ object Text {
     val langs = (stopwords - "zh").toSeq.sortBy(_._1)
     // zh regexp scalar materialized below the generate (see txtTokenStats)
     val exploded = t(spark, dir, "documents")
+      .filter(col("text").isNotNull) // null-text docs drop on BOTH sides
       .select(col("doc_id"), col("lang").as("labelled_lang"),
         (cjkChars(col("text")) * 3).cast(DoubleType).as("zh_score"),
         tokens(lower(col("text"))).as("toks"))
@@ -219,6 +221,7 @@ object Text {
   /** Rolling-hash fingerprints + duplicate-fingerprint groups. */
   private def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      .filter(col("text").isNotNull) // null-text docs drop on BOTH sides
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
       .orderBy("canonical")
@@ -233,7 +236,7 @@ object Text {
        |     REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
        |     w -> ($hw & 4294967295))),
        |   (acc, h) -> ((acc * 1000003 + h) & 4294967295)) AS fp
-       | FROM documents)
+       | FROM documents WHERE text IS NOT NULL)
        |GROUP BY fp ORDER BY canonical""".stripMargin
   }
 
@@ -494,7 +497,7 @@ object Text {
        |   CAST((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[一-鿿]', '', 'g'))) * 3 AS DOUBLE) AS s_zh
        |  FROM (SELECT doc_id, lang, text,
        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS toks
-       |        FROM documents)))
+       |        FROM documents WHERE text IS NOT NULL)))
        |ORDER BY doc_id""".stripMargin
   }
 
