@@ -68,14 +68,16 @@ object AsOf {
     """WITH e AS (SELECT event_id, user_id, event_type,
       |            DATE_TRUNC('second', ts) AS tss FROM events),
       |c AS (SELECT event_id, user_id, tss FROM e WHERE event_type = 'click'),
-      |p AS (SELECT user_id, tss AS ptss FROM e WHERE event_type = 'purchase'),
-      |m AS (SELECT c.event_id, c.user_id, c.tss, MAX(p.ptss) AS ptss
-      |      FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ptss <= c.tss
-      |      GROUP BY 1, 2, 3)
+      |p AS (SELECT user_id, tss AS ptss FROM e WHERE event_type = 'purchase')
       |SELECT event_id, user_id,
       | CAST(EPOCH(tss) AS BIGINT) AS click_ts,
-      | CAST(EPOCH(ptss) AS BIGINT) AS asof_purchase_ts
-      |FROM m ORDER BY event_id""".stripMargin
+      | CAST(EPOCH((SELECT MAX(p.ptss) FROM p
+      |             WHERE p.user_id = c.user_id AND p.ptss <= c.tss))
+      |   AS BIGINT) AS asof_purchase_ts
+      |FROM c ORDER BY event_id""".stripMargin
+      // scalar subquery, NOT a GROUP BY over (event_id, user_id, tss):
+      // grouping would silently collapse replayed duplicate click rows
+      // that the operator (correctly) emits once per left row
 
   val all: Seq[Q] = Seq(
     Q("ev_asof_native", evAsofNative, Some(evAsofNativeSql)))

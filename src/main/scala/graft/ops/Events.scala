@@ -145,8 +145,10 @@ object Events {
 
   private val evPropsSql =
     """SELECT event_type, COUNT(*) AS n,
-      | CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-      | MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k
+      | CAST(SUM(CAST(CASE WHEN JSON_VALID(props)
+      |   THEN JSON_EXTRACT_STRING(props, '$.k') END AS INT)) AS BIGINT) AS sum_k,
+      | MAX(CAST(CASE WHEN JSON_VALID(props)
+      |   THEN JSON_EXTRACT_STRING(props, '$.k') END AS INT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** AS-OF join, composed from built-ins (the preferred path before any
@@ -348,12 +350,15 @@ object Events {
   }
 
   private def evOutliers(spark: SparkSession, dir: String): DataFrame =
-    madOutliers(ev(spark, dir).select(col("event_type"), col("event_id"),
-      Dets.dec(col("value")).as("v")))
+    madOutliers(ev(spark, dir)
+      .filter(col("value").isNotNull) // null values rank differently across engines
+      .select(col("event_type"), col("event_id"),
+        Dets.dec(col("value")).as("v")))
 
   private val evOutliersSql =
     """WITH e AS (SELECT event_type, event_id,
-      |        CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |        CAST(value AS DECIMAL(18,2)) AS v
+      |       FROM events WHERE value IS NOT NULL),
       |r1 AS (SELECT *,
       |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
       |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),

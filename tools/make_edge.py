@@ -17,7 +17,8 @@ src = "/root/testdata/sf0.001"
 os.makedirs(out, exist_ok=True)
 for p in glob.glob(f"{src}/*.parquet"):
     shutil.copy(p, out)
-duckdb.connect().execute(f"""
+con = duckdb.connect()
+con.execute(f"""
 COPY (
   SELECT * FROM '{src}/documents.parquet'
   UNION ALL
@@ -30,5 +31,22 @@ COPY (
     (100006, 'a  b   c', 'es', 'src5', 8)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+# events edges: null value, null/empty/MALFORMED json props, and a
+# replayed duplicate event_id (round 3: malformed props errored the
+# ev_json_props oracle; null value shifted ev_outliers ranks; the
+# duplicate collapsed in ev_asof_native's GROUP-BY oracle)
+con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/events.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, TIMESTAMP '2024-01-15 12:00:00', 42, 'click', NULL, '{{"k": 7}}'),
+    (9000002, TIMESTAMP '2024-01-15 12:00:01', 42, 'view', 1.25, NULL),
+    (9000003, TIMESTAMP '2024-01-15 12:00:02', 42, 'purchase', 2.5, '{{bad json'),
+    (9000004, TIMESTAMP '2024-01-15 12:00:03', 43, 'click', 3.0, ''),
+    (9000004, TIMESTAMP '2024-01-15 12:00:03', 43, 'click', 3.0, '')
+  ) t(event_id, ts, user_id, event_type, value, props)
+) TO '{out}/events.parquet' (FORMAT PARQUET)
 """)
 print(f"edge corpus at {out}")
