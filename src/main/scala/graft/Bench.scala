@@ -33,7 +33,11 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.registry.foreach { q =>
       try q.fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a silently-failing warmup would leave this query's codegen cold
+        // and skew its timed run — surface it
+        System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
+      }
       spark.catalog.clearCache()
     }
     // drop warmup residue the catalog cache doesn't cover: localCheckpoint
@@ -43,24 +47,33 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     System.gc()
     Thread.sleep(2000) // let ContextCleaner drain its reference queue
+    // One sample per query is hostage to ambient machine load (a single GC
+    // or noisy-neighbor spike reads as a 17× regression) — run each query
+    // GRAFT_BENCH_REPS times and report the per-query MINIMUM, the standard
+    // load-insensitive estimator for a deterministic workload.
+    val reps = math.max(1,
+      sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt)
     val results = SparkEntry.registry.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // queries may persist intermediates internally; drop them so later
-      // queries aren't skewed by accumulated cache memory. localCheckpoint
-      // blocks are NOT in the catalog cache — without the explicit RDD
-      // unpersist they accumulate across the dedup family and the block-
-      // manager pressure shows up as multi-second noise in later queries
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // queries may persist intermediates internally; drop them so later
+        // queries aren't skewed by accumulated cache memory. localCheckpoint
+        // blocks are NOT in the catalog cache — without the explicit RDD
+        // unpersist they accumulate across the dedup family and the block-
+        // manager pressure shows up as multi-second noise in later queries
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        if (ok) elapsed else -1.0
+      }
       // a failed query reports -1, never a plausible-looking partial time
-      q.name -> (if (ok) elapsed else -1.0)
+      q.name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

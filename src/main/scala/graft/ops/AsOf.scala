@@ -16,7 +16,13 @@ object AsOf {
 
   /** Native as-of join. `keys` must exist on both sides under the same
     * names; all other column names must be disjoint (rename before the
-    * call). `toleranceMicros < 0` = unbounded lookback. */
+    * call). `toleranceMicros < 0` = unbounded lookback.
+    *
+    * Both time columns must be in the same UNIT FAMILY — timestamp/long
+    * (micros) or int/date (days) — enforced below; comparing a micros
+    * column to a days column would silently produce wrong matches. The
+    * tolerance is likewise in the time columns' raw units: microseconds
+    * for timestamp/long, days for int/date. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
       toleranceMicros: Long = -1L): DataFrame = {
@@ -38,9 +44,23 @@ object AsOf {
         name: String) =
       plan.output.find(_.name == name).getOrElse(
         sys.error(s"column $name not found in [${plan.output.map(_.name).mkString(", ")}]"))
+    val lt = attr(lPlan, leftTimeCol)
+    val rt = attr(rPlan, rightTimeCol)
+    def unitFamily(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.LongType => "micros"
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType => "days"
+      case other => throw new IllegalArgumentException(
+        s"as-of time column must be timestamp/long/int/date, got $other")
+    }
+    require(unitFamily(lt.dataType) == unitFamily(rt.dataType),
+      s"as-of time columns must share a unit family: $leftTimeCol is " +
+        s"${lt.dataType} (${unitFamily(lt.dataType)}) but $rightTimeCol is " +
+        s"${rt.dataType} (${unitFamily(rt.dataType)}) — cast one side first")
     Bridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceMicros))
+      lt, rt, toleranceMicros))
   }
 
   // ---- registered gate -----------------------------------------------------

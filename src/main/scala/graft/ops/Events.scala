@@ -143,11 +143,14 @@ object Events {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** TRY_CAST (not CAST) mirrors Spark's non-ANSI cast: a valid JSON whose
+    * $.k is a non-numeric string must yield NULL on both engines, where a
+    * plain DuckDB CAST would raise. */
   private val evPropsSql =
     """SELECT event_type, COUNT(*) AS n,
-      | CAST(SUM(CAST(CASE WHEN JSON_VALID(props)
+      | CAST(SUM(TRY_CAST(CASE WHEN JSON_VALID(props)
       |   THEN JSON_EXTRACT_STRING(props, '$.k') END AS INT)) AS BIGINT) AS sum_k,
-      | MAX(CAST(CASE WHEN JSON_VALID(props)
+      | MAX(TRY_CAST(CASE WHEN JSON_VALID(props)
       |   THEN JSON_EXTRACT_STRING(props, '$.k') END AS INT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -515,6 +515,22 @@ object Rel {
       .orderBy("l_returnflag")
   }
 
+  /** The exact branch of q24 on its own — deterministic, so it gets a full
+    * DuckDB oracle (the combined gate stays rows-only because HLL sketch
+    * estimates are engine-specific). */
+  private def q24e(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
+  private val q24eSql =
+    """SELECT l_returnflag,
+      | COUNT(DISTINCT l_partkey) AS exact_parts,
+      | COUNT(DISTINCT l_orderkey) AS exact_orders
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Scalar-function breadth: string manipulation + IEEE-exact math inside
     * order-independent aggregates (min/max only — sums of irrational
     * doubles would be accumulation-order-dependent). */
@@ -1137,6 +1153,7 @@ object Rel {
     Q("q22_having_topk", q22, Some(q22Sql)),
     Q("q23_salted_agg", q23, Some(q23Sql)),
     Q("q24_approx_distinct", q24, None),
+    Q("q24_exact_distinct", q24e, Some(q24eSql)),
     Q("q25_scalar_breadth", q25, Some(q25Sql)),
     Q("q26_window_breadth", q26, Some(q26Sql)),
     Q("q27_outer_join", q27, Some(q27Sql)),

@@ -95,8 +95,15 @@ object ScaleOps {
     * applies, but available deliberately, at a chosen fpp/size, on any
     * integral key. `build` must be unique on `key` for 1:N semantics. */
   def bloomJoin(fact: DataFrame, build: DataFrame, key: String,
-      expectedKeys: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
-    val bloom = build.stat.bloomFilter(key, expectedKeys, fpp)
+      expectedKeys: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    // A sketch sized below the build side's true key count silently blows
+    // past its fpp and stops filtering — default to counting the build
+    // side (it's the SMALL side by contract, so the extra job is cheap and
+    // the sketch is sized right by construction). Callers that know the
+    // cardinality can pass it to skip the count.
+    val nKeys =
+      if (expectedKeys > 0) expectedKeys else math.max(64L, build.count())
+    val bloom = build.stat.bloomFilter(key, nKeys, fpp)
     fact.filter(graft.functions.BloomExprs.bloom_might_contain(
         org.apache.spark.sql.functions.col(key), bloom))
       .join(build, Seq(key))
@@ -121,6 +128,13 @@ object ScaleOps {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(!(points.columns ++ intervals.columns).contains("__bucket"),
       "intervalJoin reserves the __bucket column name")
+    // Matching AsOf.asofJoin's explicit check: a shared column name would
+    // surface later as an unhelpful ambiguous-reference AnalysisException
+    // from the post-join range filter.
+    val shared = points.columns.toSet intersect intervals.columns.toSet
+    require(shared.isEmpty,
+      s"intervalJoin needs disjoint column names; rename on one side " +
+        s"first, both sides have: ${shared.mkString(", ")}")
     // EXACT floor division, not floor(x / w): the double division inside
     // floor() loses exactness past 2^53 and could assign a point and its
     // covering interval to different buckets. pmod's non-negative

@@ -295,7 +295,14 @@ final class TableStore(spark: SparkSession, val root: String,
     * different non-key values are 'changed' when `compareCols` is
     * non-empty). One full-outer join on the key columns; both sides scan
     * only their snapshot's files, so cost is bounded by the two
-    * snapshots, not the table's history. */
+    * snapshots, not the table's history.
+    *
+    * PRECONDITION: `keyCols` must uniquely identify a row within each
+    * snapshot. A snapshot holding k duplicate rows for a key fans out
+    * k×k' through the full-outer join and the "one row per key" contract
+    * no longer holds — deduplicate or aggregate to one row per key first
+    * (the CDC apply path upholds this by construction: applyNet keeps one
+    * net winner per key). */
   def diffVersions(name: String, fromVersion: Int, toVersion: Int,
       keyCols: Seq[String], compareCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "diffVersions needs at least one key column")

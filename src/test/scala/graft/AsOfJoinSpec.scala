@@ -112,6 +112,23 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("mixed time-unit families are rejected, same family accepted") {
+    // micros (timestamp/long) vs days (int/date): silently comparing them
+    // would produce wrong matches, so the entry point must refuse
+    val l = Seq((1L, 1L, 86400000000L)).toDF("id", "k", "t") // long = micros
+    val rDays = Seq((1L, 1)).toDF("k", "rt") // int = days
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(l, rDays, Seq("k"), "t", "rt")
+    }
+    assert(ex.getMessage.contains("unit family"))
+    // int vs date both count days — allowed
+    val lDays = Seq((1L, 1L, 5)).toDF("id", "k", "t")
+    val rDate = Seq((1L, java.sql.Date.valueOf("1970-01-03")))
+      .toDF("k", "rt")
+    val out = AsOf.asofJoin(lDays, rDate, Seq("k"), "t", "rt").collect()
+    assert(out.length === 1 && !out(0).isNullAt(out(0).fieldIndex("rt")))
+  }
+
   test("empty right side and keys with no right rows stay left-outer") {
     val l = (1 to 100).map(i => (i.toLong, (i % 10).toLong, i.toLong))
       .toDF("id", "k", "t")

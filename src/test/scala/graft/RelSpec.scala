@@ -42,6 +42,23 @@ class RelSpec extends SparkSpec {
     val hits = ScaleOps.intervalJoin(bp, "p", bi, "s", "e", 8L)
       .select("pid").collect().map(_.getLong(0)).toSet
     assert(hits === Set(1L, 2L))
+    // shared non-reserved column names are refused up front (they would
+    // otherwise die later as an ambiguous-reference AnalysisException)
+    val clash = Seq((1L, 5L)).toDF("iid", "p")
+    val exc = intercept[IllegalArgumentException] {
+      ScaleOps.intervalJoin(clash, "p", bi, "iid", "e", 8L)
+    }
+    assert(exc.getMessage.contains("disjoint"))
+  }
+
+  test("q24 exact gate agrees with the combined gate's exact branch") {
+    val exact = SparkEntry.queries("q24_exact_distinct")(spark, dir)
+      .select("l_returnflag", "exact_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val combined = SparkEntry.queries("q24_approx_distinct")(spark, dir)
+      .select("l_returnflag", "exact_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact === combined)
   }
 
   test("bloomJoin equals the plain join, including keys absent from the build side") {
