@@ -11,10 +11,14 @@ import Tables.t
   *
   * The Spark-side plumbing is real — schema, partition-preserving typed
   * `mapPartitions` (the Scala analogue of `mapInPandas` batch processing),
-  * deterministic batch shapes — while the actual image/audio codec is a
-  * STUB (`FakeCodec`): this container has no media libraries, so decode
-  * produces deterministic fake features from the payload bytes. Swapping in
-  * a real codec changes one function, none of the plumbing.
+  * deterministic batch shapes. The IMAGE path is a real codec:
+  * `javax.imageio.ImageIO` (JDK java.desktop, headless-safe) encodes and
+  * decodes actual PNG bytes, and the decode gates are oracled against the
+  * pixel-generator formula — DuckDB never sees the payload, so a matching
+  * result proves the decoder ran. Audio/video remain a declared STUB
+  * (`FakeCodec`): this container has no audio/video codec libraries, so
+  * decode produces deterministic fake features from the payload bytes.
+  * Swapping in a real codec changes one function, none of the plumbing.
   */
 object Multimodal {
 
@@ -28,11 +32,115 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int,
       feature: Array[Float])
 
-  /** STUB codec: a real implementation would decode image/audio bytes.
-    * Here: deterministic 8-dim "features" from payload bytes — the
-    * contract (bytes in, fixed-width float vector out) is the real one.
-    * Slots accumulate RAW byte values (whole numbers, exact in float up
-    * to 2^24 — far above any payload here), so every downstream sum is
+  /** Real PNG codec on the JDK's built-in ImageIO (no external deps,
+    * headless-safe — BufferedImage raster ops never touch a display).
+    * Fixture images are 8-bit grayscale with pixel i (row-major) =
+    * `(id + i) % 256` at dims `(8 + id%8) × (4 + id%4)` — small enough
+    * that a DuckDB oracle can re-derive every pixel from the formula,
+    * while the bytes on the wire are genuine deflate-compressed PNG. */
+  object PngCodec {
+    // ImageIO's default scratch-file cache would do a disk write per
+    // encode/decode call inside executor tasks — keep it in memory
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def dims(id: Long): (Int, Int) =
+      ((8 + (id % 8)).toInt, (4 + (id % 4)).toInt)
+
+    /** Deterministic PNG bytes for a media id (same JVM → same bytes:
+      * the encoder is the JDK's, with no timestamps or ancillary chunks
+      * that could vary run to run — pinned by MultimodalSpec). */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((id + i) % 256).toInt)
+          x += 1; i += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real pixel decode → fixed 8-slot feature vector
+      * [pixel_sum, width, height, min, max, 0, 0, 0] — all whole numbers
+      * (exact in Float far beyond these magnitudes), so downstream sums
+      * are order-independent and DuckDB-oracle-able. None when the bytes
+      * aren't a decodable image (ImageIO returns null / throws on
+      * garbage) — the caller skips the row like a SQL NULL. */
+    def decodeFeatures(payload: Array[Byte]): Option[Array[Float]] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          Some(Array(sum.toFloat, w.toFloat, h.toFloat,
+            mn.toFloat, mx.toFloat, 0f, 0f, 0f))
+        }
+      } catch { case _: java.io.IOException => None }
+
+    /** Real nearest-neighbor resize: decode, sample source pixels on the
+      * integer grid (no AWT rendering pipeline — bit-deterministic on any
+      * JVM), re-encode as grayscale PNG. None when undecodable. */
+    def resize(payload: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val sw = img.getWidth
+          val sh = img.getHeight
+          val src = img.getRaster
+          val out = new java.awt.image.BufferedImage(
+            newW, newH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val dst = out.getRaster
+          var y = 0
+          while (y < newH) {
+            val sy = (y.toLong * sh / newH).toInt
+            var x = 0
+            while (x < newW) {
+              dst.setSample(x, y, 0, src.getSample((x.toLong * sw / newW).toInt, sy, 0))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case _: java.io.IOException => None }
+  }
+
+  /** STUB codec for audio/video (no codec libraries in this container):
+    * deterministic 8-dim "features" from payload bytes — the contract
+    * (bytes in, fixed-width float vector out) is the real one. Slots
+    * accumulate RAW byte values (whole numbers, exact in float up to
+    * 2^24 — far above any payload here), so every downstream sum is
     * order-independent and the feature gate is DuckDB-oracle-able. */
   object FakeCodec {
     def decode(payload: Array[Byte]): Array[Float] = {
@@ -46,48 +154,74 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real implementation decodes, scales, re-encodes. The
-    * deterministic fake derives output bytes from (payload, target dims) so
-    * the pipeline shape — new payload + updated metadata — is real. */
+  /** Resize stage: images go through the REAL decode → nearest-neighbor →
+    * re-encode path ([[PngCodec.resize]]); audio/video keep the
+    * deterministic fake (payload derived from (payload, target dims)) so
+    * the pipeline shape — new payload + updated metadata — is uniform. */
   def resize(spark: SparkSession, media: DataFrame,
       newW: Int, newH: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
-        val scale = math.max(1, (m.width.toLong * m.height) / (newW.toLong * newH)).toInt
-        val out = new Array[Byte](math.max(1, m.payload.length / scale))
-        var i = 0
-        while (i < out.length) { out(i) = m.payload(i % m.payload.length); i += 1 }
-        m.copy(width = newW, height = newH, payload = out)
+        val realResized =
+          if (m.kind == "image" && m.payload != null)
+            PngCodec.resize(m.payload, newW, newH)
+          else None
+        realResized match {
+          case Some(bytes) => m.copy(width = newW, height = newH, payload = bytes)
+          case None =>
+            val scale = math.max(1,
+              (m.width.toLong * m.height) / (newW.toLong * newH)).toInt
+            val out = new Array[Byte](math.max(1, m.payload.length / scale))
+            var i = 0
+            while (i < out.length) { out(i) = m.payload(i % m.payload.length); i += 1 }
+            m.copy(width = newW, height = newH, payload = out)
+        }
       }
     }.toDF()
   }
 
-  /** Synthesize a deterministic media table from `documents`: payload =
-    * sha256 bytes of the text (opaque, fixed 32 bytes), metadata derived
-    * from doc_id. Stands in for a real parquet-with-binary source. */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
+  /** Synthesize a deterministic media table from `documents`. Image rows
+    * carry REAL PNG payloads (encoded per-partition — no driver loop)
+    * whose metadata width/height match the actual encoded dims; audio and
+    * video payloads are sha256 bytes of the text (opaque, fixed 32
+    * bytes). Stands in for a real parquet-with-binary source. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isImg = col("doc_id") % 3 === 0
+    val base = t(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
+      when(isImg, "image")
         .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
-      when(col("doc_id") % 3 === 0, "png")
+      when(isImg, "png")
         .when(col("doc_id") % 3 === 1, "wav").otherwise("mp4").as("format"),
-      (col("doc_id") % 4 * 160 + 320).cast(IntegerType).as("width"),
-      (col("doc_id") % 4 * 90 + 180).cast(IntegerType).as("height"),
+      when(isImg, col("doc_id") % 8 + 8)
+        .otherwise(col("doc_id") % 4 * 160 + 320).cast(IntegerType).as("width"),
+      when(isImg, col("doc_id") % 4 + 4)
+        .otherwise(col("doc_id") % 4 * 90 + 180).cast(IntegerType).as("height"),
       (col("doc_id") % 24 + 1).cast(IntegerType).as("n_frames"),
-      to_binary(sha2(col("text"), 256), lit("hex")).as("payload"))
+      when(!isImg, to_binary(sha2(col("text"), 256), lit("hex"))).as("payload"))
+    base.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        if (m.kind == "image") m.copy(payload = PngCodec.encode(m.media_id))
+        else m
+      }
+    }.toDF()
+  }
 
   /** Decode/feature-extract via typed mapPartitions — batch-shaped like
     * mapInPandas: one iterator per partition, no per-row driver calls.
-    * Rows with a null payload (undecodable media) are skipped — the same
-    * rows a SQL aggregate would skip as NULLs. */
+    * Images decode for real (ImageIO); audio/video go through the stub.
+    * Rows with a null or undecodable payload are skipped — the same rows
+    * a SQL aggregate would skip as NULLs. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.filter(col("payload").isNotNull).as[MediaRow].mapPartitions { it =>
-      it.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.payload.length,
-          FakeCodec.decode(m.payload))
+      it.flatMap { m =>
+        val feats =
+          if (m.kind == "image") PngCodec.decodeFeatures(m.payload)
+          else Some(FakeCodec.decode(m.payload))
+        feats.map(f => MediaFeatures(m.media_id, m.kind, m.payload.length, f))
       }
     }
   }
@@ -101,63 +235,103 @@ object Multimodal {
 
   // ---- registered queries --------------------------------------------------
 
-  /** Metadata/partition plumbing with a DuckDB oracle: the payload is
-    * reproducible SQL (sha256 of text), so even the binary length path is
-    * hash-checked cross-engine. */
+  /** Metadata/partition plumbing with a DuckDB oracle. PNG byte lengths
+    * depend on the encoder's deflate stream, so the byte-sum column covers
+    * the sha-payload kinds only (NULL for the image group on both
+    * engines); pixels/frames come from metadata and oracle exactly. */
   private def mmMetadata(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir)
       .groupBy("kind", "format")
       .agg(count(lit(1)).as("n"),
-        sum(length(col("payload"))).as("total_bytes"),
+        sum(when(col("kind") =!= "image", length(col("payload")))).as("sha_bytes"),
         sum(col("width").cast(LongType) * col("height")).as("total_pixels"),
         sum("n_frames").as("total_frames"))
       .orderBy("kind", "format")
 
   private val mmMetadataSql =
     """SELECT kind, format, COUNT(*) AS n,
-      | CAST(SUM(OCTET_LENGTH(payload)) AS BIGINT) AS total_bytes,
+      | CAST(SUM(CASE WHEN kind <> 'image' THEN OCTET_LENGTH(payload) END) AS BIGINT) AS sha_bytes,
       | CAST(SUM(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels,
       | CAST(SUM(n_frames) AS BIGINT) AS total_frames
       |FROM (
       | SELECT doc_id AS media_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
       |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
-      |  CAST(doc_id % 4 * 160 + 320 AS INT) AS width,
-      |  CAST(doc_id % 4 * 90 + 180 AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 8 + 8 ELSE doc_id % 4 * 160 + 320 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 4 + 4 ELSE doc_id % 4 * 90 + 180 END AS INT) AS height,
       |  CAST(doc_id % 24 + 1 AS INT) AS n_frames,
-      |  FROM_HEX(SHA256(text)) AS payload
+      |  CASE WHEN doc_id % 3 <> 0 THEN FROM_HEX(SHA256(text)) END AS payload
       | FROM documents)
       |GROUP BY kind, format ORDER BY kind, format""".stripMargin
 
-  /** Feature extraction through the stubbed codec. The fake features are
-    * integer byte accumulations, so the per-kind mass is an exact sum the
-    * oracle reproduces from the sha256 hex digest (Σ slots = Σ payload
-    * bytes); exact per-slot values are asserted in ScalaTest. */
+  /** Feature extraction: REAL ImageIO decode for images, stub for
+    * audio/video. Per-row feature mass is a whole number (image: pixel
+    * sum + dims + min/max; audio/video: Σ payload bytes), summed as LONG
+    * so the total is exact at any scale. The oracle re-derives the image
+    * mass from the pixel-generator formula and the audio/video mass from
+    * the sha256 hex digest — neither path sees Spark's bytes. */
   private def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(spark, mediaTable(spark, dir))
     feats.toDF()
       .groupBy("kind")
       .agg(count(lit(1)).as("n"),
-        sum(col("n_bytes")).as("total_bytes"),
-        sum(aggregate(col("feature"), lit(0.0),
-          (acc, x) => acc + x.cast(DoubleType))).as("sum_feature_mass"))
+        sum(when(col("kind") =!= "image", col("n_bytes"))).as("sha_bytes"),
+        sum(aggregate(col("feature"), lit(0L),
+          (acc, x) => acc + x.cast(LongType))).as("sum_feature_mass"))
       .orderBy("kind")
   }
 
-  /** The payload is FROM_HEX(SHA256(text)); its byte values are read back
-    * out of the hex string two digits at a time. */
   private val mmFeaturesSql =
     """SELECT kind, COUNT(*) AS n,
-      | CAST(SUM(OCTET_LENGTH(FROM_HEX(h))) AS BIGINT) AS total_bytes,
-      | CAST(SUM(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32),
-      |   i -> CAST(('0x' || SUBSTR(h, 2*i + 1, 2)) AS BIGINT)))) AS DOUBLE)
-      |   AS sum_feature_mass
+      | CAST(SUM(CASE WHEN kind <> 'image' THEN OCTET_LENGTH(FROM_HEX(h)) END) AS BIGINT) AS sha_bytes,
+      | CAST(SUM(mass) AS BIGINT) AS sum_feature_mass
       |FROM (
       | SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
       |             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-      |        SHA256(text) AS h
-      | FROM documents WHERE text IS NOT NULL)
+      |        SHA256(text) AS h,
+      |        CAST(CASE WHEN doc_id % 3 = 0 THEN
+      |          LIST_SUM(px) + (8 + doc_id % 8) + (4 + doc_id % 4)
+      |            + LIST_MIN(px) + LIST_MAX(px)
+      |        ELSE
+      |          LIST_SUM(LIST_TRANSFORM(RANGE(0, 32),
+      |            i -> CAST(('0x' || SUBSTR(SHA256(text), 2*i + 1, 2)) AS BIGINT)))
+      |        END AS BIGINT) AS mass
+      | FROM (
+      |  SELECT doc_id, text,
+      |   LIST_TRANSFORM(RANGE(0, (8 + doc_id % 8) * (4 + doc_id % 4)),
+      |     i -> (doc_id + i) % 256) AS px
+      |  FROM documents
+      |  WHERE doc_id % 3 = 0 OR text IS NOT NULL))
       |GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Per-image decode proof: dims and pixel stats read back from the REAL
+    * PNG bytes. The oracle never touches the payload — it recomputes the
+    * same stats from the generator formula, so a row-for-row match is
+    * direct evidence the ImageIO decode ran correctly on every image. */
+  private def mmImageDecode(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark,
+      mediaTable(spark, dir).filter(col("kind") === "image")).toDF()
+      .select(col("media_id"),
+        element_at(col("feature"), 2).cast(IntegerType).as("w"),
+        element_at(col("feature"), 3).cast(IntegerType).as("h"),
+        element_at(col("feature"), 1).cast(LongType).as("pixel_sum"),
+        element_at(col("feature"), 4).cast(IntegerType).as("px_min"),
+        element_at(col("feature"), 5).cast(IntegerType).as("px_max"))
+      .orderBy("media_id")
+
+  private val mmImageDecodeSql =
+    """SELECT media_id,
+      | CAST(8 + media_id % 8 AS INT) AS w,
+      | CAST(4 + media_id % 4 AS INT) AS h,
+      | CAST(LIST_SUM(px) AS BIGINT) AS pixel_sum,
+      | CAST(LIST_MIN(px) AS INT) AS px_min,
+      | CAST(LIST_MAX(px) AS INT) AS px_max
+      |FROM (
+      | SELECT doc_id AS media_id,
+      |  LIST_TRANSFORM(RANGE(0, (8 + doc_id % 8) * (4 + doc_id % 4)),
+      |    i -> (doc_id + i) % 256) AS px
+      | FROM documents WHERE doc_id % 3 = 0)
+      |ORDER BY media_id""".stripMargin
 
   /** Frame sampling plumbing with oracle (pure integer generate+agg). */
   private def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
@@ -176,5 +350,6 @@ object Multimodal {
   val all: Seq[Q] = Seq(
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
     Q("mm_features", mmFeatures, Some(mmFeaturesSql)),
+    Q("mm_image_decode", mmImageDecode, Some(mmImageDecodeSql)),
     Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)))
 }
