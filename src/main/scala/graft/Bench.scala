@@ -51,8 +51,8 @@ object Bench {
     // or noisy-neighbor spike reads as a 17× regression) — run each query
     // GRAFT_BENCH_REPS times and report the per-query MINIMUM, the standard
     // load-insensitive estimator for a deterministic workload.
-    val reps = math.max(1,
-      sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt)
+    val reps = math.max(1, scala.util.Try(
+      sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
     val results = SparkEntry.registry.map { q =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -73,12 +73,18 @@ object Bench {
         if (ok) elapsed else -1.0
       }
       // a failed query reports -1, never a plausible-looking partial time
-      q.name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      if (times.exists(_ < 0)) (q.name, -1.0, -1.0)
+      else (q.name, times.min, times.max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query max alongside the reported min: a wide min/max spread is
+    // direct evidence of ambient-load contamination, so cross-round
+    // comparisons can discount noisy samples without a re-run
+    val spreads = results.map { case (k, _, mx) => "\"" + k + "\":" + mx }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"rep_max":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -102,7 +102,10 @@ object Multimodal {
           Some(Array(sum.toFloat, w.toFloat, h.toFloat,
             mn.toFloat, mx.toFloat, 0f, 0f, 0f))
         }
-      } catch { case _: java.io.IOException => None }
+      // ImageIO throws RuntimeExceptions (IAE, CMMException, ...) on some
+      // malformed byte streams, not just IOException — any failure means
+      // "undecodable", which the caller treats as SQL NULL
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Real nearest-neighbor resize: decode, sample source pixels on the
       * integer grid (no AWT rendering pipeline — bit-deterministic on any
@@ -133,7 +136,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(out, "png", bos)
           Some(bos.toByteArray)
         }
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** STUB codec for audio/video (no codec libraries in this container):

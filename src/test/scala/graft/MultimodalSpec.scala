@@ -16,22 +16,35 @@ class MultimodalSpec extends SparkSpec {
     assert(a(0) === (1 + 9).toFloat) // slot 0 = bytes 0 and 8, exact integers
   }
 
-  test("extractFeatures skips null payloads (undecodable media) instead of NPE") {
+  test("extractFeatures skips null and undecodable payloads instead of NPE") {
     import spark.implicits._
     val media = Seq(
-      Multimodal.MediaRow(1L, "image", "png", 8, 8, 1, Array[Byte](1, 2)),
-      Multimodal.MediaRow(2L, "image", "png", 8, 8, 1, null))
+      // audio goes through FakeCodec: any bytes decode
+      Multimodal.MediaRow(1L, "audio", "wav", 8, 8, 1, Array[Byte](1, 2)),
+      // null payload: skipped for any kind
+      Multimodal.MediaRow(2L, "image", "png", 8, 8, 1, null),
+      // image with non-PNG garbage: real codec can't decode -> skipped like NULL
+      Multimodal.MediaRow(3L, "image", "png", 8, 8, 1, Array[Byte](1, 2)))
       .toDF()
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.map(_.media_id).toSeq === Seq(1L))
   }
 
-  test("media table: opaque binary payload + typed metadata") {
+  test("media table: image payloads are real decodable PNGs, deterministic") {
     val media = Multimodal.mediaTable(spark, dir)
     assert(media.schema("payload").dataType.typeName === "binary")
     val row = media.filter(col("media_id") === 0).collect()(0)
     assert(row.getAs[String]("kind") === "image")
-    assert(row.getAs[Array[Byte]]("payload").length === 32) // sha256
+    val payload = row.getAs[Array[Byte]]("payload")
+    // PNG magic bytes
+    assert(payload.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    // round-trips through ImageIO at the metadata dims
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null)
+    assert((img.getWidth, img.getHeight) === Multimodal.PngCodec.dims(0))
+    // encoder determinism: same id -> bit-identical bytes
+    assert(Multimodal.PngCodec.encode(0).toSeq === Multimodal.PngCodec.encode(0).toSeq)
+    assert(payload.toSeq === Multimodal.PngCodec.encode(0).toSeq)
     assert(media.count() === 500)
   }
 
