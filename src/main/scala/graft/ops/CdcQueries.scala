@@ -78,13 +78,27 @@ object CdcQueries {
       zoneCols = Seq("o_orderkey"))
     store.append("orders", orders)
 
-    // updates: +1000.0 on totalprice for orderkey % 97 == 0
-    // deletes: orderkey % 101 == 0 (overlap resolves to whichever is later
-    // in the batch — deletes win, mirrored in the oracle).
-    // Envelopes are BUILT distributively (to_json on executors) and applied
-    // through the fully distributed applyEnvelopes path — no collect()
-    // anywhere in the headline ingest gate. Sequence numbers order deletes
-    // after updates per key (2k vs 2k+1), preserving last-write-wins.
+    CdcApply.applyEnvelopes(spark, store,
+      CdcApply.CdcConfig("orders", Seq("o_orderkey")),
+      orderEnvelopes(orders))
+    store.read("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  /** The bulk-ingest workload, as a DataFrame of CDC envelopes — shared by
+    * the batch gate (cdc_bulk_orders) and the streaming gate (st_cdc_apply),
+    * so both resolve to [[cdcBulkOrdersSql]].
+    *
+    * updates: +1000.0 on totalprice for orderkey % 97 == 0
+    * deletes: orderkey % 101 == 0 (overlap resolves to whichever is later
+    * in the batch — deletes win, mirrored in the oracle).
+    * Envelopes are BUILT distributively (to_json on executors) and applied
+    * through the fully distributed applyEnvelopes path — no collect()
+    * anywhere in the headline ingest gate. Sequence numbers order deletes
+    * after updates per key (2k vs 2k+1), preserving last-write-wins. */
+  private[ops] def orderEnvelopes(orders: DataFrame): DataFrame = {
     val updates = orders.filter(col("o_orderkey") % 97 === 0)
       .select(
         (col("o_orderkey") * 2).as("__seq"),
@@ -99,16 +113,10 @@ object CdcQueries {
         lit("delete").as("__op"),
         to_json(struct(col("o_orderkey"))).as("__key"),
         lit(null).cast("string").as("__payload"))
-    CdcApply.applyEnvelopes(spark, store,
-      CdcApply.CdcConfig("orders", Seq("o_orderkey")),
-      updates.unionByName(deletes))
-    store.read("orders")
-      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderpriority")
-      .orderBy("o_orderkey")
+    updates.unionByName(deletes)
   }
 
-  private val cdcBulkOrdersSql =
+  private[ops] val cdcBulkOrdersSql =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
       | CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
       |      ELSE o_totalprice END AS o_totalprice,

@@ -44,7 +44,7 @@ object Events {
     StreamOps.tumblingStats(ev(spark, dir), "1 hour")
       .orderBy("window_start", "event_type")
 
-  private val evTumblingSql =
+  private[ops] val evTumblingSql =
     """SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start,
       | event_type, COUNT(*) AS n_events,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -100,7 +100,7 @@ object Events {
     * a touching next event — verified empirically at sf0.1, where one exact
     * 30-minute gap exists), so a new session starts only when the previous
     * event is STRICTLY more than 30 min away. */
-  private val evSessionsSql =
+  private[ops] val evSessionsSql =
     """WITH e AS (
       | SELECT user_id, DATE_TRUNC('second', ts) AS tss, value FROM events),
       |flagged AS (

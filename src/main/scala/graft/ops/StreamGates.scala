@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.cdc.CdcApply
+import graft.streaming.StreamOps
+import graft.tables.TableStore
+import Tables.t
+
+/** Streaming gates: the driver's oracle finally exercises REAL Structured
+  * Streaming queries, not just the shared batch plans (round-4 gap #1 —
+  * the streaming analogue of the reference's core record loop,
+  * SparkDestinationStream.java:70-85, was ScalaTest-only until now).
+  *
+  * Each gate stages its input as MULTIPLE parquet files, streams them with
+  * `readStream` + `maxFilesPerTrigger=1` under `Trigger.AvailableNow`, so
+  * the plan executes as a sequence of genuine micro-batches with watermark
+  * advance and state carry between them, then materializes the final
+  * result to parquet and returns it for the DuckDB compare:
+  *
+  *   - aggregation gates run in Complete output mode with a foreachBatch
+  *     overwrite — Complete keeps all windows in the state store, so the
+  *     LAST batch's output is exactly the batch-equivalent aggregate,
+  *     deterministically, regardless of how files split into batches
+  *     (Append mode's emitted set would depend on watermark timing);
+  *   - the CDC gate applies each envelope micro-batch through the same
+  *     distributed `applyEnvelopes` → one atomic snapshot commit PER
+  *     BATCH (the reference's per-record loop, batched), then reads the
+  *     net table back. Envelopes are range-partitioned by key string, so
+  *     both ops of a key share a batch and cross-batch ordering is
+  *     irrelevant (ops on different keys commute) — the same guarantee a
+  *     keyed source (Kafka partition, gRPC stream per table) provides.
+  *
+  * The oracles are the ones the equivalent batch gates already pass
+  * (ev_tumbling_window / ev_session_windows / cdc_bulk_orders): streaming
+  * and batch execution must agree on the same SQL answer.
+  */
+object StreamGates {
+
+  private def sfTag(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def base(spark: SparkSession, dir: String, gate: String): String =
+    s"/root/repo/target/stream-gates/${sfTag(dir)}/$gate"
+
+  private def rm(spark: SparkSession, path: String): Unit = {
+    val p = new HPath(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
+  }
+
+  /** Stage a frame as `n` parquet files so the file stream source delivers
+    * `n` micro-batches. Range-partitioned on `orderCol` so batches arrive
+    * roughly in that column's order (event time / key). */
+  private def stage(spark: SparkSession, df: DataFrame, orderCol: String,
+      n: Int, path: String): Unit = {
+    rm(spark, path)
+    df.repartitionByRange(n, col(orderCol)).write.parquet(path)
+  }
+
+  /** Run `transform` over a staged directory as a real streaming query
+    * (one file per micro-batch), materializing via foreachBatch into
+    * `out`; returns the final parquet content. Complete mode: every batch
+    * overwrites, the last batch wins with the full aggregate. */
+  private def runStream(spark: SparkSession, staged: String, out: String,
+      ckpt: String, mode: String)(transform: DataFrame => DataFrame): DataFrame = {
+    rm(spark, out); rm(spark, ckpt)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val q = transform(stream).writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out); ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** Watermarked tumbling-hour totals, computed by a 4-micro-batch
+    * streaming run of the SAME plan ev_tumbling_window runs in batch. */
+  private def stTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "tumbling")
+    stage(spark, Events.ev(spark, dir), "ts", 4, s"$b/in")
+    runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "complete")(
+      df => StreamOps.tumblingStats(df, "1 hour"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Session windows per user across micro-batches: sessions opened in one
+    * batch merge with events arriving in later batches (state carry). The
+    * unbounded variant — Complete mode retains all state, and a watermark
+    * would evict (and thus lose) closed sessions from the final output. */
+  private def stSession(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "session")
+    stage(spark, Events.ev(spark, dir), "ts", 4, s"$b/in")
+    runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "complete")(
+      df => StreamOps.sessionStatsUnbounded(df, "30 minutes"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Streaming CDC ingest: the cdc_bulk_orders envelope workload delivered
+    * as micro-batches, each applied through the distributed envelope path
+    * with one atomic snapshot commit — then the table read back. */
+  private def stCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "cdc")
+    val store = new TableStore(spark, s"$b/store")
+    val orders = t(spark, dir, "orders")
+    store.create("orders", orders.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("orders", orders)
+    // range-partition by key string: a key's update+delete share a file
+    // (identical __key), hence a batch — cross-batch order then commutes
+    stage(spark, CdcQueries.orderEnvelopes(orders), "__key", 2, s"$b/in")
+    rm(spark, s"$b/ckpt")
+    val schema = spark.read.parquet(s"$b/in").schema
+    val cfg = CdcApply.CdcConfig("orders", Seq("o_orderkey"))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$b/in")
+      .writeStream
+      .option("checkpointLocation", s"$b/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CdcApply.applyEnvelopes(batch.sparkSession, store, cfg, batch); ()
+      }
+      .start()
+    q.awaitTermination()
+    store.read("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("st_tumbling", stTumbling, Some(Events.evTumblingSql)),
+    Q("st_session", stSession, Some(Events.evSessionsSql)),
+    Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)))
+}

@@ -43,7 +43,23 @@ object StreamOps {
   /** Session windows per user: events within `gap` of each other merge into
     * one session (native session_window — works batch AND streaming). */
   def sessionStats(events: DataFrame, gap: String): DataFrame =
-    withEventTime(events)
+    sessionCore(withEventTime(events), gap)
+
+  /** Session windows WITHOUT a watermark — for Complete-output-mode
+    * streaming, where the full result is re-emitted every trigger and
+    * state must be retained forever anyway. With a watermark, sessions
+    * that close as the watermark advances are EVICTED from the state
+    * store between micro-batches, so the final Complete output would
+    * silently lose every already-closed session (observed empirically:
+    * the driver's multi-batch st_session run kept only the open tail).
+    * Bounded-state streaming (Append/Update) should use [[sessionStats]]
+    * and accept watermark-late data loss — that path is exercised in
+    * StreamingSpec. */
+  def sessionStatsUnbounded(events: DataFrame, gap: String): DataFrame =
+    sessionCore(events.withColumn("ts_sec", date_trunc("second", col("ts"))), gap)
+
+  private def sessionCore(prepped: DataFrame, gap: String): DataFrame =
+    prepped
       .groupBy(session_window(col("ts_sec"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
