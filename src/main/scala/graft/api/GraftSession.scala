@@ -47,10 +47,15 @@ object CdcStreamSink {
       // fully distributed: the micro-batch is never collected
       val seq = seqCol.map(c => col(c).cast("long"))
         .getOrElse(monotonically_increasing_id())
+      // a configured source-time order column (cfg.orderCol, e.g. an
+      // opencdc.createdAt-shaped metadata timestamp) rides along so
+      // applyEnvelopes can resolve out-of-order deliveries; backticks keep
+      // a dotted name one literal column
+      val ordCols = cfg.orderCol.toSeq.map(c => col(s"`$c`"))
       val env = batch
         .withColumn("__seq", seq)
-        .select(col("__seq"), lower(col("op")).as("__op"),
-          col("key").as("__key"), col("payload").as("__payload"))
+        .select(Seq(col("__seq"), lower(col("op")).as("__op"),
+          col("key").as("__key"), col("payload").as("__payload")) ++ ordCols: _*)
       CdcApply.applyEnvelopes(spark, store, cfg, env); ()
     }
 }

@@ -37,11 +37,25 @@ object CdcApply {
     * large replays, and an invalid record (malformed payload JSON included)
     * that loses last-write-wins cannot fail the batch. Record KEYS must
     * always parse in either mode: a record whose key is unreadable cannot
-    * even be placed in the per-key ordering. */
+    * even be placed in the per-key ordering.
+    *
+    * `orderCol` (opt-in): resolve per-key net winners by this SOURCE-TIME
+    * column instead of arrival order. The reference ignores the envelope's
+    * own timestamps (`opencdc.createdAt`/`readAt`, opencdc.proto:12-25) and
+    * applies in stream order — correct only when the transport preserves
+    * per-key order. A replayed or multi-path stream delivers records out of
+    * order; with `orderCol` the winner is the record with the HIGHEST order
+    * value (source timestamp, LSN, ...), ties broken by arrival `__seq`, so
+    * the applied net state is independent of delivery order. On the
+    * DataFrame path the column must be present in the envelope frame; on
+    * the record path it is read from `CdcRecord.metadata` (ns-epoch string,
+    * the `opencdc.createdAt` shape) — records lacking it lose to any record
+    * that has it. */
   final case class CdcConfig(table: String, keyCols: Seq[String],
-      strictValidation: Boolean = true) {
+      strictValidation: Boolean = true, orderCol: Option[String] = None) {
     require(table != null && table.nonEmpty, "config: table is required")
     require(keyCols != null && keyCols.nonEmpty, "config: keyCols is required")
+    require(orderCol.forall(_.nonEmpty), "config: orderCol must be non-empty")
   }
 
   def apply(spark: SparkSession, store: TableStore, config: CdcConfig,
@@ -78,10 +92,26 @@ object CdcApply {
         case Some(raw) => (CdcDecode.payloadJson(raw), null)
       }
       val keyJson = CdcDecode.payloadJson(StructuredData(keyMap))
-      Row(seq.toLong, r.op.toString.toLowerCase, keyJson, payload, srow)
+      val base = Seq[Any](seq.toLong, r.op.toString.toLowerCase, keyJson, payload, srow)
+      // source-time ordering value from record metadata (ns-epoch string,
+      // e.g. opencdc.createdAt); unparseable/absent → null (loses ordering)
+      config.orderCol match {
+        case None => Row(base: _*)
+        case Some(oc) =>
+          val ord: Any = r.metadata.get(oc).flatMap(_.toLongOption) match {
+            case Some(v) => java.lang.Long.valueOf(v)
+            case None => null
+          }
+          Row((base :+ ord): _*)
+      }
+    }
+    val envSchema = config.orderCol match {
+      case None => envelopeSchemaFor(schema)
+      case Some(oc) => StructType(
+        envelopeSchemaFor(schema).fields :+ StructField(oc, LongType))
     }
     val env = spark.createDataFrame(
-      new java.util.ArrayList[Row](rows.asJava), envelopeSchemaFor(schema))
+      new java.util.ArrayList[Row](rows.asJava), envSchema)
     applyEnvelopes(spark, store, config, env)
   }
 
@@ -146,13 +176,27 @@ object CdcApply {
         else jsonRow)
       .cache()
     try {
+      // backtick-quoted so a metadata-shaped name like `opencdc.createdAt`
+      // resolves as one literal column, not nested-field access
+      val ordCol = config.orderCol.map { oc =>
+        require(env.columns.contains(oc),
+          s"config.orderCol '$oc' is not a column of the envelope frame " +
+            s"(columns: ${env.columns.mkString(", ")})")
+        col(s"`$oc`").as("__ord")
+      }
       val keyFields = config.keyCols.map(c => col("__k").getField(c).as(c))
       val flat = decoded
         .select((keyFields :+ col("__seq") :+ col("__op") :+ col("__row")
-          :+ col("__corrupt")): _*)
-      // Net effect per key: last record (by ingest order) wins.
+          :+ col("__corrupt")) ++ ordCol.toSeq: _*)
+      // Net effect per key: highest source-time order value wins when
+      // configured (desc = nulls last, so a record missing the value loses
+      // to any record carrying one), arrival order breaks ties; without
+      // orderCol, last record by ingest order wins.
+      val ordering =
+        if (ordCol.isDefined) Seq(col("__ord").desc, col("__seq").desc)
+        else Seq(col("__seq").desc)
       val w = Window.partitionBy(config.keyCols.map(col): _*)
-        .orderBy(col("__seq").desc)
+        .orderBy(ordering: _*)
       val net = flat
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)

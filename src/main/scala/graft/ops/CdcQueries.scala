@@ -124,7 +124,57 @@ object CdcQueries {
       |FROM orders WHERE o_orderkey % 101 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Out-of-order replay resolved by SOURCE TIME, not arrival order
+    * (CdcConfig.orderCol — the opencdc.createdAt-shaped metadata the
+    * reference ignores, opencdc.proto:12-25): for %103 keys the
+    * later-ARRIVING update carries an OLDER source timestamp and must
+    * lose; for %107 keys a delete with the newest source timestamp
+    * arrives FIRST and must still win over a stale update delivered
+    * after it. The oracle encodes the source-time winners. */
+  private def cdcOutOfOrder(spark: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val store = new TableStore(spark, s"/root/repo/target/cdc-ooo/$sfTag")
+    val orders = t(spark, dir, "orders")
+    store.create("orders", orders.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("orders", orders)
+    def upd(mod: Int, extra: Double, seqOff: Int, ordOff: Int) =
+      orders.filter(col("o_orderkey") % mod === 0).select(
+        (col("o_orderkey") * 2 + seqOff).as("__seq"),
+        lit("update").as("__op"),
+        to_json(struct(col("o_orderkey"))).as("__key"),
+        to_json(struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") + extra).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))).as("__payload"),
+        (col("o_orderkey") * 10 + ordOff).as("src_ts"))
+    val staleLast = upd(103, 500.0, 0, 2)       // newer ts, arrives first → wins
+      .unionByName(upd(103, 100.0, 1, 1))       // older ts, arrives last → loses
+      .unionByName(orders.filter(col("o_orderkey") % 107 === 0).select(
+        (col("o_orderkey") * 2).as("__seq"),
+        lit("delete").as("__op"),
+        to_json(struct(col("o_orderkey"))).as("__key"),
+        lit(null).cast("string").as("__payload"),
+        (col("o_orderkey") * 10 + 9).as("src_ts"))) // newest ts, earliest arrival
+      .unionByName(upd(107, 999.0, 1, 1))       // stale update after the delete
+    CdcApply.applyEnvelopes(spark, store,
+      CdcApply.CdcConfig("orders", Seq("o_orderkey"), orderCol = Some("src_ts")),
+      staleLast)
+    store.read("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  private val cdcOutOfOrderSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      | CASE WHEN o_orderkey % 103 = 0 THEN o_totalprice + 500.0
+      |      ELSE o_totalprice END AS o_totalprice,
+      | o_orderpriority
+      |FROM orders WHERE o_orderkey % 107 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("cdc_apply_customer", cdcApplyCustomer, Some(cdcApplyCustomerSql)),
-    Q("cdc_bulk_orders", cdcBulkOrders, Some(cdcBulkOrdersSql)))
+    Q("cdc_bulk_orders", cdcBulkOrders, Some(cdcBulkOrdersSql)),
+    Q("cdc_out_of_order", cdcOutOfOrder, Some(cdcOutOfOrderSql)))
 }

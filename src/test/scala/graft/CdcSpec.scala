@@ -317,10 +317,81 @@ class CdcSpec extends SparkSpec {
   test("config validation mirrors DestinationConfig required-key checks") {
     intercept[IllegalArgumentException] { CdcConfig("", Seq("k")) }
     intercept[IllegalArgumentException] { CdcConfig("t", Nil) }
+    intercept[IllegalArgumentException] { CdcConfig("t", Seq("k"), orderCol = Some("")) }
     val st = new TableStore(spark, tmpDir("cdc-"))
     intercept[IllegalArgumentException] {
       CdcApply(spark, st, CdcConfig("missing", Seq("k")), Seq(
         CdcRecord(Array(1), CdcOp.Delete, key = Some(RawData("""{"k": 1}""")))))
+    }
+  }
+
+  // ---- orderCol: source-time ordering for out-of-order/replayed streams ----
+
+  private val oooCfg = cfg.copy(orderCol = Some("opencdc.createdAt"))
+
+  private def rec(n: Int, s: String, createdAtNs: Option[Long]): CdcRecord =
+    CdcRecord(Array(n.toByte), CdcOp.Update,
+      key = Some(RawData("""{"int_field": 9}""")),
+      after = Some(RawData(s"""{"string_field": "$s", "int_field": 9}""")),
+      metadata = createdAtNs.map(t => "opencdc.createdAt" -> t.toString).toMap)
+
+  test("orderCol: newest source timestamp wins over later arrival") {
+    val st = newTable()
+    // arrival order says "stale" last; source time says "fresh" wins
+    CdcApply(spark, st, oooCfg, Seq(
+      rec(1, "fresh", Some(2000L)), rec(2, "stale", Some(1000L))))
+    assert(st.read("t").collect().map(_.getAs[String]("string_field")).toSeq
+      === Seq("fresh"))
+    // a delete with the newest source time beats an update delivered after it
+    CdcApply(spark, st, oooCfg, Seq(
+      CdcRecord(Array(3), CdcOp.Delete,
+        key = Some(RawData("""{"int_field": 9}""")),
+        metadata = Map("opencdc.createdAt" -> "9000")),
+      rec(4, "zombie", Some(5000L))))
+    assert(st.read("t").count() === 0)
+  }
+
+  test("orderCol: record without the metadata timestamp loses to any that has one") {
+    val st = newTable()
+    CdcApply(spark, st, oooCfg, Seq(
+      rec(1, "timed", Some(1L)), rec(2, "untimed", None)))
+    assert(st.read("t").collect().map(_.getAs[String]("string_field")).toSeq
+      === Seq("timed"))
+  }
+
+  test("orderCol: envelope apply is invariant to partitioning and delivery order") {
+    import spark.implicits._
+    // 40 updates to 4 keys with src_ts DESCENDING as arrival seq ascends —
+    // the winner per key (highest src_ts) arrives FIRST
+    val envRows = (0 until 40).map { i =>
+      val k = i % 4
+      (i.toLong, "update", s"""{"int_field": $k}""",
+        s"""{"string_field": "v$i", "int_field": $k}""", 1000L - i)
+    }
+    def applyIn(shuffled: Boolean): Seq[(Int, String)] = {
+      val st = newTable()
+      val base = envRows.toDF("__seq", "__op", "__key", "__payload", "src_ts")
+      val env = if (shuffled) base.repartition(7) else base.coalesce(1)
+      CdcApply.applyEnvelopes(spark, st,
+        CdcConfig("t", Seq("int_field"), orderCol = Some("src_ts")), env)
+      st.read("t").collect()
+        .map(r => (r.getAs[Int]("int_field"), r.getAs[String]("string_field")))
+        .toSeq.sorted
+    }
+    val expected = (0 until 4).map(k => (k, s"v$k")) // highest src_ts = lowest i
+    assert(applyIn(shuffled = false) === expected)
+    assert(applyIn(shuffled = true) === expected)
+  }
+
+  test("orderCol: missing envelope column fails loudly") {
+    import spark.implicits._
+    val st = newTable()
+    val env = Seq((1L, "update", """{"int_field": 1}""",
+      """{"string_field": "x", "int_field": 1}"""))
+      .toDF("__seq", "__op", "__key", "__payload")
+    intercept[IllegalArgumentException] {
+      CdcApply.applyEnvelopes(spark, st,
+        CdcConfig("t", Seq("int_field"), orderCol = Some("src_ts")), env)
     }
   }
 }
