@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import graft.tables.TableStore
+
+/** TableStore on a NON-`file:` scheme (mockfs: → MockFs): every commit
+  * primitive runs through the Hadoop-generic branch — FileContext
+  * rename-with-overwrite for the `_current`/schema swaps, and
+  * `fs.create(overwrite = false)` for the commit lock — instead of the
+  * java.nio local fast path the rest of the suite exercises. This is the
+  * proof the store's guarantees do not silently depend on POSIX rename
+  * (round-4 gap #3: the reference gets the equivalent guarantee from
+  * Iceberg's catalog commit, SparkUtils.java:46-50). */
+class MockFsTableStoreSpec extends SparkSpec {
+
+  private val fsProps = Map(
+    "fs.mockfs.impl" -> classOf[MockFs].getName,
+    "fs.AbstractFileSystem.mockfs.impl" -> classOf[MockAbstractFs].getName)
+
+  private def newStore(): TableStore = {
+    // Spark's own read/write paths resolve the scheme from the session
+    // hadoop conf; the store additionally receives the props through its
+    // hadoop.* passthrough, proving that plumbing too
+    fsProps.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v) }
+    new TableStore(spark, "mockfs:" + tmpDir("mockfs-store-"), fsProps)
+  }
+
+  private def fsOf(st: TableStore) =
+    new HPath(st.root).getFileSystem({
+      val c = spark.sessionState.newHadoopConf()
+      fsProps.foreach { case (k, v) => c.set(k, v) }
+      c
+    })
+
+  test("full lifecycle on a non-file scheme: create/append/upsert/delete/compact/time-travel") {
+    import spark.implicits._
+    val st = newStore()
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    st.create("t", df.schema, zoneCols = Seq("id"))
+    st.append("t", df)
+    assert(st.read("t").count() === 100)
+    val v1 = st.currentVersion("t")
+
+    // upsert through applyNet: copy-on-write rewrite via FileContext commits
+    st.upsert("t", Seq((5L, "updated"), (101L, "new")).toDF("id", "v"), Seq("id"))
+    assert(st.read("t").filter(col("id") === 5).select("v")
+      .collect()(0).getString(0) === "updated")
+    assert(st.read("t").count() === 101)
+
+    st.delete("t", col("id") > 90)
+    assert(st.read("t").count() === 90) // 91..100 and the upserted 101 gone
+
+    st.compact("t", 2)
+    assert(st.read("t").count() === 90)
+    assert(st.currentRelPaths("t").length === 2)
+
+    // snapshots written before all of the above remain readable
+    assert(st.readVersion("t", v1).count() === 100)
+
+    // schema evolution swaps _schema.json through the same rename branch
+    st.addColumns("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType))))
+    assert(st.read("t").columns.toSeq === Seq("id", "v", "score"))
+    assert(st.read("t").filter(col("score").isNotNull).count() === 0)
+  }
+
+  test("concurrent-writer lock fails fast and releases on the non-file branch") {
+    import spark.implicits._
+    val st = newStore()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    st.create("t", df.schema)
+    val fs = fsOf(st)
+    val lock = new HPath(new HPath(st.root, "t"), "_commit.lock")
+    fs.create(lock, false).close() // a live competing writer
+    intercept[IllegalStateException] { st.append("t", df) }
+    fs.delete(lock, false)
+    st.append("t", df) // lock released → commit proceeds
+    assert(st.read("t").count() === 1)
+  }
+
+  test("stale lock is reclaimed via rename on the non-file branch") {
+    import spark.implicits._
+    val st = newStore()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    st.create("t", df.schema)
+    val fs = fsOf(st)
+    val lock = new HPath(new HPath(st.root, "t"), "_commit.lock")
+    fs.create(lock, false).close()
+    // age it past the reclaim threshold — crash debris, not a live writer
+    fs.setTimes(lock, System.currentTimeMillis() - TableStore.StaleLockMs - 60000, -1)
+    st.append("t", df) // must reclaim and commit, not throw
+    assert(st.read("t").count() === 1)
+    assert(!fs.exists(lock))
+  }
+
+  test("reader isolation holds across FileContext pointer swaps") {
+    import spark.implicits._
+    val st = newStore()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    st.create("t", df.schema)
+    st.append("t", df)
+    val before = st.read("t")
+    st.upsert("t", Seq((1L, "changed")).toDF("id", "v"), Seq("id"))
+    // the pre-commit DataFrame still reads its own snapshot's files
+    assert(before.filter(col("id") === 1).select("v")
+      .collect()(0).getString(0) === "a")
+    assert(st.read("t").filter(col("id") === 1).select("v")
+      .collect()(0).getString(0) === "changed")
+  }
+}
