@@ -161,7 +161,7 @@ final class TableStore(spark: SparkSession, val root: String,
     writeString(new HPath(d, "_schema.json"), schema.json)
     writeString(new HPath(d, "_partitions"), partitionBy.mkString(","))
     writeString(new HPath(d, "_zonecols"), zoneCols.mkString(","))
-    commitManifest(name, Nil)
+    commitManifest(name, Nil, Nil)
   }
 
   /** Columns with per-file min/max zone maps (file skipping for CDC). */
@@ -274,20 +274,45 @@ final class TableStore(spark: SparkSession, val root: String,
     readString(new HPath(tdir(name), "_current")).trim
       .stripPrefix("manifest-").stripSuffix(".txt").toInt
 
-  /** Incremental read: rows in data files ADDED since snapshot `version`
-    * (the incremental-consumer primitive — a downstream job processes
-    * only what appended, never rescanning the table). Exact for
-    * append-only history; a copy-on-write mutation rewrites files, so
-    * its rewritten rows surface here as "new" — callers that interleave
-    * mutations should diff by key ([[diffVersions]]) instead. */
+  /** Incremental read: rows APPENDED since snapshot `version` (the
+    * incremental-consumer primitive — a downstream job processes only
+    * what appended, never rescanning the table).
+    *
+    * Each commit records the data files it LOGICALLY appended in a
+    * `manifest-N.appended` sidecar; this read is the union of those
+    * sidecars over (version, current] — so a compaction (which rewrites
+    * every file but appends no rows) contributes NOTHING, and compacted
+    * rows are never re-delivered. The original appended files stay on
+    * disk (referenced by their manifest) until [[expireSnapshots]]
+    * removes them — expiry bounds the incremental lookback window, and
+    * an expired appended file fails loudly here rather than silently
+    * skipping rows. Upserted rows (applyNet) surface as appended; rows a
+    * later mutation deleted are still delivered as-of their commit —
+    * callers that need net row-level changes should diff by key
+    * ([[diffVersions]]). Tables whose history predates the sidecar fall
+    * back to the file-set diff (exact for append-only history). */
   def readAppendedSince(name: String, version: Int): DataFrame = {
-    val baseline = {
-      val manifest = new HPath(tdir(name), f"manifest-$version%06d.txt")
-      require(fs.exists(manifest), s"no snapshot $version for table $name")
-      readLines(manifest).toSet
+    val d = tdir(name)
+    val manifest = new HPath(d, f"manifest-$version%06d.txt")
+    require(fs.exists(manifest), s"no snapshot $version for table $name")
+    val range = (version + 1) to currentVersion(name)
+    val sidecars = range.map(v => new HPath(d, f"manifest-$v%06d.appended"))
+    if (sidecars.forall(fs.exists)) {
+      val appended = sidecars.flatMap(readLines)
+      val missing = appended.filterNot(r => fs.exists(new HPath(dataDir(name), r)))
+      require(missing.isEmpty,
+        s"appended files of table $name expired before being consumed " +
+          s"(missing: ${missing.take(3).mkString(", ")}${if (missing.length > 3) ", ..." else ""}) — " +
+          "expire snapshots only after incremental consumers caught up, " +
+          "or diff by key via diffVersions")
+      readFiles(name, appended.map(f => new HPath(dataDir(name), f).toString))
+    } else {
+      // legacy table (history predates appended-sidecars): file-set diff —
+      // exact for append-only history, re-delivers on rewrites
+      val baseline = readLines(manifest).toSet
+      val added = currentRelPaths(name).filterNot(baseline)
+      readFiles(name, added.map(f => new HPath(dataDir(name), f).toString))
     }
-    val added = currentRelPaths(name).filterNot(baseline)
-    readFiles(name, added.map(f => new HPath(dataDir(name), f).toString))
   }
 
   /** Key-level diff between two snapshots: one row per key whose presence
@@ -341,7 +366,7 @@ final class TableStore(spark: SparkSession, val root: String,
     * (reference W1, SparkDestinationStream.java:229-232). */
   def append(name: String, df: DataFrame): Unit = {
     val newFiles = writeDataFiles(name, alignTo(name, schema(name), df))
-    commitManifest(name, currentRelPaths(name) ++ newFiles)
+    commitManifest(name, currentRelPaths(name) ++ newFiles, newFiles)
   }
 
   /** Row-level delete (reference W2, SparkDestinationStream.java:124-135) as
@@ -361,7 +386,7 @@ final class TableStore(spark: SparkSession, val root: String,
     val rewritten = writeDataFiles(name, survivors)
     commitManifest(name,
       currentRelPaths(name).filterNot(p => affected.contains(fileName(p)))
-        ++ rewritten)
+        ++ rewritten, Nil)
   }
 
   /** Net CDC application in ONE snapshot commit: drop every row whose key
@@ -401,7 +426,7 @@ final class TableStore(spark: SparkSession, val root: String,
       }
     }
     val appended = writeDataFiles(name, alignTo(name, sch, newRows))
-    commitManifest(name, carried ++ rewritten ++ appended)
+    commitManifest(name, carried ++ rewritten ++ appended, appended)
   }
 
   /** Zone-pruned candidate files for a key batch — exposed for tests and
@@ -424,7 +449,7 @@ final class TableStore(spark: SparkSession, val root: String,
     val cur = read(name)
     val df = if (numFiles > 0) cur.repartition(numFiles) else cur
     val rewritten = writeDataFiles(name, df)
-    commitManifest(name, rewritten)
+    commitManifest(name, rewritten, Nil) // a rewrite appends no rows
   }
 
   /** Snapshot expiry: drop manifests older than the last `keepLast` and
@@ -448,7 +473,10 @@ final class TableStore(spark: SparkSession, val root: String,
         fs.delete(statsPath(name, rel), false)
         ()
       }
-    manifests.filterNot(keep.contains).foreach(m => fs.delete(new HPath(d, m), false))
+    manifests.filterNot(keep.contains).foreach { m =>
+      fs.delete(new HPath(d, m), false)
+      fs.delete(new HPath(d, m.stripSuffix(".txt") + ".appended"), false)
+    }
   }
 
   // ---- zone maps ----------------------------------------------------------
@@ -612,7 +640,11 @@ final class TableStore(spark: SparkSession, val root: String,
     } finally { fs.delete(staging, true); () } // never strand staging garbage
   }
 
-  private def commitManifest(name: String, files: Seq[String]): Unit = {
+  /** `appended` = the subset of `files` this commit LOGICALLY appended
+    * (new rows), recorded in a sidecar for [[readAppendedSince]] —
+    * rewrites (delete survivors, compaction output) are NOT appends. */
+  private def commitManifest(name: String, files: Seq[String],
+      appended: Seq[String]): Unit = {
     val d = tdir(name)
     val lock = new HPath(d, "_commit.lock")
     acquireLock(name, lock)
@@ -620,6 +652,10 @@ final class TableStore(spark: SparkSession, val root: String,
       val n = nextManifestId(name)
       val manifest = f"manifest-$n%06d.txt"
       writeString(new HPath(d, manifest), files.mkString("\n"))
+      // written even when empty: presence marks a sidecar-aware commit
+      // (readAppendedSince falls back to the file-set diff without it)
+      writeString(new HPath(d, f"manifest-$n%06d.appended"),
+        appended.mkString("\n"))
       // atomic pointer swap (S3 caveat in the class doc — there, put a
       // catalog in front of _current)
       atomicWrite(new HPath(d, "_current"), manifest)

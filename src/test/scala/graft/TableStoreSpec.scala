@@ -42,6 +42,38 @@ class TableStoreSpec extends SparkSpec {
       (1L, "removed"), (3L, "added"), (4L, "added"), (5L, "added")))
   }
 
+  test("readAppendedSince × compaction: compacted rows are never re-delivered") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = st.currentVersion("t")
+    st.append("t", Seq((3L, "c")).toDF("id", "v"))
+    // compaction rewrites every file but appends no logical rows — the
+    // naive file-set diff would re-deliver rows 1 and 2 here
+    st.compact("t", 1)
+    val afterCompact = st.currentVersion("t")
+    st.append("t", Seq((4L, "d")).toDF("id", "v"))
+    val inc = st.readAppendedSince("t", v1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(inc.toSeq === Seq((3L, "c"), (4L, "d"))) // exactly once, no 1/2
+    // from the compacted snapshot: only the later append
+    val inc2 = st.readAppendedSince("t", afterCompact).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(inc2.toSeq === Seq((4L, "d")))
+    // a compact-only window appends nothing
+    assert(st.readAppendedSince("t", st.currentVersion("t")).count() === 0)
+    // upserts surface as appends; delete rewrites do not
+    st.upsert("t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    st.delete("t", col("id") === 1L)
+    val inc3 = st.readAppendedSince("t", afterCompact).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(inc3.toSeq === Seq((2L, "B2"), (4L, "d")))
+    // expiring history out from under an unconsumed incremental read is loud
+    st.compact("t", 1)
+    st.expireSnapshots("t", keepLast = 1)
+    intercept[IllegalArgumentException] { st.readAppendedSince("t", afterCompact) }
+  }
+
   test("create + append + read round-trip") {
     val st = newStore()
     st.create("t", schema)
