@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.StructType
   * Layout per table under `root/<name>/`:
   *   - `data/<uuid>-<part>.parquet` — immutable data files
   *   - `manifest-<n>.txt`          — newline list of live data file names
+  *   - `manifest-<n>.appended`     — files that commit LOGICALLY appended
+  *                                   (drives compaction-safe incremental reads)
+  *   - `_fields.json`              — field-id catalog: logical→physical
+  *                                   column names (metadata-only rename/drop);
+  *                                   absent = identity
   *   - `_schema.json`              — StructType JSON (catalog-owned schema,
   *                                   mirrors reference
   *                                   SparkDestinationStream.java:216); grows
@@ -212,6 +217,22 @@ final class TableStore(spark: SparkSession, val root: String,
       }
       atomicWrite(new HPath(tdir(name), "_schema.json"),
         StructType(cur.fields ++ cols.fields).json)
+      // register fresh field ids when a catalog exists; a physical name
+      // ever used (live OR dropped) is reserved, so re-adding a dropped
+      // column's name maps to a new physical name and old bytes stay dead
+      readCatalog(name).foreach { cat =>
+        val used = (cat.fields.map(_.physical) ++ cat.droppedPhysical)
+          .map(_.toLowerCase).toSet
+        var next = cat.next
+        val recs = cols.fields.toSeq.map { f =>
+          val pn = if (used.contains(f.name.toLowerCase)) s"${f.name}__$next"
+            else f.name
+          val r = FieldRec(next, f.name, pn)
+          next += 1
+          r
+        }
+        writeCatalog(name, cat.copy(next = next, fields = cat.fields ++ recs))
+      }
       val ev = new HPath(tdir(name), "_evolved")
       val prior = if (fs.exists(ev)) readString(ev).trim else ""
       atomicWrite(ev, (prior.split(",").toSeq.filter(_.nonEmpty) ++
@@ -224,6 +245,134 @@ final class TableStore(spark: SparkSession, val root: String,
     val p = new HPath(tdir(name), "_evolved")
     if (!fs.exists(p)) Set.empty
     else readString(p).trim.split(",").toSeq.filter(_.nonEmpty).toSet
+  }
+
+  // ---- field-id catalog: rename/drop without touching data -----------------
+
+  /** `_fields.json`: per-column stable id + PHYSICAL name (the name data
+    * files are written with, fixed when the field is created — the field-id
+    * idea Iceberg uses for metadata-only rename/drop). A rename changes
+    * only the LOGICAL name in this catalog and `_schema.json`; every data
+    * file, old or new, keeps writing/reading the physical name. Dropped
+    * fields leave the catalog but their physical names stay reserved, so a
+    * later re-add of the same logical name gets a FRESH physical name and
+    * never resurrects dropped data. Absent for tables that never
+    * renamed/dropped — the mapping is identity then. */
+  private case class FieldRec(id: Int, name: String, physical: String)
+  private case class FieldCatalog(next: Int, fields: Seq[FieldRec],
+      droppedPhysical: Seq[String])
+
+  private def fieldsPath(name: String): HPath =
+    new HPath(tdir(name), "_fields.json")
+
+  private def readCatalog(name: String): Option[FieldCatalog] = {
+    val p = fieldsPath(name)
+    if (!fs.exists(p)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(p))
+      Some(FieldCatalog(
+        n.get("next").intValue(),
+        n.get("fields").elements().asScala.map(f => FieldRec(
+          f.get("id").intValue(), f.get("name").textValue(),
+          f.get("physical").textValue())).toSeq,
+        n.get("droppedPhysical").elements().asScala.map(_.textValue()).toSeq))
+    }
+  }
+
+  private def writeCatalog(name: String, c: FieldCatalog): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("next", c.next)
+    val arr = root.putArray("fields")
+    c.fields.foreach { r =>
+      val o = arr.addObject()
+      o.put("id", r.id); o.put("name", r.name); o.put("physical", r.physical)
+      ()
+    }
+    val dp = root.putArray("droppedPhysical")
+    c.droppedPhysical.foreach(dp.add)
+    atomicWrite(fieldsPath(name), mapper.writeValueAsString(root))
+  }
+
+  /** Catalog with identity ids, created from the live schema on the first
+    * rename/drop (legacy tables evolve in place). */
+  private def materializeCatalog(name: String): FieldCatalog =
+    readCatalog(name).getOrElse {
+      val fields = schema(name).fields.zipWithIndex.map { case (f, i) =>
+        FieldRec(i + 1, f.name, f.name)
+      }.toSeq
+      FieldCatalog(fields.length + 1, fields, Nil)
+    }
+
+  /** logical → physical column names; empty map = identity. */
+  private def physMap(name: String): Map[String, String] =
+    readCatalog(name) match {
+      case None => Map.empty
+      case Some(c) => c.fields.map(r => r.name -> r.physical).toMap
+    }
+
+  private def physOf(m: Map[String, String], c: String): String =
+    m.getOrElse(c, c)
+
+  /** Update the `_evolved` logical-name list (omittable columns). */
+  private def rewriteEvolved(name: String, f: Set[String] => Set[String]): Unit = {
+    val ev = evolvedCols(name)
+    val out = f(ev)
+    if (out != ev)
+      atomicWrite(new HPath(tdir(name), "_evolved"), out.mkString(","))
+  }
+
+  /** Metadata-only column rename: no data file is touched (the manifest is
+    * not even rewritten) — old and new snapshots read back under the new
+    * name through the physical mapping. At 100 TB this is the only sane
+    * rename primitive; a rewriting rename would be a full-table copy. */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val cur = schema(name)
+      require(cur.fieldNames.contains(from),
+        s"column $from not in table $name")
+      require(to.nonEmpty, "new column name must be non-empty")
+      require(!cur.fieldNames.exists(f => f != from && f.equalsIgnoreCase(to)),
+        s"column $to already exists in table $name")
+      val cat = materializeCatalog(name)
+      writeCatalog(name, cat.copy(fields = cat.fields.map(r =>
+        if (r.name == from) r.copy(name = to) else r)))
+      atomicWrite(new HPath(tdir(name), "_schema.json"),
+        StructType(cur.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)).json)
+      rewriteEvolved(name, ev => if (ev.contains(from)) ev - from + to else ev)
+    } finally { fs.delete(lock, false); () }
+  }
+
+  /** Metadata-only column drop: the field leaves the catalog (its physical
+    * name stays reserved), data files keep the bytes — old snapshots via
+    * [[readVersion]] simply no longer project it. Partition and zone
+    * columns cannot be dropped (the physical layout depends on them). */
+  def dropColumn(name: String, colName: String): Unit = {
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val cur = schema(name)
+      require(cur.fieldNames.contains(colName),
+        s"column $colName not in table $name")
+      require(cur.fields.length > 1, "cannot drop the last column")
+      val m = physMap(name)
+      require(!partitionCols(name).contains(physOf(m, colName)),
+        s"cannot drop partition column $colName")
+      require(!zoneCols(name).contains(physOf(m, colName)),
+        s"cannot drop zone column $colName")
+      val cat = materializeCatalog(name)
+      val (gone, kept) = cat.fields.partition(_.name == colName)
+      writeCatalog(name, cat.copy(fields = kept,
+        droppedPhysical = cat.droppedPhysical ++ gone.map(_.physical)))
+      atomicWrite(new HPath(tdir(name), "_schema.json"),
+        StructType(cur.fields.filterNot(_.name == colName)).json)
+      rewriteEvolved(name, _ - colName)
+    } finally { fs.delete(lock, false); () }
   }
 
   def schema(name: String): StructType =
@@ -251,11 +400,12 @@ final class TableStore(spark: SparkSession, val root: String,
     * the few overlapping files instead of listing-scanning the table. The
     * exact predicate still applies on the surviving files. */
   def readRange(name: String, zoneCol: String, lo: Any, hi: Any): DataFrame = {
-    require(zoneCols(name).contains(zoneCol),
+    val pz = physOf(physMap(name), zoneCol) // stats/zone files key physically
+    require(zoneCols(name).contains(pz),
       s"$zoneCol is not a zone column of table $name (zone columns: " +
         s"${zoneCols(name).mkString(", ")})")
     val candidates = pruneByZones(name, currentRelPaths(name),
-      Map(zoneCol -> ((lo, hi))))
+      Map(pz -> ((lo, hi))))
     val files = candidates.map(r => new HPath(dataDir(name), r).toString)
     readFiles(name, files)
       .filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
@@ -354,12 +504,19 @@ final class TableStore(spark: SparkSession, val root: String,
 
   private def readFiles(name: String, files: Seq[String]): DataFrame = {
     val sch = schema(name)
-    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), sch)
-    else if (partitionCols(name).isEmpty) spark.read.schema(sch).parquet(files: _*)
-    else spark.read.schema(sch)
-      .option("basePath", dataDir(name).toString)
-      .parquet(files: _*)
-      .select(sch.fieldNames.map(col).toSeq: _*)
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+    // files carry PHYSICAL column names (fixed at field creation); read
+    // under the physical schema, surface logical names — a renamed column
+    // reads back from every snapshot without any file rewrite
+    val m = physMap(name)
+    val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
+    val raw =
+      if (partitionCols(name).isEmpty) spark.read.schema(physSch).parquet(files: _*)
+      else spark.read.schema(physSch)
+        .option("basePath", dataDir(name).toString)
+        .parquet(files: _*)
+    raw.select(sch.fields.map(f => col(physOf(m, f.name)).as(f.name)).toSeq: _*)
   }
 
   /** Append-only write: new data files + manifest, no existing file touched
@@ -403,7 +560,7 @@ final class TableStore(spark: SparkSession, val root: String,
       // Stage 1 — zone pruning: discard files whose key range cannot
       // intersect the batch, from manifest stats alone (no file opened).
       val candidates = pruneByZones(name, carried,
-        keyBounds(distinctKeys, keyCols, zoneCols(name)))
+        keyBounds(name, distinctKeys, keyCols))
       if (candidates.nonEmpty) {
         val candidatePaths = candidates.map(r => new HPath(dataDir(name), r).toString)
         // Stage 2 — exact pruning: a semi join over the candidates marks
@@ -434,7 +591,7 @@ final class TableStore(spark: SparkSession, val root: String,
   def candidateFilesForKeys(name: String, keys: DataFrame,
       keyCols: Seq[String]): Seq[String] =
     pruneByZones(name, currentRelPaths(name),
-      keyBounds(keys.select(keyCols.map(col): _*).distinct(), keyCols, zoneCols(name)))
+      keyBounds(name, keys.select(keyCols.map(col): _*).distinct(), keyCols))
 
   /** Upsert = applyNet keyed by the new rows themselves. */
   def upsert(name: String, rows: DataFrame, keyCols: Seq[String]): Unit =
@@ -489,9 +646,11 @@ final class TableStore(spark: SparkSession, val root: String,
     * the difference between touching a few files and listing-scanning the
     * whole table. */
   private def writeZoneStats(name: String, relPaths: Seq[String]): Unit = {
-    val zc = zoneCols(name)
+    val zc = zoneCols(name) // physical names — stable across renames
     if (zc.isEmpty || relPaths.isEmpty) return
-    val sch = schema(name)
+    val m = physMap(name)
+    val sch = StructType(schema(name).fields.map(f =>
+      f.copy(name = physOf(m, f.name))))
     val paths = relPaths.map(r => new HPath(dataDir(name), r).toString)
     // ONE job for all fresh files (grouped by file), not one per file —
     // the data is page-cache hot right after the write. (A per-file
@@ -572,16 +731,19 @@ final class TableStore(spark: SparkSession, val root: String,
   }
 
   /** Batch key bounds (one tiny agg job) for zone pruning; only zone
-    * columns participate. */
-  private def keyBounds(keys: DataFrame, keyCols: Seq[String],
-      zc: Seq[String]): Map[String, (Any, Any)] = {
-    val cols = keyCols.filter(zc.contains)
+    * columns participate. `keyCols` are logical; the returned map keys on
+    * PHYSICAL names (what the stats sidecars use). */
+  private def keyBounds(name: String, keys: DataFrame,
+      keyCols: Seq[String]): Map[String, (Any, Any)] = {
+    val zc = zoneCols(name)
+    val m = physMap(name)
+    val cols = keyCols.filter(c => zc.contains(physOf(m, c)))
     if (cols.isEmpty) return Map.empty
     val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
     val row = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
     cols.zipWithIndex.flatMap { case (c, i) =>
       val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
-      if (lo == null || hi == null) None else Some(c -> ((lo, hi)))
+      if (lo == null || hi == null) None else Some(physOf(m, c) -> ((lo, hi)))
     }.toMap
   }
 
@@ -615,8 +777,14 @@ final class TableStore(spark: SparkSession, val root: String,
     val id = UUID.randomUUID().toString.take(8)
     val staging = new HPath(tdir(name), s"_staging-$id")
     try {
+      // data files always carry PHYSICAL names; incoming frames are
+      // logical-named (alignTo / readFiles output). _partitions and
+      // _zonecols record physical names, so partitionBy lines up.
+      val m = physMap(name)
+      val out = if (m.forall { case (l, p) => l == p }) df
+        else df.toDF(df.columns.map(c => m.getOrElse(c, c)).toSeq: _*)
       val pCols = partitionCols(name)
-      val writer = df.write.mode("overwrite")
+      val writer = out.write.mode("overwrite")
       (if (pCols.isEmpty) writer else writer.partitionBy(pCols: _*))
         .parquet(staging.toString)
       val parts = listFilesRec(staging)

@@ -42,6 +42,89 @@ class TableStoreSpec extends SparkSpec {
       (1L, "removed"), (3L, "added"), (4L, "added"), (5L, "added")))
   }
 
+  test("renameColumn is metadata-only: no file rewrite, all snapshots readable") {
+    val st = newStore()
+    st.create("t", schema, zoneCols = Seq("id"))
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = st.currentVersion("t")
+    val filesBefore = st.currentRelPaths("t")
+    st.renameColumn("t", "v", "label")
+    // metadata-only: identical data files, same manifest content
+    assert(st.currentRelPaths("t") === filesBefore)
+    assert(st.schema("t").fieldNames.toSeq === Seq("id", "label"))
+    val rows = st.read("t").orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("label")))
+    assert(rows.toSeq === Seq((1L, "a"), (2L, "b")))
+    // pre-rename snapshots read under the live (renamed) schema
+    assert(st.readVersion("t", v1).columns.toSeq === Seq("id", "label"))
+    // writers use the new logical name; files stay physically consistent
+    st.append("t", Seq((3L, "c")).toDF("id", "label"))
+    st.upsert("t", Seq((1L, "A")).toDF("id", "label"), Seq("id"))
+    val all = st.read("t").orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("label")))
+    assert(all.toSeq === Seq((1L, "A"), (2L, "b"), (3L, "c")))
+    // zone pruning still works after renaming the ZONE column itself
+    st.renameColumn("t", "id", "key")
+    val probe = Seq(Tuple1(3L)).toDF("key")
+    assert(st.candidateFilesForKeys("t", probe, Seq("key")).nonEmpty)
+    assert(st.readRange("t", "key", 3L, 3L).count() === 1)
+    // conflicts fail loudly
+    intercept[IllegalArgumentException] { st.renameColumn("t", "key", "label") }
+    intercept[IllegalArgumentException] { st.renameColumn("t", "gone", "x") }
+  }
+
+  test("dropColumn + re-add: old bytes stay dead, new column backfills null") {
+    val st = newStore()
+    st.create("t", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("score", DoubleType))))
+    st.append("t", Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "score"))
+    st.dropColumn("t", "score")
+    assert(st.schema("t").fieldNames.toSeq === Seq("id", "v"))
+    assert(st.read("t").columns.toSeq === Seq("id", "v"))
+    // re-add the same logical name: fresh field id → fresh physical name,
+    // so the dropped values do NOT resurrect
+    st.addColumns("t", StructType(Seq(StructField("score", DoubleType))))
+    val rows = st.read("t").orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.isNullAt(2)))
+    assert(rows.toSeq === Seq((1L, true), (2L, true)))
+    // new writes carry the new column; old-shape producers may omit it
+    st.append("t", Seq((3L, "c", 30.0)).toDF("id", "v", "score"))
+    st.append("t", Seq((4L, "d")).toDF("id", "v"))
+    val scores = st.read("t").orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getAs[Double]("score"))
+    assert(scores.toSeq === Seq(null, null, 30.0, null))
+  }
+
+  test("dropColumn guards: partition/zone/last-column are not droppable") {
+    val st = newStore()
+    st.create("t", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      zoneCols = Seq("id"))
+    intercept[IllegalArgumentException] { st.dropColumn("t", "id") } // zone
+    st.dropColumn("t", "v")
+    intercept[IllegalArgumentException] { st.dropColumn("t", "id") } // last
+    val st2 = newStore()
+    st2.create("p", StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType))),
+      partitionBy = Seq("k"))
+    intercept[IllegalArgumentException] { st2.dropColumn("p", "k") }
+  }
+
+  test("rename of an evolution-added column keeps it omittable") {
+    val st = newStore()
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    st.addColumns("t", StructType(Seq(StructField("extra", StringType))))
+    st.renameColumn("t", "extra", "note")
+    // producers not yet upgraded may still omit the (renamed) evolved col
+    st.append("t", Seq((2L, "b")).toDF("id", "v"))
+    st.append("t", Seq((3L, "c", "hello")).toDF("id", "v", "note"))
+    val notes = st.read("t").orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getAs[String]("note"))
+    assert(notes.toSeq === Seq(null, null, "hello"))
+  }
+
   test("readAppendedSince × compaction: compacted rows are never re-delivered") {
     val st = newStore()
     st.create("t", schema)
