@@ -307,20 +307,24 @@ object Multimodal {
       |  WHERE doc_id % 3 = 0 OR text IS NOT NULL))
       |GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** Feature vector → per-image dims + pixel stats projection (shared by
+    * the decode and resize proofs). */
+  private def pixelStats(feats: DataFrame): DataFrame =
+    feats.select(col("media_id"),
+      element_at(col("feature"), 2).cast(IntegerType).as("w"),
+      element_at(col("feature"), 3).cast(IntegerType).as("h"),
+      element_at(col("feature"), 1).cast(LongType).as("pixel_sum"),
+      element_at(col("feature"), 4).cast(IntegerType).as("px_min"),
+      element_at(col("feature"), 5).cast(IntegerType).as("px_max"))
+    .orderBy("media_id")
+
   /** Per-image decode proof: dims and pixel stats read back from the REAL
     * PNG bytes. The oracle never touches the payload — it recomputes the
     * same stats from the generator formula, so a row-for-row match is
     * direct evidence the ImageIO decode ran correctly on every image. */
   private def mmImageDecode(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark,
-      mediaTable(spark, dir).filter(col("kind") === "image")).toDF()
-      .select(col("media_id"),
-        element_at(col("feature"), 2).cast(IntegerType).as("w"),
-        element_at(col("feature"), 3).cast(IntegerType).as("h"),
-        element_at(col("feature"), 1).cast(LongType).as("pixel_sum"),
-        element_at(col("feature"), 4).cast(IntegerType).as("px_min"),
-        element_at(col("feature"), 5).cast(IntegerType).as("px_max"))
-      .orderBy("media_id")
+    pixelStats(extractFeatures(spark,
+      mediaTable(spark, dir).filter(col("kind") === "image")).toDF())
 
   private val mmImageDecodeSql =
     """SELECT media_id,
@@ -333,6 +337,32 @@ object Multimodal {
       | SELECT doc_id AS media_id,
       |  LIST_TRANSFORM(RANGE(0, (8 + doc_id % 8) * (4 + doc_id % 4)),
       |    i -> (doc_id + i) % 256) AS px
+      | FROM documents WHERE doc_id % 3 = 0)
+      |ORDER BY media_id""".stripMargin
+
+  /** Resize proof: decode → nearest-neighbor sample → re-encode → decode
+    * again, all through the REAL PNG codec; the oracle re-derives every
+    * resized pixel from the generator formula and the integer-grid mapping
+    * sx = x*sw/W, sy = y*sh/H (floor) — a match proves the whole resize
+    * pipeline bit-exactly, not just that dims changed. */
+  private def mmResize(spark: SparkSession, dir: String): DataFrame =
+    pixelStats(extractFeatures(spark,
+      resize(spark, mediaTable(spark, dir).filter(col("kind") === "image"),
+        4, 3)).toDF())
+
+  private val mmResizeSql =
+    """SELECT media_id,
+      | CAST(4 AS INT) AS w,
+      | CAST(3 AS INT) AS h,
+      | CAST(LIST_SUM(px) AS BIGINT) AS pixel_sum,
+      | CAST(LIST_MIN(px) AS INT) AS px_min,
+      | CAST(LIST_MAX(px) AS INT) AS px_max
+      |FROM (
+      | SELECT doc_id AS media_id,
+      |  LIST_TRANSFORM(RANGE(0, 12), i ->
+      |   (doc_id
+      |    + (((i // 4) * (4 + doc_id % 4)) // 3) * (8 + doc_id % 8)
+      |    + ((i % 4) * (8 + doc_id % 8)) // 4) % 256) AS px
       | FROM documents WHERE doc_id % 3 = 0)
       |ORDER BY media_id""".stripMargin
 
@@ -354,5 +384,6 @@ object Multimodal {
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
     Q("mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("mm_image_decode", mmImageDecode, Some(mmImageDecodeSql)),
+    Q("mm_resize", mmResize, Some(mmResizeSql)),
     Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)))
 }
