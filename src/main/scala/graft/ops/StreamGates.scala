@@ -52,11 +52,37 @@ object StreamGates {
 
   /** Stage a frame as `n` parquet files so the file stream source delivers
     * `n` micro-batches. Range-partitioned on `orderCol` so batches arrive
-    * roughly in that column's order (event time / key). */
+    * roughly in that column's order (event time / key).
+    *
+    * Idempotent per source fingerprint (mtime+size of the source parquet):
+    * the staged copy is harness scaffolding — a real deployment streams an
+    * EXISTING directory — so repeated runs against unchanged input reuse
+    * it instead of paying the range-shuffle + write again. The streaming
+    * query itself (checkpoint, state, sink) still runs fresh every time. */
   private def stage(spark: SparkSession, df: DataFrame, orderCol: String,
-      n: Int, path: String): Unit = {
+      n: Int, path: String, srcFingerprint: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new HPath(s"$path/_STAGED_OK")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val prior = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      if (prior == srcFingerprint) return
+    }
     rm(spark, path)
     df.repartitionByRange(n, col(orderCol)).write.parquet(path)
+    val out = fs.create(marker, true)
+    try out.write(srcFingerprint.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** mtime+length of the source table file — cheap change detector for the
+    * staging cache (testdata dirs are regenerated wholesale, so any change
+    * moves both). */
+  private def fingerprint(spark: SparkSession, dir: String, table: String): String = {
+    val p = new HPath(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    s"${st.getModificationTime}:${st.getLen}"
   }
 
   /** Run `transform` over a staged directory as a real streaming query
@@ -85,7 +111,8 @@ object StreamGates {
     * streaming run of the SAME plan ev_tumbling_window runs in batch. */
   private def stTumbling(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir, "tumbling")
-    stage(spark, Events.ev(spark, dir), "ts", 4, s"$b/in")
+    stage(spark, Events.ev(spark, dir), "ts", 4, s"$b/in",
+      fingerprint(spark, dir, "events"))
     runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "complete")(
       df => StreamOps.tumblingStats(df, "1 hour"))
       .orderBy("window_start", "event_type")
@@ -97,7 +124,8 @@ object StreamGates {
     * would evict (and thus lose) closed sessions from the final output. */
   private def stSession(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir, "session")
-    stage(spark, Events.ev(spark, dir), "ts", 4, s"$b/in")
+    stage(spark, Events.ev(spark, dir), "ts", 4, s"$b/in",
+      fingerprint(spark, dir, "events"))
     runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "complete")(
       df => StreamOps.sessionStatsUnbounded(df, "30 minutes"))
       .orderBy("user_id", "session_start")
@@ -115,7 +143,8 @@ object StreamGates {
     store.append("orders", orders)
     // range-partition by key string: a key's update+delete share a file
     // (identical __key), hence a batch — cross-batch order then commutes
-    stage(spark, CdcQueries.orderEnvelopes(orders), "__key", 2, s"$b/in")
+    stage(spark, CdcQueries.orderEnvelopes(orders), "__key", 2, s"$b/in",
+      fingerprint(spark, dir, "orders"))
     rm(spark, s"$b/ckpt")
     val schema = spark.read.parquet(s"$b/in").schema
     val cfg = CdcApply.CdcConfig("orders", Seq("o_orderkey"))
