@@ -71,6 +71,15 @@ object StreamGates {
     }
     rm(spark, path)
     df.repartitionByRange(n, col(orderCol)).write.parquet(path)
+    // The file source orders batches by modification time, and all parts
+    // finish within the same millisecond — pin strictly ascending mtimes
+    // in range (event-time/key) order so micro-batches arrive in order,
+    // the way a log shipper delivers segments. Without this, a batch of
+    // OLDER events can follow a newer one and be watermark-dropped.
+    val parts = fs.listStatus(new HPath(path)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - parts.length * 1000L
+    parts.zipWithIndex.foreach { case (p, i) => fs.setTimes(p, t0 + i * 1000L, -1) }
     val out = fs.create(marker, true)
     try out.write(srcFingerprint.getBytes("UTF-8")) finally out.close()
   }
@@ -88,19 +97,21 @@ object StreamGates {
   /** Run `transform` over a staged directory as a real streaming query
     * (one file per micro-batch), materializing via foreachBatch into
     * `out`; returns the final parquet content. Complete mode: every batch
-    * overwrites, the last batch wins with the full aggregate. */
+    * overwrites, the last batch wins with the full aggregate. Append
+    * mode: each batch's emitted rows accumulate. */
   private def runStream(spark: SparkSession, staged: String, out: String,
       ckpt: String, mode: String)(transform: DataFrame => DataFrame): DataFrame = {
     rm(spark, out); rm(spark, ckpt)
     val schema = spark.read.parquet(staged).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
+    val sinkMode = if (mode == "complete") "overwrite" else "append"
     val q = transform(stream).writeStream
       .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out); ()
+        batch.write.mode(sinkMode).parquet(out); ()
       }
       .start()
     q.awaitTermination()
@@ -129,6 +140,30 @@ object StreamGates {
     runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "complete")(
       df => StreamOps.sessionStatsUnbounded(df, "30 minutes"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Streaming exactly-once dedup under the oracle: every %37 event is
+    * re-delivered byte-identically (the at-least-once transport case), a
+    * streaming query drops replays via dropDuplicatesWithinWatermark
+    * (Append mode — survivors emit immediately and accumulate in the
+    * sink), and a batch tumbling aggregate over the materialized
+    * survivors must equal the NO-REPLAY oracle — a single surviving
+    * duplicate shifts a count/sum and fails the hash. Replica and
+    * original share an event time, so the ts-range staging puts them in
+    * the same micro-batch: dedup happens inside live state, not
+    * dependent on watermark luck. (The aggregate runs as a separate
+    * batch job because chaining a second stateful operator after dedup
+    * subjects the agg to cross-operator late-record filtering, which
+    * breaks Complete-mode batch equivalence.) */
+  private def stDedup(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "dedup")
+    val ev = Events.ev(spark, dir)
+    val replayed = ev.unionByName(ev.filter(col("event_id") % 37 === 0))
+    stage(spark, replayed, "ts", 4, s"$b/in", fingerprint(spark, dir, "events"))
+    val survivors = runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "append")(
+      df => StreamOps.dedupEvents(df, streaming = true))
+    StreamOps.tumblingStats(survivors.drop("ts_sec"), "1 hour")
+      .orderBy("window_start", "event_type")
   }
 
   /** Streaming CDC ingest: the cdc_bulk_orders envelope workload delivered
@@ -167,5 +202,6 @@ object StreamGates {
   val all: Seq[Q] = Seq(
     Q("st_tumbling", stTumbling, Some(Events.evTumblingSql)),
     Q("st_session", stSession, Some(Events.evSessionsSql)),
+    Q("st_dedup", stDedup, Some(Events.evTumblingSql)),
     Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)))
 }

@@ -25,7 +25,16 @@ object StreamOps {
 
   /** Tumbling-window counts/sums per event type. */
   def tumblingStats(events: DataFrame, width: String): DataFrame =
-    withEventTime(events)
+    tumblingCore(withEventTime(events), width)
+
+  /** Same, over an already-watermarked frame (ts_sec present) — for
+    * composing after another stateful operator: Spark forbids redefining
+    * the watermark mid-plan, so downstream stages must not re-apply it. */
+  def tumblingStatsPrepped(prepped: DataFrame, width: String): DataFrame =
+    tumblingCore(prepped, width)
+
+  private def tumblingCore(prepped: DataFrame, width: String): DataFrame =
+    prepped
       .groupBy(window(col("ts_sec"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
