@@ -64,11 +64,13 @@ object StreamGates {
     val conf = spark.sessionState.newHadoopConf()
     val marker = new HPath(s"$path/_STAGED_OK")
     val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) {
+    // an unreadable/corrupt marker (crash mid-write, checksum mismatch)
+    // means "unknown staging state" → restage, never propagate
+    val prior = scala.util.Try {
       val in = fs.open(marker)
-      val prior = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      if (prior == srcFingerprint) return
-    }
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }.getOrElse("")
+    if (prior == srcFingerprint) return
     rm(spark, path)
     df.repartitionByRange(n, col(orderCol)).write.parquet(path)
     // The file source orders batches by modification time, and all parts

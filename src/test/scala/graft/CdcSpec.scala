@@ -383,6 +383,27 @@ class CdcSpec extends SparkSpec {
     assert(applyIn(shuffled = true) === expected)
   }
 
+  test("CDC apply works across a metadata-only column rename") {
+    val st = newTable()
+    CdcApply(spark, st, cfg, Seq(CdcRecord(Array(1), CdcOp.Create,
+      key = Some(RawData("""{"int_field": 5}""")),
+      after = Some(RawData("""{"string_field": "before", "int_field": 5}""")))))
+    // rename the value column: catalog-only, no file rewrite
+    st.renameColumn("t", "string_field", "label")
+    // producers now speak the NEW name; the pre-rename row reads back under it
+    CdcApply(spark, st, cfg, Seq(
+      CdcRecord(Array(2), CdcOp.Update,
+        key = Some(RawData("""{"int_field": 5}""")),
+        after = Some(RawData("""{"label": "after", "int_field": 5}"""))),
+      CdcRecord(Array(3), CdcOp.Create,
+        key = Some(RawData("""{"int_field": 6}""")),
+        after = Some(RawData("""{"label": "new", "int_field": 6}""")))))
+    val got = st.read("t").orderBy("int_field")
+      .select("int_field", "label").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((5, "after"), (6, "new")))
+  }
+
   test("orderCol: missing envelope column fails loudly") {
     import spark.implicits._
     val st = newTable()

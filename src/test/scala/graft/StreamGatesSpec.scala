@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.StreamGates
+
+/** Pins the CLAIMS the streaming gates make about their own execution:
+  * genuinely micro-batched (one batch per staged file, recorded in the
+  * checkpoint offsets), and a staging cache that invalidates when the
+  * source changes. Result CORRECTNESS is the driver's oracle's job
+  * (st_* rows in CORRECTNESS); these tests keep the harness honest. */
+class StreamGatesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def gate(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("st_tumbling executes as one micro-batch per staged file") {
+    val out = gate("st_tumbling").collect()
+    assert(out.nonEmpty)
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val offsets = new java.io.File(
+      s"/root/repo/target/stream-gates/$tag/tumbling/ckpt/offsets")
+    val batches = offsets.listFiles().map(_.getName).filterNot(_.startsWith("."))
+    assert(batches.length === 4) // 4 staged files -> 4 micro-batches
+    val staged = new java.io.File(
+      s"/root/repo/target/stream-gates/$tag/tumbling/in")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(staged === 4)
+  }
+
+  test("staged micro-batch files carry strictly ascending mtimes (delivery order)") {
+    gate("st_session").collect()
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val parts = new java.io.File(
+      s"/root/repo/target/stream-gates/$tag/session/in")
+      .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val times = parts.map(_.lastModified())
+    assert(times.sorted.toSeq === times.toSeq)
+    assert(times.distinct.length === times.length)
+  }
+
+  test("staging cache: reused while source unchanged, restaged when fingerprint moves") {
+    gate("st_tumbling").collect()
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val marker = new java.io.File(
+      s"/root/repo/target/stream-gates/$tag/tumbling/in/_STAGED_OK")
+    assert(marker.exists())
+    val stampBefore = marker.lastModified()
+    Thread.sleep(1100)
+    gate("st_tumbling").collect() // unchanged source -> no restage
+    assert(marker.lastModified() === stampBefore)
+    // a moved fingerprint forces a restage (marker rewritten); writing
+    // around Hadoop leaves a stale .crc sidecar — ALSO the crash shape a
+    // corrupt marker takes, which must restage rather than throw
+    val w = new java.io.FileWriter(marker); w.write("stale:0"); w.close()
+    gate("st_tumbling").collect()
+    val content = scala.io.Source.fromFile(marker).mkString
+    assert(content !== "stale:0")
+  }
+
+  test("st_dedup drops planted replays: survivor count equals the distinct input") {
+    // the staged input contains the %37 replays; the materialized survivor
+    // set must equal the original event count exactly
+    gate("st_dedup").collect()
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val survivors = spark.read.parquet(
+      s"/root/repo/target/stream-gates/$tag/dedup/out")
+    val staged = spark.read.parquet(
+      s"/root/repo/target/stream-gates/$tag/dedup/in")
+    val originals = staged.select("event_id").distinct().count()
+    assert(staged.count() > originals) // replays really were staged
+    assert(survivors.count() === originals) // and really were dropped
+  }
+}
