@@ -23,18 +23,13 @@ object StreamOps {
     events.withColumn("ts_sec", date_trunc("second", col("ts")))
       .withWatermark("ts_sec", "10 minutes")
 
-  /** Tumbling-window counts/sums per event type. */
+  /** Tumbling-window counts/sums per event type. (Note for composing
+    * after another stateful operator: Spark forbids REDEFINING the
+    * watermark mid-plan, and chained stateful operators apply
+    * cross-operator late-record filtering — materialize the upstream
+    * stage and aggregate in batch instead, as st_dedup does.) */
   def tumblingStats(events: DataFrame, width: String): DataFrame =
-    tumblingCore(withEventTime(events), width)
-
-  /** Same, over an already-watermarked frame (ts_sec present) — for
-    * composing after another stateful operator: Spark forbids redefining
-    * the watermark mid-plan, so downstream stages must not re-apply it. */
-  def tumblingStatsPrepped(prepped: DataFrame, width: String): DataFrame =
-    tumblingCore(prepped, width)
-
-  private def tumblingCore(prepped: DataFrame, width: String): DataFrame =
-    prepped
+    withEventTime(events)
       .groupBy(window(col("ts_sec"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
