@@ -46,11 +46,19 @@ object CdcApply {
     * per-key order. A replayed or multi-path stream delivers records out of
     * order; with `orderCol` the winner is the record with the HIGHEST order
     * value (source timestamp, LSN, ...), ties broken by arrival `__seq`, so
-    * the applied net state is independent of delivery order. On the
-    * DataFrame path the column must be present in the envelope frame; on
-    * the record path it is read from `CdcRecord.metadata` (ns-epoch string,
-    * the `opencdc.createdAt` shape) — records lacking it lose to any record
-    * that has it. */
+    * the applied net state is independent of delivery order and
+    * partitioning WITHIN ONE APPLY BATCH. The scope matters: the table
+    * stores no order value, so ACROSS batches later batches still win — a
+    * stale record arriving alone in a later micro-batch overwrites fresher
+    * state. For multi-batch safety either route each key's records into
+    * one batch (keyed partitioning, as st_cdc_apply stages; a Kafka
+    * key-partitioned source gives this per partition) or carry the order
+    * value as a TABLE column and pre-filter stale winners against the
+    * stored value before applying (pattern shown in CdcSpec
+    * "orderCol: cross-batch"). On the DataFrame path the column must be
+    * present in the envelope frame; on the record path it is read from
+    * `CdcRecord.metadata` (ns-epoch string, the `opencdc.createdAt`
+    * shape) — records lacking it lose to any record that has it. */
   final case class CdcConfig(table: String, keyCols: Seq[String],
       strictValidation: Boolean = true, orderCol: Option[String] = None) {
     require(table != null && table.nonEmpty, "config: table is required")

@@ -16,8 +16,7 @@ import Tables.t
 object CdcQueries {
 
   private def cdcApplyCustomer(spark: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val store = new TableStore(spark, s"/root/repo/target/cdc-demo/$sfTag")
+    val store = new TableStore(spark, Scratch.dir("cdc-demo", Scratch.tag(dir)))
     val cust = t(spark, dir, "customer")
     store.create("customer", cust.schema, overwrite = true,
       zoneCols = Seq("c_custkey"))
@@ -71,8 +70,7 @@ object CdcQueries {
     * reproduces the net effect in pure SQL.
     */
   private def cdcBulkOrders(spark: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val store = new TableStore(spark, s"/root/repo/target/cdc-bulk/$sfTag")
+    val store = new TableStore(spark, Scratch.dir("cdc-bulk", Scratch.tag(dir)))
     val orders = t(spark, dir, "orders")
     store.create("orders", orders.schema, overwrite = true,
       zoneCols = Seq("o_orderkey"))
@@ -132,8 +130,7 @@ object CdcQueries {
     * arrives FIRST and must still win over a stale update delivered
     * after it. The oracle encodes the source-time winners. */
   private def cdcOutOfOrder(spark: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val store = new TableStore(spark, s"/root/repo/target/cdc-ooo/$sfTag")
+    val store = new TableStore(spark, Scratch.dir("cdc-ooo", Scratch.tag(dir)))
     val orders = t(spark, dir, "orders")
     store.create("orders", orders.schema, overwrite = true,
       zoneCols = Seq("o_orderkey"))

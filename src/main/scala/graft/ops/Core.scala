@@ -20,6 +20,16 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 }
 
+/** Scratch roots for gates that materialize state (CDC table stores,
+  * staged stream inputs): one subtree per sanitized sf-dir tag so corpora
+  * never collide. ONE definition — tests reconstruct these paths, and a
+  * drifting copy would silently inspect the wrong directory. */
+object Scratch {
+  def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+  def dir(parts: String*): String =
+    ("/root/repo/target" +: parts).mkString("/")
+}
+
 /** Shared helpers for cross-engine (Spark vs DuckDB) determinism.
   *
   * Doubles summed in arbitrary order are not reproducible across engines,

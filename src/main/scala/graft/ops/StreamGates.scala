@@ -39,10 +39,8 @@ import Tables.t
   */
 object StreamGates {
 
-  private def sfTag(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
-
   private def base(spark: SparkSession, dir: String, gate: String): String =
-    s"/root/repo/target/stream-gates/${sfTag(dir)}/$gate"
+    Scratch.dir("stream-gates", Scratch.tag(dir), gate)
 
   private def rm(spark: SparkSession, path: String): Unit = {
     val p = new HPath(path)
@@ -86,14 +84,17 @@ object StreamGates {
     try out.write(srcFingerprint.getBytes("UTF-8")) finally out.close()
   }
 
-  /** mtime+length of the source table file — cheap change detector for the
-    * staging cache (testdata dirs are regenerated wholesale, so any change
-    * moves both). */
-  private def fingerprint(spark: SparkSession, dir: String, table: String): String = {
+  /** mtime+length of the source table file PLUS the staging recipe —
+    * change detector for the staging cache. The recipe component matters
+    * as much as the source: editing a gate's derivation (file count,
+    * replay rule) must invalidate the cache, or the gate would silently
+    * stream data an older version of the code staged. */
+  private def fingerprint(spark: SparkSession, dir: String, table: String,
+      recipe: String): String = {
     val p = new HPath(s"$dir/$table.parquet")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.getFileStatus(p)
-    s"${st.getModificationTime}:${st.getLen}"
+    s"${st.getModificationTime}:${st.getLen}:$recipe"
   }
 
   /** Run `transform` over a staged directory as a real streaming query
@@ -104,30 +105,29 @@ object StreamGates {
   private def runStream(spark: SparkSession, staged: String, out: String,
       ckpt: String, mode: String)(transform: DataFrame => DataFrame): DataFrame = {
     rm(spark, out); rm(spark, ckpt)
-    // Right-size state partitioning for the query, scoped (set/restore):
-    // shuffle.partitions fixes the state-store partition count at the
-    // first checkpoint, and EVERY micro-batch then writes a delta file
-    // per partition per stateful operator — 32 partitions for ≤1M-row
-    // state is pure checkpoint-file overhead (measured ~1.7× the gate).
-    // A 1000-executor deployment sizes this to key cardinality instead.
-    val key = "spark.sql.shuffle.partitions"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try {
-      val schema = spark.read.parquet(staged).schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged)
-      val sinkMode = if (mode == "complete") "overwrite" else "append"
-      val q = transform(stream).writeStream
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode(sinkMode).parquet(out); ()
-        }
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(key, prior)
+    // Right-size state partitioning for the query, on an ISOLATED session
+    // (shared SparkContext, own SQLConf — no global set/restore that a
+    // concurrent query could race): shuffle.partitions fixes the
+    // state-store partition count at the first checkpoint, and EVERY
+    // micro-batch then writes a delta file per partition per stateful
+    // operator — 32 partitions for ≤1M-row state is pure checkpoint-file
+    // overhead (measured ~1.7× the gate). A 1000-executor deployment
+    // sizes this to key cardinality instead.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = ss.read.parquet(staged).schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val sinkMode = if (mode == "complete") "overwrite" else "append"
+    val q = transform(stream).writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(sinkMode).parquet(out); ()
+      }
+      .start()
+    q.awaitTermination()
     spark.read.parquet(out)
   }
 
@@ -136,7 +136,7 @@ object StreamGates {
   private def stTumbling(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir, "tumbling")
     stage(spark, Events.ev(spark, dir), "ts", 4, s"$b/in",
-      fingerprint(spark, dir, "events"))
+      fingerprint(spark, dir, "events", "ts-range-4"))
     runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "complete")(
       df => StreamOps.tumblingStats(df, "1 hour"))
       .orderBy("window_start", "event_type")
@@ -149,7 +149,7 @@ object StreamGates {
   private def stSession(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir, "session")
     stage(spark, Events.ev(spark, dir), "ts", 4, s"$b/in",
-      fingerprint(spark, dir, "events"))
+      fingerprint(spark, dir, "events", "ts-range-4"))
     runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "complete")(
       df => StreamOps.sessionStatsUnbounded(df, "30 minutes"))
       .orderBy("user_id", "session_start")
@@ -172,7 +172,8 @@ object StreamGates {
     val b = base(spark, dir, "dedup")
     val ev = Events.ev(spark, dir)
     val replayed = ev.unionByName(ev.filter(col("event_id") % 37 === 0))
-    stage(spark, replayed, "ts", 4, s"$b/in", fingerprint(spark, dir, "events"))
+    stage(spark, replayed, "ts", 4, s"$b/in",
+      fingerprint(spark, dir, "events", "ts-range-4;replay%37"))
     val survivors = runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "append")(
       df => StreamOps.dedupEvents(df, streaming = true))
     StreamOps.tumblingStats(survivors.drop("ts_sec"), "1 hour")
@@ -192,7 +193,7 @@ object StreamGates {
     // range-partition by key string: a key's update+delete share a file
     // (identical __key), hence a batch — cross-batch order then commutes
     stage(spark, CdcQueries.orderEnvelopes(orders), "__key", 2, s"$b/in",
-      fingerprint(spark, dir, "orders"))
+      fingerprint(spark, dir, "orders", "key-range-2"))
     rm(spark, s"$b/ckpt")
     val schema = spark.read.parquet(s"$b/in").schema
     val cfg = CdcApply.CdcConfig("orders", Seq("o_orderkey"))

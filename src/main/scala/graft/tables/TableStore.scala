@@ -153,6 +153,7 @@ final class TableStore(spark: SparkSession, val root: String,
       require(overwrite, s"table $name already exists")
       fs.delete(d, true)
     }
+    catalogCache -= name // a re-created table starts with identity mapping
     (partitionBy ++ zoneCols).foreach(c => require(schema.fieldNames.contains(c),
       s"column $c not in schema"))
     zoneCols.foreach { c =>
@@ -182,7 +183,11 @@ final class TableStore(spark: SparkSession, val root: String,
     else readString(p).trim.split(",").toSeq.filter(_.nonEmpty)
   }
 
-  def drop(name: String): Unit = { fs.delete(tdir(name), true); () }
+  def drop(name: String): Unit = {
+    fs.delete(tdir(name), true)
+    catalogCache -= name
+    ()
+  }
 
   /** Additive schema evolution (the Iceberg add-column shape): register
     * new NULLABLE columns on the catalog-owned schema. No data file is
@@ -215,24 +220,36 @@ final class TableStore(spark: SparkSession, val root: String,
         require(f.nullable,
           s"new column ${f.name} must be nullable — existing files backfill null")
       }
-      atomicWrite(new HPath(tdir(name), "_schema.json"),
-        StructType(cur.fields ++ cols.fields).json)
       // register fresh field ids when a catalog exists; a physical name
       // ever used (live OR dropped) is reserved, so re-adding a dropped
-      // column's name maps to a new physical name and old bytes stay dead
+      // column's name maps to a new physical name and old bytes stay dead.
+      // Catalog FIRST, schema second: a crash in between leaves a catalog
+      // entry for a column the schema doesn't have yet (harmless — reads
+      // project the schema), whereas schema-first would let a re-added
+      // dropped name read the dead bytes until the catalog caught up.
       readCatalog(name).foreach { cat =>
-        val used = (cat.fields.map(_.physical) ++ cat.droppedPhysical)
-          .map(_.toLowerCase).toSet
+        // a crashed earlier addColumns may have registered a field the
+        // schema never gained — retire such debris records (their physical
+        // names stay reserved) before re-registering the name
+        val (debris, live) = cat.fields.partition(r =>
+          cols.fieldNames.contains(r.name) && !cur.fieldNames.contains(r.name))
+        var used = (live.map(_.physical) ++ cat.droppedPhysical ++
+          debris.map(_.physical)).map(_.toLowerCase).toSet
         var next = cat.next
         val recs = cols.fields.toSeq.map { f =>
-          val pn = if (used.contains(f.name.toLowerCase)) s"${f.name}__$next"
-            else f.name
+          var pn = f.name
+          var i = next
+          while (used.contains(pn.toLowerCase)) { pn = s"${f.name}__$i"; i += 1 }
+          used += pn.toLowerCase
           val r = FieldRec(next, f.name, pn)
           next += 1
           r
         }
-        writeCatalog(name, cat.copy(next = next, fields = cat.fields ++ recs))
+        writeCatalog(name, cat.copy(next = next, fields = live ++ recs,
+          droppedPhysical = cat.droppedPhysical ++ debris.map(_.physical)))
       }
+      atomicWrite(new HPath(tdir(name), "_schema.json"),
+        StructType(cur.fields ++ cols.fields).json)
       val ev = new HPath(tdir(name), "_evolved")
       val prior = if (fs.exists(ev)) readString(ev).trim else ""
       atomicWrite(ev, (prior.split(",").toSeq.filter(_.nonEmpty) ++
@@ -265,7 +282,24 @@ final class TableStore(spark: SparkSession, val root: String,
   private def fieldsPath(name: String): HPath =
     new HPath(tdir(name), "_fields.json")
 
-  private def readCatalog(name: String): Option[FieldCatalog] = {
+  /** Per-instance catalog cache (write-through): physMap sits on every
+    * read/write path and most tables never rename — paying a metadata
+    * round-trip per operation (an RTT on object stores) for an absent
+    * file would tax the 99% case. Catalog mutations in THIS instance
+    * update the cache; a rename/drop issued from a different process is
+    * outside the single-writer contract, and readers observe it by
+    * constructing a fresh TableStore (the same visibility rule Iceberg
+    * gives a pinned table metadata object). */
+  @volatile private var catalogCache: Map[String, Option[FieldCatalog]] = Map.empty
+
+  private def readCatalog(name: String): Option[FieldCatalog] =
+    catalogCache.getOrElse(name, {
+      val loaded = loadCatalog(name)
+      catalogCache += (name -> loaded)
+      loaded
+    })
+
+  private def loadCatalog(name: String): Option[FieldCatalog] = {
     val p = fieldsPath(name)
     if (!fs.exists(p)) None
     else {
@@ -294,6 +328,7 @@ final class TableStore(spark: SparkSession, val root: String,
     val dp = root.putArray("droppedPhysical")
     c.droppedPhysical.foreach(dp.add)
     atomicWrite(fieldsPath(name), mapper.writeValueAsString(root))
+    catalogCache += (name -> Some(c)) // write-through
   }
 
   /** Catalog with identity ids, created from the live schema on the first
@@ -817,6 +852,24 @@ final class TableStore(spark: SparkSession, val root: String,
     val lock = new HPath(d, "_commit.lock")
     acquireLock(name, lock)
     try {
+      // reclaim crash debris: a writer that died after writing its
+      // manifest (and possibly its sidecar) but BEFORE the `_current`
+      // swap left files numbered above the committed head. They were
+      // never visible to any reader — but readAppendedSince trusts
+      // sidecars in (version, current], so a later commit reusing a
+      // higher number would turn the phantom snapshot's rows into
+      // incremental deliveries that no read() ever exposed. Deleting
+      // them here (under the same lock every commit takes) is safe and
+      // also restores sidecar continuity for the incremental path.
+      val head =
+        if (fs.exists(new HPath(d, "_current"))) currentVersion(name) else 0
+      listNames(d)
+        .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
+        .filter(f => f.stripPrefix("manifest-").stripSuffix(".txt").toInt > head)
+        .foreach { m =>
+          fs.delete(new HPath(d, m), false)
+          fs.delete(new HPath(d, m.stripSuffix(".txt") + ".appended"), false)
+        }
       val n = nextManifestId(name)
       val manifest = f"manifest-$n%06d.txt"
       writeString(new HPath(d, manifest), files.mkString("\n"))

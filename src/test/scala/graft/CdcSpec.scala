@@ -404,6 +404,40 @@ class CdcSpec extends SparkSpec {
     assert(got.toSeq === Seq((5, "after"), (6, "new")))
   }
 
+  test("orderCol: cross-batch staleness is real, and the stored-order guard prevents it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ordering holds WITHIN a batch; a stale record arriving ALONE in a
+    // later batch wins there trivially — unless the order value is kept as
+    // a table column and incoming winners are pre-filtered against it
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("src_ts", LongType)))
+    val ooo = CdcConfig("t", Seq("id"), orderCol = Some("src_ts"))
+    def env(v: String, ts: Long) = Seq(
+      (1L, "update", """{"id": 1}""", s"""{"id": 1, "v": "$v", "src_ts": $ts}""", ts))
+      .toDF("__seq", "__op", "__key", "__payload", "src_ts")
+    def freshThenStale(guard: Boolean): (Long, String) = {
+      val st = new TableStore(spark, tmpDir("cdc-guard-"))
+      st.create("t", sch)
+      CdcApply.applyEnvelopes(spark, st, ooo, env("fresh", 2000L))
+      val stale = env("stale", 1000L)
+      val batch2 = if (!guard) stale else {
+        val stored = st.read("t")
+          .select(col("id"), col("src_ts").as("__stored_ts"))
+        stale
+          .withColumn("id", get_json_object(col("__key"), "$.id").cast("long"))
+          .join(stored, Seq("id"), "left")
+          .filter(col("__stored_ts").isNull || col("src_ts") >= col("__stored_ts"))
+          .drop("id", "__stored_ts")
+      }
+      CdcApply.applyEnvelopes(spark, st, ooo, batch2)
+      val r = st.read("t").collect()(0)
+      (r.getAs[Long]("src_ts"), r.getAs[String]("v"))
+    }
+    assert(freshThenStale(guard = false) === ((1000L, "stale"))) // the documented limitation
+    assert(freshThenStale(guard = true) === ((2000L, "fresh"))) // the guard pattern
+  }
+
   test("orderCol: missing envelope column fails loudly") {
     import spark.implicits._
     val st = newTable()

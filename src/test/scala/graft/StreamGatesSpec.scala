@@ -17,22 +17,20 @@ class StreamGatesSpec extends SparkSpec {
   test("st_tumbling executes as one micro-batch per staged file") {
     val out = gate("st_tumbling").collect()
     assert(out.nonEmpty)
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val offsets = new java.io.File(
-      s"/root/repo/target/stream-gates/$tag/tumbling/ckpt/offsets")
+      graft.ops.Scratch.dir("stream-gates", graft.ops.Scratch.tag(dir), "tumbling", "ckpt", "offsets"))
     val batches = offsets.listFiles().map(_.getName).filterNot(_.startsWith("."))
     assert(batches.length === 4) // 4 staged files -> 4 micro-batches
     val staged = new java.io.File(
-      s"/root/repo/target/stream-gates/$tag/tumbling/in")
+      graft.ops.Scratch.dir("stream-gates", graft.ops.Scratch.tag(dir), "tumbling", "in"))
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(staged === 4)
   }
 
   test("staged micro-batch files carry strictly ascending mtimes (delivery order)") {
     gate("st_session").collect()
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val parts = new java.io.File(
-      s"/root/repo/target/stream-gates/$tag/session/in")
+      graft.ops.Scratch.dir("stream-gates", graft.ops.Scratch.tag(dir), "session", "in"))
       .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val times = parts.map(_.lastModified())
     assert(times.sorted.toSeq === times.toSeq)
@@ -41,9 +39,8 @@ class StreamGatesSpec extends SparkSpec {
 
   test("staging cache: reused while source unchanged, restaged when fingerprint moves") {
     gate("st_tumbling").collect()
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val marker = new java.io.File(
-      s"/root/repo/target/stream-gates/$tag/tumbling/in/_STAGED_OK")
+      graft.ops.Scratch.dir("stream-gates", graft.ops.Scratch.tag(dir), "tumbling", "in", "_STAGED_OK"))
     assert(marker.exists())
     val stampBefore = marker.lastModified()
     Thread.sleep(1100)
@@ -62,11 +59,10 @@ class StreamGatesSpec extends SparkSpec {
     // the staged input contains the %37 replays; the materialized survivor
     // set must equal the original event count exactly
     gate("st_dedup").collect()
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val survivors = spark.read.parquet(
-      s"/root/repo/target/stream-gates/$tag/dedup/out")
+      graft.ops.Scratch.dir("stream-gates", graft.ops.Scratch.tag(dir), "dedup", "out"))
     val staged = spark.read.parquet(
-      s"/root/repo/target/stream-gates/$tag/dedup/in")
+      graft.ops.Scratch.dir("stream-gates", graft.ops.Scratch.tag(dir), "dedup", "in"))
     val originals = staged.select("event_id").distinct().count()
     assert(staged.count() > originals) // replays really were staged
     assert(survivors.count() === originals) // and really were dropped

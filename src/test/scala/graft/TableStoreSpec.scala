@@ -125,6 +125,47 @@ class TableStoreSpec extends SparkSpec {
     assert(notes.toSeq === Seq(null, null, "hello"))
   }
 
+  test("crashed-commit debris above the head is reclaimed, never delivered") {
+    val root = tmpDir("tablestore-crash-")
+    val st = new TableStore(spark, root)
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    val v = st.currentVersion("t")
+    // simulate a writer that died AFTER writing manifest+sidecar but
+    // BEFORE the _current swap: files numbered above the committed head
+    val phantom = st.currentRelPaths("t").mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/t/manifest-000099.txt"), phantom)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/t/manifest-000099.appended"), phantom)
+    // next commit reclaims the debris under its lock...
+    st.append("t", Seq((2L, "b")).toDF("id", "v"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/t/manifest-000099.txt")))
+    // ...so the incremental read sees exactly the real append, no phantoms
+    val inc = st.readAppendedSince("t", v).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(inc.toSeq === Seq((2L, "b")))
+  }
+
+  test("addColumns never generates a physical name colliding with a live column") {
+    val st = newStore()
+    st.create("t", StructType(Seq(
+      StructField("id", LongType), StructField("a", StringType),
+      StructField("a__4", StringType))))
+    st.append("t", Seq((1L, "x", "y")).toDF("id", "a", "a__4"))
+    st.renameColumn("t", "id", "key") // materializes the field catalog
+    st.dropColumn("t", "a") // physical 'a' now reserved
+    // re-add 'a': candidate 'a' reserved, candidate 'a__4' is a LIVE
+    // physical name — the generator must skip to a fresh one
+    st.addColumns("t", StructType(Seq(StructField("a", StringType))))
+    st.append("t", Seq((2L, "y2", "new-a")).toDF("key", "a__4", "a"))
+    val got = st.read("t").orderBy("key").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("a__4"),
+        Option(r.getAs[String]("a")).orNull))
+    assert(got.toSeq === Seq((1L, "y", null), (2L, "y2", "new-a")))
+  }
+
   test("readAppendedSince × compaction: compacted rows are never re-delivered") {
     val st = newStore()
     st.create("t", schema)
