@@ -53,9 +53,8 @@ object CdcApply {
     * state. For multi-batch safety either route each key's records into
     * one batch (keyed partitioning, as st_cdc_apply stages; a Kafka
     * key-partitioned source gives this per partition) or carry the order
-    * value as a TABLE column and pre-filter stale winners against the
-    * stored value before applying (pattern shown in CdcSpec
-    * "orderCol: cross-batch"). On the DataFrame path the column must be
+    * value as a TABLE column and pre-filter each batch with
+    * [[CdcApply.guardStale]]. On the DataFrame path the column must be
     * present in the envelope frame; on the record path it is read from
     * `CdcRecord.metadata` (ns-epoch string, the `opencdc.createdAt`
     * shape) — records lacking it lose to any record that has it. */
@@ -256,6 +255,47 @@ object CdcApply {
       store.applyNet(config.table, touchedKeys, upserts, config.keyCols)
       Stats(statsRow.getLong(0), statsRow.getLong(1))
     } finally { decoded.unpersist(); () }
+  }
+
+  /** Cross-batch stale-record guard: drop envelope records whose
+    * `orderCol` value is OLDER than what the table already stores for
+    * their key. This is the multi-batch completion of `CdcConfig
+    * .orderCol` (which orders within one batch): keep the order value as
+    * a table column, filter each incoming micro-batch against the stored
+    * values, then apply. Records for unseen keys, and records without a
+    * stored competitor, pass through. Deletes pass when their order value
+    * is at least the stored one (a delete carries no payload, so its
+    * order value rides the envelope column). Cost: one key-pruned read of
+    * the table per batch — the same files applyNet would rewrite anyway.
+    *
+    * Tombstone caveat (inherent to guard-by-stored-value): once a delete
+    * removes the row, NOTHING is stored to compare against, so a stale
+    * update replayed after the delete re-inserts. Streams that replay
+    * across deletes need the upstream to fence replays (e.g. Kafka
+    * compaction retains the delete marker) or a retained tombstone table.
+    */
+  def guardStale(spark: SparkSession, store: TableStore, config: CdcConfig,
+      env: DataFrame): DataFrame = {
+    val oc = config.orderCol.getOrElse(throw new IllegalArgumentException(
+      "guardStale requires config.orderCol"))
+    require(store.schema(config.table).fieldNames.contains(oc),
+      s"guardStale: order column $oc must be a column of table ${config.table}")
+    require(env.columns.contains(oc),
+      s"guardStale: order column $oc missing from the envelope frame")
+    val keySchema = StructType(config.keyCols.map(c =>
+      store.schema(config.table).fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"key column $c not in table schema"))))
+    val keyed = env.withColumn("__gk",
+      from_json(col("__key"), keySchema, Map("mode" -> "FAILFAST")))
+    val stored = store.read(config.table)
+      .select((config.keyCols.map(col) :+ col(oc).as("__stored_ord")): _*)
+    val joinCond = config.keyCols
+      .map(c => keyed("__gk").getField(c) <=> stored(c)).reduce(_ && _)
+    keyed.join(stored, joinCond, "left")
+      .filter(col("__stored_ord").isNull || keyed(oc) >= col("__stored_ord"))
+      // project by left-side reference: a stored key column sharing a name
+      // with an envelope column must not ambiguate the result
+      .select(env.columns.map(keyed(_)).toSeq: _*)
   }
 
   /** Single-record conveniences mirroring the reference's per-record API

@@ -419,18 +419,11 @@ class CdcSpec extends SparkSpec {
     def freshThenStale(guard: Boolean): (Long, String) = {
       val st = new TableStore(spark, tmpDir("cdc-guard-"))
       st.create("t", sch)
-      CdcApply.applyEnvelopes(spark, st, ooo, env("fresh", 2000L))
-      val stale = env("stale", 1000L)
-      val batch2 = if (!guard) stale else {
-        val stored = st.read("t")
-          .select(col("id"), col("src_ts").as("__stored_ts"))
-        stale
-          .withColumn("id", get_json_object(col("__key"), "$.id").cast("long"))
-          .join(stored, Seq("id"), "left")
-          .filter(col("__stored_ts").isNull || col("src_ts") >= col("__stored_ts"))
-          .drop("id", "__stored_ts")
-      }
-      CdcApply.applyEnvelopes(spark, st, ooo, batch2)
+      def maybeGuarded(e: org.apache.spark.sql.DataFrame) =
+        if (guard) CdcApply.guardStale(spark, st, ooo, e) else e
+      // unseen key passes the guard (empty table, nothing stored)
+      CdcApply.applyEnvelopes(spark, st, ooo, maybeGuarded(env("fresh", 2000L)))
+      CdcApply.applyEnvelopes(spark, st, ooo, maybeGuarded(env("stale", 1000L)))
       val r = st.read("t").collect()(0)
       (r.getAs[Long]("src_ts"), r.getAs[String]("v"))
     }
