@@ -40,8 +40,16 @@ object GraftSession {
   * carry an offset/LSN should pass it as `seqCol`.
   */
 object CdcStreamSink {
+  /** `guardStale = true` additionally filters each micro-batch against
+    * the order values the table already stores ([[CdcApply.guardStale]])
+    * — the cross-batch completion of `cfg.orderCol`, for streams that
+    * replay out of order ACROSS micro-batches. Requires `cfg.orderCol`
+    * naming a column that exists in both the stream and the table. */
   def attach(spark: SparkSession, stream: DataFrame, store: TableStore,
-      cfg: CdcApply.CdcConfig, seqCol: Option[String] = None): DataStreamWriter[Row] =
+      cfg: CdcApply.CdcConfig, seqCol: Option[String] = None,
+      guardStale: Boolean = false): DataStreamWriter[Row] = {
+    require(!guardStale || cfg.orderCol.nonEmpty,
+      "guardStale requires cfg.orderCol")
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       import org.apache.spark.sql.functions._
       // fully distributed: the micro-batch is never collected
@@ -56,6 +64,9 @@ object CdcStreamSink {
         .withColumn("__seq", seq)
         .select(Seq(col("__seq"), lower(col("op")).as("__op"),
           col("key").as("__key"), col("payload").as("__payload")) ++ ordCols: _*)
-      CdcApply.applyEnvelopes(spark, store, cfg, env); ()
+      val applied =
+        if (guardStale) CdcApply.guardStale(spark, store, cfg, env) else env
+      CdcApply.applyEnvelopes(spark, store, cfg, applied); ()
     }
+  }
 }

@@ -243,6 +243,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CdcStreamSink guardStale: a stale replay in a LATER micro-batch cannot regress state") {
+    val store = new TableStore(spark, tmpDir("sink-guard-"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("src_ts", LongType)))
+    store.create("t", schema)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String, String)]
+    val cfg = CdcApply.CdcConfig("t", Seq("id"), orderCol = Some("src_ts"))
+    val q = graft.api.CdcStreamSink.attach(spark,
+      ms.toDF().toDF("src_ts", "op", "key", "payload"), store,
+      cfg, guardStale = true).start()
+    try {
+      ms.addData((2000L, "create", """{"id": 1}""",
+        """{"id": 1, "v": "fresh", "src_ts": 2000}"""))
+      q.processAllAvailable()
+      // batch 2: a replayed, STALE record for the same key — alone in its
+      // batch, so intra-batch ordering can't save it; the stored-order
+      // guard must
+      ms.addData((1000L, "update", """{"id": 1}""",
+        """{"id": 1, "v": "stale", "src_ts": 1000}"""))
+      q.processAllAvailable()
+      val got = store.read("t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq === Seq((1L, "fresh", 2000L)))
+      // a genuinely newer record still applies
+      ms.addData((3000L, "update", """{"id": 1}""",
+        """{"id": 1, "v": "newest", "src_ts": 3000}"""))
+      q.processAllAvailable()
+      assert(store.read("t").collect()(0).getString(1) === "newest")
+    } finally q.stop()
+  }
+
   test("foreachBatch applies a CDC stream into TableStore") {
     val store = new TableStore(spark, tmpDir("stream-cdc-"))
     val schema = StructType(Seq(
