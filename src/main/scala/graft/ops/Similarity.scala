@@ -283,6 +283,104 @@ object Similarity {
         col("col.score").as("cos"))
   }
 
+  // ---- Product quantization (PQ) -------------------------------------------
+
+  /** Product-quantization codebooks — the third ANN scale path (besides
+    * LSH and IVF): memory compression. The vector is split into `m`
+    * subspaces; each subspace gets up to `ksub` centroids taken from the
+    * same deterministic corpus sample as [[seedCentroids]] (every
+    * (n/ksub)-th vector, id-predicate selected), sliced to the subspace
+    * dims. Codebook index order follows ascending seed id, so a SQL
+    * oracle can re-derive the exact code assignment.
+    * `codebooks(s)(j)` = centroid `j` of subspace `s`. */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16): Array[Array[Array[Double]]] = {
+    val seeds = seedCentroids(corpus, ksub).sortBy(_._1)
+    require(seeds.nonEmpty, "pqCodebooks needs a non-empty corpus")
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim $dim is not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m)(s => seeds.map(_._2.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** PQ codes for a vector column: per subspace, the index of the
+    * L2-nearest centroid (ties → lowest index). argmin ‖sub − c_j‖² is
+    * evaluated as argmin (‖c_j‖² − 2·sub·c_j) — the ‖sub‖² term is
+    * constant within a subspace — and that affine form is computed by ONE
+    * fused MatVecDots per subspace over the augmented vector [sub, 1]
+    * against rows [−2·c_j, ‖c_j‖²]. `array_position(d, array_min(d))`
+    * picks the FIRST minimum, i.e. the lowest code on ties — an exact
+    * comparison, because on the quantized view every distance is an
+    * integer below 2^53. Map-only; at 100 TB the emitted `m` small ints
+    * per vector are the index you materialize (~64× smaller than the
+    * float vector), and scans read codes, never vectors. */
+  def pqCodes(v: Column, books: Array[Array[Array[Double]]]): Column =
+    array(books.toIndexedSeq.zipWithIndex.map { case (book, s) =>
+      val dsub = book.head.length
+      val flat = book.flatMap(c => c.map(_ * -2.0) :+ c.map(x => x * x).sum)
+      val sub1 = concat(slice(v, s * dsub + 1, dsub).cast(ArrayType(DoubleType)),
+        array(lit(1.0)))
+      val d2 = graft.functions.VectorExprs.mat_vec_dots(sub1, flat, book.length)
+      (array_position(d2, array_min(d2)) - 1).cast(IntegerType)
+    }: _*)
+
+  /** Per-query ADC lookup tables: `luts(s)(j)` = query_sub(s) · c_j.
+    * The approximate dot of the query against ANY coded vector is then
+    * Σ_s luts(s)(code_s) — `ksub × m` dots per query replace one dot per
+    * corpus vector. */
+  def pqLuts(v: Column, books: Array[Array[Array[Double]]]): Column =
+    array(books.toIndexedSeq.zipWithIndex.map { case (book, s) =>
+      val dsub = book.head.length
+      graft.functions.VectorExprs.mat_vec_dots(
+        slice(v, s * dsub + 1, dsub).cast(ArrayType(DoubleType)),
+        book.flatten, book.length)
+    }: _*)
+
+  /** PQ ANN top-k with asymmetric-distance scoring and exact re-rank.
+    *
+    * Scan shape at scale: the corpus pass reads the CODES table (m bytes
+    * per vector), scores each row with a zip_with/aggregate over the
+    * broadcast per-query LUTs, and the bounded TopKAggregator keeps
+    * `rerank` candidates per query map-side — only (queries × rerank)
+    * rows cross the shuffle. The fetch-and-rerank pass then joins the
+    * tiny candidate set back to the full vectors (broadcast candidates,
+    * map-only on the corpus side) and ranks by exact cosine. This is the
+    * standard PQ trade: 64× less scan bandwidth, approximation only in
+    * who makes the candidate list, exact scores on what is returned. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(corpus, m, ksub)
+    val codes = corpus.select(col("vec_id"), col("label"),
+      pqCodes(col("embedding"), books).as("codes"))
+    val ql = queries.select(col("vec_id").as("query_id"),
+      pqLuts(col("embedding"), books).as("luts"))
+    val cand = codes.crossJoin(broadcast(ql))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        aggregate(zip_with(col("codes"), col("luts"),
+          (c, l) => element_at(l, c + 1)), lit(0.0), (acc, x) => acc + x)
+          .as("score"),
+        col("vec_id").as("id"), col("label").as("payload"))
+      .as[graft.functions.ScoredRow]
+      .groupByKey(_.query_id)
+      .agg(new graft.functions.TopKAggregator(rerank).toColumn.name("cand"))
+      .toDF("query_id", "cand")
+      .select(col("query_id"), explode(col("cand")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val rer = corpus.select(col("vec_id"), col("embedding"), col("label"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("cos"))
+    // the window runs over queries × rerank rows — post-reduction, tiny
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "cos")
+  }
+
   // ---- registered queries --------------------------------------------------
   //
   // Gates run over the QUANTIZED embedding view ([[quantize]]): every dot,
@@ -355,6 +453,11 @@ object Similarity {
   private def simIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = qEmb(spark, dir)
     ivfTopK(emb, queriesOf(emb), 10).orderBy("query_id", "rank")
+  }
+
+  private def simPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(spark, dir)
+    pqTopK(emb, queriesOf(emb), 10).orderBy("query_id", "rank")
   }
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -492,6 +595,45 @@ object Similarity {
        |SELECT query_id, "rank", vec_id, label, cos FROM rk
        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
 
+  /** PQ oracle: codebooks re-derived from the same deterministic sample
+    * rule (every (n/16)-th vector ascending → code index), 8 subspaces ×
+    * 8 dims; encoding argmin by exact ‖c‖²−2·sub·c ties→lower code; ADC
+    * approx = Σ_s lut[code_s] (exact integers, so SUM order is
+    * irrelevant); top-50 candidates by (approx DESC, vec_id) — the
+    * TopKAggregator ordering — then exact cosine ranks. */
+  private def simPqSql: String =
+    s"""WITH $qvCte,
+       |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS step FROM qv),
+       |sub AS (SELECT vec_id, g.s AS s, LIST_SLICE(v, g.s*8+1, (g.s+1)*8) AS sv
+       |        FROM qv CROSS JOIN GENERATE_SERIES(0, 7) g(s)),
+       |cb AS (SELECT sub.s, sub.vec_id // step AS j, sub.sv AS cv
+       |       FROM sub, st WHERE vec_id % step = 0 AND vec_id < step * 16),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |          SELECT sub.vec_id, sub.s, cb.j AS code,
+       |            ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |              ORDER BY LIST_DOT_PRODUCT(cb.cv, cb.cv)
+       |                - 2 * LIST_DOT_PRODUCT(sub.sv, cb.cv), cb.j) AS rn
+       |          FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+       |lut AS (SELECT sub.vec_id AS query_id, sub.s, cb.j,
+       |          LIST_DOT_PRODUCT(sub.sv, cb.cv) AS d
+       |        FROM sub JOIN cb ON sub.s = cb.s WHERE sub.vec_id < 8),
+       |adc AS (SELECT l.query_id, e.vec_id, SUM(l.d) AS approx
+       |        FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.j
+       |        WHERE e.vec_id <> l.query_id
+       |        GROUP BY l.query_id, e.vec_id),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |          SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY approx DESC, vec_id) AS rn FROM adc) WHERE rn <= 50),
+       |sc AS (SELECT cand.query_id, cand.vec_id, cv.label,
+       |         ${cosSql("cv.v", "qq.v")} AS cos
+       |       FROM cand JOIN qv cv ON cv.vec_id = cand.vec_id
+       |                 JOIN qv qq ON qq.vec_id = cand.query_id),
+       |rk AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, vec_id) AS INT) AS "rank",
+       |         vec_id, label, cos FROM sc)
+       |SELECT query_id, "rank", vec_id, label, cos FROM rk
+       |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+
   /** Symmetric int8 quantization per vector (the standard embedding-index
     * compression step): scale = 127/amax over the quantized-integer view,
     * qi = round(x·127/amax). Every reported stat is order-INDEPENDENT —
@@ -539,6 +681,7 @@ object Similarity {
     Q("sim_brute_topk", simBrute, Some(simBruteSql)),
     Q("sim_ann_lsh", simAnn, Some(simAnnSql)),
     Q("sim_ann_ivf", simIvf, Some(simIvfSql)),
+    Q("sim_ann_pq", simPq, Some(simPqSql)),
     Q("dd_embedding_cosine", ddEmbedding, Some(ddEmbeddingSql)),
     Q("sim_label_centroids", simCentroids, Some(simCentroidsSql)),
     Q("sim_quantize", simQuantize, Some(simQuantizeSql)))

@@ -154,6 +154,69 @@ class SimilaritySpec extends SparkSpec {
     assert(refined >= 24) // at least 4 of 5 per query on average
   }
 
+  test("PQ codes: shape, range, and self-assignment of codebook seeds") {
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val books = Similarity.pqCodebooks(corpus, m = 8, ksub = 16)
+    assert(books.length === 8)
+    assert(books.forall(_.length === 16))
+    assert(books.forall(_.forall(_.length === 8)))
+    val codes = corpus
+      .select(col("vec_id"), Similarity.pqCodes(col("embedding"), books).as("codes"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+      .toMap
+    assert(codes.values.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    // a seed vector's sub-vectors are codebook entries — distance 0 to
+    // themselves, so every seed must encode to its own code index
+    val step = 64 / 16
+    (0 until 16).foreach { j =>
+      assert(codes(j.toLong * step) === Seq.fill(8)(j),
+        s"seed $j did not self-assign")
+    }
+  }
+
+  test("PQ top-k with full-corpus rerank equals brute force") {
+    val rnd = new scala.util.Random(47)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), i % 5))
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") < 3)
+    // rerank ≥ corpus size → the candidate list is the whole corpus and
+    // the exact re-rank must reproduce brute-force exactly
+    val pq = Similarity.pqTopK(corpus, queries, 6, rerank = 200)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+    val brute = Similarity.bruteTopK(corpus, queries, 6)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(pq.toSeq === brute.toSeq)
+  }
+
+  test("PQ ADC recalls planted near-neighbours from codes alone") {
+    val rnd = new scala.util.Random(59)
+    val bases = (0 until 4).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat * 3))
+    val corpus = bases.zipWithIndex.flatMap { case (b, bi) =>
+      (0 until 16).map { j =>
+        (bi * 16L + j, b.map(x => x + (rnd.nextGaussian() / 50).toFloat), bi)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    val queries = bases.zipWithIndex
+      .map { case (b, bi) => (9000L + bi, b, bi) }
+      .toDF("vec_id", "embedding", "label")
+    // tight rerank: recall must come from the ADC scores, not the re-rank
+    val pq = Similarity.pqTopK(corpus, queries, 5, ksub = 8, rerank = 6).collect()
+    val byQuery = pq.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 4)
+    byQuery.foreach { case (qid, rows) =>
+      val cluster = (qid - 9000L).toInt
+      val hits = rows.count(_.getAs[Int]("label") == cluster)
+      assert(hits >= 4, s"query $qid recalled only $hits/5 from its cluster")
+    }
+  }
+
   test("int8QuantStats: range, reconstruction bound, zero-vector drop") {
     val emb = Seq(
       (1L, Seq(100.0, -50.0, 0.0)),
