@@ -19,7 +19,7 @@ object Events {
     * never leaks into other parquet reads in the session, then convert to
     * a µs TimestampType col (truncation matches the oracle's
     * DATE_TRUNC('second') downstream). */
-  private[ops] def ev(spark: SparkSession, dir: String) = {
+  private[graft] def ev(spark: SparkSession, dir: String) = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "true")

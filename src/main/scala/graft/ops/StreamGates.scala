@@ -213,9 +213,81 @@ object StreamGates {
       .orderBy("o_orderkey")
   }
 
+  /** Stream-stream interval join under the oracle: views paired with the
+    * same user's clicks from the preceding 12 hours, BOTH sides real file
+    * streams (4 time-range micro-batches each, mtime-ordered), so pairs
+    * split across micro-batches join through carried two-sided state.
+    *
+    * Watermarks on both sides plus the event-time range condition give
+    * Spark the state bound (a click is evictable once the global — min
+    * across sources — watermark passes click_ts + 12 h); per-source
+    * delivery is in ts order and the 48 h delay exceeds any cross-source
+    * staging-range skew (the two sides sample their range boundaries
+    * independently), so no matching row is ever late and the Append-mode
+    * emitted set equals the batch join — the oracle. The lag is emitted
+    * as integer MICROseconds (unix_micros), matching the oracle's
+    * EPOCH_NS//1000 on the ns fixture exactly; both engines floor the
+    * sub-µs component the same way Events.ev's `ts div 1000` does. */
+  private def stJoin(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "join")
+    val ev = Events.ev(spark, dir)
+    stage(spark, ev.filter(col("event_type") === "view"), "ts", 4, s"$b/in_v",
+      fingerprint(spark, dir, "events", "view;ts-range-4"))
+    stage(spark, ev.filter(col("event_type") === "click"), "ts", 4, s"$b/in_c",
+      fingerprint(spark, dir, "events", "click;ts-range-4"))
+    rm(spark, s"$b/out"); rm(spark, s"$b/ckpt")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    def src(path: String): DataFrame = {
+      val schema = ss.read.parquet(path).schema
+      ss.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+    }
+    // DuckDB-written corpora carry TIMESTAMP_NTZ, which watermarks refuse;
+    // the session runs in UTC, so the cast maps to the same instant
+    val asTs = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    val v = src(s"$b/in_v")
+      .select(col("event_id").as("v_id"), col("user_id"), asTs.as("v_ts"))
+      .withWatermark("v_ts", "48 hours")
+    val c = src(s"$b/in_c")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        asTs.as("c_ts"))
+      .withWatermark("c_ts", "48 hours")
+    val joined = v.join(c,
+      col("user_id") === col("c_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("interval 12 hours"))
+      .select(col("v_id"), col("c_id"), col("user_id"),
+        (unix_micros(col("v_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$b/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$b/out"); ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$b/out").orderBy("v_id", "c_id")
+  }
+
+  /** Batch equivalent of [[stJoin]] in integer microseconds. EPOCH_NS is
+    * precision-safe on both ns and µs timestamp fixtures (µs ts → ns =
+    * µs·1000, //1000 restores µs; ns ts → floor to µs like `ts div
+    * 1000`). */
+  private[ops] val stJoinSql =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             EPOCH_NS(ts) // 1000 AS us FROM events)
+      |SELECT v.event_id AS v_id, c.event_id AS c_id,
+      |       v.user_id AS user_id, v.us - c.us AS lag_us
+      |FROM e v JOIN e c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND v.us >= c.us AND v.us <= c.us + 43200000000
+      |ORDER BY v_id, c_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("st_tumbling", stTumbling, Some(Events.evTumblingSql)),
     Q("st_session", stSession, Some(Events.evSessionsSql)),
     Q("st_dedup", stDedup, Some(Events.evTumblingSql)),
+    Q("st_join", stJoin, Some(stJoinSql)),
     Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)))
 }

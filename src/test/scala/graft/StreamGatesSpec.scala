@@ -67,4 +67,35 @@ class StreamGatesSpec extends SparkSpec {
     assert(staged.count() > originals) // replays really were staged
     assert(survivors.count() === originals) // and really were dropped
   }
+
+  test("st_join equals the batch join and carries state across micro-batches") {
+    val got = gate("st_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent batch reference over the same prepared events
+    val events = graft.ops.Events.ev(spark, dir)
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val want = v.join(c, col("user_id") === col("c_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("interval 12 hours"))
+      .select(col("v_id"), col("c_id"), col("user_id"),
+        (unix_micros(col("v_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .orderBy("v_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+    // at least one pair must span two different staged files — otherwise
+    // the run never exercised cross-batch join state
+    def fileOf(sub: String, idCol: String) = spark.read.parquet(
+      graft.ops.Scratch.dir("stream-gates", graft.ops.Scratch.tag(dir), "join", sub))
+      .select(col(idCol), input_file_name().as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vFile = fileOf("in_v", "event_id")
+    val cFile = fileOf("in_c", "event_id")
+    assert(got.exists { case (vid, cid, _, _) => vFile(vid) != cFile(cid) },
+      "no joined pair spanned two staged files; batches degenerate")
+  }
 }
