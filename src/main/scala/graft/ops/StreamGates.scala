@@ -237,7 +237,12 @@ object StreamGates {
       fingerprint(spark, dir, "events", "click;ts-range-4"))
     rm(spark, s"$b/out"); rm(spark, s"$b/ckpt")
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // A stream-stream join keeps FOUR state stores per partition (two per
+    // side), each committing a checkpoint delta per micro-batch — commit
+    // count scales with partitions × batches while the ≤~40k-row state
+    // fits in any single partition. 2 partitions cuts the gate from 7.4 s
+    // to 5.1 s; a real deployment sizes this to join-key cardinality.
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     def src(path: String): DataFrame = {
       val schema = ss.read.parquet(path).schema
       ss.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
