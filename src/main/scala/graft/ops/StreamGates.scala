@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.TimestampType
 import graft.cdc.CdcApply
 import graft.streaming.StreamOps
 import graft.tables.TableStore
@@ -274,6 +275,98 @@ object StreamGates {
     spark.read.parquet(s"$b/out").orderBy("v_id", "c_id")
   }
 
+  /** One prepared click for the custom-state gate: event order key
+    * (us = unix micros, event_id tiebreak) plus the spend in exact
+    * integer cents (the Dets convention — no double accumulation). */
+  private[ops] case class Click(user_id: Long, event_id: Long, us: Long,
+      cents: Long)
+  /** Carried GroupState: cumulative cents + click count, and whether the
+    * user already emitted a crossing (each user reports at most once). */
+  private[ops] case class SpendState(cents: Long, n: Long, done: Boolean)
+  private[ops] case class Crossing(user_id: Long, n_events: Long,
+      cum_cents: Long, cross_us: Long)
+
+  /** First time a user's cumulative click spend reaches this, they emit. */
+  private[ops] val crossCents = 30000L
+
+  /** Per-micro-batch fold for [[stStateful]]. The group iterator carries
+    * ONE batch's clicks for the user in arbitrary order — sort restores
+    * event order within the batch, and the ts-range staging (equal keys
+    * never split across range partitions) guarantees batches themselves
+    * arrive in event order, so the fold sees the user's global
+    * (us, event_id) sequence across micro-batches. */
+  private def foldSpend(user: Long, batch: Iterator[Click],
+      st: GroupState[SpendState]): Iterator[Crossing] = {
+    var s = st.getOption.getOrElse(SpendState(0L, 0L, done = false))
+    val out = Seq.newBuilder[Crossing]
+    for (c <- batch.toSeq.sortBy(c => (c.us, c.event_id)) if !s.done) {
+      s = SpendState(s.cents + c.cents, s.n + 1, done = false)
+      if (s.cents >= crossCents) {
+        out += Crossing(user, s.n, s.cents, c.us)
+        s = s.copy(done = true)
+      }
+    }
+    st.update(s)
+    out.result().iterator
+  }
+
+  /** Custom cross-batch state under the oracle — the one streaming API
+    * with no gate until now (`flatMapGroupsWithState`; StreamingSpec only
+    * exercised its mapGroups sibling on a MemoryStream). A per-user spend
+    * accumulator over the click stream emits exactly one row the first
+    * time the user's cumulative spend reaches $300: the emitted position
+    * (n_events), cumulative cents, and crossing time all depend on state
+    * carried across the 4 ts-range micro-batches — a state store reset
+    * between batches double-counts or never crosses, and fails the hash.
+    *
+    * The oracle is the batch window-function equivalent: the first row
+    * per user whose running (us, event_id)-ordered cents sum reaches the
+    * threshold. Spend is exact integer cents (Dets convention), so the
+    * running sum is order-robust arithmetic on both engines; NULL-value
+    * clicks are filtered identically on both sides (the edge corpus
+    * plants one). */
+  private def stStateful(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "stateful")
+    val clicks = Events.ev(spark, dir)
+      .filter(col("event_type") === "click" && col("value").isNotNull &&
+        col("ts").isNotNull && col("user_id").isNotNull)
+    stage(spark, clicks, "ts", 4, s"$b/in",
+      fingerprint(spark, dir, "events", "click-nonnull;ts-range-4"))
+    runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "append") { df =>
+      val ss = df.sparkSession
+      import ss.implicits._
+      df.select(col("user_id"), col("event_id"),
+          // staged ts can read back as TIMESTAMP_NTZ (DuckDB-written
+          // corpora); the session runs UTC, so the cast keeps the instant
+          unix_micros(col("ts").cast(TimestampType)).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[Click]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SpendState, Crossing](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(foldSpend)
+        .toDF()
+    }.orderBy("user_id")
+  }
+
+  /** Batch equivalent of [[stStateful]]: running-sum window, first row at
+    * or past the threshold. Cents sums stay integral (BIGINT cast also
+    * undoes DuckDB's HUGEINT sum widening). */
+  private[ops] val stStatefulSql =
+    """WITH c AS (SELECT user_id, event_id, EPOCH_NS(ts) // 1000 AS us,
+      |             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |           FROM events
+      |           WHERE event_type = 'click' AND value IS NOT NULL
+      |             AND ts IS NOT NULL AND user_id IS NOT NULL),
+      |     r AS (SELECT user_id, us,
+      |             CAST(SUM(cents) OVER w AS BIGINT) AS cum,
+      |             ROW_NUMBER() OVER w AS n
+      |           FROM c
+      |           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |SELECT user_id, MIN(n) AS n_events,
+      |       ARG_MIN(cum, n) AS cum_cents, ARG_MIN(us, n) AS cross_us
+      |FROM r WHERE cum >= 30000
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Batch equivalent of [[stJoin]] in integer microseconds. EPOCH_NS is
     * precision-safe on both ns and µs timestamp fixtures (µs ts → ns =
     * µs·1000, //1000 restores µs; ns ts → floor to µs like `ts div
@@ -294,5 +387,6 @@ object StreamGates {
     Q("st_session", stSession, Some(Events.evSessionsSql)),
     Q("st_dedup", stDedup, Some(Events.evTumblingSql)),
     Q("st_join", stJoin, Some(stJoinSql)),
+    Q("st_stateful", stStateful, Some(stStatefulSql)),
     Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)))
 }

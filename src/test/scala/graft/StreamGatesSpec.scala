@@ -68,6 +68,30 @@ class StreamGatesSpec extends SparkSpec {
     assert(survivors.count() === originals) // and really were dropped
   }
 
+  test("st_stateful crossings depend on GroupState carried across micro-batches") {
+    val out = gate("st_stateful").collect()
+    assert(out.nonEmpty)
+    // at most one crossing per user — the done flag really latches
+    val users = out.map(_.getLong(0))
+    assert(users.distinct.length === users.length)
+    val staged = spark.read.parquet(
+      graft.ops.Scratch.dir("stream-gates", graft.ops.Scratch.tag(dir), "stateful", "in"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        input_file_name().as("f"))
+      .collect()
+      .groupBy(_.getLong(0))
+    // some user's crossing event must sit in a LATER staged file than
+    // their first click — that crossing only happens if the spend
+    // accumulated in earlier micro-batches survived in state
+    val spans = out.exists { r =>
+      val evs = staged(r.getLong(0)).sortBy(x => (x.getLong(2), x.getLong(1)))
+      val cross = evs.find(_.getLong(2) == r.getLong(3)).get
+      evs.head.getString(3) != cross.getString(3)
+    }
+    assert(spans, "every crossing fell in the user's first batch; state carry unexercised")
+  }
+
   test("st_join equals the batch join and carries state across micro-batches") {
     val got = gate("st_join").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
