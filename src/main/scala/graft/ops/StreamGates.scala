@@ -367,6 +367,38 @@ object StreamGates {
       |FROM r WHERE cum >= 30000
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Stream-static enrichment join — the other join shape a streaming
+    * deployment runs constantly (stJoin covers stream-stream): each view
+    * micro-batch joins two BROADCAST static dimensions (customer →
+    * nation), stateless and append-only, so the plan re-executes per
+    * batch against a fixed broadcast and needs no watermark or state
+    * store. Inner join semantics drop user ids with no customer row on
+    * both engines identically. */
+  private def stEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "enrich")
+    stage(spark, Events.ev(spark, dir).filter(col("event_type") === "view"),
+      "ts", 4, s"$b/in", fingerprint(spark, dir, "events", "view;ts-range-4"))
+    runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "append") { df =>
+      val ss = df.sparkSession
+      val cust = broadcast(Tables.t(ss, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+      val nat = broadcast(Tables.t(ss, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      df.select(col("event_id"), col("user_id"))
+        .join(cust, col("user_id") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("event_id"), col("user_id"), col("c_name"), col("n_name"))
+    }.orderBy("event_id")
+  }
+
+  private[ops] val stEnrichSql =
+    """SELECT e.event_id, e.user_id, c.c_name, n.n_name
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE e.event_type = 'view'
+      |ORDER BY e.event_id""".stripMargin
+
   /** Batch equivalent of [[stJoin]] in integer microseconds. EPOCH_NS is
     * precision-safe on both ns and µs timestamp fixtures (µs ts → ns =
     * µs·1000, //1000 restores µs; ns ts → floor to µs like `ts div
@@ -388,5 +420,6 @@ object StreamGates {
     Q("st_dedup", stDedup, Some(Events.evTumblingSql)),
     Q("st_join", stJoin, Some(stJoinSql)),
     Q("st_stateful", stStateful, Some(stStatefulSql)),
+    Q("st_enrich", stEnrich, Some(stEnrichSql)),
     Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)))
 }

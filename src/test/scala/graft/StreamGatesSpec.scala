@@ -92,6 +92,22 @@ class StreamGatesSpec extends SparkSpec {
     assert(spans, "every crossing fell in the user's first batch; state carry unexercised")
   }
 
+  test("st_enrich runs micro-batched and emits each enriched view exactly once") {
+    val out = gate("st_enrich").collect()
+    assert(out.nonEmpty)
+    val offsets = new java.io.File(
+      graft.ops.Scratch.dir("stream-gates", graft.ops.Scratch.tag(dir), "enrich", "ckpt", "offsets"))
+    assert(offsets.listFiles().map(_.getName).count(!_.startsWith(".")) === 4)
+    // batch-join equivalence: same rows, nothing re-emitted across batches
+    val events = graft.ops.Events.ev(spark, dir)
+    val want = events.filter(col("event_type") === "view")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("user_id") === col("c_custkey"))
+      .count()
+    assert(out.length.toLong === want)
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+  }
+
   test("st_join equals the batch join and carries state across micro-batches") {
     val got = gate("st_join").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
