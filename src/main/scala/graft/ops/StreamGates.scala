@@ -364,8 +364,9 @@ object StreamGates {
       |           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
       |SELECT user_id, MIN(n) AS n_events,
       |       ARG_MIN(cum, n) AS cum_cents, ARG_MIN(us, n) AS cross_us
-      |FROM r WHERE cum >= 30000
+      |FROM r WHERE cum >= <T>
       |GROUP BY user_id ORDER BY user_id""".stripMargin
+      .replace("<T>", crossCents.toString)
 
   /** Stream-static enrichment join — the other join shape a streaming
     * deployment runs constantly (stJoin covers stream-stream): each view
