@@ -278,16 +278,16 @@ object StreamGates {
   /** One prepared click for the custom-state gate: event order key
     * (us = unix micros, event_id tiebreak) plus the spend in exact
     * integer cents (the Dets convention — no double accumulation). */
-  private[ops] case class Click(user_id: Long, event_id: Long, us: Long,
+  private[graft] case class Click(user_id: Long, event_id: Long, us: Long,
       cents: Long)
   /** Carried GroupState: cumulative cents + click count, and whether the
     * user already emitted a crossing (each user reports at most once). */
-  private[ops] case class SpendState(cents: Long, n: Long, done: Boolean)
-  private[ops] case class Crossing(user_id: Long, n_events: Long,
+  private[graft] case class SpendState(cents: Long, n: Long, done: Boolean)
+  private[graft] case class Crossing(user_id: Long, n_events: Long,
       cum_cents: Long, cross_us: Long)
 
   /** First time a user's cumulative click spend reaches this, they emit. */
-  private[ops] val crossCents = 30000L
+  private[graft] val crossCents = 30000L
 
   /** Per-micro-batch fold for [[stStateful]]. The group iterator carries
     * ONE batch's clicks for the user in arbitrary order — sort restores
@@ -295,7 +295,7 @@ object StreamGates {
     * never split across range partitions) guarantees batches themselves
     * arrive in event order, so the fold sees the user's global
     * (us, event_id) sequence across micro-batches. */
-  private def foldSpend(user: Long, batch: Iterator[Click],
+  private[graft] def foldSpend(user: Long, batch: Iterator[Click],
       st: GroupState[SpendState]): Iterator[Crossing] = {
     var s = st.getOption.getOrElse(SpendState(0L, 0L, done = false))
     val out = Seq.newBuilder[Crossing]
