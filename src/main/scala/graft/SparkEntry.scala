@@ -11,7 +11,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Rel.all ++ CdcQueries.all ++ Text.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ Events.all ++ Sampling.all ++ AsOf.all ++
-      StreamGates.all
+      StreamGates.all ++ TableQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

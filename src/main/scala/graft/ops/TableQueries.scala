@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.tables.TableStore
+import Tables.t
+
+/** Table-layout gates: storage-level behavior (clustering, zone pruning)
+  * proven through the DuckDB oracle — the scan after a layout rewrite
+  * must return exactly the rows a plain SQL filter does. Pruning
+  * EFFECTIVENESS is pinned in TableStoreSpec (file counts); the gate
+  * pins that skipping never loses or invents rows on real data.
+  */
+object TableQueries {
+
+  /** Z-order clustered scan: lineitem ingested into a managed table,
+    * rewritten with a (l_orderkey, l_partkey) Morton layout, then range-
+    * scanned on the SECOND clustered column — the scan is file-pruned by
+    * zone maps and must still equal the full-table filter. */
+  private def tblZorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-zorder", Scratch.tag(dir)))
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    store.create("lineitem", li.schema, overwrite = true,
+      zoneCols = Seq("l_orderkey", "l_partkey"))
+    store.append("lineitem", li)
+    store.compact("lineitem", numFiles = 8,
+      clusterCols = Seq("l_orderkey", "l_partkey"))
+    // the synthetic lineitem duplicates (l_orderkey, l_linenumber) — sort
+    // by every output column so ties are order-free on both engines
+    store.readRange("lineitem", "l_partkey", 100L, 300L)
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+  }
+
+  private val tblZorderScanSql =
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+      |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)))
+}

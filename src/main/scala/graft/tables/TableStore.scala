@@ -636,10 +636,29 @@ final class TableStore(spark: SparkSession, val root: String,
     * files (repartition, so a 100 TB table compacts in parallel). Many small
     * CDC batches fragment a table into per-batch files; compaction restores
     * scan efficiency. The rewrite is itself just a new snapshot — readers of
-    * older versions are unaffected. */
-  def compact(name: String, numFiles: Int = 0): Unit = {
+    * older versions are unaffected.
+    *
+    * With `clusterCols` (2-3 numeric columns), the rewrite range-partitions
+    * and sorts by the columns' interleaved [[ZOrder]] key instead, so each
+    * output file covers a small hyper-rectangle of the clustered columns'
+    * domain and [[readRange]] prunes files on ANY of them — a
+    * single-column sort only ever serves its leading column. Zone maps are
+    * recomputed from the rewritten rows, so clustering quality affects
+    * pruning selectivity, never correctness. */
+  def compact(name: String, numFiles: Int = 0,
+      clusterCols: Seq[String] = Nil): Unit = {
     val cur = read(name)
-    val df = if (numFiles > 0) cur.repartition(numFiles) else cur
+    val df =
+      if (clusterCols.nonEmpty) {
+        require(numFiles > 0, "z-order compaction needs an explicit numFiles")
+        val zc = "__graft_z"
+        require(!cur.columns.contains(zc), s"column name $zc is reserved")
+        cur.withColumn(zc, ZOrder.zvalue(cur, clusterCols))
+          .repartitionByRange(numFiles, col(zc))
+          .sortWithinPartitions(zc)
+          .drop(zc)
+      } else if (numFiles > 0) cur.repartition(numFiles)
+      else cur
     val rewritten = writeDataFiles(name, df)
     commitManifest(name, rewritten, Nil) // a rewrite appends no rows
   }

@@ -343,6 +343,49 @@ class TableStoreSpec extends SparkSpec {
       === (1L to 5L))
   }
 
+  test("z-order compaction prunes range scans on BOTH clustered columns") {
+    val st = newStore()
+    val sch2 = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType), StructField("v", StringType)))
+    st.create("t", sch2, zoneCols = Seq("a", "b"))
+    // a 64x64 grid: a and b are independent, so any one-dimensional
+    // layout leaves the other column unprunable
+    val grid = for { a <- 0L until 64L; b <- 0L until 64L }
+      yield (a, b, s"$a-$b")
+    st.append("t", grid.toDF("a", "b", "v"))
+    val want = grid.filter { case (_, b, _) => b >= 8 && b <= 15 }.sorted
+
+    // hash-compacted baseline: every file spans both full domains —
+    // a b-range scan can prune nothing
+    st.compact("t", numFiles = 16)
+    val hashScanned = st.readRange("t", "b", 8L, 15L)
+      .select(input_file_name()).distinct().count()
+    assert(hashScanned === 16L)
+
+    st.compact("t", numFiles = 16, clusterCols = Seq("a", "b"))
+    assert(st.currentRelPaths("t").size === 16)
+    // correctness first: the pruned scan loses and invents nothing
+    val got = st.readRange("t", "b", 8L, 15L).orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === want)
+    // pruning: files are ~16x16 z-blocks, the 8-wide b-slice touches one
+    // block row (+ sampling slop) — far fewer than the hash baseline's 16
+    val zScanned = st.readRange("t", "b", 8L, 15L)
+      .select(input_file_name()).distinct().count()
+    assert(zScanned <= 8L, s"expected <=8 files after z-order, got $zScanned")
+    // and the OTHER column prunes too — the point of interleaving
+    val aScanned = st.readRange("t", "a", 8L, 15L)
+      .select(input_file_name()).distinct().count()
+    assert(aScanned <= 8L, s"expected <=8 files on a-range, got $aScanned")
+    // guards: string column and too-many columns are rejected loudly
+    intercept[IllegalArgumentException] {
+      st.compact("t", 4, clusterCols = Seq("a", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      st.compact("t", 4, clusterCols = Seq("a"))
+    }
+  }
+
   test("expireSnapshots deletes unreferenced files, keeps current readable") {
     val st = newStore()
     st.create("t", schema)
