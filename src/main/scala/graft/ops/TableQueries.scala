@@ -37,6 +37,32 @@ object TableQueries {
       |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
 
+  /** Declarative data skipping: orders ingested range-clustered, then read
+    * through the plain `read().filter(...)` path — the [[ZoneMapFileIndex]]
+    * prunes files from the pushed filter at plan time (no readRange call),
+    * and the surviving files must reproduce the full-table filter exactly. */
+  private def tblSkippingScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-skip", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("orders", ord.repartitionByRange(8, col("o_orderkey")))
+    store.read("orders")
+      .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 3000L &&
+        col("o_orderstatus") === "F")
+      .orderBy("o_orderkey")
+  }
+
+  private val tblSkippingScanSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)))
+    Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)),
+    Q("tbl_skipping_scan", tblSkippingScan, Some(tblSkippingScanSql)))
 }

@@ -3,7 +3,10 @@ package graft.tables
 import java.util.UUID
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Bridge
 import org.apache.spark.sql.types.StructType
 
 /** Parquet-backed managed table with Iceberg-like snapshot semantics,
@@ -425,7 +428,34 @@ final class TableStore(spark: SparkSession, val root: String,
   def currentFiles(name: String): Seq[String] =
     currentRelPaths(name).map(f => new HPath(dataDir(name), f).toString)
 
-  def read(name: String): DataFrame = readFiles(name, currentFiles(name))
+  /** Current-snapshot read. Unpartitioned tables return a zone-map-indexed
+    * relation ([[ZoneMapFileIndex]]): any filter Catalyst pushes into the
+    * scan prunes data files against the manifest stats at PLAN time, so
+    * `read(t).filter($"k" <= x)` touches the same few files an explicit
+    * [[readRange]] would — declaratively, and composed with the rest of
+    * the query. Hive-partitioned tables keep the directory-pruning parquet
+    * path (partition pruning already covers their layout). */
+  def read(name: String): DataFrame = {
+    val rels = currentRelPaths(name)
+    if (rels.isEmpty || partitionCols(name).nonEmpty)
+      return readFiles(name, currentFiles(name))
+    val sch = schema(name)
+    val m = physMap(name)
+    val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
+    // one listing for the statuses the index needs; a manifest entry the
+    // listing misses is real corruption — getFileStatus throws loudly
+    val byName = fs.listStatus(dataDir(name)).map(s => s.getPath.getName -> s).toMap
+    val statuses = rels.map(r =>
+      byName.getOrElse(r, fs.getFileStatus(new HPath(dataDir(name), r))))
+    // the index looks files up by NAME (rel == name for unpartitioned data)
+    val idx = new ZoneMapFileIndex(statuses,
+      loadZoneStats(name, rels).map { case (k, v) => fileName(k) -> v },
+      Seq(dataDir(name)))
+    val rel = HadoopFsRelation(idx, new StructType(), physSch, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+      .select(sch.fields.map(f => col(physOf(m, f.name)).as(f.name)).toSeq: _*)
+  }
 
   /** Zone-pruned range scan: files whose zone-map range cannot intersect
     * [lo, hi] on `zoneCol` are discarded from the MANIFEST SIDECARS ALONE —
@@ -741,47 +771,52 @@ final class TableStore(spark: SparkSession, val root: String,
     case other => other.toString // numeric only — enforced at create()
   }
 
+  /** Per-file zone ranges of `relPaths`, from the stats sidecars: file →
+    * zone column (physical name) → (min, max). Files without a sidecar and
+    * columns with null bounds are simply ABSENT — both pruning paths treat
+    * absence as "unknown, keep". Sidecars are tiny driver-side JSON; at a
+    * scale where per-file reads hurt, consolidate them into one per
+    * manifest (same information, one read). */
+  private def loadZoneStats(name: String, relPaths: Seq[String])
+      : Map[String, Map[String, (Any, Any)]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jsonVal(n: com.fasterxml.jackson.databind.JsonNode): Any =
+      if (n.isTextual) n.textValue()
+      else if (n.isIntegralNumber) n.longValue()
+      else n.doubleValue()
+    relPaths.flatMap { rel =>
+      val sp = statsPath(name, rel)
+      if (!fs.exists(sp)) None
+      else {
+        val node = mapper.readTree(readString(sp))
+        val cols = node.properties().iterator()
+        val b = Map.newBuilder[String, (Any, Any)]
+        while (cols.hasNext) {
+          val e = cols.next()
+          val s = e.getValue
+          if (!s.get(0).isNull && !s.get(1).isNull)
+            b += e.getKey -> ((jsonVal(s.get(0)), jsonVal(s.get(1))))
+        }
+        Some(rel -> b.result())
+      }
+    }.toMap
+  }
+
   /** Prune manifest files by zone overlap with the batch's key bounds.
     * Files without stats (or non-comparable bounds) stay candidates. */
   private def pruneByZones(name: String, relPaths: Seq[String],
       bounds: Map[String, (Any, Any)]): Seq[String] = {
     if (bounds.isEmpty) return relPaths
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stats = loadZoneStats(name, relPaths)
     relPaths.filter { rel =>
-      val sp = statsPath(name, rel)
-      if (!fs.exists(sp)) true
-      else {
-        val node = mapper.readTree(readString(sp))
+      stats.get(rel).forall { cols =>
         bounds.forall { case (c, (lo, hi)) =>
-          val s = node.get(c)
-          if (s == null || s.get(0).isNull || s.get(1).isNull) true
-          else overlap(jsonVal(s.get(0)), jsonVal(s.get(1)), lo, hi)
+          cols.get(c).forall { case (mn, mx) =>
+            ZoneStats.overlap(mn, mx, Some(lo), Some(hi))
+          }
         }
       }
     }
-  }
-
-  private def jsonVal(n: com.fasterxml.jackson.databind.JsonNode): Any =
-    if (n.isTextual) n.textValue()
-    else if (n.isIntegralNumber) n.longValue()
-    else n.doubleValue()
-
-  private def overlap(fMin: Any, fMax: Any, bMin: Any, bMax: Any): Boolean =
-    (fMin, fMax, bMin, bMax) match {
-      case (a: Long, b: Long, c: Long, d: Long) => b >= c && a <= d
-      case (a: String, b: String, c: String, d: String) => b >= c && a <= d
-      case _ =>
-        (toD(fMin), toD(fMax), toD(bMin), toD(bMax)) match {
-          case (Some(a), Some(b), Some(c), Some(d)) => b >= c && a <= d
-          case _ => true // non-comparable → keep as candidate
-        }
-    }
-
-  private def toD(v: Any): Option[Double] = v match {
-    case x: Long => Some(x.toDouble); case x: Int => Some(x.toDouble)
-    case x: Double => Some(x); case x: Float => Some(x.toDouble)
-    case x: Short => Some(x.toDouble); case x: Byte => Some(x.toDouble)
-    case _ => None
   }
 
   /** Batch key bounds (one tiny agg job) for zone pruning; only zone

@@ -1,0 +1,170 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Zone-map comparison + filter-bound extraction shared by the two pruning
+  * paths: mutation-side [[TableStore]] key-batch pruning and plan-time
+  * [[ZoneMapFileIndex]] scan pruning.
+  *
+  * Pruning is a pure OPTIMIZATION and must never drop a file that could
+  * hold a matching row, so every helper here fails OPEN: an unsupported
+  * filter shape, a non-comparable type pair, or a missing stat keeps the
+  * file a candidate. */
+private[tables] object ZoneStats {
+
+  /** Three-way compare of two zone/filter values, or None when the pair
+    * is not safely comparable (then the caller keeps the file).
+    * Strings compare by CODE POINT — the order Spark's min/max computed
+    * the stats in (UTF8String is UTF-8 byte order = code-point order).
+    * Java's natural String order is UTF-16 code-UNIT order, which ranks
+    * supplementary characters BELOW U+E000..U+FFFF and would mis-prune
+    * corpora with emoji/CJK-extension text. */
+  def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
+    case (x: String, y: String) => Some(cmpCodePoints(x, y))
+    case _ =>
+      (toD(a), toD(b)) match {
+        case (Some(x), Some(y)) if !x.isNaN && !y.isNaN =>
+          Some(java.lang.Double.compare(x, y))
+        case _ => None
+      }
+  }
+
+  private def cmpCodePoints(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  def toD(v: Any): Option[Double] = v match {
+    case x: Long => Some(x.toDouble); case x: Int => Some(x.toDouble)
+    case x: Double => Some(x); case x: Float => Some(x.toDouble)
+    case x: Short => Some(x.toDouble); case x: Byte => Some(x.toDouble)
+    case _ => None
+  }
+
+  /** File [mn, mx] intersects the (optionally half-open) query interval?
+    * Any non-comparable pair → true (keep). */
+  def overlap(mn: Any, mx: Any, lo: Option[Any], hi: Option[Any]): Boolean =
+    lo.forall(l => cmp(mx, l).forall(_ >= 0)) &&
+      hi.forall(h => cmp(mn, h).forall(_ <= 0))
+
+  /** Per-column query intervals implied by a scan's data filters.
+    * Only top-level CONJUNCTS of directly-supported shapes contribute
+    * (attr vs literal equality and inequalities); everything else —
+    * OR, casts, IN, functions — is ignored, which only loses pruning,
+    * never rows. Strict > / < are widened to >= / <= (file-granular
+    * pruning cannot exploit strictness). Keys are the relation's
+    * (physical) attribute names. */
+  def filterBounds(filters: Seq[Expression])
+      : Seq[(String, Option[Any], Option[Any])] =
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => point(a.name, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => point(a.name, v)
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
+        point(a.name, v)
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
+        point(a.name, v)
+      case GreaterThan(a: AttributeReference, Literal(v, _))        => lo(a.name, v)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => lo(a.name, v)
+      case LessThan(Literal(v, _), a: AttributeReference)           => lo(a.name, v)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference)    => lo(a.name, v)
+      case LessThan(a: AttributeReference, Literal(v, _))           => hi(a.name, v)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _))    => hi(a.name, v)
+      case GreaterThan(Literal(v, _), a: AttributeReference)        => hi(a.name, v)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => hi(a.name, v)
+      case _ => Nil
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x         => Seq(x)
+  }
+
+  private def point(c: String, v: Any) =
+    litVal(v).map(x => (c, Some(x): Option[Any], Some(x): Option[Any])).toSeq
+  private def lo(c: String, v: Any) =
+    litVal(v).map(x => (c, Some(x): Option[Any], None: Option[Any])).toSeq
+  private def hi(c: String, v: Any) =
+    litVal(v).map(x => (c, None: Option[Any], Some(x): Option[Any])).toSeq
+
+  /** Catalyst literal → the stat domain (Long / Double / String); None for
+    * anything else (Decimal, intervals, binary — no pruning attempted). */
+  def litVal(v: Any): Option[Any] = v match {
+    case null            => None
+    case x: Byte         => Some(x.toLong)
+    case x: Short        => Some(x.toLong)
+    case x: Int          => Some(x.toLong)
+    case x: Long         => Some(x)
+    case x: Float        => Some(x.toDouble)
+    case x: Double       => Some(x)
+    case x: UTF8String   => Some(x.toString)
+    case _               => None
+  }
+}
+
+/** Plan-time zone-map file skipping for [[TableStore.read]] — the managed
+  * table's answer to Delta/Iceberg data skipping, but driven by Catalyst
+  * itself: `FileSourceScanExec` hands this index the scan's pushed data
+  * filters, `listFiles` drops every manifest file whose zone range cannot
+  * intersect them, and only the survivors are planned into the scan.
+  *
+  * `store.read(t).filter($"k" between (a, b))` therefore touches the same
+  * few files an explicit [[TableStore.readRange]] call would — no special
+  * API needed, and it composes with joins/aggregations because the filter
+  * reaches here through the optimizer. At 100 TB this is the difference
+  * between planning a handful of splits and planning the whole table.
+  * Exactness is untouched: surviving files still evaluate the full
+  * predicate row-by-row; pruning only removes files that cannot match.
+  *
+  * The file list and stats are captured at construction, so a DataFrame
+  * keeps reading its snapshot even if the table commits afterwards (same
+  * isolation the explicit-file-list path gives).
+  *
+  * @param statuses data files of the snapshot (pre-listed, no FS calls here)
+  * @param stats    file name → zone column (physical name) → (min, max);
+  *                 missing file/column = unknown = never pruned
+  */
+final class ZoneMapFileIndex(
+    statuses: Seq[FileStatus],
+    stats: Map[String, Map[String, (Any, Any)]],
+    roots: Seq[HPath]) extends FileIndex {
+
+  /** (candidates, survivors) of the most recent listing — observability
+    * hook for specs and for scan diagnostics. */
+  @volatile var lastScanCounts: Option[(Int, Int)] = None
+
+  override def rootPaths: Seq[HPath] = roots
+  override def partitionSchema: StructType = new StructType()
+  override def inputFiles: Array[String] =
+    statuses.map(_.getPath.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = ZoneStats.filterBounds(dataFilters)
+    val surviving =
+      if (bounds.isEmpty) statuses
+      else statuses.filter { st =>
+        stats.get(st.getPath.getName).forall { cols =>
+          bounds.forall { case (c, qlo, qhi) =>
+            cols.get(c).forall { case (mn, mx) =>
+              ZoneStats.overlap(mn, mx, qlo, qhi)
+            }
+          }
+        }
+      }
+    lastScanCounts = Some((statuses.size, surviving.size))
+    Seq(PartitionDirectory(InternalRow.empty, surviving.toArray))
+  }
+}

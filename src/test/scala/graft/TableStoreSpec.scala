@@ -386,6 +386,59 @@ class TableStoreSpec extends SparkSpec {
     }
   }
 
+  test("declarative read().filter prunes files at plan time via zone maps") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.tables.ZoneMapFileIndex
+    val st = newStore()
+    st.create("t", schema, zoneCols = Seq("id"))
+    // four disjoint key-range files (one append = one file here)
+    (0 until 4).foreach { b =>
+      val lo = b * 100L
+      st.append("t",
+        (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    def indexOf(df: org.apache.spark.sql.DataFrame): ZoneMapFileIndex =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation =>
+          l.relation.asInstanceOf[HadoopFsRelation]
+            .location.asInstanceOf[ZoneMapFileIndex]
+      }.head
+
+    // BETWEEN inside one file's range: 3 of 4 files pruned before the scan
+    val q = st.read("t").filter(col("id") >= 120L && col("id") <= 180L)
+    val got = q.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === (120L to 180L).map(i => (i, s"v$i")))
+    assert(indexOf(q).lastScanCounts === Some((4, 1)))
+
+    // equality point lookup: one file
+    val eq = st.read("t").filter(col("id") === 250L)
+    assert(eq.collect().map(_.getLong(0)).toSeq === Seq(250L))
+    assert(indexOf(eq).lastScanCounts === Some((4, 1)))
+
+    // filter on a NON-zone column: no pruning, still correct
+    val nz = st.read("t").filter(col("v") === "v42")
+    assert(nz.collect().map(_.getLong(0)).toSeq === Seq(42L))
+    assert(indexOf(nz).lastScanCounts === Some((4, 4)))
+
+    // unsupported shape (OR) fails open: all files kept, rows exact
+    val or = st.read("t").filter(col("id") === 10L || col("id") === 310L)
+    assert(or.collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 310L))
+    assert(indexOf(or).lastScanCounts === Some((4, 4)))
+
+    // pruning composes through a rename (filters arrive physically keyed)
+    st.renameColumn("t", "id", "key")
+    val rn = st.read("t").filter(col("key") === 250L)
+    assert(rn.collect().map(_.getLong(0)).toSeq === Seq(250L))
+    assert(indexOf(rn).lastScanCounts === Some((4, 1)))
+
+    // an all-null zone file has no usable stats and is never pruned away
+    st.renameColumn("t", "key", "id")
+    st.append("t", Seq((null.asInstanceOf[java.lang.Long], "nullrow"))
+      .toDF("id", "v").select(col("id").cast("long"), col("v")))
+    val nn = st.read("t").filter(col("id").isNull)
+    assert(nn.collect().map(_.getString(1)).toSeq === Seq("nullrow"))
+  }
+
   test("expireSnapshots deletes unreferenced files, keeps current readable") {
     val st = newStore()
     st.create("t", schema)
