@@ -717,6 +717,7 @@ final class TableStore(spark: SparkSession, val root: String,
     manifests.filterNot(keep.contains).foreach { m =>
       fs.delete(new HPath(d, m), false)
       fs.delete(new HPath(d, m.stripSuffix(".txt") + ".appended"), false)
+      fs.delete(new HPath(d, m.stripSuffix(".txt") + ".stats.json"), false)
     }
   }
 
@@ -760,6 +761,34 @@ final class TableStore(spark: SparkSession, val root: String,
     new HPath(new HPath(tdir(name), "stats"), s"$flat.json")
   }
 
+  /** Consolidated zone stats of one snapshot: `{rel: {col: [min,max]}}` for
+    * every file of manifest `version` that has stats. Written by the commit
+    * that writes the manifest (under the same lock), so when it exists it
+    * is COMPLETE for that snapshot and readers need exactly one FS read
+    * regardless of file count — at 100 TB the per-file sidecars would cost
+    * O(files) driver round-trips per planned scan. */
+  private def statsManifestPath(name: String, version: Int): HPath =
+    new HPath(tdir(name), f"manifest-$version%06d.stats.json")
+
+  /** rel path → raw per-file stats JSON from a consolidated snapshot file;
+    * empty when `version` predates consolidation (legacy table). */
+  private def readConsolidatedRaw(name: String, version: Int)
+      : Map[String, String] = {
+    val p = statsManifestPath(name, version)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(p))
+      val it = root.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.toString
+      }
+      b.result()
+    }
+  }
+
   private def statJson(v: Any): String = v match {
     case null => "null"
     case s: String => "\"" + s.flatMap {
@@ -771,12 +800,13 @@ final class TableStore(spark: SparkSession, val root: String,
     case other => other.toString // numeric only — enforced at create()
   }
 
-  /** Per-file zone ranges of `relPaths`, from the stats sidecars: file →
-    * zone column (physical name) → (min, max). Files without a sidecar and
-    * columns with null bounds are simply ABSENT — both pruning paths treat
-    * absence as "unknown, keep". Sidecars are tiny driver-side JSON; at a
-    * scale where per-file reads hurt, consolidate them into one per
-    * manifest (same information, one read). */
+  /** Per-file zone ranges of `relPaths`: file → zone column (physical
+    * name) → (min, max). Files without stats and columns with null bounds
+    * are simply ABSENT — both pruning paths treat absence as "unknown,
+    * keep". Served from the CURRENT snapshot's consolidated stats file
+    * (one FS read, written at commit); tables whose history predates
+    * consolidation fall back to the per-file sidecars (O(files) reads,
+    * self-heals on their next commit). */
   private def loadZoneStats(name: String, relPaths: Seq[String])
       : Map[String, Map[String, (Any, Any)]] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -784,22 +814,31 @@ final class TableStore(spark: SparkSession, val root: String,
       if (n.isTextual) n.textValue()
       else if (n.isIntegralNumber) n.longValue()
       else n.doubleValue()
-    relPaths.flatMap { rel =>
-      val sp = statsPath(name, rel)
-      if (!fs.exists(sp)) None
-      else {
-        val node = mapper.readTree(readString(sp))
-        val cols = node.properties().iterator()
-        val b = Map.newBuilder[String, (Any, Any)]
-        while (cols.hasNext) {
-          val e = cols.next()
-          val s = e.getValue
-          if (!s.get(0).isNull && !s.get(1).isNull)
-            b += e.getKey -> ((jsonVal(s.get(0)), jsonVal(s.get(1))))
-        }
-        Some(rel -> b.result())
+    def parse(node: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, (Any, Any)] = {
+      val cols = node.properties().iterator()
+      val b = Map.newBuilder[String, (Any, Any)]
+      while (cols.hasNext) {
+        val e = cols.next()
+        val s = e.getValue
+        if (!s.get(0).isNull && !s.get(1).isNull)
+          b += e.getKey -> ((jsonVal(s.get(0)), jsonVal(s.get(1))))
       }
-    }.toMap
+      b.result()
+    }
+    val cons = statsManifestPath(name, currentVersion(name))
+    if (fs.exists(cons)) {
+      // complete for the snapshot by the commit invariant — no per-file reads
+      val root = mapper.readTree(readString(cons))
+      relPaths.flatMap(rel =>
+        Option(root.get(rel)).map(n => rel -> parse(n))).toMap
+    } else {
+      relPaths.flatMap { rel =>
+        val sp = statsPath(name, rel)
+        if (!fs.exists(sp)) None
+        else Some(rel -> parse(mapper.readTree(readString(sp))))
+      }.toMap
+    }
   }
 
   /** Prune manifest files by zone overlap with the batch's key bounds.
@@ -923,6 +962,8 @@ final class TableStore(spark: SparkSession, val root: String,
         .foreach { m =>
           fs.delete(new HPath(d, m), false)
           fs.delete(new HPath(d, m.stripSuffix(".txt") + ".appended"), false)
+          fs.delete(new HPath(d,
+            m.stripSuffix(".txt") + ".stats.json"), false)
         }
       val n = nextManifestId(name)
       val manifest = f"manifest-$n%06d.txt"
@@ -931,6 +972,24 @@ final class TableStore(spark: SparkSession, val root: String,
       // (readAppendedSince falls back to the file-set diff without it)
       writeString(new HPath(d, f"manifest-$n%06d.appended"),
         appended.mkString("\n"))
+      if (zoneCols(name).nonEmpty) {
+        // consolidated zone stats for THIS snapshot: carried files copy
+        // their raw entry from the previous snapshot's consolidated file
+        // (one read); fresh files read the sidecar writeZoneStats just
+        // wrote (page-hot, O(new files)). A legacy table's first commit
+        // here pays one O(files) sidecar sweep and is consolidated
+        // thereafter. Files with no stats anywhere stay absent = never
+        // pruned.
+        val prev = if (head > 0) readConsolidatedRaw(name, head) else Map.empty[String, String]
+        val entries = files.flatMap { rel =>
+          prev.get(rel).orElse {
+            val sp = statsPath(name, rel)
+            if (fs.exists(sp)) Some(readString(sp)) else None
+          }.map(raw => s"${statJson(rel)}: $raw")
+        }
+        writeString(statsManifestPath(name, n),
+          entries.mkString("{", ",", "}"))
+      }
       // atomic pointer swap (S3 caveat in the class doc — there, put a
       // catalog in front of _current)
       atomicWrite(new HPath(d, "_current"), manifest)

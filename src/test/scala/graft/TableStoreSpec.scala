@@ -439,6 +439,51 @@ class TableStoreSpec extends SparkSpec {
     assert(nn.collect().map(_.getString(1)).toSeq === Seq("nullrow"))
   }
 
+  test("consolidated snapshot stats serve pruning without per-file sidecars") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val st = newStore()
+    st.create("t", schema, zoneCols = Seq("id"))
+    (0 until 4).foreach { b =>
+      val lo = b * 100L
+      st.append("t",
+        (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    val fs = new HPath(st.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def consPath = new HPath(st.root,
+      f"t/manifest-${st.currentVersion("t")}%06d.stats.json")
+    assert(fs.exists(consPath), "commit must write the consolidated stats")
+
+    // delete EVERY per-file sidecar: pruning must run entirely off the
+    // consolidated file (the 100 TB path — one FS read per planned scan)
+    fs.delete(new HPath(st.root, "t/stats"), true)
+    val keys = Seq(150L).toDF("id")
+    assert(st.candidateFilesForKeys("t", keys, Seq("id")).size === 1)
+    assert(st.readRange("t", "id", 120L, 180L).count() === 61L)
+
+    // legacy fallback: no consolidated file → sidecars are the source
+    val st2 = newStore()
+    st2.create("t", schema, zoneCols = Seq("id"))
+    (0 until 4).foreach { b =>
+      val lo = b * 100L
+      st2.append("t",
+        (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    val fs2 = new HPath(st2.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (1 to st2.currentVersion("t")).foreach { v =>
+      fs2.delete(new HPath(st2.root, f"t/manifest-$v%06d.stats.json"), false)
+    }
+    assert(st2.candidateFilesForKeys("t", keys, Seq("id")).size === 1)
+    // the next commit re-consolidates: prior files' stats are swept back
+    // in from the sidecars, and sidecars are again not needed
+    st2.append("t",
+      (400L until 500L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    fs2.delete(new HPath(st2.root, "t/stats"), true)
+    assert(st2.candidateFilesForKeys("t", keys, Seq("id")).size === 1)
+    assert(st2.candidateFilesForKeys("t", Seq(450L).toDF("id"), Seq("id")).size === 1)
+  }
+
   test("expireSnapshots deletes unreferenced files, keeps current readable") {
     val st = newStore()
     st.create("t", schema)
