@@ -82,8 +82,60 @@ private[tables] object ZoneStats {
       case LessThanOrEqual(a: AttributeReference, Literal(v, _))    => hi(a.name, v)
       case GreaterThan(Literal(v, _), a: AttributeReference)        => hi(a.name, v)
       case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => hi(a.name, v)
+      // IN prunes as the value list's envelope [min, max] — sound at file
+      // granularity (any matching row's value lies inside the envelope);
+      // a list with any non-literal or non-stat-domain member contributes
+      // nothing (fail open)
+      case In(a: AttributeReference, vs) if vs.nonEmpty =>
+        val lits = vs.map {
+          case Literal(v, _) => litVal(v)
+          case _             => None
+        }
+        if (lits.exists(_.isEmpty)) Nil
+        else {
+          val sorted = sortVals(lits.flatten)
+          sorted.map(s => (a.name, Some(s.head): Option[Any],
+            Some(s.last): Option[Any])).toSeq
+        }
+      // long IN lists arrive as InSet (optimizer conversion above the
+      // in-set threshold); same envelope treatment
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val lits = hset.toSeq.map(litVal)
+        if (lits.exists(_.isEmpty)) Nil
+        else {
+          val sorted = sortVals(lits.flatten)
+          sorted.map(s => (a.name, Some(s.head): Option[Any],
+            Some(s.last): Option[Any])).toSeq
+        }
+      // startsWith(p) ⇒ value ∈ [p, next(p)) where next increments the
+      // prefix's last code point; when no such upper bound exists (prefix
+      // ends in U+10FFFF) only the lower bound applies
+      case StartsWith(a: AttributeReference, Literal(p: UTF8String, _)) =>
+        val s = p.toString
+        Seq((a.name, Some(s): Option[Any], prefixUpper(s): Option[Any]))
       case _ => Nil
     }
+
+  /** Sort stat-domain values with [[cmp]]; None if any pair is not
+    * comparable (mixed types in one IN list — fail open). */
+  private def sortVals(vs: Seq[Any]): Option[Seq[Any]] =
+    try Some(vs.sortWith((a, b) =>
+      cmp(a, b).getOrElse(throw new IllegalArgumentException) < 0))
+    catch { case _: IllegalArgumentException => None }
+
+  /** Smallest string STRICTLY above every string with prefix `s`, by code
+    * point: increment the last code point, dropping any that are already
+    * at the maximum. Empty result = unbounded. The bound is inclusive-safe:
+    * it itself is > every prefixed string, and overlap checks are <=, so
+    * keeping a file whose min equals the bound is merely conservative. */
+  private def prefixUpper(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) == Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) None
+    else Some(new String(cps.take(i), 0, i) + new String(
+      Character.toChars(cps(i) + 1)))
+  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)

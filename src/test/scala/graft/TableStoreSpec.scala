@@ -425,6 +425,16 @@ class TableStoreSpec extends SparkSpec {
     assert(or.collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 310L))
     assert(indexOf(or).lastScanCounts === Some((4, 4)))
 
+    // IN prunes by the value-list envelope: both values in file 2 of 4
+    val in = st.read("t").filter(col("id").isin(250L, 280L))
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq === Seq(250L, 280L))
+    assert(indexOf(in).lastScanCounts === Some((4, 1)))
+
+    // a LONG in-list (beyond the optimizer's InSet threshold) still prunes
+    val big = st.read("t").filter(col("id").isin(210L to 260L: _*))
+    assert(big.count() === 51L)
+    assert(indexOf(big).lastScanCounts === Some((4, 1)))
+
     // pruning composes through a rename (filters arrive physically keyed)
     st.renameColumn("t", "id", "key")
     val rn = st.read("t").filter(col("key") === 250L)
@@ -437,6 +447,32 @@ class TableStoreSpec extends SparkSpec {
       .toDF("id", "v").select(col("id").cast("long"), col("v")))
     val nn = st.read("t").filter(col("id").isNull)
     assert(nn.collect().map(_.getString(1)).toSeq === Seq("nullrow"))
+  }
+
+  test("string zone column: startsWith prunes files by prefix interval") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.tables.ZoneMapFileIndex
+    val st = newStore()
+    st.create("t", StructType(Seq(
+      StructField("k", StringType), StructField("n", LongType))),
+      zoneCols = Seq("k"))
+    // three files in disjoint prefix ranges: a*, m*, x*
+    for (p <- Seq("a", "m", "x"))
+      st.append("t", (0 until 50).map(i => (f"$p$i%03d", i.toLong))
+        .toDF("k", "n").coalesce(1))
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation =>
+          l.relation.asInstanceOf[HadoopFsRelation]
+            .location.asInstanceOf[ZoneMapFileIndex]
+      }.head.lastScanCounts
+    val pre = st.read("t").filter(col("k").startsWith("m0"))
+    assert(pre.count() === 50L)
+    assert(counts(pre) === Some((3, 1)))
+    // prefix straddling no file: zero survivors, zero rows
+    val none = st.read("t").filter(col("k").startsWith("q"))
+    assert(none.count() === 0L)
+    assert(counts(none) === Some((3, 0)))
   }
 
   test("consolidated snapshot stats serve pruning without per-file sidecars") {
