@@ -428,33 +428,81 @@ final class TableStore(spark: SparkSession, val root: String,
   def currentFiles(name: String): Seq[String] =
     currentRelPaths(name).map(f => new HPath(dataDir(name), f).toString)
 
-  /** Current-snapshot read. Unpartitioned tables return a zone-map-indexed
-    * relation ([[ZoneMapFileIndex]]): any filter Catalyst pushes into the
-    * scan prunes data files against the manifest stats at PLAN time, so
+  /** Current-snapshot read, always through a zone-map-indexed relation
+    * ([[ZoneMapFileIndex]]): any filter Catalyst pushes into the scan
+    * prunes data files against the manifest stats at PLAN time, so
     * `read(t).filter($"k" <= x)` touches the same few files an explicit
     * [[readRange]] would — declaratively, and composed with the rest of
-    * the query. Hive-partitioned tables keep the directory-pruning parquet
-    * path (partition pruning already covers their layout). */
+    * the query. Hive-partitioned tables surface their partition schema
+    * through the index, so partition-key predicates drop whole
+    * directories AND zone maps skip files within the survivors — the
+    * Iceberg/Delta two-level layering. */
   def read(name: String): DataFrame = {
     val rels = currentRelPaths(name)
-    if (rels.isEmpty || partitionCols(name).nonEmpty)
-      return readFiles(name, currentFiles(name))
+    if (rels.isEmpty) return readFiles(name, currentFiles(name))
     val sch = schema(name)
     val m = physMap(name)
     val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
-    // one listing for the statuses the index needs; a manifest entry the
-    // listing misses is real corruption — getFileStatus throws loudly
-    val byName = fs.listStatus(dataDir(name)).map(s => s.getPath.getName -> s).toMap
-    val statuses = rels.map(r =>
-      byName.getOrElse(r, fs.getFileStatus(new HPath(dataDir(name), r))))
-    // the index looks files up by NAME (rel == name for unpartitioned data)
-    val idx = new ZoneMapFileIndex(statuses,
+    val pCols = partitionCols(name) // physical names, layout order
+    // one recursive listing for the statuses the index needs; a manifest
+    // entry the listing misses is real corruption — getFileStatus throws
+    val byRel = listStatusRec(dataDir(name))
+      .map(s => relativize(dataDir(name), s.getPath) -> s).toMap
+    def statusOf(r: String) =
+      byRel.getOrElse(r, fs.getFileStatus(new HPath(dataDir(name), r)))
+    val groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[org.apache.hadoop.fs.FileStatus])] =
+      if (pCols.isEmpty) Seq((org.apache.spark.sql.catalyst.InternalRow.empty, rels.map(statusOf)))
+      else rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).toSeq
+        .map { case (dir, rs) =>
+          (parsePartitionValues(name, dir, physSch, pCols), rs.map(statusOf))
+        }
+    val pSchema =
+      if (pCols.isEmpty) new StructType()
+      else StructType(pCols.map(c => physSch(physSch.fieldIndex(c))))
+    val dataSch = StructType(physSch.filterNot(f => pCols.contains(f.name)))
+    // the index looks files up by NAME (unique per write batch id)
+    val idx = new ZoneMapFileIndex(groups,
       loadZoneStats(name, rels).map { case (k, v) => fileName(k) -> v },
-      Seq(dataDir(name)))
-    val rel = HadoopFsRelation(idx, new StructType(), physSch, None,
+      Seq(dataDir(name)), pSchema)
+    val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
       .select(sch.fields.map(f => col(physOf(m, f.name)).as(f.name)).toSeq: _*)
+  }
+
+  /** Parsed partition values of one hive-style directory (`a=1/b=x`), in
+    * layout order, as Catalyst internal values of the columns' declared
+    * types. Our own writer produced the layout (Spark `partitionBy`), so
+    * segment order is the layout order and escaping is Spark's. */
+  private def parsePartitionValues(name: String, dir: String,
+      physSch: StructType, pCols: Seq[String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val segs = dir.split('/')
+    require(segs.length == pCols.length,
+      s"partition dir $dir does not match partition columns $pCols of $name")
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val vals = pCols.zip(segs).map { case (c, seg) =>
+      require(seg.startsWith(c + "="),
+        s"partition dir segment $seg does not belong to column $c")
+      val raw = ExternalCatalogUtils.unescapePathName(seg.substring(c.length + 1))
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else Cast(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+          org.apache.spark.sql.types.StringType),
+        physSch(physSch.fieldIndex(c)).dataType, Some(zone)).eval(null)
+    }
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+  }
+
+  /** Recursive file statuses under `dir` (data files only). */
+  private def listStatusRec(dir: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(dir)) return Nil
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) buf += it.next()
+    buf.result()
   }
 
   /** Zone-pruned range scan: files whose zone-map range cannot intersect

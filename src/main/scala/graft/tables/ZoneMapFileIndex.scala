@@ -178,45 +178,82 @@ private[tables] object ZoneStats {
   * Exactness is untouched: surviving files still evaluate the full
   * predicate row-by-row; pruning only removes files that cannot match.
   *
+  * Hive-partitioned tables compose BOTH prunings: `partitionSchema` is
+  * surfaced so Catalyst splits the predicate into partition filters
+  * (evaluated here against each directory's parsed values — whole
+  * directories drop) and data filters (zone-pruned per file within the
+  * surviving directories). That is the Iceberg/Delta layering: partition
+  * pruning for the coarse layout, min/max skipping inside it.
+  *
   * The file list and stats are captured at construction, so a DataFrame
   * keeps reading its snapshot even if the table commits afterwards (same
   * isolation the explicit-file-list path gives).
   *
-  * @param statuses data files of the snapshot (pre-listed, no FS calls here)
+  * @param groups   data files of the snapshot, grouped by partition
+  *                 directory with the directory's parsed partition values
+  *                 (a single `InternalRow.empty` group when unpartitioned);
+  *                 pre-listed — no FS calls here
   * @param stats    file name → zone column (physical name) → (min, max);
   *                 missing file/column = unknown = never pruned
+  * @param partitionSchema partition columns (PHYSICAL names) in layout order
   */
 final class ZoneMapFileIndex(
-    statuses: Seq[FileStatus],
+    groups: Seq[(InternalRow, Seq[FileStatus])],
     stats: Map[String, Map[String, (Any, Any)]],
-    roots: Seq[HPath]) extends FileIndex {
+    roots: Seq[HPath],
+    override val partitionSchema: StructType) extends FileIndex {
+
+  /** Unpartitioned: one anonymous group holding every file. */
+  def this(statuses: Seq[FileStatus],
+      stats: Map[String, Map[String, (Any, Any)]], roots: Seq[HPath]) =
+    this(Seq((InternalRow.empty, statuses)), stats, roots, new StructType())
+
+  private def allStatuses: Seq[FileStatus] = groups.flatMap(_._2)
 
   /** (candidates, survivors) of the most recent listing — observability
-    * hook for specs and for scan diagnostics. */
+    * hook for specs and for scan diagnostics. Counts FILES, after both
+    * partition and zone pruning. */
   @volatile var lastScanCounts: Option[(Int, Int)] = None
 
   override def rootPaths: Seq[HPath] = roots
-  override def partitionSchema: StructType = new StructType()
   override def inputFiles: Array[String] =
-    statuses.map(_.getPath.toString).toArray
+    allStatuses.map(_.getPath.toString).toArray
   override def refresh(): Unit = ()
-  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def sizeInBytes: Long = allStatuses.map(_.getLen).sum
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val total = groups.map(_._2.size).sum
+    val partPruned =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) groups
+      else {
+        // bind by name: relation output and partitionSchema share the
+        // physical spelling, so fieldIndex resolves exactly
+        val pred = Predicate.createInterpreted(
+          partitionFilters.reduce(And).transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.fieldIndex(a.name)
+              BoundReference(i, partitionSchema(i).dataType, nullable = true)
+          })
+        groups.filter { case (values, _) => pred.eval(values) }
+      }
     val bounds = ZoneStats.filterBounds(dataFilters)
-    val surviving =
-      if (bounds.isEmpty) statuses
-      else statuses.filter { st =>
-        stats.get(st.getPath.getName).forall { cols =>
-          bounds.forall { case (c, qlo, qhi) =>
-            cols.get(c).forall { case (mn, mx) =>
-              ZoneStats.overlap(mn, mx, qlo, qhi)
+    val out = partPruned.map { case (values, statuses) =>
+      val surviving =
+        if (bounds.isEmpty) statuses
+        else statuses.filter { st =>
+          stats.get(st.getPath.getName).forall { cols =>
+            bounds.forall { case (c, qlo, qhi) =>
+              cols.get(c).forall { case (mn, mx) =>
+                ZoneStats.overlap(mn, mx, qlo, qhi)
+              }
             }
           }
         }
-      }
-    lastScanCounts = Some((statuses.size, surviving.size))
-    Seq(PartitionDirectory(InternalRow.empty, surviving.toArray))
+      (values, surviving)
+    }
+    lastScanCounts = Some((total, out.map(_._2.size).sum))
+    out.filter(_._2.nonEmpty)
+      .map { case (v, s) => PartitionDirectory(v, s.toArray) }
   }
 }

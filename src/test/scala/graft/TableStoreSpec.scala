@@ -475,6 +475,46 @@ class TableStoreSpec extends SparkSpec {
     assert(counts(none) === Some((3, 0)))
   }
 
+  test("partitioned table composes directory pruning with zone-map skipping") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.tables.ZoneMapFileIndex
+    val st = newStore()
+    st.create("t", StructType(Seq(
+      StructField("id", LongType), StructField("bucket", LongType),
+      StructField("v", StringType))),
+      partitionBy = Seq("bucket"), zoneCols = Seq("id"))
+    // 2 partitions × 2 disjoint id-range files each
+    for (b <- Seq(0L, 1L); lo <- Seq(0L, 100L))
+      st.append("t", (lo until lo + 100L).map(i => (i, b, s"v$b-$i"))
+        .toDF("id", "bucket", "v").coalesce(1))
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation =>
+          l.relation.asInstanceOf[HadoopFsRelation]
+            .location.asInstanceOf[ZoneMapFileIndex]
+      }.head.lastScanCounts
+
+    // partition filter alone: one directory (2 of 4 files)
+    val p = st.read("t").filter(col("bucket") === 1L)
+    assert(p.count() === 200L)
+    assert(counts(p) === Some((4, 2)))
+    // zone filter alone: one file per partition (2 of 4)
+    val z = st.read("t").filter(col("id") >= 120L && col("id") <= 150L)
+    assert(z.count() === 62L)
+    assert(counts(z) === Some((4, 2)))
+    // composed: exactly 1 of 4 files survives both prunings
+    val both = st.read("t")
+      .filter(col("bucket") === 1L && col("id") >= 120L && col("id") <= 150L)
+    assert(both.count() === 31L)
+    assert(counts(both) === Some((4, 1)))
+    // a row with a NULL partition value stays readable and isNull-filterable
+    st.append("t", Seq((999L, null.asInstanceOf[java.lang.Long], "nullpart"))
+      .toDF("id", "bucket", "v").select(col("id"), col("bucket").cast("long"), col("v")))
+    assert(st.read("t").filter(col("bucket").isNull)
+      .collect().map(_.getString(2)).toSeq === Seq("nullpart"))
+    assert(st.read("t").count() === 401L)
+  }
+
   test("consolidated snapshot stats serve pruning without per-file sidecars") {
     import org.apache.hadoop.fs.{Path => HPath}
     val st = newStore()
