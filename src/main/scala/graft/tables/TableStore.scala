@@ -437,9 +437,12 @@ final class TableStore(spark: SparkSession, val root: String,
     * through the index, so partition-key predicates drop whole
     * directories AND zone maps skip files within the survivors — the
     * Iceberg/Delta two-level layering. */
-  def read(name: String): DataFrame = {
-    val rels = currentRelPaths(name)
-    if (rels.isEmpty) return readFiles(name, currentFiles(name))
+  def read(name: String): DataFrame =
+    indexedRead(name, currentRelPaths(name), currentVersion(name))
+
+  private def indexedRead(name: String, rels: Seq[String],
+      version: Int): DataFrame = {
+    if (rels.isEmpty) return readFiles(name, Nil)
     val sch = schema(name)
     val m = physMap(name)
     val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
@@ -462,7 +465,7 @@ final class TableStore(spark: SparkSession, val root: String,
     val dataSch = StructType(physSch.filterNot(f => pCols.contains(f.name)))
     // the index looks files up by NAME (unique per write batch id)
     val idx = new ZoneMapFileIndex(groups,
-      loadZoneStats(name, rels).map { case (k, v) => fileName(k) -> v },
+      loadZoneStats(name, rels, version).map { case (k, v) => fileName(k) -> v },
       Seq(dataDir(name)), pSchema)
     val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
@@ -525,12 +528,14 @@ final class TableStore(spark: SparkSession, val root: String,
   }
 
   /** Time travel: read the table as of an earlier snapshot (manifests are
-    * immutable and retained — the analogue of Iceberg snapshot reads). */
+    * immutable and retained — the analogue of Iceberg snapshot reads).
+    * Served through the same zone-map index as [[read]] (each snapshot
+    * carries its own consolidated stats), so historical scans skip files
+    * exactly like current ones. */
   def readVersion(name: String, version: Int): DataFrame = {
     val manifest = new HPath(tdir(name), f"manifest-$version%06d.txt")
     require(fs.exists(manifest), s"no snapshot $version for table $name")
-    val files = readLines(manifest).map(f => new HPath(dataDir(name), f).toString)
-    readFiles(name, files)
+    indexedRead(name, readLines(manifest), version)
   }
 
   def currentVersion(name: String): Int =
@@ -855,8 +860,8 @@ final class TableStore(spark: SparkSession, val root: String,
     * (one FS read, written at commit); tables whose history predates
     * consolidation fall back to the per-file sidecars (O(files) reads,
     * self-heals on their next commit). */
-  private def loadZoneStats(name: String, relPaths: Seq[String])
-      : Map[String, Map[String, (Any, Any)]] = {
+  private def loadZoneStats(name: String, relPaths: Seq[String],
+      version: Int): Map[String, Map[String, (Any, Any)]] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def jsonVal(n: com.fasterxml.jackson.databind.JsonNode): Any =
       if (n.isTextual) n.textValue()
@@ -874,7 +879,7 @@ final class TableStore(spark: SparkSession, val root: String,
       }
       b.result()
     }
-    val cons = statsManifestPath(name, currentVersion(name))
+    val cons = statsManifestPath(name, version)
     if (fs.exists(cons)) {
       // complete for the snapshot by the commit invariant — no per-file reads
       val root = mapper.readTree(readString(cons))
@@ -894,7 +899,7 @@ final class TableStore(spark: SparkSession, val root: String,
   private def pruneByZones(name: String, relPaths: Seq[String],
       bounds: Map[String, (Any, Any)]): Seq[String] = {
     if (bounds.isEmpty) return relPaths
-    val stats = loadZoneStats(name, relPaths)
+    val stats = loadZoneStats(name, relPaths, currentVersion(name))
     relPaths.filter { rel =>
       stats.get(rel).forall { cols =>
         bounds.forall { case (c, (lo, hi)) =>

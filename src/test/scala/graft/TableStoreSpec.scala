@@ -443,10 +443,16 @@ class TableStoreSpec extends SparkSpec {
 
     // an all-null zone file has no usable stats and is never pruned away
     st.renameColumn("t", "key", "id")
+    val v4files = st.currentVersion("t")
     st.append("t", Seq((null.asInstanceOf[java.lang.Long], "nullrow"))
       .toDF("id", "v").select(col("id").cast("long"), col("v")))
     val nn = st.read("t").filter(col("id").isNull)
     assert(nn.collect().map(_.getString(1)).toSeq === Seq("nullrow"))
+
+    // time travel scans skip files too (per-snapshot consolidated stats)
+    val tv = st.readVersion("t", v4files).filter(col("id") === 250L)
+    assert(tv.collect().map(_.getLong(0)).toSeq === Seq(250L))
+    assert(indexOf(tv).lastScanCounts === Some((4, 1)))
   }
 
   test("string zone column: startsWith prunes files by prefix interval") {
