@@ -879,17 +879,26 @@ final class TableStore(spark: SparkSession, val root: String,
       }
       b.result()
     }
+    // stats are a pure optimization: an unreadable or corrupt stats file
+    // must degrade to "no pruning", never fail the read
+    def safely[A](a: => Option[A]): Option[A] =
+      try a catch { case scala.util.control.NonFatal(_) => None }
     val cons = statsManifestPath(name, version)
-    if (fs.exists(cons)) {
-      // complete for the snapshot by the commit invariant — no per-file reads
-      val root = mapper.readTree(readString(cons))
-      relPaths.flatMap(rel =>
-        Option(root.get(rel)).map(n => rel -> parse(n))).toMap
-    } else {
+    safely {
+      if (!fs.exists(cons)) None
+      else {
+        // complete for the snapshot by the commit invariant — no per-file reads
+        val root = mapper.readTree(readString(cons))
+        Some(relPaths.flatMap(rel =>
+          Option(root.get(rel)).map(n => rel -> parse(n))).toMap)
+      }
+    }.getOrElse {
       relPaths.flatMap { rel =>
-        val sp = statsPath(name, rel)
-        if (!fs.exists(sp)) None
-        else Some(rel -> parse(mapper.readTree(readString(sp))))
+        safely {
+          val sp = statsPath(name, rel)
+          if (!fs.exists(sp)) None
+          else Some(rel -> parse(mapper.readTree(readString(sp))))
+        }
       }.toMap
     }
   }

@@ -564,6 +564,14 @@ class TableStoreSpec extends SparkSpec {
     fs2.delete(new HPath(st2.root, "t/stats"), true)
     assert(st2.candidateFilesForKeys("t", keys, Seq("id")).size === 1)
     assert(st2.candidateFilesForKeys("t", Seq(450L).toDF("id"), Seq("id")).size === 1)
+
+    // a CORRUPT consolidated file fails open: no pruning, reads stay exact
+    val consNow = new HPath(st2.root,
+      f"t/manifest-${st2.currentVersion("t")}%06d.stats.json")
+    val out = fs2.create(consNow, true)
+    out.write("{not json".getBytes("UTF-8")); out.close()
+    assert(st2.candidateFilesForKeys("t", keys, Seq("id")).size === 5)
+    assert(st2.read("t").filter(col("id") === 150L).count() === 1L)
   }
 
   test("expireSnapshots deletes unreferenced files, keeps current readable") {
