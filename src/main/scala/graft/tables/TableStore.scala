@@ -447,12 +447,21 @@ final class TableStore(spark: SparkSession, val root: String,
     val m = physMap(name)
     val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
     val pCols = partitionCols(name) // physical names, layout order
-    // one recursive listing for the statuses the index needs; a manifest
-    // entry the listing misses is real corruption — getFileStatus throws
-    val byRel = listStatusRec(dataDir(name))
-      .map(s => relativize(dataDir(name), s.getPath) -> s).toMap
-    def statusOf(r: String) =
-      byRel.getOrElse(r, fs.getFileStatus(new HPath(dataDir(name), r)))
+    // file statuses WITHOUT touching the filesystem: lengths were recorded
+    // in the snapshot's consolidated file at commit time, so planning is
+    // O(manifest) — no recursive listing of a possibly-huge data dir.
+    // Legacy files (predating consolidation) fall back to one
+    // getFileStatus each and are recorded on the table's next commit.
+    val lens = readConsolidated(name, version)._2
+    val blockSize = fs.getDefaultBlockSize(dataDir(name))
+    def statusOf(r: String): org.apache.hadoop.fs.FileStatus = {
+      val p = new HPath(dataDir(name), r)
+      lens.get(r) match {
+        case Some(len) =>
+          new org.apache.hadoop.fs.FileStatus(len, false, 1, blockSize, 0L, p)
+        case None => fs.getFileStatus(p)
+      }
+    }
     val groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[org.apache.hadoop.fs.FileStatus])] =
       if (pCols.isEmpty) Seq((org.apache.spark.sql.catalyst.InternalRow.empty, rels.map(statusOf)))
       else rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).toSeq
@@ -463,9 +472,12 @@ final class TableStore(spark: SparkSession, val root: String,
       if (pCols.isEmpty) new StructType()
       else StructType(pCols.map(c => physSch(physSch.fieldIndex(c))))
     val dataSch = StructType(physSch.filterNot(f => pCols.contains(f.name)))
-    // the index looks files up by NAME (unique per write batch id)
+    // the index looks stats up by FULL path — rel-unique by construction
+    // (bare file names can collide across write batches in different
+    // partition directories)
     val idx = new ZoneMapFileIndex(groups,
-      loadZoneStats(name, rels, version).map { case (k, v) => fileName(k) -> v },
+      loadZoneStats(name, rels, version).map { case (k, v) =>
+        new HPath(dataDir(name), k).toString -> v },
       Seq(dataDir(name)), pSchema)
     val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
@@ -497,15 +509,6 @@ final class TableStore(spark: SparkSession, val root: String,
         physSch(physSch.fieldIndex(c)).dataType, Some(zone)).eval(null)
     }
     org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
-  }
-
-  /** Recursive file statuses under `dir` (data files only). */
-  private def listStatusRec(dir: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
-    if (!fs.exists(dir)) return Nil
-    val it = fs.listFiles(dir, true)
-    val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-    while (it.hasNext) buf += it.next()
-    buf.result()
   }
 
   /** Zone-pruned range scan: files whose zone-map range cannot intersect
@@ -823,22 +826,34 @@ final class TableStore(spark: SparkSession, val root: String,
   private def statsManifestPath(name: String, version: Int): HPath =
     new HPath(tdir(name), f"manifest-$version%06d.stats.json")
 
-  /** rel path → raw per-file stats JSON from a consolidated snapshot file;
-    * empty when `version` predates consolidation (legacy table). */
-  private def readConsolidatedRaw(name: String, version: Int)
-      : Map[String, String] = {
-    val p = statsManifestPath(name, version)
-    if (!fs.exists(p)) Map.empty
-    else {
-      val root = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(readString(p))
-      val it = root.properties().iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) {
-        val e = it.next()
-        b += e.getKey -> e.getValue.toString
+  /** One snapshot's consolidated file, parsed leniently: (rel → raw
+    * per-file stats JSON, rel → file length). Both empty when the file is
+    * absent (legacy table) or unreadable (fail OPEN — a corrupt stats
+    * file must never brick reads or subsequent commits; the next commit
+    * rebuilds from sidecars / getFileStatus). */
+  private def readConsolidated(name: String, version: Int)
+      : (Map[String, String], Map[String, Long]) = {
+    try {
+      val p = statsManifestPath(name, version)
+      if (!fs.exists(p)) (Map.empty, Map.empty)
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readString(p))
+        def entries[A](key: String,
+            f: com.fasterxml.jackson.databind.JsonNode => A): Map[String, A] =
+          Option(root.get(key)).map { node =>
+            val it = node.properties().iterator()
+            val b = Map.newBuilder[String, A]
+            while (it.hasNext) {
+              val e = it.next()
+              b += e.getKey -> f(e.getValue)
+            }
+            b.result()
+          }.getOrElse(Map.empty)
+        (entries("stats", _.toString), entries("len", _.longValue()))
       }
-      b.result()
+    } catch {
+      case scala.util.control.NonFatal(_) => (Map.empty, Map.empty)
     }
   }
 
@@ -850,6 +865,15 @@ final class TableStore(spark: SparkSession, val root: String,
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // NaN/Infinity have no JSON literal — store null = "no usable bound"
+    // (the file just stays a candidate). Floats are widened to their EXACT
+    // double before printing: Float.toString round-trips to a different
+    // double than x.toDouble, and filter literals widen via toDouble, so
+    // a narrow-printed stat could rank below the literal and mis-prune a
+    // file that holds matching rows.
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
+    case f: java.lang.Float => f.toDouble.toString
     case other => other.toString // numeric only — enforced at create()
   }
 
@@ -862,6 +886,9 @@ final class TableStore(spark: SparkSession, val root: String,
     * self-heals on their next commit). */
   private def loadZoneStats(name: String, relPaths: Seq[String],
       version: Int): Map[String, Map[String, (Any, Any)]] = {
+    // a table with no zone columns has no stats anywhere — skip even the
+    // consolidated read (and, on legacy tables, the O(files) sidecar probes)
+    if (zoneCols(name).isEmpty) return Map.empty
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def jsonVal(n: com.fasterxml.jackson.databind.JsonNode): Any =
       if (n.isTextual) n.textValue()
@@ -889,8 +916,10 @@ final class TableStore(spark: SparkSession, val root: String,
       else {
         // complete for the snapshot by the commit invariant — no per-file reads
         val root = mapper.readTree(readString(cons))
-        Some(relPaths.flatMap(rel =>
-          Option(root.get(rel)).map(n => rel -> parse(n))).toMap)
+        Option(root.get("stats")).map { sroot =>
+          relPaths.flatMap(rel =>
+            Option(sroot.get(rel)).map(n => rel -> parse(n))).toMap
+        }
       }
     }.getOrElse {
       relPaths.flatMap { rel =>
@@ -1034,24 +1063,33 @@ final class TableStore(spark: SparkSession, val root: String,
       // (readAppendedSince falls back to the file-set diff without it)
       writeString(new HPath(d, f"manifest-$n%06d.appended"),
         appended.mkString("\n"))
-      if (zoneCols(name).nonEmpty) {
-        // consolidated zone stats for THIS snapshot: carried files copy
-        // their raw entry from the previous snapshot's consolidated file
-        // (one read); fresh files read the sidecar writeZoneStats just
-        // wrote (page-hot, O(new files)). A legacy table's first commit
-        // here pays one O(files) sidecar sweep and is consolidated
-        // thereafter. Files with no stats anywhere stay absent = never
-        // pruned.
-        val prev = if (head > 0) readConsolidatedRaw(name, head) else Map.empty[String, String]
-        val entries = files.flatMap { rel =>
-          prev.get(rel).orElse {
+      // consolidated per-snapshot metadata for THIS commit — zone stats
+      // AND file lengths, so planning a scan needs no FS listing at all:
+      // carried files copy their entries from the previous snapshot's
+      // consolidated file (one read); fresh files read the sidecar
+      // writeZoneStats just wrote / one getFileStatus (page-hot,
+      // O(new files)). A legacy table's first commit here pays one
+      // O(files) sweep and is consolidated thereafter. Files with no
+      // stats anywhere stay absent = never pruned.
+      val (prevStats, prevLens) =
+        if (head > 0) readConsolidated(name, head)
+        else (Map.empty[String, String], Map.empty[String, Long])
+      val statEntries =
+        if (zoneCols(name).isEmpty) Nil
+        else files.flatMap { rel =>
+          prevStats.get(rel).orElse {
             val sp = statsPath(name, rel)
             if (fs.exists(sp)) Some(readString(sp)) else None
           }.map(raw => s"${statJson(rel)}: $raw")
         }
-        writeString(statsManifestPath(name, n),
-          entries.mkString("{", ",", "}"))
+      val lenEntries = files.map { rel =>
+        val len = prevLens.getOrElse(rel,
+          fs.getFileStatus(new HPath(dataDir(name), rel)).getLen)
+        s"${statJson(rel)}: $len"
       }
+      writeString(statsManifestPath(name, n),
+        s"""{"stats": ${statEntries.mkString("{", ",", "}")}, """ +
+          s""""len": ${lenEntries.mkString("{", ",", "}")}}""")
       // atomic pointer swap (S3 caveat in the class doc — there, put a
       // catalog in front of _current)
       atomicWrite(new HPath(d, "_current"), manifest)

@@ -193,8 +193,8 @@ private[tables] object ZoneStats {
   *                 directory with the directory's parsed partition values
   *                 (a single `InternalRow.empty` group when unpartitioned);
   *                 pre-listed — no FS calls here
-  * @param stats    file name → zone column (physical name) → (min, max);
-  *                 missing file/column = unknown = never pruned
+  * @param stats    full file path → zone column (physical name) →
+  *                 (min, max); missing file/column = unknown = never pruned
   * @param partitionSchema partition columns (PHYSICAL names) in layout order
   */
 final class ZoneMapFileIndex(
@@ -242,7 +242,7 @@ final class ZoneMapFileIndex(
       val surviving =
         if (bounds.isEmpty) statuses
         else statuses.filter { st =>
-          stats.get(st.getPath.getName).forall { cols =>
+          stats.get(st.getPath.toString).forall { cols =>
             bounds.forall { case (c, qlo, qhi) =>
               cols.get(c).forall { case (mn, mx) =>
                 ZoneStats.overlap(mn, mx, qlo, qhi)

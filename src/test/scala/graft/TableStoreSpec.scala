@@ -574,6 +574,88 @@ class TableStoreSpec extends SparkSpec {
     assert(st2.read("t").filter(col("id") === 150L).count() === 1L)
   }
 
+  test("commits survive a corrupt consolidated file and rebuild stats from sidecars") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val st = newStore()
+    st.create("t", schema, zoneCols = Seq("id"))
+    (0 until 4).foreach { b =>
+      val lo = b * 100L
+      st.append("t",
+        (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    val fs = new HPath(st.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cons = new HPath(st.root,
+      f"t/manifest-${st.currentVersion("t")}%06d.stats.json")
+    val out = fs.create(cons, true)
+    out.write("{not json".getBytes("UTF-8")); out.close()
+    // the NEXT commit must not throw — and must re-consolidate from the
+    // per-file sidecars, restoring pruning for the old files
+    st.append("t",
+      (400L until 500L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    fs.delete(new HPath(st.root, "t/stats"), true)
+    assert(st.candidateFilesForKeys("t", Seq(150L).toDF("id"), Seq("id")).size === 1)
+    assert(st.read("t").count() === 500L)
+  }
+
+  test("float zone column: stats widen exactly, equality literals never mis-prune") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.tables.ZoneMapFileIndex
+    val st = newStore()
+    st.create("t", StructType(Seq(
+      StructField("f", FloatType), StructField("v", StringType))),
+      zoneCols = Seq("f"))
+    // 2.7f is NOT the double 2.7: a stat printed as "2.7" would parse
+    // below the widened literal and wrongly prune the file that holds it
+    st.append("t", Seq((1.1f, "a"), (2.7f, "b")).toDF("f", "v").coalesce(1))
+    st.append("t", Seq((10.5f, "c"), (20.25f, "d")).toDF("f", "v").coalesce(1))
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation =>
+          l.relation.asInstanceOf[HadoopFsRelation]
+            .location.asInstanceOf[ZoneMapFileIndex]
+      }.head.lastScanCounts
+    val eq = st.read("t").filter(col("f") === 2.7f)
+    assert(eq.collect().map(_.getString(1)).toSeq === Seq("b"))
+    assert(counts(eq) === Some((2, 1))) // pruned to the holding file, kept it
+    val hi = st.read("t").filter(col("f") >= 10.0f)
+    assert(hi.collect().map(_.getString(1)).sorted.toSeq === Seq("c", "d"))
+    assert(counts(hi) === Some((2, 1)))
+  }
+
+  test("NaN zone values degrade to no-stats; commits and reads continue") {
+    val st = newStore()
+    st.create("t", StructType(Seq(
+      StructField("d", DoubleType), StructField("v", StringType))),
+      zoneCols = Seq("d"))
+    // max(d) over this file is NaN (NaN sorts greatest) — an unguarded
+    // writer would emit invalid JSON and brick every later commit
+    st.append("t", Seq((1.0, "a"), (Double.NaN, "n")).toDF("d", "v").coalesce(1))
+    st.append("t", Seq((100.0, "z")).toDF("d", "v").coalesce(1))
+    // the NaN file has no usable bounds → never pruned; results stay exact
+    assert(st.read("t").filter(col("d") === 1.0).collect()
+      .map(_.getString(1)).toSeq === Seq("a"))
+    assert(st.read("t").filter(col("d").isNaN).collect()
+      .map(_.getString(1)).toSeq === Seq("n"))
+    assert(st.read("t").count() === 3L)
+  }
+
+  test("zone-less tables get a consolidated file too (lengths only, no probing)") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val st = newStore()
+    st.create("t", schema) // no zone columns
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    val fs = new HPath(st.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cons = new HPath(st.root,
+      f"t/manifest-${st.currentVersion("t")}%06d.stats.json")
+    assert(fs.exists(cons))
+    // planning reads statuses from the recorded lengths: deleting a data
+    // file is only discovered at EXECUTION (scan), not at plan time
+    val df = st.read("t")
+    assert(df.count() === 1L)
+  }
+
   test("expireSnapshots deletes unreferenced files, keeps current readable") {
     val st = newStore()
     st.create("t", schema)
