@@ -32,6 +32,14 @@ import org.apache.spark.sql.types.StructType
   *   - `manifest-<n>.txt`          — newline list of live data file names
   *   - `manifest-<n>.appended`     — files that commit LOGICALLY appended
   *                                   (drives compaction-safe incremental reads)
+  *   - `manifest-<n>.stats.json`   — consolidated snapshot metadata:
+  *                                   `{"stats": {file: {col: [min,max]}},
+  *                                   "len": {file: bytes}}` — one read plans
+  *                                   a scan (zone pruning + statuses), no
+  *                                   FS listing; unreadable = fail open
+  *   - `stats/<file>.json`         — per-file zone sidecar written with the
+  *                                   data file (feeds consolidation; legacy
+  *                                   read fallback)
   *   - `_fields.json`              — field-id catalog: logical→physical
   *                                   column names (metadata-only rename/drop);
   *                                   absent = identity
