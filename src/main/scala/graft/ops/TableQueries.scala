@@ -62,7 +62,63 @@ object TableQueries {
       |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Time travel under the oracle: orders lands in two commits split by a
+    * key predicate; reading the FIRST snapshot back (through the zone-map
+    * index, filtered) must equal the plain SQL over the first batch's
+    * predicate — proving historical reads return exactly the committed
+    * snapshot, not the live table. */
+  private def tblTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-travel", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("orders", ord.filter(col("o_orderkey") <= 1000L)
+      .repartitionByRange(2, col("o_orderkey")))
+    val v1 = store.currentVersion("orders")
+    store.append("orders", ord.filter(col("o_orderkey") > 1000L))
+    store.readVersion("orders", v1)
+      .filter(col("o_orderkey") >= 200L) // zone-prunes the old snapshot too
+      .orderBy("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+  }
+
+  private val tblTimeTravelSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_orderkey <= 1000 AND o_orderkey >= 200
+      |ORDER BY o_orderkey, o_custkey, o_totalprice, o_orderstatus""".stripMargin
+
+  /** Compaction-safe incremental read under the oracle: snapshot, COMPACT
+    * (which rewrites every file but appends no rows), then append a second
+    * batch — `readAppendedSince(snapshot)` must deliver exactly the second
+    * batch, never re-delivering compacted rows. The equivalent failure in
+    * a file-diff-based incremental consumer is silent double-processing. */
+  private def tblIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-incr", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("orders", ord.filter(col("o_orderkey") <= 1000L)
+      .repartitionByRange(2, col("o_orderkey")))
+    val v1 = store.currentVersion("orders")
+    store.compact("orders", numFiles = 2)
+    store.append("orders", ord.filter(col("o_orderkey") > 1000L))
+    store.readAppendedSince("orders", v1)
+      .orderBy("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+  }
+
+  private val tblIncrementalSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_orderkey > 1000
+      |ORDER BY o_orderkey, o_custkey, o_totalprice, o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)),
-    Q("tbl_skipping_scan", tblSkippingScan, Some(tblSkippingScanSql)))
+    Q("tbl_skipping_scan", tblSkippingScan, Some(tblSkippingScanSql)),
+    Q("tbl_time_travel", tblTimeTravel, Some(tblTimeTravelSql)),
+    Q("tbl_incremental", tblIncremental, Some(tblIncrementalSql)))
 }
