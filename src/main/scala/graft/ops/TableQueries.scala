@@ -116,9 +116,43 @@ object TableQueries {
       |FROM orders WHERE o_orderkey > 1000
       |ORDER BY o_orderkey, o_custkey, o_totalprice, o_orderstatus""".stripMargin
 
+  /** Schema evolution under the oracle: the table starts WITHOUT
+    * o_totalprice, evolves it in (addColumns) between two appends, then
+    * renames o_custkey — all metadata-only. The read must backfill null
+    * for pre-evolution rows and serve the rename without touching a data
+    * file; the oracle expresses the same history as a CASE over the
+    * ingest predicate plus a column alias. */
+  private def tblEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-evolve", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val original = StructType(ord.schema.fields.dropRight(1))
+    store.create("orders", original, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("orders", ord.filter(col("o_orderkey") <= 1000L)
+      .drop("o_totalprice"))
+    store.addColumns("orders",
+      StructType(Seq(StructField("o_totalprice", DoubleType))))
+    store.append("orders", ord.filter(col("o_orderkey") > 1000L))
+    store.renameColumn("orders", "o_custkey", "customer")
+    store.read("orders")
+      .filter(col("o_orderkey") <= 2000L)
+      .orderBy("o_orderkey", "customer", "o_orderstatus", "o_totalprice")
+  }
+
+  private val tblEvolutionSql =
+    """SELECT o_orderkey, o_custkey AS customer, o_orderstatus,
+      |  CASE WHEN o_orderkey > 1000 THEN o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey <= 2000
+      |ORDER BY o_orderkey, customer, o_orderstatus, o_totalprice""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)),
     Q("tbl_skipping_scan", tblSkippingScan, Some(tblSkippingScanSql)),
     Q("tbl_time_travel", tblTimeTravel, Some(tblTimeTravelSql)),
-    Q("tbl_incremental", tblIncremental, Some(tblIncrementalSql)))
+    Q("tbl_incremental", tblIncremental, Some(tblIncrementalSql)),
+    Q("tbl_evolution", tblEvolution, Some(tblEvolutionSql)))
 }
