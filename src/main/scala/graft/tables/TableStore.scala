@@ -460,7 +460,11 @@ final class TableStore(spark: SparkSession, val root: String,
     // O(manifest) — no recursive listing of a possibly-huge data dir.
     // Legacy files (predating consolidation) fall back to one
     // getFileStatus each and are recorded on the table's next commit.
-    val lens = readConsolidated(name, version)._2
+    // a non-positive recorded length is corrupt metadata (a parquet file
+    // is never empty — footer magic alone is 8 bytes): trusting it would
+    // fabricate a zero-length split and silently DROP the file's rows, so
+    // such entries fall back to getFileStatus like missing ones
+    val lens = readConsolidated(name, version)._2.filter(_._2 > 0)
     val blockSize = fs.getDefaultBlockSize(dataDir(name))
     def statusOf(r: String): org.apache.hadoop.fs.FileStatus = {
       val p = new HPath(dataDir(name), r)

@@ -654,6 +654,14 @@ class TableStoreSpec extends SparkSpec {
     // file is only discovered at EXECUTION (scan), not at plan time
     val df = st.read("t")
     assert(df.count() === 1L)
+
+    // corrupt-but-parseable lengths (zeros) must not fabricate empty
+    // splits and silently drop rows — they fall back to getFileStatus
+    val rel = st.currentRelPaths("t").head
+    val out = fs.create(cons, true)
+    out.write(s"""{"stats": {}, "len": {"$rel": 0}}""".getBytes("UTF-8"))
+    out.close()
+    assert(st.read("t").count() === 1L)
   }
 
   test("expireSnapshots deletes unreferenced files, keeps current readable") {
