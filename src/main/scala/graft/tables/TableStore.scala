@@ -456,22 +456,26 @@ final class TableStore(spark: SparkSession, val root: String,
     val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
     val pCols = partitionCols(name) // physical names, layout order
     // file statuses WITHOUT touching the filesystem: lengths were recorded
-    // in the snapshot's consolidated file at commit time, so planning is
-    // O(manifest) — no recursive listing of a possibly-huge data dir.
-    // Legacy files (predating consolidation) fall back to one
-    // getFileStatus each and are recorded on the table's next commit.
-    // a non-positive recorded length is corrupt metadata (a parquet file
-    // is never empty — footer magic alone is 8 bytes): trusting it would
-    // fabricate a zero-length split and silently DROP the file's rows, so
-    // such entries fall back to getFileStatus like missing ones
-    val lens = readConsolidated(name, version)._2.filter(_._2 > 0)
+    // in the snapshot's consolidated file at commit time (validated there
+    // — non-positive/malformed entries are dropped at parse), so planning
+    // is O(manifest) — no recursive listing of a possibly-huge data dir.
+    // ONE consolidated read serves both the statuses and the zone stats.
+    val cons = readConsolidated(name, version)
+    val lens = cons.map(_._2).getOrElse(Map.empty[String, Long])
+    // legacy snapshots (no usable lengths) pay ONE recursive listing, not
+    // a getFileStatus round-trip per file; a manifest entry the listing
+    // misses is real corruption — getFileStatus then throws loudly
+    val listed: Map[String, org.apache.hadoop.fs.FileStatus] =
+      if (rels.forall(lens.contains)) Map.empty
+      else listStatusRec(dataDir(name))
+        .map(s => relativize(dataDir(name), s.getPath) -> s).toMap
     val blockSize = fs.getDefaultBlockSize(dataDir(name))
     def statusOf(r: String): org.apache.hadoop.fs.FileStatus = {
       val p = new HPath(dataDir(name), r)
       lens.get(r) match {
         case Some(len) =>
           new org.apache.hadoop.fs.FileStatus(len, false, 1, blockSize, 0L, p)
-        case None => fs.getFileStatus(p)
+        case None => listed.getOrElse(r, fs.getFileStatus(p))
       }
     }
     val groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[org.apache.hadoop.fs.FileStatus])] =
@@ -488,7 +492,7 @@ final class TableStore(spark: SparkSession, val root: String,
     // (bare file names can collide across write batches in different
     // partition directories)
     val idx = new ZoneMapFileIndex(groups,
-      loadZoneStats(name, rels, version).map { case (k, v) =>
+      zoneStatsFrom(name, rels, cons).map { case (k, v) =>
         new HPath(dataDir(name), k).toString -> v },
       Seq(dataDir(name)), pSchema)
     val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
@@ -521,6 +525,16 @@ final class TableStore(spark: SparkSession, val root: String,
         physSch(physSch.fieldIndex(c)).dataType, Some(zone)).eval(null)
     }
     org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+  }
+
+  /** Recursive file statuses under `dir` — the legacy-snapshot fallback
+    * when a consolidated file has no usable lengths. */
+  private def listStatusRec(dir: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(dir)) return Nil
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) buf += it.next()
+    buf.result()
   }
 
   /** Zone-pruned range scan: files whose zone-map range cannot intersect
@@ -838,34 +852,94 @@ final class TableStore(spark: SparkSession, val root: String,
   private def statsManifestPath(name: String, version: Int): HPath =
     new HPath(tdir(name), f"manifest-$version%06d.stats.json")
 
-  /** One snapshot's consolidated file, parsed leniently: (rel → raw
-    * per-file stats JSON, rel → file length). Both empty when the file is
-    * absent (legacy table) or unreadable (fail OPEN — a corrupt stats
-    * file must never brick reads or subsequent commits; the next commit
-    * rebuilds from sidecars / getFileStatus). */
+  /** One snapshot's consolidated file, fully parsed and VALIDATED:
+    * (rel → zone bounds, rel → file length). `None` = file absent or
+    * wholly unreadable (legacy table / gross corruption) — readers fall
+    * back to sidecars or a listing, and the next commit rebuilds.
+    * Individual malformed entries (wrong-shape stats node, non-positive
+    * or non-numeric length) are DROPPED here, so corruption is scrubbed
+    * rather than carried forward by commit consolidation; a dropped
+    * entry only widens a scan, never fails it. */
   private def readConsolidated(name: String, version: Int)
-      : (Map[String, String], Map[String, Long]) = {
+      : Option[(Map[String, Map[String, (Any, Any)]], Map[String, Long])] = {
     try {
       val p = statsManifestPath(name, version)
-      if (!fs.exists(p)) (Map.empty, Map.empty)
+      if (!fs.exists(p)) None
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(readString(p))
-        def entries[A](key: String,
-            f: com.fasterxml.jackson.databind.JsonNode => A): Map[String, A] =
-          Option(root.get(key)).map { node =>
-            val it = node.properties().iterator()
-            val b = Map.newBuilder[String, A]
-            while (it.hasNext) {
-              val e = it.next()
-              b += e.getKey -> f(e.getValue)
-            }
-            b.result()
-          }.getOrElse(Map.empty)
-        (entries("stats", _.toString), entries("len", _.longValue()))
+        val fc = floatZoneCols(name)
+        val stats = Option(root.get("stats")).map { node =>
+          val it = node.properties().iterator()
+          val b = Map.newBuilder[String, Map[String, (Any, Any)]]
+          while (it.hasNext) {
+            val e = it.next()
+            val cols = parseFileStats(fc, e.getValue)
+            if (cols.nonEmpty) b += e.getKey -> cols
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, Map[String, (Any, Any)]])
+        val lens = Option(root.get("len")).map { node =>
+          val it = node.properties().iterator()
+          val b = Map.newBuilder[String, Long]
+          while (it.hasNext) {
+            val e = it.next()
+            val v = e.getValue
+            // a parquet file is never empty (footer magic is 8 bytes) — a
+            // non-positive length would fabricate an empty split and
+            // silently drop the file's rows
+            if (v.isIntegralNumber && v.longValue() > 0)
+              b += e.getKey -> v.longValue()
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, Long])
+        Some((stats, lens))
       }
     } catch {
-      case scala.util.control.NonFatal(_) => (Map.empty, Map.empty)
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** `{col: [min, max]}` stats node → validated bounds map. Wrong-shape
+    * nodes and null bounds are simply absent (= "unknown, keep the
+    * file"). Bounds of FloatType zone columns are re-widened to the
+    * float's EXACT double (`toFloat.toDouble`, idempotent): stats written
+    * before the widening fix were printed at float precision and would
+    * rank below a widened filter literal, mis-pruning the file that
+    * holds the matching rows. */
+  private def parseFileStats(floatCols: Set[String],
+      node: com.fasterxml.jackson.databind.JsonNode): Map[String, (Any, Any)] = {
+    def v(n: com.fasterxml.jackson.databind.JsonNode, widen: Boolean): Any =
+      if (n.isTextual) n.textValue()
+      else if (n.isIntegralNumber) n.longValue()
+      else if (widen) n.doubleValue().toFloat.toDouble
+      else n.doubleValue()
+    val cols = node.properties().iterator()
+    val b = Map.newBuilder[String, (Any, Any)]
+    while (cols.hasNext) {
+      val e = cols.next()
+      val s = e.getValue
+      if (s.isArray && s.size == 2 &&
+          !s.get(0).isNull && !s.get(1).isNull &&
+          (s.get(0).isNumber || s.get(0).isTextual) &&
+          (s.get(1).isNumber || s.get(1).isTextual)) {
+        val widen = floatCols.contains(e.getKey)
+        b += e.getKey -> ((v(s.get(0), widen), v(s.get(1), widen)))
+      }
+    }
+    b.result()
+  }
+
+  /** Physical names of FloatType zone columns (need bound re-widening). */
+  private def floatZoneCols(name: String): Set[String] = {
+    val zc = zoneCols(name)
+    if (zc.isEmpty) Set.empty
+    else {
+      val m = physMap(name)
+      schema(name).fields.iterator.collect {
+        case f if f.dataType == org.apache.spark.sql.types.FloatType &&
+            zc.contains(physOf(m, f.name)) => physOf(m, f.name)
+      }.toSet
     }
   }
 
@@ -889,60 +963,40 @@ final class TableStore(spark: SparkSession, val root: String,
     case other => other.toString // numeric only — enforced at create()
   }
 
-  /** Per-file zone ranges of `relPaths`: file → zone column (physical
-    * name) → (min, max). Files without stats and columns with null bounds
-    * are simply ABSENT — both pruning paths treat absence as "unknown,
-    * keep". Served from the CURRENT snapshot's consolidated stats file
-    * (one FS read, written at commit); tables whose history predates
-    * consolidation fall back to the per-file sidecars (O(files) reads,
-    * self-heals on their next commit). */
-  private def loadZoneStats(name: String, relPaths: Seq[String],
-      version: Int): Map[String, Map[String, (Any, Any)]] = {
+  /** Per-file zone ranges of `relPaths` from an already-read consolidated
+    * result: file → zone column (physical name) → (min, max). Files
+    * without stats and columns with null bounds are simply ABSENT — both
+    * pruning paths treat absence as "unknown, keep". `cons` present =
+    * complete for the snapshot by the commit invariant (no per-file
+    * reads); absent = legacy table, fall back to the per-file sidecars
+    * (O(files) reads, self-heals on the table's next commit). */
+  private def zoneStatsFrom(name: String, relPaths: Seq[String],
+      cons: Option[(Map[String, Map[String, (Any, Any)]], Map[String, Long])])
+      : Map[String, Map[String, (Any, Any)]] = {
     // a table with no zone columns has no stats anywhere — skip even the
-    // consolidated read (and, on legacy tables, the O(files) sidecar probes)
+    // legacy O(files) sidecar probes
     if (zoneCols(name).isEmpty) return Map.empty
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def jsonVal(n: com.fasterxml.jackson.databind.JsonNode): Any =
-      if (n.isTextual) n.textValue()
-      else if (n.isIntegralNumber) n.longValue()
-      else n.doubleValue()
-    def parse(node: com.fasterxml.jackson.databind.JsonNode)
-        : Map[String, (Any, Any)] = {
-      val cols = node.properties().iterator()
-      val b = Map.newBuilder[String, (Any, Any)]
-      while (cols.hasNext) {
-        val e = cols.next()
-        val s = e.getValue
-        if (!s.get(0).isNull && !s.get(1).isNull)
-          b += e.getKey -> ((jsonVal(s.get(0)), jsonVal(s.get(1))))
-      }
-      b.result()
-    }
-    // stats are a pure optimization: an unreadable or corrupt stats file
-    // must degrade to "no pruning", never fail the read
-    def safely[A](a: => Option[A]): Option[A] =
-      try a catch { case scala.util.control.NonFatal(_) => None }
-    val cons = statsManifestPath(name, version)
-    safely {
-      if (!fs.exists(cons)) None
-      else {
-        // complete for the snapshot by the commit invariant — no per-file reads
-        val root = mapper.readTree(readString(cons))
-        Option(root.get("stats")).map { sroot =>
-          relPaths.flatMap(rel =>
-            Option(sroot.get(rel)).map(n => rel -> parse(n))).toMap
-        }
-      }
-    }.getOrElse {
-      relPaths.flatMap { rel =>
-        safely {
-          val sp = statsPath(name, rel)
-          if (!fs.exists(sp)) None
-          else Some(rel -> parse(mapper.readTree(readString(sp))))
-        }
-      }.toMap
+    cons match {
+      case Some((stats, _)) =>
+        relPaths.flatMap(rel => stats.get(rel).map(rel -> _)).toMap
+      case None =>
+        val fc = floatZoneCols(name)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        relPaths.flatMap { rel =>
+          // stats are a pure optimization: an unreadable sidecar degrades
+          // to "no pruning for that file", never a failed read
+          try {
+            val sp = statsPath(name, rel)
+            if (!fs.exists(sp)) None
+            else Some(rel -> parseFileStats(fc, mapper.readTree(readString(sp))))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.toMap
     }
   }
+
+  private def loadZoneStats(name: String, relPaths: Seq[String],
+      version: Int): Map[String, Map[String, (Any, Any)]] =
+    zoneStatsFrom(name, relPaths, readConsolidated(name, version))
 
   /** Prune manifest files by zone overlap with the batch's key bounds.
     * Files without stats (or non-comparable bounds) stay candidates. */
@@ -1078,21 +1132,35 @@ final class TableStore(spark: SparkSession, val root: String,
       // consolidated per-snapshot metadata for THIS commit — zone stats
       // AND file lengths, so planning a scan needs no FS listing at all:
       // carried files copy their entries from the previous snapshot's
-      // consolidated file (one read); fresh files read the sidecar
-      // writeZoneStats just wrote / one getFileStatus (page-hot,
-      // O(new files)). A legacy table's first commit here pays one
-      // O(files) sweep and is consolidated thereafter. Files with no
-      // stats anywhere stay absent = never pruned.
+      // consolidated file (one read, re-VALIDATED at parse so corrupt or
+      // pre-widening entries are scrubbed instead of propagated); fresh
+      // files read the sidecar writeZoneStats just wrote / one
+      // getFileStatus (page-hot, O(new files)). A legacy table's first
+      // commit here pays one O(files) sweep and is consolidated
+      // thereafter. Files with no stats anywhere stay absent = never
+      // pruned.
       val (prevStats, prevLens) =
-        if (head > 0) readConsolidated(name, head)
-        else (Map.empty[String, String], Map.empty[String, Long])
+        (if (head > 0) readConsolidated(name, head) else None)
+          .getOrElse((Map.empty[String, Map[String, (Any, Any)]],
+            Map.empty[String, Long]))
+      val fc = floatZoneCols(name)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def sidecarStats(rel: String): Option[Map[String, (Any, Any)]] =
+        try {
+          val sp = statsPath(name, rel)
+          if (!fs.exists(sp)) None
+          else Some(parseFileStats(fc, mapper.readTree(readString(sp))))
+        } catch { case scala.util.control.NonFatal(_) => None }
       val statEntries =
         if (zoneCols(name).isEmpty) Nil
         else files.flatMap { rel =>
-          prevStats.get(rel).orElse {
-            val sp = statsPath(name, rel)
-            if (fs.exists(sp)) Some(readString(sp)) else None
-          }.map(raw => s"${statJson(rel)}: $raw")
+          prevStats.get(rel).orElse(sidecarStats(rel))
+            .filter(_.nonEmpty).map { cols =>
+              val body = cols.map { case (c, (mn, mx)) =>
+                s"${statJson(c)}: [${statJson(mn)}, ${statJson(mx)}]"
+              }.mkString("{", ",", "}")
+              s"${statJson(rel)}: $body"
+            }
         }
       val lenEntries = files.map { rel =>
         val len = prevLens.getOrElse(rel,

@@ -600,6 +600,7 @@ class TableStoreSpec extends SparkSpec {
 
   test("float zone column: stats widen exactly, equality literals never mis-prune") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.hadoop.fs.{Path => HPath}
     import graft.tables.ZoneMapFileIndex
     val st = newStore()
     st.create("t", StructType(Seq(
@@ -621,6 +622,22 @@ class TableStoreSpec extends SparkSpec {
     val hi = st.read("t").filter(col("f") >= 10.0f)
     assert(hi.collect().map(_.getString(1)).sorted.toSeq === Seq("c", "d"))
     assert(counts(hi) === Some((2, 1)))
+
+    // legacy narrow-printed float stats (pre-widening format) HEAL on
+    // read: simulate a legacy table — no consolidated files, a sidecar
+    // holding Float.toString bounds — and the 2.7f row must still match
+    val fs = new HPath(st.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (1 to st.currentVersion("t")).foreach { v =>
+      fs.delete(new HPath(st.root, f"t/manifest-$v%06d.stats.json"), false)
+    }
+    val rel1 = st.currentRelPaths("t").head // first append's file: (1.1f, 2.7f)
+    val sc = new HPath(st.root, s"t/stats/${rel1.replace("/", "__")}.json")
+    val o = fs.create(sc, true)
+    o.write("""{"f": [1.1, 2.7]}""".getBytes("UTF-8")); o.close()
+    val legacy = st.read("t").filter(col("f") === 2.7f)
+    assert(legacy.collect().map(_.getString(1)).toSeq === Seq("b"))
+    assert(counts(legacy) === Some((2, 1)))
   }
 
   test("NaN zone values degrade to no-stats; commits and reads continue") {
