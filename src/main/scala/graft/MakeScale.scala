@@ -28,6 +28,9 @@ object MakeScale {
     spark.sparkContext.setLogLevel("WARN")
     val B = 100000000L // key-shift stride per replica
 
+    // replicas must read back exactly like the originals do through the
+    // gate path, so timestamp spellings (incl. TIMESTAMP_NTZ) pass
+    // through unchanged — Events.ev owns the NTZ handling
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -47,13 +50,17 @@ object MakeScale {
     write("orders", replicate(t("orders"), Seq("o_orderkey", "o_custkey")))
     write("lineitem", replicate(t("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")))
-    // events carries TIMESTAMP(NANOS): read ns-as-long (same conf
-    // Events.ev uses) and write back as µs TimestampType — the exact
-    // truncation the gates apply, and a type DuckDB can DATE_TRUNC
+    // legacy ns fixtures carry TIMESTAMP(NANOS): read ns-as-long (same
+    // conf Events.ev uses) and write back as µs TimestampType — the
+    // exact truncation the gates apply, and a type DuckDB can
+    // DATE_TRUNC. Current fixtures are already µs and pass through.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write("events", replicate(
-      t("events").withColumn("ts", timestamp_micros(expr("ts div 1000"))),
-      Seq("event_id", "user_id")))
+    val evRaw = t("events")
+    val ev =
+      if (evRaw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else evRaw
+    write("events", replicate(ev, Seq("event_id", "user_id")))
     write("documents", replicate(t("documents"), Seq("doc_id"),
       (d, k) => if (k == 0) d
         else d.withColumn("text", concat(col("text"), lit(s" r$k")))))

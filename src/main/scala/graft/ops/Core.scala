@@ -15,7 +15,16 @@ final case class Q(
     oracle: Option[String])
 
 object Tables {
-  /** All testdata tables are single parquet files `<dir>/<name>.parquet`. */
+  /** All testdata tables are single parquet files `<dir>/<name>.parquet`.
+    *
+    * Timestamp columns read back as whatever the fixture spells
+    * (pandas-written `timestamp[us]`, `isAdjustedToUTC=false` →
+    * TIMESTAMP_NTZ) and are deliberately NOT normalized here: the DuckDB
+    * oracle returns tz-NAIVE values for the same files, so a gate that
+    * emits a raw timestamp column must emit NTZ to value-match. The one
+    * exception is the events stream table, whose `ts` needs session-zoned
+    * TimestampType for watermarks/`unix_micros` — [[Events.ev]] owns that
+    * cast (UTC session: same instant). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 }

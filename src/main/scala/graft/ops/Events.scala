@@ -28,10 +28,17 @@ object Events {
       // materialize the schema now, while the conf is in force
       raw.schema
       raw.schema("ts").dataType match {
-        // driver testdata: ns-as-long → truncate to µs TimestampType
+        // legacy driver testdata: ns-as-long → truncate to µs TimestampType
         case LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        // already a timestamp (µs) — e.g. MakeScale-synthesized dirs
+        // current driver testdata: µs TIMESTAMP_NTZ (pandas-written,
+        // isAdjustedToUTC=false) — watermarks and unix_micros refuse NTZ,
+        // so cast to session-zoned TimestampType; the session runs UTC,
+        // so every wall value maps to the instant DuckDB computes with
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        // already a µs TimestampType — e.g. MakeScale-synthesized dirs
         case _ => raw
       }
     } finally prior match {

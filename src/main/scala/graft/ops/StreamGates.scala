@@ -95,7 +95,12 @@ object StreamGates {
     val p = new HPath(s"$dir/$table.parquet")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.getFileStatus(p)
-    s"${st.getModificationTime}:${st.getLen}:$recipe"
+    // the PARSED schema participates too: the same bytes can read back
+    // differently when type-inference behavior changes (e.g. a fixture
+    // regenerated from ns-long to µs TIMESTAMP_NTZ), and staged payload
+    // rendering follows the read types
+    val sch = spark.read.parquet(p.toString).schema.catalogString
+    s"${st.getModificationTime}:${st.getLen}:${sch.hashCode}:$recipe"
   }
 
   /** Run `transform` over a staged directory as a real streaming query
