@@ -149,10 +149,74 @@ object TableQueries {
       |FROM orders WHERE o_orderkey <= 2000
       |ORDER BY o_orderkey, customer, o_orderstatus, o_totalprice""".stripMargin
 
+  /** Bloom-filter point-lookup skipping under the oracle: orders is
+    * range-clustered on o_orderkey, so o_custkey values are SCATTERED —
+    * zone maps cannot prune an o_custkey equality at all. Per-file bloom
+    * sidecars can: the plain `read().filter(custkey IN ...)` path probes
+    * each candidate file's bloom at plan time and must still reproduce
+    * the full-table filter exactly (false positives only ever KEEP a
+    * file). Pruning effectiveness is pinned in TableStoreSpec. */
+  private def tblBloomScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-bloom", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"),
+      bloomItems = 20000)
+    store.append("orders", ord.repartitionByRange(8, col("o_orderkey")))
+    store.read("orders")
+      .filter(col("o_custkey").isin(7L, 11L, 13L))
+      .orderBy("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+  }
+
+  private val tblBloomScanSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_custkey IN (7, 11, 13)
+      |ORDER BY o_orderkey, o_custkey, o_totalprice, o_orderstatus""".stripMargin
+
+  /** Metadata-only aggregates under the oracle: count(*) and column
+    * min/max answered from the snapshot's consolidated per-file stats —
+    * no data file scanned (TableStoreSpec proves that by corrupting the
+    * data files first). The table mutates (CoW delete) between append
+    * and read, so the gate also pins that rewrites keep the recorded
+    * counts/bounds exact, not merely monotone. */
+  private def tblMetaAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-meta", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey", "o_totalprice"))
+    store.append("orders", ord.repartitionByRange(4, col("o_orderkey")))
+    store.delete("orders", col("o_orderkey") % 10 === 3)
+    // metadata-ONLY path: a fallback (None) is a regression, fail loudly
+    val cnt = store.rowCount("orders").getOrElse(
+      sys.error("tbl_meta_agg: no metadata row count"))
+    val (kLo, kHi) = store.columnRange("orders", "o_orderkey").getOrElse(
+      sys.error("tbl_meta_agg: no o_orderkey bounds"))
+    val (pLo, pHi) = store.columnRange("orders", "o_totalprice").getOrElse(
+      sys.error("tbl_meta_agg: no o_totalprice bounds"))
+    import spark.implicits._
+    Seq((cnt, kLo.asInstanceOf[Long], kHi.asInstanceOf[Long],
+        pLo.asInstanceOf[Double], pHi.asInstanceOf[Double]))
+      .toDF("cnt", "min_key", "max_key", "min_price", "max_price")
+  }
+
+  private val tblMetaAggSql =
+    """SELECT count(*) AS cnt,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)),
     Q("tbl_skipping_scan", tblSkippingScan, Some(tblSkippingScanSql)),
     Q("tbl_time_travel", tblTimeTravel, Some(tblTimeTravelSql)),
     Q("tbl_incremental", tblIncremental, Some(tblIncrementalSql)),
-    Q("tbl_evolution", tblEvolution, Some(tblEvolutionSql)))
+    Q("tbl_evolution", tblEvolution, Some(tblEvolutionSql)),
+    Q("tbl_bloom_scan", tblBloomScan, Some(tblBloomScanSql)),
+    Q("tbl_meta_agg", tblMetaAgg, Some(tblMetaAggSql)))
 }

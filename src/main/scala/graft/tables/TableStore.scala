@@ -158,26 +158,43 @@ final class TableStore(spark: SparkSession, val root: String,
     * time (the managed-table analogue of Iceberg partition pruning,
     * SURVEY.md §4). */
   def create(name: String, schema: StructType, overwrite: Boolean = false,
-      partitionBy: Seq[String] = Nil, zoneCols: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, zoneCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomItems: Long = TableStore.DefaultBloomItems): Unit = {
     val d = tdir(name)
     if (fs.exists(d)) {
       require(overwrite, s"table $name already exists")
       fs.delete(d, true)
     }
     catalogCache -= name // a re-created table starts with identity mapping
-    (partitionBy ++ zoneCols).foreach(c => require(schema.fieldNames.contains(c),
-      s"column $c not in schema"))
+    (partitionBy ++ zoneCols ++ bloomCols).foreach(c =>
+      require(schema.fieldNames.contains(c), s"column $c not in schema"))
     zoneCols.foreach { c =>
       val dt = schema(schema.fieldIndex(c)).dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
         dt == org.apache.spark.sql.types.StringType,
         s"zone column $c must be numeric or string, got ${dt.simpleString}")
     }
+    bloomCols.foreach { c =>
+      val dt = schema(schema.fieldIndex(c)).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.StringType).contains(dt),
+        s"bloom column $c must be integral or string, got ${dt.simpleString}")
+    }
+    require(bloomItems > 0, "bloomItems must be positive")
     fs.mkdirs(dataDir(name))
     fs.mkdirs(new HPath(d, "stats"))
+    if (bloomCols.nonEmpty) fs.mkdirs(new HPath(d, "bloom"))
     writeString(new HPath(d, "_schema.json"), schema.json)
     writeString(new HPath(d, "_partitions"), partitionBy.mkString(","))
     writeString(new HPath(d, "_zonecols"), zoneCols.mkString(","))
+    if (bloomCols.nonEmpty) {
+      writeString(new HPath(d, "_bloomcols"), bloomCols.mkString(","))
+      writeString(new HPath(d, "_bloomitems"), bloomItems.toString)
+    }
     commitManifest(name, Nil, Nil)
   }
 
@@ -192,6 +209,23 @@ final class TableStore(spark: SparkSession, val root: String,
     val p = new HPath(tdir(name), "_partitions")
     if (!fs.exists(p)) Nil
     else readString(p).trim.split(",").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Columns with a per-file Bloom filter (point-lookup file skipping).
+    * Zone maps only prune when the table is CLUSTERED on the column; a
+    * bloom prunes equality probes on any layout — the complement Iceberg
+    * ships as puffin blobs / parquet bloom pages. Physical names. */
+  def bloomCols(name: String): Seq[String] = {
+    val p = new HPath(tdir(name), "_bloomcols")
+    if (!fs.exists(p)) Nil
+    else readString(p).trim.split(",").toSeq.filter(_.nonEmpty)
+  }
+
+  private def bloomItems(name: String): Long = {
+    val p = new HPath(tdir(name), "_bloomitems")
+    if (!fs.exists(p)) TableStore.DefaultBloomItems
+    else scala.util.Try(readString(p).trim.toLong).toOption
+      .filter(_ > 0).getOrElse(TableStore.DefaultBloomItems)
   }
 
   def drop(name: String): Unit = {
@@ -411,6 +445,8 @@ final class TableStore(spark: SparkSession, val root: String,
         s"cannot drop partition column $colName")
       require(!zoneCols(name).contains(physOf(m, colName)),
         s"cannot drop zone column $colName")
+      require(!bloomCols(name).contains(physOf(m, colName)),
+        s"cannot drop bloom column $colName")
       val cat = materializeCatalog(name)
       val (gone, kept) = cat.fields.partition(_.name == colName)
       writeCatalog(name, cat.copy(fields = kept,
@@ -461,7 +497,7 @@ final class TableStore(spark: SparkSession, val root: String,
     // is O(manifest) — no recursive listing of a possibly-huge data dir.
     // ONE consolidated read serves both the statuses and the zone stats.
     val cons = readConsolidated(name, version)
-    val lens = cons.map(_._2).getOrElse(Map.empty[String, Long])
+    val lens = cons.map(_.lens).getOrElse(Map.empty[String, Long])
     // legacy snapshots (no usable lengths) pay ONE recursive listing, not
     // a getFileStatus round-trip per file; a manifest entry the listing
     // misses is real corruption — getFileStatus then throws loudly
@@ -491,10 +527,19 @@ final class TableStore(spark: SparkSession, val root: String,
     // the index looks stats up by FULL path — rel-unique by construction
     // (bare file names can collide across write batches in different
     // partition directories)
+    // the bloom loader keys by FULL path like the stats map; rel path is
+    // recovered by stripping the data dir prefix
+    val dataDirStr = fs.makeQualified(dataDir(name)).toString
     val idx = new ZoneMapFileIndex(groups,
       zoneStatsFrom(name, rels, cons).map { case (k, v) =>
         new HPath(dataDir(name), k).toString -> v },
-      Seq(dataDir(name)), pSchema)
+      Seq(dataDir(name)), pSchema,
+      bloomCols(name).toSet,
+      (path, c) => {
+        val qualified = fs.makeQualified(new HPath(path)).toString
+        if (!qualified.startsWith(dataDirStr + "/")) None
+        else loadBloom(name, qualified.stripPrefix(dataDirStr + "/"), c)
+      })
     val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
@@ -704,10 +749,14 @@ final class TableStore(spark: SparkSession, val root: String,
     var carried = currentRelPaths(name)
     var rewritten = Seq.empty[String]
     if (carried.nonEmpty) {
-      // Stage 1 — zone pruning: discard files whose key range cannot
-      // intersect the batch, from manifest stats alone (no file opened).
-      val candidates = pruneByZones(name, carried,
-        keyBounds(name, distinctKeys, keyCols))
+      // Stage 1 — metadata pruning: zone maps discard files whose key
+      // RANGE cannot intersect the batch (clustered layouts); blooms then
+      // discard survivors that provably hold NONE of the batch's keys
+      // (any layout — the random-key CDC case zone maps can't touch).
+      // Manifest + sidecar reads only, no data file opened.
+      val candidates = pruneByBlooms(name,
+        pruneByZones(name, carried, keyBounds(name, distinctKeys, keyCols)),
+        distinctKeys, keyCols)
       if (candidates.nonEmpty) {
         val candidatePaths = candidates.map(r => new HPath(dataDir(name), r).toString)
         // Stage 2 — exact pruning: a semi join over the candidates marks
@@ -733,12 +782,116 @@ final class TableStore(spark: SparkSession, val root: String,
     commitManifest(name, carried ++ rewritten ++ appended, appended)
   }
 
-  /** Zone-pruned candidate files for a key batch — exposed for tests and
-    * for callers that want to observe skipping behavior. */
+  /** Zone- AND bloom-pruned candidate files for a key batch — exposed for
+    * tests and for callers that want to observe skipping behavior. */
   def candidateFilesForKeys(name: String, keys: DataFrame,
-      keyCols: Seq[String]): Seq[String] =
-    pruneByZones(name, currentRelPaths(name),
-      keyBounds(name, keys.select(keyCols.map(col): _*).distinct(), keyCols))
+      keyCols: Seq[String]): Seq[String] = {
+    val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
+    pruneByBlooms(name,
+      pruneByZones(name, currentRelPaths(name),
+        keyBounds(name, distinctKeys, keyCols)),
+      distinctKeys, keyCols)
+  }
+
+  // ---- metadata-only aggregates -------------------------------------------
+
+  /** Exact row count WITHOUT scanning data — summed from the snapshot's
+    * per-file counts (recorded at write time; rewrites recompute, so the
+    * sum tracks deletes/compactions exactly). `None` when any current
+    * file predates count recording — the caller falls back to a real
+    * count. At 100 TB this is the Iceberg-manifest trick that answers
+    * `SELECT count(*)` from one metadata file. */
+  def rowCount(name: String): Option[Long] = {
+    val rels = currentRelPaths(name)
+    if (rels.isEmpty) return Some(0L)
+    val rows = readConsolidated(name, currentVersion(name))
+      .map(_.rows).getOrElse(Map.empty)
+    val counts = rels.map(rows.get)
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
+  /** Exact global (min, max) of a ZONE column without scanning data —
+    * folded over the snapshot's per-file bounds. `None` when any current
+    * file lacks a recorded bound for the column (legacy file, or an
+    * all-NaN/all-null file whose bound was recorded as unusable) — the
+    * caller falls back to a real aggregate. NULL SEMANTICS: file bounds
+    * are `min`/`max` aggregates, which ignore nulls, so the result
+    * matches SQL `min(col)`/`max(col)`; a column that is entirely null
+    * in some file simply has no bound there → None → fallback. */
+  def columnRange(name: String, colName: String): Option[(Any, Any)] = {
+    val pc = physOf(physMap(name), colName)
+    require(zoneCols(name).contains(pc),
+      s"$colName is not a zone column of table $name")
+    val rels = currentRelPaths(name)
+    if (rels.isEmpty) return None
+    val stats = loadZoneStats(name, rels, currentVersion(name))
+    val bounds = rels.map(r => stats.get(r).flatMap(_.get(pc)))
+    if (bounds.exists(_.isEmpty)) return None
+    val all = bounds.flatten
+    val lo = all.map(_._1).reduceLeft((a, b) =>
+      if (ZoneStats.cmp(a, b).exists(_ <= 0)) a else b)
+    val hi = all.map(_._2).reduceLeft((a, b) =>
+      if (ZoneStats.cmp(a, b).exists(_ >= 0)) a else b)
+    Some((lo, hi))
+  }
+
+  /** Drop candidate files whose blooms PROVE they hold none of the key
+    * batch's tuples. Zone maps only help when files are clustered on the
+    * key; a CDC batch of RANDOM keys on an unclustered table zone-prunes
+    * nothing — blooms prune per file regardless of layout. Driver-side:
+    * key tuples are collected (bounded by [[TableStore.BloomProbeMaxKeys]];
+    * larger batches skip probing — they touch most files anyway), each
+    * candidate file loads its bloom sidecars lazily. A file survives if
+    * SOME tuple hits ALL of its bloom'd key columns; missing/corrupt
+    * sidecars and non-bloom'd columns count as hits (fail open). */
+  private def pruneByBlooms(name: String, rels: Seq[String],
+      distinctKeys: DataFrame, keyCols: Seq[String]): Seq[String] = {
+    if (rels.isEmpty) return rels
+    val bc = bloomCols(name)
+    if (bc.isEmpty) return rels
+    val m = physMap(name)
+    val probed = keyCols.filter(c => bc.contains(physOf(m, c)))
+    if (probed.isEmpty) return rels
+    val tuples = distinctKeys.select(probed.map(col): _*)
+      .limit(TableStore.BloomProbeMaxKeys + 1).collect()
+    if (tuples.isEmpty || tuples.length > TableStore.BloomProbeMaxKeys) return rels
+    // normalize to the probe domain; a tuple with a null key component
+    // never equality-matches any row and cannot make a file necessary
+    val probeTuples: Seq[Seq[Any]] = tuples.toSeq.flatMap { row =>
+      val vs = probed.indices.map { i =>
+        row.get(i) match {
+          case null       => null
+          case l: Long    => l
+          case i2: Int    => i2.toLong
+          case s: Short   => s.toLong
+          case b: Byte    => b.toLong
+          case s: String  => s
+          case _          => TableStore.Unprobeable
+        }
+      }
+      if (vs.contains(null)) None else Some(vs)
+    }
+    if (probeTuples.isEmpty) return Nil // every tuple had a null key part
+    if (probeTuples.exists(_.contains(TableStore.Unprobeable))) return rels
+    val cache = scala.collection.mutable.Map
+      .empty[(String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
+    def bloomOf(rel: String, pc: String) =
+      cache.getOrElseUpdate((rel, pc), loadBloom(name, rel, pc))
+    rels.filter { rel =>
+      probeTuples.exists { t =>
+        probed.zipWithIndex.forall { case (c, i) =>
+          bloomOf(rel, physOf(m, c)) match {
+            case None => true // no sidecar — keep (fail open)
+            case Some(b) => t(i) match {
+              case l: Long   => b.mightContainLong(l)
+              case s: String => b.mightContainString(s)
+              case _         => true
+            }
+          }
+        }
+      }
+    }
+  }
 
   /** Upsert = applyNet keyed by the new rows themselves. */
   def upsert(name: String, rows: DataFrame, keyCols: Seq[String]): Unit =
@@ -794,6 +947,8 @@ final class TableStore(spark: SparkSession, val root: String,
         val rel = relativize(dataDir(name), p)
         fs.delete(p, false)
         fs.delete(statsPath(name, rel), false)
+        bloomCols(name).foreach(c =>
+          fs.delete(bloomPath(name, rel, c), false))
         ()
       }
     manifests.filterNot(keep.contains).foreach { m =>
@@ -814,28 +969,93 @@ final class TableStore(spark: SparkSession, val root: String,
     * whole table. */
   private def writeZoneStats(name: String, relPaths: Seq[String]): Unit = {
     val zc = zoneCols(name) // physical names — stable across renames
-    if (zc.isEmpty || relPaths.isEmpty) return
+    val bc = bloomCols(name) // physical names
+    if (relPaths.isEmpty) return
+    if (zc.isEmpty && bc.isEmpty) {
+      // no stats job needed — record per-file ROW COUNTS from the fresh
+      // parquet footers (driver-side, O(new files), no cluster job):
+      // metadata-only count(*) still works on stat-less tables
+      relPaths.foreach { rel =>
+        footerRowCount(new HPath(dataDir(name), rel)).foreach { n =>
+          writeString(statsPath(name, rel), s"""{"__rows": $n}""")
+        }
+      }
+      return
+    }
     val m = physMap(name)
     val sch = StructType(schema(name).fields.map(f =>
       f.copy(name = physOf(m, f.name))))
     val paths = relPaths.map(r => new HPath(dataDir(name), r).toString)
     // ONE job for all fresh files (grouped by file), not one per file —
-    // the data is page-cache hot right after the write. (A per-file
-    // footer-only read via aggregate pushdown is the alternative when
-    // re-scanning fresh data is too costly.)
-    val aggs = zc.flatMap(c => Seq(min(col(c)), max(col(c))))
+    // the data is page-cache hot right after the write. Row counts and
+    // per-file blooms ride in the same aggregation as the zone min/max.
+    // (A per-file footer-only read via aggregate pushdown is the
+    // alternative when re-scanning fresh data is too costly.)
+    val items = bloomItems(name)
+    val aggs = (count(lit(1)).as("__n") +:
+      zc.flatMap(c => Seq(min(col(c)), max(col(c))))) ++
+      bc.map(c => graft.functions.BloomAgg.bloom_build(
+        col(c), items, TableStore.BloomFpp))
     val rows = spark.read.schema(sch).parquet(paths: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val byName = rows.map(r => fileName(r.getString(0)) -> r).toMap
     relPaths.foreach { rel =>
       byName.get(fileName(rel)).foreach { row =>
-        val pairs = zc.zipWithIndex.map { case (c, i) =>
-          s""""$c": [${statJson(row.get(2 * i + 1))}, ${statJson(row.get(2 * i + 2))}]"""
+        val zonePairs = zc.zipWithIndex.map { case (c, i) =>
+          s""""$c": [${statJson(row.get(2 * i + 2))}, ${statJson(row.get(2 * i + 3))}]"""
         }
+        val pairs = zonePairs :+ s""""__rows": ${row.getLong(1)}"""
         writeString(statsPath(name, rel), pairs.mkString("{", ",", "}"))
+        bc.zipWithIndex.foreach { case (c, i) =>
+          val bytes = row.getAs[Array[Byte]](2 + 2 * zc.length + i)
+          writeBytes(bloomPath(name, rel, c), bytes)
+        }
       }
     }
+  }
+
+  /** Row count straight from a parquet footer — no Spark job. None on
+    * any failure (stats are an optimization, never a failed write). */
+  private def footerRowCount(p: HPath): Option[Long] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- per-file bloom filters ---------------------------------------------
+
+  /** Bloom sidecar of one (file, column): loaded LAZILY and only for
+    * equality probes on surviving zone-map candidates — a bloom is tens
+    * of KB (vs ~bytes for a zone entry), so consolidating all of them
+    * into the per-snapshot stats file would make every planned scan pay
+    * for point-lookup metadata it rarely needs. At 100 TB the probe cost
+    * is O(candidate files that survived zone pruning), each one small
+    * read — against the alternative of scanning those files. */
+  private def bloomPath(name: String, rel: String, physCol: String): HPath = {
+    val flat = rel.replace("/", "__")
+    new HPath(new HPath(tdir(name), "bloom"), s"$flat.$physCol.bloom")
+  }
+
+  /** Load one bloom sidecar; None = absent/corrupt = "unknown, keep the
+    * file" (fail open, like every stats path). */
+  private[tables] def loadBloom(name: String, rel: String,
+      physCol: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val p = bloomPath(name, rel, physCol)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeBytes(p: HPath, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
   }
 
   private def statsPath(name: String, rel: String): HPath = {
@@ -853,15 +1073,16 @@ final class TableStore(spark: SparkSession, val root: String,
     new HPath(tdir(name), f"manifest-$version%06d.stats.json")
 
   /** One snapshot's consolidated file, fully parsed and VALIDATED:
-    * (rel → zone bounds, rel → file length). `None` = file absent or
-    * wholly unreadable (legacy table / gross corruption) — readers fall
-    * back to sidecars or a listing, and the next commit rebuilds.
-    * Individual malformed entries (wrong-shape stats node, non-positive
-    * or non-numeric length) are DROPPED here, so corruption is scrubbed
-    * rather than carried forward by commit consolidation; a dropped
-    * entry only widens a scan, never fails it. */
+    * (rel → zone bounds, rel → file length, rel → row count). `None` =
+    * file absent or wholly unreadable (legacy table / gross corruption)
+    * — readers fall back to sidecars or a listing, and the next commit
+    * rebuilds. Individual malformed entries (wrong-shape stats node,
+    * non-positive or non-numeric length/count) are DROPPED here, so
+    * corruption is scrubbed rather than carried forward by commit
+    * consolidation; a dropped entry only widens a scan (or forces a
+    * metadata-only aggregate back to a real scan), never fails it. */
   private def readConsolidated(name: String, version: Int)
-      : Option[(Map[String, Map[String, (Any, Any)]], Map[String, Long])] = {
+      : Option[TableStore.Consolidated] = {
     try {
       val p = statsManifestPath(name, version)
       if (!fs.exists(p)) None
@@ -879,21 +1100,24 @@ final class TableStore(spark: SparkSession, val root: String,
           }
           b.result()
         }.getOrElse(Map.empty[String, Map[String, (Any, Any)]])
-        val lens = Option(root.get("len")).map { node =>
-          val it = node.properties().iterator()
-          val b = Map.newBuilder[String, Long]
-          while (it.hasNext) {
-            val e = it.next()
-            val v = e.getValue
-            // a parquet file is never empty (footer magic is 8 bytes) — a
-            // non-positive length would fabricate an empty split and
-            // silently drop the file's rows
-            if (v.isIntegralNumber && v.longValue() > 0)
-              b += e.getKey -> v.longValue()
-          }
-          b.result()
-        }.getOrElse(Map.empty[String, Long])
-        Some((stats, lens))
+        def longNode(key: String, minExclusive: Long): Map[String, Long] =
+          Option(root.get(key)).map { node =>
+            val it = node.properties().iterator()
+            val b = Map.newBuilder[String, Long]
+            while (it.hasNext) {
+              val e = it.next()
+              val v = e.getValue
+              if (v.isIntegralNumber && v.longValue() > minExclusive)
+                b += e.getKey -> v.longValue()
+            }
+            b.result()
+          }.getOrElse(Map.empty[String, Long])
+        // a parquet file is never empty (footer magic is 8 bytes) — a
+        // non-positive length would fabricate an empty split and silently
+        // drop the file's rows. A zero ROW count is legitimate (an empty
+        // write), negative is not.
+        Some(TableStore.Consolidated(stats,
+          longNode("len", 0L), longNode("rows", -1L)))
       }
     } catch {
       case scala.util.control.NonFatal(_) => None
@@ -971,14 +1195,14 @@ final class TableStore(spark: SparkSession, val root: String,
     * reads); absent = legacy table, fall back to the per-file sidecars
     * (O(files) reads, self-heals on the table's next commit). */
   private def zoneStatsFrom(name: String, relPaths: Seq[String],
-      cons: Option[(Map[String, Map[String, (Any, Any)]], Map[String, Long])])
+      cons: Option[TableStore.Consolidated])
       : Map[String, Map[String, (Any, Any)]] = {
     // a table with no zone columns has no stats anywhere — skip even the
     // legacy O(files) sidecar probes
     if (zoneCols(name).isEmpty) return Map.empty
     cons match {
-      case Some((stats, _)) =>
-        relPaths.flatMap(rel => stats.get(rel).map(rel -> _)).toMap
+      case Some(c) =>
+        relPaths.flatMap(rel => c.stats.get(rel).map(rel -> _)).toMap
       case None =>
         val fc = floatZoneCols(name)
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1139,22 +1363,24 @@ final class TableStore(spark: SparkSession, val root: String,
       // commit here pays one O(files) sweep and is consolidated
       // thereafter. Files with no stats anywhere stay absent = never
       // pruned.
-      val (prevStats, prevLens) =
-        (if (head > 0) readConsolidated(name, head) else None)
-          .getOrElse((Map.empty[String, Map[String, (Any, Any)]],
-            Map.empty[String, Long]))
+      val prev = (if (head > 0) readConsolidated(name, head) else None)
+        .getOrElse(TableStore.Consolidated(Map.empty, Map.empty, Map.empty))
       val fc = floatZoneCols(name)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      def sidecarStats(rel: String): Option[Map[String, (Any, Any)]] =
+      def sidecarJson(rel: String): Option[com.fasterxml.jackson.databind.JsonNode] =
         try {
           val sp = statsPath(name, rel)
           if (!fs.exists(sp)) None
-          else Some(parseFileStats(fc, mapper.readTree(readString(sp))))
+          else Some(mapper.readTree(readString(sp)))
         } catch { case scala.util.control.NonFatal(_) => None }
+      val sidecarCache = scala.collection.mutable.Map
+        .empty[String, Option[com.fasterxml.jackson.databind.JsonNode]]
+      def sidecar(rel: String) = sidecarCache.getOrElseUpdate(rel, sidecarJson(rel))
       val statEntries =
         if (zoneCols(name).isEmpty) Nil
         else files.flatMap { rel =>
-          prevStats.get(rel).orElse(sidecarStats(rel))
+          prev.stats.get(rel)
+            .orElse(sidecar(rel).map(parseFileStats(fc, _)))
             .filter(_.nonEmpty).map { cols =>
               val body = cols.map { case (c, (mn, mx)) =>
                 s"${statJson(c)}: [${statJson(mn)}, ${statJson(mx)}]"
@@ -1163,13 +1389,24 @@ final class TableStore(spark: SparkSession, val root: String,
             }
         }
       val lenEntries = files.map { rel =>
-        val len = prevLens.getOrElse(rel,
+        val len = prev.lens.getOrElse(rel,
           fs.getFileStatus(new HPath(dataDir(name), rel)).getLen)
         s"${statJson(rel)}: $len"
       }
+      // per-file row counts (sidecar `__rows`, written for every fresh
+      // file) — when every file of a snapshot carries one, count(*) and
+      // friends answer from THIS file alone (metadata-only aggregates)
+      val rowEntries = files.flatMap { rel =>
+        prev.rows.get(rel).orElse(
+          sidecar(rel).flatMap(n => Option(n.get("__rows")))
+            .filter(v => v.isIntegralNumber && v.longValue() >= 0)
+            .map(_.longValue()))
+          .map(nRows => s"${statJson(rel)}: $nRows")
+      }
       writeString(statsManifestPath(name, n),
         s"""{"stats": ${statEntries.mkString("{", ",", "}")}, """ +
-          s""""len": ${lenEntries.mkString("{", ",", "}")}}""")
+          s""""len": ${lenEntries.mkString("{", ",", "}")}, """ +
+          s""""rows": ${rowEntries.mkString("{", ",", "}")}}""")
       // atomic pointer swap (S3 caveat in the class doc — there, put a
       // catalog in front of _current)
       atomicWrite(new HPath(d, "_current"), manifest)
@@ -1244,4 +1481,27 @@ final class TableStore(spark: SparkSession, val root: String,
 object TableStore {
   /** Locks older than this are treated as crash debris and reclaimed. */
   val StaleLockMs: Long = 10 * 60 * 1000L
+
+  /** Default per-file bloom capacity. Size to the table's rows-per-file
+    * (≈ maxPartitionBytes / row width); a filter built for many more
+    * items than a file holds only wastes sidecar bytes, one built for
+    * fewer saturates and stops pruning (fail open — correct, useless). */
+  val DefaultBloomItems: Long = 100000L
+  val BloomFpp: Double = 0.03
+
+  /** Key batches larger than this skip bloom probing in the mutation
+    * path: probe cost is O(candidate files × keys) driver-side, and a
+    * huge batch touches most files anyway. */
+  val BloomProbeMaxKeys: Int = 10000
+
+  /** One snapshot's consolidated per-file metadata: zone bounds, file
+    * lengths (plan without listing), row counts (metadata-only
+    * aggregates). Maps may be partial — absence means "unknown". */
+  private[tables] final case class Consolidated(
+      stats: Map[String, Map[String, (Any, Any)]],
+      lens: Map[String, Long],
+      rows: Map[String, Long])
+
+  /** Sentinel: a key value outside the bloom probe domain. */
+  private[tables] case object Unprobeable
 }

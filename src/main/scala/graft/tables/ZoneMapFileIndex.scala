@@ -137,6 +137,42 @@ private[tables] object ZoneStats {
       Character.toChars(cps(i) + 1)))
   }
 
+  /** Per-column EXACT candidate-value sets implied by a scan's filters —
+    * the bloom-probe companion of [[filterBounds]]. Only conjuncts whose
+    * match set is exactly enumerable contribute (equality, IN/InSet with
+    * all-literal members); each entry means "a matching row's value IS
+    * one of these", so a file may be dropped when its bloom rejects
+    * every candidate. Null members are dropped (SQL equality never
+    * matches null); a conjunct with any non-literal or out-of-domain
+    * member contributes nothing (fail open). Values are Long (integral
+    * cols) or String — the only types blooms are built for. */
+  def eqProbes(filters: Seq[Expression]): Seq[(String, Seq[Any])] =
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => probe(a.name, Seq(v))
+      case EqualTo(Literal(v, _), a: AttributeReference) => probe(a.name, Seq(v))
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
+        probe(a.name, Seq(v))
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
+        probe(a.name, Seq(v))
+      case In(a: AttributeReference, vs) if vs.nonEmpty =>
+        val lits = vs.map { case Literal(v, _) => Some(v); case _ => None }
+        if (lits.exists(_.isEmpty)) Nil
+        else probe(a.name, lits.flatten.filter(_ != null))
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        probe(a.name, hset.toSeq.filter(_ != null))
+      case _ => Nil
+    }
+
+  private def probe(c: String, vs: Seq[Any]): Seq[(String, Seq[Any])] = {
+    if (vs.isEmpty) return Nil
+    val conv = vs.map(litVal)
+    // every member must land in the bloom domain (Long/String) — a Double
+    // never went into an integral/string bloom, so fail open on any
+    if (conv.exists(v => !v.exists(x => x.isInstanceOf[Long] ||
+        x.isInstanceOf[String]))) Nil
+    else Seq((c, conv.flatten))
+  }
+
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case x         => Seq(x)
@@ -196,17 +232,33 @@ private[tables] object ZoneStats {
   * @param stats    full file path → zone column (physical name) →
   *                 (min, max); missing file/column = unknown = never pruned
   * @param partitionSchema partition columns (PHYSICAL names) in layout order
+  * @param bloomCols columns (PHYSICAL names) with per-file bloom sidecars
+  * @param bloomLoad lazy sidecar loader (full file path, physical column)
+  *                 → filter; None = absent/corrupt = keep the file. Loaded
+  *                 ONLY when an equality/IN filter targets a bloom column,
+  *                 and only for files that survived zone pruning — blooms
+  *                 are KBs each, so eager loading would tax every scan for
+  *                 metadata point lookups rarely need. Results are cached
+  *                 per index instance (one scan plans listFiles repeatedly).
   */
 final class ZoneMapFileIndex(
     groups: Seq[(InternalRow, Seq[FileStatus])],
     stats: Map[String, Map[String, (Any, Any)]],
     roots: Seq[HPath],
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType,
+    bloomCols: Set[String] = Set.empty,
+    bloomLoad: (String, String) => Option[org.apache.spark.util.sketch.BloomFilter] =
+      (_, _) => None) extends FileIndex {
 
   /** Unpartitioned: one anonymous group holding every file. */
   def this(statuses: Seq[FileStatus],
       stats: Map[String, Map[String, (Any, Any)]], roots: Seq[HPath]) =
     this(Seq((InternalRow.empty, statuses)), stats, roots, new StructType())
+
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
+  private def bloomOf(path: String, c: String) =
+    bloomCache.getOrElseUpdate((path, c), bloomLoad(path, c))
 
   private def allStatuses: Seq[FileStatus] = groups.flatMap(_._2)
 
@@ -238,14 +290,36 @@ final class ZoneMapFileIndex(
         groups.filter { case (values, _) => pred.eval(values) }
       }
     val bounds = ZoneStats.filterBounds(dataFilters)
+    val probes =
+      if (bloomCols.isEmpty) Nil
+      else ZoneStats.eqProbes(dataFilters)
+        .filter { case (c, _) => bloomCols.contains(c) }
     val out = partPruned.map { case (values, statuses) =>
-      val surviving =
+      val zoneSurviving =
         if (bounds.isEmpty) statuses
         else statuses.filter { st =>
           stats.get(st.getPath.toString).forall { cols =>
             bounds.forall { case (c, qlo, qhi) =>
               cols.get(c).forall { case (mn, mx) =>
                 ZoneStats.overlap(mn, mx, qlo, qhi)
+              }
+            }
+          }
+        }
+      // bloom probes run AFTER zone pruning so only remaining candidates
+      // pay a sidecar read; each probed conjunct must have SOME candidate
+      // value the file's bloom accepts, else the file provably has no
+      // matching row
+      val surviving =
+        if (probes.isEmpty) zoneSurviving
+        else zoneSurviving.filter { st =>
+          probes.forall { case (c, vs) =>
+            bloomOf(st.getPath.toString, c) match {
+              case None => true // no sidecar — keep (fail open)
+              case Some(b) => vs.exists {
+                case l: Long   => b.mightContainLong(l)
+                case s: String => b.mightContainString(s)
+                case _         => true
               }
             }
           }

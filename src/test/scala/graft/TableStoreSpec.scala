@@ -856,6 +856,134 @@ class TableStoreSpec extends SparkSpec {
     }
   }
 
+  test("bloom sidecars prune point lookups on columns zone maps can't touch") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.tables.ZoneMapFileIndex
+    val root = tmpDir("tablestore-bloom-")
+    val st = new TableStore(spark, root)
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("u", LongType), StructField("s", StringType)))
+    st.create("t", sch, zoneCols = Seq("id"),
+      bloomCols = Seq("u", "s"), bloomItems = 1000)
+    // four disjoint id-range files; u/s values SCATTER across the id
+    // space (u = id*37 mod 10000 is injective on 0..399), so a given u
+    // lives in exactly one file but zone maps on u would span everything
+    (0 until 4).foreach { b =>
+      val lo = b * 100L
+      st.append("t", (lo until lo + 100L)
+        .map(i => (i, i * 37 % 10000, s"s${i * 37 % 10000}"))
+        .toDF("id", "u", "s").coalesce(1))
+    }
+    def countsOf(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect() // plan + run (listFiles fires during planning/execution)
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation =>
+          l.relation.asInstanceOf[HadoopFsRelation]
+            .location.asInstanceOf[ZoneMapFileIndex]
+      }.head.lastScanCounts.get
+    }
+
+    // long equality: id=250 → u=9250 lives only in file 2; bloom hashing
+    // is deterministic, so the survivor count is reproducible
+    val eq = st.read("t").filter(col("u") === 9250L)
+    assert(eq.collect().map(_.getLong(0)).toSeq === Seq(250L))
+    val (tot, surv) = countsOf(st.read("t").filter(col("u") === 9250L))
+    assert(tot === 4 && surv < 4, s"bloom pruned nothing: $tot -> $surv")
+
+    // absent value: every file's bloom rejects (no false positive for
+    // this value with these deterministic hashes) → empty, ideally 0 files
+    val none = st.read("t").filter(col("u") === 77777L)
+    assert(none.collect().isEmpty)
+
+    // string probes work the same way (putBinary/mightContainString)
+    val sEq = st.read("t").filter(col("s") === "s9250")
+    assert(sEq.collect().map(_.getLong(0)).toSeq === Seq(250L))
+    assert(countsOf(st.read("t").filter(col("s") === "s9250"))._2 < 4)
+
+    // IN probes: a file survives if ANY member might be present
+    val in = st.read("t").filter(col("u").isin(9250L, 1110L)) // ids 250, 30
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq === Seq(30L, 250L))
+
+    // mutation path: candidateFilesForKeys probes blooms for key batches
+    val keys = Seq(9250L).toDF("u")
+    assert(st.candidateFilesForKeys("t", keys, Seq("u")).length < 4)
+
+    // fail open: with the sidecars gone, scans keep all files and stay exact
+    val bloomDir = new org.apache.hadoop.fs.Path(root, "t/bloom")
+    val fs = bloomDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(bloomDir, true)
+    val open = st.read("t").filter(col("u") === 9250L)
+    assert(open.collect().map(_.getLong(0)).toSeq === Seq(250L))
+    assert(countsOf(st.read("t").filter(col("u") === 9250L))._2 === 4)
+
+    // blooms rebuild on rewrite: compact, then pruning works again
+    st.compact("t", numFiles = 4, clusterCols = Seq("id", "u"))
+    val after = st.read("t").filter(col("u") === 9250L)
+    assert(after.collect().map(_.getLong(0)).toSeq === Seq(250L))
+  }
+
+  test("bloom columns survive rename and refuse drop") {
+    val st = newStore()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("u", LongType)))
+    st.create("t", sch, zoneCols = Seq("id"), bloomCols = Seq("u"),
+      bloomItems = 100)
+    st.append("t", (0L until 50L).map(i => (i, i * 31 % 997)).toDF("id", "u"))
+    st.renameColumn("t", "u", "user_id")
+    // physical sidecars keyed by the ORIGINAL name still probe
+    val got = st.read("t").filter(col("user_id") === (7L * 31 % 997))
+    assert(got.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    intercept[IllegalArgumentException] {
+      st.dropColumn("t", "user_id")
+    }
+  }
+
+  test("metadata-only aggregates answer from stats, not data") {
+    val st = newStore()
+    st.create("t", schema, zoneCols = Seq("id"))
+    assert(st.rowCount("t") === Some(0L))
+    (0 until 3).foreach { b =>
+      val lo = b * 100L
+      st.append("t",
+        (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    assert(st.rowCount("t") === Some(300L))
+    assert(st.columnRange("t", "id") === Some((0L, 299L)))
+    // CoW delete keeps counts/bounds EXACT (rewritten files re-stat)
+    st.delete("t", col("id") % 7 === 0)
+    val expect = (0L until 300L).count(_ % 7 != 0).toLong
+    assert(st.rowCount("t") === Some(expect))
+    assert(st.columnRange("t", "id") === Some((1L, 299L)))
+    assert(st.read("t").count() === expect) // metadata agrees with data
+    // THE metadata-only proof: corrupt every data file — the answers
+    // above must come from the consolidated stats alone
+    val conf = spark.sessionState.newHadoopConf()
+    st.currentFiles("t").foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      out.write("garbage".getBytes); out.close()
+    }
+    assert(st.rowCount("t") === Some(expect))
+    assert(st.columnRange("t", "id") === Some((1L, 299L)))
+  }
+
+  test("metadata aggregates fall back to None when stats are incomplete") {
+    val st = newStore()
+    st.create("t", schema) // no zone cols — row counts still recorded
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(st.rowCount("t") === Some(2L))
+    intercept[IllegalArgumentException] { st.columnRange("t", "id") }
+    // kill the consolidated file AND the sidecars → unknown, not a guess
+    val root = new org.apache.hadoop.fs.Path(st.root)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "t/stats"), true)
+    val v = st.currentVersion("t")
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      f"t/manifest-$v%06d.stats.json"), false)
+    assert(st.rowCount("t") === None)
+  }
+
   test("table root on an explicit file:-scheme Hadoop URI works end to end") {
     val st = new TableStore(spark, "file://" + tmpDir("tablestore-uri-"))
     st.create("t", schema, zoneCols = Seq("id"))
