@@ -211,6 +211,72 @@ object TableQueries {
       |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
       |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin
 
+  /** Declarative metadata-only count: the plain `read(t).agg(count(*))`
+    * path — [[graft.tables.MetadataAggregateRule]] rewrites the whole
+    * aggregate to the snapshot's recorded row count at OPTIMIZATION
+    * time, so no scan is planned (TableStoreSpec pins the plan shape).
+    * The table mutates first, proving recorded counts track CoW deletes;
+    * the oracle recomputes the count the honest way. */
+  private def tblCountPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-count", Scratch.tag(dir)))
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    store.create("lineitem", li.schema, overwrite = true,
+      zoneCols = Seq("l_orderkey"))
+    store.append("lineitem", li.repartitionByRange(4, col("l_orderkey")))
+    store.delete("lineitem", col("l_quantity") > 40.0)
+    store.read("lineitem").agg(count(lit(1)).as("cnt"))
+  }
+
+  // delete KEEPS null-predicate rows (SQL DELETE WHERE semantics) — the
+  // oracle must too; the fixture has no null l_quantity, but exactness
+  // here keeps the gate honest on corpora that do
+  private val tblCountPushdownSql =
+    """SELECT count(*) AS cnt FROM lineitem
+      |WHERE l_quantity <= 40.0 OR l_quantity IS NULL""".stripMargin
+
+  /** Partial-column MERGE under the oracle: matched keys update ONLY
+    * o_totalprice (the source's decoy o_orderstatus='X' must NOT land —
+    * that is the semantics plain upsert cannot express), unmatched
+    * source keys insert whole rows. The oracle rebuilds the same table
+    * with a CASE for the update plus a UNION ALL for the inserts. */
+  private def tblMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-merge", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+      bloomItems = 20000)
+    store.append("orders", ord.repartitionByRange(8, col("o_orderkey")))
+    val updates = ord.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("X").as("o_orderstatus"), // decoy: not an updateCol, must not land
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    val inserts = ord.filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"),
+        lit(1.0).as("o_totalprice"))
+    store.merge("orders", updates.unionByName(inserts),
+      Seq("o_orderkey"), updateCols = Seq("o_totalprice"))
+    store.read("orders")
+      .orderBy("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  }
+
+  private val tblMergeSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+      |  'N' AS o_orderstatus, 1.0 AS o_totalprice
+      |FROM orders WHERE o_orderkey % 17 = 0
+      |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)),
     Q("tbl_skipping_scan", tblSkippingScan, Some(tblSkippingScanSql)),
@@ -218,5 +284,7 @@ object TableQueries {
     Q("tbl_incremental", tblIncremental, Some(tblIncrementalSql)),
     Q("tbl_evolution", tblEvolution, Some(tblEvolutionSql)),
     Q("tbl_bloom_scan", tblBloomScan, Some(tblBloomScanSql)),
-    Q("tbl_meta_agg", tblMetaAgg, Some(tblMetaAggSql)))
+    Q("tbl_meta_agg", tblMetaAgg, Some(tblMetaAggSql)),
+    Q("tbl_count_pushdown", tblCountPushdown, Some(tblCountPushdownSql)),
+    Q("tbl_merge", tblMerge, Some(tblMergeSql)))
 }

@@ -539,7 +539,11 @@ final class TableStore(spark: SparkSession, val root: String,
         val qualified = fs.makeQualified(new HPath(path)).toString
         if (!qualified.startsWith(dataDirStr + "/")) None
         else loadBloom(name, qualified.stripPrefix(dataDirStr + "/"), c)
-      })
+      },
+      // exact only when every file of THIS snapshot has a recorded count
+      cons.map(_.rows).filter(rows => rels.forall(rows.contains))
+        .map(rows => rels.map(rows).sum))
+    MetadataAggregateRule.register(spark)
     val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
@@ -896,6 +900,56 @@ final class TableStore(spark: SparkSession, val root: String,
   /** Upsert = applyNet keyed by the new rows themselves. */
   def upsert(name: String, rows: DataFrame, keyCols: Seq[String]): Unit =
     applyNet(name, rows, rows, keyCols)
+
+  /** SQL-MERGE-shaped partial update: for each source row whose key
+    * matches a target row, replace ONLY `updateCols` (every other column
+    * keeps the target's value — the partial-update semantics `upsert`
+    * cannot express); unmatched source rows insert when
+    * `insertUnmatched` (then the source must carry the full row;
+    * otherwise keys + updateCols suffice). One atomic snapshot commit,
+    * like every mutation here.
+    *
+    * Scale shape: the matched-row rebuild joins the source against ONLY
+    * the zone/bloom-pruned candidate files ([[candidateFilesForKeys]]),
+    * and the unmatched-insert anti-join runs against those same
+    * candidates — exact, because any source key present in the table
+    * lives in a candidate file (pruning is fail-open). Cost is bounded
+    * by the touched files, never the table.
+    *
+    * PRECONDITION (same as [[applyNet]]): source keys unique — a key
+    * matching k target rows or appearing k times in the source fans out
+    * through the join. Null-key source rows match nothing (SQL `=`), so
+    * they insert when `insertUnmatched` and are dropped otherwise. */
+  def merge(name: String, source: DataFrame, keyCols: Seq[String],
+      updateCols: Seq[String], insertUnmatched: Boolean = true): Unit = {
+    val sch = schema(name)
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(updateCols.nonEmpty, "merge needs at least one update column")
+    updateCols.foreach { c =>
+      require(sch.fieldNames.contains(c), s"update column $c not in table $name")
+      require(!keyCols.contains(c), s"key column $c cannot be updated")
+    }
+    val srcCols = source.columns.toSet
+    (keyCols ++ updateCols).foreach(c => require(srcCols.contains(c),
+      s"source frame lacks column $c"))
+    val cand = candidateFilesForKeys(name, source, keyCols)
+    val tgt = readFiles(name, cand.map(r => new HPath(dataDir(name), r).toString))
+    val joinCond = keyCols.map(k => tgt(k) === source(k)).reduce(_ && _)
+    val matched = tgt.join(source, joinCond, "inner").select(
+      sch.fields.map { f =>
+        if (updateCols.contains(f.name))
+          source(f.name).cast(f.dataType).as(f.name)
+        else tgt(f.name).as(f.name)
+      }.toSeq: _*)
+    val newRows =
+      if (!insertUnmatched) matched
+      else {
+        val inserts = source.join(
+          tgt.select(keyCols.map(tgt(_)): _*), keyCols, "left_anti")
+        matched.unionByName(alignTo(name, sch, inserts))
+      }
+    applyNet(name, source.select(keyCols.map(col): _*), newRows, keyCols)
+  }
 
   /** Compaction: rewrite the current snapshot into `numFiles` fresh data
     * files (repartition, so a 100 TB table compacts in parallel). Many small

@@ -232,6 +232,10 @@ private[tables] object ZoneStats {
   * @param stats    full file path → zone column (physical name) →
   *                 (min, max); missing file/column = unknown = never pruned
   * @param partitionSchema partition columns (PHYSICAL names) in layout order
+  * @param totalRows exact row count of the snapshot (from the
+  *                 consolidated per-file counts) when EVERY file has one
+  *                 — lets [[MetadataAggregateRule]] answer `count(*)`
+  *                 without planning a scan; None = unknown
   * @param bloomCols columns (PHYSICAL names) with per-file bloom sidecars
   * @param bloomLoad lazy sidecar loader (full file path, physical column)
   *                 → filter; None = absent/corrupt = keep the file. Loaded
@@ -248,7 +252,8 @@ final class ZoneMapFileIndex(
     override val partitionSchema: StructType,
     bloomCols: Set[String] = Set.empty,
     bloomLoad: (String, String) => Option[org.apache.spark.util.sketch.BloomFilter] =
-      (_, _) => None) extends FileIndex {
+      (_, _) => None,
+    val totalRows: Option[Long] = None) extends FileIndex {
 
   /** Unpartitioned: one anonymous group holding every file. */
   def this(statuses: Seq[FileStatus],

@@ -29,4 +29,14 @@ object Bridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Register an extra optimizer rule on a live session (idempotent) —
+    * same runtime path as [[addStrategy]], for `Rule[LogicalPlan]`s. */
+  def addOptimization(spark: org.apache.spark.sql.SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
 }

@@ -968,6 +968,91 @@ class TableStoreSpec extends SparkSpec {
     assert(st.columnRange("t", "id") === Some((1L, 299L)))
   }
 
+  test("count(*) is answered by the optimizer from metadata, no scan planned") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val st = newStore()
+    st.create("t", schema, zoneCols = Seq("id"))
+    (0 until 3).foreach { b =>
+      val lo = b * 100L
+      st.append("t",
+        (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    st.delete("t", col("id") % 3 === 0)
+    val expect = (0L until 300L).count(_ % 3 != 0).toLong
+
+    def scansOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case _: LogicalRelation => 1
+      }.sum
+
+    // plain count(): rewritten to a LocalRelation — zero relations planned
+    val cnt = st.read("t").agg(count(lit(1)).as("cnt"))
+    assert(cnt.collect().map(_.getLong(0)).toSeq === Seq(expect))
+    assert(scansOf(cnt) === 0, "count(*) still planned a scan")
+    assert(st.read("t").count() === expect) // Dataset.count() path too
+
+    // result survives data-file corruption — the answer IS metadata
+    val conf = spark.sessionState.newHadoopConf()
+    st.currentFiles("t").foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true); out.write("junk".getBytes); out.close()
+    }
+    assert(st.read("t").count() === expect)
+
+    // conservative preconditions: any of these MUST still scan
+    val filtered = st.read("t").filter(col("id") > 10L).agg(count(lit(1)))
+    assert(scansOf(filtered) === 1, "filtered count must scan")
+    val grouped = st.read("t").groupBy(col("v")).agg(count(lit(1)))
+    assert(scansOf(grouped) === 1, "grouped count must scan")
+    val distinct = st.read("t").agg(countDistinct(col("id")))
+    assert(scansOf(distinct) === 1, "count distinct must scan")
+    val countCol = st.read("t").agg(count(col("v"))) // null-sensitive
+    assert(scansOf(countCol) === 1, "count(col) must scan")
+  }
+
+  test("merge updates only the named columns, inserts the unmatched") {
+    val st = newStore()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("status", StringType), StructField("amt", DoubleType)))
+    st.create("t", sch, zoneCols = Seq("id"))
+    st.append("t", Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "status", "amt"))
+    // decoy status "X" must NOT land on matches; id=9 inserts whole row
+    val src = Seq((2L, "X", 99.0), (9L, "n", 1.0)).toDF("id", "status", "amt")
+    st.merge("t", src, Seq("id"), updateCols = Seq("amt"))
+    val got = st.read("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, "a", 10.0), (2L, "b", 99.0),
+      (3L, "c", 30.0), (9L, "n", 1.0)))
+    // one commit for the whole merge
+    assert(st.currentVersion("t") === 3)
+
+    // insertUnmatched=false: unmatched keys vanish, source may be partial
+    st.merge("t", Seq((3L, 33.0), (77L, 7.0)).toDF("id", "amt"),
+      Seq("id"), updateCols = Seq("amt"), insertUnmatched = false)
+    val after = st.read("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(after.toSeq === Seq((1L, "a", 10.0), (2L, "b", 99.0),
+      (3L, "c", 33.0), (9L, "n", 1.0)))
+
+    // null-key source row matches nothing -> inserts (SQL `=` semantics)
+    val withNull = Seq((java.lang.Long.valueOf(4L), "d", 4.0),
+      (null.asInstanceOf[java.lang.Long], "z", 0.0))
+      .toDF("id", "status", "amt").select(col("id").cast("long"),
+        col("status"), col("amt"))
+    st.merge("t", withNull, Seq("id"), updateCols = Seq("amt"))
+    assert(st.read("t").count() === 6)
+    assert(st.read("t").filter(col("id").isNull).count() === 1)
+
+    // merge into an empty table degrades to pure insert
+    val st2 = newStore()
+    st2.create("t", sch, zoneCols = Seq("id"))
+    st2.merge("t", Seq((1L, "a", 1.0)).toDF("id", "status", "amt"),
+      Seq("id"), updateCols = Seq("amt"))
+    assert(st2.read("t").count() === 1)
+  }
+
   test("metadata aggregates fall back to None when stats are incomplete") {
     val st = newStore()
     st.create("t", schema) // no zone cols — row counts still recorded
