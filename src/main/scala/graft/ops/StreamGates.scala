@@ -420,10 +420,27 @@ object StreamGates {
       | AND v.us >= c.us AND v.us <= c.us + 43200000000
       |ORDER BY v_id, c_id""".stripMargin
 
+  /** The no-replay oracle must ALSO dedup genuine source duplicates:
+    * the stream collapses every repeated event_id — the synthetic %37
+    * replays AND any id repeated in the source itself (the edge corpus
+    * plants one) — so the oracle aggregates DISTINCT ON (event_id)
+    * survivors, with evDedup's deterministic secondary order for the
+    * pick (irrelevant when duplicate payloads are identical, which is
+    * the guarantee staged replays uphold). */
+  private val stDedupSql =
+    """WITH survivors AS (
+      |  SELECT DISTINCT ON (event_id) *
+      |  FROM events
+      |  ORDER BY event_id, event_type, user_id, DATE_TRUNC('second', ts))
+      |SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start,
+      | event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM survivors GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("st_tumbling", stTumbling, Some(Events.evTumblingSql)),
     Q("st_session", stSession, Some(Events.evSessionsSql)),
-    Q("st_dedup", stDedup, Some(Events.evTumblingSql)),
+    Q("st_dedup", stDedup, Some(stDedupSql)),
     Q("st_join", stJoin, Some(stJoinSql)),
     Q("st_stateful", stStateful, Some(stStatefulSql)),
     Q("st_enrich", stEnrich, Some(stEnrichSql)),
