@@ -59,7 +59,8 @@ object StreamGates {
     * it instead of paying the range-shuffle + write again. The streaming
     * query itself (checkpoint, state, sink) still runs fresh every time. */
   private def stage(spark: SparkSession, df: DataFrame, orderCol: String,
-      n: Int, path: String, srcFingerprint: String): Unit = {
+      n: Int, path: String, srcFingerprint: String,
+      tails: Seq[DataFrame] = Nil): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val marker = new HPath(s"$path/_STAGED_OK")
     val fs = marker.getFileSystem(conf)
@@ -72,6 +73,21 @@ object StreamGates {
     if (prior == srcFingerprint) return
     rm(spark, path)
     df.repartitionByRange(n, col(orderCol)).write.parquet(path)
+    // Each tail frame becomes its OWN file, delivered strictly after the
+    // main parts ("zz-" sorts after "part-"): the outer-join gate needs
+    // its watermark sentinels in separate trailing micro-batches — a
+    // range partitioner would happily coalesce two max-value rows into
+    // one file. The marker is written LAST, so a crash mid-staging can
+    // never leave a cache hit with missing tails.
+    tails.zipWithIndex.foreach { case (t, i) =>
+      val tmp = s"$path/_tail$i"
+      t.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new HPath(tmp)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      require(fs.rename(part, new HPath(s"$path/zz-tail$i.parquet")),
+        s"staging rename of tail $i failed")
+      fs.delete(new HPath(tmp), true)
+    }
     // The file source orders batches by modification time, and all parts
     // finish within the same millisecond — pin strictly ascending mtimes
     // in range (event-time/key) order so micro-batches arrive in order,
@@ -280,6 +296,91 @@ object StreamGates {
     spark.read.parquet(s"$b/out").orderBy("v_id", "c_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every view pairs with the
+    * same-user clicks of the preceding 12 h; a view with NO such click
+    * must still emit — with null click columns — once the watermark
+    * proves no future click can match. That emission-on-expiry is the
+    * semantics the inner st_join never exercises: the state store must
+    * hold the unmatched row past its arrival batch and the watermark
+    * must evict-AND-emit it later.
+    *
+    * Determinism: a batch runs under the watermark computed from the
+    * PREVIOUS batches' data, so unmatched rows still inside the final
+    * watermark would sit in state and silently never emit when
+    * AvailableNow drains. Two far-future sentinel rows per side
+    * (2100-01-01/-02, staged as their own trailing files) fix that: the
+    * first advances the watermark past every real row, the second
+    * triggers the batch that runs the eviction under it. Sentinel
+    * users (-1/-2) match nothing real; sentinel LEFT rows are filtered
+    * from the output (nothing ever outruns their own watermark, but the
+    * filter keeps the contract explicit). */
+  private def stOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "outer")
+    val ev = Events.ev(spark, dir)
+    def sentinel(id: Long, user: Long, kind: String, day: Int): DataFrame =
+      spark.range(1).select(
+        lit(id).as("event_id"),
+        to_timestamp(lit(f"2100-01-$day%02d 00:00:00")).as("ts"),
+        lit(user).as("user_id"), lit(kind).as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    stage(spark, ev.filter(col("event_type") === "view"), "ts", 4, s"$b/in_v",
+      fingerprint(spark, dir, "events", "view;ts-range-4;outer-sentinels-2"),
+      tails = Seq(sentinel(-1L, -1L, "view", 1), sentinel(-3L, -1L, "view", 2)))
+    stage(spark, ev.filter(col("event_type") === "click"), "ts", 4, s"$b/in_c",
+      fingerprint(spark, dir, "events", "click;ts-range-4;outer-sentinels-2"),
+      tails = Seq(sentinel(-2L, -2L, "click", 1), sentinel(-4L, -2L, "click", 2)))
+    rm(spark, s"$b/out"); rm(spark, s"$b/ckpt")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2") // see stJoin
+    def src(path: String): DataFrame = {
+      val schema = ss.read.parquet(path).schema
+      ss.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+    }
+    val asTs = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    val v = src(s"$b/in_v")
+      .select(col("event_id").as("v_id"), col("user_id"), asTs.as("v_ts"))
+      .withWatermark("v_ts", "48 hours")
+    val c = src(s"$b/in_c")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        asTs.as("c_ts"))
+      .withWatermark("c_ts", "48 hours")
+    // No sentinel filter INSIDE the streaming query: a `v_id >= 0`
+    // predicate is pushed below the left EventTimeWatermark operator, so
+    // the left watermark would never see the sentinels and the last 48 h
+    // of unmatched views would silently never evict (observed). Sentinel
+    // LEFT rows cannot be emitted anyway (nothing outruns their own
+    // watermark); the read-back filters them defensively.
+    val joined = v.join(c,
+      col("user_id") === col("c_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("interval 12 hours"),
+      "left_outer")
+      .select(col("v_id"), col("c_id"), col("user_id"),
+        (unix_micros(col("v_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$b/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$b/out"); ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$b/out")
+      .filter(col("v_id") >= 0L).orderBy("v_id", "c_id")
+  }
+
+  /** Batch LEFT JOIN equivalent; NULLS FIRST matches Spark's asc order. */
+  private val stOuterSql =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             EPOCH_NS(ts) // 1000 AS us FROM events)
+      |SELECT v.event_id AS v_id, c.event_id AS c_id,
+      |       v.user_id AS user_id, v.us - c.us AS lag_us
+      |FROM e v LEFT JOIN e c
+      |  ON v.user_id = c.user_id AND c.event_type = 'click'
+      | AND v.us >= c.us AND v.us <= c.us + 43200000000
+      |WHERE v.event_type = 'view'
+      |ORDER BY v_id, c_id NULLS FIRST""".stripMargin
+
   /** One prepared click for the custom-state gate: event order key
     * (us = unix micros, event_id tiebreak) plus the spend in exact
     * integer cents (the Dets convention — no double accumulation). */
@@ -442,6 +543,7 @@ object StreamGates {
     Q("st_session", stSession, Some(Events.evSessionsSql)),
     Q("st_dedup", stDedup, Some(stDedupSql)),
     Q("st_join", stJoin, Some(stJoinSql)),
+    Q("st_outer", stOuterJoin, Some(stOuterSql)),
     Q("st_stateful", stStateful, Some(stStatefulSql)),
     Q("st_enrich", stEnrich, Some(stEnrichSql)),
     Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)))

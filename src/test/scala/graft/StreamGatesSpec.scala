@@ -108,6 +108,31 @@ class StreamGatesSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).distinct.length === out.length)
   }
 
+  test("st_outer emits unmatched views with null clicks on watermark expiry") {
+    val got = gate("st_outer").collect()
+    val events = graft.ops.Events.ev(spark, dir)
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val want = v.join(c, col("user_id") === col("c_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("interval 12 hours"), "left_outer")
+      .select(col("v_id"), col("c_id"), col("user_id"),
+        (unix_micros(col("v_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .orderBy("v_id", "c_id").collect()
+    def fmt(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.get(1)), r.getLong(2), Option(r.get(3)))
+    assert(got.map(fmt).toSeq === want.map(fmt).toSeq)
+    // the expiry path must actually run: some view has no click in-window
+    assert(got.exists(_.isNullAt(1)),
+      "no unmatched view emitted — watermark-expiry emission never ran")
+    // every inner-join pair is also present (outer ⊇ inner)
+    assert(got.count(!_.isNullAt(1)) ===
+      want.count(!_.isNullAt(1)))
+  }
+
   test("st_join equals the batch join and carries state across micro-batches") {
     val got = gate("st_join").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
