@@ -982,6 +982,41 @@ final class TableStore(spark: SparkSession, val root: String,
     commitManifest(name, rewritten, Nil) // a rewrite appends no rows
   }
 
+  /** Orphan cleanup: delete files under `data/` that NO manifest (of any
+    * retained snapshot) references and that are older than `olderThanMs`
+    * — the crash debris [[expireSnapshots]] cannot see. A writer that
+    * died between staging-rename and commit left its renamed files in
+    * `data/` unreferenced forever; at 100 TB that leak compounds per
+    * crash (Iceberg ships the same op as remove_orphan_files).
+    *
+    * The age guard is the correctness fence: an IN-FLIGHT commit has
+    * renamed its fresh files but not yet written its manifest, and they
+    * would look orphaned. Files younger than the cutoff are never
+    * touched — run with an `olderThanMs` comfortably above any real
+    * commit duration (default 24 h; the store is single-writer, so a
+    * file both unreferenced and a day old can only be debris). Their
+    * stats/bloom sidecars are removed with them. Returns the deleted
+    * rel paths. */
+  def removeOrphans(name: String,
+      olderThanMs: Long = 24L * 60 * 60 * 1000): Seq[String] = {
+    require(olderThanMs >= 0, "olderThanMs must be non-negative")
+    val d = tdir(name)
+    val referenced = listNames(d)
+      .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
+      .flatMap(m => readLines(new HPath(d, m))).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    listStatusRec(dataDir(name))
+      .filter(st => !referenced.contains(relativize(dataDir(name), st.getPath)))
+      .filter(_.getModificationTime < cutoff)
+      .map { st =>
+        val rel = relativize(dataDir(name), st.getPath)
+        fs.delete(st.getPath, false)
+        fs.delete(statsPath(name, rel), false)
+        bloomCols(name).foreach(c => fs.delete(bloomPath(name, rel, c), false))
+        rel
+      }
+  }
+
   /** Snapshot expiry: drop manifests older than the last `keepLast` and
     * physically delete data files no surviving manifest references — the
     * maintenance op that bounds storage growth under copy-on-write. */

@@ -1069,6 +1069,49 @@ class TableStoreSpec extends SparkSpec {
     assert(st.rowCount("t") === None)
   }
 
+  test("removeOrphans deletes aged crash debris, never young or referenced files") {
+    val root = tmpDir("tablestore-orphan-")
+    val st = new TableStore(spark, root)
+    st.create("t", schema, zoneCols = Seq("id"))
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // plant debris: a file in data/ no manifest references (the shape a
+    // crash between staging-rename and commit leaves behind)
+    val conf = spark.sessionState.newHadoopConf()
+    val dataDir = new org.apache.hadoop.fs.Path(root, "t/data")
+    val fs = dataDir.getFileSystem(conf)
+    val orphan = new org.apache.hadoop.fs.Path(dataDir, "deadbeef-part00000.parquet")
+    val out = fs.create(orphan, true); out.write("junk".getBytes); out.close()
+
+    // young debris is protected by the age fence (could be an in-flight commit)
+    assert(st.removeOrphans("t") === Seq.empty)
+    assert(fs.exists(orphan))
+
+    // age it past the cutoff: deleted, and ONLY it
+    fs.setTimes(orphan, System.currentTimeMillis() - 2L * 24 * 3600 * 1000, -1)
+    assert(st.removeOrphans("t") === Seq("deadbeef-part00000.parquet"))
+    assert(!fs.exists(orphan))
+    val got = st.read("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b")))
+
+    // files referenced by RETAINED older manifests survive even when aged
+    st.delete("t", col("id") === 1L)
+    val old = st.currentFiles("t")
+    listAll(fs, dataDir).foreach(p =>
+      fs.setTimes(p, System.currentTimeMillis() - 2L * 24 * 3600 * 1000, -1))
+    assert(st.removeOrphans("t") === Seq.empty) // all referenced somewhere
+    assert(st.read("t").count() === 1)
+    assert(old.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))))
+  }
+
+  private def listAll(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val it = fs.listFiles(dir, true)
+    val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+    while (it.hasNext) b += it.next().getPath
+    b.result()
+  }
+
   test("table root on an explicit file:-scheme Hadoop URI works end to end") {
     val st = new TableStore(spark, "file://" + tmpDir("tablestore-uri-"))
     st.create("t", schema, zoneCols = Seq("id"))
