@@ -211,30 +211,36 @@ object TableQueries {
       |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
       |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin
 
-  /** Declarative metadata-only count: the plain `read(t).agg(count(*))`
-    * path — [[graft.tables.MetadataAggregateRule]] rewrites the whole
-    * aggregate to the snapshot's recorded row count at OPTIMIZATION
-    * time, so no scan is planned (TableStoreSpec pins the plan shape).
-    * The table mutates first, proving recorded counts track CoW deletes;
-    * the oracle recomputes the count the honest way. */
+  /** Declarative metadata-only aggregates: the plain
+    * `read(t).agg(count(*), min(k), max(k))` path —
+    * [[graft.tables.MetadataAggregateRule]] rewrites the WHOLE aggregate
+    * to the snapshot's recorded row count and zone bounds at
+    * OPTIMIZATION time, so no scan is planned (TableStoreSpec pins the
+    * plan shape). The table mutates first, proving recorded stats track
+    * CoW deletes; the oracle recomputes everything the honest way. */
   private def tblCountPushdown(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val store = new TableStore(spark,
       Scratch.dir("tbl-count", Scratch.tag(dir)))
     val li = t(spark, dir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity")
     store.create("lineitem", li.schema, overwrite = true,
-      zoneCols = Seq("l_orderkey"))
+      zoneCols = Seq("l_orderkey", "l_quantity"))
     store.append("lineitem", li.repartitionByRange(4, col("l_orderkey")))
     store.delete("lineitem", col("l_quantity") > 40.0)
-    store.read("lineitem").agg(count(lit(1)).as("cnt"))
+    store.read("lineitem").agg(count(lit(1)).as("cnt"),
+      min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"),
+      min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
   }
 
   // delete KEEPS null-predicate rows (SQL DELETE WHERE semantics) — the
   // oracle must too; the fixture has no null l_quantity, but exactness
   // here keeps the gate honest on corpora that do
   private val tblCountPushdownSql =
-    """SELECT count(*) AS cnt FROM lineitem
+    """SELECT count(*) AS cnt,
+      |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem
       |WHERE l_quantity <= 40.0 OR l_quantity IS NULL""".stripMargin
 
   /** Partial-column MERGE under the oracle: matched keys update ONLY

@@ -530,8 +530,31 @@ final class TableStore(spark: SparkSession, val root: String,
     // the bloom loader keys by FULL path like the stats map; rel path is
     // recovered by stripping the data dir prefix
     val dataDirStr = fs.makeQualified(dataDir(name)).toString
+    val zstats = zoneStatsFrom(name, rels, cons)
+    // global per-column bounds for the metadata min/max rewrite: a column
+    // qualifies only when EVERY file has a recorded bound (an all-null or
+    // legacy file disqualifies it) and all bounds fold comparably
+    val colBounds: Map[String, (Any, Any)] = {
+      val per = rels.map(zstats.get)
+      if (per.isEmpty || per.exists(_.isEmpty)) Map.empty
+      else {
+        val maps = per.flatten
+        def extreme(vs: Seq[Any], wantMin: Boolean): Option[Any] =
+          vs.map(Option(_)).reduceLeft { (ao, bo) =>
+            for (a <- ao; b <- bo; c <- ZoneStats.cmp(a, b))
+              yield if ((c <= 0) == wantMin) a else b
+          }
+        maps.map(_.keySet).reduceLeft(_ intersect _).flatMap { c =>
+          val bs = maps.map(_(c))
+          for { // a non-comparable pair just drops the COLUMN (fail open)
+            lo <- extreme(bs.map(_._1), wantMin = true)
+            hi <- extreme(bs.map(_._2), wantMin = false)
+          } yield c -> ((lo, hi))
+        }.toMap
+      }
+    }
     val idx = new ZoneMapFileIndex(groups,
-      zoneStatsFrom(name, rels, cons).map { case (k, v) =>
+      zstats.map { case (k, v) =>
         new HPath(dataDir(name), k).toString -> v },
       Seq(dataDir(name)), pSchema,
       bloomCols(name).toSet,
@@ -542,7 +565,8 @@ final class TableStore(spark: SparkSession, val root: String,
       },
       // exact only when every file of THIS snapshot has a recorded count
       cons.map(_.rows).filter(rows => rels.forall(rows.contains))
-        .map(rows => rels.map(rows).sum))
+        .map(rows => rels.map(rows).sum),
+      colBounds)
     MetadataAggregateRule.register(spark)
     val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)

@@ -236,6 +236,12 @@ private[tables] object ZoneStats {
   *                 consolidated per-file counts) when EVERY file has one
   *                 — lets [[MetadataAggregateRule]] answer `count(*)`
   *                 without planning a scan; None = unknown
+  * @param columnBounds exact global (min, max) per PHYSICAL zone column,
+  *                 present only when EVERY file of the snapshot recorded
+  *                 a bound for it (an all-null or legacy file removes
+  *                 the column) — the min/max companion of totalRows.
+  *                 Null-ignoring like SQL min/max, since the per-file
+  *                 stats are
   * @param bloomCols columns (PHYSICAL names) with per-file bloom sidecars
   * @param bloomLoad lazy sidecar loader (full file path, physical column)
   *                 → filter; None = absent/corrupt = keep the file. Loaded
@@ -253,7 +259,8 @@ final class ZoneMapFileIndex(
     bloomCols: Set[String] = Set.empty,
     bloomLoad: (String, String) => Option[org.apache.spark.util.sketch.BloomFilter] =
       (_, _) => None,
-    val totalRows: Option[Long] = None) extends FileIndex {
+    val totalRows: Option[Long] = None,
+    val columnBounds: Map[String, (Any, Any)] = Map.empty) extends FileIndex {
 
   /** Unpartitioned: one anonymous group holding every file. */
   def this(statuses: Seq[FileStatus],

@@ -991,6 +991,19 @@ class TableStoreSpec extends SparkSpec {
     assert(scansOf(cnt) === 0, "count(*) still planned a scan")
     assert(st.read("t").count() === expect) // Dataset.count() path too
 
+    // min/max of a zone column rewrite too — even mixed with count, and
+    // even through a rename (the attr resolves to the physical column)
+    st.renameColumn("t", "id", "key")
+    val mm = st.read("t").agg(count(lit(1)).as("cnt"),
+      min(col("key")).as("lo"), max(col("key")).as("hi"))
+    val row = mm.collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((expect, 1L, 299L)))
+    assert(scansOf(mm) === 0, "min/max still planned a scan")
+    st.renameColumn("t", "key", "id")
+    // min/max of a NON-zone column must scan
+    val nz = st.read("t").agg(min(col("v")))
+    assert(scansOf(nz) === 1, "non-zone min must scan")
+
     // result survives data-file corruption — the answer IS metadata
     val conf = spark.sessionState.newHadoopConf()
     st.currentFiles("t").foreach { f =>
@@ -1009,6 +1022,15 @@ class TableStoreSpec extends SparkSpec {
     assert(scansOf(distinct) === 1, "count distinct must scan")
     val countCol = st.read("t").agg(count(col("v"))) // null-sensitive
     assert(scansOf(countCol) === 1, "count(col) must scan")
+
+    // an all-null zone file has no recorded bound: min/max must go back
+    // to scanning (null-ignoring SQL semantics can't be derived), while
+    // count(*) stays metadata-only — counts don't need bounds
+    st.append("t", Seq(Tuple1("nullrow")).toDF("v")
+      .select(lit(null).cast("long").as("id"), col("v")))
+    assert(scansOf(st.read("t").agg(min(col("id")))) === 1,
+      "min over an all-null-bound snapshot must scan")
+    assert(scansOf(st.read("t").agg(count(lit(1)))) === 0)
   }
 
   test("merge updates only the named columns, inserts the unmatched") {
