@@ -65,6 +65,37 @@ class MockFsTableStoreSpec extends SparkSpec {
         org.apache.spark.sql.types.DoubleType))))
     assert(st.read("t").columns.toSeq === Seq("id", "v", "score"))
     assert(st.read("t").filter(col("score").isNotNull).count() === 0)
+
+    // the round-5 metadata layer holds on the non-file branch too:
+    // recorded row counts answer exactly after the CoW mutations above
+    assert(st.rowCount("t") === Some(90L))
+    assert(st.columnRange("t", "id") === Some((1L, 90L)))
+  }
+
+  test("bloom sidecars, merge, and orphan cleanup work on the non-file branch") {
+    import spark.implicits._
+    val st = newStore()
+    val df = (0L until 200L).map(i => (i, i * 37 % 10000, 1.0)).toDF("id", "u", "amt")
+    st.create("b", df.schema, zoneCols = Seq("id"),
+      bloomCols = Seq("u"), bloomItems = 1000)
+    st.append("b", df.repartitionByRange(4, col("id")))
+    // bloom-pruned candidates for a scattered key batch
+    val cand = st.candidateFilesForKeys("b", Seq(37L * 150 % 10000).toDF("u"), Seq("u"))
+    assert(cand.length < 4, s"bloom pruned nothing on mockfs: $cand")
+    // partial-column merge commits atomically through FileContext renames
+    st.merge("b", Seq((150L, 0L, 99.0)).toDF("id", "u", "amt"),
+      Seq("id"), updateCols = Seq("amt"))
+    val row = st.read("b").filter(col("id") === 150L).collect()(0)
+    assert(row.getDouble(2) === 99.0)
+    assert(row.getLong(1) === 37L * 150 % 10000) // non-update col preserved
+    // orphan cleanup respects references and the age fence here too
+    val fs = fsOf(st)
+    val orphan = new HPath(st.root + "/b/data/orphan.parquet")
+    val o = fs.create(orphan, true); o.write("junk".getBytes); o.close()
+    assert(st.removeOrphans("b") === Seq.empty) // young
+    fs.setTimes(orphan, System.currentTimeMillis() - 25L * 3600 * 1000, -1)
+    assert(st.removeOrphans("b") === Seq("orphan.parquet"))
+    assert(st.read("b").count() === 200)
   }
 
   test("concurrent-writer lock fails fast and releases on the non-file branch") {
