@@ -183,6 +183,14 @@ final class TableStore(spark: SparkSession, val root: String,
           org.apache.spark.sql.types.ByteType,
           org.apache.spark.sql.types.StringType).contains(dt),
         s"bloom column $c must be integral or string, got ${dt.simpleString}")
+      // a partition column's values live in directory names, not data
+      // files — its bloom would be built over nulls, i.e. CONFIDENTLY
+      // empty, and prune every file (unlike zone stats, which just have
+      // no entry and fail open). Directory pruning already serves
+      // partition-key equality.
+      require(!partitionBy.contains(c),
+        s"bloom column $c is a partition column — directory pruning " +
+          "already covers it")
     }
     require(bloomItems > 0, "bloomItems must be positive")
     fs.mkdirs(dataDir(name))

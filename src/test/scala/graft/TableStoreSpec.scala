@@ -922,6 +922,37 @@ class TableStoreSpec extends SparkSpec {
     assert(after.collect().map(_.getLong(0)).toSeq === Seq(250L))
   }
 
+  test("blooms compose with hive partitioning: directory pruning then probes") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.tables.ZoneMapFileIndex
+    val st = newStore()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("u", LongType), StructField("p", StringType)))
+    st.create("t", sch, partitionBy = Seq("p"), zoneCols = Seq("id"),
+      bloomCols = Seq("u"), bloomItems = 500)
+    // two partitions × two id-range files each; u scatters
+    Seq("x", "y").foreach { part =>
+      (0 until 2).foreach { b =>
+        val lo = b * 100L
+        st.append("t", (lo until lo + 100L)
+          .map(i => (i, i * 37 % 10000, part)).toDF("id", "u", "p").coalesce(1))
+      }
+    }
+    // partition filter drops dir y; bloom probes the two x files
+    // (id 150 -> u = 5550 lives in the second id-range file of each dir)
+    val q = st.read("t")
+      .filter(col("p") === "x" && col("u") === 5550L)
+    val got = q.collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq === Seq((150L, "x")))
+    val counts = q.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+          .location.asInstanceOf[ZoneMapFileIndex]
+    }.head.lastScanCounts.get
+    assert(counts._1 === 4 && counts._2 < 2,
+      s"expected partition+bloom pruning below 2 files, got $counts")
+  }
+
   test("bloom columns survive rename and refuse drop") {
     val st = newStore()
     val sch = StructType(Seq(StructField("id", LongType),
