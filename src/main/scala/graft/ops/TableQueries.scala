@@ -283,6 +283,50 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 17 = 0
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
 
+  /** Key-level snapshot diff under the oracle: the table takes a
+    * partial-column merge (update + insert) and a delete between two
+    * snapshots; `diffVersions` must classify every key as
+    * added/removed/changed exactly — including a key updated and THEN
+    * deleted (net: removed) and a key inserted and then deleted inside
+    * the window (net: NOTHING — absent from both snapshots). The oracle
+    * derives the same classification from the mutation predicates. */
+  private def tblDiff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-diff", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("orders", ord.repartitionByRange(4, col("o_orderkey")))
+    val v1 = store.currentVersion("orders")
+    val updates = ord.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    val inserts = ord.filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), lit(1.0).as("o_totalprice"))
+    store.merge("orders", updates.unionByName(inserts),
+      Seq("o_orderkey"), updateCols = Seq("o_totalprice"))
+    store.delete("orders", col("o_orderkey") % 101 === 0)
+    val v2 = store.currentVersion("orders")
+    store.diffVersions("orders", v1, v2, Seq("o_orderkey"),
+        compareCols = Seq("o_totalprice"))
+      .orderBy("o_orderkey", "change")
+  }
+
+  private val tblDiffSql =
+    """SELECT o_orderkey, 'removed' AS change FROM orders
+      |WHERE o_orderkey % 101 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 'changed' AS change FROM orders
+      |WHERE o_orderkey % 13 = 0 AND o_orderkey % 101 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 10000000 AS o_orderkey, 'added' AS change
+      |FROM orders WHERE o_orderkey % 17 = 0
+      |  AND (o_orderkey + 10000000) % 101 <> 0
+      |ORDER BY o_orderkey, change""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)),
     Q("tbl_skipping_scan", tblSkippingScan, Some(tblSkippingScanSql)),
@@ -292,5 +336,6 @@ object TableQueries {
     Q("tbl_bloom_scan", tblBloomScan, Some(tblBloomScanSql)),
     Q("tbl_meta_agg", tblMetaAgg, Some(tblMetaAggSql)),
     Q("tbl_count_pushdown", tblCountPushdown, Some(tblCountPushdownSql)),
-    Q("tbl_merge", tblMerge, Some(tblMergeSql)))
+    Q("tbl_merge", tblMerge, Some(tblMergeSql)),
+    Q("tbl_diff", tblDiff, Some(tblDiffSql)))
 }
