@@ -331,7 +331,11 @@ object StreamGates {
       tails = Seq(sentinel(-2L, -2L, "click", 1), sentinel(-4L, -2L, "click", 2)))
     rm(spark, s"$b/out"); rm(spark, s"$b/ckpt")
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "2") // see stJoin
+    // an OUTER join checkpoints four state stores per partition per
+    // micro-batch and this gate runs SIX batches (4 data + 2 sentinel);
+    // the ~25k-row state fits one partition, halving commit files vs
+    // st_join's 2 (a real deployment sizes to join-key cardinality)
+    ss.conf.set("spark.sql.shuffle.partitions", "1")
     def src(path: String): DataFrame = {
       val schema = ss.read.parquet(path).schema
       ss.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
