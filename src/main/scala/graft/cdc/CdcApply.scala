@@ -141,7 +141,8 @@ object CdcApply {
     * `apply` above adds the reference's per-record driver-side validation
     * semantics on top of it. */
   def applyEnvelopes(spark: SparkSession, store: TableStore,
-      config: CdcConfig, env: DataFrame): Stats = {
+      config: CdcConfig, env: DataFrame,
+      commitTags: Map[String, String] = Map.empty): Stats = {
     require(store.exists(config.table), s"table ${config.table} does not exist")
     val schema = store.schema(config.table)
     val keySchema = StructType(config.keyCols.map(c =>
@@ -252,7 +253,8 @@ object CdcApply {
         sum(when(col("__op") =!= "delete", 1L).otherwise(0L)).as("u"),
         sum(when(col("__op") === "delete", 1L).otherwise(0L)).as("d"))
         .collect()(0)
-      store.applyNet(config.table, touchedKeys, upserts, config.keyCols)
+      store.applyNet(config.table, touchedKeys, upserts, config.keyCols,
+        meta = commitTags)
       Stats(statsRow.getLong(0), statsRow.getLong(1))
     } finally { decoded.unpersist(); () }
   }

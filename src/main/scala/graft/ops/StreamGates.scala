@@ -108,14 +108,23 @@ object StreamGates {
     * stream data an older version of the code staged. */
   private def fingerprint(spark: SparkSession, dir: String, table: String,
       recipe: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
     val p = new HPath(s"$dir/$table.parquet")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
-    // the PARSED schema participates too: the same bytes can read back
+    // the SCHEMA participates too: the same bytes can read back
     // differently when type-inference behavior changes (e.g. a fixture
     // regenerated from ns-long to µs TIMESTAMP_NTZ), and staged payload
-    // rendering follows the read types
-    val sch = spark.read.parquet(p.toString).schema.catalogString
+    // rendering follows the read types. Hashed from the RAW parquet
+    // footer, not Spark's converted StructType: Spark 4 throws on
+    // TIMESTAMP(NANOS) at inference unless the nanosAsLong conf is set
+    // (Events.ev scopes it around its own reads), and a change detector
+    // must never crash on the corpora it exists to detect.
+    val sch = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema.toString finally r.close()
+    }
     s"${st.getModificationTime}:${st.getLen}:${sch.hashCode}:$recipe"
   }
 
@@ -224,8 +233,17 @@ object StreamGates {
       .writeStream
       .option("checkpointLocation", s"$b/ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        CdcApply.applyEnvelopes(batch.sparkSession, store, cfg, batch); ()
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // the sink's restart-idempotence contract (CdcStreamSink doc):
+        // skip batches a committed snapshot already recorded, apply the
+        // rest tagging the commit with the batch id
+        val tag = graft.api.CdcStreamSink.batchIdTag("st_cdc")
+        val last = store.lastMetaValue("orders", tag)
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+        if (!last.exists(_ >= bid))
+          CdcApply.applyEnvelopes(batch.sparkSession, store, cfg, batch,
+            commitTags = Map(tag -> bid.toString))
+        ()
       }
       .start()
     q.awaitTermination()
@@ -531,12 +549,17 @@ object StreamGates {
     * plants one) — so the oracle aggregates DISTINCT ON (event_id)
     * survivors, with evDedup's deterministic secondary order for the
     * pick (irrelevant when duplicate payloads are identical, which is
-    * the guarantee staged replays uphold). */
+    * the guarantee staged replays uphold). The ordering pins the pick
+    * over EVERY read column — value and the raw ts included — so
+    * DuckDB's survivor is fully determined even on a corpus whose
+    * genuine duplicates differ in payload (the aggregate reads value
+    * and the hour of the untruncated ts; an underdetermined pick could
+    * diverge from the stream's arrival-order survivor). */
   private val stDedupSql =
     """WITH survivors AS (
       |  SELECT DISTINCT ON (event_id) *
       |  FROM events
-      |  ORDER BY event_id, event_type, user_id, DATE_TRUNC('second', ts))
+      |  ORDER BY event_id, event_type, user_id, ts, value)
       |SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start,
       | event_type, COUNT(*) AS n_events,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -327,6 +327,122 @@ object TableQueries {
       |  AND (o_orderkey + 10000000) % 101 <> 0
       |ORDER BY o_orderkey, change""".stripMargin
 
+  /** MERGE with a delete clause under the oracle: one source carries
+    * updates (%13 → doubled price), tombstones (%19 → DELETE — winning
+    * over the update for keys divisible by both, e.g. 247), and inserts
+    * (+10M for %17); one atomic merge applies all three. The oracle
+    * rebuilds the same outcome from the predicates. Every tombstone key
+    * exists in the table here, so all of them MATCH and delete; the
+    * unmatched-tombstone-inserts caveat is pinned in TableStoreSpec. */
+  private def tblMergeDelete(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-merge-del", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+      bloomItems = 20000)
+    store.append("orders", ord.repartitionByRange(8, col("o_orderkey")))
+    // one pass builds a UNIQUE-key source: delete wins over update for
+    // overlap keys IN the clause condition (the row carries the updated
+    // price too — merge must delete it, not update it)
+    val upserts = ord.filter(col("o_orderkey") % 13 === 0 ||
+        col("o_orderkey") % 19 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"),
+        when(col("o_orderkey") % 19 === 0, lit("D"))
+          .otherwise(lit("U")).as("__op"))
+    val inserts = ord.filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"),
+        lit(1.0).as("o_totalprice"), lit("I").as("__op"))
+    store.merge("orders", upserts.unionByName(inserts),
+      Seq("o_orderkey"), updateCols = Seq("o_totalprice"),
+      deleteWhen = Some(col("__op") === "D"))
+    store.read("orders")
+      .orderBy("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  }
+
+  private val tblMergeDeleteSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 19 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+      |  'N' AS o_orderstatus, 1.0 AS o_totalprice
+      |FROM orders WHERE o_orderkey % 17 = 0
+      |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
+  /** Concurrent writers under the oracle: two threads append disjoint
+    * halves of orders to the same table AT THE SAME TIME (two store
+    * handles, real lock contention, optimistic rebase), then a third
+    * writer deletes a slice — the surviving table must equal the plain
+    * SQL over the union, proving no commit was lost and no row
+    * duplicated regardless of which appender won the race. */
+  private def tblConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val root = Scratch.dir("tbl-concurrent", Scratch.tag(dir))
+    val a = new TableStore(spark, root)
+    val b = new TableStore(spark, root)
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    a.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try a.append("orders", ord.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(2, col("o_orderkey")))
+      catch { case e: Throwable => errs.add(e); () })
+    val t2 = new Thread(() =>
+      try b.append("orders", ord.filter(col("o_orderkey") % 2 =!= 0)
+        .repartitionByRange(2, col("o_orderkey")))
+      catch { case e: Throwable => errs.add(e); () })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    if (!errs.isEmpty) throw errs.peek()
+    a.delete("orders", col("o_orderkey") % 7 === 0)
+    a.read("orders")
+      .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  private val tblConcurrentSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
+
+  /** Partition evolution under the oracle: orders starts hive-partitioned
+    * by o_orderstatus, evolves (metadata-only) to partition by
+    * o_orderpriority between two appends, then takes a CoW delete
+    * SPANNING both layouts. The filtered read must equal the plain SQL —
+    * o_orderstatus is a directory value in generation 0 and a data
+    * column in generation 1, and the union must not care. */
+  private def tblPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-partevo", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      partitionBy = Seq("o_orderstatus"), zoneCols = Seq("o_orderkey"))
+    store.append("orders", ord.filter(col("o_orderkey") <= 7500L))
+    store.repartitionSpec("orders", Seq("o_orderpriority"))
+    store.append("orders", ord.filter(col("o_orderkey") > 7500L))
+    store.delete("orders", col("o_orderkey") % 11 === 0)
+    store.read("orders")
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") >= 500L)
+      .orderBy("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+  }
+
+  private val tblPartitionEvolutionSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |  o_totalprice
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_orderkey >= 500
+      |  AND o_orderkey % 11 <> 0
+      |ORDER BY o_orderkey, o_custkey, o_orderpriority, o_totalprice""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)),
     Q("tbl_skipping_scan", tblSkippingScan, Some(tblSkippingScanSql)),
@@ -337,5 +453,9 @@ object TableQueries {
     Q("tbl_meta_agg", tblMetaAgg, Some(tblMetaAggSql)),
     Q("tbl_count_pushdown", tblCountPushdown, Some(tblCountPushdownSql)),
     Q("tbl_merge", tblMerge, Some(tblMergeSql)),
+    Q("tbl_merge_delete", tblMergeDelete, Some(tblMergeDeleteSql)),
+    Q("tbl_concurrent", tblConcurrent, Some(tblConcurrentSql)),
+    Q("tbl_partition_evolution", tblPartitionEvolution,
+      Some(tblPartitionEvolutionSql)),
     Q("tbl_diff", tblDiff, Some(tblDiffSql)))
 }

@@ -59,13 +59,32 @@ import org.apache.spark.sql.types.StructType
   * rewrites data files that actually contain affected rows (file pruning via
   * `input_file_name`), everything else is carried over by manifest reference.
   * That is the property that keeps a 100 TB table's update cost proportional
-  * to touched data, not table size. Single-writer by design, like the
-  * reference's one-sequential-gRPC-stream model (SURVEY.md §3); a
-  * crash-stranded `_commit.lock` older than [[TableStore.StaleLockMs]] is
-  * reclaimed automatically.
+  * to touched data, not table size.
+  *
+  * CONCURRENCY — optimistic commit with rebase (the Iceberg
+  * catalog-commit model the reference inherits, SparkUtils.java:46-50):
+  * every mutation stages its data files, then commits an INTENT (base
+  * snapshot, files removed, files added) under the advisory
+  * `_commit.lock`. If the head moved past the intent's base, the commit
+  * REBASES: a pure append (nothing removed) always rebases onto the new
+  * head — append/append and append-vs-mutation commute; a CoW mutation
+  * rebases iff every file it rewrote still exists at the head (the
+  * concurrent commits touched disjoint files), and otherwise aborts with
+  * [[CommitConflictException]] after deleting its staged files — a
+  * conflict never half-commits, and the caller re-runs against the new
+  * snapshot. Mutations read a SNAPSHOT: rows appended concurrently are
+  * not seen by an in-flight delete/merge (snapshot isolation, same as
+  * Iceberg serializable-snapshot semantics for disjoint files). A
+  * contending writer WAITS for the lock (bounded by
+  * [[TableStore.LockWaitMs]]); a crash-stranded lock older than
+  * [[TableStore.StaleLockMs]] is reclaimed automatically. The pointer
+  * swap itself goes through the pluggable [[CommitCoordinator]] CAS
+  * seam, so even where the lock cannot be atomic (S3), the loser of a
+  * pointer race cleans up and retries instead of corrupting history.
   */
 final class TableStore(spark: SparkSession, val root: String,
-    hadoopProps: Map[String, String] = Map.empty) {
+    hadoopProps: Map[String, String] = Map.empty,
+    coordinator: Option[CommitCoordinator] = None) {
 
   private val hconf = {
     val c = spark.sessionState.newHadoopConf()
@@ -86,6 +105,24 @@ final class TableStore(spark: SparkSession, val root: String,
   private def tdir(name: String): HPath = new HPath(rootPath, name)
   private def dataDir(name: String): HPath = new HPath(tdir(name), "data")
 
+  /** Pointer authority: a supplied catalog-style coordinator, or the
+    * default `_current`-file-by-atomic-rename implementation. The
+    * file impl's swap is CAS-correct under the commit lock (the lock
+    * serializes read-compare-rename); a true external CAS store makes
+    * it correct even where the lock cannot be (S3). */
+  private val coord: CommitCoordinator =
+    coordinator.getOrElse(new CommitCoordinator {
+      override def current(table: String): Option[String] = {
+        val p = new HPath(tdir(table), "_current")
+        if (fs.exists(p)) Some(readString(p).trim) else None
+      }
+      override def swap(table: String, expected: Option[String],
+          next: String): Boolean =
+        if (current(table) != expected) false
+        else { atomicWrite(new HPath(tdir(table), "_current"), next); true }
+      override def clear(table: String): Unit = () // dies with the table dir
+    })
+
   // ---- small FS helpers ----------------------------------------------------
 
   private def writeString(p: HPath, s: String): Unit = {
@@ -97,6 +134,27 @@ final class TableStore(spark: SparkSession, val root: String,
     val in = fs.open(p)
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
+
+  /** Create `p` with `s` iff it does not exist; false when another
+    * writer claimed the name first. On `file:` the O_EXCL java.nio
+    * create is used (RawLocalFileSystem's create(overwrite=false) is
+    * check-then-create); elsewhere fs.create(false) is atomic (HDFS). */
+  private def writeStringNoOverwrite(p: HPath, s: String): Boolean =
+    try {
+      if (fs.getScheme == "file") {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),
+          s.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW)
+        ()
+      } else {
+        val out = fs.create(p, false)
+        try out.write(s.getBytes("UTF-8")) finally out.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(p) => false
+    }
 
   private def readLines(p: HPath): Seq[String] =
     readString(p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -151,7 +209,7 @@ final class TableStore(spark: SparkSession, val root: String,
     s.substring(b.length + 1)
   }
 
-  def exists(name: String): Boolean = fs.exists(new HPath(tdir(name), "_current"))
+  def exists(name: String): Boolean = coord.current(name).isDefined
 
   /** `partitionBy` columns give hive-style `col=value` data layout, so
     * reads with partition-key predicates prune whole directories at plan
@@ -193,6 +251,7 @@ final class TableStore(spark: SparkSession, val root: String,
           "already covers it")
     }
     require(bloomItems > 0, "bloomItems must be positive")
+    coord.clear(name) // a re-created table starts a fresh pointer history
     fs.mkdirs(dataDir(name))
     fs.mkdirs(new HPath(d, "stats"))
     if (bloomCols.nonEmpty) fs.mkdirs(new HPath(d, "bloom"))
@@ -203,7 +262,7 @@ final class TableStore(spark: SparkSession, val root: String,
       writeString(new HPath(d, "_bloomcols"), bloomCols.mkString(","))
       writeString(new HPath(d, "_bloomitems"), bloomItems.toString)
     }
-    commitManifest(name, Nil, Nil)
+    commitManifest(name, 0, Set.empty, Nil, Nil)
   }
 
   /** Columns with per-file min/max zone maps (file skipping for CDC). */
@@ -217,6 +276,92 @@ final class TableStore(spark: SparkSession, val root: String,
     val p = new HPath(tdir(name), "_partitions")
     if (!fs.exists(p)) Nil
     else readString(p).trim.split(",").toSeq.filter(_.nonEmpty)
+  }
+
+  // ---- partition-spec evolution --------------------------------------------
+
+  /** Spec history as (id, physical partition cols), oldest first. Absent
+    * `_partspecs.json` = the table never evolved: one spec (id 0) with
+    * the create-time layout. */
+  def partitionSpecs(name: String): Seq[(Int, Seq[String])] = {
+    val p = new HPath(tdir(name), "_partspecs.json")
+    if (!fs.exists(p)) Seq((0, partitionCols(name)))
+    else {
+      import scala.jdk.CollectionConverters._
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(p))
+      root.get("specs").elements().asScala.map { s =>
+        (s.get("id").intValue(),
+          s.get("cols").elements().asScala.map(_.textValue()).toSeq)
+      }.toSeq
+    }
+  }
+
+  /** Current spec id (the one [[append]] writes under). */
+  private def currentSpecId(name: String): Int = partitionSpecs(name).last._1
+
+  /** Spec generation a manifest-relative path belongs to: files of
+    * evolved specs live under a `spec-<id>/` prefix; unprefixed = the
+    * create-time spec 0. */
+  private def specOfRel(rel: String): Int =
+    if (!rel.startsWith("spec-")) 0
+    else {
+      val cut = rel.indexOf('/')
+      if (cut < 0) 0
+      else scala.util.Try(rel.substring(5, cut).toInt).getOrElse(0)
+    }
+
+  /** Base directory of one spec generation (hive kv dirs start below it). */
+  private def specBaseDir(name: String, id: Int): HPath =
+    if (id == 0) dataDir(name) else new HPath(dataDir(name), s"spec-$id")
+
+  /** Partition-spec evolution (the Iceberg partition-evolution shape,
+    * which the reference inherits through its Iceberg tables): FUTURE
+    * writes lay out under `newCols` (hive dirs below a fresh
+    * `spec-<id>/` generation prefix); existing files keep their layout
+    * untouched — METADATA-ONLY, no rewrite, which at 100 TB is the only
+    * sane way to change a partition scheme. Reads compose the
+    * generations: each one gets its own partition schema and directory
+    * pruning, zone maps skip files within every generation, and the
+    * union serves the logical schema. A later [[compact]] rewrites
+    * everything into the CURRENT spec, retiring old generations (their
+    * files age out via [[expireSnapshots]]).
+    *
+    * `newCols` are logical names (empty = unpartition future writes).
+    * Like create-time `partitionBy`, a column with a bloom sidecar
+    * cannot become a partition column: its values would move into
+    * directory names and the blooms of FUTURE files would be built over
+    * nulls — confidently empty, pruning files that hold live rows. */
+  def repartitionSpec(name: String, newCols: Seq[String]): Unit = {
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val sch = schema(name)
+      newCols.foreach(c => require(sch.fieldNames.contains(c),
+        s"partition column $c not in table $name"))
+      val m = physMap(name)
+      val phys = newCols.map(c => physOf(m, c))
+      phys.foreach(c => require(!bloomCols(name).contains(c),
+        s"column $c has bloom sidecars — a partition column's values " +
+          "live in directory names and future blooms would prune wrongly"))
+      val specs = partitionSpecs(name)
+      require(phys != specs.last._2,
+        s"new partition spec ${phys.mkString(",")} equals the current spec")
+      val next = specs.map(_._1).max + 1
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      val arr = root.putArray("specs")
+      (specs :+ ((next, phys))).foreach { case (id, cols) =>
+        val o = arr.addObject()
+        o.put("id", id)
+        val ca = o.putArray("cols")
+        cols.foreach(ca.add)
+        ()
+      }
+      atomicWrite(new HPath(tdir(name), "_partspecs.json"),
+        mapper.writeValueAsString(root))
+      atomicWrite(new HPath(tdir(name), "_partitions"), phys.mkString(","))
+    } finally { fs.delete(lock, false); () }
   }
 
   /** Columns with a per-file Bloom filter (point-lookup file skipping).
@@ -238,6 +383,7 @@ final class TableStore(spark: SparkSession, val root: String,
 
   def drop(name: String): Unit = {
     fs.delete(tdir(name), true)
+    coord.clear(name)
     catalogCache -= name
     ()
   }
@@ -470,11 +616,16 @@ final class TableStore(spark: SparkSession, val root: String,
       .fromJson(readString(new HPath(tdir(name), "_schema.json")))
       .asInstanceOf[StructType]
 
+  private def currentManifest(name: String): String =
+    coord.current(name).getOrElse(
+      throw new IllegalStateException(s"table $name does not exist"))
+
+  private def versionOf(manifest: String): Int =
+    manifest.stripPrefix("manifest-").stripSuffix(".txt").toInt
+
   /** Manifest-relative data file paths of the current snapshot. */
-  def currentRelPaths(name: String): Seq[String] = {
-    val cur = readString(new HPath(tdir(name), "_current")).trim
-    readLines(new HPath(tdir(name), cur))
-  }
+  def currentRelPaths(name: String): Seq[String] =
+    readLines(new HPath(tdir(name), currentManifest(name)))
 
   /** Live data files (absolute paths) of the current snapshot. */
   def currentFiles(name: String): Seq[String] =
@@ -492,13 +643,35 @@ final class TableStore(spark: SparkSession, val root: String,
   def read(name: String): DataFrame =
     indexedRead(name, currentRelPaths(name), currentVersion(name))
 
+  /** Dispatcher over partition-spec generations: a never-evolved table
+    * (or a snapshot whose files all share one generation) takes the
+    * single-relation path unchanged; a mixed-layout snapshot builds one
+    * indexed relation PER generation — each with its own partition
+    * schema, directory pruning, and zone-map index — and unions them
+    * under the logical schema. Metadata-only aggregate rewrites
+    * (count/min/max with zero scan) apply to single-generation reads;
+    * a mixed read falls back to scanning, and [[compact]] restores the
+    * single-generation fast path. */
   private def indexedRead(name: String, rels: Seq[String],
+      version: Int): DataFrame = {
+    val bySpec = rels.groupBy(specOfRel)
+    if (bySpec.size <= 1)
+      indexedReadSpec(name, bySpec.headOption.map(_._1).getOrElse(0),
+        rels, version)
+    else
+      bySpec.toSeq.sortBy(_._1)
+        .map { case (id, rs) => indexedReadSpec(name, id, rs, version) }
+        .reduce(_ unionByName _)
+  }
+
+  private def indexedReadSpec(name: String, specId: Int, rels: Seq[String],
       version: Int): DataFrame = {
     if (rels.isEmpty) return readFiles(name, Nil)
     val sch = schema(name)
     val m = physMap(name)
     val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
-    val pCols = partitionCols(name) // physical names, layout order
+    // physical names, layout order, THIS generation's spec
+    val pCols = partitionSpecs(name).toMap.getOrElse(specId, Nil)
     // file statuses WITHOUT touching the filesystem: lengths were recorded
     // in the snapshot's consolidated file at commit time (validated there
     // — non-positive/malformed entries are dropped at parse), so planning
@@ -526,7 +699,10 @@ final class TableStore(spark: SparkSession, val root: String,
       if (pCols.isEmpty) Seq((org.apache.spark.sql.catalyst.InternalRow.empty, rels.map(statusOf)))
       else rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).toSeq
         .map { case (dir, rs) =>
-          (parsePartitionValues(name, dir, physSch, pCols), rs.map(statusOf))
+          // evolved generations carry a `spec-<id>/` prefix before the
+          // hive kv segments — strip it for value parsing
+          val hiveDir = if (specId == 0) dir else dir.substring(dir.indexOf('/') + 1)
+          (parsePartitionValues(name, hiveDir, physSch, pCols), rs.map(statusOf))
         }
     val pSchema =
       if (pCols.isEmpty) new StructType()
@@ -564,7 +740,7 @@ final class TableStore(spark: SparkSession, val root: String,
     val idx = new ZoneMapFileIndex(groups,
       zstats.map { case (k, v) =>
         new HPath(dataDir(name), k).toString -> v },
-      Seq(dataDir(name)), pSchema,
+      Seq(specBaseDir(name, specId)), pSchema,
       bloomCols(name).toSet,
       (path, c) => {
         val qualified = fs.makeQualified(new HPath(path)).toString
@@ -631,7 +807,7 @@ final class TableStore(spark: SparkSession, val root: String,
       s"$zoneCol is not a zone column of table $name (zone columns: " +
         s"${zoneCols(name).mkString(", ")})")
     val candidates = pruneByZones(name, currentRelPaths(name),
-      Map(pz -> ((lo, hi))))
+      Map(pz -> ((lo, hi))), currentVersion(name))
     val files = candidates.map(r => new HPath(dataDir(name), r).toString)
     readFiles(name, files)
       .filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
@@ -648,9 +824,7 @@ final class TableStore(spark: SparkSession, val root: String,
     indexedRead(name, readLines(manifest), version)
   }
 
-  def currentVersion(name: String): Int =
-    readString(new HPath(tdir(name), "_current")).trim
-      .stripPrefix("manifest-").stripSuffix(".txt").toInt
+  def currentVersion(name: String): Int = versionOf(currentManifest(name))
 
   /** Incremental read: rows APPENDED since snapshot `version` (the
     * incremental-consumer primitive — a downstream job processes only
@@ -673,7 +847,36 @@ final class TableStore(spark: SparkSession, val root: String,
     val d = tdir(name)
     val manifest = new HPath(d, f"manifest-$version%06d.txt")
     require(fs.exists(manifest), s"no snapshot $version for table $name")
-    val range = (version + 1) to currentVersion(name)
+    val head = currentVersion(name)
+    // Committed-chain walk via parent pointers (commit meta): ONLY
+    // snapshots reachable from the head contribute appended sidecars. A
+    // manifest numbered inside the range but never committed (a writer
+    // that lost its pointer CAS, or crashed before it) is not on the
+    // chain and must never surface rows no read() ever exposed. Legacy
+    // history without meta falls back to the numeric range — exact
+    // there, because the pre-chain commit path reclaimed phantom
+    // manifests eagerly under its lock.
+    val chain: Option[Seq[Int]] = {
+      val b = Seq.newBuilder[Int]
+      var v = head
+      var legacy = false
+      while (v > version && !legacy) {
+        b += v
+        commitParent(name, v) match {
+          case Some(p) if p >= 0 && p < v => v = p
+          case _                          => legacy = true
+        }
+      }
+      if (legacy) None
+      else {
+        require(v == version,
+          s"snapshot $version of table $name is not an ancestor of the " +
+            s"current snapshot $head — it was never committed, or history " +
+            "was rewritten; diff by key via diffVersions instead")
+        Some(b.result())
+      }
+    }
+    val range = chain.getOrElse((version + 1) to head: Seq[Int])
     val sidecars = range.map(v => new HPath(d, f"manifest-$v%06d.appended"))
     if (sidecars.forall(fs.exists)) {
       val appended = sidecars.flatMap(readLines)
@@ -736,30 +939,53 @@ final class TableStore(spark: SparkSession, val root: String,
       return spark.createDataFrame(new java.util.ArrayList[Row](), sch)
     // files carry PHYSICAL column names (fixed at field creation); read
     // under the physical schema, surface logical names — a renamed column
-    // reads back from every snapshot without any file rewrite
+    // reads back from every snapshot without any file rewrite. Grouped by
+    // partition-spec generation: each generation reads under its OWN
+    // basePath so hive discovery fills exactly its spec's columns from
+    // the directory names (the rest are data columns in the files).
     val m = physMap(name)
     val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
-    val raw =
-      if (partitionCols(name).isEmpty) spark.read.schema(physSch).parquet(files: _*)
-      else spark.read.schema(physSch)
-        .option("basePath", dataDir(name).toString)
-        .parquet(files: _*)
-    raw.select(sch.fields.map(f => col(physOf(m, f.name)).as(f.name)).toSeq: _*)
+    val dd = fs.makeQualified(dataDir(name)).toString
+    def relOf(p: String): String =
+      fs.makeQualified(new HPath(p)).toString.stripPrefix(dd + "/")
+    val specs = partitionSpecs(name).toMap
+    files.groupBy(p => specOfRel(relOf(p))).toSeq.sortBy(_._1)
+      .map { case (id, fls) =>
+        val raw =
+          if (specs.getOrElse(id, Nil).isEmpty)
+            spark.read.schema(physSch).parquet(fls: _*)
+          else spark.read.schema(physSch)
+            .option("basePath", specBaseDir(name, id).toString)
+            .parquet(fls: _*)
+        raw.select(sch.fields.map(f =>
+          col(physOf(m, f.name)).as(f.name)).toSeq: _*)
+      }.reduce(_ unionByName _)
   }
 
   /** Append-only write: new data files + manifest, no existing file touched
-    * (reference W1, SparkDestinationStream.java:229-232). */
-  def append(name: String, df: DataFrame): Unit = {
+    * (reference W1, SparkDestinationStream.java:229-232). Appends always
+    * COMMUTE: a concurrent commit of any kind just rebases this one onto
+    * the new head. `meta` tags land in the commit's metadata (e.g. a
+    * streaming sink records its batch id for restart idempotence). */
+  def append(name: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): Unit = {
+    val base = if (exists(name)) currentVersion(name) else 0
     val newFiles = writeDataFiles(name, alignTo(name, schema(name), df))
-    commitManifest(name, currentRelPaths(name) ++ newFiles, newFiles)
+    commitManifest(name, base, Set.empty, newFiles, newFiles, meta = meta)
   }
 
   /** Row-level delete (reference W2, SparkDestinationStream.java:124-135) as
-    * an anti-filter copy-on-write: rewrite only files containing matches. */
+    * an anti-filter copy-on-write: rewrite only files containing matches.
+    * Runs against the snapshot current at entry; commits rebase over
+    * concurrent commits touching DISJOINT files and abort with
+    * [[CommitConflictException]] on overlap. */
   def delete(name: String, cond: Column): Unit = {
-    val files = currentFiles(name)
-    if (files.isEmpty) return
-    val df = read(name)
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val rels = readLines(new HPath(tdir(name), baseManifest))
+    if (rels.isEmpty) return
+    val files = rels.map(r => new HPath(dataDir(name), r).toString)
+    val df = indexedRead(name, rels, base)
     val affected = df.filter(cond).select(input_file_name().as("f"))
       .distinct().collect().map(r => fileName(r.getString(0))).toSet
     if (affected.isEmpty) return
@@ -769,9 +995,8 @@ final class TableStore(spark: SparkSession, val root: String,
     val survivors = readFiles(name, affectedPaths)
       .filter(!coalesce(cond, lit(false)))
     val rewritten = writeDataFiles(name, survivors)
-    commitManifest(name,
-      currentRelPaths(name).filterNot(p => affected.contains(fileName(p)))
-        ++ rewritten, Nil)
+    val removedRels = rels.filter(r => affected.contains(fileName(r))).toSet
+    commitManifest(name, base, removedRels, rewritten, Nil)
   }
 
   /** Net CDC application in ONE snapshot commit: drop every row whose key
@@ -779,20 +1004,23 @@ final class TableStore(spark: SparkSession, val root: String,
     * reference's non-atomic delete-then-insert update
     * (SparkDestinationStream.java:110-114; README.md:74-77). */
   def applyNet(name: String, keys: DataFrame, newRows: DataFrame,
-      keyCols: Seq[String]): Unit = {
+      keyCols: Seq[String], meta: Map[String, String] = Map.empty): Unit = {
     val sch = schema(name)
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val rels = readLines(new HPath(tdir(name), baseManifest))
     val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
-    var carried = currentRelPaths(name)
+    var removed = Set.empty[String]
     var rewritten = Seq.empty[String]
-    if (carried.nonEmpty) {
+    if (rels.nonEmpty) {
       // Stage 1 — metadata pruning: zone maps discard files whose key
       // RANGE cannot intersect the batch (clustered layouts); blooms then
       // discard survivors that provably hold NONE of the batch's keys
       // (any layout — the random-key CDC case zone maps can't touch).
       // Manifest + sidecar reads only, no data file opened.
       val candidates = pruneByBlooms(name,
-        pruneByZones(name, carried, keyBounds(name, distinctKeys, keyCols)),
-        distinctKeys, keyCols)
+        pruneByZones(name, rels, keyBounds(name, distinctKeys, keyCols), base),
+        distinctKeys, keyCols, base)
       if (candidates.nonEmpty) {
         val candidatePaths = candidates.map(r => new HPath(dataDir(name), r).toString)
         // Stage 2 — exact pruning: a semi join over the candidates marks
@@ -810,23 +1038,25 @@ final class TableStore(spark: SparkSession, val root: String,
           val survivors = readFiles(name, affectedPaths)
             .join(distinctKeys, keyCols, "left_anti")
           rewritten = writeDataFiles(name, survivors)
-          carried = carried.filterNot(p => affected.contains(fileName(p)))
+          removed = rels.filter(r => affected.contains(fileName(r))).toSet
         }
       }
     }
     val appended = writeDataFiles(name, alignTo(name, sch, newRows))
-    commitManifest(name, carried ++ rewritten ++ appended, appended)
+    commitManifest(name, base, removed, rewritten ++ appended, appended,
+      meta = meta)
   }
 
   /** Zone- AND bloom-pruned candidate files for a key batch — exposed for
     * tests and for callers that want to observe skipping behavior. */
   def candidateFilesForKeys(name: String, keys: DataFrame,
       keyCols: Seq[String]): Seq[String] = {
+    val version = currentVersion(name)
     val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
     pruneByBlooms(name,
       pruneByZones(name, currentRelPaths(name),
-        keyBounds(name, distinctKeys, keyCols)),
-      distinctKeys, keyCols)
+        keyBounds(name, distinctKeys, keyCols), version),
+      distinctKeys, keyCols, version)
   }
 
   // ---- metadata-only aggregates -------------------------------------------
@@ -864,11 +1094,19 @@ final class TableStore(spark: SparkSession, val root: String,
     val bounds = rels.map(r => stats.get(r).flatMap(_.get(pc)))
     if (bounds.exists(_.isEmpty)) return None
     val all = bounds.flatten
-    val lo = all.map(_._1).reduceLeft((a, b) =>
-      if (ZoneStats.cmp(a, b).exists(_ <= 0)) a else b)
-    val hi = all.map(_._2).reduceLeft((a, b) =>
-      if (ZoneStats.cmp(a, b).exists(_ >= 0)) a else b)
-    Some((lo, hi))
+    // Option-threaded fold, like indexedRead's colBounds: a NON-COMPARABLE
+    // pair (corrupt mixed-type stats entry) must yield None — falling back
+    // to a real scan — never silently pick one side as the extreme and
+    // return a wrong metadata min/max
+    def extreme(vs: Seq[Any], wantMin: Boolean): Option[Any] =
+      vs.map(Option(_): Option[Any]).reduceLeft { (ao, bo) =>
+        for (a <- ao; b <- bo; c <- ZoneStats.cmp(a, b))
+          yield if ((c <= 0) == wantMin) a else b
+      }
+    for {
+      lo <- extreme(all.map(_._1), wantMin = true)
+      hi <- extreme(all.map(_._2), wantMin = false)
+    } yield (lo, hi)
   }
 
   /** Drop candidate files whose blooms PROVE they hold none of the key
@@ -881,14 +1119,20 @@ final class TableStore(spark: SparkSession, val root: String,
     * SOME tuple hits ALL of its bloom'd key columns; missing/corrupt
     * sidecars and non-bloom'd columns count as hits (fail open). */
   private def pruneByBlooms(name: String, rels: Seq[String],
-      distinctKeys: DataFrame, keyCols: Seq[String]): Seq[String] = {
+      distinctKeys: DataFrame, keyCols: Seq[String],
+      version: Int): Seq[String] = {
     if (rels.isEmpty) return rels
     val bc = bloomCols(name)
     if (bc.isEmpty) return rels
     val m = physMap(name)
     val probed = keyCols.filter(c => bc.contains(physOf(m, c)))
     if (probed.isEmpty) return rels
-    val tuples = distinctKeys.select(probed.map(col): _*)
+    // distinct AFTER projecting to the probed subset: the cap guards the
+    // driver-side probe loop, whose cost is distinct PROBED tuples — a
+    // batch with many distinct composite keys but few distinct probed
+    // values must not skip pruning, and duplicate projected tuples must
+    // not inflate the loop
+    val tuples = distinctKeys.select(probed.map(col): _*).distinct()
       .limit(TableStore.BloomProbeMaxKeys + 1).collect()
     if (tuples.isEmpty || tuples.length > TableStore.BloomProbeMaxKeys) return rels
     // normalize to the probe domain; a tuple with a null key component
@@ -909,20 +1153,42 @@ final class TableStore(spark: SparkSession, val root: String,
     }
     if (probeTuples.isEmpty) return Nil // every tuple had a null key part
     if (probeTuples.exists(_.contains(TableStore.Unprobeable))) return rels
+    def hits(b: org.apache.spark.util.sketch.BloomFilter, v: Any): Boolean =
+      v match {
+        case l: Long   => b.mightContainLong(l)
+        case s: String => b.mightContainString(s)
+        case _         => true
+      }
+    // Stage 0 — SNAPSHOT ROLL-UP: one union bloom per column over the
+    // whole snapshot (written at commit), consulted BEFORE any per-file
+    // sidecar. A tuple missing in a roll-up cannot exist in ANY file, so
+    // a fully-absent key batch (the common "is this key anywhere?" CDC
+    // probe) costs ONE read per column and ZERO per-file loads — at
+    // 100 TB with weak zone pruning the per-file alternative is
+    // O(surviving files) small reads per query. Roll-ups are supersets
+    // (deletes only ever leave stale bits), so this stage never drops a
+    // file it shouldn't; absent roll-up (legacy history) = skip stage.
+    val rollups: Map[String, org.apache.spark.util.sketch.BloomFilter] =
+      probed.flatMap { c =>
+        val pc = physOf(m, c)
+        loadRollupBloom(name, version, pc).map(pc -> _)
+      }.toMap
+    val liveTuples = probeTuples.filter { t =>
+      probed.zipWithIndex.forall { case (c, i) =>
+        rollups.get(physOf(m, c)).forall(b => hits(b, t(i)))
+      }
+    }
+    if (liveTuples.isEmpty) return Nil
     val cache = scala.collection.mutable.Map
       .empty[(String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
     def bloomOf(rel: String, pc: String) =
       cache.getOrElseUpdate((rel, pc), loadBloom(name, rel, pc))
     rels.filter { rel =>
-      probeTuples.exists { t =>
+      liveTuples.exists { t =>
         probed.zipWithIndex.forall { case (c, i) =>
           bloomOf(rel, physOf(m, c)) match {
             case None => true // no sidecar — keep (fail open)
-            case Some(b) => t(i) match {
-              case l: Long   => b.mightContainLong(l)
-              case s: String => b.mightContainString(s)
-              case _         => true
-            }
+            case Some(b) => hits(b, t(i))
           }
         }
       }
@@ -948,12 +1214,28 @@ final class TableStore(spark: SparkSession, val root: String,
     * lives in a candidate file (pruning is fail-open). Cost is bounded
     * by the touched files, never the table.
     *
+    * `deleteWhen` is the `WHEN MATCHED [AND cond] THEN DELETE` clause
+    * (Iceberg MERGE ships it, inherited by the reference via
+    * SparkUtils.java:45 extensions; tombstone-bearing CDC flows need it):
+    * a MATCHED row satisfying the condition is DELETED — delete takes
+    * precedence over update for the same row, matching the
+    * first-matching-clause rule with the delete clause first. The
+    * condition is evaluated over the matched (target ⋈ source) row;
+    * build it from the SOURCE frame's columns (e.g.
+    * `src("__op") === lit("D")` — extra source columns beyond
+    * keys/updateCols are fine and never land in the table). Unmatched
+    * source rows are untouched by `deleteWhen` (SQL MERGE semantics:
+    * a not-matched row cannot match a MATCHED clause) and still insert
+    * when `insertUnmatched` — pre-filter the source if tombstones
+    * should not insert.
+    *
     * PRECONDITION (same as [[applyNet]]): source keys unique — a key
     * matching k target rows or appearing k times in the source fans out
     * through the join. Null-key source rows match nothing (SQL `=`), so
     * they insert when `insertUnmatched` and are dropped otherwise. */
   def merge(name: String, source: DataFrame, keyCols: Seq[String],
-      updateCols: Seq[String], insertUnmatched: Boolean = true): Unit = {
+      updateCols: Seq[String], insertUnmatched: Boolean = true,
+      deleteWhen: Option[Column] = None): Unit = {
     val sch = schema(name)
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(updateCols.nonEmpty, "merge needs at least one update column")
@@ -967,7 +1249,16 @@ final class TableStore(spark: SparkSession, val root: String,
     val cand = candidateFilesForKeys(name, source, keyCols)
     val tgt = readFiles(name, cand.map(r => new HPath(dataDir(name), r).toString))
     val joinCond = keyCols.map(k => tgt(k) === source(k)).reduce(_ && _)
-    val matched = tgt.join(source, joinCond, "inner").select(
+    val joined = tgt.join(source, joinCond, "inner")
+    // delete-first precedence: rows the delete clause claims are simply
+    // not rebuilt — applyNet drops every source key and re-adds newRows,
+    // so absence IS deletion, in the same atomic snapshot commit. A NULL
+    // condition keeps the row (SQL WHERE semantics, like delete()).
+    val kept = deleteWhen match {
+      case Some(cond) => joined.filter(!coalesce(cond, lit(false)))
+      case None       => joined
+    }
+    val matched = kept.select(
       sch.fields.map { f =>
         if (updateCols.contains(f.name))
           source(f.name).cast(f.dataType).as(f.name)
@@ -998,7 +1289,10 @@ final class TableStore(spark: SparkSession, val root: String,
     * pruning selectivity, never correctness. */
   def compact(name: String, numFiles: Int = 0,
       clusterCols: Seq[String] = Nil): Unit = {
-    val cur = read(name)
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val baseRels = readLines(new HPath(tdir(name), baseManifest))
+    val cur = indexedRead(name, baseRels, base)
     val df =
       if (clusterCols.nonEmpty) {
         require(numFiles > 0, "z-order compaction needs an explicit numFiles")
@@ -1011,7 +1305,12 @@ final class TableStore(spark: SparkSession, val root: String,
       } else if (numFiles > 0) cur.repartition(numFiles)
       else cur
     val rewritten = writeDataFiles(name, df)
-    commitManifest(name, rewritten, Nil) // a rewrite appends no rows
+    // a rewrite appends no rows. Removing exactly the BASE snapshot's
+    // files makes compaction commute with concurrent appends (their
+    // files survive the rebase untouched) while any concurrent CoW
+    // mutation of a base file is a loud conflict — Iceberg's
+    // rewrite-files validation, expressed through the generic intent.
+    commitManifest(name, base, baseRels.toSet, rewritten, Nil)
   }
 
   /** Orphan cleanup: delete files under `data/` that NO manifest (of any
@@ -1058,7 +1357,7 @@ final class TableStore(spark: SparkSession, val root: String,
     val manifests = listNames(d)
       .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
       .sorted
-    val current = readString(new HPath(d, "_current")).trim
+    val current = currentManifest(name)
     val keep = (manifests.takeRight(keepLast) :+ current).distinct
     val live = keep.flatMap(m => readLines(new HPath(d, m))).toSet
     // delete unreferenced data files, then the expired manifests
@@ -1072,11 +1371,8 @@ final class TableStore(spark: SparkSession, val root: String,
           fs.delete(bloomPath(name, rel, c), false))
         ()
       }
-    manifests.filterNot(keep.contains).foreach { m =>
-      fs.delete(new HPath(d, m), false)
-      fs.delete(new HPath(d, m.stripSuffix(".txt") + ".appended"), false)
-      fs.delete(new HPath(d, m.stripSuffix(".txt") + ".stats.json"), false)
-    }
+    manifests.filterNot(keep.contains)
+      .foreach(m => deleteManifestFamily(name, versionOf(m)))
   }
 
   // ---- zone maps ----------------------------------------------------------
@@ -1168,11 +1464,137 @@ final class TableStore(spark: SparkSession, val root: String,
       val p = bloomPath(name, rel, physCol)
       if (!fs.exists(p)) None
       else {
+        bloomFileLoads.incrementAndGet()
         val in = fs.open(p)
         try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
         finally in.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- per-snapshot bloom roll-ups -----------------------------------------
+
+  /** Read-count instrumentation: specs pin that an all-miss probe costs
+    * roll-up reads only, zero per-file loads. */
+  private[tables] val bloomFileLoads = new java.util.concurrent.atomic.AtomicLong
+  private[tables] val bloomRollupLoads = new java.util.concurrent.atomic.AtomicLong
+
+  private def rollupPath(name: String, version: Int, physCol: String): HPath =
+    new HPath(tdir(name), f"manifest-$version%06d.bloom.$physCol")
+
+  /** Snapshot-level union bloom of `physCol` (superset of every live
+    * file's keys); None = absent (legacy history) or corrupt — skip the
+    * roll-up stage, fail open. */
+  private[tables] def loadRollupBloom(name: String, version: Int,
+      physCol: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val p = rollupPath(name, version, physCol)
+      if (!fs.exists(p)) None
+      else {
+        bloomRollupLoads.incrementAndGet()
+        val in = fs.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Write commit `n`'s per-column roll-up blooms: the previous
+    * snapshot's roll-up (a superset of every carried file — deletes only
+    * leave stale bits, which can never wrongly prune) merged with the
+    * fresh files' just-written sidecars. A snapshot with NO carried
+    * files (first commit, compaction) rebuilds exactly from the fresh
+    * sidecars, shedding stale bits. No roll-up is written when it could
+    * not be complete — a fresh file missing its sidecar, a carried file
+    * with no previous roll-up, or an incompatible merge — because an
+    * incomplete roll-up would prune files that hold live keys. */
+  private def writeRollups(name: String, n: Int, head: Int,
+      carried: Seq[String], added: Seq[String]): Unit = {
+    val bc = bloomCols(name)
+    if (bc.isEmpty) return
+    val items = bloomItems(name)
+    bc.foreach { c =>
+      val freshOpts = added.map(rel => loadBloom(name, rel, c))
+      val baseOpt: Option[org.apache.spark.util.sketch.BloomFilter] =
+        if (carried.isEmpty)
+          Some(org.apache.spark.util.sketch.BloomFilter
+            .create(items, TableStore.BloomFpp))
+        else if (head > 0) loadRollupBloom(name, head, c)
+        else None
+      if (freshOpts.forall(_.isDefined) && baseOpt.isDefined) {
+        try {
+          val merged = baseOpt.get
+          freshOpts.flatten.foreach(merged.mergeInPlace)
+          val out = fs.create(rollupPath(name, n, c), true)
+          try merged.writeTo(out) finally out.close()
+        } catch { case scala.util.control.NonFatal(_) => () } // fail open
+      }
+    }
+  }
+
+  // ---- commit metadata: parent chain + caller tags -------------------------
+
+  private def metaPath(name: String, version: Int): HPath =
+    new HPath(tdir(name), f"manifest-$version%06d.meta.json")
+
+  private def writeMetaFile(name: String, n: Int, parent: Int,
+      tags: Map[String, String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("parent", parent)
+    val t = root.putObject("tags")
+    tags.foreach { case (k, v) => t.put(k, v); () }
+    writeString(metaPath(name, n), mapper.writeValueAsString(root))
+  }
+
+  private def readMetaNode(name: String,
+      version: Int): Option[com.fasterxml.jackson.databind.JsonNode] =
+    try {
+      val p = metaPath(name, version)
+      if (!fs.exists(p)) None
+      else Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(p)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Parent snapshot of `version` (0 = initial commit); None for legacy
+    * commits that predate commit metadata. The parent chain is what
+    * makes history LINEAR even with optimistic concurrency: only
+    * snapshots reachable from the head were ever committed. */
+  def commitParent(name: String, version: Int): Option[Int] =
+    readMetaNode(name, version).flatMap(node => Option(node.get("parent")))
+      .filter(_.isIntegralNumber).map(_.intValue())
+
+  /** Caller tags recorded with snapshot `version`'s commit (e.g. a
+    * streaming sink's batch id). */
+  def commitMeta(name: String, version: Int): Map[String, String] =
+    readMetaNode(name, version).flatMap(node => Option(node.get("tags")))
+      .map { t =>
+        val it = t.properties().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isTextual) b += e.getKey -> e.getValue.textValue()
+        }
+        b.result()
+      }.getOrElse(Map.empty)
+
+  /** Most recent value of tag `key` on the committed chain, walking
+    * parent pointers from the head down; None when no commit carries it
+    * (or a legacy meta gap is hit first). The streaming-sink
+    * idempotence primitive: "skip this batch if a committed snapshot
+    * already recorded a batch id ≥ mine" survives interleaved
+    * non-stream commits (compaction, manual deletes) because the WALK
+    * passes through them rather than stopping at the head. */
+  def lastMetaValue(name: String, key: String): Option[String] = {
+    var v = currentVersion(name)
+    while (v > 0) {
+      val tags = commitMeta(name, v)
+      if (tags.contains(key)) return tags.get(key)
+      commitParent(name, v) match {
+        case Some(p) if p >= 0 && p < v => v = p
+        case _                          => return None
+      }
+    }
+    None
+  }
 
   private def writeBytes(p: HPath, bytes: Array[Byte]): Unit = {
     val out = fs.create(p, true)
@@ -1344,11 +1766,14 @@ final class TableStore(spark: SparkSession, val root: String,
     zoneStatsFrom(name, relPaths, readConsolidated(name, version))
 
   /** Prune manifest files by zone overlap with the batch's key bounds.
-    * Files without stats (or non-comparable bounds) stay candidates. */
+    * Files without stats (or non-comparable bounds) stay candidates.
+    * `version` pins the snapshot whose consolidated stats serve the
+    * lookup — a mutation planning against its base snapshot stays
+    * consistent even when a concurrent commit advances the head. */
   private def pruneByZones(name: String, relPaths: Seq[String],
-      bounds: Map[String, (Any, Any)]): Seq[String] = {
+      bounds: Map[String, (Any, Any)], version: Int): Seq[String] = {
     if (bounds.isEmpty) return relPaths
-    val stats = loadZoneStats(name, relPaths, currentVersion(name))
+    val stats = loadZoneStats(name, relPaths, version)
     relPaths.filter { rel =>
       stats.get(rel).forall { cols =>
         bounds.forall { case (c, (lo, hi)) =>
@@ -1414,6 +1839,10 @@ final class TableStore(spark: SparkSession, val root: String,
       val out = if (m.forall { case (l, p) => l == p }) df
         else df.toDF(df.columns.map(c => m.getOrElse(c, c)).toSeq: _*)
       val pCols = partitionCols(name)
+      // evolved-spec generations land under their `spec-<id>/` prefix,
+      // so a file's rel path always identifies its layout
+      val specId = currentSpecId(name)
+      val specPrefix = if (specId == 0) "" else s"spec-$specId/"
       val writer = out.write.mode("overwrite")
       (if (pCols.isEmpty) writer else writer.partitionBy(pCols: _*))
         .parquet(staging.toString)
@@ -1427,7 +1856,8 @@ final class TableStore(spark: SparkSession, val root: String,
           if (cut < 0) "" else rel.substring(0, cut)
         }
         val fn = f"$id-part$i%05d.parquet"
-        val rel = if (subDir.isEmpty) fn else s"$subDir/$fn"
+        val rel = specPrefix +
+          (if (subDir.isEmpty) fn else s"$subDir/$fn")
         val target = new HPath(dataDir(name), rel)
         fs.mkdirs(target.getParent)
         require(fs.rename(p, target), s"rename $p -> $target failed")
@@ -1438,116 +1868,218 @@ final class TableStore(spark: SparkSession, val root: String,
     } finally { fs.delete(staging, true); () } // never strand staging garbage
   }
 
-  /** `appended` = the subset of `files` this commit LOGICALLY appended
-    * (new rows), recorded in a sidecar for [[readAppendedSince]] —
-    * rewrites (delete survivors, compaction output) are NOT appends. */
-  private def commitManifest(name: String, files: Seq[String],
-      appended: Seq[String]): Unit = {
+  /** Commit an INTENT against the table's history, with optimistic
+    * rebase (class doc, CONCURRENCY): `base` is the snapshot the
+    * mutation was planned against, `removed` the files it rewrote or
+    * dropped there, `added` the staged fresh files, `appended` the
+    * subset of `added` that LOGICALLY appended rows (recorded for
+    * [[readAppendedSince]] — delete survivors and compaction output are
+    * NOT appends). The committed file set is computed UNDER THE LOCK
+    * from the live head: `head \ removed ++ added`, valid whenever every
+    * removed file is still live at the head (disjoint-file commutation);
+    * a removed file already gone means a concurrent mutation rewrote the
+    * same rows — staged files are deleted and
+    * [[CommitConflictException]] thrown, nothing half-commits. The
+    * pointer advances through the [[CommitCoordinator]] CAS; a lost swap
+    * (possible only where the advisory lock is not atomic, e.g. S3)
+    * deletes the just-written manifest family and retries against the
+    * new head — Iceberg's optimistic catalog-commit loop. */
+  private def commitManifest(name: String, base: Int, removed: Set[String],
+      added: Seq[String], appended: Seq[String],
+      meta: Map[String, String] = Map.empty): Unit = {
     val d = tdir(name)
     val lock = new HPath(d, "_commit.lock")
+    beforeCommitHook()
     acquireLock(name, lock)
     try {
-      // reclaim crash debris: a writer that died after writing its
-      // manifest (and possibly its sidecar) but BEFORE the `_current`
-      // swap left files numbered above the committed head. They were
-      // never visible to any reader — but readAppendedSince trusts
-      // sidecars in (version, current], so a later commit reusing a
-      // higher number would turn the phantom snapshot's rows into
-      // incremental deliveries that no read() ever exposed. Deleting
-      // them here (under the same lock every commit takes) is safe and
-      // also restores sidecar continuity for the incremental path.
-      val head =
-        if (fs.exists(new HPath(d, "_current"))) currentVersion(name) else 0
-      listNames(d)
-        .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
-        .filter(f => f.stripPrefix("manifest-").stripSuffix(".txt").toInt > head)
-        .foreach { m =>
-          fs.delete(new HPath(d, m), false)
-          fs.delete(new HPath(d, m.stripSuffix(".txt") + ".appended"), false)
-          fs.delete(new HPath(d,
-            m.stripSuffix(".txt") + ".stats.json"), false)
-        }
-      val n = nextManifestId(name)
-      val manifest = f"manifest-$n%06d.txt"
-      writeString(new HPath(d, manifest), files.mkString("\n"))
-      // written even when empty: presence marks a sidecar-aware commit
-      // (readAppendedSince falls back to the file-set diff without it)
-      writeString(new HPath(d, f"manifest-$n%06d.appended"),
-        appended.mkString("\n"))
-      // consolidated per-snapshot metadata for THIS commit — zone stats
-      // AND file lengths, so planning a scan needs no FS listing at all:
-      // carried files copy their entries from the previous snapshot's
-      // consolidated file (one read, re-VALIDATED at parse so corrupt or
-      // pre-widening entries are scrubbed instead of propagated); fresh
-      // files read the sidecar writeZoneStats just wrote / one
-      // getFileStatus (page-hot, O(new files)). A legacy table's first
-      // commit here pays one O(files) sweep and is consolidated
-      // thereafter. Files with no stats anywhere stay absent = never
-      // pruned.
-      val prev = (if (head > 0) readConsolidated(name, head) else None)
-        .getOrElse(TableStore.Consolidated(Map.empty, Map.empty, Map.empty))
-      val fc = floatZoneCols(name)
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      def sidecarJson(rel: String): Option[com.fasterxml.jackson.databind.JsonNode] =
-        try {
-          val sp = statsPath(name, rel)
-          if (!fs.exists(sp)) None
-          else Some(mapper.readTree(readString(sp)))
-        } catch { case scala.util.control.NonFatal(_) => None }
-      val sidecarCache = scala.collection.mutable.Map
-        .empty[String, Option[com.fasterxml.jackson.databind.JsonNode]]
-      def sidecar(rel: String) = sidecarCache.getOrElseUpdate(rel, sidecarJson(rel))
-      val statEntries =
-        if (zoneCols(name).isEmpty) Nil
-        else files.flatMap { rel =>
-          prev.stats.get(rel)
-            .orElse(sidecar(rel).map(parseFileStats(fc, _)))
-            .filter(_.nonEmpty).map { cols =>
-              val body = cols.map { case (c, (mn, mx)) =>
-                s"${statJson(c)}: [${statJson(mn)}, ${statJson(mx)}]"
-              }.mkString("{", ",", "}")
-              s"${statJson(rel)}: $body"
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+        attempts += 1
+        val headManifest = coord.current(name)
+        val head = headManifest.map(versionOf).getOrElse(0)
+        val headFiles: Seq[String] =
+          headManifest.map(mf => readLines(new HPath(d, mf))).getOrElse(Nil)
+        val files: Seq[String] =
+          if (removed.isEmpty) headFiles ++ added // pure append: commutes
+          else {
+            val hs = headFiles.toSet
+            val gone = removed.filterNot(hs)
+            if (gone.nonEmpty) {
+              abortStaged(name, added)
+              throw new CommitConflictException(
+                s"mutation of table $name planned against snapshot $base " +
+                  s"conflicts with current snapshot $head: rewritten file(s) " +
+                  s"no longer live (${gone.take(3).mkString(", ")}" +
+                  s"${if (gone.size > 3) ", ..." else ""}) — " +
+                  "re-run the mutation against the current snapshot")
             }
+            headFiles.filterNot(removed) ++ added
+          }
+        // age-fenced phantom reclaim: manifests numbered above the head
+        // are crash/lost-CAS debris, but ONLY once old enough that no
+        // live racing writer can still be about to swap to them —
+        // eagerly deleting a seconds-old one could destroy a commit in
+        // flight on a store where the lock is not atomic. Fresh
+        // phantoms are harmless meanwhile: the parent-chain walk keeps
+        // them out of incremental reads.
+        reclaimPhantoms(name, head)
+        val n = nextManifestId(name)
+        val manifest = f"manifest-$n%06d.txt"
+        // no-overwrite create: two racing writers can compute the same
+        // id; exactly one claims the name, the other re-reads the head
+        // and retries with the next id — never overwriting a manifest
+        // another writer may be about to commit
+        if (writeStringNoOverwrite(new HPath(d, manifest),
+            files.mkString("\n"))) {
+          // written even when empty: presence marks a sidecar-aware commit
+          // (readAppendedSince falls back to the file-set diff without it)
+          writeString(new HPath(d, f"manifest-$n%06d.appended"),
+            appended.mkString("\n"))
+          writeConsolidated(name, n, head, files)
+          writeMetaFile(name, n, head, meta)
+          writeRollups(name, n, head,
+            carried = files.filterNot(added.toSet), added = added)
+          if (coord.swap(name, headManifest, manifest)) committed = true
+          else {
+            // lost the pointer race: the manifest family is unreferenced
+            // by any pointer — delete it (a failed CAS never
+            // half-commits) and rebase against the new head
+            deleteManifestFamily(name, n)
+            if (attempts >= TableStore.CommitRetries) {
+              abortStaged(name, added)
+              throw new CommitConflictException(
+                s"commit to table $name lost the pointer race " +
+                  s"${TableStore.CommitRetries} times — giving up; " +
+                  "staged files were cleaned up, re-run the mutation")
+            }
+          }
+        } else if (attempts >= TableStore.CommitRetries) {
+          abortStaged(name, added)
+          throw new CommitConflictException(
+            s"commit to table $name could not claim a manifest id after " +
+              s"${TableStore.CommitRetries} attempts — giving up; " +
+              "staged files were cleaned up, re-run the mutation")
         }
-      val lenEntries = files.map { rel =>
-        val len = prev.lens.getOrElse(rel,
-          fs.getFileStatus(new HPath(dataDir(name), rel)).getLen)
-        s"${statJson(rel)}: $len"
       }
-      // per-file row counts (sidecar `__rows`, written for every fresh
-      // file) — when every file of a snapshot carries one, count(*) and
-      // friends answer from THIS file alone (metadata-only aggregates)
-      val rowEntries = files.flatMap { rel =>
-        prev.rows.get(rel).orElse(
-          sidecar(rel).flatMap(n => Option(n.get("__rows")))
-            .filter(v => v.isIntegralNumber && v.longValue() >= 0)
-            .map(_.longValue()))
-          .map(nRows => s"${statJson(rel)}: $nRows")
-      }
-      writeString(statsManifestPath(name, n),
-        s"""{"stats": ${statEntries.mkString("{", ",", "}")}, """ +
-          s""""len": ${lenEntries.mkString("{", ",", "}")}, """ +
-          s""""rows": ${rowEntries.mkString("{", ",", "}")}}""")
-      // atomic pointer swap (S3 caveat in the class doc — there, put a
-      // catalog in front of _current)
-      atomicWrite(new HPath(d, "_current"), manifest)
     } finally { fs.delete(lock, false); () }
   }
 
-  /** Single-writer guard: the store is single-writer by design (like the
-    * reference's one sequential stream); an advisory lock turns a second
-    * concurrent writer into a fast, loud failure instead of a corrupted
-    * manifest chain. A lock file left behind by a crashed writer is
-    * reclaimed once it is older than [[TableStore.StaleLockMs]] — commit
-    * windows are seconds, so a lock aged tens of minutes cannot belong to
-    * a live commit.
+  /** Consolidated per-snapshot metadata for commit `n` — zone stats AND
+    * file lengths, so planning a scan needs no FS listing at all:
+    * carried files copy their entries from the previous snapshot's
+    * consolidated file (one read, re-VALIDATED at parse so corrupt or
+    * pre-widening entries are scrubbed instead of propagated); fresh
+    * files read the sidecar writeZoneStats just wrote / one
+    * getFileStatus (page-hot, O(new files)). A legacy table's first
+    * commit here pays one O(files) sweep and is consolidated
+    * thereafter. Files with no stats anywhere stay absent = never
+    * pruned. */
+  private def writeConsolidated(name: String, n: Int, head: Int,
+      files: Seq[String]): Unit = {
+    val prev = (if (head > 0) readConsolidated(name, head) else None)
+      .getOrElse(TableStore.Consolidated(Map.empty, Map.empty, Map.empty))
+    val fc = floatZoneCols(name)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def sidecarJson(rel: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+      try {
+        val sp = statsPath(name, rel)
+        if (!fs.exists(sp)) None
+        else Some(mapper.readTree(readString(sp)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val sidecarCache = scala.collection.mutable.Map
+      .empty[String, Option[com.fasterxml.jackson.databind.JsonNode]]
+    def sidecar(rel: String) = sidecarCache.getOrElseUpdate(rel, sidecarJson(rel))
+    val statEntries =
+      if (zoneCols(name).isEmpty) Nil
+      else files.flatMap { rel =>
+        prev.stats.get(rel)
+          .orElse(sidecar(rel).map(parseFileStats(fc, _)))
+          .filter(_.nonEmpty).map { cols =>
+            val body = cols.map { case (c, (mn, mx)) =>
+              s"${statJson(c)}: [${statJson(mn)}, ${statJson(mx)}]"
+            }.mkString("{", ",", "}")
+            s"${statJson(rel)}: $body"
+          }
+      }
+    val lenEntries = files.map { rel =>
+      val len = prev.lens.getOrElse(rel,
+        fs.getFileStatus(new HPath(dataDir(name), rel)).getLen)
+      s"${statJson(rel)}: $len"
+    }
+    // per-file row counts (sidecar `__rows`, written for every fresh
+    // file) — when every file of a snapshot carries one, count(*) and
+    // friends answer from THIS file alone (metadata-only aggregates)
+    val rowEntries = files.flatMap { rel =>
+      prev.rows.get(rel).orElse(
+        sidecar(rel).flatMap(node => Option(node.get("__rows")))
+          .filter(v => v.isIntegralNumber && v.longValue() >= 0)
+          .map(_.longValue()))
+        .map(nRows => s"${statJson(rel)}: $nRows")
+    }
+    writeString(statsManifestPath(name, n),
+      s"""{"stats": ${statEntries.mkString("{", ",", "}")}, """ +
+        s""""len": ${lenEntries.mkString("{", ",", "}")}, """ +
+        s""""rows": ${rowEntries.mkString("{", ",", "}")}}""")
+  }
+
+  /** Delete the staged output of an aborted commit: fresh data files and
+    * their stats/bloom sidecars. They were never referenced by any
+    * committed manifest, so this is pure hygiene ([[removeOrphans]]
+    * would collect them a day later anyway). */
+  private def abortStaged(name: String, added: Seq[String]): Unit =
+    added.foreach { rel =>
+      fs.delete(new HPath(dataDir(name), rel), false)
+      fs.delete(statsPath(name, rel), false)
+      bloomCols(name).foreach(c => fs.delete(bloomPath(name, rel, c), false))
+    }
+
+  /** Delete manifest `version`'s whole family (.txt, .appended,
+    * .stats.json, .meta.json, .bloom.*). */
+  private def deleteManifestFamily(name: String, version: Int): Unit = {
+    val d = tdir(name)
+    val prefix = f"manifest-$version%06d."
+    listNames(d).filter(_.startsWith(prefix))
+      .foreach(f => fs.delete(new HPath(d, f), false))
+  }
+
+  /** Age-fenced reclaim of phantom manifests (numbered above the
+    * committed head, older than [[TableStore.StaleLockMs]]). */
+  private def reclaimPhantoms(name: String, head: Int): Unit = {
+    val d = tdir(name)
+    val cutoff = System.currentTimeMillis() - TableStore.StaleLockMs
+    listNames(d)
+      .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
+      .filter(f => versionOf(f) > head)
+      .foreach { mf =>
+        val stale =
+          try fs.getFileStatus(new HPath(d, mf)).getModificationTime < cutoff
+          catch { case _: java.io.FileNotFoundException => false }
+        if (stale) deleteManifestFamily(name, versionOf(mf))
+      }
+  }
+
+  /** Test seam: runs before the commit lock is taken — specs use it to
+    * interleave a competing commit deterministically. */
+  private[tables] var beforeCommitHook: () => Unit = () => ()
+
+  /** Commit-serialization guard: contending writers WAIT here (bounded
+    * by [[TableStore.LockWaitMs]]) instead of failing fast — with
+    * optimistic rebase in [[commitManifest]], a queued writer usually
+    * succeeds the moment the lock frees. A lock file left behind by a
+    * crashed writer is reclaimed once it is older than
+    * [[TableStore.StaleLockMs]] — commit windows are seconds, so a lock
+    * aged tens of minutes cannot belong to a live commit.
     *
     * Atomicity: on `file:` the O_EXCL java.nio create is used (Hadoop's
     * RawLocalFileSystem create(overwrite=false) is check-then-create);
     * elsewhere fs.create(overwrite=false) is atomic (HDFS). Stale
     * reclamation is race-free: contenders RENAME the stale lock to a
     * unique name — exactly one rename succeeds — and only the winner
-    * retries the create. */
+    * retries the create. On stores where none of this is atomic (S3),
+    * the lock degrades to a contention-reducing hint and the
+    * [[CommitCoordinator]] CAS in commitManifest remains the
+    * correctness authority. */
   private def acquireLock(name: String, lock: HPath): Unit = {
     def tryCreate(): Boolean =
       if (fs.getScheme == "file") {
@@ -1563,32 +2095,43 @@ final class TableStore(spark: SparkSession, val root: String,
           case _: java.io.IOException if fs.exists(lock) => false
         }
       }
-    if (tryCreate()) return
-    val age = try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-    catch {
-      case _: java.io.FileNotFoundException =>
-        // the competing writer released the lock between our failed create
-        // and the stat — a benign race, not a conflict: retry the create
-        // once before declaring a concurrent writer
-        if (tryCreate()) return else 0L
-    }
-    if (age > TableStore.StaleLockMs) {
-      // stale-lock recovery: claim via rename (only one contender wins it)
-      val claim = new HPath(lock.getParent,
-        s"_commit.lock.reclaim-${UUID.randomUUID().toString.take(8)}")
-      val won = try fs.rename(lock, claim) catch { case _: java.io.IOException => false }
-      if (won) {
-        fs.delete(claim, false)
-        if (tryCreate()) return
-      } else if (tryCreate()) {
-        // rename lost because the lock vanished (holder released, or another
-        // contender reclaimed and finished) — the slot may be free now
-        return
+    val deadline = System.currentTimeMillis() + TableStore.LockWaitMs
+    var lastAge = 0L
+    while (true) {
+      if (tryCreate()) return
+      val age =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        catch {
+          case _: java.io.FileNotFoundException =>
+            // the holder released between our failed create and the stat
+            // — retry the create immediately
+            if (tryCreate()) return else 0L
+        }
+      lastAge = age
+      if (age > TableStore.StaleLockMs) {
+        // stale-lock recovery: claim via rename (only one contender wins)
+        val claim = new HPath(lock.getParent,
+          s"_commit.lock.reclaim-${UUID.randomUUID().toString.take(8)}")
+        val won = try fs.rename(lock, claim)
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          fs.delete(claim, false)
+          if (tryCreate()) return
+        } else if (tryCreate()) {
+          // rename lost because the lock vanished (holder released, or
+          // another contender reclaimed and finished) — slot may be free
+          return
+        }
       }
+      if (System.currentTimeMillis() >= deadline)
+        throw new IllegalStateException(
+          s"table $name has a concurrent writer holding the commit lock " +
+            s"past the ${TableStore.LockWaitMs}ms wait ($lock, age " +
+            s"${lastAge}ms; locks older than ${TableStore.StaleLockMs}ms " +
+            "are reclaimed automatically)")
+      Thread.sleep(20L)
     }
-    throw new IllegalStateException(
-      s"table $name has a concurrent writer (lock $lock, age ${age}ms; " +
-        s"locks older than ${TableStore.StaleLockMs}ms are reclaimed automatically)")
   }
 
   private def nextManifestId(name: String): Int = {
@@ -1599,9 +2142,28 @@ final class TableStore(spark: SparkSession, val root: String,
   }
 }
 
+/** A copy-on-write mutation lost a concurrency race: a file it rewrote
+  * was concurrently rewritten or removed (or, on a CAS-only store, the
+  * pointer race was lost repeatedly). The mutation aborted CLEANLY —
+  * staged files deleted, no snapshot committed, the table exactly as the
+  * winning writer left it. Re-run the mutation against the current
+  * snapshot. Appends never throw this: they always rebase. */
+final class CommitConflictException(msg: String)
+  extends RuntimeException(msg)
+
 object TableStore {
   /** Locks older than this are treated as crash debris and reclaimed. */
   val StaleLockMs: Long = 10 * 60 * 1000L
+
+  /** How long a contending writer waits for the commit lock before
+    * giving up. A var so specs exercising contention timeouts can
+    * shrink it; commit windows are sub-second, so the default covers
+    * deep writer queues. */
+  @volatile var LockWaitMs: Long = 60 * 1000L
+
+  /** Pointer-CAS retry budget (only consumed where the advisory lock is
+    * not atomic and two writers truly race the coordinator). */
+  val CommitRetries: Int = 5
 
   /** Default per-file bloom capacity. Size to the table's rows-per-file
     * (≈ maxPartitionBytes / row width); a filter built for many more

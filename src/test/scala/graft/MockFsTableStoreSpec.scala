@@ -98,7 +98,7 @@ class MockFsTableStoreSpec extends SparkSpec {
     assert(st.read("b").count() === 200)
   }
 
-  test("concurrent-writer lock fails fast and releases on the non-file branch") {
+  test("concurrent-writer lock waits, times out, releases on the non-file branch") {
     import spark.implicits._
     val st = newStore()
     val df = Seq((1L, "a")).toDF("id", "v")
@@ -106,7 +106,10 @@ class MockFsTableStoreSpec extends SparkSpec {
     val fs = fsOf(st)
     val lock = new HPath(new HPath(st.root, "t"), "_commit.lock")
     fs.create(lock, false).close() // a live competing writer
-    intercept[IllegalStateException] { st.append("t", df) }
+    val prior = TableStore.LockWaitMs
+    TableStore.LockWaitMs = 300L
+    try intercept[IllegalStateException] { st.append("t", df) }
+    finally TableStore.LockWaitMs = prior
     fs.delete(lock, false)
     st.append("t", df) // lock released → commit proceeds
     assert(st.read("t").count() === 1)

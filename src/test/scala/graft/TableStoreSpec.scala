@@ -125,27 +125,42 @@ class TableStoreSpec extends SparkSpec {
     assert(notes.toSeq === Seq(null, null, "hello"))
   }
 
-  test("crashed-commit debris above the head is reclaimed, never delivered") {
+  test("crashed-commit debris above the head is never delivered, and aged debris is reclaimed") {
     val root = tmpDir("tablestore-crash-")
     val st = new TableStore(spark, root)
     st.create("t", schema)
     st.append("t", Seq((1L, "a")).toDF("id", "v"))
     val v = st.currentVersion("t")
     // simulate a writer that died AFTER writing manifest+sidecar but
-    // BEFORE the _current swap: files numbered above the committed head
+    // BEFORE the pointer swap: files numbered above the committed head
     val phantom = st.currentRelPaths("t").mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/t/manifest-000099.txt"), phantom)
+    val pManifest = java.nio.file.Paths.get(s"$root/t/manifest-000099.txt")
+    java.nio.file.Files.writeString(pManifest, phantom)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/t/manifest-000099.appended"), phantom)
-    // next commit reclaims the debris under its lock...
+    // a FRESH phantom is kept (it could belong to a racing writer about
+    // to swap, on a store where the lock is not atomic)...
     st.append("t", Seq((2L, "b")).toDF("id", "v"))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root/t/manifest-000099.txt")))
-    // ...so the incremental read sees exactly the real append, no phantoms
+    assert(java.nio.file.Files.exists(pManifest))
+    // ...but the parent-chain walk keeps it out of incremental reads:
+    // exactly the real append is delivered, no phantom rows
     val inc = st.readAppendedSince("t", v).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(inc.toSeq === Seq((2L, "b")))
+    // a phantom still above the head and AGED past the stale-lock fence
+    // (no live writer could still be about to swap to it) IS reclaimed
+    // by the next commit
+    val pOld = java.nio.file.Paths.get(s"$root/t/manifest-000150.txt")
+    java.nio.file.Files.writeString(pOld, phantom)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.setTimes(new org.apache.hadoop.fs.Path(pOld.toString),
+      System.currentTimeMillis() - TableStore.StaleLockMs - 60000, -1)
+    st.append("t", Seq((3L, "c")).toDF("id", "v"))
+    assert(!java.nio.file.Files.exists(pOld))
+    val inc2 = st.readAppendedSince("t", v).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(inc2.toSeq === Seq((2L, "b"), (3L, "c")))
   }
 
   test("addColumns never generates a physical name colliding with a live column") {
@@ -782,15 +797,21 @@ class TableStoreSpec extends SparkSpec {
     assert(second === first)
   }
 
-  test("commit lock: a concurrent writer fails fast, then recovers") {
+  test("commit lock: a held lock makes a contender wait, then time out loudly") {
     val st = newStore()
     st.create("t", schema)
     val lock = java.nio.file.Paths.get(st.root, "t", "_commit.lock")
     java.nio.file.Files.createFile(lock) // simulate another writer mid-commit
-    val e = intercept[IllegalStateException] {
-      st.append("t", Seq((1L, "a")).toDF("id", "v"))
-    }
-    assert(e.getMessage.contains("concurrent writer"))
+    val prior = TableStore.LockWaitMs
+    TableStore.LockWaitMs = 400L
+    try {
+      val t0 = System.currentTimeMillis()
+      val e = intercept[IllegalStateException] {
+        st.append("t", Seq((1L, "a")).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("concurrent writer"))
+      assert(System.currentTimeMillis() - t0 >= 400L) // it WAITED, not fail-fast
+    } finally TableStore.LockWaitMs = prior
     java.nio.file.Files.delete(lock)
     st.append("t", Seq((1L, "a")).toDF("id", "v"))
     assert(st.read("t").count() === 1)
@@ -832,11 +853,14 @@ class TableStoreSpec extends SparkSpec {
     // no manual deletion: the store must reclaim and commit
     st.append("t", Seq((1L, "a")).toDF("id", "v"))
     assert(st.read("t").count() === 1)
-    // a FRESH lock (live writer) must still fail fast
+    // a FRESH lock (live writer) is waited on, then still fails loudly
     fs.create(lock, false).close()
-    val e = intercept[IllegalStateException] {
-      st.append("t", Seq((2L, "b")).toDF("id", "v"))
-    }
+    val prior = TableStore.LockWaitMs
+    TableStore.LockWaitMs = 300L
+    val e =
+      try intercept[IllegalStateException] {
+        st.append("t", Seq((2L, "b")).toDF("id", "v"))
+      } finally TableStore.LockWaitMs = prior
     assert(e.getMessage.contains("concurrent writer"))
     fs.delete(lock, false)
   }
@@ -1104,6 +1128,69 @@ class TableStoreSpec extends SparkSpec {
     st2.merge("t", Seq((1L, "a", 1.0)).toDF("id", "status", "amt"),
       Seq("id"), updateCols = Seq("amt"))
     assert(st2.read("t").count() === 1)
+  }
+
+  test("partition evolution: future files use the new layout, mixed reads compose") {
+    val st = newStore()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("pri", LongType)))
+    st.create("t", sch, partitionBy = Seq("grp"), zoneCols = Seq("id"))
+    st.append("t", Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "a", 20L))
+      .toDF("id", "grp", "pri"))
+    // metadata-only evolution: future writes partition by pri instead
+    st.repartitionSpec("t", Seq("pri"))
+    st.append("t", Seq((4L, "a", 10L), (5L, "c", 20L)).toDF("id", "grp", "pri"))
+    // layout check: old files under grp=, new files under spec-1/pri=
+    val rels = st.currentRelPaths("t")
+    assert(rels.exists(_.startsWith("grp=")))
+    assert(rels.exists(_.startsWith("spec-1/pri=")))
+    // mixed read serves the full logical schema from both layouts
+    val all = st.read("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(all.toSeq === Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "a", 20L),
+      (4L, "a", 10L), (5L, "c", 20L)))
+    // a filter on either layout's partition column stays correct:
+    // partition-valued in one generation, data column in the other
+    assert(st.read("t").filter(col("grp") === "a").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L))
+    assert(st.read("t").filter(col("pri") === 20L).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 5L))
+    // CoW mutations span generations in one atomic commit
+    st.delete("t", col("id") === 1L || col("id") === 5L)
+    assert(st.read("t").select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(2L, 3L, 4L))
+    // compaction rewrites everything into the CURRENT spec
+    st.compact("t", numFiles = 1)
+    assert(st.currentRelPaths("t").forall(_.startsWith("spec-1/pri=")))
+    assert(st.read("t").select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(2L, 3L, 4L))
+    // time travel to the pre-evolution snapshot still reads spec-0 layout
+    assert(st.readVersion("t", 2).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // guards: same spec re-registration and bloom-col partitioning refuse
+    intercept[IllegalArgumentException] { st.repartitionSpec("t", Seq("pri")) }
+  }
+
+  test("merge deleteWhen: delete beats update, NULL keeps, unmatched still inserts") {
+    val st = newStore()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("n", LongType)))
+    st.create("t", sch)
+    st.append("t", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n"))
+    // id=1: matched, op=D, ALSO carries an update → must be DELETED
+    // id=2: matched, op=U → updated (n only; decoy v must not land)
+    // id=3: matched, op=NULL → condition NULL keeps the row → updated
+    // id=9: unmatched, op=D → deleteWhen is a MATCHED clause; inserts
+    val src = Seq((1L, "decoy", 111L, "D"), (2L, "decoy", 222L, "U"),
+      (3L, "decoy", 333L, null.asInstanceOf[String]),
+      (9L, "new", 999L, "D")).toDF("id", "v", "n", "__op")
+    st.merge("t", src, Seq("id"), updateCols = Seq("n"),
+      deleteWhen = Some(col("__op") === "D"))
+    val got = st.read("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (2L, "b", 222L), (3L, "c", 333L), (9L, "new", 999L)))
   }
 
   test("metadata aggregates fall back to None when stats are incomplete") {
