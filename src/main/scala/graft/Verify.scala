@@ -28,7 +28,10 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // e.toString (not getMessage): a message-less exception would
+        // otherwise report an empty reason; the top frames locate it
+        System.err.println(s"[verify] $name failed: $e\n  " +
+          e.getStackTrace.take(5).mkString("\n  "))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -443,6 +443,84 @@ object TableQueries {
       |  AND o_orderkey % 11 <> 0
       |ORDER BY o_orderkey, o_custkey, o_orderpriority, o_totalprice""".stripMargin
 
+  /** Merge-on-read equality deletes under the oracle: a metadata-only
+    * tombstone commit masks %7 keys, then a LATER append re-inserts the
+    * %21 subset at a new price — the sequence-number rule must revive
+    * exactly those while the rest of the %7 family stays masked, and the
+    * final read happens with the delete STILL PENDING (the masked-read
+    * path, not the materialized one — materialization is spec-pinned in
+    * MoRDeleteSpec). The oracle rebuilds the same net state. */
+  private def tblMorDelete(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-mor", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+      bloomItems = 20000)
+    store.append("orders", ord.repartitionByRange(8, col("o_orderkey")))
+    store.deleteMoR("orders",
+      ord.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    store.append("orders", ord.filter(col("o_orderkey") % 21 === 0)
+      .withColumn("o_totalprice", lit(1.0)))
+    store.read("orders")
+      .orderBy("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  }
+
+  private val tblMorDeleteSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, 1.0 AS o_totalprice
+      |FROM orders WHERE o_orderkey % 21 = 0
+      |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
+  /** The pure-SQL lifecycle through [[graft.tables.GraftCatalog]]: CREATE
+    * (with zone-map properties), INSERT INTO from a view, DELETE FROM a
+    * key range, then a filtered aggregate SELECT — every statement via
+    * `spark.sql` against the registered catalog, no programmatic store
+    * call. This is the surface the reference's users actually drive
+    * (Spark SQL over an Iceberg catalog, SparkUtils.java:40-50); the
+    * oracle recomputes the same lifecycle's net effect in DuckDB. */
+  private def tblSqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.tables.GraftCatalog].getName)
+    // one FIXED root: the catalog instance is cached by name per session,
+    // so per-dir isolation comes from the table name, not the root
+    spark.conf.set("spark.sql.catalog.gsql.root", Scratch.dir("tbl-sqlcat"))
+    // Scratch.tag keeps dots (path-safe, not identifier-safe) — strip them
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val src = s"gsql_src_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gsql.$tbl")
+    spark.sql(s"""CREATE TABLE gsql.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT,
+      o_orderstatus STRING, o_totalprice DOUBLE)
+      TBLPROPERTIES ('zone_cols'='o_orderkey')""")
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView(src)
+    spark.sql(s"INSERT INTO gsql.$tbl SELECT * FROM $src")
+    spark.sql(
+      s"DELETE FROM gsql.$tbl WHERE o_orderkey >= 4000 AND o_orderkey < 5000")
+    // zone maps prune the range filter's files at plan time; decimal-exact
+    // money sum for cross-engine determinism (Dets rationale)
+    spark.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM gsql.$tbl WHERE o_orderkey <= 20000
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  private val tblSqlCatalogSql =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE NOT (o_orderkey >= 4000 AND o_orderkey < 5000)
+      |  AND o_orderkey <= 20000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)),
     Q("tbl_skipping_scan", tblSkippingScan, Some(tblSkippingScanSql)),
@@ -457,5 +535,7 @@ object TableQueries {
     Q("tbl_concurrent", tblConcurrent, Some(tblConcurrentSql)),
     Q("tbl_partition_evolution", tblPartitionEvolution,
       Some(tblPartitionEvolutionSql)),
-    Q("tbl_diff", tblDiff, Some(tblDiffSql)))
+    Q("tbl_diff", tblDiff, Some(tblDiffSql)),
+    Q("tbl_sql_catalog", tblSqlCatalog, Some(tblSqlCatalogSql)),
+    Q("tbl_mor_delete", tblMorDelete, Some(tblMorDeleteSql)))
 }

@@ -1,0 +1,366 @@
+package graft.tables
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark SQL surface over [[TableStore]]: a DataSourceV2 `TableCatalog`
+  * so the engine's managed tables answer plain SQL — the way the
+  * reference's users reach their tables (an Iceberg catalog wired into
+  * the session, `SparkUtils.java:40-50`):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.root", "/data/tables")
+  * spark.sql("CREATE TABLE graft.t (k BIGINT, v STRING) PARTITIONED BY (p)")
+  * spark.sql("INSERT INTO graft.t VALUES (1, 'a')")
+  * spark.sql("SELECT * FROM graft.t WHERE k BETWEEN 10 AND 20")
+  * spark.sql("SELECT * FROM graft.t VERSION AS OF 3")  // time travel
+  * spark.sql("DELETE FROM graft.t WHERE k = 7")
+  * spark.sql("ALTER TABLE graft.t ADD COLUMNS (w DOUBLE)")
+  * }}}
+  *
+  * Reads go through [[TableStore.read]] — i.e. through the
+  * [[ZoneMapFileIndex]] — so SQL filters prune data files by zone maps
+  * and bloom sidecars exactly like the programmatic path: the scan is
+  * exposed as a [[V1Scan]] whose relation re-plans the pushed filters
+  * into the inner DataFrame (`needConversion = false`, so the inner
+  * plan's vectorized parquet scan + whole-stage codegen run unchanged —
+  * no row conversion layer). Writes use the V1 write bridge: `INSERT
+  * INTO` appends one atomic snapshot, `INSERT OVERWRITE` is
+  * [[TableStore.overwrite]] (one commit, never an empty window), and
+  * `DELETE FROM` with translatable predicates routes to the zone/bloom-
+  * pruned copy-on-write [[TableStore.delete]].
+  *
+  * Table properties at CREATE: `zone_cols`, `bloom_cols` (comma-separated
+  * column lists) and `bloom_items` map to the corresponding
+  * [[TableStore.create]] arguments, so layout indexing is declarable in
+  * SQL. `UPDATE`/`MERGE` SQL would need SupportsRowLevelOperations;
+  * those remain programmatic ([[TableStore.merge]]) — documented gap.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catName: String = _
+  private var root: String = _
+  // one TableStore per (session, root): the store caches field catalogs
+  // and hadoop conf — rebuilding it per analysis round would re-read
+  // metadata every time the analyzer touches the catalog
+  @transient private var cached: (SparkSession, TableStore) = _
+
+  private def store: TableStore = synchronized {
+    val s = SparkSession.active
+    if (cached == null || (cached._1 ne s)) cached = (s, new TableStore(s, root))
+    cached._2
+  }
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.root")
+  }
+
+  override def name(): String = catName
+
+  // ---- tables ------------------------------------------------------------
+
+  private def tableName(ident: Identifier): String = {
+    // flat store: tables live directly under root; a one-level "default"
+    // namespace is accepted as an alias for the root so `USE graft` +
+    // unqualified names resolve
+    require(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("default")),
+      s"catalog $catName is flat: unexpected namespace " +
+        ident.namespace().mkString("."))
+    ident.name()
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!(namespace.isEmpty || namespace.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(namespace)
+    store.tables().map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    store.exists(tableName(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val n = tableName(ident)
+    if (!store.exists(n)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(store, n, None)
+  }
+
+  /** `VERSION AS OF v` time travel — reads route through
+    * [[TableStore.readVersion]]; writes to a pinned snapshot are refused. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val n = tableName(ident)
+    if (!store.exists(n)) throw new NoSuchTableException(ident)
+    val v = version.toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot version: $version"))
+    new GraftSqlTable(store, n, Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val n = tableName(ident)
+    if (store.exists(n)) throw new TableAlreadyExistsException(ident)
+    val partitionBy = partitions.map {
+      case t if t.name() == "identity" =>
+        t.references()(0).fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"unsupported partition transform: $t (identity columns only)")
+    }.toSeq
+    val props = properties.asScala
+    def colsProp(k: String): Seq[String] =
+      props.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    store.create(n, schema, partitionBy = partitionBy,
+      zoneCols = colsProp("zone_cols"), bloomCols = colsProp("bloom_cols"),
+      bloomItems = props.get("bloom_items").map(_.trim.toLong)
+        .getOrElse(TableStore.DefaultBloomItems))
+    new GraftSqlTable(store, n, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val n = tableName(ident)
+    if (!store.exists(n)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "nested ADD COLUMN is not supported")
+        store.addColumns(n, StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true))))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "nested RENAME COLUMN is not supported")
+        store.renameColumn(n, ren.fieldNames()(0), ren.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "nested DROP COLUMN is not supported")
+        store.dropColumn(n, del.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other")
+    }
+    new GraftSqlTable(store, n, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val n = tableName(ident)
+    val existed = store.exists(n)
+    if (existed) store.drop(n)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported (snapshot pointers are path-keyed)")
+
+  // ---- namespaces (flat catalog: one implicit root namespace) ------------
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("default"))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default"))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("catalog is flat")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("catalog is flat")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("catalog is flat")
+}
+
+/** One managed table exposed to Spark SQL. `versionAt` pins a historical
+  * snapshot (read-only). */
+private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
+    versionAt: Option[Int])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = tbl
+
+  override def schema(): StructType = store.schema(tbl)
+
+  override def partitioning(): Array[Transform] =
+    store.partitionCols(tbl).map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    val z = store.zoneCols(tbl); val b = store.bloomCols(tbl)
+    if (z.nonEmpty) m += "zone_cols" -> z.mkString(",")
+    if (b.nonEmpty) m += "bloom_cols" -> b.mkString(",")
+    m.asJava
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    if (versionAt.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(store, tbl, versionAt)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAt.isEmpty, s"cannot write to a pinned snapshot of $tbl")
+    new GraftWriteBuilder(store, tbl)
+  }
+
+  /** SQL `DELETE FROM` → the zone/bloom-pruned copy-on-write delete; only
+    * predicates [[GraftFilters.toColumn]] can express reach here (Spark
+    * falls back to an error otherwise, by [[canDeleteWhere]]). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionAt.isEmpty && filters.forall(f => GraftFilters.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(GraftFilters.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    store.delete(tbl, cond)
+  }
+
+  override def truncateTable(): Boolean = { store.truncate(tbl); true }
+}
+
+private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
+    versionAt: Option[Int])
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = store.schema(tbl)
+
+  /** Filters we translate are applied EXACTLY inside the inner plan (a
+    * real Catalyst filter over the scan — zone pruning is only the
+    * file-skipping layer, fail-open), so they are fully handled and only
+    * untranslatable residues go back to Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) =
+      filters.partition(f => GraftFilters.toColumn(f).isDefined)
+    pushed = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftV1Scan(store, tbl, versionAt, pushed, required)
+}
+
+/** V1-bridged scan: the relation's RDD is the INNER DataFrame's executed
+  * plan (`needConversion = false` → InternalRow passthrough), so the SQL
+  * path inherits the entire programmatic read stack — ZoneMapFileIndex
+  * file skipping, bloom sidecars, vectorized parquet, codegen — without a
+  * custom PartitionReader. */
+private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
+    versionAt: Option[Int], pushed: Array[Filter], required: StructType)
+  extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] = {
+        val base = versionAt.map(v => store.readVersion(tbl, v))
+          .getOrElse(store.read(tbl))
+        val filtered = pushed.flatMap(GraftFilters.toColumn)
+          .foldLeft(base)((df, c) => df.filter(c))
+        // column-pruned select reaches the parquet ReadSchema via Catalyst;
+        // an empty required schema (count(*)) selects zero columns
+        val projected =
+          filtered.select(required.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+        projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      }
+    }.asInstanceOf[T]
+}
+
+private[tables] final class GraftWriteBuilder(store: TableStore, tbl: String)
+  extends WriteBuilder with SupportsOverwrite {
+
+  // INSERT INTO appends; INSERT OVERWRITE arrives as overwrite(AlwaysTrue)
+  // (or truncate()) and maps to the one-commit whole-table replacement
+  private var replaceAll = false
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[sources.AlwaysTrue]),
+      "only whole-table INSERT OVERWRITE is supported " +
+        s"(got ${filters.mkString(", ")})")
+    replaceAll = true
+    this
+  }
+
+  override def truncate(): WriteBuilder = { replaceAll = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          if (replaceAll || overwrite) store.overwrite(tbl, data)
+          else store.append(tbl, data)
+      }
+  }
+}
+
+/** Translation of Spark's data-source `Filter`s to `Column` predicates —
+  * the bridge that lets SQL WHERE clauses re-enter the programmatic read
+  * path (and its zone/bloom pruning) unchanged. `None` = untranslated;
+  * callers treat it as "Spark evaluates this one after the scan". */
+private[tables] object GraftFilters {
+  private def qcol(n: String): Column = col(s"`$n`")
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(qcol(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(qcol(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(qcol(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(qcol(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(qcol(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(qcol(a) <= lit(v))
+    case sources.In(a, vs) => Some(qcol(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(qcol(a).isNull)
+    case sources.IsNotNull(a) => Some(qcol(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(qcol(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(qcol(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(qcol(a).contains(v))
+    case sources.And(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case sources.Or(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case sources.Not(c) => toColumn(c).map(!_)
+    case _: sources.AlwaysTrue => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+}

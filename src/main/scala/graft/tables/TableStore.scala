@@ -388,6 +388,38 @@ final class TableStore(spark: SparkSession, val root: String,
     ()
   }
 
+  /** Names of every live table under this store's root (a directory whose
+    * commit pointer resolves — crash debris without a committed manifest
+    * is not a table). One listing + one pointer read per entry: catalog
+    * enumeration cost, not data cost. */
+  def tables(): Seq[String] =
+    if (!fs.exists(rootPath)) Nil
+    else listNames(rootPath).filter(n => coord.current(n).isDefined).sorted
+
+  /** Metadata-only TRUNCATE: one commit in which no prior file is live.
+    * Data files stay on disk for time travel until [[expireSnapshots]];
+    * cost is one manifest write regardless of table size. */
+  def truncate(name: String): Unit = {
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val rels = readLines(new HPath(tdir(name), baseManifest))
+    if (rels.nonEmpty || pendingDeletes(name) > 0)
+      commitManifest(name, base, rels.toSet, Nil, Nil, dropDeletes = true)
+  }
+
+  /** Atomic whole-table replacement (INSERT OVERWRITE): stage the new
+    * files, then ONE commit removes every previously-live file and adds
+    * them — readers see the old table or the new one, never a mix or an
+    * empty window (unlike truncate-then-append's two commits). */
+  def overwrite(name: String, df: DataFrame): Unit = {
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val rels = readLines(new HPath(tdir(name), baseManifest))
+    val newFiles = writeDataFiles(name, alignTo(name, schema(name), df))
+    commitManifest(name, base, rels.toSet, newFiles, newFiles,
+      dropDeletes = true)
+  }
+
   /** Additive schema evolution (the Iceberg add-column shape): register
     * new NULLABLE columns on the catalog-owned schema. No data file is
     * touched — existing files simply lack the column and every read path
@@ -550,6 +582,13 @@ final class TableStore(spark: SparkSession, val root: String,
   private def physOf(m: Map[String, String], c: String): String =
     m.getOrElse(c, c)
 
+  /** physical -> live logical name, TOTAL over the current schema
+    * (physMap is sparse: identity mappings are not materialized). */
+  private def invPhysMap(name: String): Map[String, String] = {
+    val m = physMap(name)
+    schema(name).fieldNames.map(f => physOf(m, f) -> f).toMap
+  }
+
   /** Update the `_evolved` logical-name list (omittable columns). */
   private def rewriteEvolved(name: String, f: Set[String] => Set[String]): Unit = {
     val ev = evolvedCols(name)
@@ -593,6 +632,12 @@ final class TableStore(spark: SparkSession, val root: String,
       val cur = schema(name)
       require(cur.fieldNames.contains(colName),
         s"column $colName not in table $name")
+      // a pending equality delete keyed on this column could no longer
+      // be applied (or materialized) once the column is gone
+      require(!readDeleteEntries(name, currentVersion(name))
+          .exists(_.cols.contains(physOf(physMap(name), colName))),
+        s"column $colName is a key of a pending merge-on-read delete — " +
+          s"materializeDeletes($name) first")
       require(cur.fields.length > 1, "cannot drop the last column")
       val m = physMap(name)
       require(!partitionCols(name).contains(physOf(m, colName)),
@@ -641,7 +686,7 @@ final class TableStore(spark: SparkSession, val root: String,
     * directories AND zone maps skip files within the survivors — the
     * Iceberg/Delta two-level layering. */
   def read(name: String): DataFrame =
-    indexedRead(name, currentRelPaths(name), currentVersion(name))
+    morMasked(name, currentRelPaths(name), currentVersion(name))
 
   /** Dispatcher over partition-spec generations: a never-evolved table
     * (or a snapshot whose files all share one generation) takes the
@@ -806,11 +851,16 @@ final class TableStore(spark: SparkSession, val root: String,
     require(zoneCols(name).contains(pz),
       s"$zoneCol is not a zone column of table $name (zone columns: " +
         s"${zoneCols(name).mkString(", ")})")
+    val version = currentVersion(name)
     val candidates = pruneByZones(name, currentRelPaths(name),
-      Map(pz -> ((lo, hi))), currentVersion(name))
-    val files = candidates.map(r => new HPath(dataDir(name), r).toString)
-    readFiles(name, files)
-      .filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
+      Map(pz -> ((lo, hi))), version)
+    val range = col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi)
+    if (readDeleteEntries(name, version).nonEmpty)
+      morMasked(name, candidates, version).filter(range)
+    else {
+      val files = candidates.map(r => new HPath(dataDir(name), r).toString)
+      readFiles(name, files).filter(range)
+    }
   }
 
   /** Time travel: read the table as of an earlier snapshot (manifests are
@@ -821,7 +871,9 @@ final class TableStore(spark: SparkSession, val root: String,
   def readVersion(name: String, version: Int): DataFrame = {
     val manifest = new HPath(tdir(name), f"manifest-$version%06d.txt")
     require(fs.exists(manifest), s"no snapshot $version for table $name")
-    indexedRead(name, readLines(manifest), version)
+    // masked under the deletes pending AT that version — a snapshot
+    // before a MoR delete shows the rows, one after hides them
+    morMasked(name, readLines(manifest), version)
   }
 
   def currentVersion(name: String): Int = versionOf(currentManifest(name))
@@ -980,6 +1032,9 @@ final class TableStore(spark: SparkSession, val root: String,
     * concurrent commits touching DISJOINT files and abort with
     * [[CommitConflictException]] on overlap. */
   def delete(name: String, cond: Column): Unit = {
+    // CoW rewrites must not resurrect MoR-masked rows: fold pending
+    // equality deletes in first (bounded by the files their keys touch)
+    materializeDeletes(name)
     val baseManifest = currentManifest(name)
     val base = versionOf(baseManifest)
     val rels = readLines(new HPath(tdir(name), baseManifest))
@@ -999,12 +1054,186 @@ final class TableStore(spark: SparkSession, val root: String,
     commitManifest(name, base, removedRels, rewritten, Nil)
   }
 
+  // ---- merge-on-read deletes ----------------------------------------------
+
+  private def deletesDir(name: String): HPath =
+    new HPath(tdir(name), "deletes")
+
+  /** One equality-delete file: `rel` (a parquet directory under
+    * `deletes/`) holding distinct key tuples over physical columns
+    * `cols`, committed at version `seq`. It masks rows only in data
+    * files whose recorded sequence is LOWER than `seq` — Iceberg's
+    * sequence-number rule, which is what lets a later append re-insert
+    * a deleted key. */
+  private case class DeleteEntry(rel: String, cols: Seq[String], seq: Int)
+
+  private def readDeleteEntries(name: String, version: Int): Seq[DeleteEntry] = {
+    val p = new HPath(tdir(name), f"manifest-$version%06d.deletes")
+    if (!fs.exists(p)) Nil
+    else readLines(p).flatMap { line =>
+      line.split('\t') match {
+        case Array(rel, cols, seq) => seq.toIntOption.map(s =>
+          DeleteEntry(rel, cols.split(',').toSeq.filter(_.nonEmpty), s))
+        case _ => None // corrupt line: fail loudly below, not silently
+      }
+    } match {
+      case es if es.size == readLines(p).count(_.nonEmpty) => es
+      case _ => sys.error(s"corrupt delete sidecar for $name@$version — " +
+        "refusing a read that could resurrect deleted rows")
+    }
+  }
+
+  /** Per-file sequence numbers, tracked only while deletes are pending;
+    * a file absent from the sidecar predates the first pending delete. */
+  private def readSeqs(name: String, version: Int): Map[String, Int] = {
+    val p = new HPath(tdir(name), f"manifest-$version%06d.seqs")
+    if (!fs.exists(p)) Map.empty
+    else readLines(p).flatMap { line =>
+      line.split('\t') match {
+        case Array(rel, seq) => seq.toIntOption.map(rel -> _)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Count of pending (un-materialized) merge-on-read delete files. */
+  def pendingDeletes(name: String): Int =
+    readDeleteEntries(name, currentVersion(name)).size
+
+  /** Merge-on-read DELETE: writes the key set as an equality-delete file
+    * and commits METADATA ONLY — no data file is opened, rewritten, or
+    * even listed. Cost is O(|keys|) regardless of table size; reads
+    * anti-join pending delete files until [[materializeDeletes]] (or any
+    * CoW mutation / [[compact]]) folds them in. At 100 TB this is the
+    * difference between a sub-second tombstone commit and rewriting
+    * every file the keys touch — the Iceberg v2 equality-delete design
+    * (the reference's delete path is copy-on-write via Iceberg's
+    * extensions; v2 MoR is the scale-out sibling).
+    *
+    * NULL semantics: a null key component masks nothing (equality join),
+    * matching SQL `WHERE key = v` deletes. Re-inserting a deleted key
+    * LATER revives it (sequence-number rule); keys present in the same
+    * snapshot stay masked. */
+  def deleteMoR(name: String, keys: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "deleteMoR needs at least one key column")
+    val sch = schema(name)
+    keyCols.foreach(c => require(sch.fieldNames.contains(c),
+      s"key column $c not in table $name"))
+    val m = physMap(name)
+    val pCols = keyCols.map(c => physOf(m, c))
+    val rel = s"del-${java.util.UUID.randomUUID()}"
+    val out = new HPath(deletesDir(name), rel)
+    // distinct, cast to the table's declared key types, physical names
+    keys.select(keyCols.map { c =>
+      col(c).cast(sch(sch.fieldIndex(c)).dataType).as(physOf(m, c))
+    }: _*).distinct().write.parquet(out.toString)
+    commitManifest(name, currentVersion(name), Set.empty, Nil, Nil,
+      newDeletes = Seq((rel, pCols)))
+  }
+
+  /** Snapshot read with pending equality deletes applied. Files are
+    * grouped into "mask classes" by how many pending deletes apply to
+    * them (those with seq strictly above the file's); each class is one
+    * zone-indexed scan anti-joined with exactly its applicable key sets,
+    * so a file appended AFTER a delete is never masked by it. With no
+    * pending deletes this is the plain indexed read — including its
+    * metadata-only aggregate rewrite, which a masked read must NOT take
+    * (the anti-join sits between scan and aggregate, so the rule cannot
+    * fire on a masked class by construction). */
+  private def morMasked(name: String, rels: Seq[String],
+      version: Int): DataFrame = {
+    val entries = readDeleteEntries(name, version)
+    if (entries.isEmpty) return indexedRead(name, rels, version)
+    val seqs = readSeqs(name, version)
+    val delSeqs = entries.map(_.seq).distinct.sorted
+    val inv = invPhysMap(name) // physical -> live logical name
+    entries.foreach(e => e.cols.foreach(pc =>
+      require(inv.contains(pc), s"pending delete on $name keys column " +
+        s"$pc which is no longer in the schema")))
+    def classOf(r: String): Int = delSeqs.count(_ > seqs.getOrElse(r, 0))
+    rels.groupBy(classOf).toSeq.sortBy(_._1).map { case (c, rs) =>
+      val base = indexedRead(name, rs, version)
+      if (c == 0) base
+      else {
+        val applicable = delSeqs.takeRight(c).toSet
+        entries.filter(e => applicable.contains(e.seq))
+          .groupBy(_.cols).foldLeft(base) { case (acc, (pcols, es)) =>
+            val keys = es.map(e => spark.read.parquet(
+                new HPath(deletesDir(name), e.rel).toString))
+              .reduce(_ unionByName _).distinct()
+            val logical = pcols.map(inv)
+            val keyDf = keys.select(pcols.zip(logical).map {
+              case (p, l) => col(s"`$p`").as(l) }: _*)
+            acc.join(keyDf, logical, "left_anti")
+          }
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** Folds every pending equality delete into the data files: rewrites
+    * only files that (a) have an applicable delete and (b) survive
+    * zone/bloom pruning against the delete keys, then commits ONE
+    * snapshot with all delete sidecars dropped. Untouched files are
+    * provably clean: either no delete applies to them (sequence rule)
+    * or pruning proved their key ranges disjoint. */
+  def materializeDeletes(name: String): Unit = {
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val entries = readDeleteEntries(name, base)
+    if (entries.isEmpty) return
+    val rels = readLines(new HPath(tdir(name), baseManifest))
+    val seqs = readSeqs(name, base)
+    val delSeqs = entries.map(_.seq).distinct.sorted
+    val inv = invPhysMap(name)
+    def classOf(r: String): Int = delSeqs.count(_ > seqs.getOrElse(r, 0))
+    val rewrittenOld = Seq.newBuilder[String]
+    val rewrittenNew = Seq.newBuilder[String]
+    rels.groupBy(classOf).toSeq.sortBy(_._1).foreach { case (c, rs) =>
+      if (c > 0) {
+        val applicable = delSeqs.takeRight(c).toSet
+        val live = entries.filter(e => applicable.contains(e.seq))
+        // prune: a file whose zones/blooms cannot contain ANY applicable
+        // key set keeps its bytes — candidate union across key groups
+        val candidates = live.groupBy(_.cols).flatMap { case (pcols, es) =>
+          val keys = es.map(e => spark.read.parquet(
+              new HPath(deletesDir(name), e.rel).toString))
+            .reduce(_ unionByName _).distinct()
+          val logical = pcols.map(inv)
+          val keyDf = keys.select(pcols.zip(logical).map {
+            case (p, l) => col(s"`$p`").as(l) }: _*)
+          pruneByBlooms(name,
+            pruneByZones(name, rs, keyBounds(name, keyDf, logical), base),
+            keyDf, logical, base)
+        }.toSet
+        if (candidates.nonEmpty) {
+          val paths = candidates.toSeq.sorted
+            .map(r => new HPath(dataDir(name), r).toString)
+          val survivors = live.groupBy(_.cols)
+            .foldLeft(readFiles(name, paths)) { case (acc, (pcols, es)) =>
+              val keys = es.map(e => spark.read.parquet(
+                  new HPath(deletesDir(name), e.rel).toString))
+                .reduce(_ unionByName _).distinct()
+              val logical = pcols.map(inv)
+              val keyDf = keys.select(pcols.zip(logical).map {
+                case (p, l) => col(s"`$p`").as(l) }: _*)
+              acc.join(keyDf, logical, "left_anti")
+            }
+          rewrittenOld ++= candidates.toSeq
+          rewrittenNew ++= writeDataFiles(name, survivors)
+        }
+      }
+    }
+    commitManifest(name, base, rewrittenOld.result().toSet,
+      rewrittenNew.result(), Nil, dropDeletes = true)
+  }
+
   /** Net CDC application in ONE snapshot commit: drop every row whose key
     * appears in `keys`, then add `newRows` — the atomic replacement for the
     * reference's non-atomic delete-then-insert update
     * (SparkDestinationStream.java:110-114; README.md:74-77). */
   def applyNet(name: String, keys: DataFrame, newRows: DataFrame,
       keyCols: Seq[String], meta: Map[String, String] = Map.empty): Unit = {
+    materializeDeletes(name) // see delete(): rewrites start from a clean table
     val sch = schema(name)
     val baseManifest = currentManifest(name)
     val base = versionOf(baseManifest)
@@ -1068,6 +1297,8 @@ final class TableStore(spark: SparkSession, val root: String,
     * count. At 100 TB this is the Iceberg-manifest trick that answers
     * `SELECT count(*)` from one metadata file. */
   def rowCount(name: String): Option[Long] = {
+    // pending MoR deletes make per-file counts upper bounds, not exact
+    if (pendingDeletes(name) > 0) return None
     val rels = currentRelPaths(name)
     if (rels.isEmpty) return Some(0L)
     val rows = readConsolidated(name, currentVersion(name))
@@ -1088,6 +1319,8 @@ final class TableStore(spark: SparkSession, val root: String,
     val pc = physOf(physMap(name), colName)
     require(zoneCols(name).contains(pc),
       s"$colName is not a zone column of table $name")
+    // a pending MoR delete may have masked the extreme row
+    if (pendingDeletes(name) > 0) return None
     val rels = currentRelPaths(name)
     if (rels.isEmpty) return None
     val stats = loadZoneStats(name, rels, currentVersion(name))
@@ -1236,6 +1469,7 @@ final class TableStore(spark: SparkSession, val root: String,
   def merge(name: String, source: DataFrame, keyCols: Seq[String],
       updateCols: Seq[String], insertUnmatched: Boolean = true,
       deleteWhen: Option[Column] = None): Unit = {
+    materializeDeletes(name) // see delete(): rewrites start from a clean table
     val sch = schema(name)
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(updateCols.nonEmpty, "merge needs at least one update column")
@@ -1292,7 +1526,9 @@ final class TableStore(spark: SparkSession, val root: String,
     val baseManifest = currentManifest(name)
     val base = versionOf(baseManifest)
     val baseRels = readLines(new HPath(tdir(name), baseManifest))
-    val cur = indexedRead(name, baseRels, base)
+    // a compaction rewrites everything anyway — fold pending MoR deletes
+    // in by reading masked and dropping the sidecars in the same commit
+    val cur = morMasked(name, baseRels, base)
     val df =
       if (clusterCols.nonEmpty) {
         require(numFiles > 0, "z-order compaction needs an explicit numFiles")
@@ -1310,7 +1546,8 @@ final class TableStore(spark: SparkSession, val root: String,
     // files survive the rebase untouched) while any concurrent CoW
     // mutation of a base file is a loud conflict — Iceberg's
     // rewrite-files validation, expressed through the generic intent.
-    commitManifest(name, base, baseRels.toSet, rewritten, Nil)
+    commitManifest(name, base, baseRels.toSet, rewritten, Nil,
+      dropDeletes = true)
   }
 
   /** Orphan cleanup: delete files under `data/` that NO manifest (of any
@@ -1373,6 +1610,13 @@ final class TableStore(spark: SparkSession, val root: String,
       }
     manifests.filterNot(keep.contains)
       .foreach(m => deleteManifestFamily(name, versionOf(m)))
+    // equality-delete files referenced by no surviving snapshot's sidecar
+    if (fs.exists(deletesDir(name))) {
+      val liveDel = keep
+        .flatMap(m => readDeleteEntries(name, versionOf(m)).map(_.rel)).toSet
+      listNames(deletesDir(name)).filterNot(liveDel)
+        .foreach(r => fs.delete(new HPath(deletesDir(name), r), true))
+    }
   }
 
   // ---- zone maps ----------------------------------------------------------
@@ -1886,7 +2130,9 @@ final class TableStore(spark: SparkSession, val root: String,
     * new head — Iceberg's optimistic catalog-commit loop. */
   private def commitManifest(name: String, base: Int, removed: Set[String],
       added: Seq[String], appended: Seq[String],
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty,
+      newDeletes: Seq[(String, Seq[String])] = Nil,
+      dropDeletes: Boolean = false): Unit = {
     val d = tdir(name)
     val lock = new HPath(d, "_commit.lock")
     beforeCommitHook()
@@ -1936,6 +2182,36 @@ final class TableStore(spark: SparkSession, val root: String,
           // (readAppendedSince falls back to the file-set diff without it)
           writeString(new HPath(d, f"manifest-$n%06d.appended"),
             appended.mkString("\n"))
+          // merge-on-read delete sidecars: entries carry forward across
+          // commits (each stamped with the version that committed it —
+          // the Iceberg sequence number); a materializing commit drops
+          // them. File sequences are tracked only WHILE deletes are
+          // pending: a carried file keeps its recorded seq, a file never
+          // recorded predates the first delete (seq 0), fresh files get
+          // THIS commit's version — sound because every rewrite path
+          // either materializes pending deletes first or drops them,
+          // so new files never contain rows a pending delete masks.
+          locally {
+            val headDel = if (dropDeletes || head == 0) Nil
+              else readDeleteEntries(name, head)
+            val nextDel = (if (dropDeletes) Nil else headDel) ++
+              newDeletes.map { case (rel, cols) => DeleteEntry(rel, cols, n) }
+            if (nextDel.nonEmpty) {
+              val headSeqs =
+                if (head == 0) Map.empty[String, Int] else readSeqs(name, head)
+              val addedSet = added.toSet
+              val seqLines = files.map { f =>
+                val s = headSeqs.getOrElse(f, if (addedSet.contains(f)) n else 0)
+                s"$f\t$s"
+              }
+              writeString(new HPath(d, f"manifest-$n%06d.deletes"),
+                nextDel.map(e =>
+                  s"${e.rel}\t${e.cols.mkString(",")}\t${e.seq}")
+                  .mkString("\n"))
+              writeString(new HPath(d, f"manifest-$n%06d.seqs"),
+                seqLines.mkString("\n"))
+            }
+          }
           writeConsolidated(name, n, head, files)
           writeMetaFile(name, n, head, meta)
           writeRollups(name, n, head,

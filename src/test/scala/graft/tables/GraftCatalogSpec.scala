@@ -1,0 +1,131 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** End-to-end SQL over the GraftCatalog: DDL, DML, pushdown, time
+  * travel — everything through `spark.sql`, nothing through the
+  * programmatic API except verification probes. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = tmpDir("sqlcat-")
+  spark.conf.set("spark.sql.catalog.gql", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gql.root", root)
+  private def store = new TableStore(spark, root)
+
+  test("CREATE / INSERT / SELECT round-trip with properties") {
+    spark.sql("""CREATE TABLE gql.t1 (k BIGINT, v STRING, p STRING)
+      PARTITIONED BY (p)
+      TBLPROPERTIES ('zone_cols'='k', 'bloom_cols'='v')""")
+    assert(store.exists("t1"))
+    assert(store.partitionCols("t1") === Seq("p"))
+    assert(store.zoneCols("t1") === Seq("k"))
+    assert(store.bloomCols("t1") === Seq("v"))
+    spark.sql("INSERT INTO gql.t1 VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    spark.sql("INSERT INTO gql.t1 VALUES (3, 'c', 'x')")
+    val rows = spark.sql("SELECT k, v, p FROM gql.t1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+    // two INSERTs = two snapshots on top of the create commit
+    assert(store.currentVersion("t1") === 3)
+  }
+
+  test("SELECT pushes filters and projection into the inner scan") {
+    spark.sql("""CREATE TABLE gql.t2 (k BIGINT, v STRING)
+      TBLPROPERTIES ('zone_cols'='k')""")
+    store.append("t2", spark.range(0, 1000).select(
+      col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(4, col("id")))
+    val df = spark.sql("SELECT v FROM gql.t2 WHERE k BETWEEN 10 AND 12")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("v10", "v11", "v12"))
+    // the pushed filters surface on the V2 scan node
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("RowDataSourceScan"),
+      s"expected a pushdown scan node in:\n$plan")
+    // count(*) survives an empty required schema
+    assert(spark.sql("SELECT count(*) FROM gql.t2").head().getLong(0) === 1000L)
+  }
+
+  test("DELETE FROM routes to copy-on-write delete; complex predicates refuse") {
+    spark.sql("CREATE TABLE gql.t3 (k BIGINT, v STRING)")
+    store.append("t3", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    spark.sql("DELETE FROM gql.t3 WHERE k = 2")
+    assert(spark.sql("SELECT k FROM gql.t3 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // NULL-predicate rows are kept (SQL DELETE semantics through the bridge)
+    store.append("t3", Seq((null.asInstanceOf[java.lang.Long], "n"))
+      .toDF("k", "v"))
+    spark.sql("DELETE FROM gql.t3 WHERE k = 1")
+    assert(spark.sql("SELECT v FROM gql.t3 ORDER BY v").collect()
+      .map(_.getString(0)).toSeq === Seq("c", "n"))
+  }
+
+  test("INSERT OVERWRITE replaces the table in one commit; TRUNCATE empties it") {
+    spark.sql("CREATE TABLE gql.t4 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gql.t4 VALUES (1, 'a'), (2, 'b')")
+    val vBefore = store.currentVersion("t4")
+    spark.sql("INSERT OVERWRITE gql.t4 VALUES (9, 'z')")
+    assert(store.currentVersion("t4") === vBefore + 1) // ONE commit
+    assert(spark.sql("SELECT k, v FROM gql.t4").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "z")))
+    spark.sql("TRUNCATE TABLE gql.t4")
+    assert(spark.sql("SELECT * FROM gql.t4").count() === 0)
+    // history survives truncation
+    assert(store.readVersion("t4", vBefore + 1).count() === 1)
+  }
+
+  test("VERSION AS OF time travel; writes to a pinned snapshot refuse") {
+    spark.sql("CREATE TABLE gql.t5 (k BIGINT)")
+    spark.sql("INSERT INTO gql.t5 VALUES (1)")
+    val v1 = store.currentVersion("t5")
+    spark.sql("INSERT INTO gql.t5 VALUES (2)")
+    assert(spark.sql(s"SELECT k FROM gql.t5 VERSION AS OF $v1").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    assert(spark.sql("SELECT k FROM gql.t5 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO gql.t5 VERSION AS OF $v1 VALUES (3)")
+    }
+  }
+
+  test("ALTER TABLE add/rename/drop column are metadata-only") {
+    spark.sql("CREATE TABLE gql.t6 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gql.t6 VALUES (1, 'a')")
+    spark.sql("ALTER TABLE gql.t6 ADD COLUMNS (w DOUBLE)")
+    spark.sql("INSERT INTO gql.t6 VALUES (2, 'b', 1.5)")
+    spark.sql("ALTER TABLE gql.t6 RENAME COLUMN v TO label")
+    val rows = spark.sql("SELECT k, label, w FROM gql.t6 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", Some(1.5))))
+    spark.sql("ALTER TABLE gql.t6 DROP COLUMN w")
+    assert(spark.sql("SELECT * FROM gql.t6").schema.fieldNames.toSeq ===
+      Seq("k", "label"))
+  }
+
+  test("SHOW TABLES lists live tables; DROP TABLE removes") {
+    spark.sql("CREATE TABLE gql.t7 (k BIGINT)")
+    val listed = spark.sql("SHOW TABLES IN gql").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("t7"))
+    spark.sql("DROP TABLE gql.t7")
+    assert(!store.exists("t7"))
+  }
+
+  test("SQL joins and aggregates compose over catalog tables") {
+    spark.sql("CREATE TABLE gql.dim (id BIGINT, name STRING)")
+    spark.sql("CREATE TABLE gql.fact (id BIGINT, amt DOUBLE)")
+    spark.sql("INSERT INTO gql.dim VALUES (1, 'one'), (2, 'two')")
+    spark.sql(
+      "INSERT INTO gql.fact VALUES (1, 10.0), (1, 5.0), (2, 2.0), (3, 9.0)")
+    val agg = spark.sql("""
+      SELECT d.name, sum(f.amt) AS total
+      FROM gql.fact f JOIN gql.dim d ON f.id = d.id
+      GROUP BY d.name ORDER BY d.name""").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(agg.toSeq === Seq(("one", 15.0), ("two", 2.0)))
+  }
+}
