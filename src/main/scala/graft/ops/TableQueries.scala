@@ -443,6 +443,46 @@ object TableQueries {
       |  AND o_orderkey % 11 <> 0
       |ORDER BY o_orderkey, o_custkey, o_orderpriority, o_totalprice""".stripMargin
 
+  /** Write-audit-publish under the oracle: the second half of orders is
+    * staged on an `audit` branch (two commits), audited by a branch read
+    * (count must match the staged predicate — a wrong staging fails the
+    * gate HERE, before publish), published via fast-forward, and then
+    * mutated on main. The final read must equal the plain SQL over the
+    * whole lifecycle; branch isolation (main unchanged until publish)
+    * is spec-pinned in RefsSpec. */
+  private def tblBranchWap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-wap", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("orders", ord.filter(col("o_orderkey") <= 7500L)
+      .repartitionByRange(2, col("o_orderkey")))
+    store.createBranch("orders", "audit")
+    store.append("orders",
+      ord.filter(col("o_orderkey") > 7500L && col("o_orderkey") <= 15000L),
+      branch = Some("audit"))
+    store.append("orders", ord.filter(col("o_orderkey") > 15000L),
+      branch = Some("audit"))
+    // audit step: staged row count must equal the source predicate's
+    val staged = store.readRef("orders", "audit").count()
+    val expected = ord.count()
+    require(staged == expected,
+      s"audit failed: $staged staged rows, expected $expected")
+    store.fastForward("orders", "audit")
+    store.dropRef("orders", "audit")
+    store.delete("orders", col("o_orderkey") % 11 === 0)
+    store.read("orders")
+      .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  private val tblBranchWapSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 11 <> 0
+      |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
+
   /** Merge-on-read equality deletes under the oracle: a metadata-only
     * tombstone commit masks %7 keys, then a LATER append re-inserts the
     * %21 subset at a new price — the sequence-number rule must revive
@@ -537,5 +577,6 @@ object TableQueries {
       Some(tblPartitionEvolutionSql)),
     Q("tbl_diff", tblDiff, Some(tblDiffSql)),
     Q("tbl_sql_catalog", tblSqlCatalog, Some(tblSqlCatalogSql)),
-    Q("tbl_mor_delete", tblMorDelete, Some(tblMorDeleteSql)))
+    Q("tbl_mor_delete", tblMorDelete, Some(tblMorDeleteSql)),
+    Q("tbl_branch_wap", tblBranchWap, Some(tblBranchWapSql)))
 }

@@ -112,15 +112,29 @@ final class TableStore(spark: SparkSession, val root: String,
     * it correct even where the lock cannot be (S3). */
   private val coord: CommitCoordinator =
     coordinator.getOrElse(new CommitCoordinator {
+      // a branch ref keys as "table@branch": its pointer is a sibling
+      // `_current.<branch>` file in the same table dir
+      private def ptrPath(table: String): HPath = {
+        val i = table.indexOf('@')
+        if (i < 0) new HPath(tdir(table), "_current")
+        else new HPath(tdir(table.substring(0, i)),
+          "_current." + table.substring(i + 1))
+      }
       override def current(table: String): Option[String] = {
-        val p = new HPath(tdir(table), "_current")
+        val p = ptrPath(table)
         if (fs.exists(p)) Some(readString(p).trim) else None
       }
       override def swap(table: String, expected: Option[String],
           next: String): Boolean =
         if (current(table) != expected) false
-        else { atomicWrite(new HPath(tdir(table), "_current"), next); true }
-      override def clear(table: String): Unit = () // dies with the table dir
+        else { atomicWrite(ptrPath(table), next); true }
+      override def clear(table: String): Unit = {
+        // branch pointers must not survive a drop/re-create (the main
+        // pointer file dies with the table dir, but clear() may be
+        // called before the dir is re-populated)
+        fs.delete(ptrPath(table), false)
+        ()
+      }
     })
 
   // ---- small FS helpers ----------------------------------------------------
@@ -222,6 +236,11 @@ final class TableStore(spark: SparkSession, val root: String,
     val d = tdir(name)
     if (fs.exists(d)) {
       require(overwrite, s"table $name already exists")
+      // see drop(): external branch pointers outlive the dir otherwise
+      scala.util.Try(refs(name)).getOrElse(Map.empty).foreach {
+        case (r, ("branch", _)) => coord.clear(refKey(name, Some(r)))
+        case _ => ()
+      }
       fs.delete(d, true)
     }
     catalogCache -= name // a re-created table starts with identity mapping
@@ -382,6 +401,12 @@ final class TableStore(spark: SparkSession, val root: String,
   }
 
   def drop(name: String): Unit = {
+    // branch pointers may live in an external coordinator — clear them
+    // BEFORE the refs dir (their registry) goes away with the table
+    scala.util.Try(refs(name)).getOrElse(Map.empty).foreach {
+      case (r, ("branch", _)) => coord.clear(refKey(name, Some(r)))
+      case _ => ()
+    }
     fs.delete(tdir(name), true)
     coord.clear(name)
     catalogCache -= name
@@ -878,6 +903,108 @@ final class TableStore(spark: SparkSession, val root: String,
 
   def currentVersion(name: String): Int = versionOf(currentManifest(name))
 
+  // ---- named refs: branches, tags, write-audit-publish --------------------
+
+  private def refsDir(name: String): HPath = new HPath(tdir(name), "refs")
+
+  /** Coordinator key of a ref: the table name for main, `table@branch`
+    * for a branch head (its own pointer, same CAS discipline). */
+  private def refKey(name: String, branch: Option[String]): String =
+    branch.map(b => s"$name@$b").getOrElse(name)
+
+  private def requireRefName(ref: String): Unit =
+    require(ref.nonEmpty && ref.forall(c => c.isLetterOrDigit ||
+      c == '_' || c == '-'), s"invalid ref name: $ref")
+
+  /** Branch: an independently-advancing head over the SAME manifest
+    * store — commits to it claim manifest ids from the shared sequence
+    * and link parents through the same per-commit metadata, so no file
+    * or stats machinery is branch-aware. The write-audit-publish flow:
+    * stage commits on a branch, validate by reading it, then
+    * [[fastForward]] main (Iceberg's WAP pattern via branch refs). */
+  def createBranch(name: String, branch: String,
+      atVersion: Int = -1): Unit = {
+    requireRefName(branch)
+    require(!refs(name).contains(branch), s"ref $branch already exists")
+    val v = if (atVersion < 0) currentVersion(name) else atVersion
+    val manifest = f"manifest-$v%06d.txt"
+    require(fs.exists(new HPath(tdir(name), manifest)),
+      s"no snapshot $v for table $name")
+    require(coord.swap(refKey(name, Some(branch)), None, manifest),
+      s"branch $branch already has a head pointer")
+    writeString(new HPath(refsDir(name), branch), "branch")
+  }
+
+  /** Tag: an immutable named snapshot; its manifest (and files) survive
+    * [[expireSnapshots]] until the tag is dropped. */
+  def createTag(name: String, tag: String, atVersion: Int = -1): Unit = {
+    requireRefName(tag)
+    require(!refs(name).contains(tag), s"ref $tag already exists")
+    val v = if (atVersion < 0) currentVersion(name) else atVersion
+    require(fs.exists(new HPath(tdir(name), f"manifest-$v%06d.txt")),
+      s"no snapshot $v for table $name")
+    writeString(new HPath(refsDir(name), tag), s"tag\t$v")
+  }
+
+  /** All named refs: ref -> (kind, version). A branch's version is its
+    * live head (read through the coordinator). */
+  def refs(name: String): Map[String, (String, Int)] = {
+    val d = refsDir(name)
+    if (!fs.exists(d)) Map.empty
+    else listNames(d).flatMap { r =>
+      readString(new HPath(d, r)).trim.split('\t') match {
+        case Array("branch") =>
+          coord.current(refKey(name, Some(r)))
+            .map(mf => r -> (("branch", versionOf(mf))))
+        case Array("tag", v) => v.toIntOption.map(i => r -> (("tag", i)))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  def refVersion(name: String, ref: String): Int =
+    refs(name).getOrElse(ref,
+      sys.error(s"no ref $ref on table $name"))._2
+
+  /** Snapshot read of a ref (branch head or tag), with that snapshot's
+    * own pending merge-on-read deletes applied. */
+  def readRef(name: String, ref: String): DataFrame =
+    readVersion(name, refVersion(name, ref))
+
+  def dropRef(name: String, ref: String): Unit = {
+    val known = refs(name)
+    require(known.contains(ref), s"no ref $ref on table $name")
+    if (known(ref)._1 == "branch") coord.clear(refKey(name, Some(ref)))
+    fs.delete(new HPath(refsDir(name), ref), false)
+    ()
+  }
+
+  /** Publish a branch to main: advance the main pointer to the branch
+    * head iff main's current head is an ancestor of it (nothing
+    * committed to main since the fork — otherwise publishing would
+    * silently drop those commits; that conflict needs an explicit
+    * rebase, i.e. re-applying the branch's changes on current main). */
+  def fastForward(name: String, branch: String): Unit = {
+    require(refs(name).get(branch).exists(_._1 == "branch"),
+      s"no branch $branch on table $name")
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val mainManifest = coord.current(name)
+      val mainV = mainManifest.map(versionOf).getOrElse(0)
+      val bManifest = coord.current(refKey(name, Some(branch))).getOrElse(
+        sys.error(s"branch $branch has no head"))
+      val bV = versionOf(bManifest)
+      // ancestry walk along recorded commit parents
+      var v: Option[Int] = Some(bV)
+      while (v.exists(_ > mainV)) v = v.flatMap(commitParent(name, _))
+      require(mainV == 0 || v.contains(mainV),
+        s"main advanced since branch $branch forked — cannot fast-forward")
+      require(coord.swap(name, mainManifest, bManifest),
+        s"main pointer moved during fast-forward of $branch")
+    } finally { fs.delete(lock, false); () }
+  }
+
   /** Incremental read: rows APPENDED since snapshot `version` (the
     * incremental-consumer primitive — a downstream job processes only
     * what appended, never rescanning the table).
@@ -1020,10 +1147,14 @@ final class TableStore(spark: SparkSession, val root: String,
     * the new head. `meta` tags land in the commit's metadata (e.g. a
     * streaming sink records its batch id for restart idempotence). */
   def append(name: String, df: DataFrame,
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty,
+      branch: Option[String] = None): Unit = {
+    branch.foreach(b => require(refs(name).get(b).exists(_._1 == "branch"),
+      s"no branch $b on table $name"))
     val base = if (exists(name)) currentVersion(name) else 0
     val newFiles = writeDataFiles(name, alignTo(name, schema(name), df))
-    commitManifest(name, base, Set.empty, newFiles, newFiles, meta = meta)
+    commitManifest(name, base, Set.empty, newFiles, newFiles, meta = meta,
+      branch = branch)
   }
 
   /** Row-level delete (reference W2, SparkDestinationStream.java:124-135) as
@@ -1595,7 +1726,11 @@ final class TableStore(spark: SparkSession, val root: String,
       .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
       .sorted
     val current = currentManifest(name)
-    val keep = (manifests.takeRight(keepLast) :+ current).distinct
+    // every named ref pins its manifest (a tag forever, a branch its
+    // live head) — their data files stay live below
+    val refManifests = refs(name).values.map(v => f"manifest-${v._2}%06d.txt")
+    val keep =
+      (manifests.takeRight(keepLast) ++ refManifests :+ current).distinct
     val live = keep.flatMap(m => readLines(new HPath(d, m))).toSet
     // delete unreferenced data files, then the expired manifests
     listFilesRec(dataDir(name))
@@ -2132,8 +2267,10 @@ final class TableStore(spark: SparkSession, val root: String,
       added: Seq[String], appended: Seq[String],
       meta: Map[String, String] = Map.empty,
       newDeletes: Seq[(String, Seq[String])] = Nil,
-      dropDeletes: Boolean = false): Unit = {
+      dropDeletes: Boolean = false,
+      branch: Option[String] = None): Unit = {
     val d = tdir(name)
+    val ptrKey = refKey(name, branch)
     val lock = new HPath(d, "_commit.lock")
     beforeCommitHook()
     acquireLock(name, lock)
@@ -2142,7 +2279,7 @@ final class TableStore(spark: SparkSession, val root: String,
       var committed = false
       while (!committed) {
         attempts += 1
-        val headManifest = coord.current(name)
+        val headManifest = coord.current(ptrKey)
         val head = headManifest.map(versionOf).getOrElse(0)
         val headFiles: Seq[String] =
           headManifest.map(mf => readLines(new HPath(d, mf))).getOrElse(Nil)
@@ -2216,7 +2353,7 @@ final class TableStore(spark: SparkSession, val root: String,
           writeMetaFile(name, n, head, meta)
           writeRollups(name, n, head,
             carried = files.filterNot(added.toSet), added = added)
-          if (coord.swap(name, headManifest, manifest)) committed = true
+          if (coord.swap(ptrKey, headManifest, manifest)) committed = true
           else {
             // lost the pointer race: the manifest family is unreferenced
             // by any pointer — delete it (a failed CAS never
@@ -2324,15 +2461,32 @@ final class TableStore(spark: SparkSession, val root: String,
   private def reclaimPhantoms(name: String, head: Int): Unit = {
     val d = tdir(name)
     val cutoff = System.currentTimeMillis() - TableStore.StaleLockMs
-    listNames(d)
+    val candidates = listNames(d)
       .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
       .filter(f => versionOf(f) > head)
-      .foreach { mf =>
-        val stale =
-          try fs.getFileStatus(new HPath(d, mf)).getModificationTime < cutoff
-          catch { case _: java.io.FileNotFoundException => false }
-        if (stale) deleteManifestFamily(name, versionOf(mf))
+      .filter { mf =>
+        try fs.getFileStatus(new HPath(d, mf)).getModificationTime < cutoff
+        catch { case _: java.io.FileNotFoundException => false }
       }
+    if (candidates.isEmpty) return
+    // with refs, a manifest above THIS commit's head can be committed
+    // history of another pointer (a branch's, or main's as seen from a
+    // branch commit): anything reachable by the parent chain from any
+    // live pointer is not a phantom. The walk is bounded below by the
+    // smallest candidate version.
+    val heads = (coord.current(name).map(versionOf).toSeq ++
+      refs(name).values.map(_._2)).distinct
+    val minCand = candidates.map(versionOf).min
+    val reachable = scala.collection.mutable.Set[Int]()
+    heads.foreach { h =>
+      var v: Option[Int] = Some(h)
+      while (v.exists(_ >= minCand)) {
+        reachable += v.get
+        v = v.flatMap(commitParent(name, _))
+      }
+    }
+    candidates.filterNot(mf => reachable.contains(versionOf(mf)))
+      .foreach(mf => deleteManifestFamily(name, versionOf(mf)))
   }
 
   /** Test seam: runs before the commit lock is taken — specs use it to
