@@ -10,6 +10,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-only gate filter (regex on query name) for scale checkpoints;
+    // the driver sets no filter and benches the full registry
+    val filter = sys.env.get("GRAFT_BENCH_FILTER").map(_.r)
+    def selected = SparkEntry.registry.filter(q =>
+      filter.forall(_.findFirstIn(q.name).isDefined))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,7 +36,7 @@ object Bench {
     // cluster job actually sees, instead of 63 one-off compile stalls.
     spark.range(2000000L).selectExpr("sum(id)").collect()
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.registry.foreach { q =>
+    selected.foreach { q =>
       try q.fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         // a silently-failing warmup would leave this query's codegen cold
@@ -53,7 +58,7 @@ object Bench {
     // load-insensitive estimator for a deterministic workload.
     val reps = math.max(1, scala.util.Try(
       sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
-    val results = SparkEntry.registry.map { q =>
+    val results = selected.map { q =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -565,6 +565,52 @@ object StreamGates {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM survivors GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The managed table as a streaming SOURCE under the oracle
+    * ([[graft.streaming.GraftTableSource]]): commit one slice of orders,
+    * drain the stream (initial-snapshot batch), then land two more
+    * commits WITH a full compaction between them and drain the same
+    * checkpoint again — the tail must deliver exactly the two appends
+    * (the compaction re-delivers nothing, offsets resume from the
+    * checkpoint). The accumulated sink must equal the plain table: every
+    * row exactly once across snapshot + tail + rewrite. */
+  private def stTableSource(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "tsrc")
+    rm(spark, s"$b/out"); rm(spark, s"$b/ckpt")
+    val store = new TableStore(spark, s"$b/store")
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("root", s"$b/store").option("table", "orders").load()
+        .writeStream
+        .option("checkpointLocation", s"$b/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$b/out")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    store.append("orders", ord.filter(col("o_orderkey") <= 5000L)
+      .repartitionByRange(2, col("o_orderkey")))
+    drain() // initial snapshot batch
+    store.append("orders", ord.filter(col("o_orderkey") > 5000L &&
+      col("o_orderkey") <= 10000L))
+    store.compact("orders", numFiles = 2) // must contribute nothing
+    store.append("orders", ord.filter(col("o_orderkey") > 10000L))
+    drain() // checkpointed tail: exactly the two appends
+    spark.read.parquet(s"$b/out")
+      .orderBy("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  }
+
+  private val stTableSourceSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("st_tumbling", stTumbling, Some(Events.evTumblingSql)),
     Q("st_session", stSession, Some(Events.evSessionsSql)),
@@ -573,5 +619,6 @@ object StreamGates {
     Q("st_outer", stOuterJoin, Some(stOuterSql)),
     Q("st_stateful", stStateful, Some(stStatefulSql)),
     Q("st_enrich", stEnrich, Some(stEnrichSql)),
-    Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)))
+    Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)),
+    Q("st_table_source", stTableSource, Some(stTableSourceSql)))
 }

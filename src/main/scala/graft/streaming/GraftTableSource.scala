@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import graft.tables.TableStore
+
+/** Structured Streaming SOURCE over a managed table — the table-as-log
+  * complement of [[graft.api.CdcStreamSink]] (table as sink):
+  *
+  * {{{
+  * spark.readStream.format("graft-table")
+  *   .option("root", "/data/tables").option("table", "orders")
+  *   .load()
+  * }}}
+  *
+  * Semantics (the Delta/Iceberg streaming-read shape):
+  *   - The FIRST micro-batch is the full snapshot at the version the
+  *     offset log records (a consistent read through the zone-map index,
+  *     with pending merge-on-read deletes applied).
+  *   - Every later micro-batch is the rows APPENDED in the offset range
+  *     `(start, end]`, served from the per-commit appended sidecars —
+  *     so a compaction between batches contributes NOTHING (no
+  *     re-delivery of rewritten rows), and an expired-but-unconsumed
+  *     append fails loudly instead of silently skipping rows.
+  *   - Offsets are snapshot versions: restart from a checkpoint resumes
+  *     at exactly the recorded version (the sidecar walk is
+  *     deterministic, so re-delivered ranges are byte-identical).
+  *   - Append-only contract: rows REMOVED by deletes/merges after the
+  *     initial snapshot are not retracted (use [[TableStore.diffVersions]]
+  *     or the CDC path for net changes). `startVersion` tails from a
+  *     known snapshot instead of delivering the initial state.
+  *
+  * The reference's stream flows INTO the table (gRPC records,
+  * `SparkDestinationStream.java:70-85`); this source closes the loop so
+  * downstream jobs consume the table as a stream with exactly-once
+  * offsets instead of rescanning it. */
+final class GraftTableSourceProvider
+  extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def storeOf(ctx: SQLContext,
+      parameters: Map[String, String]): (TableStore, String) = {
+    val root = parameters.getOrElse("root",
+      sys.error("graft-table source needs option 'root'"))
+    val table = parameters.getOrElse("table",
+      sys.error("graft-table source needs option 'table'"))
+    (new TableStore(ctx.sparkSession, root), table)
+  }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (store, table) = storeOf(ctx, parameters)
+    (shortName(), schema.getOrElse(store.schema(table)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (store, table) = storeOf(ctx, parameters)
+    new GraftTableSource(ctx.sparkSession, store, table,
+      parameters.get("startVersion").map(_.trim.toInt))
+  }
+}
+
+final class GraftTableSource(spark: SparkSession, store: TableStore,
+    table: String, startVersion: Option[Int]) extends Source {
+
+  override def schema: StructType = store.schema(table)
+
+  /** Offsets are committed snapshot versions. */
+  override def getOffset: Option[Offset] = {
+    val v = store.currentVersion(table)
+    // with startVersion, nothing to deliver until the table moves past it
+    if (startVersion.exists(v <= _)) None else Some(LongOffset(v.toLong))
+  }
+
+  private def versionOf(o: Offset): Int = o.json.trim.toInt
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val e = versionOf(end)
+    val batch = start match {
+      case Some(s) => store.readAppendedBetween(table, versionOf(s), e)
+      case None => startVersion match {
+        case Some(sv) => store.readAppendedBetween(table, sv, e)
+        // first batch of a fresh query: the full consistent snapshot
+        case None => store.readVersion(table, e)
+      }
+    }
+    Bridge.streamingFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftTableSource[$table]"
+}

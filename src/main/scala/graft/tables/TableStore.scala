@@ -1022,11 +1022,23 @@ final class TableStore(spark: SparkSession, val root: String,
     * callers that need net row-level changes should diff by key
     * ([[diffVersions]]). Tables whose history predates the sidecar fall
     * back to the file-set diff (exact for append-only history). */
-  def readAppendedSince(name: String, version: Int): DataFrame = {
+  def readAppendedSince(name: String, version: Int): DataFrame =
+    readAppendedBetween(name, version, currentVersion(name))
+
+  /** Ranged incremental read: rows appended in `(version, toVersion]` —
+    * the micro-batch primitive ([[graft.streaming.GraftTableSource]]
+    * serves each batch from one bounded range so a restart re-reads
+    * exactly the offsets the checkpoint recorded). */
+  def readAppendedBetween(name: String, version: Int,
+      toVersion: Int): DataFrame = {
     val d = tdir(name)
     val manifest = new HPath(d, f"manifest-$version%06d.txt")
     require(fs.exists(manifest), s"no snapshot $version for table $name")
-    val head = currentVersion(name)
+    require(fs.exists(new HPath(d, f"manifest-$toVersion%06d.txt")),
+      s"no snapshot $toVersion for table $name")
+    require(toVersion >= version,
+      s"empty or inverted range ($version, $toVersion]")
+    val head = toVersion
     // Committed-chain walk via parent pointers (commit meta): ONLY
     // snapshots reachable from the head contribute appended sidecars. A
     // manifest numbered inside the range but never committed (a writer
@@ -1070,7 +1082,8 @@ final class TableStore(spark: SparkSession, val root: String,
       // legacy table (history predates appended-sidecars): file-set diff —
       // exact for append-only history, re-delivers on rewrites
       val baseline = readLines(manifest).toSet
-      val added = currentRelPaths(name).filterNot(baseline)
+      val added = readLines(new HPath(d, f"manifest-$head%06d.txt"))
+        .filterNot(baseline)
       readFiles(name, added.map(f => new HPath(dataDir(name), f).toString))
     }
   }

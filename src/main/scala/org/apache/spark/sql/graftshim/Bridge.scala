@@ -21,6 +21,16 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Streaming-tagged frame over a batch plan's executed RDD — what a V1
+    * streaming `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`; `internalCreateDataFrame` went `private[sql]`). */
+  def streamingFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** Register an extra planner strategy on a live session (idempotent) —
     * the runtime path for sessions built without withExtensions. */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.tables.TableStore
+
+/** The managed table as a Structured Streaming SOURCE: initial snapshot
+  * then append tailing, checkpointed offsets, compaction safety. */
+class GraftTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  /** Drain the table stream with AvailableNow against `checkpoint`,
+    * collecting (batchId, rows) per delivered micro-batch. */
+  private def drain(root: String, table: String, checkpoint: String,
+      extra: Map[String, String] = Map.empty): Seq[(Long, Seq[(Long, String)])] = {
+    val got = mutable.ArrayBuffer[(Long, Seq[(Long, String)])]()
+    val stream = extra.foldLeft(
+      spark.readStream.format("graft-table")
+        .option("root", root).option("table", table)) {
+      case (r, (k, v)) => r.option(k, v) }.load()
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        got.synchronized { got += ((id, rows)); () }
+      }.start()
+    q.awaitTermination()
+    got.toSeq
+  }
+
+  test("initial snapshot, then only the appended tail on re-run") {
+    val root = tmpDir("tsrc-")
+    val ckpt = tmpDir("tsrc-ckpt-")
+    val st = new TableStore(spark, root)
+    st.create("t", schema, zoneCols = Seq("id"))
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val first = drain(root, "t", ckpt)
+    assert(first.flatMap(_._2).map(_._1).sorted === Seq(1L, 2L))
+    // two more commits land; same checkpoint tails exactly those rows
+    st.append("t", Seq((3L, "c")).toDF("id", "v"))
+    st.append("t", Seq((4L, "d")).toDF("id", "v"))
+    val second = drain(root, "t", ckpt)
+    assert(second.flatMap(_._2).map(_._1).sorted === Seq(3L, 4L))
+    // nothing new: a drained stream delivers no batch rows
+    assert(drain(root, "t", ckpt).flatMap(_._2).isEmpty)
+  }
+
+  test("compaction between runs re-delivers nothing; later appends still flow") {
+    val root = tmpDir("tsrc-")
+    val ckpt = tmpDir("tsrc-ckpt-")
+    val st = new TableStore(spark, root)
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(drain(root, "t", ckpt).flatMap(_._2).size === 2)
+    st.compact("t", numFiles = 1) // rewrites every file, appends no rows
+    st.append("t", Seq((3L, "c")).toDF("id", "v"))
+    val tail = drain(root, "t", ckpt).flatMap(_._2)
+    assert(tail.map(_._1) === Seq(3L))
+  }
+
+  test("snapshot batch applies pending MoR deletes; masked rows never stream") {
+    val root = tmpDir("tsrc-")
+    val ckpt = tmpDir("tsrc-ckpt-")
+    val st = new TableStore(spark, root)
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    st.deleteMoR("t", Seq(2L).toDF("id"), Seq("id"))
+    val got = drain(root, "t", ckpt).flatMap(_._2)
+    assert(got.map(_._1).sorted === Seq(1L, 3L))
+  }
+
+  test("startVersion tails from a known snapshot without the initial state") {
+    val root = tmpDir("tsrc-")
+    val ckpt = tmpDir("tsrc-ckpt-")
+    val st = new TableStore(spark, root)
+    st.create("t", schema)
+    st.append("t", Seq((1L, "old")).toDF("id", "v"))
+    val v = st.currentVersion("t")
+    st.append("t", Seq((2L, "new")).toDF("id", "v"))
+    val got = drain(root, "t", ckpt,
+      Map("startVersion" -> v.toString)).flatMap(_._2)
+    assert(got === Seq((2L, "new")))
+  }
+
+  test("transforms compose: streaming aggregation over the table source") {
+    val root = tmpDir("tsrc-")
+    val ckpt = tmpDir("tsrc-ckpt-")
+    val st = new TableStore(spark, root)
+    st.create("t", schema)
+    st.append("t", Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "v"))
+    val counts = mutable.Map[String, Long]()
+    val q = spark.readStream.format("graft-table")
+      .option("root", root).option("table", "t").load()
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(r => counts.synchronized {
+          counts(r.getString(0)) = r.getLong(1) })
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(counts.toMap === Map("x" -> 2L, "y" -> 1L))
+  }
+}
