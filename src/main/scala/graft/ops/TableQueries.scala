@@ -561,6 +561,115 @@ object TableQueries {
       |  AND o_orderkey <= 20000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** SQL `UPDATE` through `SupportsRowLevelOperations` (RowLevelOps):
+    * group-based copy-on-write, the statement condition pruning
+    * candidate files through the zone index, one atomic snapshot.
+    * Additive price bump (not a multiply) keeps the decimal cast in the
+    * check aggregate away from rounding-mode boundaries across engines. */
+  private def tblSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gsqlu",
+      classOf[graft.tables.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlu.root", Scratch.dir("tbl-sqlupd"))
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val src = s"gsqlu_src_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gsqlu.$tbl")
+    spark.sql(s"""CREATE TABLE gsqlu.$tbl (
+      o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+      TBLPROPERTIES ('zone_cols'='o_orderkey')""")
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView(src)
+    spark.sql(s"INSERT INTO gsqlu.$tbl SELECT * FROM $src")
+    spark.sql(s"""UPDATE gsqlu.$tbl
+      SET o_totalprice = o_totalprice + 10, o_orderstatus = 'U'
+      WHERE o_orderkey BETWEEN 1000 AND 3000""")
+    spark.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM gsqlu.$tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  private val tblSqlUpdateSql =
+    """SELECT CASE WHEN o_orderkey BETWEEN 1000 AND 3000 THEN 'U'
+      |            ELSE o_orderstatus END AS o_orderstatus,
+      |  count(*) AS cnt,
+      |  CAST(SUM(CAST(CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+      |                     THEN o_totalprice + 10 ELSE o_totalprice END
+      |       AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SQL `MERGE INTO` with all three clauses (delete / update / insert)
+    * in ONE atomic snapshot — the statement the reference's users get
+    * from Iceberg's extensions (`SparkUtils.java:45`) and the README's
+    * delete-then-insert workaround exists to approximate. Candidate
+    * files come from the runtime `_file` group filter (the ON condition
+    * joined with the source — nothing statically pushable). */
+  private def tblSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gsqlm",
+      classOf[graft.tables.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlm.root", Scratch.dir("tbl-sqlmrg"))
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"customer_$ident"
+    val cust = s"gsqlm_cust_$ident"
+    val ords = s"gsqlm_ord_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gsqlm.$tbl")
+    spark.sql(s"""CREATE TABLE gsqlm.$tbl (
+      c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)
+      TBLPROPERTIES ('zone_cols'='c_custkey')""")
+    t(spark, dir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+      .createOrReplaceTempView(cust)
+    t(spark, dir, "orders").createOrReplaceTempView(ords)
+    spark.sql(s"INSERT INTO gsqlm.$tbl SELECT * FROM $cust")
+    // per-customer spend, plus the same rows key-shifted past the key
+    // domain = guaranteed NOT MATCHED inserts
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gsqlm_src_$ident AS
+      WITH spend AS (
+        SELECT o_custkey AS key,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+        FROM $ords GROUP BY o_custkey)
+      SELECT key, spent FROM spend
+      UNION ALL
+      SELECT key + 1 + (SELECT GREATEST(MAX(c_custkey), MAX(key2.key2m)) FROM $cust,
+                    (SELECT MAX(o_custkey) AS key2m FROM $ords) key2) AS key,
+        spent
+      FROM spend""")
+    spark.sql(s"""MERGE INTO gsqlm.$tbl t USING gsqlm_src_$ident s
+      ON t.c_custkey = s.key
+      WHEN MATCHED AND s.spent > 300000 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.spent
+      WHEN NOT MATCHED THEN
+        INSERT (c_custkey, c_acctbal, c_mktsegment) VALUES (s.key, s.spent, 'NEW')""")
+    spark.sql(s"""SELECT c_mktsegment, count(*) AS cnt,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM gsqlm.$tbl GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  private val tblSqlMergeSql =
+    """WITH spend AS (
+      |  SELECT o_custkey AS key,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+      |  FROM orders GROUP BY o_custkey),
+      |src AS (
+      |  SELECT key, spent FROM spend
+      |  UNION ALL
+      |  SELECT key + 1 + (SELECT GREATEST(MAX(c.c_custkey), MAX(o.o_custkey))
+      |                    FROM customer c, orders o) AS key, spent
+      |  FROM spend),
+      |merged AS (
+      |  SELECT CASE WHEN s.key IS NOT NULL THEN c.c_acctbal + s.spent
+      |              ELSE c.c_acctbal END AS bal,
+      |         c.c_mktsegment AS seg
+      |  FROM customer c LEFT JOIN src s ON c.c_custkey = s.key
+      |  WHERE s.key IS NULL OR s.spent <= 300000
+      |  UNION ALL
+      |  SELECT s.spent AS bal, 'NEW' AS seg
+      |  FROM src s LEFT JOIN customer c ON c.c_custkey = s.key
+      |  WHERE c.c_custkey IS NULL)
+      |SELECT seg AS c_mktsegment, count(*) AS cnt,
+      |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM merged GROUP BY seg ORDER BY seg""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tbl_zorder_scan", tblZorderScan, Some(tblZorderScanSql)),
     Q("tbl_skipping_scan", tblSkippingScan, Some(tblSkippingScanSql)),
@@ -578,5 +687,7 @@ object TableQueries {
     Q("tbl_diff", tblDiff, Some(tblDiffSql)),
     Q("tbl_sql_catalog", tblSqlCatalog, Some(tblSqlCatalogSql)),
     Q("tbl_mor_delete", tblMorDelete, Some(tblMorDeleteSql)),
-    Q("tbl_branch_wap", tblBranchWap, Some(tblBranchWapSql)))
+    Q("tbl_branch_wap", tblBranchWap, Some(tblBranchWapSql)),
+    Q("tbl_sql_update", tblSqlUpdate, Some(tblSqlUpdateSql)),
+    Q("tbl_sql_merge", tblSqlMerge, Some(tblSqlMergeSql)))
 }

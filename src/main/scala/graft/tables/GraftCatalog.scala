@@ -8,11 +8,11 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, NamespaceChange, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, input_file_name, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -49,8 +49,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Table properties at CREATE: `zone_cols`, `bloom_cols` (comma-separated
   * column lists) and `bloom_items` map to the corresponding
   * [[TableStore.create]] arguments, so layout indexing is declarable in
-  * SQL. `UPDATE`/`MERGE` SQL would need SupportsRowLevelOperations;
-  * those remain programmatic ([[TableStore.merge]]) — documented gap.
+  * SQL. `UPDATE` and `MERGE INTO` run through
+  * `SupportsRowLevelOperations` — group-based copy-on-write with
+  * zone/bloom candidate pruning and runtime `_file` group filtering
+  * (see [[GraftRowLevelOperation]]); `_file` is also a user-selectable
+  * metadata column, as in Iceberg.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catName: String = _
@@ -202,7 +205,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * snapshot (read-only). */
 private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
     versionAt: Option[Int])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_file`: which data file a row lives in (Iceberg's metadata column
+    * of the same name) — selectable by users and REQUIRED by the
+    * row-level operation, whose write task only strips bookkeeping
+    * columns for writers that request metadata. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftFileMetaColumn)
 
   override def name(): String = tbl
 
@@ -233,9 +244,20 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
     new GraftWriteBuilder(store, tbl)
   }
 
+  /** SQL `UPDATE` / `MERGE INTO` / rewrite-path `DELETE` — see
+    * [[GraftRowLevelOperation]]. Group-based copy-on-write: one atomic
+    * snapshot per statement, candidate files pruned by the statement
+    * condition through the zone/bloom index. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(versionAt.isEmpty, s"cannot mutate a pinned snapshot of $tbl")
+    () => new GraftRowLevelOperation(store, tbl, info.command())
+  }
+
   /** SQL `DELETE FROM` → the zone/bloom-pruned copy-on-write delete; only
     * predicates [[GraftFilters.toColumn]] can express reach here (Spark
-    * falls back to an error otherwise, by [[canDeleteWhere]]). */
+    * falls back to the [[GraftRowLevelOperation]] rewrite otherwise, by
+    * [[canDeleteWhere]]). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     versionAt.isEmpty && filters.forall(f => GraftFilters.toColumn(f).isDefined)
 
@@ -246,6 +268,15 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
   }
 
   override def truncateTable(): Boolean = { store.truncate(tbl); true }
+}
+
+private[tables] object GraftFileMetaColumn extends MetadataColumn {
+  val Name = "_file"
+  override def name(): String = Name
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def isNullable(): Boolean = false
+  override def comment(): String = "data file the row lives in"
 }
 
 private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
@@ -296,8 +327,13 @@ private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
       override def buildScan(): RDD[Row] = {
         val base = versionAt.map(v => store.readVersion(tbl, v))
           .getOrElse(store.read(tbl))
+        // `_file` metadata column materializes from the scan itself
+        val withMeta =
+          if (required.fieldNames.contains(GraftFileMetaColumn.Name))
+            base.withColumn(GraftFileMetaColumn.Name, input_file_name())
+          else base
         val filtered = pushed.flatMap(GraftFilters.toColumn)
-          .foldLeft(base)((df, c) => df.filter(c))
+          .foldLeft(withMeta)((df, c) => df.filter(c))
         // column-pruned select reaches the parquet ReadSchema via Catalyst;
         // an empty required schema (count(*)) selects zero columns
         val projected =

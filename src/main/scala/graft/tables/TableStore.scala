@@ -2231,33 +2231,100 @@ final class TableStore(spark: SparkSession, val root: String,
       val out = if (m.forall { case (l, p) => l == p }) df
         else df.toDF(df.columns.map(c => m.getOrElse(c, c)).toSeq: _*)
       val pCols = partitionCols(name)
-      // evolved-spec generations land under their `spec-<id>/` prefix,
-      // so a file's rel path always identifies its layout
-      val specId = currentSpecId(name)
-      val specPrefix = if (specId == 0) "" else s"spec-$specId/"
       val writer = out.write.mode("overwrite")
       (if (pCols.isEmpty) writer else writer.partitionBy(pCols: _*))
         .parquet(staging.toString)
-      val parts = listFilesRec(staging)
-        .filter(p => p.getName.endsWith(".parquet"))
-        .sortBy(_.toString)
-      val named = parts.zipWithIndex.map { case (p, i) =>
-        val subDir = {
-          val rel = relativize(staging, p)
-          val cut = rel.lastIndexOf('/')
-          if (cut < 0) "" else rel.substring(0, cut)
-        }
-        val fn = f"$id-part$i%05d.parquet"
-        val rel = specPrefix +
-          (if (subDir.isEmpty) fn else s"$subDir/$fn")
-        val target = new HPath(dataDir(name), rel)
-        fs.mkdirs(target.getParent)
-        require(fs.rename(p, target), s"rename $p -> $target failed")
-        rel
-      }
-      writeZoneStats(name, named)
-      named
+      promoteStaged(name, staging, None)
     } finally { fs.delete(staging, true); () } // never strand staging garbage
+  }
+
+  /** Adopt staged parquet files (hive-partition-dir layout, PHYSICAL
+    * column names) into the table's data directory under fresh unique
+    * names, preserving partition subdirs and prefixing the CURRENT
+    * partition-spec generation; writes zone/bloom sidecars for the
+    * adopted files and returns their rel paths. `only` restricts
+    * adoption to the listed staging-relative paths (a distributed
+    * writer's committed task outputs — speculative/retried duplicates
+    * are left behind for the caller's staging cleanup). */
+  private[tables] def promoteStaged(name: String, staging: HPath,
+      only: Option[Set[String]]): Seq[String] = {
+    val id = UUID.randomUUID().toString.take(8)
+    // evolved-spec generations land under their `spec-<id>/` prefix,
+    // so a file's rel path always identifies its layout
+    val specId = currentSpecId(name)
+    val specPrefix = if (specId == 0) "" else s"spec-$specId/"
+    val parts = listFilesRec(staging)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .filter(p => only.forall(_.contains(relativize(staging, p))))
+      .sortBy(_.toString)
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val subDir = {
+        val rel = relativize(staging, p)
+        val cut = rel.lastIndexOf('/')
+        if (cut < 0) "" else rel.substring(0, cut)
+      }
+      val fn = f"$id-part$i%05d.parquet"
+      val rel = specPrefix +
+        (if (subDir.isEmpty) fn else s"$subDir/$fn")
+      val target = new HPath(dataDir(name), rel)
+      fs.mkdirs(target.getParent)
+      require(fs.rename(p, target), s"rename $p -> $target failed")
+      rel
+    }
+    writeZoneStats(name, named)
+    named
+  }
+
+  /** Commit a SQL row-level rewrite: adopt the distributed writer's
+    * staged files (`kept` = staging-relative paths the tasks actually
+    * committed) as the replacement for `removed`, planned against
+    * snapshot `base` — one atomic snapshot, same optimistic-rebase
+    * rules as every other CoW mutation. A no-op plan (nothing removed,
+    * nothing staged) commits nothing. */
+  private[tables] def commitRewriteStaged(name: String, base: Int,
+      removed: Set[String], staging: HPath, kept: Set[String]): Unit = {
+    try {
+      val added =
+        if (fs.exists(staging)) promoteStaged(name, staging, Some(kept))
+        else Nil
+      if (removed.nonEmpty || added.nonEmpty)
+        commitManifest(name, base, removed, added, Nil)
+    } finally { fs.delete(staging, true); () }
+  }
+
+  /** Full-row read of specific manifest rel paths (logical names,
+    * partition values materialized) — the group-based row-level scan. */
+  private[tables] def readDataFilesByRel(name: String,
+      rels: Seq[String]): DataFrame =
+    readFiles(name, rels.map(r => new HPath(dataDir(name), r).toString))
+
+  private[tables] def sparkSession: SparkSession = spark
+  private[tables] def hadoopConf: org.apache.hadoop.conf.Configuration = hconf
+  private[tables] def fileSystem: FileSystem = fs
+  private[tables] def tableDir(name: String): HPath = tdir(name)
+
+  /** What a distributed row-level writer must reproduce of
+    * [[writeDataFiles]]' layout: the parquet file schema (PHYSICAL
+    * names, partition columns excluded, table order) plus the current
+    * spec's partition columns — physical dir names and the LOGICAL-
+    * schema ordinals their values come from. */
+  private[tables] def writeLayout(name: String): TableStore.WriteLayout = {
+    val sch = schema(name)
+    val m = physMap(name)
+    val pPhys = partitionCols(name)
+    val physOfIdx = sch.fields.map(f => physOf(m, f.name))
+    val dataIdx = physOfIdx.zipWithIndex.collect {
+      case (p, i) if !pPhys.contains(p) => i
+    }
+    val partIdx = pPhys.map(p => physOfIdx.indexOf(p))
+    require(partIdx.forall(_ >= 0),
+      s"partition columns $pPhys not all present in schema of $name")
+    TableStore.WriteLayout(
+      StructType(dataIdx.map(i => sch.fields(i).copy(name = physOfIdx(i)))),
+      dataIdx,
+      pPhys,
+      partIdx,
+      pPhys.map(p => sch.fields(physOfIdx.indexOf(p)).name))
   }
 
   /** Commit an INTENT against the table's history, with optimistic
@@ -2595,6 +2662,17 @@ final class CommitConflictException(msg: String)
   extends RuntimeException(msg)
 
 object TableStore {
+  /** See [[TableStore.writeLayout]]. `dataPhysSchema` is the parquet
+    * file schema; `dataOrdinals`/`partOrdinals` index the LOGICAL table
+    * schema (= the row-level write's incoming row layout);
+    * `partPhysNames` are the hive dir-segment names in spec order. */
+  final case class WriteLayout(
+      dataPhysSchema: org.apache.spark.sql.types.StructType,
+      dataOrdinals: Seq[Int],
+      partPhysNames: Seq[String],
+      partOrdinals: Seq[Int],
+      partLogicalNames: Seq[String])
+
   /** Locks older than this are treated as crash debris and reclaimed. */
   val StaleLockMs: Long = 10 * 60 * 1000L
 
