@@ -8,7 +8,8 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, NamespaceChange, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
@@ -55,7 +56,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (see [[GraftRowLevelOperation]]); `_file` is also a user-selectable
   * metadata column, as in Iceberg.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
+
+  /** SQL `CALL graft.system.<proc>(...)` — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system")),
+      s"procedures live in the system namespace, got " +
+        ident.namespace().mkString("."))
+    GraftProcedures.load(store, ident.name()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"no such procedure: ${ident.name()} " +
+          s"(known: ${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
   private var catName: String = _
   private var root: String = _
   // one TableStore per (session, root): the store caches field catalogs

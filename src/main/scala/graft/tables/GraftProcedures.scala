@@ -1,0 +1,145 @@
+package graft.tables
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` surface for table maintenance — the Iceberg stored-
+  * procedure model the reference's users reach through the same Spark
+  * extensions that give them MERGE (`SparkUtils.java:45`):
+  *
+  * {{{
+  * CALL graft.system.compact(`table` => 'orders', num_files => 8)
+  * CALL graft.system.expire_snapshots('orders', 3)
+  * CALL graft.system.remove_orphans('orders')
+  * CALL graft.system.materialize_deletes('orders')
+  * CALL graft.system.create_branch('orders', 'audit')
+  * CALL graft.system.fast_forward('orders', 'audit')
+  * }}}
+  *
+  * Each procedure delegates to the corresponding [[TableStore]]
+  * operation (one atomic snapshot where a commit happens) and returns a
+  * one-row result describing what changed, served as a [[LocalScan]] —
+  * maintenance is driver-orchestrated metadata work; the heavy lifting
+  * (compaction rewrite jobs) runs distributed inside TableStore.
+  */
+private[tables] object GraftProcedures {
+
+  def names: Seq[String] = Seq("compact", "expire_snapshots",
+    "remove_orphans", "materialize_deletes", "create_branch", "create_tag",
+    "drop_ref", "fast_forward")
+
+  def load(store: => TableStore, name: String): Option[UnboundProcedure] = {
+    def p(parameters: Seq[ProcedureParameter], result: StructType)(
+        run: InternalRow => Seq[Any]): UnboundProcedure =
+      new GraftProcedure(name, parameters, result, row => run(row))
+    def in(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+    def inDef(n: String, dt: DataType, d: String) =
+      ProcedureParameter.in(n, dt).defaultValue(d).build()
+    def out(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, dt) => StructField(n, dt, nullable = false) })
+    def tbl(row: InternalRow): String = row.getUTF8String(0).toString
+
+    name match {
+      case "compact" => Some(p(
+        Seq(in("table", StringType), inDef("num_files", IntegerType, "0"),
+          inDef("cluster_cols", StringType, "''")),
+        out("files_before" -> LongType, "files_after" -> LongType,
+          "version" -> LongType)) { row =>
+        val t = tbl(row)
+        val before = store.currentRelPaths(t).size.toLong
+        val cols = row.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        store.compact(t, numFiles = row.getInt(1), clusterCols = cols)
+        Seq(before, store.currentRelPaths(t).size.toLong,
+          store.currentVersion(t).toLong)
+      })
+      case "expire_snapshots" => Some(p(
+        Seq(in("table", StringType), inDef("keep_last", IntegerType, "1")),
+        out("kept" -> LongType, "version" -> LongType)) { row =>
+        val t = tbl(row)
+        store.expireSnapshots(t, keepLast = row.getInt(1))
+        Seq(math.min(row.getInt(1).toLong, store.currentVersion(t).toLong),
+          store.currentVersion(t).toLong)
+      })
+      case "remove_orphans" => Some(p(
+        Seq(in("table", StringType),
+          inDef("older_than_ms", LongType, s"${24L * 60 * 60 * 1000}")),
+        out("removed" -> LongType)) { row =>
+        Seq(store.removeOrphans(tbl(row), row.getLong(1)).size.toLong)
+      })
+      case "materialize_deletes" => Some(p(
+        Seq(in("table", StringType)),
+        out("folded" -> LongType, "version" -> LongType)) { row =>
+        val t = tbl(row)
+        val pending = store.pendingDeletes(t).toLong
+        store.materializeDeletes(t)
+        Seq(pending, store.currentVersion(t).toLong)
+      })
+      case "create_branch" => Some(p(
+        Seq(in("table", StringType), in("branch", StringType),
+          inDef("at_version", IntegerType, "-1")),
+        out("version" -> LongType)) { row =>
+        val t = tbl(row)
+        store.createBranch(t, row.getUTF8String(1).toString, row.getInt(2))
+        Seq(store.refVersion(t, row.getUTF8String(1).toString).toLong)
+      })
+      case "create_tag" => Some(p(
+        Seq(in("table", StringType), in("tag", StringType),
+          inDef("at_version", IntegerType, "-1")),
+        out("version" -> LongType)) { row =>
+        val t = tbl(row)
+        store.createTag(t, row.getUTF8String(1).toString, row.getInt(2))
+        Seq(store.refVersion(t, row.getUTF8String(1).toString).toLong)
+      })
+      case "drop_ref" => Some(p(
+        Seq(in("table", StringType), in("ref", StringType)),
+        out("dropped" -> StringType)) { row =>
+        val r = row.getUTF8String(1).toString
+        store.dropRef(tbl(row), r)
+        Seq(UTF8String.fromString(r))
+      })
+      case "fast_forward" => Some(p(
+        Seq(in("table", StringType), in("branch", StringType)),
+        out("version" -> LongType)) { row =>
+        val t = tbl(row)
+        store.fastForward(t, row.getUTF8String(1).toString)
+        Seq(store.currentVersion(t).toLong)
+      })
+      case _ => None
+    }
+  }
+}
+
+/** One procedure: unbound == bound (fixed parameter list; Spark aligns
+  * named/positional arguments and fills declared defaults before
+  * [[call]]). The result is a single row through a [[LocalScan]]. */
+private[tables] final class GraftProcedure(procName: String,
+    params: Seq[ProcedureParameter], result: StructType,
+    run: InternalRow => Seq[Any])
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+
+  override def description(): String = s"graft maintenance procedure $procName"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = params.toArray
+
+  override def isDeterministic: Boolean = false // mutates table state
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val values = run(input)
+    val row = InternalRow.fromSeq(values)
+    Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = result
+      override def description(): String = s"graft $procName result"
+    }).iterator()
+  }
+}

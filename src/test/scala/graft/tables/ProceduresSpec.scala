@@ -1,0 +1,81 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SQL `CALL graft.system.<proc>(...)` maintenance procedures. */
+class ProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = tmpDir("proc-")
+  spark.conf.set("spark.sql.catalog.gpr", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gpr.root", root)
+  private def store = new TableStore(spark, root)
+
+  test("CALL compact rewrites into the requested file count") {
+    spark.sql("CREATE TABLE gpr.c1 (k BIGINT, v STRING)")
+    (1 to 4).foreach(i =>
+      store.append("c1", Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(store.currentRelPaths("c1").size === 4)
+    val r = spark.sql(
+      "CALL gpr.system.compact(`table` => 'c1', num_files => 1)").head()
+    assert(r.getLong(0) === 4L) // files_before
+    assert(r.getLong(1) === 1L) // files_after
+    assert(store.currentRelPaths("c1").size === 1)
+    assert(spark.sql("SELECT count(*) FROM gpr.c1").head().getLong(0) === 4L)
+  }
+
+  test("CALL compact with cluster_cols z-orders the rewrite") {
+    spark.sql("CREATE TABLE gpr.c2 (a BIGINT, b BIGINT) TBLPROPERTIES ('zone_cols'='a,b')")
+    store.append("c2", spark.range(0, 1000).select(
+      col("id").as("a"), (col("id") * 7 % 1000).as("b")))
+    spark.sql(
+      "CALL gpr.system.compact(`table` => 'c2', num_files => 4, cluster_cols => 'a,b')")
+    assert(store.currentRelPaths("c2").size === 4)
+    assert(spark.sql("SELECT count(*) FROM gpr.c2").head().getLong(0) === 1000L)
+  }
+
+  test("CALL expire_snapshots and remove_orphans clean history") {
+    spark.sql("CREATE TABLE gpr.e1 (k BIGINT)")
+    (1 to 3).foreach(i => store.append("e1", Seq(i.toLong).toDF("k")))
+    spark.sql("CALL gpr.system.expire_snapshots('e1', 1)")
+    val removed = spark.sql(
+      "CALL gpr.system.remove_orphans(`table` => 'e1', older_than_ms => 0)")
+      .head().getLong(0)
+    assert(removed === 0L, "no orphans right after expiry on an append-only table")
+    assert(spark.sql("SELECT count(*) FROM gpr.e1").head().getLong(0) === 3L)
+  }
+
+  test("CALL materialize_deletes folds pending MoR masks") {
+    spark.sql("CREATE TABLE gpr.m1 (k BIGINT, v STRING)")
+    store.append("m1", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    store.deleteMoR("m1", Seq(2L).toDF("k"), Seq("k"))
+    assert(store.pendingDeletes("m1") === 1)
+    val r = spark.sql("CALL gpr.system.materialize_deletes('m1')").head()
+    assert(r.getLong(0) === 1L) // folded
+    assert(store.pendingDeletes("m1") === 0)
+    assert(spark.sql("SELECT k FROM gpr.m1 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
+  test("CALL branch / tag / fast_forward drive the WAP flow") {
+    spark.sql("CREATE TABLE gpr.b1 (k BIGINT)")
+    store.append("b1", Seq(1L).toDF("k"))
+    spark.sql("CALL gpr.system.create_branch('b1', 'audit')")
+    store.append("b1", Seq(2L).toDF("k"), branch = Some("audit"))
+    // main unchanged until publish
+    assert(spark.sql("SELECT count(*) FROM gpr.b1").head().getLong(0) === 1L)
+    spark.sql("CALL gpr.system.fast_forward('b1', 'audit')")
+    assert(spark.sql("SELECT count(*) FROM gpr.b1").head().getLong(0) === 2L)
+    spark.sql("CALL gpr.system.create_tag('b1', 'published', -1)")
+    assert(store.refs("b1").contains("published"))
+    spark.sql("CALL gpr.system.drop_ref('b1', 'audit')")
+    assert(!store.refs("b1").contains("audit"))
+  }
+
+  test("unknown procedure fails loudly") {
+    val e = intercept[Exception](spark.sql("CALL gpr.system.nope()"))
+    assert(e.getMessage.contains("no such procedure") ||
+      e.getMessage.toLowerCase.contains("nope"))
+  }
+}
