@@ -72,6 +72,7 @@ object Dedup {
 
   private val MaxBucket = 50 // cap degenerate LSH buckets (skew guard)
   private val ContainmentDfCap = 5 // posting-list blocking cap (see containmentPairs)
+  private val NgramBlockCap = 32 // prefix-blocking cap (see ddNgramJaccard)
 
   /** Candidate pairs from bucketed ids: group each bucket once, cap its
     * size (skew guard), and expand id pairs from the collected array. ONE
@@ -377,12 +378,26 @@ object Dedup {
   }
 
   /** Candidate pairs from cheap prefix blocking, verified by exact n-gram
-    * Jaccard — the verify stage of a fuzzy-dedup pipeline in isolation. */
+    * Jaccard — the verify stage of a fuzzy-dedup pipeline in isolation.
+    *
+    * Blocks are FREQUENCY-CAPPED ([[NgramBlockCap]]): a prefix shared by
+    * more than the cap's documents (boilerplate headers, or a dup cluster
+    * larger than the cap) generates no candidates — without the cap the
+    * within-block pair expansion is quadratic in the hottest block, and a
+    * 100× replica corpus turned this gate from 9 s into 14 min (measured;
+    * every replica shares its original's 40-char prefix). Same
+    * frequency-capped blocking as [[containmentPairs]]; clusters larger
+    * than the cap belong to the cluster-reduce ops (dd_dup_clusters),
+    * whose label propagation never expands pairs within a bucket. */
   private def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "documents")
     // blocking join carries ids only; shingle arrays are computed once per
     // side of the (small) verify join, never shuffled with the block key
-    val blocks = raw.select(col("doc_id"), substring(col("text"), 1, 40).as("blk"))
+    val blocks = raw
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("blk"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+      .filter(col("df").between(2, NgramBlockCap))
     val withSh = raw.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromToks(col("toks")).as("sh"))
     val l = blocks.select(col("blk"), col("doc_id").as("a"))
@@ -658,7 +673,10 @@ object Dedup {
 
   private def ddNgramJaccardSql: String =
     s"""WITH $shingleCtes,
-       |blocks AS (SELECT doc_id, SUBSTR(text, 1, 40) AS blk FROM documents),
+       |blocks0 AS (SELECT doc_id, SUBSTR(text, 1, 40) AS blk FROM documents),
+       |blocks AS (SELECT doc_id, blk FROM (
+       |  SELECT doc_id, blk, COUNT(*) OVER (PARTITION BY blk) AS df
+       |  FROM blocks0) WHERE df BETWEEN 2 AND $NgramBlockCap),
        |cand AS (SELECT l.doc_id AS a, r.doc_id AS b
        |         FROM blocks l JOIN blocks r USING (blk) WHERE l.doc_id < r.doc_id)
        |SELECT a, b, jaccard FROM (

@@ -112,6 +112,19 @@ object StreamGates {
     val p = new HPath(s"$dir/$table.parquet")
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
+    // driver fixtures are a single parquet FILE; scale-synthesized
+    // corpora (MakeScale) are Spark DIRECTORIES of part files — take the
+    // footer from the first part and fold every part's mtime/length into
+    // the change signal
+    val (mtime, len, footerFile) =
+      if (st.isDirectory) {
+        val parts = fs.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        require(parts.nonEmpty, s"no parquet part files under $p")
+        (parts.map(_.getModificationTime).max, parts.map(_.getLen).sum,
+          parts.head.getPath)
+      } else (st.getModificationTime, st.getLen, p)
     // the SCHEMA participates too: the same bytes can read back
     // differently when type-inference behavior changes (e.g. a fixture
     // regenerated from ns-long to µs TIMESTAMP_NTZ), and staged payload
@@ -121,11 +134,11 @@ object StreamGates {
     // (Events.ev scopes it around its own reads), and a change detector
     // must never crash on the corpora it exists to detect.
     val sch = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(footerFile, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getFooter.getFileMetaData.getSchema.toString finally r.close()
     }
-    s"${st.getModificationTime}:${st.getLen}:${sch.hashCode}:$recipe"
+    s"$mtime:$len:${sch.hashCode}:$recipe"
   }
 
   /** Run `transform` over a staged directory as a real streaming query

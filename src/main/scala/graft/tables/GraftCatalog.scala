@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, input_file_name, lit}
 import org.apache.spark.sql.sources
@@ -82,7 +82,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def store: TableStore = synchronized {
     val s = SparkSession.active
-    if (cached == null || (cached._1 ne s)) cached = (s, new TableStore(s, root))
+    if (cached == null || (cached._1 ne s)) {
+      cached = (s, new TableStore(s, root))
+      // V1ScanWrapper drops SupportsReportStatistics; restore the stats
+      // path so managed-table scans report metadata size/rows to the
+      // join planner (idempotent per session)
+      org.apache.spark.sql.graftshim.ReportV1ScanStatsRule.register(s)
+    }
     cached._2
   }
 
@@ -331,9 +337,27 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
   * custom PartitionReader. */
 private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
     versionAt: Option[Int], pushed: Array[Filter], required: StructType)
-  extends V1Scan {
+  extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Metadata-only planner statistics (the Iceberg manifest answer):
+    * without this a DSv2 scan's logical stats default to
+    * `Long.MaxValue`, so SQL joins against managed tables can NEVER
+    * auto-broadcast — at 100 TB that turns every dim join into a
+    * shuffle. Size comes from the snapshot's recorded file lengths (one
+    * consolidated read), rows from the recorded per-file counts; both
+    * are upper bounds under pushed filters, which is the conservative
+    * direction a broadcast decision needs. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(store.scanSizeBytes(tbl, versionAt))
+    override def numRows(): java.util.OptionalLong =
+      if (versionAt.isEmpty && pushed.isEmpty)
+        store.rowCount(tbl).map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+      else java.util.OptionalLong.empty()
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

@@ -903,6 +903,28 @@ final class TableStore(spark: SparkSession, val root: String,
 
   def currentVersion(name: String): Int = versionOf(currentManifest(name))
 
+  /** Snapshot size in bytes WITHOUT touching data files — summed from the
+    * lengths recorded in the snapshot's consolidated stats (one metadata
+    * read). Legacy snapshots missing a length pay ONE directory listing.
+    * Under pending MoR deletes this is a conservative upper bound (masked
+    * rows still occupy file bytes) — exactly what a join planner wants.
+    * This is the Iceberg manifest trick that lets `SupportsReportStatistics`
+    * hand Spark a real `sizeInBytes`, so a small managed dimension joins
+    * broadcast instead of defaulting to `Long.MaxValue` → shuffle. */
+  def scanSizeBytes(name: String, version: Option[Int] = None): Long = {
+    val v = version.getOrElse(currentVersion(name))
+    val manifest = new HPath(tdir(name), f"manifest-$v%06d.txt")
+    require(fs.exists(manifest), s"no snapshot $v for table $name")
+    val rels = readLines(manifest)
+    if (rels.isEmpty) return 0L
+    val lens = readConsolidated(name, v).map(_.lens)
+      .getOrElse(Map.empty[String, Long])
+    lazy val listed: Map[String, Long] =
+      listStatusRec(dataDir(name))
+        .map(s => relativize(dataDir(name), s.getPath) -> s.getLen).toMap
+    rels.map(r => lens.getOrElse(r, listed.getOrElse(r, 0L))).sum
+  }
+
   // ---- named refs: branches, tags, write-audit-publish --------------------
 
   private def refsDir(name: String): HPath = new HPath(tdir(name), "refs")
@@ -1810,6 +1832,13 @@ final class TableStore(spark: SparkSession, val root: String,
       .agg(aggs.head, aggs.tail: _*).collect()
     val byName = rows.map(r => fileName(r.getString(0)) -> r).toMap
     relPaths.foreach { rel =>
+      // a file the groupBy produced no row for has zero rows (promoteStaged
+      // drops those, but belt-and-braces: any such file must still record a
+      // count or the whole snapshot loses metadata-only aggregates)
+      if (!byName.contains(fileName(rel)))
+        footerRowCount(new HPath(dataDir(name), rel)).foreach { n =>
+          writeString(statsPath(name, rel), s"""{"__rows": $n}""")
+        }
       byName.get(fileName(rel)).foreach { row =>
         val zonePairs = zc.zipWithIndex.map { case (c, i) =>
           s""""$c": [${statJson(row.get(2 * i + 2))}, ${statJson(row.get(2 * i + 3))}]"""
@@ -2256,6 +2285,13 @@ final class TableStore(spark: SparkSession, val root: String,
     val parts = listFilesRec(staging)
       .filter(p => p.getName.endsWith(".parquet"))
       .filter(p => only.forall(_.contains(relativize(staging, p))))
+      // drop ZERO-ROW files (a CoW rewrite whose partition lost every row
+      // writes a footer-only parquet): committing one bloats the manifest
+      // with a dead file forever, and the commit-time stats job — a
+      // groupBy over the rows — records nothing for it, silently
+      // disabling metadata-only count(*) for the whole snapshot.
+      // Fail-open: an unreadable footer keeps the file.
+      .filter(p => !footerRowCount(p).contains(0L))
       .sortBy(_.toString)
     val named = parts.zipWithIndex.map { case (p, i) =>
       val subDir = {

@@ -128,4 +128,31 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(1)))
     assert(agg.toSeq === Seq(("one", 15.0), ("two", 2.0)))
   }
+
+  test("scan reports metadata statistics; small dim auto-broadcasts") {
+    spark.sql("CREATE TABLE gql.sdim (id BIGINT, name STRING)")
+    spark.sql("CREATE TABLE gql.sfact (id BIGINT, amt DOUBLE)")
+    store.append("sdim", spark.range(0, 100).select(
+      col("id"), concat(lit("n"), col("id")).as("name")))
+    store.append("sfact", spark.range(0, 10000).select(
+      (col("id") % 100).as("id"), col("id").cast("double").as("amt")))
+    // logical stats come from the snapshot metadata, not defaultSizeInBytes
+    val scan = spark.sql("SELECT * FROM gql.sdim")
+    val stats = scan.queryExecution.optimizedPlan.stats
+    val expected = store.scanSizeBytes("sdim")
+    assert(expected > 0L)
+    assert(stats.sizeInBytes.toLong === expected,
+      s"expected recorded size $expected, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.map(_.toLong).contains(100L))
+    // ...and those stats drive the join strategy: with the DEFAULT 10 MB
+    // threshold the KB-sized dim broadcasts. Without reported stats the
+    // V2 relation sizes at Long.MaxValue and this plans a sort-merge join.
+    val joined = spark.sql("""
+      SELECT f.id, f.amt, d.name
+      FROM gql.sfact f JOIN gql.sdim d ON f.id = d.id""")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the dim side to auto-broadcast from metadata stats:\n$plan")
+    assert(joined.count() === 10000L)
+  }
 }
