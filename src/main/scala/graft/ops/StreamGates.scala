@@ -172,6 +172,14 @@ object StreamGates {
       }
       .start()
     q.awaitTermination()
+    // dev-only state-store telemetry for scale checkpoints: peak state
+    // rows / bytes across the run's micro-batches (SCALE.md evidence)
+    if (sys.env.contains("GRAFT_STATE_REPORT")) {
+      val ops = q.recentProgress.flatMap(_.stateOperators)
+      if (ops.nonEmpty) System.err.println(
+        s"[state] $out peakRows=${ops.map(_.numRowsTotal).max} " +
+          s"peakBytes=${ops.map(_.memoryUsedBytes).max}")
+    }
     spark.read.parquet(out)
   }
 
