@@ -561,6 +561,81 @@ object TableQueries {
       |  AND o_orderkey <= 20000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** SQL whole-table count/min/max answered from snapshot metadata via
+    * DSv2 complete aggregate pushdown (`SupportsPushDownAggregates` on
+    * [[graft.tables.GraftScanBuilder]]) — the SQL face of tbl_meta_agg:
+    * the aggregate lives above the V1 scan bridge where
+    * MetadataAggregateRule cannot see it, so the scan builder itself
+    * answers from `rowCount`/`columnRange` and the plan reads ONE
+    * in-memory row, zero data files (GraftCatalogSpec proves that by
+    * corrupting the files). A CoW delete between append and read pins
+    * that rewrites keep the recorded stats exact. */
+  private def tblSqlAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gsqla",
+      classOf[graft.tables.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqla.root", Scratch.dir("tbl-sqlagg"))
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val src = s"gsqla_src_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gsqla.$tbl")
+    spark.sql(s"""CREATE TABLE gsqla.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      TBLPROPERTIES ('zone_cols'='o_orderkey,o_totalprice')""")
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView(src)
+    spark.sql(s"INSERT INTO gsqla.$tbl SELECT * FROM $src")
+    spark.sql(s"DELETE FROM gsqla.$tbl WHERE o_orderkey % 10 = 3")
+    spark.sql(s"""SELECT count(*) AS cnt,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      FROM gsqla.$tbl""")
+  }
+
+  private val tblSqlAggSql =
+    """SELECT count(*) AS cnt,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin
+
+  /** SQL inspection metadata tables under the oracle
+    * (`cat.t.snapshots`, Iceberg's metadata-table surface served by
+    * [[graft.tables.GraftMetaTable]]): the snapshot history of a
+    * create → append → CoW-delete lifecycle, with per-snapshot exact
+    * row totals from the consolidated stats — everything derived from
+    * manifests, zero data files read. The oracle reconstructs the same
+    * history from the source table, so version numbering, operation
+    * classification, AND the recorded row totals are all pinned. */
+  private def tblMetaTables(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gsqlm",
+      classOf[graft.tables.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlm.root", Scratch.dir("tbl-sqlmeta"))
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val src = s"gsqlm_src_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gsqlm.$tbl")
+    spark.sql(s"""CREATE TABLE gsqlm.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      TBLPROPERTIES ('zone_cols'='o_orderkey')""")
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView(src)
+    spark.sql(s"INSERT INTO gsqlm.$tbl SELECT * FROM $src")
+    spark.sql(s"DELETE FROM gsqlm.$tbl WHERE o_orderkey % 10 = 3")
+    spark.sql(s"""SELECT version, operation, total_rows
+      FROM gsqlm.$tbl.snapshots ORDER BY version""")
+  }
+
+  private val tblMetaTablesSql =
+    """SELECT * FROM (
+      |  SELECT 1 AS version, 'create' AS operation, 0 AS total_rows
+      |  UNION ALL
+      |  SELECT 2, 'append', count(*) FROM orders
+      |  UNION ALL
+      |  SELECT 3, 'rewrite',
+      |    (SELECT count(*) FROM orders WHERE o_orderkey % 10 <> 3))
+      |ORDER BY version""".stripMargin
+
   /** SQL `UPDATE` through `SupportsRowLevelOperations` (RowLevelOps):
     * group-based copy-on-write, the statement condition pruning
     * candidate files through the zone index, one atomic snapshot.
@@ -686,6 +761,8 @@ object TableQueries {
       Some(tblPartitionEvolutionSql)),
     Q("tbl_diff", tblDiff, Some(tblDiffSql)),
     Q("tbl_sql_catalog", tblSqlCatalog, Some(tblSqlCatalogSql)),
+    Q("tbl_sql_agg", tblSqlAgg, Some(tblSqlAggSql)),
+    Q("tbl_meta_tables", tblMetaTables, Some(tblMetaTablesSql)),
     Q("tbl_mor_delete", tblMorDelete, Some(tblMorDeleteSql)),
     Q("tbl_branch_wap", tblBranchWap, Some(tblBranchWapSql)),
     Q("tbl_sql_update", tblSqlUpdate, Some(tblSqlUpdateSql)),

@@ -124,6 +124,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     store.exists(tableName(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // inspection metadata tables, Iceberg-style: `SELECT * FROM
+    // cat.t.snapshots` arrives as Identifier(namespace=[t],
+    // name=snapshots) in a flat catalog — served read-only from
+    // manifests + consolidated stats, zero data files touched
+    if (ident.namespace().length == 1 &&
+        GraftMetaTable.Names.contains(ident.name()) &&
+        store.exists(ident.namespace()(0)))
+      return new GraftMetaTable(store, ident.namespace()(0), ident.name())
     val n = tableName(ident)
     if (!store.exists(n)) throw new NoSuchTableException(ident)
     new GraftSqlTable(store, n, None)
@@ -293,6 +301,45 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
   override def truncateTable(): Boolean = { store.truncate(tbl); true }
 }
 
+/** Read-only inspection table (`t.snapshots` / `t.files` / `t.refs`):
+  * each scan re-derives the frame from the CURRENT table metadata, so
+  * the view always reflects the head — like Iceberg's metadata tables,
+  * everything comes from manifests and consolidated stats, never data
+  * files. */
+private[tables] object GraftMetaTable {
+  val Names: Set[String] = Set("snapshots", "files", "refs")
+}
+
+private[tables] final class GraftMetaTable(store: TableStore, tbl: String,
+    meta: String) extends Table with SupportsRead {
+
+  private def frame: DataFrame = meta match {
+    case "snapshots" => store.snapshotsFrame(tbl)
+    case "files"     => store.filesFrame(tbl)
+    case "refs"      => store.refsFrame(tbl)
+  }
+
+  override def name(): String = s"$tbl.$meta"
+  override def schema(): StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      private val df = frame // one consistent snapshot per scan build
+      override def readSchema(): StructType = df.schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = df.schema
+          override def needConversion: Boolean = false
+          override def buildScan(): RDD[Row] =
+            df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+        }.asInstanceOf[T]
+    }
+}
+
 private[tables] object GraftFileMetaColumn extends MetadataColumn {
   val Name = "_file"
   override def name(): String = Name
@@ -305,10 +352,78 @@ private[tables] object GraftFileMetaColumn extends MetadataColumn {
 private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
     versionAt: Option[Int])
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = store.schema(tbl)
+  // complete metadata answer for a pushed whole-table aggregate:
+  // (result schema, one row of catalyst-internal values)
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+
+  /** Whole-table `count(*)` / `min` / `max`(zone column) answered from
+    * the snapshot's recorded statistics — the SQL-path face of
+    * [[MetadataAggregateRule]], which cannot see through the V1 scan
+    * bridge (the SQL aggregate lives ABOVE the DSv2 relation). Same
+    * strictly conservative rules: current snapshot only (time travel
+    * declines), no pushed filters, no grouping, CountStar (never the
+    * null-sensitive count(col)), min/max only of a zone column whose
+    * recorded bound converts EXACTLY to the column type; any file
+    * missing a stat — or pending MoR deletes — makes
+    * rowCount/columnRange return None and the scan stays. Answered at
+    * PUSH time: plan-time snapshot semantics, like the file index. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    translateAgg(agg) match {
+      case some @ Some(_) => aggAnswer = some; true
+      case None => false
+    }
+
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max => VMax, Min => VMin}
+    if (pushed.nonEmpty || versionAt.nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (agg.aggregateExpressions.isEmpty) return None
+    val sch = store.schema(tbl)
+    def bound(e: org.apache.spark.sql.connector.expressions.Expression,
+        wantMin: Boolean): Option[(org.apache.spark.sql.types.StructField, Any)] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          val name = f.fieldNames.head
+          for {
+            field <- sch.fields.find(_.name == name)
+            range <- scala.util.Try(store.columnRange(tbl, name)).toOption.flatten
+            v <- MetadataAggregateRule.internalValue(
+              if (wantMin) range._1 else range._2, field.dataType)
+          } yield (org.apache.spark.sql.types.StructField(
+            s"${if (wantMin) "min" else "max"}($name)", field.dataType,
+            nullable = false), v)
+        case _ => None
+      }
+    val translated = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        store.rowCount(tbl).map(n =>
+          (org.apache.spark.sql.types.StructField("count(*)",
+            org.apache.spark.sql.types.LongType, nullable = false), n: Any))
+      case m: VMin => bound(m.column, wantMin = true)
+      case m: VMax => bound(m.column, wantMin = false)
+      case _ => None
+    }
+    if (translated.forall(_.isDefined)) {
+      val fields = translated.flatten
+      Some((StructType(fields.map(_._1)), fields.map(_._2)))
+    } else None
+  }
+
+  private[tables] def pushedAggAnswer: Option[(StructType, Seq[Any])] = aggAnswer
 
   /** Filters we translate are applied EXACTLY inside the inner plan (a
     * real Catalyst filter over the scan — zone pruning is only the
@@ -327,7 +442,7 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftV1Scan(store, tbl, versionAt, pushed, required)
+    new GraftV1Scan(store, tbl, versionAt, pushed, required, aggAnswer)
 }
 
 /** V1-bridged scan: the relation's RDD is the INNER DataFrame's executed
@@ -336,10 +451,12 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
   * file skipping, bloom sidecars, vectorized parquet, codegen — without a
   * custom PartitionReader. */
 private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
-    versionAt: Option[Int], pushed: Array[Filter], required: StructType)
+    versionAt: Option[Int], pushed: Array[Filter], required: StructType,
+    aggAnswer: Option[(StructType, Seq[Any])] = None)
   extends V1Scan with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    aggAnswer.map(_._1).getOrElse(required)
 
   /** Metadata-only planner statistics (the Iceberg manifest answer):
     * without this a DSv2 scan's logical stats default to
@@ -363,9 +480,19 @@ private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
       context: SQLContext): T =
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
-      override def schema: StructType = required
+      override def schema: StructType = readSchema()
       override def needConversion: Boolean = false
-      override def buildScan(): RDD[Row] = {
+      override def buildScan(): RDD[Row] = aggAnswer match {
+        case Some((_, vals)) =>
+          // complete aggregate pushdown: ONE metadata row, zero data
+          // files touched (values were resolved from the snapshot's
+          // consolidated stats at push time)
+          context.sparkSession.sparkContext
+            .parallelize(Seq(org.apache.spark.sql.catalyst.InternalRow
+              .fromSeq(vals)), 1).asInstanceOf[RDD[Row]]
+        case None => buildDataScan()
+      }
+      private def buildDataScan(): RDD[Row] = {
         val base = versionAt.map(v => store.readVersion(tbl, v))
           .getOrElse(store.read(tbl))
         // `_file` metadata column materializes from the scan itself

@@ -97,8 +97,10 @@ object MetadataAggregateRule extends Rule[LogicalPlan] {
     }
 
   /** Stat-domain value → EXACT Catalyst internal value of `dt`; None when
-    * the pair doesn't convert exactly (then the scan stays). */
-  private def internalValue(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    * the pair doesn't convert exactly (then the scan stays). Shared with
+    * the DSv2 aggregate pushdown ([[GraftScanBuilder]]) so both metadata
+    * answer paths apply identical exactness rules. */
+  private[tables] def internalValue(v: Any, dt: DataType): Option[Any] = (v, dt) match {
     case (l: Long, LongType)    => Some(l)
     case (l: Long, IntegerType) => Some(l.toInt)
     case (l: Long, ShortType)   => Some(l.toShort)

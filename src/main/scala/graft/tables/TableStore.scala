@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Bridge
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Parquet-backed managed table with Iceberg-like snapshot semantics,
   * re-providing the reference's table layer (no Iceberg jars in this
@@ -902,6 +902,120 @@ final class TableStore(spark: SparkSession, val root: String,
   }
 
   def currentVersion(name: String): Int = versionOf(currentManifest(name))
+
+  // ---- SQL metadata tables ------------------------------------------------
+
+  /** Snapshot history as a DataFrame — the `db.t.snapshots` inspection
+    * surface (Iceberg's metadata-table idea). One row per snapshot on
+    * the COMMITTED chain (parent-pointer walk from the head, so lost-CAS
+    * phantoms never surface; legacy history without commit meta falls
+    * back to the numbered manifests). Everything here is served from
+    * manifests + consolidated stats — zero data files touched. The
+    * operation column is derived from the manifest diff against the
+    * parent; `total_rows` is null when any file of that snapshot
+    * predates count recording (same honesty rule as [[rowCount]]). */
+  def snapshotsFrame(name: String): DataFrame = {
+    val head = currentVersion(name)
+    val versions: Seq[Int] = {
+      val b = Seq.newBuilder[Int]
+      var v = head
+      var legacy = false
+      while (v > 0 && !legacy) {
+        b += v
+        commitParent(name, v) match {
+          case Some(p) if p >= 0 && p < v => v = p
+          case _                          => legacy = true
+        }
+      }
+      if (legacy)
+        listNames(tdir(name))
+          .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
+          .map(versionOf).filter(_ <= head).sorted
+      else b.result().sorted
+    }
+    val rows = versions.map { v =>
+      val files = readLines(new HPath(tdir(name), f"manifest-$v%06d.txt"))
+      val parent = commitParent(name, v)
+      val parentFiles: Set[String] = parent.filter(_ > 0)
+        .map(p => readLines(new HPath(tdir(name), f"manifest-$p%06d.txt")).toSet)
+        .getOrElse(Set.empty)
+      val fileSet = files.toSet
+      val added = files.count(!parentFiles.contains(_))
+      val removed = parentFiles.count(!fileSet.contains(_))
+      val op =
+        if (removed == 0 && added == 0)
+          (if (v == versions.head) "create" else "noop")
+        else if (removed == 0) "append"
+        else if (added == 0) "delete"
+        else "rewrite"
+      val cons = readConsolidated(name, v)
+      val totalRows: Option[Long] = cons.map(_.rows)
+        .filter(rs => files.forall(rs.contains))
+        .map(rs => files.map(rs).sum)
+      val totalBytes: Option[Long] = cons.map(_.lens)
+        .filter(ls => files.forall(ls.contains))
+        .map(ls => files.map(ls).sum)
+      org.apache.spark.sql.Row(v, parent.map(Integer.valueOf).orNull, op,
+        files.size, added, removed,
+        totalRows.map(java.lang.Long.valueOf).orNull,
+        totalBytes.map(java.lang.Long.valueOf).orNull)
+    }
+    val sch = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("parent", IntegerType, nullable = true),
+      StructField("operation", StringType, nullable = false),
+      StructField("total_files", IntegerType, nullable = false),
+      StructField("added_files", IntegerType, nullable = false),
+      StructField("removed_files", IntegerType, nullable = false),
+      StructField("total_rows", LongType, nullable = true),
+      StructField("total_bytes", LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+  }
+
+  /** Current data files as a DataFrame — the `db.t.files` inspection
+    * surface: manifest-relative path, recorded length, recorded row
+    * count (null for legacy files), and the hive partition directory
+    * (empty for unpartitioned tables). Metadata-only. */
+  def filesFrame(name: String): DataFrame = {
+    val rels = currentRelPaths(name)
+    val cons = readConsolidated(name, currentVersion(name))
+    val lens = cons.map(_.lens).getOrElse(Map.empty[String, Long])
+    val rowsM = cons.map(_.rows).getOrElse(Map.empty[String, Long])
+    val rows = rels.sorted.map { r =>
+      val cut = r.lastIndexOf('/')
+      val part = if (cut < 0) "" else r.substring(0, cut)
+      org.apache.spark.sql.Row(r, part,
+        lens.get(r).map(java.lang.Long.valueOf).orNull,
+        rowsM.get(r).map(java.lang.Long.valueOf).orNull)
+    }
+    val sch = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("length", LongType, nullable = true),
+      StructField("rows", LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+  }
+
+  /** Named refs as a DataFrame — the `db.t.refs` inspection surface:
+    * every branch/tag plus the implicit `main` head. */
+  def refsFrame(name: String): DataFrame = {
+    val rows = (Seq(org.apache.spark.sql.Row("main", "branch",
+        currentVersion(name))) ++
+      refs(name).toSeq.sortBy(_._1).map { case (ref, (kind, v)) =>
+        org.apache.spark.sql.Row(ref, kind, v)
+      })
+    val sch = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+  }
 
   /** Snapshot size in bytes WITHOUT touching data files — summed from the
     * lengths recorded in the snapshot's consolidated stats (one metadata

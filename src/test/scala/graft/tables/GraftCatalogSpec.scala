@@ -155,4 +155,66 @@ class GraftCatalogSpec extends SparkSpec {
       s"expected the dim side to auto-broadcast from metadata stats:\n$plan")
     assert(joined.count() === 10000L)
   }
+
+  test("SQL whole-table aggregates answer from metadata, zero data reads") {
+    spark.sql("""CREATE TABLE gql.agg (k BIGINT, v STRING)
+      TBLPROPERTIES ('zone_cols'='k')""")
+    store.append("agg", spark.range(5, 505).select(
+      col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(4, col("id")))
+    // the metadata-only proof: corrupt EVERY data file — if any path
+    // below still scans, it throws
+    val dataDir = new java.io.File(s"$root/agg/data")
+    dataDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.write(f.toPath,
+        "not parquet".getBytes))
+    val row = spark.sql(
+      "SELECT count(*) AS c, min(k) AS lo, max(k) AS hi FROM gql.agg").head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((500L, 5L, 504L)))
+    // decline cases keep the scan (and hence now throw on the corrupt
+    // files): a filter, a null-sensitive count(col), a non-zone column
+    for (q <- Seq(
+        "SELECT count(*) FROM gql.agg WHERE k > 10",
+        "SELECT count(v) FROM gql.agg",
+        "SELECT min(v) FROM gql.agg",
+        "SELECT k, count(*) FROM gql.agg GROUP BY k"))
+      intercept[Exception] { spark.sql(q).collect() }
+  }
+
+  test("metadata tables: t.snapshots / t.files / t.refs answer via SQL") {
+    spark.sql("""CREATE TABLE gql.meta (k BIGINT, v STRING)
+      TBLPROPERTIES ('zone_cols'='k')""")
+    store.append("meta", spark.range(0, 100).select(
+      col("id").as("k"), lit("x").as("v")))
+    store.append("meta", spark.range(100, 150).select(
+      col("id").as("k"), lit("y").as("v")))
+    store.delete("meta", col("k") < 10)
+    store.createTag("meta", "v3", 3)
+
+    // CREATE TABLE commits the empty snapshot 1, then append/append/delete
+    val snaps = spark.sql("""SELECT version, operation, total_files,
+        added_files, removed_files, total_rows
+      FROM gql.meta.snapshots ORDER BY version""").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(5)))
+    assert(snaps.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    assert(snaps.map(_._2).toSeq ===
+      Seq("create", "append", "append", "rewrite"))
+    assert(snaps.map(_._3).toSeq === Seq(0L, 100L, 150L, 140L))
+
+    // files: per-file recorded lengths and counts sum to the table
+    val files = spark.sql(
+      "SELECT sum(rows) AS r, count(*) AS n FROM gql.meta.files").head()
+    assert(files.getLong(0) === 140L)
+    assert(files.getLong(1).toInt === store.currentRelPaths("meta").size)
+
+    // refs: implicit main head plus the tag
+    val refs = spark.sql("SELECT name, type, version FROM gql.meta.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(refs.toSeq === Seq(("main", "branch", 4), ("v3", "tag", 3)))
+
+    // a real table named like a metadata suffix still resolves normally
+    spark.sql("CREATE TABLE gql.files (a BIGINT)")
+    spark.sql("INSERT INTO gql.files VALUES (1)")
+    assert(spark.sql("SELECT count(*) AS c FROM gql.files").head().getLong(0) === 1L)
+  }
 }
