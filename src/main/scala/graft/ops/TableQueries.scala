@@ -636,6 +636,56 @@ object TableQueries {
       |    (SELECT count(*) FROM orders WHERE o_orderkey % 10 <> 3))
       |ORDER BY version""".stripMargin
 
+  /** SQL `CALL` maintenance lifecycle under the oracle
+    * ([[graft.tables.GraftProcedures]], the Iceberg stored-procedure
+    * model): four separate append snapshots → `CALL compact` (rewrite
+    * into 2 zone-clustered files) → `CALL expire_snapshots` (drop
+    * history, delete unreferenced pre-compaction files) → `CALL
+    * create_tag` — and the table content must be byte-identical to the
+    * source through all three, proven by a range aggregate the oracle
+    * reproduces. The CALL results themselves (file counts before/after,
+    * retained version) feed the output row, pinning that compaction
+    * actually reduced files and expiry kept exactly the head. */
+  private def tblCall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.gsqlc",
+      classOf[graft.tables.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlc.root", Scratch.dir("tbl-sqlcall"))
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gsqlc.$tbl")
+    spark.sql(s"""CREATE TABLE gsqlc.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      TBLPROPERTIES ('zone_cols'='o_orderkey')""")
+    val store = new graft.tables.TableStore(spark, Scratch.dir("tbl-sqlcall"))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // four appends = four small-file snapshots, the compaction motive
+    (0 until 4).foreach(i =>
+      store.append(tbl, ord.filter(col("o_orderkey") % 4 === i)))
+    val c = spark.sql(s"CALL gsqlc.system.compact(`table` => '$tbl', " +
+      "num_files => 2)").head()
+    val filesBefore = c.getLong(0); val filesAfter = c.getLong(1)
+    spark.sql(s"CALL gsqlc.system.expire_snapshots('$tbl', 1)")
+    spark.sql(s"CALL gsqlc.system.create_tag('$tbl', 'post_compact')")
+    val tagged = spark.sql(
+      s"SELECT version FROM gsqlc.$tbl.refs WHERE name = 'post_compact'")
+      .head().getInt(0).toLong
+    val headV = store.currentVersion(tbl).toLong
+    import spark.implicits._
+    spark.sql(s"""SELECT count(*) AS cnt,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM gsqlc.$tbl WHERE o_orderkey BETWEEN 100 AND 2000""")
+      .crossJoin(Seq((filesBefore, filesAfter, tagged == headV))
+        .toDF("files_before", "files_after", "tag_at_head"))
+  }
+
+  private val tblCallSql =
+    """SELECT count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  4 AS files_before, 2 AS files_after, TRUE AS tag_at_head
+      |FROM orders WHERE o_orderkey BETWEEN 100 AND 2000""".stripMargin
+
   /** SQL `UPDATE` through `SupportsRowLevelOperations` (RowLevelOps):
     * group-based copy-on-write, the statement condition pruning
     * candidate files through the zone index, one atomic snapshot.
@@ -763,6 +813,7 @@ object TableQueries {
     Q("tbl_sql_catalog", tblSqlCatalog, Some(tblSqlCatalogSql)),
     Q("tbl_sql_agg", tblSqlAgg, Some(tblSqlAggSql)),
     Q("tbl_meta_tables", tblMetaTables, Some(tblMetaTablesSql)),
+    Q("tbl_call", tblCall, Some(tblCallSql)),
     Q("tbl_mor_delete", tblMorDelete, Some(tblMorDeleteSql)),
     Q("tbl_branch_wap", tblBranchWap, Some(tblBranchWapSql)),
     Q("tbl_sql_update", tblSqlUpdate, Some(tblSqlUpdateSql)),

@@ -138,13 +138,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `VERSION AS OF v` time travel — reads route through
-    * [[TableStore.readVersion]]; writes to a pinned snapshot are refused. */
+    * [[TableStore.readVersion]]; writes to a pinned snapshot are
+    * refused. A non-numeric version resolves as a NAMED REF (branch or
+    * tag), Iceberg-style: `VERSION AS OF 'audit'`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val n = tableName(ident)
     if (!store.exists(n)) throw new NoSuchTableException(ident)
     val v = version.toIntOption.getOrElse(
-      throw new IllegalArgumentException(s"not a snapshot version: $version"))
+      scala.util.Try(store.refVersion(n, version)).getOrElse(
+        throw new IllegalArgumentException(
+          s"not a snapshot version or named ref: $version")))
     new GraftSqlTable(store, n, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` time travel: Spark hands MICROSECONDS since
+    * epoch; resolves to the latest snapshot committed at or before it
+    * ([[TableStore.versionAsOf]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val n = tableName(ident)
+    if (!store.exists(n)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(store, n, Some(store.versionAsOf(n, timestamp / 1000L)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

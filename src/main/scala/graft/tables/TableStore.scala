@@ -903,6 +903,24 @@ final class TableStore(spark: SparkSession, val root: String,
 
   def currentVersion(name: String): Int = versionOf(currentManifest(name))
 
+  /** Latest committed snapshot at or before `tsMillis` — `TIMESTAMP AS
+    * OF` resolution. Commit times come from manifest file mtimes (the
+    * store's only clock; Iceberg records them in snapshot metadata —
+    * same semantics, same caveat that wall-clock ordering of commits is
+    * what's being queried). Walks the COMMITTED chain only, so a
+    * lost-CAS phantom can never satisfy a timestamp. */
+  def versionAsOf(name: String, tsMillis: Long): Int = {
+    var v = currentVersion(name)
+    while (v > 0) {
+      val m = new HPath(tdir(name), f"manifest-$v%06d.txt")
+      if (fs.exists(m) && fs.getFileStatus(m).getModificationTime <= tsMillis)
+        return v
+      v = commitParent(name, v).filter(p => p >= 0 && p < v).getOrElse(0)
+    }
+    throw new IllegalArgumentException(
+      s"table $name has no snapshot at or before timestamp $tsMillis")
+  }
+
   // ---- SQL metadata tables ------------------------------------------------
 
   /** Snapshot history as a DataFrame — the `db.t.snapshots` inspection

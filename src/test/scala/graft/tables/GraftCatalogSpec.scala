@@ -217,4 +217,30 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO gql.files VALUES (1)")
     assert(spark.sql("SELECT count(*) AS c FROM gql.files").head().getLong(0) === 1L)
   }
+
+  test("TIMESTAMP AS OF and named-ref VERSION AS OF resolve snapshots") {
+    spark.sql("CREATE TABLE gql.tt (k BIGINT)")
+    store.append("tt", spark.range(0, 10).select(col("id").as("k")))
+    Thread.sleep(1100) // separate commit mtimes (filesystem clock)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    store.append("tt", spark.range(10, 30).select(col("id").as("k")))
+    store.createTag("tt", "first_load", 2)
+
+    // timestamp between the appends sees only the first batch
+    val asOf = spark.sql(
+      s"SELECT count(*) AS c FROM gql.tt TIMESTAMP AS OF " +
+        s"CAST(${betweenMs / 1000}.0 AS TIMESTAMP)").head().getLong(0)
+    assert(asOf === 10L)
+    // a timestamp after both sees everything; before everything errors
+    assert(spark.sql("SELECT count(*) AS c FROM gql.tt TIMESTAMP AS OF " +
+      "CURRENT_TIMESTAMP()").head().getLong(0) === 30L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gql.tt TIMESTAMP AS OF " +
+        "CAST('2000-01-01' AS TIMESTAMP)").collect()
+    }
+    // VERSION AS OF accepts a named tag, Iceberg-style
+    assert(spark.sql("SELECT count(*) AS c FROM gql.tt VERSION AS OF 'first_load'")
+      .head().getLong(0) === 10L)
+  }
 }
