@@ -632,6 +632,52 @@ object StreamGates {
       |FROM orders
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
 
+  /** Streaming WRITE into a managed table
+    * ([[graft.streaming.GraftTableSink]]) under the oracle: a staged
+    * file stream (4 micro-batches) is transformed in flight (filter +
+    * derived column) and lands via `writeStream.format("graft-table")`
+    * — one atomic snapshot per micro-batch, batch ids in commit
+    * metadata. The gate then re-runs the SAME stream against the SAME
+    * checkpoint (nothing re-delivered — restart idempotence under the
+    * oracle) and reads the TABLE back; content must equal the batch
+    * transform of the whole source. */
+  private def stTableSink(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "tsink")
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    stage(spark, ord, "o_orderkey", 4, s"$b/in",
+      fingerprint(spark, dir, "orders", "okey-range-4"))
+    rm(spark, s"$b/store"); rm(spark, s"$b/ckpt")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = ss.read.parquet(s"$b/in").schema
+    def run(): Unit = {
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$b/in")
+        .filter(col("o_totalprice") > lit(1000.0))
+        // floor, not a bare int cast: Spark's double→int cast truncates
+        // while DuckDB's rounds — floor agrees on both engines
+        .withColumn("price_band",
+          floor(col("o_totalprice") / 50000.0).cast("int"))
+        .writeStream.format("graft-table")
+        .option("root", s"$b/store").option("table", "sunk")
+        .option("checkpointLocation", s"$b/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    run() // same checkpoint: re-delivers nothing (idempotence under the oracle)
+    new TableStore(spark, s"$b/store").read("sunk")
+      .orderBy("o_orderkey")
+  }
+
+  private val stTableSinkSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS price_band
+      |FROM orders WHERE o_totalprice > 1000.0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("st_tumbling", stTumbling, Some(Events.evTumblingSql)),
     Q("st_session", stSession, Some(Events.evSessionsSql)),
@@ -641,5 +687,6 @@ object StreamGates {
     Q("st_stateful", stStateful, Some(stStatefulSql)),
     Q("st_enrich", stEnrich, Some(stEnrichSql)),
     Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)),
-    Q("st_table_source", stTableSource, Some(stTableSourceSql)))
+    Q("st_table_source", stTableSource, Some(stTableSourceSql)),
+    Q("st_table_sink", stTableSink, Some(stTableSinkSql)))
 }

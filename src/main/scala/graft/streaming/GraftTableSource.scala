@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftshim.Bridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import graft.tables.TableStore
 
@@ -39,9 +39,41 @@ import graft.tables.TableStore
   * downstream jobs consume the table as a stream with exactly-once
   * offsets instead of rescanning it. */
 final class GraftTableSourceProvider
-  extends StreamSourceProvider with DataSourceRegister {
+  extends StreamSourceProvider with StreamSinkProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** Structured Streaming SINK into a managed table — append-only
+    * exactly-once:
+    *
+    * {{{
+    * df.writeStream.format("graft-table")
+    *   .option("root", "/data/tables").option("table", "orders")
+    *   .option("sinkId", "ingest-1")   // scope of batch-id idempotence
+    *   .start()
+    * }}}
+    *
+    * Each micro-batch is ONE atomic snapshot commit whose metadata
+    * records the batch id (same restart-idempotence contract as
+    * [[graft.api.CdcStreamSink]]: a re-delivered batch after a crash
+    * between table commit and checkpoint commit is skipped, so the
+    * at-least-once foreachBatch-style delivery becomes exactly-once
+    * table effect). The table is created from the stream schema on
+    * first use. Append output mode only — updates belong to the CDC
+    * sink, which resolves keys. */
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-table sink is append-only, got $outputMode " +
+        "(keyed upserts go through CdcStreamSink)")
+    val (store, table) = storeOf(ctx, parameters)
+    new GraftTableSink(store, table,
+      parameters.getOrElse("sinkId", "append"))
+  }
 
   private def storeOf(ctx: SQLContext,
       parameters: Map[String, String]): (TableStore, String) = {
@@ -66,6 +98,29 @@ final class GraftTableSourceProvider
     new GraftTableSource(ctx.sparkSession, store, table,
       parameters.get("startVersion").map(_.trim.toInt))
   }
+}
+
+/** Append-only streaming sink: one atomic snapshot per micro-batch,
+  * batch id in commit metadata for restart idempotence. The micro-batch
+  * is handed to the distributed append via its ALREADY-PLANNED
+  * incremental-execution RDD ([[Bridge.batchFrame]]) — never collected,
+  * never re-planned. */
+final class GraftTableSink(store: TableStore, table: String,
+    sinkId: String) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val tag = s"graft.stream.appendBatchId.$sinkId"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (!store.exists(table))
+      store.create(table, data.schema, overwrite = false)
+    val lastApplied = store.lastMetaValue(table, tag)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (lastApplied.exists(_ >= batchId)) () // replay: already durable
+    else store.append(table, Bridge.batchFrame(data),
+      meta = Map(tag -> batchId.toString))
+  }
+
+  override def toString: String = s"GraftTableSink[$table]"
 }
 
 final class GraftTableSource(spark: SparkSession, store: TableStore,

@@ -198,6 +198,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames().length == 1,
           "nested DROP COLUMN is not supported")
         store.dropColumn(n, del.fieldNames()(0))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          "nested ALTER COLUMN TYPE is not supported")
+        store.widenColumn(n, upd.fieldNames()(0), upd.newDataType())
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }

@@ -681,6 +681,48 @@ final class TableStore(spark: SparkSession, val root: String,
     } finally { fs.delete(lock, false); () }
   }
 
+  /** Metadata-only TYPE WIDENING (Iceberg's promotion rules: int→long,
+    * float→double): only `_schema.json` changes; every data file — old
+    * snapshots included — reads back under the widened type through
+    * Spark's parquet upcast (vectorized reader reads INT32 pages as
+    * longs natively; verified, no rewrite). Zone stats already store
+    * integral bounds as Long and float bounds as the exact widened
+    * double, so metadata min/max and pruning keep working unchanged.
+    * Bloom columns refuse: sidecar hashes are type-dependent, and a
+    * widened probe would false-NEGATIVE (prune a file that has the
+    * key). Pending MoR deletes keyed on the column must materialize
+    * first (their key sidecars carry the old type). */
+  def widenColumn(name: String, colName: String,
+      to: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types.{DoubleType => DT, FloatType => FT, IntegerType => IT, LongType => LT}
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val cur = schema(name)
+      val field = cur.fields.find(_.name == colName).getOrElse(
+        sys.error(s"column $colName not in table $name"))
+      val ok = (field.dataType, to) match {
+        case (IT, LT) | (FT, DT) => true
+        case (f, t) if f == t    => false // no-op change refused loudly
+        case _                   => false
+      }
+      require(ok, s"unsupported type change $colName: " +
+        s"${field.dataType.simpleString} -> ${to.simpleString} " +
+        "(widening supports int->bigint and float->double)")
+      val pc = physOf(physMap(name), colName)
+      require(!bloomCols(name).contains(pc),
+        s"cannot widen bloom column $colName (sidecar hashes are " +
+          "type-dependent; recreate the blooms first)")
+      require(!readDeleteEntries(name, currentVersion(name))
+          .exists(_.cols.contains(pc)),
+        s"column $colName is a key of a pending merge-on-read delete — " +
+          s"materializeDeletes($name) first")
+      atomicWrite(new HPath(tdir(name), "_schema.json"),
+        StructType(cur.fields.map(f =>
+          if (f.name == colName) f.copy(dataType = to) else f)).json)
+    } finally { fs.delete(lock, false); () }
+  }
+
   def schema(name: String): StructType =
     org.apache.spark.sql.types.DataType
       .fromJson(readString(new HPath(tdir(name), "_schema.json")))

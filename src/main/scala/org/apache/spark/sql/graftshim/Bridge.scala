@@ -31,6 +31,18 @@ object Bridge {
       isStreaming = true)
   }
 
+  /** Batch-tagged frame over an already-planned streaming micro-batch:
+    * what a V1 streaming `Sink.addBatch` needs to hand the batch to a
+    * normal batch writer — re-using the incremental execution's RDD
+    * instead of re-planning the streaming frame (which batch write
+    * paths refuse). */
+  def batchFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** Register an extra planner strategy on a live session (idempotent) —
     * the runtime path for sessions built without withExtensions. */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,

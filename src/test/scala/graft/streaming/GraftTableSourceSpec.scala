@@ -113,4 +113,63 @@ class GraftTableSourceSpec extends SparkSpec {
     q.awaitTermination()
     assert(counts.toMap === Map("x" -> 2L, "y" -> 1L))
   }
+
+  test("sink: file stream into a managed table, one snapshot per batch") {
+    val root = tmpDir("tsink-")
+    val in = tmpDir("tsink-in-")
+    val ckpt = tmpDir("tsink-ckpt-")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/f0")
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/f1")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = ss.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+      .writeStream.format("graft-table")
+      .option("root", root).option("table", "sunk")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val st = new TableStore(spark, root)
+    assert(st.read("sunk").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // one atomic commit per micro-batch on top of the created table
+    assert(st.currentVersion("sunk") === 3)
+    // restarting from the SAME checkpoint re-delivers nothing
+    val q2 = ss.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+      .writeStream.format("graft-table")
+      .option("root", root).option("table", "sunk")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(st.read("sunk").count() === 3L)
+  }
+
+  test("sink: a replayed batch id is skipped, not double-applied") {
+    val root = tmpDir("tsink2-")
+    val st = new TableStore(spark, root)
+    val sink = new GraftTableSink(st, "t2", "spec")
+    val batch = Seq((1L, "a")).toDF("id", "v")
+    sink.addBatch(0L, batch)
+    sink.addBatch(0L, batch) // crash-window replay: same id again
+    sink.addBatch(1L, Seq((2L, "b")).toDF("id", "v"))
+    assert(st.read("t2").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // complete mode is refused up front
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-table")
+        .option("root", root).option("table", "t2").load()
+        .groupBy("v").count()
+        .writeStream.format("graft-table")
+        .option("root", root).option("table", "t3")
+        .option("checkpointLocation", tmpDir("tsink2-ckpt-"))
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
 }

@@ -218,6 +218,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS c FROM gql.files").head().getLong(0) === 1L)
   }
 
+  test("ALTER COLUMN TYPE widens int->bigint metadata-only; old files read back") {
+    spark.sql("""CREATE TABLE gql.wide (i INT, f FLOAT, z BIGINT)
+      TBLPROPERTIES ('zone_cols'='z')""")
+    spark.sql("INSERT INTO gql.wide VALUES (1, CAST(1.5 AS FLOAT), 10)")
+    spark.sql("ALTER TABLE gql.wide ALTER COLUMN i TYPE BIGINT")
+    spark.sql("ALTER TABLE gql.wide ALTER COLUMN f TYPE DOUBLE")
+    // widened schema is visible, old int32/float pages read back widened
+    val sch = spark.table("gql.wide").schema
+    assert(sch("i").dataType === LongType)
+    assert(sch("f").dataType === DoubleType)
+    val r0 = spark.sql("SELECT i, f FROM gql.wide").head()
+    assert((r0.getLong(0), r0.getDouble(1)) === ((1L, 1.5)))
+    // post-widening inserts write the new type; both generations coexist
+    spark.sql("INSERT INTO gql.wide VALUES (3000000000, 2.5, 20)")
+    val rows = spark.sql("SELECT i FROM gql.wide ORDER BY i").collect()
+      .map(_.getLong(0))
+    assert(rows.toSeq === Seq(1L, 3000000000L))
+    // narrowing and non-widening changes refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gql.wide ALTER COLUMN z TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gql.wide ALTER COLUMN i TYPE STRING")
+    }
+  }
+
   test("TIMESTAMP AS OF and named-ref VERSION AS OF resolve snapshots") {
     spark.sql("CREATE TABLE gql.tt (k BIGINT)")
     store.append("tt", spark.range(0, 10).select(col("id").as("k")))
