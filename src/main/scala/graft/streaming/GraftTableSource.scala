@@ -71,8 +71,22 @@ final class GraftTableSourceProvider
       s"graft-table sink is append-only, got $outputMode " +
         "(keyed upserts go through CdcStreamSink)")
     val (store, table) = storeOf(ctx, parameters)
-    new GraftTableSink(store, table,
-      parameters.getOrElse("sinkId", "append"))
+    // Idempotence scope: an explicit sinkId, else one DERIVED from the
+    // query's checkpoint location. A constant default would make two
+    // independent queries (separate checkpoints) appending to the same
+    // table share one batch-id scope — the query whose batch ids lag the
+    // other's would have every batch silently skipped as a "replay".
+    // Checkpoint-derived scopes collide exactly when the batch-id
+    // sequences do (same checkpoint = same query lineage), which is the
+    // one case skipping is correct.
+    val sinkId = parameters.get("sinkId")
+      .orElse(parameters.get("checkpointLocation").map { p =>
+        "ckpt-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(12)
+      })
+      .getOrElse("append")
+    new GraftTableSink(store, table, sinkId)
   }
 
   private def storeOf(ctx: SQLContext,
@@ -115,6 +129,18 @@ final class GraftTableSink(store: TableStore, table: String,
       store.create(table, data.schema, overwrite = false)
     val lastApplied = store.lastMetaValue(table, tag)
       .flatMap(s => scala.util.Try(s.toLong).toOption)
+    // A crash-window replay re-delivers the LAST committed batch, so a
+    // legitimate skip sees lastApplied == batchId (or barely above). A
+    // FRESH query starting at batch 0 against a scope that already
+    // recorded later batches is a different query sharing the sinkId —
+    // skipping would silently drop its entire stream. Fail loudly.
+    if (batchId == 0 && lastApplied.exists(_ > 0))
+      throw new IllegalStateException(
+        s"graft-table sink scope '$sinkId' on table $table has already " +
+          s"committed batch ${lastApplied.get}, but this query is " +
+          "delivering batch 0 — two independent queries are sharing one " +
+          "sinkId (set a distinct sinkId per query, or let it derive " +
+          "from checkpointLocation)")
     if (lastApplied.exists(_ >= batchId)) () // replay: already durable
     else store.append(table, Bridge.batchFrame(data),
       meta = Map(tag -> batchId.toString))

@@ -983,6 +983,12 @@ final class TableStore(spark: SparkSession, val root: String,
       while (v > 0 && !legacy) {
         b += v
         commitParent(name, v) match {
+          // a parent whose manifest expireSnapshots removed (history
+          // recorded before parent-clamping) ends the chain cleanly —
+          // the retained window is the whole visible history
+          case Some(p) if p > 0 && p < v &&
+              !fs.exists(new HPath(tdir(name), f"manifest-$p%06d.txt")) =>
+            v = 0
           case Some(p) if p >= 0 && p < v => v = p
           case _                          => legacy = true
         }
@@ -996,8 +1002,14 @@ final class TableStore(spark: SparkSession, val root: String,
     val rows = versions.map { v =>
       val files = readLines(new HPath(tdir(name), f"manifest-$v%06d.txt"))
       val parent = commitParent(name, v)
+      // the parent's manifest may have been removed by expireSnapshots
+      // while this commit's meta still records it (the head of the
+      // retained window) — classify the op best-effort from an empty
+      // parent set instead of failing the whole inspection table
       val parentFiles: Set[String] = parent.filter(_ > 0)
-        .map(p => readLines(new HPath(tdir(name), f"manifest-$p%06d.txt")).toSet)
+        .map(p => new HPath(tdir(name), f"manifest-$p%06d.txt"))
+        .filter(fs.exists)
+        .map(p => readLines(p).toSet)
         .getOrElse(Set.empty)
       val fileSet = files.toSet
       val added = files.count(!parentFiles.contains(_))
@@ -1940,6 +1952,30 @@ final class TableStore(spark: SparkSession, val root: String,
     val refManifests = refs(name).values.map(v => f"manifest-${v._2}%06d.txt")
     val keep =
       (manifests.takeRight(keepLast) ++ refManifests :+ current).distinct
+    val expiredVersions = manifests.filterNot(keep.contains).map(versionOf).toSet
+    // Carry commit-meta TAGS forward before the expired metas disappear:
+    // lastMetaValue walks parent pointers from the head, and a retained
+    // commit pointing at an expired parent would make the walk return
+    // None — a streaming sink's replay guard silently losing its memory
+    // (a crash-window replay after maintenance would then double-apply a
+    // batch). For every retained commit whose parent is expired: fold the
+    // expired ancestor chain's tags (nearest ancestor wins per key, own
+    // tags win over all) into its meta and clamp its parent to 0, so the
+    // walk terminates cleanly with full tag memory.
+    keep.map(versionOf).filter(v =>
+        commitParent(name, v).exists(expiredVersions.contains)).foreach { v =>
+      val inherited = scala.collection.mutable.Map[String, String]()
+      var p = commitParent(name, v)
+      while (p.exists(pv => pv > 0 && expiredVersions.contains(pv))) {
+        val pv = p.get
+        // nearest ancestor wins: only fill keys not already inherited
+        commitMeta(name, pv).foreach { case (k, tv) =>
+          if (!inherited.contains(k)) inherited += k -> tv
+        }
+        p = commitParent(name, pv)
+      }
+      writeMetaFile(name, v, 0, inherited.toMap ++ commitMeta(name, v))
+    }
     val live = keep.flatMap(m => readLines(new HPath(d, m))).toSet
     // delete unreferenced data files, then the expired manifests
     listFilesRec(dataDir(name))
@@ -2456,16 +2492,22 @@ final class TableStore(spark: SparkSession, val root: String,
     // so a file's rel path always identifies its layout
     val specId = currentSpecId(name)
     val specPrefix = if (specId == 0) "" else s"spec-$specId/"
-    val parts = listFilesRec(staging)
-      .filter(p => p.getName.endsWith(".parquet"))
-      .filter(p => only.forall(_.contains(relativize(staging, p))))
+    val parts = listStatusRec(staging)
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .filter(st => only.forall(_.contains(relativize(staging, st.getPath))))
       // drop ZERO-ROW files (a CoW rewrite whose partition lost every row
       // writes a footer-only parquet): committing one bloats the manifest
       // with a dead file forever, and the commit-time stats job — a
       // groupBy over the rows — records nothing for it, silently
       // disabling metadata-only count(*) for the whole snapshot.
-      // Fail-open: an unreadable footer keeps the file.
-      .filter(p => !footerRowCount(p).contains(0L))
+      // Footer-checked ONLY below the size floor: a footer-only parquet
+      // is a few hundred bytes, so large commits (files sized near
+      // maxPartitionBytes) pay ZERO per-file driver round-trips here —
+      // the length came with the listing. Fail-open: an unreadable
+      // footer keeps the file.
+      .filter(st => st.getLen >= TableStore.EmptyFileCheckBytes ||
+        !footerRowCount(st.getPath).contains(0L))
+      .map(_.getPath)
       .sortBy(_.toString)
     val named = parts.zipWithIndex.map { case (p, i) =>
       val subDir = {
@@ -2902,6 +2944,13 @@ object TableStore {
     * fewer saturates and stops pruning (fail open — correct, useless). */
   val DefaultBloomItems: Long = 100000L
   val BloomFpp: Double = 0.03
+
+  /** Staged files at least this large skip the zero-row footer check in
+    * [[TableStore.promoteStaged]]: a footer-only (zero-row) parquet is a
+    * few hundred bytes — far below this — so normally-sized data files
+    * cost no per-file driver read at commit time. Generous headroom for
+    * wide schemas whose footer metadata alone runs to kilobytes. */
+  val EmptyFileCheckBytes: Long = 64 * 1024L
 
   /** Key batches larger than this skip bloom probing in the mutation
     * path: probe cost is O(candidate files × keys) driver-side, and a
