@@ -603,8 +603,13 @@ object StreamGates {
     store.create("orders", ord.schema, overwrite = true,
       zoneCols = Seq("o_orderkey"))
     def drain(): Unit = {
+      // ADMISSION-CONTROLLED: the row cap splits the initial snapshot
+      // and catch-up ranges across micro-batches (at 100 TB the
+      // uncapped first trigger would be one monolithic job); content
+      // must be identical either way — only batch boundaries move
       val q = spark.readStream.format("graft-table")
-        .option("root", s"$b/store").option("table", "orders").load()
+        .option("root", s"$b/store").option("table", "orders")
+        .option("maxRowsPerTrigger", "4000").load()
         .writeStream
         .option("checkpointLocation", s"$b/ckpt")
         .trigger(Trigger.AvailableNow())
@@ -617,7 +622,7 @@ object StreamGates {
     }
     store.append("orders", ord.filter(col("o_orderkey") <= 5000L)
       .repartitionByRange(2, col("o_orderkey")))
-    drain() // initial snapshot batch
+    drain() // initial snapshot, split across capped batches
     store.append("orders", ord.filter(col("o_orderkey") > 5000L &&
       col("o_orderkey") <= 10000L))
     store.compact("orders", numFiles = 2) // must contribute nothing

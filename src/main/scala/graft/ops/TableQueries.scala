@@ -820,5 +820,96 @@ object TableQueries {
     Q("tbl_mor_delete", tblMorDelete, Some(tblMorDeleteSql)),
     Q("tbl_branch_wap", tblBranchWap, Some(tblBranchWapSql)),
     Q("tbl_sql_update", tblSqlUpdate, Some(tblSqlUpdateSql)),
-    Q("tbl_sql_merge", tblSqlMerge, Some(tblSqlMergeSql)))
+    Q("tbl_sql_merge", tblSqlMerge, Some(tblSqlMergeSql)),
+    Q("tbl_hidden_partition", TableQueries2.tblHiddenPartition,
+      Some(TableQueries2.tblHiddenPartitionSql)),
+    Q("tbl_sql_mor", TableQueries2.tblSqlMor, Some(TableQueries2.tblSqlMorSql)))
+}
+
+/** Late-round table gates — separate object so the registry list above
+  * can reference their SQL vals without initialization-order traps. */
+object TableQueries2 {
+  import Tables.t
+
+  /** Hidden partitioning under the oracle (the Iceberg partition model
+    * the reference inherits, SparkUtils.java:46): events lands under
+    * `days(ts)` × `bucket(8, user_id)` derived directories, takes a CoW
+    * delete spanning the layout, and is then queried with predicates on
+    * the SOURCE columns only — a ts range (pruned by day directories)
+    * and a user-id IN list (pruned by bucket arithmetic). The result
+    * must equal the plain SQL; pruning EFFECTIVENESS (directory counts)
+    * is pinned in HiddenPartitionSpec. */
+  private[ops] def tblHiddenPartition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-hidp", Scratch.tag(dir)))
+    val ev = t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    store.create("events", ev.schema, overwrite = true,
+      partitionBy = Seq("days(ts)", "bucket(8:user_id)"))
+    store.append("events", ev)
+    store.delete("events", col("event_id") % 17 === 0)
+    store.read("events")
+      .filter(col("ts") >= lit(java.time.LocalDateTime.parse("2024-01-10T00:00:00")) &&
+        col("ts") < lit(java.time.LocalDateTime.parse("2024-01-15T00:00:00")) &&
+        col("user_id").isin(10L, 20L, 30L, 40L, 50L))
+      .orderBy("event_id")
+  }
+
+  private[ops] val tblHiddenPartitionSql =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      |  AND user_id IN (10, 20, 30, 40, 50)
+      |  AND event_id % 17 <> 0
+      |ORDER BY event_id""".stripMargin
+
+  /** SQL merge-on-read deletes under the oracle
+    * (`write.delete.mode=merge-on-read`, the Iceberg v2 property): three
+    * scattered SQL DELETEs — point key, IN list, non-clustered equality —
+    * each commit an equality-delete sidecar WITHOUT rewriting a single
+    * data file (file count require()d unchanged inside the gate), and the
+    * returned read runs with all three deletes still PENDING, so the
+    * masked-read path itself is what hash-matches DuckDB.
+    * Materialization folding is spec-pinned in SqlMorSpec. */
+  private[ops] def tblSqlMor(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gmor",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-sqlmor")
+    spark.conf.set("spark.sql.catalog.gmor.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val src = s"gmor_src_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gmor.$tbl")
+    spark.sql(s"""CREATE TABLE gmor.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT,
+      o_orderstatus STRING, o_totalprice DOUBLE)
+      TBLPROPERTIES ('zone_cols'='o_orderkey',
+        'write.delete.mode'='merge-on-read')""")
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView(src)
+    spark.sql(s"INSERT INTO gmor.$tbl SELECT * FROM $src")
+    val store = new TableStore(spark, root)
+    val filesBefore = store.currentRelPaths(tbl).size
+    spark.sql(s"DELETE FROM gmor.$tbl WHERE o_orderkey = 7")
+    spark.sql(s"DELETE FROM gmor.$tbl WHERE o_orderkey IN (100, 101, 102, 103)")
+    spark.sql(s"DELETE FROM gmor.$tbl WHERE o_orderstatus = 'P'")
+    require(store.currentRelPaths(tbl).size == filesBefore,
+      "merge-on-read SQL deletes must not rewrite data files")
+    require(store.pendingDeletes(tbl) == 3,
+      s"expected 3 pending equality deletes, got ${store.pendingDeletes(tbl)}")
+    spark.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM gmor.$tbl
+      ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""")
+  }
+
+  private[ops] val tblSqlMorSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey <> 7
+      |  AND o_orderkey NOT IN (100, 101, 102, 103)
+      |  AND o_orderstatus <> 'P'
+      |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
 }

@@ -26,9 +26,18 @@ import graft.tables.TableStore
   *     so a compaction between batches contributes NOTHING (no
   *     re-delivery of rewritten rows), and an expired-but-unconsumed
   *     append fails loudly instead of silently skipping rows.
-  *   - Offsets are snapshot versions: restart from a checkpoint resumes
-  *     at exactly the recorded version (the sidecar walk is
+  *   - Offsets are log positions `(version, file index)` — see
+  *     [[GraftSourceOffset]]: restart from a checkpoint resumes at
+  *     exactly the recorded position (the file sequence is
   *     deterministic, so re-delivered ranges are byte-identical).
+  *   - ADMISSION CONTROL: `maxRowsPerTrigger` / `maxFilesPerTrigger`
+  *     split the initial snapshot and large catch-up ranges across
+  *     micro-batches. Without a cap, the first trigger on a 100 TB
+  *     table is one monolithic job with no incremental checkpoint —
+  *     with one, each trigger commits a bounded slice and a crash
+  *     retries only that slice (the Delta/Iceberg `maxFilesPerTrigger`
+  *     shape). Row sizing comes from the snapshot's recorded per-file
+  *     counts — one metadata read, no footer opened.
   *   - Append-only contract: rows REMOVED by deletes/merges after the
   *     initial snapshot are not retracted (use [[TableStore.diffVersions]]
   *     or the CDC path for net changes). `startVersion` tails from a
@@ -110,7 +119,9 @@ final class GraftTableSourceProvider
       parameters: Map[String, String]): Source = {
     val (store, table) = storeOf(ctx, parameters)
     new GraftTableSource(ctx.sparkSession, store, table,
-      parameters.get("startVersion").map(_.trim.toInt))
+      parameters.get("startVersion").map(_.trim.toInt),
+      parameters.get("maxRowsPerTrigger").map(_.trim.toLong),
+      parameters.get("maxFilesPerTrigger").map(_.trim.toInt))
   }
 }
 
@@ -149,30 +160,191 @@ final class GraftTableSink(store: TableStore, table: String,
   override def toString: String = s"GraftTableSink[$table]"
 }
 
+/** Source offset: the log position `(version, phase, filesConsumed)`.
+  *
+  * The table's change log is a DETERMINISTIC file sequence — the initial
+  * snapshot's manifest list (phase `snap`), then every later committed
+  * version's appended-sidecar list, each in recorded order. An offset
+  * marks "the first `files` entries of `version`'s list are consumed";
+  * a fully-consumed version advances to the next committed version.
+  * Admission control (`maxRowsPerTrigger` / `maxFilesPerTrigger`) just
+  * caps how far along this sequence one trigger's end offset may move —
+  * restart from any checkpointed offset re-reads exactly the same
+  * files, so splitting changes batch BOUNDARIES, never content.
+  * A bare integer offset (pre-admission-control checkpoints) parses as
+  * "version fully consumed". */
+private[streaming] final case class GraftSourceOffset(version: Int,
+    snap: Boolean, files: Int) extends Offset {
+  override def json: String =
+    s"""{"version":$version,"snap":$snap,"files":$files}"""
+}
+
+private[streaming] object GraftSourceOffset {
+  val AllFiles: Int = Int.MaxValue
+
+  def parse(o: Offset): GraftSourceOffset = parse(o.json)
+
+  def parse(s: String): GraftSourceOffset = {
+    val t = s.trim
+    if (t.forall(c => c.isDigit || c == '-'))
+      GraftSourceOffset(t.toInt, snap = false, AllFiles) // legacy: whole version
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      GraftSourceOffset(node.get("version").intValue(),
+        Option(node.get("snap")).exists(_.booleanValue()),
+        node.get("files").intValue())
+    }
+  }
+}
+
 final class GraftTableSource(spark: SparkSession, store: TableStore,
-    table: String, startVersion: Option[Int]) extends Source {
+    table: String, startVersion: Option[Int],
+    maxRowsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import GraftSourceOffset.AllFiles
 
   override def schema: StructType = store.schema(table)
 
-  /** Offsets are committed snapshot versions. */
-  override def getOffset: Option[Offset] = {
-    val v = store.currentVersion(table)
-    // with startVersion, nothing to deliver until the table moves past it
-    if (startVersion.exists(v <= _)) None else Some(LongOffset(v.toLong))
+  private def capped: Boolean =
+    maxRowsPerTrigger.isDefined || maxFilesPerTrigger.isDefined
+
+  /** File list of one log position's version. */
+  private def listOf(version: Int, snap: Boolean): Seq[String] =
+    if (snap) store.relPathsOf(table, version)
+    else store.appendedRelPathsOf(table, version).getOrElse(
+      // legacy commit without a sidecar: fall back to the file-set diff
+      // against its parent (exact for append-only legacy history)
+      {
+        val parent = store.commitParent(table, version).getOrElse(version - 1)
+        val prev =
+          if (parent <= 0) Set.empty[String]
+          else store.relPathsOf(table, parent).toSet
+        store.relPathsOf(table, version).filterNot(prev)
+      })
+
+  /** The log entries after `from`, up to head: (version, snap, files). */
+  private def pendingAfter(from: GraftSourceOffset,
+      head: Int): Seq[(Int, Boolean, Seq[String])] = {
+    val cur = {
+      val l = listOf(from.version, from.snap)
+      if (from.files >= l.size) Nil
+      else Seq((from.version, from.snap, l.drop(from.files)))
+    }
+    val later = store.committedVersionsBetween(table, from.version, head)
+      .map(v => (v, false, listOf(v, snap = false)))
+      .filter(_._3.nonEmpty)
+    cur ++ later
   }
 
-  private def versionOf(o: Offset): Int = o.json.trim.toInt
+  /** Where a fresh query (no checkpoint) starts reading. */
+  private def origin(head: Int): GraftSourceOffset = startVersion match {
+    // tail-from: snapshot sv itself is NOT delivered, only later appends
+    case Some(sv) => GraftSourceOffset(sv, snap = false, AllFiles)
+    // fresh query: the whole snapshot at the current head, from file 0
+    case None     => GraftSourceOffset(head, snap = true, 0)
+  }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val e = versionOf(end)
-    val batch = start match {
-      case Some(s) => store.readAppendedBetween(table, versionOf(s), e)
-      case None => startVersion match {
-        case Some(sv) => store.readAppendedBetween(table, sv, e)
-        // first batch of a fresh query: the full consistent snapshot
-        case None => store.readVersion(table, e)
+  /** With [[SupportsAdmissionControl]] implemented, Spark drives
+    * [[latestOffset]] and never calls this (FileStreamSource contract). */
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "getOffset is not used with SupportsAdmissionControl; " +
+        "Spark calls latestOffset(start, limit)")
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    (maxRowsPerTrigger, maxFilesPerTrigger) match {
+      case (Some(r), _)    => ReadLimit.maxRows(r)
+      case (None, Some(f)) => ReadLimit.maxFiles(f)
+      case _               => ReadLimit.allAvailable()
+    }
+  }
+
+  /** Trigger.AvailableNow: pin the drain target at prepare time; capped
+    * batches then walk up to exactly this head across as many triggers
+    * as the caps require, and the query stops there. */
+  @volatile private var availableNowHead: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(store.currentVersion(table))
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val head = availableNowHead.getOrElse(store.currentVersion(table))
+    if (startVersion.exists(head <= _)) return null
+    val from: GraftSourceOffset = Option(start)
+      .map(o => GraftSourceOffset.parse(
+        o.asInstanceOf[org.apache.spark.sql.connector.read.streaming.Offset].json))
+      .getOrElse(origin(head))
+    val pending: Seq[(Int, Boolean, Seq[String])] = pendingAfter(from, head)
+    if (pending.isEmpty) return null
+    if (!capped) {
+      val (v, s, _) = pending.last
+      return GraftSourceOffset(v, s, listOf(v, s).size)
+    }
+    // admission control: walk the pending sequence accumulating files
+    // until a cap trips; always admit at least one file so progress is
+    // guaranteed. Row counts come from each version's consolidated
+    // stats; a file without one conservatively counts as the row cap.
+    val maxR = maxRowsPerTrigger.getOrElse(Long.MaxValue)
+    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    var rows = 0L
+    var nfiles = 0
+    var endOff: GraftSourceOffset = null
+    val it = pending.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (v, s, rels) = it.next()
+      val counts = store.fileRowCounts(table, v)
+      val consumedAlready = listOf(v, s).size - rels.size
+      var taken = 0
+      val rit = rels.iterator
+      while (rit.hasNext && !done) {
+        val rel = rit.next()
+        val r = counts.getOrElse(rel, maxR)
+        if (nfiles > 0 && (rows + r > maxR || nfiles + 1 > maxF)) done = true
+        else {
+          rows += r; nfiles += 1; taken += 1
+          endOff = GraftSourceOffset(v, s, consumedAlready + taken)
+        }
       }
     }
+    endOff
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val e = GraftSourceOffset.parse(end)
+    val from = start.map(GraftSourceOffset.parse).getOrElse {
+      startVersion match {
+        case Some(sv) => GraftSourceOffset(sv, snap = false, AllFiles)
+        case None     => GraftSourceOffset(e.version, snap = true, 0)
+      }
+    }
+    // files strictly after `from`, capped at `e`'s position
+    val segs = pendingAfter(from, e.version)
+      .filter { case (v, _, _) => v <= e.version }
+      .map { case (v, s, rels) =>
+        if (v == e.version && e.files != AllFiles) {
+          val consumedAlready = listOf(v, s).size - rels.size
+          (v, s, rels.take(math.max(0, e.files - consumedAlready)))
+        } else (v, s, rels)
+      }
+      .filter(_._3.nonEmpty)
+    val frames = segs.map { case (v, s, rels) =>
+      if (s) store.readRelsMasked(table, rels, v)
+      else store.readAppendedRels(table, rels)
+    }
+    val batch =
+      if (frames.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          store.schema(table))
+      else frames.reduce(_ unionByName _)
     Bridge.streamingFrame(batch)
   }
 

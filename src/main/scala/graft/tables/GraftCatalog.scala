@@ -164,11 +164,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val n = tableName(ident)
     if (store.exists(n)) throw new TableAlreadyExistsException(ident)
-    val partitionBy = partitions.map {
-      case t if t.name() == "identity" =>
-        t.references()(0).fieldNames().mkString(".")
-      case t => throw new UnsupportedOperationException(
-        s"unsupported partition transform: $t (identity columns only)")
+    // identity plus Iceberg's hidden-partitioning transforms — the core
+    // DDL surface the reference inherits through its catalog
+    // (SparkUtils.java:46): PARTITIONED BY (days(ts), bucket(8, key), ...)
+    val partitionBy = partitions.map { t =>
+      def colOf: String = {
+        val refs = t.references()
+        require(refs.length == 1 && refs(0).fieldNames().length == 1,
+          s"partition transform ${t.describe()} must reference exactly " +
+            "one top-level column")
+        refs(0).fieldNames()(0)
+      }
+      def intArg: Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"partition transform ${t.describe()} needs an integer argument"))
+      t.name() match {
+        case "identity" => t.references()(0).fieldNames().mkString(".")
+        case "days" | "day"     => s"days($colOf)"
+        case "hours" | "hour"   => s"hours($colOf)"
+        case "months" | "month" => s"months($colOf)"
+        case "years" | "year"   => s"years($colOf)"
+        case "bucket"           => s"bucket($intArg:$colOf)"
+        case "truncate"         => s"truncate($intArg:$colOf)"
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform: $other " +
+            "(identity, days, hours, months, years, bucket, truncate)")
+      }
     }.toSeq
     val props = properties.asScala
     def colsProp(k: String): Seq[String] =
@@ -177,6 +201,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       zoneCols = colsProp("zone_cols"), bloomCols = colsProp("bloom_cols"),
       bloomItems = props.get("bloom_items").map(_.trim.toLong)
         .getOrElse(TableStore.DefaultBloomItems))
+    // everything beyond the layout-defining keys (and Spark's own
+    // bookkeeping) is a free-form table property — e.g.
+    // `write.delete.mode=merge-on-read`
+    val user = props.view
+      .filterKeys(k => !GraftCatalog.LayoutProps.contains(k) &&
+        !k.startsWith("option.") && k != TableCatalog.PROP_PROVIDER &&
+        k != TableCatalog.PROP_OWNER && k != TableCatalog.PROP_LOCATION &&
+        k != TableCatalog.PROP_COMMENT && k != TableCatalog.PROP_EXTERNAL)
+      .toMap
+    if (user.nonEmpty)
+      store.setProperties(n, user.map { case (k, v) => k -> Some(v) })
     new GraftSqlTable(store, n, None)
   }
 
@@ -202,6 +237,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(upd.fieldNames().length == 1,
           "nested ALTER COLUMN TYPE is not supported")
         store.widenColumn(n, upd.fieldNames()(0), upd.newDataType())
+      case set: TableChange.SetProperty =>
+        require(!GraftCatalog.LayoutProps.contains(set.property()),
+          s"${set.property()} defines the physical layout and cannot be " +
+            "changed after create")
+        store.setProperties(n, Map(set.property() -> Some(set.value())))
+      case rm: TableChange.RemoveProperty =>
+        store.setProperties(n, Map(rm.property() -> None))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
@@ -215,9 +257,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     existed
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "RENAME TABLE is not supported (snapshot pointers are path-keyed)")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableName(oldIdent)
+    if (!store.exists(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableName(newIdent)
+    if (store.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    store.renameTable(from, to)
+  }
 
   // ---- namespaces (flat catalog: one implicit root namespace) ------------
 
@@ -249,6 +295,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException("catalog is flat")
 }
 
+object GraftCatalog {
+  /** CREATE-time properties that define the physical layout (consumed by
+    * [[TableStore.create]], immutable afterwards) — everything else is a
+    * free-form property stored in the table's property bag. */
+  val LayoutProps: Set[String] = Set("zone_cols", "bloom_cols", "bloom_items")
+
+  val DeleteModeProp = "write.delete.mode"
+  val MergeOnRead = "merge-on-read"
+}
+
 /** One managed table exposed to Spark SQL. `versionAt` pins a historical
   * snapshot (read-only). */
 private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
@@ -268,13 +324,24 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
   override def schema(): StructType = store.schema(tbl)
 
   override def partitioning(): Array[Transform] =
-    store.partitionCols(tbl).map(Expressions.identity).toArray
+    store.partitionCols(tbl).map(PartitionField.parse).map {
+      case PartitionField.PIdentity(c)    => Expressions.identity(c)
+      case PartitionField.PDays(c)        => Expressions.days(c)
+      case PartitionField.PHours(c)       => Expressions.hours(c)
+      case PartitionField.PMonths(c)      => Expressions.months(c)
+      case PartitionField.PYears(c)       => Expressions.years(c)
+      case PartitionField.PBucket(n, c)   => Expressions.bucket(n, c)
+      case PartitionField.PTruncate(w, c) =>
+        Expressions.apply("truncate", Expressions.literal(w),
+          Expressions.column(c))
+    }.toArray
 
   override def properties(): util.Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap[String, String]()
     val z = store.zoneCols(tbl); val b = store.bloomCols(tbl)
     if (z.nonEmpty) m += "zone_cols" -> z.mkString(",")
     if (b.nonEmpty) m += "bloom_cols" -> b.mkString(",")
+    m ++= store.properties(tbl)
     m.asJava
   }
 
@@ -310,12 +377,87 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
     versionAt.isEmpty && filters.forall(f => GraftFilters.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val cond = filters.flatMap(GraftFilters.toColumn)
-      .reduceOption(_ && _).getOrElse(lit(true))
-    store.delete(tbl, cond)
+    // `write.delete.mode=merge-on-read`: a key-equality-shaped DELETE
+    // commits an equality-delete sidecar — METADATA ONLY, no data file
+    // rewritten — the Iceberg v2 behavior of the same property. Exactly
+    // the CDC tombstone pattern: scattered single-row SQL deletes on a
+    // 100 TB table cost O(keys), not O(touched files). Non-key-shaped
+    // predicates (ranges, functions) fall back to copy-on-write, which
+    // is the only way to honor them exactly.
+    val mor = store.properties(tbl).get(GraftCatalog.DeleteModeProp)
+      .contains(GraftCatalog.MergeOnRead)
+    val routed = mor && (GraftSqlTable.equalityKeys(filters) match {
+      case Some((cols, tuples)) =>
+        val sch = store.schema(tbl)
+        val fields = cols.map(c => sch(sch.fieldIndex(c)).copy(nullable = true))
+        val rows = tuples.map(t => org.apache.spark.sql.Row.fromSeq(
+          t.zip(fields).map { case (v, f) =>
+            GraftSqlTable.coerce(v, f.dataType) }))
+        val keys = SparkSession.active.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          org.apache.spark.sql.types.StructType(fields))
+        store.deleteMoR(tbl, keys, cols)
+        true
+      case None => false
+    })
+    if (!routed) {
+      val cond = filters.flatMap(GraftFilters.toColumn)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      store.delete(tbl, cond)
+    }
   }
 
   override def truncateTable(): Boolean = { store.truncate(tbl); true }
+}
+
+private[tables] object GraftSqlTable {
+
+  /** Decompose a pushed-filter conjunction into equality key tuples:
+    * `EqualTo`s on distinct columns plus at most one `IN` (expanded to
+    * one tuple per member). None = not key-equality-shaped (the caller
+    * falls back to copy-on-write). Null members refuse the whole shape:
+    * SQL `=` never matches null, so a CoW rewrite (which evaluates the
+    * predicate exactly) is the honest route. */
+  def equalityKeys(filters: Array[Filter])
+      : Option[(Seq[String], Seq[Seq[Any]])] = {
+    var eqs = Vector.empty[(String, Any)]
+    var in: Option[(String, Seq[Any])] = None
+    def visit(f: Filter): Boolean = f match {
+      case sources.EqualTo(a, v)
+          if v != null && !eqs.exists(_._1 == a) && !in.exists(_._1 == a) =>
+        eqs :+= (a -> v); true
+      case sources.In(a, vs)
+          if in.isEmpty && !eqs.exists(_._1 == a) && vs.nonEmpty &&
+            vs.forall(_ != null) =>
+        in = Some(a -> vs.toSeq); true
+      case sources.And(l, r) => visit(l) && visit(r)
+      case _ => false
+    }
+    if (filters.isEmpty || !filters.forall(visit)) None
+    else in match {
+      case None =>
+        Some((eqs.map(_._1), Seq(eqs.map(_._2))))
+      case Some((c, vs)) =>
+        Some((eqs.map(_._1) :+ c, vs.map(v => eqs.map(_._2) :+ v)))
+    }
+  }
+
+  /** Align a pushed-filter literal with the table's declared type (the
+    * delete-key frame is built row-by-row, so values must match the
+    * schema exactly; deleteMoR's cast handles the rest). */
+  def coerce(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (n: Number, LongType)    => n.longValue()
+      case (n: Number, IntegerType) => n.intValue()
+      case (n: Number, ShortType)   => n.shortValue()
+      case (n: Number, ByteType)    => n.byteValue()
+      case (n: Number, DoubleType)  => n.doubleValue()
+      case (n: Number, FloatType)   => n.floatValue()
+      case _ => v
+    }
+  }
 }
 
 /** Read-only inspection table (`t.snapshots` / `t.files` / `t.refs`):

@@ -58,17 +58,20 @@ object PartitionField {
     def dirName: String = s"${source}_year"
     def render: String = s"years($source)"
   }
+  // render uses ':' between width and column — the stored `_partitions`
+  // list is comma-joined, so the serialized form must be comma-free;
+  // parse accepts the conventional ',' spelling too (user input)
   final case class PBucket(n: Int, source: String) extends PartitionField {
     def dirName: String = s"${source}_bucket"
-    def render: String = s"bucket($n,$source)"
+    def render: String = s"bucket($n:$source)"
   }
   final case class PTruncate(w: Int, source: String) extends PartitionField {
     def dirName: String = s"${source}_trunc"
-    def render: String = s"truncate($w,$source)"
+    def render: String = s"truncate($w:$source)"
   }
 
-  private val Fn = """^(days|hours|months|years)\(([^(),]+)\)$""".r
-  private val Fn2 = """^(bucket|truncate)\((\d+)\s*,\s*([^(),]+)\)$""".r
+  private val Fn = """^(days|hours|months|years)\(([^(),:]+)\)$""".r
+  private val Fn2 = """^(bucket|truncate)\((\d+)\s*[,:]\s*([^(),:]+)\)$""".r
 
   /** Parse one serialized spec entry; a bare name is identity (the
     * pre-transform storage format, so legacy tables read unchanged). */

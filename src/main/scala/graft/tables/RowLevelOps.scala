@@ -196,6 +196,13 @@ private[tables] final class GraftCowScan(op: GraftRowLevelOperation,
         else df
       val projected =
         withMeta.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+      // Computing the wrapped RDD's partitions inside foreign tasks is
+      // sound ONLY while this plan is shuffle-free (file read +
+      // projections + per-spec union). Enforce the invariant instead of
+      // documenting it: a future change that sneaks an exchange in must
+      // fail loudly here, not corrupt the rewrite.
+      GraftCowScan.requireShuffleFree(projected,
+        s"row-level candidate scan of ${op.tbl}")
       cached = (key, projected.queryExecution.toRdd)
     }
     cached._2
@@ -224,6 +231,27 @@ private[tables] final class GraftCowScan(op: GraftRowLevelOperation,
 private[tables] object GraftCowScan {
   import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  /** Assert the frame's EXECUTED RDD has no shuffle anywhere in its
+    * lineage. Physical-plan inspection is unreliable here: AQE inserts
+    * requirement-driven exchanges during stage materialization, after
+    * both `sparkPlan` and the adaptive wrapper's `inputPlan` — but
+    * every exchange, however it got in, surfaces as a
+    * `ShuffleDependency` in the final RDD DAG, which is what the caller
+    * actually hands to foreign tasks. */
+  private[tables] def requireShuffleFree(df: org.apache.spark.sql.DataFrame,
+      what: String): Unit = {
+    def find(r: org.apache.spark.rdd.RDD[_]): Boolean =
+      r.dependencies.exists {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+        case d => find(d.rdd)
+      }
+    if (find(df.queryExecution.toRdd))
+      throw new IllegalStateException(
+        s"$what must be shuffle-free (its RDD partitions are computed " +
+          "inside foreign tasks) but its lineage contains a shuffle " +
+          "exchange — rewrite the inner plan without one")
+  }
 
   private def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
     e match {
@@ -322,7 +350,7 @@ private[tables] final class GraftCowBatchWrite(op: GraftRowLevelOperation,
       new SerializableHadoopConf(job.getConfiguration),
       staging.toString, writeSchema.json, layout.dataPhysSchema.json,
       dataOrds.toArray, layout.partPhysNames.toArray,
-      partOrds.toArray,
+      partOrds.toArray, layout.partSpecs.toArray,
       store.sparkSession.sessionState.conf.sessionLocalTimeZone)
   }
 
@@ -348,14 +376,16 @@ private[tables] final case class GraftCowCommit(stagedRels: Array[String])
 private[tables] final class GraftCowWriterFactory(owf: OutputWriterFactory,
     conf: SerializableHadoopConf, stagingDir: String, rowSchemaJson: String,
     dataSchemaJson: String, dataOrdinals: Array[Int],
-    partPhysNames: Array[String], partOrdinals: Array[Int], timeZone: String)
+    partPhysNames: Array[String], partOrdinals: Array[Int],
+    partSpecs: Array[String], timeZone: String)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCowDataWriter(owf, conf.value, stagingDir,
       DataType.fromJson(rowSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
-      dataOrdinals, partPhysNames, partOrdinals, timeZone, partitionId, taskId)
+      dataOrdinals, partPhysNames, partOrdinals, partSpecs, timeZone,
+      partitionId, taskId)
 }
 
 /** Per-task parquet writer with dynamic hive-style partition dirs. One
@@ -366,7 +396,8 @@ private[tables] final class GraftCowWriterFactory(owf: OutputWriterFactory,
 private[tables] final class GraftCowDataWriter(owf: OutputWriterFactory,
     conf: Configuration, stagingDir: String, rowSchema: StructType,
     dataSchema: StructType, dataOrdinals: Array[Int],
-    partPhysNames: Array[String], partOrdinals: Array[Int], timeZone: String,
+    partPhysNames: Array[String], partOrdinals: Array[Int],
+    partSpecs: Array[String], timeZone: String,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
   private val tac = new TaskAttemptContextImpl(conf,
@@ -376,12 +407,20 @@ private[tables] final class GraftCowDataWriter(owf: OutputWriterFactory,
     dataOrdinals.map(i =>
       BoundReference(i, rowSchema(i).dataType, nullable = true)
         : org.apache.spark.sql.catalyst.expressions.Expression).toIndexedSeq)
+  // directory value per spec field: identity renders the raw value,
+  // hidden transforms rebuild their derived-value expression from the
+  // serialized spec — the same Catalyst expression the bulk write path
+  // uses, so dir layouts agree byte-for-byte
   private val partProj =
     if (partOrdinals.isEmpty) None
-    else Some(UnsafeProjection.create(partOrdinals.map(i =>
-      Cast(BoundReference(i, rowSchema(i).dataType, nullable = true),
-        StringType, Some(timeZone))
-        : org.apache.spark.sql.catalyst.expressions.Expression).toIndexedSeq))
+    else Some(UnsafeProjection.create(
+      partOrdinals.toIndexedSeq.zip(partSpecs.toIndexedSeq).map { case (i, spec) =>
+        val src = BoundReference(i, rowSchema(i).dataType, nullable = true)
+        val derived = PartitionField.catalystExpr(PartitionField.parse(spec),
+          src, rowSchema(i).dataType, timeZone)
+        Cast(derived, StringType, Some(timeZone))
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      }))
   private val writers =
     mutable.LinkedHashMap[String, org.apache.spark.sql.execution.datasources.OutputWriter]()
   private val staged = mutable.ArrayBuffer[String]()

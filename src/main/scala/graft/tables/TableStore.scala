@@ -244,7 +244,12 @@ final class TableStore(spark: SparkSession, val root: String,
       fs.delete(d, true)
     }
     catalogCache -= name // a re-created table starts with identity mapping
-    (partitionBy ++ zoneCols ++ bloomCols).foreach(c =>
+    // partitionBy entries may be hidden-partitioning transforms
+    // (`days(ts)`, `bucket(8,key)`, ... — see [[PartitionField]]); bare
+    // names are classic identity layout
+    val pFields = partitionBy.map(PartitionField.parse)
+    validatePartitionFields(schema, pFields)
+    (zoneCols ++ bloomCols).foreach(c =>
       require(schema.fieldNames.contains(c), s"column $c not in schema"))
     zoneCols.foreach { c =>
       val dt = schema(schema.fieldIndex(c)).dataType
@@ -260,12 +265,13 @@ final class TableStore(spark: SparkSession, val root: String,
           org.apache.spark.sql.types.ByteType,
           org.apache.spark.sql.types.StringType).contains(dt),
         s"bloom column $c must be integral or string, got ${dt.simpleString}")
-      // a partition column's values live in directory names, not data
-      // files — its bloom would be built over nulls, i.e. CONFIDENTLY
-      // empty, and prune every file (unlike zone stats, which just have
-      // no entry and fail open). Directory pruning already serves
-      // partition-key equality.
-      require(!partitionBy.contains(c),
+      // an IDENTITY partition column's values live in directory names,
+      // not data files — its bloom would be built over nulls, i.e.
+      // CONFIDENTLY empty, and prune every file (unlike zone stats,
+      // which just have no entry and fail open). Directory pruning
+      // already serves partition-key equality. Hidden transforms keep
+      // the source values in the files, so their blooms stay valid.
+      require(!pFields.exists(f => f.isIdentity && f.source == c),
         s"bloom column $c is a partition column — directory pruning " +
           "already covers it")
     }
@@ -275,7 +281,8 @@ final class TableStore(spark: SparkSession, val root: String,
     fs.mkdirs(new HPath(d, "stats"))
     if (bloomCols.nonEmpty) fs.mkdirs(new HPath(d, "bloom"))
     writeString(new HPath(d, "_schema.json"), schema.json)
-    writeString(new HPath(d, "_partitions"), partitionBy.mkString(","))
+    // normalized render (comma-free) — the list itself is comma-joined
+    writeString(new HPath(d, "_partitions"), pFields.map(_.render).mkString(","))
     writeString(new HPath(d, "_zonecols"), zoneCols.mkString(","))
     if (bloomCols.nonEmpty) {
       writeString(new HPath(d, "_bloomcols"), bloomCols.mkString(","))
@@ -283,6 +290,37 @@ final class TableStore(spark: SparkSession, val root: String,
     }
     commitManifest(name, 0, Set.empty, Nil, Nil)
   }
+
+  /** Shared create/repartitionSpec validation of a partition spec's
+    * fields: sources exist, transform/type compatibility, and no derived
+    * directory name may collide with a schema column or another field. */
+  private def validatePartitionFields(schema: StructType,
+      fields: Seq[PartitionField]): Unit = {
+    fields.foreach { f =>
+      require(schema.fieldNames.contains(f.source),
+        s"partition source column ${f.source} not in schema")
+      PartitionField.validate(f, schema(schema.fieldIndex(f.source)).dataType)
+      require(f.isIdentity || !schema.fieldNames.contains(f.dirName),
+        s"derived partition directory name ${f.dirName} collides with a " +
+          "schema column")
+    }
+    val dirs = fields.map(_.dirName)
+    require(dirs.distinct.size == dirs.size,
+      s"duplicate partition directory names: ${dirs.mkString(", ")}")
+  }
+
+  /** Parsed fields of the CURRENT partition spec. */
+  private def partitionFields(name: String): Seq[PartitionField] =
+    partitionCols(name).map(PartitionField.parse)
+
+  /** Parsed fields of one spec generation. */
+  private def partitionFieldsOfSpec(name: String, specId: Int): Seq[PartitionField] =
+    partitionSpecs(name).toMap.getOrElse(specId, Nil).map(PartitionField.parse)
+
+  /** Source columns (physical) of EVERY spec generation — the columns a
+    * physical layout anywhere in the table depends on. */
+  private def allPartitionSources(name: String): Set[String] =
+    partitionSpecs(name).flatMap(_._2).map(PartitionField.parse(_).source).toSet
 
   /** Columns with per-file min/max zone maps (file skipping for CDC). */
   def zoneCols(name: String): Seq[String] = {
@@ -356,13 +394,27 @@ final class TableStore(spark: SparkSession, val root: String,
     acquireLock(name, lock)
     try {
       val sch = schema(name)
-      newCols.foreach(c => require(sch.fieldNames.contains(c),
-        s"partition column $c not in table $name"))
       val m = physMap(name)
-      val phys = newCols.map(c => physOf(m, c))
-      phys.foreach(c => require(!bloomCols(name).contains(c),
-        s"column $c has bloom sidecars — a partition column's values " +
-          "live in directory names and future blooms would prune wrongly"))
+      // entries are LOGICAL (bare names or transforms); re-render over
+      // physical source names — the form the layout is stored in
+      val fields = newCols.map(PartitionField.parse).map {
+        case PartitionField.PIdentity(c) => PartitionField.PIdentity(physOf(m, c))
+        case PartitionField.PDays(c)     => PartitionField.PDays(physOf(m, c))
+        case PartitionField.PHours(c)    => PartitionField.PHours(physOf(m, c))
+        case PartitionField.PMonths(c)   => PartitionField.PMonths(physOf(m, c))
+        case PartitionField.PYears(c)    => PartitionField.PYears(physOf(m, c))
+        case PartitionField.PBucket(n, c) => PartitionField.PBucket(n, physOf(m, c))
+        case PartitionField.PTruncate(w, c) => PartitionField.PTruncate(w, physOf(m, c))
+      }
+      val physSch = StructType(sch.fields.map(f =>
+        f.copy(name = physOf(m, f.name))))
+      validatePartitionFields(physSch, fields)
+      fields.filter(_.isIdentity).map(_.source).foreach(c =>
+        require(!bloomCols(name).contains(c),
+          s"column $c has bloom sidecars — an identity partition column's " +
+            "values live in directory names and future blooms would prune " +
+            "wrongly"))
+      val phys = fields.map(_.render)
       val specs = partitionSpecs(name)
       require(phys != specs.last._2,
         s"new partition spec ${phys.mkString(",")} equals the current spec")
@@ -411,6 +463,48 @@ final class TableStore(spark: SparkSession, val root: String,
     coord.clear(name)
     catalogCache -= name
     ()
+  }
+
+  /** Rename a table: ONE directory move carries every manifest, snapshot,
+    * ref, sidecar and stats file — history, tags, branches, and time
+    * travel all survive because nothing inside the table dir is
+    * path-keyed on the table name. Pointers ARE name-keyed in the
+    * coordinator, so they are re-registered under the new key (the
+    * default file coordinator's pointer files travel with the dir and
+    * re-registration is a no-op check). Single-writer maintenance op,
+    * like drop: concurrent writers must quiesce first. */
+  def renameTable(name: String, to: String): Unit = {
+    require(exists(name), s"table $name does not exist")
+    require(to.nonEmpty && !to.contains('/') && !to.contains('@'),
+      s"invalid table name: $to")
+    require(!fs.exists(tdir(to)) && coord.current(to).isEmpty,
+      s"table $to already exists")
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    val moved = new HPath(tdir(to), "_commit.lock")
+    try {
+      // capture pointers BEFORE the move (an external coordinator's keys
+      // do not follow the directory)
+      val mainPtr = coord.current(name)
+      val branchPtrs = refs(name).toSeq.collect {
+        case (r, ("branch", _)) => r -> coord.current(refKey(name, Some(r)))
+      }
+      require(fs.rename(tdir(name), tdir(to)),
+        s"filesystem rename of table dir $name -> $to failed")
+      def repoint(oldKey: String, newKey: String, ptr: Option[String]): Unit =
+        ptr.foreach { p =>
+          if (coord.current(newKey) != Some(p))
+            require(coord.swap(newKey, coord.current(newKey), p),
+              s"could not re-register pointer $newKey after rename")
+          coord.clear(oldKey)
+        }
+      repoint(name, to, mainPtr)
+      branchPtrs.foreach { case (r, ptr) =>
+        repoint(refKey(name, Some(r)), refKey(to, Some(r)), ptr)
+      }
+      catalogCache -= name
+      catalogCache -= to
+    } finally { fs.delete(moved, false); fs.delete(lock, false); () }
   }
 
   /** Names of every live table under this store's root (a directory whose
@@ -665,7 +759,7 @@ final class TableStore(spark: SparkSession, val root: String,
           s"materializeDeletes($name) first")
       require(cur.fields.length > 1, "cannot drop the last column")
       val m = physMap(name)
-      require(!partitionCols(name).contains(physOf(m, colName)),
+      require(!allPartitionSources(name).contains(physOf(m, colName)),
         s"cannot drop partition column $colName")
       require(!zoneCols(name).contains(physOf(m, colName)),
         s"cannot drop zone column $colName")
@@ -713,6 +807,11 @@ final class TableStore(spark: SparkSession, val root: String,
       require(!bloomCols(name).contains(pc),
         s"cannot widen bloom column $colName (sidecar hashes are " +
           "type-dependent; recreate the blooms first)")
+      // a bucket transform's hash (and a truncate width's domain) is
+      // type-dependent, and identity dir values parse under the declared
+      // type — widening any partition source would corrupt the layout
+      require(!allPartitionSources(name).contains(pc),
+        s"cannot widen partition source column $colName")
       require(!readDeleteEntries(name, currentVersion(name))
           .exists(_.cols.contains(pc)),
         s"column $colName is a key of a pending merge-on-read delete — " +
@@ -720,6 +819,46 @@ final class TableStore(spark: SparkSession, val root: String,
       atomicWrite(new HPath(tdir(name), "_schema.json"),
         StructType(cur.fields.map(f =>
           if (f.name == colName) f.copy(dataType = to) else f)).json)
+    } finally { fs.delete(lock, false); () }
+  }
+
+  // ---- free-form table properties -------------------------------------------
+
+  /** User table properties (`_props.json`): the Iceberg-style property
+    * bag (`write.delete.mode`, ...). Layout-defining settings (zone,
+    * bloom, partitioning) have their own dedicated metadata and do NOT
+    * live here. */
+  def properties(name: String): Map[String, String] = {
+    val p = new HPath(tdir(name), "_props.json")
+    if (!fs.exists(p)) Map.empty
+    else try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(p))
+      val it = node.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isTextual) b += e.getKey -> e.getValue.textValue()
+      }
+      b.result()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Merge (`v = Some`) / remove (`v = None`) properties atomically. */
+  def setProperties(name: String,
+      updates: Map[String, Option[String]]): Unit = {
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val next = updates.foldLeft(properties(name)) {
+        case (acc, (k, Some(v))) => acc + (k -> v)
+        case (acc, (k, None))    => acc - k
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      next.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v); () }
+      atomicWrite(new HPath(tdir(name), "_props.json"),
+        mapper.writeValueAsString(root))
     } finally { fs.delete(lock, false); () }
   }
 
@@ -782,8 +921,12 @@ final class TableStore(spark: SparkSession, val root: String,
     val sch = schema(name)
     val m = physMap(name)
     val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
-    // physical names, layout order, THIS generation's spec
-    val pCols = partitionSpecs(name).toMap.getOrElse(specId, Nil)
+    // physical names, layout order, THIS generation's spec — possibly
+    // hidden-partitioning transforms (derived directory values)
+    val pFields = partitionFieldsOfSpec(name, specId)
+    val pCols = pFields.map(_.dirName)
+    val dirTypes = pFields.map(f => PartitionField.dirType(f,
+      physSch(physSch.fieldIndex(f.source)).dataType))
     // file statuses WITHOUT touching the filesystem: lengths were recorded
     // in the snapshot's consolidated file at commit time (validated there
     // — non-positive/malformed entries are dropped at parse), so planning
@@ -807,19 +950,25 @@ final class TableStore(spark: SparkSession, val root: String,
         case None => listed.getOrElse(r, fs.getFileStatus(p))
       }
     }
-    val groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[org.apache.hadoop.fs.FileStatus])] =
-      if (pCols.isEmpty) Seq((org.apache.spark.sql.catalyst.InternalRow.empty, rels.map(statusOf)))
+    val dirGroups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])] =
+      if (pCols.isEmpty) Seq((org.apache.spark.sql.catalyst.InternalRow.empty, rels))
       else rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).toSeq
         .map { case (dir, rs) =>
           // evolved generations carry a `spec-<id>/` prefix before the
           // hive kv segments — strip it for value parsing
           val hiveDir = if (specId == 0) dir else dir.substring(dir.indexOf('/') + 1)
-          (parsePartitionValues(name, hiveDir, physSch, pCols), rs.map(statusOf))
+          (parsePartitionValues(name, hiveDir, pFields, dirTypes), rs)
         }
+    val groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[org.apache.hadoop.fs.FileStatus])] =
+      dirGroups.map { case (row, rs) => (row, rs.map(statusOf)) }
+    // identity values live in directory names only; hidden-transform
+    // sources stay data columns in the files
     val pSchema =
       if (pCols.isEmpty) new StructType()
-      else StructType(pCols.map(c => physSch(physSch.fieldIndex(c))))
-    val dataSch = StructType(physSch.filterNot(f => pCols.contains(f.name)))
+      else StructType(pFields.zip(dirTypes).map { case (f, dt) =>
+        StructField(f.dirName, dt, nullable = true) })
+    val identitySources = pFields.filter(_.isIdentity).map(_.source).toSet
+    val dataSch = StructType(physSch.filterNot(f => identitySources.contains(f.name)))
     // the index looks stats up by FULL path — rel-unique by construction
     // (bare file names can collide across write batches in different
     // partition directories)
@@ -827,6 +976,45 @@ final class TableStore(spark: SparkSession, val root: String,
     // recovered by stripping the data dir prefix
     val dataDirStr = fs.makeQualified(dataDir(name)).toString
     val zstats = zoneStatsFrom(name, rels, cons)
+    // hidden-partitioning pruning hooks: a time/truncate directory value
+    // implies SOURCE-column bounds for every file under it — merged into
+    // the per-file stats map UNDER real zone stats (which are tighter),
+    // so a `ts` range predicate prunes `ts_day=` directories through the
+    // ordinary zone machinery; bucket directories carry (n, bucket) for
+    // equality-probe pruning in the index
+    val sessionZone = spark.sessionState.conf.sessionLocalTimeZone
+    def srcTypeOf(f: PartitionField) =
+      physSch(physSch.fieldIndex(f.source)).dataType
+    val hiddenIdx = pFields.zipWithIndex.filterNot { case (f, _) =>
+      f.isIdentity || f.isInstanceOf[PartitionField.PBucket] }
+    val synth: Map[String, Map[String, (Any, Any)]] =
+      if (hiddenIdx.isEmpty) Map.empty
+      else dirGroups.flatMap { case (row, rs) =>
+        val bounds = hiddenIdx.flatMap { case (f, i) =>
+          if (row.isNullAt(i)) None
+          else PartitionField.sourceBounds(f, row.get(i, dirTypes(i)),
+            srcTypeOf(f), sessionZone).map(b => f.source -> b)
+        }.toMap
+        if (bounds.isEmpty) Nil else rs.map(_ -> bounds)
+      }.toMap
+    val mergedStats: Map[String, Map[String, (Any, Any)]] =
+      if (synth.isEmpty) zstats
+      else rels.flatMap { r =>
+        val m2 = synth.getOrElse(r, Map.empty) ++ zstats.getOrElse(r, Map.empty)
+        if (m2.isEmpty) None else Some(r -> m2)
+      }.toMap
+    val bucketIdx = pFields.zipWithIndex.collect {
+      case (f: PartitionField.PBucket, i) => (f, i) }
+    val buckets: Map[String, Map[String, (Int, Int, org.apache.spark.sql.types.DataType)]] =
+      if (bucketIdx.isEmpty) Map.empty
+      else dirGroups.flatMap { case (row, rs) =>
+        val bs = bucketIdx.flatMap { case (f, i) =>
+          if (row.isNullAt(i)) None
+          else Some(f.source -> ((f.n, row.getInt(i), srcTypeOf(f))))
+        }.toMap
+        if (bs.isEmpty) Nil
+        else rs.map(r => new HPath(dataDir(name), r).toString -> bs)
+      }.toMap
     // global per-column bounds for the metadata min/max rewrite: a column
     // qualifies only when EVERY file has a recorded bound (an all-null or
     // legacy file disqualifies it) and all bounds fold comparably
@@ -850,7 +1038,7 @@ final class TableStore(spark: SparkSession, val root: String,
       }
     }
     val idx = new ZoneMapFileIndex(groups,
-      zstats.map { case (k, v) =>
+      mergedStats.map { case (k, v) =>
         new HPath(dataDir(name), k).toString -> v },
       Seq(specBaseDir(name, specId)), pSchema,
       bloomCols(name).toSet,
@@ -862,7 +1050,8 @@ final class TableStore(spark: SparkSession, val root: String,
       // exact only when every file of THIS snapshot has a recorded count
       cons.map(_.rows).filter(rows => rels.forall(rows.contains))
         .map(rows => rels.map(rows).sum),
-      colBounds)
+      colBounds,
+      buckets)
     MetadataAggregateRule.register(spark)
     val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
@@ -871,27 +1060,31 @@ final class TableStore(spark: SparkSession, val root: String,
   }
 
   /** Parsed partition values of one hive-style directory (`a=1/b=x`), in
-    * layout order, as Catalyst internal values of the columns' declared
-    * types. Our own writer produced the layout (Spark `partitionBy`), so
-    * segment order is the layout order and escaping is Spark's. */
+    * layout order, as Catalyst internal values of each field's DIRECTORY
+    * type (= the source type for identity, the derived type for hidden
+    * transforms). Our own writer produced the layout (Spark
+    * `partitionBy`), so segment order is the layout order and escaping
+    * is Spark's. */
   private def parsePartitionValues(name: String, dir: String,
-      physSch: StructType, pCols: Seq[String])
+      fields: Seq[PartitionField], dirTypes: Seq[org.apache.spark.sql.types.DataType])
       : org.apache.spark.sql.catalyst.InternalRow = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     val segs = dir.split('/')
-    require(segs.length == pCols.length,
-      s"partition dir $dir does not match partition columns $pCols of $name")
+    require(segs.length == fields.length,
+      s"partition dir $dir does not match partition fields " +
+        s"${fields.map(_.render)} of $name")
     val zone = spark.sessionState.conf.sessionLocalTimeZone
-    val vals = pCols.zip(segs).map { case (c, seg) =>
-      require(seg.startsWith(c + "="),
-        s"partition dir segment $seg does not belong to column $c")
-      val raw = ExternalCatalogUtils.unescapePathName(seg.substring(c.length + 1))
+    val vals = fields.zip(dirTypes).zip(segs).map { case ((f, dt), seg) =>
+      require(seg.startsWith(f.dirName + "="),
+        s"partition dir segment $seg does not belong to ${f.dirName}")
+      val raw = ExternalCatalogUtils.unescapePathName(
+        seg.substring(f.dirName.length + 1))
       if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
       else Cast(
         Literal(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
           org.apache.spark.sql.types.StringType),
-        physSch(physSch.fieldIndex(c)).dataType, Some(zone)).eval(null)
+        dt, Some(zone)).eval(null)
     }
     org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
   }
@@ -1247,35 +1440,7 @@ final class TableStore(spark: SparkSession, val root: String,
     require(toVersion >= version,
       s"empty or inverted range ($version, $toVersion]")
     val head = toVersion
-    // Committed-chain walk via parent pointers (commit meta): ONLY
-    // snapshots reachable from the head contribute appended sidecars. A
-    // manifest numbered inside the range but never committed (a writer
-    // that lost its pointer CAS, or crashed before it) is not on the
-    // chain and must never surface rows no read() ever exposed. Legacy
-    // history without meta falls back to the numeric range — exact
-    // there, because the pre-chain commit path reclaimed phantom
-    // manifests eagerly under its lock.
-    val chain: Option[Seq[Int]] = {
-      val b = Seq.newBuilder[Int]
-      var v = head
-      var legacy = false
-      while (v > version && !legacy) {
-        b += v
-        commitParent(name, v) match {
-          case Some(p) if p >= 0 && p < v => v = p
-          case _                          => legacy = true
-        }
-      }
-      if (legacy) None
-      else {
-        require(v == version,
-          s"snapshot $version of table $name is not an ancestor of the " +
-            s"current snapshot $head — it was never committed, or history " +
-            "was rewritten; diff by key via diffVersions instead")
-        Some(b.result())
-      }
-    }
-    val range = chain.getOrElse((version + 1) to head: Seq[Int])
+    val range = committedVersionsBetween(name, version, head)
     val sidecars = range.map(v => new HPath(d, f"manifest-$v%06d.appended"))
     if (sidecars.forall(fs.exists)) {
       val appended = sidecars.flatMap(readLines)
@@ -1294,6 +1459,73 @@ final class TableStore(spark: SparkSession, val root: String,
         .filterNot(baseline)
       readFiles(name, added.map(f => new HPath(dataDir(name), f).toString))
     }
+  }
+
+  /** Committed versions in `(version, toVersion]`, ASCENDING — the
+    * parent-pointer chain walk of [[readAppendedBetween]]: ONLY
+    * snapshots reachable from `toVersion` count (a manifest numbered
+    * inside the range but never committed — lost CAS, crash — must
+    * never surface rows no read() ever exposed). Legacy history without
+    * commit meta falls back to the numeric range, exact there because
+    * the pre-chain commit path reclaimed phantoms eagerly. */
+  private[graft] def committedVersionsBetween(name: String, version: Int,
+      toVersion: Int): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    var v = toVersion
+    var legacy = false
+    while (v > version && !legacy) {
+      b += v
+      commitParent(name, v) match {
+        case Some(p) if p >= 0 && p < v => v = p
+        case _                          => legacy = true
+      }
+    }
+    if (legacy) (version + 1) to toVersion
+    else {
+      require(v == version,
+        s"snapshot $version of table $name is not an ancestor of " +
+          s"snapshot $toVersion — it was never committed, or history " +
+          "was rewritten; diff by key via diffVersions instead")
+      b.result().sorted
+    }
+  }
+
+  /** Manifest-relative file list of one snapshot. */
+  private[graft] def relPathsOf(name: String, version: Int): Seq[String] = {
+    val m = new HPath(tdir(name), f"manifest-$version%06d.txt")
+    require(fs.exists(m), s"no snapshot $version for table $name")
+    readLines(m)
+  }
+
+  /** Files commit `version` LOGICALLY appended (its sidecar); None for
+    * legacy commits that predate appended-sidecars. */
+  private[graft] def appendedRelPathsOf(name: String,
+      version: Int): Option[Seq[String]] = {
+    val p = new HPath(tdir(name), f"manifest-$version%06d.appended")
+    if (fs.exists(p)) Some(readLines(p)) else None
+  }
+
+  /** Recorded per-file row counts of one snapshot (may be partial). */
+  private[graft] def fileRowCounts(name: String,
+      version: Int): Map[String, Long] =
+    readConsolidated(name, version).map(_.rows).getOrElse(Map.empty)
+
+  /** Masked read of specific rel paths under snapshot `version`'s
+    * pending deletes — the streaming source's batch primitive. */
+  private[graft] def readRelsMasked(name: String, rels: Seq[String],
+      version: Int): DataFrame = morMasked(name, rels, version)
+
+  /** Read appended-sidecar rel paths, failing LOUDLY if any expired
+    * before being consumed (same contract as [[readAppendedBetween]]). */
+  private[graft] def readAppendedRels(name: String,
+      rels: Seq[String]): DataFrame = {
+    val missing = rels.filterNot(r => fs.exists(new HPath(dataDir(name), r)))
+    require(missing.isEmpty,
+      s"appended files of table $name expired before being consumed " +
+        s"(missing: ${missing.take(3).mkString(", ")}" +
+        s"${if (missing.length > 3) ", ..." else ""}) — " +
+        "expire snapshots only after incremental consumers caught up")
+    readFiles(name, rels.map(r => new HPath(dataDir(name), r).toString))
   }
 
   /** Key-level diff between two snapshots: one row per key whose presence
@@ -1351,12 +1583,24 @@ final class TableStore(spark: SparkSession, val root: String,
     val specs = partitionSpecs(name).toMap
     files.groupBy(p => specOfRel(relOf(p))).toSeq.sortBy(_._1)
       .map { case (id, fls) =>
+        val fields = specs.getOrElse(id, Nil).map(PartitionField.parse)
         val raw =
-          if (specs.getOrElse(id, Nil).isEmpty)
+          if (fields.isEmpty)
             spark.read.schema(physSch).parquet(fls: _*)
-          else spark.read.schema(physSch)
-            .option("basePath", specBaseDir(name, id).toString)
-            .parquet(fls: _*)
+          else {
+            // partition discovery fills every dir column, so each one —
+            // including hidden-transform DERIVED columns — must appear
+            // in the reader schema; the logical projection below drops
+            // the derived extras again
+            val derived = fields.filterNot(_.isIdentity).map { f =>
+              StructField(f.dirName, PartitionField.dirType(f,
+                physSch(physSch.fieldIndex(f.source)).dataType),
+                nullable = true)
+            }
+            spark.read.schema(StructType(physSch.fields ++ derived))
+              .option("basePath", specBaseDir(name, id).toString)
+              .parquet(fls: _*)
+          }
         raw.select(sch.fields.map(f =>
           col(physOf(m, f.name)).as(f.name)).toSeq: _*)
       }.reduce(_ unionByName _)
@@ -1554,7 +1798,9 @@ final class TableStore(spark: SparkSession, val root: String,
           val keyDf = keys.select(pcols.zip(logical).map {
             case (p, l) => col(s"`$p`").as(l) }: _*)
           pruneByBlooms(name,
-            pruneByZones(name, rs, keyBounds(name, keyDf, logical), base),
+            pruneByBucketDirs(name,
+              pruneByZones(name, rs, keyBounds(name, keyDf, logical), base),
+              keyDf, logical),
             keyDf, logical, base)
         }.toSet
         if (candidates.nonEmpty) {
@@ -1600,7 +1846,9 @@ final class TableStore(spark: SparkSession, val root: String,
       // (any layout — the random-key CDC case zone maps can't touch).
       // Manifest + sidecar reads only, no data file opened.
       val candidates = pruneByBlooms(name,
-        pruneByZones(name, rels, keyBounds(name, distinctKeys, keyCols), base),
+        pruneByBucketDirs(name,
+          pruneByZones(name, rels, keyBounds(name, distinctKeys, keyCols), base),
+          distinctKeys, keyCols),
         distinctKeys, keyCols, base)
       if (candidates.nonEmpty) {
         val candidatePaths = candidates.map(r => new HPath(dataDir(name), r).toString)
@@ -1635,8 +1883,10 @@ final class TableStore(spark: SparkSession, val root: String,
     val version = currentVersion(name)
     val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
     pruneByBlooms(name,
-      pruneByZones(name, currentRelPaths(name),
-        keyBounds(name, distinctKeys, keyCols), version),
+      pruneByBucketDirs(name,
+        pruneByZones(name, currentRelPaths(name),
+          keyBounds(name, distinctKeys, keyCols), version),
+        distinctKeys, keyCols),
       distinctKeys, keyCols, version)
   }
 
@@ -2396,15 +2646,128 @@ final class TableStore(spark: SparkSession, val root: String,
       version: Int): Map[String, Map[String, (Any, Any)]] =
     zoneStatsFrom(name, relPaths, readConsolidated(name, version))
 
-  /** Prune manifest files by zone overlap with the batch's key bounds.
-    * Files without stats (or non-comparable bounds) stay candidates.
-    * `version` pins the snapshot whose consolidated stats serve the
-    * lookup — a mutation planning against its base snapshot stays
-    * consistent even when a concurrent commit advances the head. */
+  /** Synthetic per-file SOURCE-column bounds implied by hidden
+    * time/truncate partition directories — the mutation-path twin of the
+    * read path's merge in [[indexedReadSpec]]. Empty for tables without
+    * hidden range transforms (the overwhelmingly common case costs one
+    * spec parse). */
+  private def hiddenPartitionStats(name: String, relPaths: Seq[String])
+      : Map[String, Map[String, (Any, Any)]] = {
+    val specs = partitionSpecs(name)
+    if (!specs.exists(_._2.exists(s => s.contains('(') && !s.startsWith("bucket"))))
+      return Map.empty
+    val sch = schema(name)
+    val m = physMap(name)
+    val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
+    val sessionZone = spark.sessionState.conf.sessionLocalTimeZone
+    relPaths.groupBy(specOfRel).toSeq.flatMap { case (id, rels) =>
+      val fields = partitionFieldsOfSpec(name, id)
+      val hiddenIdx = fields.zipWithIndex.filterNot { case (f, _) =>
+        f.isIdentity || f.isInstanceOf[PartitionField.PBucket] }
+      if (hiddenIdx.isEmpty) Nil
+      else {
+        val dirTypes = fields.map(f => PartitionField.dirType(f,
+          physSch(physSch.fieldIndex(f.source)).dataType))
+        rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).toSeq
+          .flatMap { case (dir, rs) =>
+            val hiveDir = if (id == 0) dir else dir.substring(dir.indexOf('/') + 1)
+            val row = parsePartitionValues(name, hiveDir, fields, dirTypes)
+            val bounds = hiddenIdx.flatMap { case (f, i) =>
+              if (row.isNullAt(i)) None
+              else PartitionField.sourceBounds(f, row.get(i, dirTypes(i)),
+                physSch(physSch.fieldIndex(f.source)).dataType, sessionZone)
+                .map(b => f.source -> b)
+            }.toMap
+            if (bounds.isEmpty) Nil else rs.map(_ -> bounds)
+          }
+      }
+    }.toMap
+  }
+
+  /** Bucket-directory pruning for a key batch: a candidate file survives
+    * only if, for every bucketed key column, SOME batch value hashes into
+    * the file's bucket. Pure driver arithmetic over the (bounded) probe
+    * values — the hidden-partitioning answer to "which files can this
+    * random CDC key batch touch" that zone maps cannot give. */
+  private def pruneByBucketDirs(name: String, relPaths: Seq[String],
+      distinctKeys: DataFrame, keyCols: Seq[String]): Seq[String] = {
+    if (relPaths.isEmpty) return relPaths
+    val specs = partitionSpecs(name)
+    if (!specs.exists(_._2.exists(_.startsWith("bucket")))) return relPaths
+    val sch = schema(name)
+    val m = physMap(name)
+    // bucketed physical columns anywhere in the spec history
+    val bucketFields: Map[String, PartitionField.PBucket] = specs.flatMap(_._2)
+      .map(PartitionField.parse).collect {
+        case b: PartitionField.PBucket => b.source -> b
+      }.toMap
+    val probed = keyCols.filter(c => bucketFields.contains(physOf(m, c)))
+    if (probed.isEmpty) return relPaths
+    // per-column distinct values, bounded like the bloom probe — a huge
+    // batch touches most buckets anyway. A column whose values cap out
+    // or leave the probe domain simply contributes no pruning (fail
+    // open); others still can.
+    val allowed: Map[String, Set[Int]] = probed.flatMap { c =>
+      val pc = physOf(m, c)
+      val b = bucketFields(pc)
+      val vals = distinctKeys.select(col(c)).distinct()
+        .limit(TableStore.BloomProbeMaxKeys + 1).collect()
+      if (vals.length > TableStore.BloomProbeMaxKeys) None
+      else {
+        val dt = sch(sch.fieldIndex(c)).dataType
+        val ids = vals.toSeq.flatMap(r => Option(r.get(0)))
+          .map(v => ZoneStats.litVal(v)
+            .flatMap(sv => PartitionField.bucketOf(b.n, sv, dt)))
+        if (ids.exists(_.isEmpty)) None else Some(pc -> ids.flatten.toSet)
+      }
+    }.toMap
+    if (allowed.isEmpty) return relPaths
+    // per-file bucket values come from the directory path itself
+    relPaths.filter { rel =>
+      val id = specOfRel(rel)
+      val fields = partitionFieldsOfSpec(name, id)
+      val hiveDir = {
+        val cut = rel.lastIndexOf('/')
+        if (cut < 0) "" else {
+          val d = rel.substring(0, cut)
+          if (id == 0) d else d.substring(d.indexOf('/') + 1)
+        }
+      }
+      if (hiveDir.isEmpty) true
+      else {
+        val segs = hiveDir.split('/')
+        fields.zipWithIndex.forall {
+          case (b: PartitionField.PBucket, i)
+              if allowed.contains(b.source) && i < segs.length &&
+                segs(i).startsWith(b.dirName + "=") =>
+            segs(i).substring(b.dirName.length + 1).toIntOption match {
+              case Some(fb) => allowed(b.source).contains(fb)
+              case None     => true // unparseable: fail open
+            }
+          case _ => true
+        }
+      }
+    }
+  }
+
+  /** Prune manifest files by zone overlap with the batch's key bounds —
+    * real zone stats merged (under precedence) with synthetic bounds
+    * from hidden time/truncate partition directories. Files without
+    * stats (or non-comparable bounds) stay candidates. `version` pins
+    * the snapshot whose consolidated stats serve the lookup — a
+    * mutation planning against its base snapshot stays consistent even
+    * when a concurrent commit advances the head. */
   private def pruneByZones(name: String, relPaths: Seq[String],
       bounds: Map[String, (Any, Any)], version: Int): Seq[String] = {
     if (bounds.isEmpty) return relPaths
-    val stats = loadZoneStats(name, relPaths, version)
+    val zs = loadZoneStats(name, relPaths, version)
+    val hs = hiddenPartitionStats(name, relPaths)
+    val stats: Map[String, Map[String, (Any, Any)]] =
+      if (hs.isEmpty) zs
+      else relPaths.flatMap { r =>
+        val m2 = hs.getOrElse(r, Map.empty) ++ zs.getOrElse(r, Map.empty)
+        if (m2.isEmpty) None else Some(r -> m2)
+      }.toMap
     relPaths.filter { rel =>
       stats.get(rel).forall { cols =>
         bounds.forall { case (c, (lo, hi)) =>
@@ -2423,13 +2786,33 @@ final class TableStore(spark: SparkSession, val root: String,
       keyCols: Seq[String]): Map[String, (Any, Any)] = {
     val zc = zoneCols(name)
     val m = physMap(name)
-    val cols = keyCols.filter(c => zc.contains(physOf(m, c)))
+    // hidden time/truncate partition sources prune like zone columns
+    // (their synthetic per-file bounds come from the directory values)
+    val hiddenRange: Set[String] = partitionSpecs(name).flatMap(_._2)
+      .map(PartitionField.parse)
+      .filterNot(f => f.isIdentity || f.isInstanceOf[PartitionField.PBucket])
+      .map(_.source).toSet
+    val cols = keyCols.filter(c => zc.contains(physOf(m, c)) ||
+      hiddenRange.contains(physOf(m, c)))
     if (cols.isEmpty) return Map.empty
     val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
     val row = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // temporal collect types → the stat domain (micros / epoch days as
+    // Long), so bounds compare against zone stats and the synthetic
+    // hidden-partition bounds; other types pass through unchanged
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    def statDomain(v: Any): Any = v match {
+      case t: java.sql.Timestamp      => DateTimeUtils.fromJavaTimestamp(t)
+      case i: java.time.Instant       => DateTimeUtils.instantToMicros(i)
+      case l: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(l)
+      case d: java.sql.Date           => DateTimeUtils.fromJavaDate(d).toLong
+      case d: java.time.LocalDate     => d.toEpochDay
+      case other                      => other
+    }
     cols.zipWithIndex.flatMap { case (c, i) =>
       val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
-      if (lo == null || hi == null) None else Some(physOf(m, c) -> ((lo, hi)))
+      if (lo == null || hi == null) None
+      else Some(physOf(m, c) -> ((statDomain(lo), statDomain(hi))))
     }.toMap
   }
 
@@ -2467,11 +2850,21 @@ final class TableStore(spark: SparkSession, val root: String,
       // logical-named (alignTo / readFiles output). _partitions and
       // _zonecols record physical names, so partitionBy lines up.
       val m = physMap(name)
-      val out = if (m.forall { case (l, p) => l == p }) df
+      val renamed = if (m.forall { case (l, p) => l == p }) df
         else df.toDF(df.columns.map(c => m.getOrElse(c, c)).toSeq: _*)
-      val pCols = partitionCols(name)
+      // hidden-partitioning transforms derive their directory column
+      // here (partitionBy strips it from the files again — the SOURCE
+      // column stays data); identity fields partition on the raw column
+      val fields = partitionFields(name)
+      val sessionZone = spark.sessionState.conf.sessionLocalTimeZone
+      val out = fields.filterNot(_.isIdentity).foldLeft(renamed) { (acc, f) =>
+        val srcType = acc.schema(acc.schema.fieldIndex(f.source)).dataType
+        acc.withColumn(f.dirName, Bridge.column(PartitionField.catalystExpr(
+          f, Bridge.expression(col(s"`${f.source}`")), srcType, sessionZone)))
+      }
+      val dirCols = fields.map(_.dirName)
       val writer = out.write.mode("overwrite")
-      (if (pCols.isEmpty) writer else writer.partitionBy(pCols: _*))
+      (if (dirCols.isEmpty) writer else writer.partitionBy(dirCols: _*))
         .parquet(staging.toString)
       promoteStaged(name, staging, None)
     } finally { fs.delete(staging, true); () } // never strand staging garbage
@@ -2563,20 +2956,25 @@ final class TableStore(spark: SparkSession, val root: String,
   private[tables] def writeLayout(name: String): TableStore.WriteLayout = {
     val sch = schema(name)
     val m = physMap(name)
-    val pPhys = partitionCols(name)
+    val fields = partitionFields(name)
     val physOfIdx = sch.fields.map(f => physOf(m, f.name))
+    // only IDENTITY sources leave the data file (their value is the
+    // directory); hidden-transform sources stay data columns
+    val identitySrc = fields.filter(_.isIdentity).map(_.source).toSet
     val dataIdx = physOfIdx.zipWithIndex.collect {
-      case (p, i) if !pPhys.contains(p) => i
+      case (p, i) if !identitySrc.contains(p) => i
     }
-    val partIdx = pPhys.map(p => physOfIdx.indexOf(p))
+    val partIdx = fields.map(f => physOfIdx.indexOf(f.source))
     require(partIdx.forall(_ >= 0),
-      s"partition columns $pPhys not all present in schema of $name")
+      s"partition sources ${fields.map(_.source)} not all present in " +
+        s"schema of $name")
     TableStore.WriteLayout(
       StructType(dataIdx.map(i => sch.fields(i).copy(name = physOfIdx(i)))),
       dataIdx,
-      pPhys,
+      fields.map(_.dirName),
       partIdx,
-      pPhys.map(p => sch.fields(physOfIdx.indexOf(p)).name))
+      fields.map(f => sch.fields(physOfIdx.indexOf(f.source)).name),
+      fields.map(_.render))
   }
 
   /** Commit an INTENT against the table's history, with optimistic
@@ -2917,13 +3315,17 @@ object TableStore {
   /** See [[TableStore.writeLayout]]. `dataPhysSchema` is the parquet
     * file schema; `dataOrdinals`/`partOrdinals` index the LOGICAL table
     * schema (= the row-level write's incoming row layout);
-    * `partPhysNames` are the hive dir-segment names in spec order. */
+    * `partPhysNames` are the hive dir-segment names in spec order;
+    * `partSpecs` the serialized [[PartitionField]] entries — a task
+    * rebuilds the derived-value expression from them (hidden
+    * partitioning), identity entries render the raw value. */
   final case class WriteLayout(
       dataPhysSchema: org.apache.spark.sql.types.StructType,
       dataOrdinals: Seq[Int],
       partPhysNames: Seq[String],
       partOrdinals: Seq[Int],
-      partLogicalNames: Seq[String])
+      partLogicalNames: Seq[String],
+      partSpecs: Seq[String])
 
   /** Locks older than this are treated as crash debris and reclaimed. */
   val StaleLockMs: Long = 10 * 60 * 1000L

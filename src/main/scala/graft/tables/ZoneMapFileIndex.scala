@@ -260,7 +260,9 @@ final class ZoneMapFileIndex(
     bloomLoad: (String, String) => Option[org.apache.spark.util.sketch.BloomFilter] =
       (_, _) => None,
     val totalRows: Option[Long] = None,
-    val columnBounds: Map[String, (Any, Any)] = Map.empty) extends FileIndex {
+    val columnBounds: Map[String, (Any, Any)] = Map.empty,
+    buckets: Map[String, Map[String, (Int, Int, org.apache.spark.sql.types.DataType)]] =
+      Map.empty) extends FileIndex {
 
   /** Unpartitioned: one anonymous group holding every file. */
   def this(statuses: Seq[FileStatus],
@@ -302,14 +304,42 @@ final class ZoneMapFileIndex(
         groups.filter { case (values, _) => pred.eval(values) }
       }
     val bounds = ZoneStats.filterBounds(dataFilters)
-    val probes =
-      if (bloomCols.isEmpty) Nil
+    val eqp =
+      if (bloomCols.isEmpty && buckets.isEmpty) Nil
       else ZoneStats.eqProbes(dataFilters)
-        .filter { case (c, _) => bloomCols.contains(c) }
+    val probes = eqp.filter { case (c, _) => bloomCols.contains(c) }
+    // hidden bucket partitioning: an equality/IN conjunct on a bucketed
+    // SOURCE column prunes every file whose directory bucket none of the
+    // candidate values hashes into — zero sidecar reads, pure arithmetic.
+    // Bucket ids per (n, value) are memoized across files.
+    val bucketProbeCols: Set[String] =
+      if (buckets.isEmpty) Set.empty
+      else eqp.map(_._1).toSet.intersect(
+        buckets.valuesIterator.flatMap(_.keysIterator).toSet)
+    val bucketIdCache = scala.collection.mutable.Map.empty[(Int, Any), Option[Int]]
+    def survivesBuckets(path: String): Boolean = {
+      if (bucketProbeCols.isEmpty) return true
+      val fb = buckets.getOrElse(path, Map.empty)
+      eqp.forall { case (c, vs) =>
+        fb.get(c) match {
+          case None => true
+          case Some((n, b, dt)) => vs.exists { v =>
+            bucketIdCache.getOrElseUpdate((n, v),
+              PartitionField.bucketOf(n, v, dt)) match {
+              case Some(id) => id == b
+              case None     => true // out-of-domain value: fail open
+            }
+          }
+        }
+      }
+    }
     val out = partPruned.map { case (values, statuses) =>
+      val bucketSurviving =
+        if (bucketProbeCols.isEmpty) statuses
+        else statuses.filter(st => survivesBuckets(st.getPath.toString))
       val zoneSurviving =
-        if (bounds.isEmpty) statuses
-        else statuses.filter { st =>
+        if (bounds.isEmpty) bucketSurviving
+        else bucketSurviving.filter { st =>
           stats.get(st.getPath.toString).forall { cols =>
             bounds.forall { case (c, qlo, qhi) =>
               cols.get(c).forall { case (mn, mx) =>
