@@ -823,7 +823,11 @@ object TableQueries {
     Q("tbl_sql_merge", tblSqlMerge, Some(tblSqlMergeSql)),
     Q("tbl_hidden_partition", TableQueries2.tblHiddenPartition,
       Some(TableQueries2.tblHiddenPartitionSql)),
-    Q("tbl_sql_mor", TableQueries2.tblSqlMor, Some(TableQueries2.tblSqlMorSql)))
+    Q("tbl_sql_mor", TableQueries2.tblSqlMor, Some(TableQueries2.tblSqlMorSql)),
+    Q("tbl_nested_evolution", TableQueries2.tblNestedEvolution,
+      Some(TableQueries2.tblNestedEvolutionSql)),
+    Q("tbl_pos_delete", TableQueries2.tblPosDelete,
+      Some(TableQueries2.tblPosDeleteSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -911,5 +915,79 @@ object TableQueries2 {
       |WHERE o_orderkey <> 7
       |  AND o_orderkey NOT IN (100, 101, 102, 103)
       |  AND o_orderstatus <> 'P'
+      |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
+  /** Nested schema evolution under the oracle: orders lands as a STRUCT
+    * payload, a nested field is ADDED between two appends (old files
+    * backfill null), the original nested field is RENAMED — both
+    * metadata-only — and a CoW delete then rewrites files ACROSS the
+    * evolution boundary. The flattened read must equal the plain SQL
+    * reconstruction; physical-name stability and pruning are spec-pinned
+    * in NestedEvolutionSpec. */
+  private[ops] def tblNestedEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct}
+    import org.apache.spark.sql.types.DoubleType
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-nested", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+    val batch1 = ord.filter(col("o_orderkey") <= 7500L)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price")).as("payload"))
+    store.create("orders", batch1.schema, overwrite = true)
+    store.append("orders", batch1)
+    store.addNestedField("orders", Seq("payload", "disc"), DoubleType)
+    store.append("orders", ord.filter(col("o_orderkey") > 7500L)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"),
+          (col("o_totalprice") * 0.1).as("disc")).as("payload")))
+    store.renameNestedField("orders", Seq("payload", "status"), "state")
+    store.delete("orders", col("o_orderkey") % 13 === 0)
+    store.read("orders")
+      .select(col("o_orderkey"), col("payload.state").as("state"),
+        col("payload.price").as("price"), col("payload.disc").as("disc"))
+      .orderBy("o_orderkey")
+  }
+
+  private[ops] val tblNestedEvolutionSql =
+    """SELECT o_orderkey, o_orderstatus AS state, o_totalprice AS price,
+      |  CASE WHEN o_orderkey > 7500 THEN o_totalprice * 0.1 END AS disc
+      |FROM orders WHERE o_orderkey % 13 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Position deletes under the oracle (the Iceberg v2 positional
+    * flavor): a PREDICATE-shaped delete — no key columns at all —
+    * commits (file, row-ordinal) sidecars metadata-only (file count
+    * require()d unchanged), a later append re-inserts a subset untouched
+    * by the mask (its file is named in no sidecar), and the read runs
+    * with the delete still PENDING. Folding is spec-pinned in
+    * PosDeleteSpec. */
+  private[ops] def tblPosDelete(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-posdel", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("orders", ord.repartitionByRange(8, col("o_orderkey")))
+    val filesBefore = store.currentRelPaths("orders").size
+    store.deletePos("orders", col("o_custkey") % 11 === 0)
+    require(store.currentRelPaths("orders").size == filesBefore,
+      "position delete must not rewrite data files")
+    require(store.pendingDeletes("orders") == 1)
+    store.append("orders", ord.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_totalprice", lit(1.0)))
+    store.read("orders")
+      .orderBy("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  }
+
+  private[ops] val tblPosDeleteSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_custkey % 11 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, 1.0 AS o_totalprice
+      |FROM orders WHERE o_orderkey % 1000 = 0
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
 }

@@ -220,19 +220,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!store.exists(n)) throw new NoSuchTableException(ident)
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          "nested ADD COLUMN is not supported")
-        store.addColumns(n, StructType(Seq(
-          org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType(), nullable = true))))
+        if (add.fieldNames().length == 1)
+          store.addColumns(n, StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              add.fieldNames()(0), add.dataType(), nullable = true))))
+        else store.addNestedField(n, add.fieldNames().toSeq, add.dataType())
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames().length == 1,
-          "nested RENAME COLUMN is not supported")
-        store.renameColumn(n, ren.fieldNames()(0), ren.newName())
+        if (ren.fieldNames().length == 1)
+          store.renameColumn(n, ren.fieldNames()(0), ren.newName())
+        else store.renameNestedField(n, ren.fieldNames().toSeq, ren.newName())
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames().length == 1,
-          "nested DROP COLUMN is not supported")
-        store.dropColumn(n, del.fieldNames()(0))
+        if (del.fieldNames().length == 1)
+          store.dropColumn(n, del.fieldNames()(0))
+        else store.dropNestedField(n, del.fieldNames().toSeq)
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames().length == 1,
           "nested ALTER COLUMN TYPE is not supported")

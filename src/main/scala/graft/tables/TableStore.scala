@@ -244,15 +244,20 @@ final class TableStore(spark: SparkSession, val root: String,
       fs.delete(d, true)
     }
     catalogCache -= name // a re-created table starts with identity mapping
+    nestedCache -= name
     // partitionBy entries may be hidden-partitioning transforms
     // (`days(ts)`, `bucket(8,key)`, ... — see [[PartitionField]]); bare
     // names are classic identity layout
     val pFields = partitionBy.map(PartitionField.parse)
     validatePartitionFields(schema, pFields)
-    (zoneCols ++ bloomCols).foreach(c =>
+    bloomCols.foreach(c =>
       require(schema.fieldNames.contains(c), s"column $c not in schema"))
     zoneCols.foreach { c =>
-      val dt = schema(schema.fieldIndex(c)).dataType
+      // zone columns may be DOTTED nested paths (`a.b`): stats aggregate
+      // via getField and pruning matches GetStructField chains
+      val f = NestedSchema.resolve(schema, c.split('.').toSeq).getOrElse(
+        sys.error(s"column $c not in schema"))
+      val dt = f.dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
         dt == org.apache.spark.sql.types.StringType,
         s"zone column $c must be numeric or string, got ${dt.simpleString}")
@@ -462,6 +467,7 @@ final class TableStore(spark: SparkSession, val root: String,
     fs.delete(tdir(name), true)
     coord.clear(name)
     catalogCache -= name
+    nestedCache -= name
     ()
   }
 
@@ -504,6 +510,8 @@ final class TableStore(spark: SparkSession, val root: String,
       }
       catalogCache -= name
       catalogCache -= to
+      nestedCache -= name
+      nestedCache -= to
     } finally { fs.delete(moved, false); fs.delete(lock, false); () }
   }
 
@@ -681,6 +689,275 @@ final class TableStore(spark: SparkSession, val root: String,
     catalogCache += (name -> Some(c)) // write-through
   }
 
+  // ---- nested field catalog: rename/drop/add INSIDE structs ----------------
+
+  /** `_nested.json`: per PHYSICAL parent path (dotted), the logical→
+    * physical leaf-name map plus retired physical names — the nested
+    * extension of the top-level field-id catalog, same rules: a rename
+    * changes only the logical name, data files keep writing/reading the
+    * physical name; a dropped leaf's physical name stays reserved so a
+    * re-added field never resurrects dead bytes. `added` records the
+    * PHYSICAL dotted paths of fields added after create — the only
+    * nested fields a writer may omit (align backfills null). */
+  private case class NestedParent(next: Int, fields: Seq[(String, String)],
+      dropped: Seq[String])
+  private case class NestedCatalog(parents: Map[String, NestedParent],
+      added: Seq[String]) {
+    def isEmpty: Boolean = parents.isEmpty && added.isEmpty
+  }
+
+  private def nestedPath(name: String): HPath =
+    new HPath(tdir(name), "_nested.json")
+
+  @volatile private var nestedCache: Map[String, NestedCatalog] = Map.empty
+
+  private def readNested(name: String): NestedCatalog =
+    nestedCache.getOrElse(name, {
+      val loaded = loadNested(name)
+      nestedCache += (name -> loaded)
+      loaded
+    })
+
+  private def loadNested(name: String): NestedCatalog = {
+    val p = nestedPath(name)
+    if (!fs.exists(p)) NestedCatalog(Map.empty, Nil)
+    else {
+      import scala.jdk.CollectionConverters._
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(p))
+      val parents = Option(root.get("parents")).map { node =>
+        node.properties().asScala.map { e =>
+          val v = e.getValue
+          e.getKey -> NestedParent(
+            v.get("next").intValue(),
+            v.get("fields").elements().asScala.map(f =>
+              (f.get(0).textValue(), f.get(1).textValue())).toSeq,
+            v.get("dropped").elements().asScala.map(_.textValue()).toSeq)
+        }.toMap
+      }.getOrElse(Map.empty[String, NestedParent])
+      val added = Option(root.get("added")).map(
+        _.elements().asScala.map(_.textValue()).toSeq).getOrElse(Nil)
+      NestedCatalog(parents, added)
+    }
+  }
+
+  private def writeNested(name: String, c: NestedCatalog): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val ps = root.putObject("parents")
+    c.parents.toSeq.sortBy(_._1).foreach { case (k, rec) =>
+      val o = ps.putObject(k)
+      o.put("next", rec.next)
+      val fa = o.putArray("fields")
+      rec.fields.foreach { case (l, p) =>
+        val pair = fa.addArray(); pair.add(l); pair.add(p); ()
+      }
+      val da = o.putArray("dropped")
+      rec.dropped.foreach(da.add)
+      ()
+    }
+    val aa = root.putArray("added")
+    c.added.foreach(aa.add)
+    atomicWrite(nestedPath(name), mapper.writeValueAsString(root))
+    nestedCache += (name -> c)
+  }
+
+  /** Full PHYSICAL schema: top-level field-id renames composed with the
+    * nested catalog's leaf renames — same shape as the logical schema,
+    * physical names at every level. This is the schema data files are
+    * written and read under. */
+  private def physSchema(name: String): StructType = {
+    val m = physMap(name)
+    val nc = readNested(name)
+    def walk(fields: Array[StructField], parentPhys: String,
+        top: Boolean): Array[StructField] =
+      fields.map { f =>
+        val phys =
+          if (top) physOf(m, f.name)
+          else nc.parents.get(parentPhys)
+            .flatMap(_.fields.find(_._1 == f.name).map(_._2))
+            .getOrElse(f.name)
+        val dt = f.dataType match {
+          case st: StructType =>
+            val pp = if (parentPhys.isEmpty) phys else s"$parentPhys.$phys"
+            StructType(walk(st.fields, pp, top = false))
+          case other => other
+        }
+        f.copy(name = phys, dataType = dt)
+      }
+    StructType(walk(schema(name).fields, "", top = true))
+  }
+
+  /** physical → logical projection columns (read side). */
+  private def logicalProjection(name: String, sch: StructType,
+      ph: StructType): Seq[Column] =
+    sch.fields.zip(ph.fields).map { case (lf, pf) =>
+      NestedSchema.relabel(col(s"`${pf.name}`"), pf, lf)
+    }.toSeq
+
+  /** logical → physical projection (write side); identity frames pass
+    * through untouched. */
+  private def physicalProjection(name: String, df: DataFrame): DataFrame = {
+    val sch = schema(name)
+    val ph = physSchema(name)
+    val identical = sch.fields.zip(ph.fields).forall { case (lf, pf) =>
+      lf.name == pf.name && NestedSchema.congruentNames(lf.dataType, pf.dataType)
+    }
+    if (identical) df
+    else df.select(sch.fields.zip(ph.fields).map { case (lf, pf) =>
+      NestedSchema.relabel(col(s"`${lf.name}`"), lf, pf)
+    }.toSeq: _*)
+  }
+
+  /** LOGICAL dotted paths of nested fields added after create (the only
+    * ones align may backfill). */
+  private def addedNestedLogical(name: String): Set[String] = {
+    val nc = readNested(name)
+    if (nc.added.isEmpty) Set.empty
+    else {
+      val addedPhys = nc.added.toSet
+      NestedSchema.pathPairs(schema(name), physSchema(name))
+        .collect { case (lp, pp) if addedPhys.contains(pp) => lp }.toSet
+    }
+  }
+
+  /** Physical parent path of a LOGICAL parent path (resolving each
+    * segment through the catalogs). */
+  private def physParentPath(name: String, parent: Seq[String]): String = {
+    val lp = parent.mkString(".")
+    NestedSchema.pathPairs(schema(name), physSchema(name))
+      .find(_._1 == lp).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"no such struct path $lp in table $name"))
+  }
+
+  /** Add a NULLABLE field inside a struct — metadata-only, like
+    * [[addColumns]]: old files lack the subfield and every read
+    * backfills null through the explicit-schema parquet scan (nested
+    * schema evolution); writers may omit it until they upgrade. `path`
+    * = parent struct segments + new leaf name, logical. */
+  def addNestedField(name: String, path: Seq[String],
+      dataType: org.apache.spark.sql.types.DataType): Unit = {
+    require(path.length >= 2, "addNestedField needs parent.leaf — use " +
+      "addColumns for top-level columns")
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val cur = schema(name)
+      val parent = path.init
+      val leaf = path.last
+      val parentField = NestedSchema.resolve(cur, parent).getOrElse(
+        sys.error(s"no such struct path ${parent.mkString(".")} in $name"))
+      val parentType = parentField.dataType match {
+        case st: StructType => st
+        case other => sys.error(s"${parent.mkString(".")} is " +
+          s"${other.simpleString}, not a struct")
+      }
+      require(!parentType.fieldNames.exists(_.equalsIgnoreCase(leaf)),
+        s"field ${path.mkString(".")} already exists")
+      val pp = physParentPath(name, parent)
+      val nc = readNested(name)
+      val rec = nc.parents.getOrElse(pp, {
+        // materialize identity for this parent so freshness checks see
+        // every live physical name
+        NestedParent(parentType.fields.length + 1,
+          parentType.fields.map(f => f.name -> f.name).toSeq, Nil)
+      })
+      val used = (rec.fields.map(_._2) ++ rec.dropped ++
+        parentType.fieldNames).map(_.toLowerCase).toSet
+      var physLeaf = leaf
+      var i = rec.next
+      while (used.contains(physLeaf.toLowerCase)) {
+        physLeaf = s"${leaf}__$i"; i += 1
+      }
+      val nextRec = rec.copy(next = i + 1,
+        fields = rec.fields :+ (leaf -> physLeaf))
+      writeNested(name, nc.copy(
+        parents = nc.parents + (pp -> nextRec),
+        added = nc.added :+ s"$pp.$physLeaf"))
+      atomicWrite(new HPath(tdir(name), "_schema.json"),
+        NestedSchema.updateAt(cur, parent, st =>
+          StructType(st.fields :+ StructField(leaf, dataType,
+            nullable = true))).json)
+    } finally { fs.delete(lock, false); () }
+  }
+
+  /** Metadata-only rename of a nested field: only the LOGICAL name
+    * changes; every data file keeps the physical name. */
+  def renameNestedField(name: String, path: Seq[String], to: String): Unit = {
+    require(path.length >= 2, "renameNestedField needs parent.leaf — " +
+      "use renameColumn for top-level columns")
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val cur = schema(name)
+      val parent = path.init
+      val leaf = path.last
+      require(to.nonEmpty && !to.contains('.'), s"invalid field name: $to")
+      val parentType = NestedSchema.resolve(cur, parent)
+        .map(_.dataType).collect { case st: StructType => st }.getOrElse(
+          sys.error(s"no such struct path ${parent.mkString(".")} in $name"))
+      require(parentType.fieldNames.contains(leaf),
+        s"no such field ${path.mkString(".")} in $name")
+      require(!parentType.fieldNames.exists(f =>
+        f != leaf && f.equalsIgnoreCase(to)),
+        s"field ${(parent :+ to).mkString(".")} already exists")
+      val pp = physParentPath(name, parent)
+      val nc = readNested(name)
+      val rec = nc.parents.getOrElse(pp,
+        NestedParent(parentType.fields.length + 1,
+          parentType.fields.map(f => f.name -> f.name).toSeq, Nil))
+      writeNested(name, nc.copy(parents = nc.parents + (pp -> rec.copy(
+        fields = rec.fields.map { case (l, p) =>
+          if (l == leaf) (to, p) else (l, p) }))))
+      atomicWrite(new HPath(tdir(name), "_schema.json"),
+        NestedSchema.updateAt(cur, parent, st =>
+          StructType(st.fields.map(f =>
+            if (f.name == leaf) f.copy(name = to) else f))).json)
+    } finally { fs.delete(lock, false); () }
+  }
+
+  /** Metadata-only drop of a nested field: the leaf leaves the schema
+    * (its physical name stays reserved), data files keep the bytes but
+    * no read ever requests them again — parquet reads only the
+    * requested subset of a struct's fields. */
+  def dropNestedField(name: String, path: Seq[String]): Unit = {
+    require(path.length >= 2, "dropNestedField needs parent.leaf — " +
+      "use dropColumn for top-level columns")
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val cur = schema(name)
+      val parent = path.init
+      val leaf = path.last
+      val parentType = NestedSchema.resolve(cur, parent)
+        .map(_.dataType).collect { case st: StructType => st }.getOrElse(
+          sys.error(s"no such struct path ${parent.mkString(".")} in $name"))
+      require(parentType.fieldNames.contains(leaf),
+        s"no such field ${path.mkString(".")} in $name")
+      require(parentType.fields.length > 1,
+        s"cannot drop the last field of struct ${parent.mkString(".")}")
+      val pp = physParentPath(name, parent)
+      val physLeafPath = NestedSchema.pathPairs(cur, physSchema(name))
+        .find(_._1 == path.mkString(".")).map(_._2).get
+      require(!zoneCols(name).contains(physLeafPath),
+        s"cannot drop zone column ${path.mkString(".")}")
+      val nc = readNested(name)
+      val rec = nc.parents.getOrElse(pp,
+        NestedParent(parentType.fields.length + 1,
+          parentType.fields.map(f => f.name -> f.name).toSeq, Nil))
+      val physLeaf = rec.fields.find(_._1 == leaf).map(_._2).getOrElse(leaf)
+      writeNested(name, nc.copy(
+        parents = nc.parents + (pp -> rec.copy(
+          fields = rec.fields.filterNot(_._1 == leaf),
+          dropped = rec.dropped :+ physLeaf)),
+        added = nc.added.filterNot(_ == s"$pp.$physLeaf")))
+      atomicWrite(new HPath(tdir(name), "_schema.json"),
+        NestedSchema.updateAt(cur, parent, st =>
+          StructType(st.fields.filterNot(_.name == leaf))).json)
+    } finally { fs.delete(lock, false); () }
+  }
+
   /** Catalog with identity ids, created from the live schema on the first
     * rename/drop (legacy tables evolve in place). */
   private def materializeCatalog(name: String): FieldCatalog =
@@ -761,7 +1038,9 @@ final class TableStore(spark: SparkSession, val root: String,
       val m = physMap(name)
       require(!allPartitionSources(name).contains(physOf(m, colName)),
         s"cannot drop partition column $colName")
-      require(!zoneCols(name).contains(physOf(m, colName)),
+      // dotted zone paths pin their whole ancestor chain
+      require(!zoneCols(name).exists(z => z == physOf(m, colName) ||
+        z.startsWith(physOf(m, colName) + ".")),
         s"cannot drop zone column $colName")
       require(!bloomCols(name).contains(physOf(m, colName)),
         s"cannot drop bloom column $colName")
@@ -904,23 +1183,28 @@ final class TableStore(spark: SparkSession, val root: String,
     * a mixed read falls back to scanning, and [[compact]] restores the
     * single-generation fast path. */
   private def indexedRead(name: String, rels: Seq[String],
-      version: Int): DataFrame = {
+      version: Int, rowPos: Boolean = false): DataFrame = {
     val bySpec = rels.groupBy(specOfRel)
     if (bySpec.size <= 1)
       indexedReadSpec(name, bySpec.headOption.map(_._1).getOrElse(0),
-        rels, version)
+        rels, version, rowPos)
     else
       bySpec.toSeq.sortBy(_._1)
-        .map { case (id, rs) => indexedReadSpec(name, id, rs, version) }
+        .map { case (id, rs) => indexedReadSpec(name, id, rs, version, rowPos) }
         .reduce(_ unionByName _)
   }
 
   private def indexedReadSpec(name: String, specId: Int, rels: Seq[String],
-      version: Int): DataFrame = {
-    if (rels.isEmpty) return readFiles(name, Nil)
+      version: Int, rowPos: Boolean = false): DataFrame = {
+    if (rels.isEmpty) {
+      val base = readFiles(name, Nil)
+      return if (!rowPos) base
+        else base.withColumn(TableStore.PosFileCol,
+          lit(null).cast(StringType))
+          .withColumn(TableStore.PosIdxCol, lit(null).cast(LongType))
+    }
     val sch = schema(name)
-    val m = physMap(name)
-    val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
+    val physSch = physSchema(name) // incl. nested leaf renames
     // physical names, layout order, THIS generation's spec — possibly
     // hidden-partitioning transforms (derived directory values)
     val pFields = partitionFieldsOfSpec(name, specId)
@@ -1055,8 +1339,19 @@ final class TableStore(spark: SparkSession, val root: String,
     MetadataAggregateRule.register(spark)
     val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
-    Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
-      .select(sch.fields.map(f => col(physOf(m, f.name)).as(f.name)).toSeq: _*)
+    val raw = Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+    // position-delete support: surface (file rel path, row ordinal) from
+    // the scan's hidden _metadata — resolvable only HERE, directly above
+    // the file relation, before any projection cuts it. The rel path is
+    // recovered as the segment after the LAST "/data/" (partition values
+    // escape '/', so no later segment can contain it).
+    val posCols =
+      if (!rowPos) Nil
+      else Seq(
+        element_at(split(col("_metadata.file_path"), "/data/"), -1)
+          .as(TableStore.PosFileCol),
+        col("_metadata.row_index").as(TableStore.PosIdxCol))
+    raw.select(logicalProjection(name, sch, physSch) ++ posCols: _*)
   }
 
   /** Parsed partition values of one hive-style directory (`a=1/b=x`), in
@@ -1569,14 +1864,14 @@ final class TableStore(spark: SparkSession, val root: String,
     val sch = schema(name)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), sch)
-    // files carry PHYSICAL column names (fixed at field creation); read
-    // under the physical schema, surface logical names — a renamed column
-    // reads back from every snapshot without any file rewrite. Grouped by
-    // partition-spec generation: each generation reads under its OWN
-    // basePath so hive discovery fills exactly its spec's columns from
-    // the directory names (the rest are data columns in the files).
-    val m = physMap(name)
-    val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
+    // files carry PHYSICAL column names (fixed at field creation, at
+    // every nesting level); read under the physical schema, surface
+    // logical names — a renamed column reads back from every snapshot
+    // without any file rewrite. Grouped by partition-spec generation:
+    // each generation reads under its OWN basePath so hive discovery
+    // fills exactly its spec's columns from the directory names (the
+    // rest are data columns in the files).
+    val physSch = physSchema(name)
     val dd = fs.makeQualified(dataDir(name)).toString
     def relOf(p: String): String =
       fs.makeQualified(new HPath(p)).toString.stripPrefix(dd + "/")
@@ -1601,8 +1896,7 @@ final class TableStore(spark: SparkSession, val root: String,
               .option("basePath", specBaseDir(name, id).toString)
               .parquet(fls: _*)
           }
-        raw.select(sch.fields.map(f =>
-          col(physOf(m, f.name)).as(f.name)).toSeq: _*)
+        raw.select(logicalProjection(name, sch, physSch): _*)
       }.reduce(_ unionByName _)
   }
 
@@ -1737,22 +2031,28 @@ final class TableStore(spark: SparkSession, val root: String,
     * (the anti-join sits between scan and aggregate, so the rule cannot
     * fire on a masked class by construction). */
   private def morMasked(name: String, rels: Seq[String],
-      version: Int): DataFrame = {
+      version: Int, rowPos: Boolean = false): DataFrame = {
     val entries = readDeleteEntries(name, version)
-    if (entries.isEmpty) return indexedRead(name, rels, version)
+    if (entries.isEmpty) return indexedRead(name, rels, version, rowPos)
+    // position deletes mask by (file, row ordinal) — inherently
+    // file-scoped, so the sequence-class machinery below only governs
+    // the EQUALITY entries; pos masks apply to the whole union and are
+    // no-ops for files their sidecars never name
+    val (posE, eqE) = entries.partition(_.cols == Seq(TableStore.PosMarker))
+    val needPos = posE.nonEmpty || rowPos
     val seqs = readSeqs(name, version)
-    val delSeqs = entries.map(_.seq).distinct.sorted
+    val delSeqs = eqE.map(_.seq).distinct.sorted
     val inv = invPhysMap(name) // physical -> live logical name
-    entries.foreach(e => e.cols.foreach(pc =>
+    eqE.foreach(e => e.cols.foreach(pc =>
       require(inv.contains(pc), s"pending delete on $name keys column " +
         s"$pc which is no longer in the schema")))
     def classOf(r: String): Int = delSeqs.count(_ > seqs.getOrElse(r, 0))
-    rels.groupBy(classOf).toSeq.sortBy(_._1).map { case (c, rs) =>
-      val base = indexedRead(name, rs, version)
+    val eqMasked = rels.groupBy(classOf).toSeq.sortBy(_._1).map { case (c, rs) =>
+      val base = indexedRead(name, rs, version, needPos)
       if (c == 0) base
       else {
         val applicable = delSeqs.takeRight(c).toSet
-        entries.filter(e => applicable.contains(e.seq))
+        eqE.filter(e => applicable.contains(e.seq))
           .groupBy(_.cols).foldLeft(base) { case (acc, (pcols, es)) =>
             val keys = es.map(e => spark.read.parquet(
                 new HPath(deletesDir(name), e.rel).toString))
@@ -1764,6 +2064,44 @@ final class TableStore(spark: SparkSession, val root: String,
           }
       }
     }.reduce(_ unionByName _)
+    val posMasked =
+      if (posE.isEmpty) eqMasked
+      else {
+        val pairs = posE.map(e => spark.read.parquet(
+            new HPath(deletesDir(name), e.rel).toString))
+          .reduce(_ unionByName _).distinct()
+          .toDF(TableStore.PosFileCol, TableStore.PosIdxCol)
+        eqMasked.join(pairs,
+          Seq(TableStore.PosFileCol, TableStore.PosIdxCol), "left_anti")
+      }
+    if (rowPos) posMasked
+    else if (needPos)
+      posMasked.drop(TableStore.PosFileCol, TableStore.PosIdxCol)
+    else posMasked
+  }
+
+  /** Position-delete: record the (file, row ordinal) of every row
+    * matching `cond` as a positional delete sidecar and commit METADATA
+    * ONLY — the second merge-on-read flavor (Iceberg's position delete
+    * files). Cheaper than equality deletes when rows are identified by
+    * predicate rather than key (no key columns needed, and masking is an
+    * exact file-scoped anti-join instead of key comparisons). The scan
+    * that finds ordinals is zone/bloom-pruned like any read; rows
+    * already masked by PENDING deletes are never re-recorded. A later
+    * append is untouched by construction — its file is named in no
+    * sidecar. */
+  def deletePos(name: String, cond: Column): Unit = {
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val rels = readLines(new HPath(tdir(name), baseManifest))
+    if (rels.isEmpty) return
+    val hits = morMasked(name, rels, base, rowPos = true)
+      .filter(cond)
+      .select(col(TableStore.PosFileCol), col(TableStore.PosIdxCol))
+    val rel = s"pos-${java.util.UUID.randomUUID()}"
+    hits.write.parquet(new HPath(deletesDir(name), rel).toString)
+    commitManifest(name, base, Set.empty, Nil, Nil,
+      newDeletes = Seq((rel, Seq(TableStore.PosMarker))))
   }
 
   /** Folds every pending equality delete into the data files: rewrites
@@ -1778,52 +2116,65 @@ final class TableStore(spark: SparkSession, val root: String,
     val entries = readDeleteEntries(name, base)
     if (entries.isEmpty) return
     val rels = readLines(new HPath(tdir(name), baseManifest))
+    val (posE, eqE) = entries.partition(_.cols == Seq(TableStore.PosMarker))
     val seqs = readSeqs(name, base)
-    val delSeqs = entries.map(_.seq).distinct.sorted
+    val delSeqs = eqE.map(_.seq).distinct.sorted
     val inv = invPhysMap(name)
     def classOf(r: String): Int = delSeqs.count(_ > seqs.getOrElse(r, 0))
-    val rewrittenOld = Seq.newBuilder[String]
-    val rewrittenNew = Seq.newBuilder[String]
-    rels.groupBy(classOf).toSeq.sortBy(_._1).foreach { case (c, rs) =>
-      if (c > 0) {
-        val applicable = delSeqs.takeRight(c).toSet
-        val live = entries.filter(e => applicable.contains(e.seq))
-        // prune: a file whose zones/blooms cannot contain ANY applicable
-        // key set keeps its bytes — candidate union across key groups
-        val candidates = live.groupBy(_.cols).flatMap { case (pcols, es) =>
-          val keys = es.map(e => spark.read.parquet(
-              new HPath(deletesDir(name), e.rel).toString))
-            .reduce(_ unionByName _).distinct()
-          val logical = pcols.map(inv)
-          val keyDf = keys.select(pcols.zip(logical).map {
-            case (p, l) => col(s"`$p`").as(l) }: _*)
-          pruneByBlooms(name,
-            pruneByBucketDirs(name,
-              pruneByZones(name, rs, keyBounds(name, keyDf, logical), base),
-              keyDf, logical),
-            keyDf, logical, base)
-        }.toSet
-        if (candidates.nonEmpty) {
-          val paths = candidates.toSeq.sorted
-            .map(r => new HPath(dataDir(name), r).toString)
-          val survivors = live.groupBy(_.cols)
-            .foldLeft(readFiles(name, paths)) { case (acc, (pcols, es)) =>
+    // candidate files for EQUALITY entries: per class, zone/bloom/bucket
+    // pruning against the key sets — a file whose stats prove it holds
+    // none of the keys keeps its bytes
+    val eqCandidates: Set[String] =
+      rels.groupBy(classOf).toSeq.flatMap { case (c, rs) =>
+        if (c == 0) Nil
+        else {
+          val applicable = delSeqs.takeRight(c).toSet
+          eqE.filter(e => applicable.contains(e.seq))
+            .groupBy(_.cols).flatMap { case (pcols, es) =>
               val keys = es.map(e => spark.read.parquet(
                   new HPath(deletesDir(name), e.rel).toString))
                 .reduce(_ unionByName _).distinct()
               val logical = pcols.map(inv)
               val keyDf = keys.select(pcols.zip(logical).map {
                 case (p, l) => col(s"`$p`").as(l) }: _*)
-              acc.join(keyDf, logical, "left_anti")
+              pruneByBlooms(name,
+                pruneByBucketDirs(name,
+                  pruneByZones(name, rs, keyBounds(name, keyDf, logical), base),
+                  keyDf, logical),
+                keyDf, logical, base)
             }
-          rewrittenOld ++= candidates.toSeq
-          rewrittenNew ++= writeDataFiles(name, survivors)
         }
+      }.toSet
+    // candidate files for POSITION entries: exactly the files their
+    // sidecars name (still live) — no scan needed to find them
+    val posCandidates: Set[String] =
+      if (posE.isEmpty) Set.empty
+      else {
+        val named = posE.map(e => spark.read.parquet(
+            new HPath(deletesDir(name), e.rel).toString))
+          .reduce(_ unionByName _)
+          .select(col(col0Name(posE)).as("f")).distinct()
+          .collect().map(_.getString(0)).toSet
+        rels.filter(named.contains).toSet
       }
-    }
-    commitManifest(name, base, rewrittenOld.result().toSet,
-      rewrittenNew.result(), Nil, dropDeletes = true)
+    val candidates = eqCandidates ++ posCandidates
+    val rewritten =
+      if (candidates.isEmpty) Nil
+      else {
+        // rewrite candidates with their fully-masked content — the
+        // masked read itself applies exactly the right deletes per
+        // sequence class, so a file touched by BOTH kinds is rewritten
+        // once with both applied
+        val survivors = morMasked(name, candidates.toSeq.sorted, base)
+        writeDataFiles(name, survivors)
+      }
+    commitManifest(name, base, candidates, rewritten, Nil,
+      dropDeletes = true)
   }
+
+  /** First column name of a positional sidecar (written as
+    * (PosFileCol, PosIdxCol); tolerated by name for forward compat). */
+  private def col0Name(posE: Seq[DeleteEntry]): String = TableStore.PosFileCol
 
   /** Net CDC application in ONE snapshot commit: drop every row whose key
     * appears in `keys`, then add `newRows` — the atomic replacement for the
@@ -2273,9 +2624,7 @@ final class TableStore(spark: SparkSession, val root: String,
       }
       return
     }
-    val m = physMap(name)
-    val sch = StructType(schema(name).fields.map(f =>
-      f.copy(name = physOf(m, f.name))))
+    val sch = physSchema(name)
     val paths = relPaths.map(r => new HPath(dataDir(name), r).toString)
     // ONE job for all fresh files (grouped by file), not one per file —
     // the data is page-cache hot right after the write. Row counts and
@@ -2656,9 +3005,7 @@ final class TableStore(spark: SparkSession, val root: String,
     val specs = partitionSpecs(name)
     if (!specs.exists(_._2.exists(s => s.contains('(') && !s.startsWith("bucket"))))
       return Map.empty
-    val sch = schema(name)
-    val m = physMap(name)
-    val physSch = StructType(sch.fields.map(f => f.copy(name = physOf(m, f.name))))
+    val physSch = physSchema(name)
     val sessionZone = spark.sessionState.conf.sessionLocalTimeZone
     relPaths.groupBy(specOfRel).toSeq.flatMap { case (id, rels) =>
       val fields = partitionFieldsOfSpec(name, id)
@@ -2824,15 +3171,21 @@ final class TableStore(spark: SparkSession, val root: String,
     * missing any create-time column fails loudly, so a misspelled column
     * stays an error instead of silently committing nulls. */
   private def alignTo(name: String, sch: StructType, df: DataFrame): DataFrame = {
-    val have = df.columns.toSet
+    val have = df.schema.fields.map(f => f.name -> f).toMap
     lazy val evolved = evolvedCols(name)
+    lazy val addedNested = addedNestedLogical(name)
     df.select(sch.fields.map { f =>
-      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else {
-        require(evolved.contains(f.name),
-          s"incoming data for table $name lacks column ${f.name} " +
-            "(only columns added by addColumns may be omitted)")
-        lit(null).cast(f.dataType).as(f.name)
+      have.get(f.name) match {
+        case Some(in) =>
+          // nested-aware align: structs rebuild so that fields added by
+          // addNestedField backfill null for pre-evolution producers
+          NestedSchema.align(name, col(s"`${f.name}`"), in.dataType,
+            f.dataType, f.name, addedNested.contains).as(f.name)
+        case None =>
+          require(evolved.contains(f.name),
+            s"incoming data for table $name lacks column ${f.name} " +
+              "(only columns added by addColumns may be omitted)")
+          lit(null).cast(f.dataType).as(f.name)
       }
     }.toSeq: _*)
   }
@@ -2846,12 +3199,11 @@ final class TableStore(spark: SparkSession, val root: String,
     val id = UUID.randomUUID().toString.take(8)
     val staging = new HPath(tdir(name), s"_staging-$id")
     try {
-      // data files always carry PHYSICAL names; incoming frames are
-      // logical-named (alignTo / readFiles output). _partitions and
-      // _zonecols record physical names, so partitionBy lines up.
-      val m = physMap(name)
-      val renamed = if (m.forall { case (l, p) => l == p }) df
-        else df.toDF(df.columns.map(c => m.getOrElse(c, c)).toSeq: _*)
+      // data files always carry PHYSICAL names at every nesting level;
+      // incoming frames are logical-named (alignTo / readFiles output).
+      // _partitions and _zonecols record physical names, so partitionBy
+      // lines up.
+      val renamed = physicalProjection(name, df)
       // hidden-partitioning transforms derive their directory column
       // here (partitionBy strips it from the files again — the SOURCE
       // column stays data); identity fields partition on the raw column
@@ -2955,9 +3307,9 @@ final class TableStore(spark: SparkSession, val root: String,
     * schema ordinals their values come from. */
   private[tables] def writeLayout(name: String): TableStore.WriteLayout = {
     val sch = schema(name)
-    val m = physMap(name)
+    val ph = physSchema(name) // nested renames ride along positionally
     val fields = partitionFields(name)
-    val physOfIdx = sch.fields.map(f => physOf(m, f.name))
+    val physOfIdx = ph.fields.map(_.name)
     // only IDENTITY sources leave the data file (their value is the
     // directory); hidden-transform sources stay data columns
     val identitySrc = fields.filter(_.isIdentity).map(_.source).toSet
@@ -2969,7 +3321,7 @@ final class TableStore(spark: SparkSession, val root: String,
       s"partition sources ${fields.map(_.source)} not all present in " +
         s"schema of $name")
     TableStore.WriteLayout(
-      StructType(dataIdx.map(i => sch.fields(i).copy(name = physOfIdx(i)))),
+      StructType(dataIdx.map(i => ph.fields(i))),
       dataIdx,
       fields.map(_.dirName),
       partIdx,
@@ -3369,4 +3721,13 @@ object TableStore {
 
   /** Sentinel: a key value outside the bloom probe domain. */
   private[tables] case object Unprobeable
+
+  /** Marker in a delete-sidecar entry's column list identifying a
+    * POSITIONAL delete file ('#' can never appear in a column name). */
+  private[tables] val PosMarker: String = "#pos"
+
+  /** Helper column names carrying (file rel path, row ordinal) through
+    * position-aware reads. */
+  private[tables] val PosFileCol: String = "__graft_pos_file"
+  private[tables] val PosIdxCol: String = "__graft_pos_idx"
 }

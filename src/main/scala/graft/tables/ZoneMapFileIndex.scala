@@ -17,6 +17,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * file a candidate. */
 private[tables] object ZoneStats {
 
+  /** Attribute OR nested-struct-field chain → dotted stat-key path
+    * (`a` / `a.b.c`). Nested predicate pushdown hands the scan
+    * `GetStructField` chains over the relation's (physical) attributes;
+    * stats sidecars key nested zone columns by the same dotted physical
+    * path, so both prunings line up. */
+  private object Attr {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case g: GetStructField => unapply(g.child).map(p =>
+        s"$p.${g.extractFieldName}")
+      case _ => None
+    }
+  }
+
   /** Three-way compare of two zone/filter values, or None when the pair
     * is not safely comparable (then the caller keeps the file).
     * Strings compare by CODE POINT — the order Spark's min/max computed
@@ -68,25 +82,25 @@ private[tables] object ZoneStats {
   def filterBounds(filters: Seq[Expression])
       : Seq[(String, Option[Any], Option[Any])] =
     filters.flatMap(conjuncts).flatMap {
-      case EqualTo(a: AttributeReference, Literal(v, _)) => point(a.name, v)
-      case EqualTo(Literal(v, _), a: AttributeReference) => point(a.name, v)
-      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
-        point(a.name, v)
-      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
-        point(a.name, v)
-      case GreaterThan(a: AttributeReference, Literal(v, _))        => lo(a.name, v)
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => lo(a.name, v)
-      case LessThan(Literal(v, _), a: AttributeReference)           => lo(a.name, v)
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference)    => lo(a.name, v)
-      case LessThan(a: AttributeReference, Literal(v, _))           => hi(a.name, v)
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _))    => hi(a.name, v)
-      case GreaterThan(Literal(v, _), a: AttributeReference)        => hi(a.name, v)
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => hi(a.name, v)
+      case EqualTo(Attr(a), Literal(v, _)) => point(a, v)
+      case EqualTo(Literal(v, _), Attr(a)) => point(a, v)
+      case EqualNullSafe(Attr(a), Literal(v, _)) if v != null =>
+        point(a, v)
+      case EqualNullSafe(Literal(v, _), Attr(a)) if v != null =>
+        point(a, v)
+      case GreaterThan(Attr(a), Literal(v, _))        => lo(a, v)
+      case GreaterThanOrEqual(Attr(a), Literal(v, _)) => lo(a, v)
+      case LessThan(Literal(v, _), Attr(a))           => lo(a, v)
+      case LessThanOrEqual(Literal(v, _), Attr(a))    => lo(a, v)
+      case LessThan(Attr(a), Literal(v, _))           => hi(a, v)
+      case LessThanOrEqual(Attr(a), Literal(v, _))    => hi(a, v)
+      case GreaterThan(Literal(v, _), Attr(a))        => hi(a, v)
+      case GreaterThanOrEqual(Literal(v, _), Attr(a)) => hi(a, v)
       // IN prunes as the value list's envelope [min, max] — sound at file
       // granularity (any matching row's value lies inside the envelope);
       // a list with any non-literal or non-stat-domain member contributes
       // nothing (fail open)
-      case In(a: AttributeReference, vs) if vs.nonEmpty =>
+      case In(Attr(a), vs) if vs.nonEmpty =>
         val lits = vs.map {
           case Literal(v, _) => litVal(v)
           case _             => None
@@ -94,25 +108,25 @@ private[tables] object ZoneStats {
         if (lits.exists(_.isEmpty)) Nil
         else {
           val sorted = sortVals(lits.flatten)
-          sorted.map(s => (a.name, Some(s.head): Option[Any],
+          sorted.map(s => (a, Some(s.head): Option[Any],
             Some(s.last): Option[Any])).toSeq
         }
       // long IN lists arrive as InSet (optimizer conversion above the
       // in-set threshold); same envelope treatment
-      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+      case InSet(Attr(a), hset) if hset.nonEmpty =>
         val lits = hset.toSeq.map(litVal)
         if (lits.exists(_.isEmpty)) Nil
         else {
           val sorted = sortVals(lits.flatten)
-          sorted.map(s => (a.name, Some(s.head): Option[Any],
+          sorted.map(s => (a, Some(s.head): Option[Any],
             Some(s.last): Option[Any])).toSeq
         }
       // startsWith(p) ⇒ value ∈ [p, next(p)) where next increments the
       // prefix's last code point; when no such upper bound exists (prefix
       // ends in U+10FFFF) only the lower bound applies
-      case StartsWith(a: AttributeReference, Literal(p: UTF8String, _)) =>
+      case StartsWith(Attr(a), Literal(p: UTF8String, _)) =>
         val s = p.toString
-        Seq((a.name, Some(s): Option[Any], prefixUpper(s): Option[Any]))
+        Seq((a, Some(s): Option[Any], prefixUpper(s): Option[Any]))
       case _ => Nil
     }
 
