@@ -827,7 +827,8 @@ object TableQueries {
     Q("tbl_nested_evolution", TableQueries2.tblNestedEvolution,
       Some(TableQueries2.tblNestedEvolutionSql)),
     Q("tbl_pos_delete", TableQueries2.tblPosDelete,
-      Some(TableQueries2.tblPosDeleteSql)))
+      Some(TableQueries2.tblPosDeleteSql)),
+    Q("tbl_spj", TableQueries2.tblSpj, Some(TableQueries2.tblSpjSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -990,4 +991,81 @@ object TableQueries2 {
       |SELECT o_orderkey, o_custkey, o_orderstatus, 1.0 AS o_totalprice
       |FROM orders WHERE o_orderkey % 1000 = 0
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
+  /** Storage-partitioned join under the oracle: orders and customer both
+    * land bucketed by their customer key (`bucket(16, ...)`), and the
+    * join-plus-aggregate runs with broadcast OFF — so every exchange
+    * Spark would normally insert is visible — and V2 bucketing ON. The
+    * gate require()s ZERO exchanges in the executed plan: both scans
+    * report KeyGroupedPartitioning ([[graft.tables.GraftBatchScan]]),
+    * Spark zips matching buckets, and the bucket-keyed aggregate reuses
+    * the same partitioning. At 100 TB this is the difference between a
+    * shuffle of both tables (~2× total size over the wire) and none at
+    * all. Result correctness hash-matches DuckDB on the raw parquet. */
+  private[ops] def tblSpj(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gspj",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-spj")
+    spark.conf.set("spark.sql.catalog.gspj.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val fact = s"orders_$ident"
+    val dim = s"customer_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gspj.$fact")
+    spark.sql(s"DROP TABLE IF EXISTS gspj.$dim")
+    spark.sql(s"""CREATE TABLE gspj.$fact (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      PARTITIONED BY (bucket(16, o_custkey))""")
+    spark.sql(s"""CREATE TABLE gspj.$dim (
+      c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+      PARTITIONED BY (bucket(16, c_custkey))""")
+    val srcF = s"gspj_fact_$ident"
+    val srcD = s"gspj_dim_$ident"
+    t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView(srcF)
+    t(spark, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      .createOrReplaceTempView(srcD)
+    spark.sql(s"INSERT INTO gspj.$fact SELECT * FROM $srcF")
+    spark.sql(s"INSERT INTO gspj.$dim SELECT * FROM $srcD")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        s"""SELECT o.o_custkey AS custkey, c.c_mktsegment AS seg,
+           |  count(*) AS cnt,
+           |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total
+           |FROM gspj.$fact o JOIN gspj.$dim c ON o.o_custkey = c.c_custkey
+           |GROUP BY o.o_custkey, c.c_mktsegment
+           |ORDER BY custkey, seg""".stripMargin)
+      q.collect() // force execution so the FINAL adaptive plan is pinned
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      require(plan.contains("BatchScan"),
+        s"SPJ gate expected the V2 batch scan, got:\n$plan")
+      // the final ORDER BY legitimately range-partitions; the join and
+      // the bucket-keyed aggregate must add NO hash exchange
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"SPJ gate expected a shuffle-free join+aggregate, got:\n$plan")
+      // re-issue under restored confs: the RESULT the driver compares is
+      // conf-independent, only the plan shape needed the pinned settings
+      q
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private[ops] val tblSpjSql =
+    """SELECT o.o_custkey AS custkey, c.c_mktsegment AS seg,
+      |  count(*) AS cnt,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY o.o_custkey, c.c_mktsegment
+      |ORDER BY custkey, seg""".stripMargin
 }

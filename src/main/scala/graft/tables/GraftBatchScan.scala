@@ -1,0 +1,363 @@
+package graft.tables
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Murmur3HashFunction, StartsWith}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Storage-partitioned-join scan: a TRUE DSv2 batch scan over a
+  * bucket-partitioned managed table that reports its layout as
+  * [[KeyGroupedPartitioning]], so a join of two tables bucketed the same
+  * way on the join key plans with ZERO shuffle on either side (Spark's
+  * SPJ machinery, `spark.sql.sources.v2.bucketing.enabled`). At 100 TB
+  * this is the single largest join optimization available to a table
+  * format: the V1-bridged scan hides the layout behind an opaque RDD, so
+  * every fact-fact join repartitions both sides — ~2× the table size in
+  * shuffle I/O — where this scan proves co-partitioning and Spark zips
+  * matching buckets directly.
+  *
+  * Eligibility is decided by [[TableStore.spjPlan]] (all-bucket spec, one
+  * spec generation, no pending MoR deletes, no renames); every other
+  * table state falls back to the V1 scan, so this path never has to
+  * reproduce masking or relabel semantics. File pruning reuses the SAME
+  * [[ZoneMapFileIndex]] the V1 relation plans through (zone stats, bloom
+  * sidecars, bucket-dir arithmetic), so pushed filters skip files
+  * identically on both paths.
+  *
+  * Exactness contract: the scan builder returns every translatable
+  * filter to Spark as a residual (see [[GraftScanBuilder.pushFilters]]),
+  * so pushed filters here are used for FILE PRUNING ONLY and row-level
+  * filtering stays above the scan — parquet row-group stats still skip
+  * inside surviving files via the pushed-down `filters` argument.
+  *
+  * Runtime filtering ([[SupportsRuntimeV2Filtering]]): join-key IN-sets
+  * arriving after planning (DPP subqueries) prune whole bucket
+  * directories by hash arithmetic before any reader starts — the V2
+  * analogue of the hidden-bucket pruning in [[ZoneMapFileIndex]].
+  */
+private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
+    plan: TableStore.SpjPlan, pruning: Array[Filter], required: StructType)
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  private val spark: SparkSession = store.spark
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftBatchScan $tbl buckets=[${plan.buckets.map(_.render).mkString(", ")}] " +
+      s"prunedBy=[${pruning.mkString(", ")}]"
+
+  // ---- partitioning ---------------------------------------------------------
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      plan.buckets.map(b => Expressions.bucket(b.n, b.source): Transform)
+        .toArray[org.apache.spark.sql.connector.expressions.Expression],
+      plannedPartitions.length)
+
+  // ---- file planning --------------------------------------------------------
+
+  /** Zone/bloom/bucket-pruned candidate files grouped by bucket tuple —
+    * the same listFiles call the V1 relation's FileSourceScan makes, so
+    * both paths skip identical file sets for identical predicates. */
+  private lazy val prunedDirs
+      : Seq[(InternalRow, Seq[(String, Long)])] = {
+    val dataFilters = pruning.toSeq
+      .flatMap(f => GraftBatchScan.pruningExpr(f, plan.bundle.dataSch))
+    plan.bundle.idx.listFiles(Nil, dataFilters).map { pd =>
+      (pd.values.copy(),
+        pd.files.map(f => (f.getPath.toString, f.getLen)))
+    }
+  }
+
+  /** Bucket-id allow-sets from runtime (DPP) predicates, keyed by spec
+    * position; None = no runtime restriction for that field. */
+  @volatile private var runtimeAllowed
+      : Seq[Option[Set[Int]]] = plan.buckets.map(_ => None)
+
+  override def filterAttributes(): Array[NamedReference] =
+    plan.buckets.map(b => Expressions.column(b.source): NamedReference).toArray
+
+  override def filter(predicates: Array[VPredicate]): Unit = {
+    val bySource = GraftBatchScan.runtimeValues(predicates)
+    runtimeAllowed = plan.buckets.map { b =>
+      bySource.get(b.source).flatMap { vs =>
+        val srcType = plan.bundle.dataSch(
+          plan.bundle.dataSch.fieldIndex(b.source)).dataType
+        // every value must map to a bucket id, else fail open for the field
+        val ids = vs.map(v => GraftBatchScan.bucketId(b.n, v, srcType))
+        if (ids.exists(_.isEmpty)) None else Some(ids.flatten.toSet)
+      }
+    }
+  }
+
+  private def plannedPartitions: Array[InputPartition] = {
+    val allowed = runtimeAllowed
+    prunedDirs.flatMap { case (key, files) =>
+      val keep = plan.buckets.indices.forall { i =>
+        allowed(i).forall(ids => !key.isNullAt(i) && ids.contains(key.getInt(i)))
+      }
+      if (!keep) None
+      else Some(GraftInputPartition(
+        key.toSeq(plan.bundle.pSchema).toArray,
+        files.map { case (path, len) =>
+          PartitionedFile(InternalRow.empty,
+            org.apache.spark.paths.SparkPath.fromPathString(path),
+            0L, len, Array.empty, 0L, len, Map.empty)
+        }.toArray): InputPartition)
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  // ---- reading --------------------------------------------------------------
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Built ONCE on the driver; ParquetFileFormat returns a serializable
+    // closure (hadoopConf travels as its own broadcast) designed for
+    // exactly this shipping. Filters go to parquet for row-group/page
+    // skipping — exact evaluation stays with Spark's residual filter.
+    // Missing columns (post-evolution files) read back null; INT32/FLOAT
+    // pages upcast natively under a widened required schema. The
+    // vectorized reader stays ON but returns ROWS (returning_batch=false)
+    // — the DSv2 row-based PartitionReader contract.
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      dataSchema = plan.bundle.dataSch,
+      partitionSchema = new StructType(),
+      requiredSchema = required,
+      filters = pruning.toSeq,
+      options = Map(
+        org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+    new GraftReaderFactory(readFunc)
+  }
+
+  // ---- statistics -----------------------------------------------------------
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(
+        prunedDirs.iterator.flatMap(_._2).map(_._2).sum)
+    override def numRows(): java.util.OptionalLong =
+      if (pruning.isEmpty)
+        store.rowCount(tbl).map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+      else java.util.OptionalLong.empty()
+  }
+}
+
+private[tables] object GraftBatchScan {
+
+  /** sources.Filter → Catalyst expression in the EXACT shapes
+    * [[ZoneStats]] extracts bounds/probes from (AttributeReference vs
+    * Literal conjuncts). Top-level columns only; None = untranslatable
+    * = contributes no pruning (fail open — Spark still evaluates the
+    * residual exactly). */
+  private[tables] def pruningExpr(f: Filter, sch: StructType)
+      : Option[Expression] = {
+    def attr(n: String): Option[AttributeReference] =
+      sch.fields.find(_.name == n).map(fd =>
+        AttributeReference(fd.name, fd.dataType, fd.nullable)())
+    def lit(n: String, v: Any): Option[Literal] =
+      sch.fields.find(_.name == n).map(fd => Literal.create(v, fd.dataType))
+    f match {
+      case sources.EqualTo(a, v) =>
+        for (x <- attr(a); l <- lit(a, v)) yield EqualTo(x, l)
+      case sources.EqualNullSafe(a, v) =>
+        for (x <- attr(a); l <- lit(a, v)) yield EqualNullSafe(x, l)
+      case sources.GreaterThan(a, v) =>
+        for (x <- attr(a); l <- lit(a, v)) yield GreaterThan(x, l)
+      case sources.GreaterThanOrEqual(a, v) =>
+        for (x <- attr(a); l <- lit(a, v)) yield GreaterThanOrEqual(x, l)
+      case sources.LessThan(a, v) =>
+        for (x <- attr(a); l <- lit(a, v)) yield LessThan(x, l)
+      case sources.LessThanOrEqual(a, v) =>
+        for (x <- attr(a); l <- lit(a, v)) yield LessThanOrEqual(x, l)
+      case sources.In(a, vs) =>
+        for {
+          x <- attr(a)
+          ls <- Some(vs.toSeq.map(v => lit(a, v)))
+          if ls.forall(_.isDefined)
+        } yield In(x, ls.flatten)
+      case sources.StringStartsWith(a, v) =>
+        for (x <- attr(a); l <- lit(a, v)) yield StartsWith(x, l)
+      case sources.And(l, r) =>
+        for (lc <- pruningExpr(l, sch); rc <- pruningExpr(r, sch))
+          yield CAnd(lc, rc)
+      case _ => None
+    }
+  }
+
+  /** Equality/IN value sets per column from runtime V2 predicates (the
+    * shapes DPP emits). Values arrive as Catalyst-internal literals. */
+  private[tables] def runtimeValues(predicates: Array[VPredicate])
+      : Map[String, Seq[Any]] = {
+    val b = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    predicates.foreach { p =>
+      val children = p.children()
+      p.name() match {
+        case "IN" if children.nonEmpty =>
+          (children.head, children.tail) match {
+            case (r: NamedReference, vs)
+                if r.fieldNames.length == 1 &&
+                  vs.forall(_.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]]) =>
+              b += r.fieldNames.head ->
+                vs.map(_.asInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]].value: Any).toSeq
+            case _ => ()
+          }
+        case "=" if children.length == 2 =>
+          (children(0), children(1)) match {
+            case (r: NamedReference, v: org.apache.spark.sql.connector.expressions.Literal[_])
+                if r.fieldNames.length == 1 =>
+              b += r.fieldNames.head -> Seq(v.value: Any)
+            case _ => ()
+          }
+        case _ => () // unsupported runtime shape: no extra pruning
+      }
+    }
+    b.toMap
+  }
+
+  /** Bucket id of a Catalyst-internal value — MUST mirror the write-side
+    * layout expression `Pmod(Murmur3Hash(src), n)` exactly
+    * ([[PartitionField.catalystExpr]]). Null hashes to the bare seed,
+    * same as Murmur3Hash over a null child. */
+  private[tables] def bucketId(n: Int, v: Any, srcType: DataType)
+      : Option[Int] = {
+    val ok = (v, srcType) match {
+      case (null, _) => true
+      case (_: Integer, IntegerType) => true
+      case (_: java.lang.Long, LongType) => true
+      case (_: org.apache.spark.unsafe.types.UTF8String, StringType) => true
+      case _ => false
+    }
+    if (!ok) None
+    else {
+      val h =
+        if (v == null) 42
+        else Murmur3HashFunction.hash(v, srcType, 42L).toInt
+      Some(((h % n) + n) % n)
+    }
+  }
+}
+
+/** One bucket-tuple's worth of files. `keyVals` are the directory's
+  * parsed bucket ids (plain Ints — serializable by construction) in spec
+  * order, matching the reported KeyGroupedPartitioning keys. */
+private[tables] final case class GraftInputPartition(keyVals: Array[Any],
+    files: Array[PartitionedFile])
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(keyVals.toSeq)
+  override def preferredLocations(): Array[String] = Array.empty
+}
+
+/** Executes the driver-built parquet read closure per file. Vectorized
+  * reads hand back ColumnarBatch disguised as InternalRow — flattened
+  * here row-by-row (the same contract FileSourceScan's consumers
+  * handle); reader close is registered by the closure itself on the
+  * task-completion listener. */
+private[tables] final class GraftReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow])
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val files = p.asInstanceOf[GraftInputPartition].files.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: Iterator[Object] = Iterator.empty
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur.hasNext) {
+            cur.next() match {
+              case b: ColumnarBatch =>
+                val rows = b.rowIterator().asScala
+                cur = rows.asInstanceOf[Iterator[Object]] ++ cur
+              case r: InternalRow =>
+                row = r
+                return true
+            }
+          } else if (files.hasNext) {
+            cur = readFunc(files.next()).asInstanceOf[Iterator[Object]]
+          } else return false
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The catalog-served V2 functions backing hidden-partitioning
+  * transforms: what lets Spark resolve a reported
+  * `bucket(n, col)` KeyGroupedPartitioning to a [[ScalarFunction]] it
+  * can compare across join sides (and evaluate, when shuffling a
+  * non-partitioned side to match — `v2.bucketing.shuffle.enabled`). */
+private[tables] object GraftFunctions {
+
+  val names: Seq[String] = Seq("bucket")
+
+  def load(name: String): Option[UnboundFunction] = name match {
+    case "bucket" => Some(BucketUnbound)
+    case _ => None
+  }
+
+  private object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): Murmur3 hidden-partitioning bucket id"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2,
+        s"bucket expects (numBuckets, col), got ${inputType.simpleString}")
+      val srcType = inputType(1).dataType
+      srcType match {
+        case IntegerType | LongType | StringType => new BucketBound(srcType)
+        case other => throw new UnsupportedOperationException(
+          s"bucket over ${other.simpleString} is not a graft layout type")
+      }
+    }
+  }
+
+  /** Canonical name embeds the SOURCE type: Murmur3 of an int and of a
+    * long differ, so bucket(8, int_col) and bucket(8, long_col) must
+    * never report as the same partitioning. */
+  private final class BucketBound(srcType: DataType)
+    extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, srcType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String =
+      s"graft.bucket(${srcType.catalogString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val v: Any =
+        if (input.isNullAt(1)) null
+        else srcType match {
+          case IntegerType => input.getInt(1)
+          case LongType => input.getLong(1)
+          case StringType => input.getUTF8String(1)
+          case _ => null
+        }
+      GraftBatchScan.bucketId(n, v, srcType).map(Int.box).getOrElse(
+        throw new IllegalStateException(
+          s"unbucketable value $v for ${srcType.simpleString}"))
+    }
+  }
+}

@@ -57,7 +57,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * metadata column, as in Iceberg.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** V2 functions backing hidden-partitioning transforms
+    * ([[GraftFunctions]]): what lets the analyzer resolve a scan's
+    * reported `bucket(n, col)` KeyGroupedPartitioning to a comparable
+    * bound function — the resolution step storage-partitioned joins
+    * hang on (the relation's `funCatalog` is THIS catalog). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty || namespace.sameElements(Array("default")),
+      s"no such function namespace: ${namespace.mkString(".")}")
+    GraftFunctions.names.map(n => Identifier.of(Array.empty, n)).toArray
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   /** SQL `CALL graft.system.<proc>(...)` — see [[GraftProcedures]]. */
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -584,15 +602,28 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
 
   private[tables] def pushedAggAnswer: Option[(StructType, Seq[Any])] = aggAnswer
 
+  /** Storage-partitioned-join plan, computed once per builder: Some iff
+    * the table's current snapshot can be served by the raw V2 batch
+    * reader (see [[TableStore.spjPlan]]). Time travel stays on the V1
+    * path — snapshot reads are not the join-planning hot path. */
+  private lazy val spjPlan: Option[TableStore.SpjPlan] =
+    if (versionAt.nonEmpty) None else store.spjPlan(tbl)
+
   /** Filters we translate are applied EXACTLY inside the inner plan (a
     * real Catalyst filter over the scan — zone pruning is only the
     * file-skipping layer, fail-open), so they are fully handled and only
-    * untranslatable residues go back to Spark. */
+    * untranslatable residues go back to Spark.
+    *
+    * SPJ-eligible tables instead keep EVERY filter a Spark-side
+    * residual: the raw batch reader prunes FILES with the translated
+    * set (and hands it to parquet for row-group skipping) but does not
+    * evaluate rows, so exactness must stay above the scan. The V1
+    * fallback under this contract merely double-applies — harmless. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) =
       filters.partition(f => GraftFilters.toColumn(f).isDefined)
     pushed = ok
-    residual
+    if (spjPlan.isDefined) filters else residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -600,8 +631,15 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftV1Scan(store, tbl, versionAt, pushed, required, aggAnswer)
+  override def build(): Scan = spjPlan match {
+    // the `_file` metadata column and complete aggregate pushdown are
+    // V1-relation features; both are rare on the join hot path
+    case Some(p) if aggAnswer.isEmpty &&
+        !required.fieldNames.contains(GraftFileMetaColumn.Name) =>
+      new GraftBatchScan(store, tbl, p, pushed, required)
+    case _ =>
+      new GraftV1Scan(store, tbl, versionAt, pushed, required, aggAnswer)
+  }
 }
 
 /** V1-bridged scan: the relation's RDD is the INNER DataFrame's executed

@@ -82,7 +82,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * seam, so even where the lock cannot be atomic (S3), the loser of a
   * pointer race cleans up and retries instead of corrupting history.
   */
-final class TableStore(spark: SparkSession, val root: String,
+final class TableStore(private[tables] val spark: SparkSession,
+    val root: String,
     hadoopProps: Map[String, String] = Map.empty,
     coordinator: Option[CommitCoordinator] = None) {
 
@@ -1204,6 +1205,30 @@ final class TableStore(spark: SparkSession, val root: String,
           .withColumn(TableStore.PosIdxCol, lit(null).cast(LongType))
     }
     val sch = schema(name)
+    val bundle = zoneIndexFor(name, specId, rels, version)
+    val idx = bundle.idx
+    val pSchema = bundle.pSchema
+    val dataSch = bundle.dataSch
+    MetadataAggregateRule.register(spark)
+    val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    val raw = Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+    // position-delete support: surface (file rel path, row ordinal) from
+    // the scan's hidden _metadata — resolvable only HERE, directly above
+    // the file relation, before any projection cuts it. The rel path is
+    // recovered as the segment after the LAST "/data/" (partition values
+    // escape '/', so no later segment can contain it).
+    val posCols =
+      if (!rowPos) Nil
+      else Seq(
+        element_at(split(col("_metadata.file_path"), "/data/"), -1)
+          .as(TableStore.PosFileCol),
+        col("_metadata.row_index").as(TableStore.PosIdxCol))
+    raw.select(logicalProjection(name, sch, bundle.physSch) ++ posCols: _*)
+  }
+
+  private[tables] def zoneIndexFor(name: String, specId: Int,
+      rels: Seq[String], version: Int): TableStore.ZoneIndexBundle = {
     val physSch = physSchema(name) // incl. nested leaf renames
     // physical names, layout order, THIS generation's spec — possibly
     // hidden-partitioning transforms (derived directory values)
@@ -1336,22 +1361,43 @@ final class TableStore(spark: SparkSession, val root: String,
         .map(rows => rels.map(rows).sum),
       colBounds,
       buckets)
-    MetadataAggregateRule.register(spark)
-    val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
-      new ParquetFileFormat(), Map.empty[String, String])(spark)
-    val raw = Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
-    // position-delete support: surface (file rel path, row ordinal) from
-    // the scan's hidden _metadata — resolvable only HERE, directly above
-    // the file relation, before any projection cuts it. The rel path is
-    // recovered as the segment after the LAST "/data/" (partition values
-    // escape '/', so no later segment can contain it).
-    val posCols =
-      if (!rowPos) Nil
-      else Seq(
-        element_at(split(col("_metadata.file_path"), "/data/"), -1)
-          .as(TableStore.PosFileCol),
-        col("_metadata.row_index").as(TableStore.PosIdxCol))
-    raw.select(logicalProjection(name, sch, physSch) ++ posCols: _*)
+    TableStore.ZoneIndexBundle(idx, pFields, dirTypes, pSchema, dataSch, physSch)
+  }
+
+  /** Plan bundle for the storage-partitioned-join batch scan
+    * ([[GraftBatchScan]]): Some iff the CURRENT snapshot is safely
+    * servable by a raw parquet V2 reader reporting
+    * KeyGroupedPartitioning over its bucket layout. The conditions are
+    * exactly the invariants that reader depends on — every fallback is a
+    * table state the V1-bridged scan already handles:
+    *
+    *  - partition spec is all `bucket(n, col)` fields (the SPJ layout;
+    *    identity fields keep values in DIRECTORY names only, which a raw
+    *    reader would lose, and time/truncate groupings are not join
+    *    clusterings);
+    *  - one spec generation (mixed layouts union two relations — no
+    *    single partitioning to report);
+    *  - no pending merge-on-read deletes (masking needs the anti-join
+    *    read);
+    *  - no logical/physical name drift anywhere in the schema (renames
+    *    need the relabel projection; type WIDENING is fine — the parquet
+    *    reader upcasts INT32/FLOAT pages natively under the widened
+    *    required schema, same as the V1 relation).
+    */
+  private[tables] def spjPlan(name: String): Option[TableStore.SpjPlan] = {
+    val rels = currentRelPaths(name)
+    if (rels.isEmpty) return None
+    val bySpec = rels.groupBy(specOfRel)
+    if (bySpec.size != 1) return None
+    val specId = bySpec.head._1
+    val fields = partitionFieldsOfSpec(name, specId)
+    val buckets = fields.collect { case b: PartitionField.PBucket => b }
+    if (fields.isEmpty || buckets.size != fields.size) return None
+    if (pendingDeletes(name) > 0) return None
+    if (!TableStore.sameNameTree(schema(name), physSchema(name))) return None
+    val version = currentVersion(name)
+    Some(TableStore.SpjPlan(version, buckets,
+      zoneIndexFor(name, specId, rels, version)))
   }
 
   /** Parsed partition values of one hive-style directory (`a=1/b=x`), in
@@ -3730,4 +3776,46 @@ object TableStore {
     * position-aware reads. */
   private[tables] val PosFileCol: String = "__graft_pos_file"
   private[tables] val PosIdxCol: String = "__graft_pos_idx"
+
+  /** Inputs of the storage-partitioned-join batch scan (see
+    * [[TableStore.spjPlan]]): the snapshot version it was planned
+    * against, the all-bucket partition spec in layout order, and the
+    * zone-index bundle whose `listFiles` supplies pruned candidates
+    * grouped by bucket tuple. */
+  /** Everything a scan needs to plan one spec generation of a snapshot:
+    * the zone-map index (partition values, stats, blooms, bucket dirs all
+    * wired), the partition/data schemas it was built for, and the parsed
+    * partition fields. Factored from the indexed read so the DSv2 batch
+    * scan ([[GraftBatchScan]]) plans files through the SAME pruning
+    * machinery the V1 relation uses — one code path for file skipping. */
+  private[tables] final case class ZoneIndexBundle(idx: ZoneMapFileIndex,
+      pFields: Seq[PartitionField],
+      dirTypes: Seq[org.apache.spark.sql.types.DataType],
+      pSchema: org.apache.spark.sql.types.StructType,
+      dataSch: org.apache.spark.sql.types.StructType,
+      physSch: org.apache.spark.sql.types.StructType)
+
+  private[tables] final case class SpjPlan(version: Int,
+      buckets: Seq[PartitionField.PBucket],
+      bundle: ZoneIndexBundle)
+
+  /** Structural name/type equality at every nesting level — true when no
+    * logical→physical rename exists anywhere, so logical rows ARE
+    * physical rows positionally and a raw parquet reader needs no
+    * relabel projection. Nullability and metadata are layout-irrelevant
+    * and ignored. */
+  private[tables] def sameNameTree(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = (a, b) match {
+    case (x: org.apache.spark.sql.types.StructType,
+          y: org.apache.spark.sql.types.StructType) =>
+      x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+        f.name == g.name && sameNameTree(f.dataType, g.dataType) }
+    case (x: org.apache.spark.sql.types.ArrayType,
+          y: org.apache.spark.sql.types.ArrayType) =>
+      sameNameTree(x.elementType, y.elementType)
+    case (x: org.apache.spark.sql.types.MapType,
+          y: org.apache.spark.sql.types.MapType) =>
+      sameNameTree(x.keyType, y.keyType) && sameNameTree(x.valueType, y.valueType)
+    case _ => a == b
+  }
 }

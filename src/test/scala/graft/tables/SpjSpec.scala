@@ -1,0 +1,196 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Storage-partitioned joins: two tables bucketed the same way on the
+  * join key must join with ZERO exchanges on either side — the scan
+  * reports its bucket layout as KeyGroupedPartitioning and Spark zips
+  * matching buckets ([[GraftBatchScan]]). Also pins the fallback matrix:
+  * every table state the raw V2 reader cannot serve must quietly take
+  * the V1 path and stay correct. */
+class SpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = tmpDir("spj-")
+  spark.conf.set("spark.sql.catalog.spj", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.spj.root", root)
+  private val store = new TableStore(spark, root)
+
+  private def fact: DataFrame =
+    (0L until 400L).map(i => (i % 100, i.toDouble, s"f$i"))
+      .toDF("k", "v", "tag").repartition(4)
+  private def dim: DataFrame =
+    (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name").repartition(2)
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def withSpj[A](body: => A): A = {
+    val pairs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucket-bucket equi-join plans with zero exchanges and matches") {
+    spark.sql("CREATE TABLE spj.f (k BIGINT, v DOUBLE, tag STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE spj.d (k BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    fact.writeTo("spj.f").append()
+    dim.writeTo("spj.d").append()
+    withSpj {
+      val joined = spark.sql(
+        """SELECT f.k, f.v, d.name FROM spj.f f JOIN spj.d d ON f.k = d.k""")
+      val plan = finalPlan(joined)
+      assert(plan.contains("BatchScan"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      val expected = fact.join(dim, "k").select($"k", $"v", $"name")
+      assert(joined.orderBy("k", "v").collect().toSeq ===
+        expected.orderBy("k", "v").collect().toSeq)
+    }
+  }
+
+  test("aggregation over the bucket key also avoids the shuffle") {
+    withSpj {
+      val agg = spark.sql(
+        "SELECT k, count(*) AS c, sum(v) AS s FROM spj.f GROUP BY k")
+      val plan = finalPlan(agg)
+      assert(plan.contains("BatchScan"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      val expected = fact.groupBy("k")
+        .agg(count(lit(1)).as("c"), sum("v").as("s"))
+      assert(agg.orderBy("k").collect().toSeq ===
+        expected.orderBy("k").collect().toSeq)
+    }
+  }
+
+  test("filters stay EXACT on the V2 path (residual re-application)") {
+    withSpj {
+      // k = 7 prunes to one bucket dir; v > 200 is sub-file-granular —
+      // only residual evaluation can produce the exact answer
+      val q = spark.sql("SELECT k, v FROM spj.f WHERE k = 7 AND v > 200.0")
+      val rows = q.collect()
+      val expected = fact.filter($"k" === 7 && $"v" > 200.0)
+        .select("k", "v").collect()
+      assert(rows.sortBy(_.getDouble(1)).toSeq ===
+        expected.sortBy(_.getDouble(1)).toSeq)
+      assert(finalPlan(q).contains("BatchScan"))
+    }
+  }
+
+  test("bucket equality prunes input partitions on the V2 scan") {
+    val p = store.spjPlan("f").get
+    val all = new GraftBatchScan(store, "f", p, Array.empty,
+      store.schema("f")).planInputPartitions()
+    assert(all.length === 8, s"expected 8 bucket groups, got ${all.length}")
+    // k = 7 → exactly one surviving bucket group, planned from the SAME
+    // pruning path the SQL scan uses
+    val one = new GraftBatchScan(store, "f", p,
+      Array(org.apache.spark.sql.sources.EqualTo("k", 7L)),
+      store.schema("f")).planInputPartitions()
+    assert(one.length === 1, s"expected 1 surviving bucket, got ${one.length}")
+    withSpj {
+      val q = spark.sql("SELECT count(*) AS c FROM spj.f WHERE k = 7")
+      assert(q.collect().head.getLong(0) === 4L) // k=7 appears 4× in 0..399
+    }
+  }
+
+  test("SPJ survives a schema ADD COLUMNS (old files null-backfill)") {
+    spark.sql("ALTER TABLE spj.d ADD COLUMNS (extra INT)")
+    withSpj {
+      val q = spark.sql("SELECT k, name, extra FROM spj.d WHERE k < 5")
+      val rows = q.orderBy("k").collect()
+      assert(rows.map(_.getLong(0)).toSeq === (0L until 5L))
+      assert(rows.forall(_.isNullAt(2)))
+      assert(finalPlan(q).contains("BatchScan"))
+    }
+  }
+
+  test("fallback matrix: states the raw reader cannot serve take V1") {
+    // (a) pending MoR delete
+    spark.sql("CREATE TABLE spj.m (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES " +
+      "('write.delete.mode'='merge-on-read')")
+    (0L until 40L).map(i => (i % 10, i.toDouble)).toDF("k", "v")
+      .writeTo("spj.m").append()
+    spark.sql("DELETE FROM spj.m WHERE k = 3")
+    assert(store.pendingDeletes("m") > 0)
+    assert(store.spjPlan("m").isEmpty)
+    withSpj {
+      val rows = spark.sql("SELECT DISTINCT k FROM spj.m").collect()
+      assert(rows.map(_.getLong(0)).toSet === (0L until 10L).toSet - 3L)
+      assert(!finalPlan(spark.sql("SELECT * FROM spj.m"))
+        .contains("BatchScan"))
+    }
+    // (b) renamed column → physical/logical drift. The rename runs
+    // through SQL (the catalog's own store stays cache-coherent — the
+    // single-writer session model); eligibility is probed on a FRESH
+    // store so it reads the post-rename field catalog from disk.
+    spark.sql("CREATE TABLE spj.r (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    Seq((1L, 1.0)).toDF("k", "v").writeTo("spj.r").append()
+    assert(new TableStore(spark, root).spjPlan("r").isDefined)
+    spark.sql("ALTER TABLE spj.r RENAME COLUMN v TO w")
+    assert(new TableStore(spark, root).spjPlan("r").isEmpty)
+    withSpj {
+      assert(spark.sql("SELECT w FROM spj.r").collect().head.getDouble(0) === 1.0)
+    }
+    // (c) identity partitioning → dir values live outside data files
+    spark.sql("CREATE TABLE spj.i (k BIGINT, p STRING) PARTITIONED BY (p)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "p").writeTo("spj.i").append()
+    assert(store.spjPlan("i").isEmpty)
+    // (d) time travel stays V1 (versionAt bypasses spjPlan entirely)
+    withSpj {
+      val v = store.currentVersion("f")
+      val tt = spark.sql(s"SELECT * FROM spj.f VERSION AS OF $v")
+      assert(tt.count() === 400L)
+      assert(!finalPlan(tt).contains("BatchScan"))
+    }
+  }
+
+  test("bound bucket function mirrors the write-side layout expression") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("n", IntegerType),
+      StructField("c", LongType)))
+    val f = GraftFunctions.load("bucket").get.bind(sch)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    for (v <- Seq(0L, 7L, -3L, 123456789L)) {
+      val expect = PartitionField.catalystExpr(
+        PartitionField.PBucket(8, "c"),
+        org.apache.spark.sql.catalyst.expressions.Literal(v), LongType, zone)
+        .eval(null).asInstanceOf[Int]
+      assert(f.produceResult(InternalRow(8, v)) === expect, s"v=$v")
+    }
+    // canonical names embed the source type: int and long must differ
+    val fi = GraftFunctions.load("bucket").get.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("c", IntegerType))))
+    assert(fi.canonicalName() !== f.canonicalName())
+  }
+
+  test("runtime filter values prune bucket groups") {
+    // direct unit probe of the runtime-filtering arithmetic
+    val ids = Seq(1L, 2L, 3L).flatMap(v =>
+      GraftBatchScan.bucketId(8, v, org.apache.spark.sql.types.LongType))
+    assert(ids.size === 3)
+    assert(ids.forall(i => i >= 0 && i < 8))
+    // null value hashes to the bare seed, like Murmur3Hash over null
+    assert(GraftBatchScan.bucketId(8, null,
+      org.apache.spark.sql.types.LongType).contains(((42 % 8) + 8) % 8))
+  }
+}
