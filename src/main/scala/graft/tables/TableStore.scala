@@ -1869,6 +1869,75 @@ final class TableStore(private[tables] val spark: SparkSession,
     readFiles(name, rels.map(r => new HPath(dataDir(name), r).toString))
   }
 
+  /** Row-level CHANGE FEED between two snapshots — the Delta-CDF/Iceberg-
+    * changelog surface: one frame of the table's rows labeled
+    * `_change_type` ('insert' | 'delete') and `_commit_version`, one
+    * batch of labels per committed version in `(fromVersion, toVersion]`.
+    * An UPDATE surfaces as delete(old row) + insert(new row) in the same
+    * commit version (net-change semantics; no pre/post-image pairing).
+    *
+    * Cost is proportional to each commit's CHANGED scope, never the
+    * table (the 100 TB requirement):
+    *  - a pure append reads exactly its appended files and labels them
+    *    'insert' — zero joins, zero unchanged data touched;
+    *  - a copy-on-write mutation reads only the files the commit removed
+    *    plus the files it added, and nets them with `exceptAll` (multiset
+    *    difference, duplicate-safe) — a compaction therefore contributes
+    *    NOTHING (its rewrite is row-preserving, the differences cancel),
+    *    at the price of reading the rewritten files twice;
+    *  - a merge-on-read delete commit widens the scope to the files both
+    *    snapshots share (an equality tombstone can mask rows in any
+    *    earlier file) and nets the masked reads — exact, with the zone/
+    *    bloom candidate pruning of the masked path; tightening this scope
+    *    to key-pruned candidates is a possible future optimization.
+    *
+    * Rows removed purely by `expireSnapshots` retention never appear
+    * (expiry rewrites no manifest). Legacy history without commit-parent
+    * metadata walks version-by-version like
+    * [[committedVersionsBetween]]. */
+  def changeFeed(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changeFeed range is reversed: ($fromVersion, $toVersion]")
+    val frames = committedVersionsBetween(name, fromVersion, toVersion)
+      .map(v => changesOfVersion(name, v))
+    if (frames.isEmpty) emptyChanges(name) else frames.reduce(_ unionByName _)
+  }
+
+  /** One commit's labeled net changes — see [[changeFeed]]. */
+  private[graft] def changesOfVersion(name: String, v: Int): DataFrame = {
+    val parent = commitParent(name, v).getOrElse(v - 1)
+    val cur = relPathsOf(name, v)
+    val prev = if (parent <= 0) Nil else relPathsOf(name, parent)
+    val curS = cur.toSet
+    val prevS = prev.toSet
+    val added = cur.filterNot(prevS)
+    val removed = prev.filterNot(curS)
+    val newDeletes =
+      readDeleteEntries(name, v).toSet -- readDeleteEntries(name, parent).toSet
+    def label(df: DataFrame, tpe: String): DataFrame =
+      df.withColumn(TableStore.ChangeTypeCol, lit(tpe))
+        .withColumn(TableStore.CommitVersionCol, lit(v))
+    if (removed.isEmpty && newDeletes.isEmpty) {
+      // pure append (or a metadata-only commit): the appended files ARE
+      // the inserts — sequence rules say no earlier tombstone masks them
+      if (added.isEmpty) emptyChanges(name)
+      else label(readAppendedRels(name, added), "insert")
+    } else {
+      val common = if (newDeletes.nonEmpty) cur.filter(prevS) else Nil
+      val before = readRelsMasked(name, removed ++ common, parent)
+      val after = readRelsMasked(name, added ++ common, v)
+      label(after.exceptAll(before), "insert")
+        .unionByName(label(before.exceptAll(after), "delete"))
+    }
+  }
+
+  private def emptyChanges(name: String): DataFrame = {
+    val sch = StructType(schema(name).fields ++ Seq(
+      StructField(TableStore.ChangeTypeCol, StringType, nullable = false),
+      StructField(TableStore.CommitVersionCol, IntegerType, nullable = false)))
+    spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+  }
+
   /** Key-level diff between two snapshots: one row per key whose presence
     * changed — change = 'added' | 'removed' (keys present in both with
     * different non-key values are 'changed' when `compareCols` is
@@ -3261,7 +3330,28 @@ final class TableStore(private[tables] val spark: SparkSession,
           f, Bridge.expression(col(s"`${f.source}`")), srcType, sessionZone)))
       }
       val dirCols = fields.map(_.dirName)
-      val writer = out.write.mode("overwrite")
+      // write.distribution-mode (the Iceberg property): how rows are
+      // distributed across tasks BEFORE a partitioned write. Default
+      // `none` writes each task's rows straight out — every task emits a
+      // file into every partition dir it holds rows for, which at 1000
+      // tasks × 1000 daily/bucket dirs is a million tiny files per
+      // commit. `hash` clusters rows by partition tuple (one task's
+      // worth of files per dir — the small-files fix, at the cost of one
+      // shuffle); `range` range-partitions on the tuple, additionally
+      // clustering adjacent partition values together (time-ordered
+      // appends compact naturally). AQE's rebalance handles dir skew.
+      val distributed =
+        if (dirCols.isEmpty) out
+        else properties(name).getOrElse("write.distribution-mode", "none") match {
+          case "none" => out
+          case "hash" => out.repartition(dirCols.map(c => col(s"`$c`")): _*)
+          case "range" =>
+            out.repartitionByRange(dirCols.map(c => col(s"`$c`")): _*)
+          case other => throw new IllegalArgumentException(
+            s"unknown write.distribution-mode '$other' " +
+              "(supported: none, hash, range)")
+        }
+      val writer = distributed.write.mode("overwrite")
       (if (dirCols.isEmpty) writer else writer.partitionBy(dirCols: _*))
         .parquet(staging.toString)
       promoteStaged(name, staging, None)
@@ -3777,11 +3867,11 @@ object TableStore {
   private[tables] val PosFileCol: String = "__graft_pos_file"
   private[tables] val PosIdxCol: String = "__graft_pos_idx"
 
-  /** Inputs of the storage-partitioned-join batch scan (see
-    * [[TableStore.spjPlan]]): the snapshot version it was planned
-    * against, the all-bucket partition spec in layout order, and the
-    * zone-index bundle whose `listFiles` supplies pruned candidates
-    * grouped by bucket tuple. */
+  /** Change-feed label columns (the Delta-CDF spellings, so downstream
+    * consumers port unchanged). */
+  val ChangeTypeCol: String = "_change_type"
+  val CommitVersionCol: String = "_commit_version"
+
   /** Everything a scan needs to plan one spec generation of a snapshot:
     * the zone-map index (partition values, stats, blooms, bucket dirs all
     * wired), the partition/data schemas it was built for, and the parsed
@@ -3795,6 +3885,11 @@ object TableStore {
       dataSch: org.apache.spark.sql.types.StructType,
       physSch: org.apache.spark.sql.types.StructType)
 
+  /** Inputs of the storage-partitioned-join batch scan (see
+    * [[TableStore.spjPlan]]): the snapshot version it was planned
+    * against, the all-bucket partition spec in layout order, and the
+    * zone-index bundle whose `listFiles` supplies pruned candidates
+    * grouped by bucket tuple. */
   private[tables] final case class SpjPlan(version: Int,
       buckets: Seq[PartitionField.PBucket],
       bundle: ZoneIndexBundle)

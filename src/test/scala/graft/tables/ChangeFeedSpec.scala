@@ -1,0 +1,110 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Row-level change feed ([[TableStore.changeFeed]]): every commit kind
+  * must label exactly its net row changes — appends as inserts from the
+  * appended files alone, CoW mutations as the multiset difference of the
+  * rewritten scope, MoR tombstones as the masked-read difference, and a
+  * compaction as NOTHING (row-preserving rewrites cancel). Versions are
+  * captured live (create itself commits one). */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore(): TableStore = new TableStore(spark, tmpDir("cf-"))
+
+  private def changes(st: TableStore, from: Int, to: Int)
+      : Seq[(Long, String, String, Int)] =
+    st.changeFeed("t", from, to)
+      .select("k", "v", TableStore.ChangeTypeCol, TableStore.CommitVersionCol)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSeq.sorted
+
+  test("append commits label their appended files as inserts") {
+    val st = newStore()
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    st.create("t", a.schema)
+    val v0 = st.currentVersion("t")
+    st.append("t", a)
+    val v1 = st.currentVersion("t")
+    st.append("t", Seq((3L, "c")).toDF("k", "v"))
+    val v2 = st.currentVersion("t")
+    assert(changes(st, v0, v2) === Seq(
+      (1L, "a", "insert", v1), (2L, "b", "insert", v1),
+      (3L, "c", "insert", v2)))
+    // a sub-range delivers only its versions
+    assert(changes(st, v1, v2) === Seq((3L, "c", "insert", v2)))
+    // an empty range is an empty frame with the labeled schema
+    val empty = st.changeFeed("t", v2, v2)
+    assert(empty.columns.takeRight(2).toSeq ===
+      Seq(TableStore.ChangeTypeCol, TableStore.CommitVersionCol))
+    assert(empty.count() === 0)
+  }
+
+  test("CoW delete labels removed rows; update labels delete+insert") {
+    val st = newStore()
+    val a = (1L to 6L).map(i => (i, s"v$i")).toDF("k", "v")
+    st.create("t", a.schema)
+    st.append("t", a)
+    val v1 = st.currentVersion("t")
+    st.delete("t", col("k") === 2L)
+    val v2 = st.currentVersion("t")
+    st.merge("t", Seq((3L, "V3"), (9L, "v9")).toDF("k", "v"), Seq("k"),
+      updateCols = Seq("v"), insertUnmatched = true, deleteWhen = None)
+    val v3 = st.currentVersion("t")
+    assert(changes(st, v1, v2) === Seq((2L, "v2", "delete", v2)))
+    assert(changes(st, v2, v3) === Seq(
+      (3L, "V3", "insert", v3), (3L, "v3", "delete", v3),
+      (9L, "v9", "insert", v3)))
+  }
+
+  test("MoR tombstones label masked-out rows; duplicates net exactly") {
+    val st = newStore()
+    // duplicate rows for k=4: exceptAll must keep multiset counts honest
+    val a = ((1L to 5L).map(i => (i, s"v$i")) :+ (4L, "v4")).toDF("k", "v")
+    st.create("t", a.schema)
+    val v0 = st.currentVersion("t")
+    st.append("t", a)
+    val v1 = st.currentVersion("t")
+    st.deleteMoR("t", Seq(Tuple1(4L)).toDF("k"), Seq("k"))
+    val v2 = st.currentVersion("t")
+    assert(changes(st, v1, v2) === Seq(
+      (4L, "v4", "delete", v2), (4L, "v4", "delete", v2)))
+    // the feed across both versions carries the inserts AND the deletes
+    assert(changes(st, v0, v2).count(_._3 == "delete") === 2)
+    assert(changes(st, v0, v2).count(_._3 == "insert") === 6)
+  }
+
+  test("compaction contributes nothing") {
+    val st = newStore()
+    val a = (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v")
+    st.create("t", a.schema)
+    val v0 = st.currentVersion("t")
+    st.append("t", a.repartition(4))
+    val v1 = st.currentVersion("t")
+    st.compact("t", numFiles = 1)
+    val v2 = st.currentVersion("t")
+    assert(changes(st, v1, v2) === Seq.empty)
+    // and the full feed still nets to the table's live rows
+    val feed = changes(st, v0, v2)
+    assert(feed.count(_._3 == "insert") === 8)
+    assert(feed.count(_._3 == "delete") === 0)
+  }
+
+  test("materializing pending MoR deletes contributes nothing") {
+    val st = newStore()
+    val a = (1L to 6L).map(i => (i, s"v$i")).toDF("k", "v")
+    st.create("t", a.schema)
+    st.append("t", a)
+    val v1 = st.currentVersion("t")
+    st.deleteMoR("t", Seq(Tuple1(2L)).toDF("k"), Seq("k"))
+    val v2 = st.currentVersion("t")
+    st.materializeDeletes("t")
+    val v3 = st.currentVersion("t")
+    assert(changes(st, v1, v2) === Seq((2L, "v2", "delete", v2)))
+    // the fold rewrote files but changed no visible rows
+    assert(changes(st, v2, v3) === Seq.empty)
+  }
+}

@@ -183,6 +183,31 @@ class SpjSpec extends SparkSpec {
     assert(fi.canonicalName() !== f.canonicalName())
   }
 
+  test("non-bucketed side shuffles INTO the table's layout (one exchange)") {
+    // v2.bucketing.shuffle.enabled: Spark evaluates OUR bucket function
+    // to route the small side's rows into the table's bucket layout —
+    // the table side itself still never shuffles. This is the proof the
+    // bound function's produceResult matches the physical layout: a
+    // mismatch would silently join zero rows.
+    withSpj {
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      try {
+        val probe = (0L until 30L).map(i => (i, s"p$i")).toDF("k", "p")
+        probe.createOrReplaceTempView("spj_probe")
+        val q = spark.sql(
+          "SELECT f.k, f.v, p.p FROM spj.f f JOIN spj_probe p ON f.k = p.k")
+        val plan = finalPlan(q)
+        assert(plan.contains("BatchScan"), plan)
+        // exactly the probe side's exchange; the table side adds none
+        assert(plan.split("Exchange").length - 1 === 1, plan)
+        val expected = fact.join(probe, "k").select($"k", $"v", $"p")
+        assert(q.orderBy("k", "v").collect().toSeq ===
+          expected.orderBy("k", "v").collect().toSeq)
+      } finally spark.conf
+        .unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    }
+  }
+
   test("runtime filter values prune bucket groups") {
     // direct unit probe of the runtime-filtering arithmetic
     val ids = Seq(1L, 2L, 3L).flatMap(v =>
