@@ -828,7 +828,9 @@ object TableQueries {
       Some(TableQueries2.tblNestedEvolutionSql)),
     Q("tbl_pos_delete", TableQueries2.tblPosDelete,
       Some(TableQueries2.tblPosDeleteSql)),
-    Q("tbl_spj", TableQueries2.tblSpj, Some(TableQueries2.tblSpjSql)))
+    Q("tbl_spj", TableQueries2.tblSpj, Some(TableQueries2.tblSpjSql)),
+    Q("tbl_changelog", TableQueries2.tblChangelog,
+      Some(TableQueries2.tblChangelogSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -1068,4 +1070,58 @@ object TableQueries2 {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY o.o_custkey, c.c_mktsegment
       |ORDER BY custkey, seg""".stripMargin
+
+  /** Row-level change feed under the oracle (the Delta-CDF/Iceberg-
+    * changelog surface): a four-commit lifecycle — two appends, a
+    * merge-on-read tombstone batch, a copy-on-write predicate delete —
+    * replayed as labeled net changes. The CoW commit also folds the
+    * pending tombstones; those rows must NOT be re-reported (they were
+    * already invisible at its parent), which is exactly what the
+    * masked-read difference guarantees. Versions are rebased to
+    * commit_seq so the oracle stays literal. */
+  private[ops] def tblChangelog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-chlog", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    val v0 = store.currentVersion("orders")
+    store.append("orders", ord.filter(col("o_orderkey") <= 7500L)) // seq 1
+    store.append("orders", ord.filter(col("o_orderkey") > 7500L))  // seq 2
+    store.deleteMoR("orders",                                      // seq 3
+      ord.filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey")).distinct(),
+      Seq("o_custkey"))
+    // folds the pending tombstones first (seq 4, net-zero in the feed),
+    // then commits the predicate delete (seq 5)
+    store.delete("orders", col("o_orderkey") % 31 === 0)
+    store.changeFeed("orders", v0, store.currentVersion("orders"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col(TableStore.ChangeTypeCol).as("change_type"),
+        (col(TableStore.CommitVersionCol) - lit(v0)).as("commit_seq"))
+      .orderBy("o_orderkey", "commit_seq", "change_type", "o_custkey",
+        "o_totalprice")
+  }
+
+  private[ops] val tblChangelogSql =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'insert' AS change_type, 1 AS commit_seq
+      |FROM o WHERE o_orderkey <= 7500
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'insert' AS change_type, 2 AS commit_seq
+      |FROM o WHERE o_orderkey > 7500
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'delete' AS change_type, 3 AS commit_seq
+      |FROM o WHERE o_custkey % 50 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'delete' AS change_type, 5 AS commit_seq
+      |FROM o WHERE o_orderkey % 31 = 0 AND o_custkey % 50 <> 0
+      |ORDER BY o_orderkey, commit_seq, change_type, o_custkey,
+      |  o_totalprice""".stripMargin
 }

@@ -111,17 +111,24 @@ final class GraftTableSourceProvider
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val (store, table) = storeOf(ctx, parameters)
-    (shortName(), schema.getOrElse(store.schema(table)))
+    val base = schema.getOrElse(store.schema(table))
+    val out =
+      if (parameters.get("changeFeed").exists(_.trim.toBoolean))
+        GraftTableSource.changeSchema(base)
+      else base
+    (shortName(), out)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val (store, table) = storeOf(ctx, parameters)
-    new GraftTableSource(ctx.sparkSession, store, table,
-      parameters.get("startVersion").map(_.trim.toInt),
+    val changeFeed = parameters.get("changeFeed").exists(_.trim.toBoolean)
+    val startVersion = parameters.get("startVersion").map(_.trim.toInt)
+    new GraftTableSource(ctx.sparkSession, store, table, startVersion,
       parameters.get("maxRowsPerTrigger").map(_.trim.toLong),
-      parameters.get("maxFilesPerTrigger").map(_.trim.toInt))
+      parameters.get("maxFilesPerTrigger").map(_.trim.toInt),
+      changeFeed, Some(metadataPath))
   }
 }
 
@@ -197,23 +204,54 @@ private[streaming] object GraftSourceOffset {
   }
 }
 
+object GraftTableSource {
+  /** Change-feed output schema: the table's columns plus the CDF labels. */
+  private[streaming] def changeSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(TableStore.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(TableStore.CommitVersionCol,
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  /** Pseudo file-list entry standing for "this version's net change as
+    * ONE admission unit" — a mutation commit's delta is a masked-read
+    * difference, not a file list, so it cannot split across triggers.
+    * Contains '/'-free ':' characters no real rel path starts with. */
+  private[streaming] val NetChangeToken: String = "::netchange::"
+}
+
 final class GraftTableSource(spark: SparkSession, store: TableStore,
     table: String, startVersion: Option[Int],
     maxRowsPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends Source
+    maxFilesPerTrigger: Option[Int] = None,
+    changeFeed: Boolean = false,
+    metadataPath: Option[String] = None) extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import GraftSourceOffset.AllFiles
+  import GraftTableSource.NetChangeToken
 
-  override def schema: StructType = store.schema(table)
+  override def schema: StructType =
+    if (changeFeed) GraftTableSource.changeSchema(store.schema(table))
+    else store.schema(table)
 
   private def capped: Boolean =
     maxRowsPerTrigger.isDefined || maxFilesPerTrigger.isDefined
 
-  /** File list of one log position's version. */
+  /** File list of one log position's version. In change-feed mode a
+    * pure-append version lists its appended files (splittable inserts);
+    * a mutation version is ONE [[GraftTableSource.NetChangeToken]] unit
+    * whose batch is the masked-read net change. */
   private def listOf(version: Int, snap: Boolean): Seq[String] =
-    if (snap) store.relPathsOf(table, version)
+    if (changeFeed) {
+      require(!snap, "change feed never delivers a snapshot phase " +
+        "(startVersion is required)")
+      store.commitAppendedOnly(table, version) match {
+        case Some(rels) => rels
+        case None => Seq(NetChangeToken)
+      }
+    } else if (snap) store.relPathsOf(table, version)
     else store.appendedRelPathsOf(table, version).getOrElse(
       // legacy commit without a sidecar: fall back to the file-set diff
       // against its parent (exact for append-only legacy history)
@@ -239,12 +277,54 @@ final class GraftTableSource(spark: SparkSession, store: TableStore,
     cur ++ later
   }
 
-  /** Where a fresh query (no checkpoint) starts reading. */
+  /** Where a fresh query (no checkpoint) starts reading. A resumed
+    * query never gets here — its position comes from the offset log, so
+    * `startVersion` is only needed (and only honored) on first start. */
   private def origin(head: Int): GraftSourceOffset = startVersion match {
     // tail-from: snapshot sv itself is NOT delivered, only later appends
     case Some(sv) => GraftSourceOffset(sv, snap = false, AllFiles)
     // fresh query: the whole snapshot at the current head, from file 0
-    case None     => GraftSourceOffset(head, snap = true, 0)
+    case None =>
+      require(!changeFeed,
+        "changeFeed=true needs startVersion on first start: the feed " +
+          "tails CHANGES after a known snapshot — delivering a 100 TB " +
+          "initial state as 'inserts' is a plain table-source read, not " +
+          "a change feed (a checkpoint resume needs no startVersion)")
+      GraftSourceOffset(head, snap = true, 0)
+  }
+
+  /** The origin offset, pinned under the source's checkpoint metadata
+    * path on FIRST start (the KafkaSource initial-offset pattern): the
+    * offset log only records batch END positions, so replaying batch 0
+    * after a restart needs the original start position persisted
+    * somewhere durable. With it, a resumed query reconstructs batch 0
+    * without re-supplying `startVersion`, and a fresh snapshot query
+    * replays batch 0 against the SAME head it first saw even if the
+    * table advanced before the crash. */
+  private lazy val pinnedOrigin: GraftSourceOffset = metadataPath match {
+    case None => origin(availableNowHead.getOrElse(store.currentVersion(table)))
+    case Some(mp) =>
+      val hp = new org.apache.hadoop.fs.Path(mp, "graft-origin")
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(hp)) {
+        val in = fs.open(hp)
+        val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        GraftSourceOffset.parse(s)
+      } else {
+        val o = origin(availableNowHead.getOrElse(store.currentVersion(table)))
+        fs.mkdirs(hp.getParent)
+        val out = fs.create(hp, false) // one writer per checkpoint dir
+        try out.write(o.json.getBytes("UTF-8")) finally out.close()
+        o
+      }
+  }
+
+  /** True when a pinned origin already exists for this checkpoint —
+    * i.e. the query ran before. Checkpoints from before this feature
+    * have none; their batch-0 replay keeps the legacy reconstruction. */
+  private def hasPinnedOrigin: Boolean = metadataPath.exists { mp =>
+    val hp = new org.apache.hadoop.fs.Path(mp, "graft-origin")
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
   }
 
   /** With [[SupportsAdmissionControl]] implemented, Spark drives
@@ -281,7 +361,7 @@ final class GraftTableSource(spark: SparkSession, store: TableStore,
     val from: GraftSourceOffset = Option(start)
       .map(o => GraftSourceOffset.parse(
         o.asInstanceOf[org.apache.spark.sql.connector.read.streaming.Offset].json))
-      .getOrElse(origin(head))
+      .getOrElse(pinnedOrigin)
     val pending: Seq[(Int, Boolean, Seq[String])] = pendingAfter(from, head)
     if (pending.isEmpty) return null
     if (!capped) {
@@ -321,7 +401,8 @@ final class GraftTableSource(spark: SparkSession, store: TableStore,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val e = GraftSourceOffset.parse(end)
     val from = start.map(GraftSourceOffset.parse).getOrElse {
-      startVersion match {
+      if (hasPinnedOrigin) pinnedOrigin
+      else startVersion match { // legacy checkpoint: no pinned origin
         case Some(sv) => GraftSourceOffset(sv, snap = false, AllFiles)
         case None     => GraftSourceOffset(e.version, snap = true, 0)
       }
@@ -337,13 +418,20 @@ final class GraftTableSource(spark: SparkSession, store: TableStore,
       }
       .filter(_._3.nonEmpty)
     val frames = segs.map { case (v, s, rels) =>
-      if (s) store.readRelsMasked(table, rels, v)
+      if (changeFeed) {
+        import org.apache.spark.sql.functions.lit
+        if (rels == Seq(NetChangeToken)) store.changesOfVersion(table, v)
+        else store.readAppendedRels(table, rels)
+          .withColumn(TableStore.ChangeTypeCol, lit("insert"))
+          .withColumn(TableStore.CommitVersionCol, lit(v))
+      }
+      else if (s) store.readRelsMasked(table, rels, v)
       else store.readAppendedRels(table, rels)
     }
     val batch =
       if (frames.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          store.schema(table))
+          schema)
       else frames.reduce(_ unionByName _)
     Bridge.streamingFrame(batch)
   }

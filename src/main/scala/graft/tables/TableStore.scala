@@ -1903,6 +1903,24 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (frames.isEmpty) emptyChanges(name) else frames.reduce(_ unionByName _)
   }
 
+  /** Some(addedFiles) iff commit `v` is a PURE append — removed no file
+    * and introduced no delete entry — so its changes are exactly its
+    * added files as inserts (file-splittable for streaming admission
+    * control). None = a mutation commit whose net change needs
+    * [[changesOfVersion]]'s masked-read difference. */
+  private[graft] def commitAppendedOnly(name: String,
+      v: Int): Option[Seq[String]] = {
+    val parent = commitParent(name, v).getOrElse(v - 1)
+    val cur = relPathsOf(name, v)
+    val prev = if (parent <= 0) Nil else relPathsOf(name, parent)
+    val prevS = prev.toSet
+    val removed = prev.filterNot(cur.toSet)
+    val newDeletes =
+      readDeleteEntries(name, v).toSet -- readDeleteEntries(name, parent).toSet
+    if (removed.isEmpty && newDeletes.isEmpty) Some(cur.filterNot(prevS))
+    else None
+  }
+
   /** One commit's labeled net changes — see [[changeFeed]]. */
   private[graft] def changesOfVersion(name: String, v: Int): DataFrame = {
     val parent = commitParent(name, v).getOrElse(v - 1)
@@ -1924,8 +1942,13 @@ final class TableStore(private[tables] val spark: SparkSession,
       else label(readAppendedRels(name, added), "insert")
     } else {
       val common = if (newDeletes.nonEmpty) cur.filter(prevS) else Nil
+      // pin the column ORDER on both sides: the masked read surfaces its
+      // anti-join key columns first, and exceptAll matches POSITIONALLY —
+      // order drift would make identical rows fail to cancel
+      val cols = schema(name).fieldNames.map(n => col(s"`$n`")).toSeq
       val before = readRelsMasked(name, removed ++ common, parent)
-      val after = readRelsMasked(name, added ++ common, v)
+        .select(cols: _*)
+      val after = readRelsMasked(name, added ++ common, v).select(cols: _*)
       label(after.exceptAll(before), "insert")
         .unionByName(label(before.exceptAll(after), "delete"))
     }

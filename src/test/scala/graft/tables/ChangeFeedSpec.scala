@@ -77,6 +77,24 @@ class ChangeFeedSpec extends SparkSpec {
     assert(changes(st, v0, v2).count(_._3 == "insert") === 6)
   }
 
+  test("tombstone keyed on a NON-LEADING column still nets (order pin)") {
+    // the masked read surfaces its anti-join key columns first; without
+    // the explicit column-order pin in changesOfVersion, exceptAll would
+    // compare positionally misaligned rows and cancel nothing
+    val st = newStore()
+    val a = (1L to 5L).map(i => (i, s"v$i", i * 10L)).toDF("k", "v", "w")
+    st.create("t", a.schema)
+    st.append("t", a)
+    val v1 = st.currentVersion("t")
+    st.deleteMoR("t", Seq(Tuple1(30L)).toDF("w"), Seq("w")) // key = 3rd col
+    val v2 = st.currentVersion("t")
+    val got = st.changeFeed("t", v1, v2)
+      .select("k", "v", "w", TableStore.ChangeTypeCol)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq((3L, "v3", 30L, "delete")))
+  }
+
   test("compaction contributes nothing") {
     val st = newStore()
     val a = (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v")
