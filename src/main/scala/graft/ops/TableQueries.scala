@@ -830,7 +830,9 @@ object TableQueries {
       Some(TableQueries2.tblPosDeleteSql)),
     Q("tbl_spj", TableQueries2.tblSpj, Some(TableQueries2.tblSpjSql)),
     Q("tbl_changelog", TableQueries2.tblChangelog,
-      Some(TableQueries2.tblChangelogSql)))
+      Some(TableQueries2.tblChangelogSql)),
+    Q("tbl_sql_ctas", TableQueries2.tblSqlCtas,
+      Some(TableQueries2.tblSqlCtasSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -1081,23 +1083,31 @@ object TableQueries2 {
     * commit_seq so the oracle stays literal. */
   private[ops] def tblChangelog(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val store = new TableStore(spark,
-      Scratch.dir("tbl-chlog", Scratch.tag(dir)))
+    // the final read goes through the SQL face (`t.changes` with
+    // version-range read options) so the whole CDF surface sits under
+    // the oracle; mutations run programmatically (the SQL mutation
+    // paths have their own gates)
+    spark.conf.set("spark.sql.catalog.gchg",
+      classOf[graft.tables.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gchg.root", Scratch.dir("tbl-chlog"))
+    val store = new TableStore(spark, Scratch.dir("tbl-chlog"))
+    val tbl = s"orders_${Scratch.tag(dir).replace('.', '_')}"
     val ord = t(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    store.create("orders", ord.schema, overwrite = true,
+    store.create(tbl, ord.schema, overwrite = true,
       zoneCols = Seq("o_orderkey"))
-    val v0 = store.currentVersion("orders")
-    store.append("orders", ord.filter(col("o_orderkey") <= 7500L)) // seq 1
-    store.append("orders", ord.filter(col("o_orderkey") > 7500L))  // seq 2
-    store.deleteMoR("orders",                                      // seq 3
+    val v0 = store.currentVersion(tbl)
+    store.append(tbl, ord.filter(col("o_orderkey") <= 7500L)) // seq 1
+    store.append(tbl, ord.filter(col("o_orderkey") > 7500L))  // seq 2
+    store.deleteMoR(tbl,                                      // seq 3
       ord.filter(col("o_custkey") % 50 === 0)
         .select(col("o_custkey")).distinct(),
       Seq("o_custkey"))
     // folds the pending tombstones first (seq 4, net-zero in the feed),
     // then commits the predicate delete (seq 5)
-    store.delete("orders", col("o_orderkey") % 31 === 0)
-    store.changeFeed("orders", v0, store.currentVersion("orders"))
+    store.delete(tbl, col("o_orderkey") % 31 === 0)
+    spark.read.option("startVersion", v0)
+      .table(s"gchg.$tbl.changes")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col(TableStore.ChangeTypeCol).as("change_type"),
         (col(TableStore.CommitVersionCol) - lit(v0)).as("commit_seq"))
@@ -1124,4 +1134,43 @@ object TableQueries2 {
       |FROM o WHERE o_orderkey % 31 = 0 AND o_custkey % 50 <> 0
       |ORDER BY o_orderkey, commit_seq, change_type, o_custkey,
       |  o_totalprice""".stripMargin
+
+  /** Atomic CTAS + RTAS through the SQL catalog
+    * ([[graft.tables.GraftCatalog]] as a `StagingTableCatalog`): CREATE
+    * TABLE AS SELECT materializes a per-segment rollup, then REPLACE
+    * TABLE AS SELECT rebuilds the table FROM ITS OWN CURRENT CONTENT
+    * (join back to the source) — the self-referencing replace only a
+    * staged swap can serve, since Spark's non-staging fallback drops the
+    * target before the replacement query runs. The oracle recomputes
+    * the composed lifecycle. */
+  private[ops] def tblSqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gctas",
+      classOf[graft.tables.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gctas.root", Scratch.dir("tbl-ctas"))
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"cust_$ident"
+    val src = s"gctas_src_$ident"
+    t(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .createOrReplaceTempView(src)
+    spark.sql(s"DROP TABLE IF EXISTS gctas.$tbl")
+    spark.sql(s"""CREATE TABLE gctas.$tbl AS
+      SELECT c_mktsegment AS seg, count(*) AS cnt
+      FROM $src GROUP BY c_mktsegment""")
+    spark.sql(s"""REPLACE TABLE gctas.$tbl AS
+      SELECT s.c_custkey, s.c_mktsegment AS seg, t0.cnt AS seg_cnt
+      FROM $src s JOIN gctas.$tbl t0 ON s.c_mktsegment = t0.seg
+      WHERE s.c_custkey % 10 = 0""")
+    spark.sql(s"""SELECT c_custkey, seg, seg_cnt FROM gctas.$tbl
+      ORDER BY c_custkey""")
+  }
+
+  private[ops] val tblSqlCtasSql =
+    """WITH seg_counts AS (
+      |  SELECT c_mktsegment AS seg, count(*) AS cnt
+      |  FROM customer GROUP BY c_mktsegment)
+      |SELECT c.c_custkey, c.c_mktsegment AS seg, sc.cnt AS seg_cnt
+      |FROM customer c JOIN seg_counts sc ON c.c_mktsegment = sc.seg
+      |WHERE c.c_custkey % 10 = 0
+      |ORDER BY c_custkey""".stripMargin
 }

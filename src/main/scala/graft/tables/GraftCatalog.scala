@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
@@ -57,7 +57,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * metadata column, as in Iceberg.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog
+  with StagingTableCatalog with ProcedureCatalog
   with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   /** V2 functions backing hidden-partitioning transforms
@@ -129,6 +129,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident.namespace().sameElements(Array("default")),
       s"catalog $catName is flat: unexpected namespace " +
         ident.namespace().mkString("."))
+    require(!ident.name().contains(TableStore.StageMarker),
+      s"table names may not contain ${TableStore.StageMarker} " +
+        "(reserved for CTAS staging)")
     ident.name()
   }
 
@@ -150,6 +153,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftMetaTable.Names.contains(ident.name()) &&
         store.exists(ident.namespace()(0)))
       return new GraftMetaTable(store, ident.namespace()(0), ident.name())
+    // `t.changes`: the row-level change feed as a SQL-readable table
+    if (ident.namespace().length == 1 && ident.name() == "changes" &&
+        store.exists(ident.namespace()(0)))
+      return new GraftChangesTable(store, ident.namespace()(0))
     val n = tableName(ident)
     if (!store.exists(n)) throw new NoSuchTableException(ident)
     new GraftSqlTable(store, n, None)
@@ -182,6 +189,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val n = tableName(ident)
     if (store.exists(n)) throw new TableAlreadyExistsException(ident)
+    doCreate(n, schema, partitions, properties)
+    new GraftSqlTable(store, n, None)
+  }
+
+  /** Physical table creation under name `n` (shared by CREATE TABLE and
+    * the staged CTAS/RTAS paths, which create under a hidden name). */
+  private def doCreate(n: String, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Unit = {
     // identity plus Iceberg's hidden-partitioning transforms — the core
     // DDL surface the reference inherits through its catalog
     // (SparkUtils.java:46): PARTITIONED BY (days(ts), bucket(8, key), ...)
@@ -230,7 +245,50 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .toMap
     if (user.nonEmpty)
       store.setProperties(n, user.map { case (k, v) => k -> Some(v) })
-    new GraftSqlTable(store, n, None)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) --------------------------
+
+  /** `CREATE TABLE ... AS SELECT`: the table materializes under a hidden
+    * staged name, the query writes into it, and ONE rename publishes it
+    * — no window where the table exists empty, and a failed query leaves
+    * no table at all. Without this, Spark's fallback creates the table
+    * first and drops it on failure (two visible states). */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, properties, replace = false,
+      orCreate = true)
+  }
+
+  /** `REPLACE TABLE ... AS SELECT`: the replacement is fully written and
+    * durable BEFORE the old table is touched — Spark's non-staging
+    * fallback DROPS the target first, so a failed query there destroys
+    * the table. Commit swaps directories under the target's commit lock
+    * ([[TableStore.replaceTable]]). */
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replace = true,
+      orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true,
+      orCreate = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    val n = tableName(ident)
+    val stagedName = s"$n${TableStore.StageMarker}" +
+      java.util.UUID.randomUUID().toString.take(8)
+    doCreate(stagedName, schema, partitions, properties)
+    new GraftStagedTable(store, stagedName, n, replace, orCreate)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -321,6 +379,52 @@ object GraftCatalog {
 
   val DeleteModeProp = "write.delete.mode"
   val MergeOnRead = "merge-on-read"
+}
+
+/** A table staged for atomic CTAS/RTAS: a full managed table under a
+  * hidden name (invisible to the catalog listing) that the query writes
+  * into; `commitStagedChanges` publishes it under the final name — one
+  * rename for CREATE, a locked directory swap for REPLACE — and
+  * `abortStagedChanges` drops it, leaving no trace. */
+private[tables] final class GraftStagedTable(store: TableStore,
+    stagedName: String, finalName: String, replace: Boolean,
+    orCreate: Boolean)
+  extends StagedTable with SupportsRead with SupportsWrite {
+
+  private val inner = new GraftSqlTable(store, stagedName, None)
+
+  override def name(): String = finalName
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit =
+    if (store.exists(finalName)) {
+      if (!replace) {
+        // pure CREATE lost a concurrent-create race: surface it, and
+        // leave nothing staged behind
+        store.drop(stagedName)
+        throw new TableAlreadyExistsException(
+          Identifier.of(Array.empty, finalName))
+      }
+      store.replaceTable(stagedName, finalName)
+    } else {
+      if (replace && !orCreate) {
+        // pure REPLACE whose target vanished mid-query: publishing as a
+        // create would resurrect a table another session just dropped
+        store.drop(stagedName)
+        throw new NoSuchTableException(Identifier.of(Array.empty, finalName))
+      }
+      store.renameTable(stagedName, finalName)
+    }
+
+  override def abortStagedChanges(): Unit = store.drop(stagedName)
 }
 
 /** One managed table exposed to Spark SQL. `versionAt` pins a historical
@@ -504,6 +608,61 @@ private[tables] final class GraftMetaTable(store: TableStore, tbl: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new V1Scan {
       private val df = frame // one consistent snapshot per scan build
+      override def readSchema(): StructType = df.schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = df.schema
+          override def needConversion: Boolean = false
+          override def buildScan(): RDD[Row] =
+            df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+        }.asInstanceOf[T]
+    }
+}
+
+/** `t.changes`: the row-level change feed ([[TableStore.changeFeed]]) as
+  * a SQL-readable table — the batch face of the CDF surface (Delta's
+  * `table_changes`, Iceberg's changelog scan):
+  *
+  * {{{
+  * spark.read.option("startVersion", 3)   // exclusive, REQUIRED
+  *   .option("endVersion", 7)             // inclusive, default = head
+  *   .table("cat.t.changes")
+  * }}}
+  *
+  * Labeled net changes per commit in `(startVersion, endVersion]`; cost
+  * is proportional to each commit's changed scope, never the table.
+  * `startVersion` is required for the same reason the streaming feed
+  * requires it: delivering a 100 TB initial state as 'inserts' is a
+  * table read, not a change feed. */
+private[tables] final class GraftChangesTable(store: TableStore,
+    tbl: String) extends Table with SupportsRead {
+
+  override def name(): String = s"$tbl.changes"
+
+  override def schema(): StructType =
+    StructType(store.schema(tbl).fields ++ Seq(
+      org.apache.spark.sql.types.StructField(TableStore.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(TableStore.CommitVersionCol,
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      private val df = {
+        val start = Option(options.get("startVersion")).map(_.trim.toInt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$tbl.changes needs read option startVersion (exclusive): " +
+              "the feed delivers CHANGES after a known snapshot — for " +
+              "the initial state, read the table itself"))
+        val end = Option(options.get("endVersion")).map(_.trim.toInt)
+          .getOrElse(store.currentVersion(tbl))
+        store.changeFeed(tbl, start, end)
+      }
       override def readSchema(): StructType = df.schema
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =

@@ -516,13 +516,68 @@ final class TableStore(private[tables] val spark: SparkSession,
     } finally { fs.delete(moved, false); fs.delete(lock, false); () }
   }
 
+  /** Publish a STAGED table over an existing target (the RTAS commit):
+    * the staged table's data is fully durable BEFORE the swap begins, so
+    * the replacement payload is never at risk — unlike Spark's
+    * non-atomic fallback for a plain `TableCatalog`, which DROPS the
+    * target before the first replacement byte is written. The swap
+    * itself is two directory renames under the target's commit lock
+    * (old dir aside, staged dir in); a crash between them leaves both
+    * the old table (under its aside name) and the staged data on disk —
+    * recoverable, nothing lost. The old directory is deleted only after
+    * the new one is fully in place. */
+  def replaceTable(staged: String, target: String): Unit = {
+    require(exists(staged), s"staged table $staged does not exist")
+    require(exists(target), s"replace target $target does not exist")
+    val lock = new HPath(tdir(target), "_commit.lock")
+    acquireLock(target, lock)
+    val aside = s".$target${TableStore.StageMarker}replaced-" +
+      UUID.randomUUID().toString.take(8)
+    try {
+      // external-coordinator pointers do not follow directories: capture
+      // the staged head and the target's branch keys before any move
+      val stagedPtr = coord.current(staged)
+      val stagedBranches = refs(staged).toSeq.collect {
+        case (r, ("branch", _)) => r -> coord.current(refKey(staged, Some(r)))
+      }
+      scala.util.Try(refs(target)).getOrElse(Map.empty).foreach {
+        case (r, ("branch", _)) => coord.clear(refKey(target, Some(r)))
+        case _ => ()
+      }
+      require(fs.rename(tdir(target), tdir(aside)),
+        s"filesystem rename of replace target $target aside failed")
+      require(fs.rename(tdir(staged), tdir(target)),
+        s"filesystem rename of staged table $staged -> $target failed")
+      def repoint(oldKey: String, newKey: String, ptr: Option[String]): Unit =
+        ptr.foreach { p =>
+          if (coord.current(newKey) != Some(p))
+            require(coord.swap(newKey, coord.current(newKey), p),
+              s"could not re-register pointer $newKey after replace")
+          coord.clear(oldKey)
+        }
+      repoint(staged, target, stagedPtr)
+      stagedBranches.foreach { case (r, ptr) =>
+        repoint(refKey(staged, Some(r)), refKey(target, Some(r)), ptr)
+      }
+      catalogCache -= target; catalogCache -= staged
+      nestedCache -= target; nestedCache -= staged
+    } finally {
+      fs.delete(new HPath(tdir(target), "_commit.lock"), false)
+      ()
+    }
+    fs.delete(tdir(aside), true)
+    ()
+  }
+
   /** Names of every live table under this store's root (a directory whose
     * commit pointer resolves — crash debris without a committed manifest
     * is not a table). One listing + one pointer read per entry: catalog
     * enumeration cost, not data cost. */
   def tables(): Seq[String] =
     if (!fs.exists(rootPath)) Nil
-    else listNames(rootPath).filter(n => coord.current(n).isDefined).sorted
+    else listNames(rootPath)
+      .filter(n => !n.contains(TableStore.StageMarker))
+      .filter(n => coord.current(n).isDefined).sorted
 
   /** Metadata-only TRUNCATE: one commit in which no prior file is live.
     * Data files stay on disk for time travel until [[expireSnapshots]];
@@ -3894,6 +3949,12 @@ object TableStore {
     * consumers port unchanged). */
   val ChangeTypeCol: String = "_change_type"
   val CommitVersionCol: String = "_commit_version"
+
+  /** Marker inside a STAGED table's name (atomic CTAS/RTAS): staged
+    * tables are full tables on disk but invisible to [[TableStore.tables]]
+    * until published by rename ([[TableStore.renameTable]]) or swap
+    * ([[TableStore.replaceTable]]). User table names may not contain it. */
+  val StageMarker: String = "__stage__"
 
   /** Everything a scan needs to plan one spec generation of a snapshot:
     * the zone-map index (partition values, stats, blooms, bucket dirs all

@@ -95,6 +95,38 @@ class ChangeFeedSpec extends SparkSpec {
     assert(got === Seq((3L, "v3", 30L, "delete")))
   }
 
+  test("t.changes reads the feed through SQL with version-range options") {
+    val root = tmpDir("cf-sql-")
+    val st = new TableStore(spark, root)
+    spark.conf.set("spark.sql.catalog.gcf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcf.root", root)
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    st.create("t", a.schema)
+    val v0 = st.currentVersion("t")
+    st.append("t", a)
+    st.delete("t", col("k") === 1L)
+    val v2 = st.currentVersion("t")
+    st.append("t", Seq((3L, "c")).toDF("k", "v"))
+    val got = spark.read
+      .option("startVersion", v0).option("endVersion", v2)
+      .table("gcf.t.changes")
+      .select("k", "v", TableStore.ChangeTypeCol)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    assert(got === Seq((1L, "a", "delete"), (1L, "a", "insert"),
+      (2L, "b", "insert")))
+    // endVersion defaults to the head
+    val toHead = spark.read.option("startVersion", v2)
+      .table("gcf.t.changes").collect()
+    assert(toHead.map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((3L, "insert")))
+    // startVersion is required — a feed never delivers the initial state
+    val e = intercept[Exception] {
+      spark.read.table("gcf.t.changes").collect()
+    }
+    assert(e.getMessage.contains("startVersion"))
+  }
+
   test("compaction contributes nothing") {
     val st = newStore()
     val a = (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v")
