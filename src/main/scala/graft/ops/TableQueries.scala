@@ -832,7 +832,13 @@ object TableQueries {
     Q("tbl_changelog", TableQueries2.tblChangelog,
       Some(TableQueries2.tblChangelogSql)),
     Q("tbl_sql_ctas", TableQueries2.tblSqlCtas,
-      Some(TableQueries2.tblSqlCtasSql)))
+      Some(TableQueries2.tblSqlCtasSql)),
+    Q("tbl_limit_pushdown", TableQueries2.tblLimitPushdown,
+      Some(TableQueries2.tblLimitPushdownSql)),
+    Q("tbl_rollback", TableQueries2.tblRollback,
+      Some(TableQueries2.tblRollbackSql)),
+    Q("tbl_cbo_broadcast", TableQueries2.tblCboBroadcast,
+      Some(TableQueries2.tblCboBroadcastSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -1173,4 +1179,167 @@ object TableQueries2 {
       |FROM customer c JOIN seg_counts sc ON c.c_mktsegment = sc.seg
       |WHERE c.c_custkey % 10 = 0
       |ORDER BY c_custkey""".stripMargin
+
+  /** LIMIT / TopN pushdown under the oracle: orders lands zone-mapped on
+    * `o_orderkey` across range-partitioned files, and `ORDER BY
+    * o_orderkey LIMIT 100` plans against a FILE SUBSET chosen from zone
+    * bounds + the per-file null ledger — partial pushdown, so Spark's
+    * own TopN makes the answer exact while the scan schedules a handful
+    * of splits instead of the table. Both prunes (plain LIMIT from row
+    * counts, TopN from bounds) are require()d ENGAGED and strict inside
+    * the gate; subset sufficiency is what the hash-match then proves.
+    * At 100 TB this turns `LIMIT 100` from a full-table scan into a
+    * couple of tasks. Per-file soundness details: LimitPushdownSpec. */
+  private[ops] def tblLimitPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.glimit",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-limit")
+    spark.conf.set("spark.sql.catalog.glimit.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS glimit.$tbl")
+    spark.sql(s"""CREATE TABLE glimit.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      TBLPROPERTIES ('zone_cols'='o_orderkey')""")
+    val store = new graft.tables.TableStore(spark, root)
+    store.append(tbl, t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey")))
+    val files = store.currentRelPaths(tbl).size
+    // plain LIMIT: a sufficient subset from recorded row counts alone
+    graft.tables.TableStore.lastLimitPrune = None
+    require(spark.sql(s"SELECT o_custkey FROM glimit.$tbl LIMIT 25")
+      .count() == 25L, "LIMIT under-delivered")
+    require(graft.tables.TableStore.lastLimitPrune.exists(_._2 < files),
+      s"LIMIT pushdown did not prune: ${graft.tables.TableStore.lastLimitPrune}")
+    // TopN: ordered-prefix subset from zone bounds (+ null ledger)
+    graft.tables.TableStore.lastLimitPrune = None
+    val q = spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM glimit.$tbl
+         |ORDER BY o_orderkey LIMIT 100""".stripMargin)
+    q.collect()
+    require(graft.tables.TableStore.lastLimitPrune.exists(_._2 < files),
+      s"TopN pushdown did not prune: ${graft.tables.TableStore.lastLimitPrune}")
+    q
+  }
+
+  private[ops] val tblLimitPushdownSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin
+
+  /** Snapshot rollback under the oracle (Iceberg `rollback_to_snapshot`
+    * via `CALL`): orders lands, a predicate delete and a corrupting
+    * overwrite-style mutation follow, and `rollback_to_version` restores
+    * the pre-mutation snapshot as a FORWARD commit — monotonic versions
+    * (require()d), rolled-away snapshots still time-travelable
+    * (require()d), restored content hash-matching the plain table.
+    * Mechanics (pending-MoR restoration, ancestry refusal, expiry
+    * interplay) are spec-pinned in RollbackAnalyzeSpec. */
+  private[ops] def tblRollback(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.grb",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-rollback")
+    spark.conf.set("spark.sql.catalog.grb.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS grb.$tbl")
+    spark.sql(s"""CREATE TABLE grb.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      TBLPROPERTIES ('zone_cols'='o_orderkey')""")
+    val store = new graft.tables.TableStore(spark, root)
+    store.append(tbl, t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice"))
+    val good = store.currentVersion(tbl)
+    spark.sql(s"DELETE FROM grb.$tbl WHERE o_orderkey % 3 = 0")
+    spark.sql(s"UPDATE grb.$tbl SET o_totalprice = 0.0 WHERE o_custkey < 500")
+    val bad = store.currentVersion(tbl)
+    spark.sql(s"CALL grb.system.rollback_to_version('$tbl', $good)")
+    require(store.currentVersion(tbl) > bad,
+      "rollback must be a forward commit, not a pointer rewind")
+    require(spark.sql(
+      s"SELECT * FROM grb.$tbl VERSION AS OF $bad").count() <
+      spark.sql(s"SELECT * FROM grb.$tbl").count(),
+      "rolled-away snapshot must stay time-travelable")
+    spark.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice
+      FROM grb.$tbl ORDER BY o_orderkey, o_custkey, o_totalprice""")
+  }
+
+  private[ops] val tblRollbackSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
+
+  /** CBO column statistics under the oracle: customer lands as a managed
+    * dim whose RAW size exceeds the broadcast threshold (require()d),
+    * orders as the fact; with CBO on, the dim's metadata column stats —
+    * NDV from the table-level HLL union, bounds from zone-map folds,
+    * nullCount from the null ledger — let FilterEstimation shrink the
+    * selectively-filtered dim below the threshold, and the planner picks
+    * BroadcastHashJoin (require()d, AQE off so the PLANNER owns the
+    * call). At 100 TB that estimate is a fact-table shuffle traded for a
+    * broadcast. Result hash-matches DuckDB on the raw parquet; the
+    * negative control (no CBO → shuffle join) is spec-pinned in
+    * ColumnStatsSpec. */
+  private[ops] def tblCboBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.gcbo",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-cbo")
+    spark.conf.set("spark.sql.catalog.gcbo.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val dim = s"customer_$ident"
+    val fact = s"orders_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gcbo.$dim")
+    spark.sql(s"DROP TABLE IF EXISTS gcbo.$fact")
+    spark.sql(s"""CREATE TABLE gcbo.$dim (
+      c_custkey BIGINT, c_name STRING, c_nationkey BIGINT,
+      c_acctbal DOUBLE, c_mktsegment STRING)
+      TBLPROPERTIES ('zone_cols'='c_custkey')""")
+    spark.sql(s"""CREATE TABLE gcbo.$fact (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
+    val store = new graft.tables.TableStore(spark, root)
+    store.append(dim, t(spark, dir, "customer").select(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    store.append(fact, t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice"))
+    val dimBytes = store.scanSizeBytes(dim)
+    val maxKey = store.columnRange(dim, "c_custkey")
+      .map(_._2.asInstanceOf[Long]).getOrElse(
+        sys.error("dim zone bounds missing"))
+    val cut = math.max(1L, maxKey / 50) // ~2% of the key range survives
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      // raw dim is ~3x OVER the threshold; only the CBO-estimated
+      // filtered dim fits under it
+      "spark.sql.autoBroadcastJoinThreshold" -> (dimBytes / 3).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        s"""SELECT f.o_orderkey AS o_orderkey, d.c_custkey AS c_custkey,
+           |  d.c_acctbal AS c_acctbal, f.o_totalprice AS o_totalprice
+           |FROM gcbo.$fact f JOIN gcbo.$dim d ON f.o_custkey = d.c_custkey
+           |WHERE d.c_custkey <= $cut
+           |ORDER BY o_orderkey""".stripMargin)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        s"CBO column stats should have won a broadcast join, got:\n$plan")
+      q
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private[ops] val tblCboBroadcastSql =
+    """SELECT f.o_orderkey AS o_orderkey, d.c_custkey AS c_custkey,
+      |  d.c_acctbal AS c_acctbal, f.o_totalprice AS o_totalprice
+      |FROM orders f JOIN customer d ON f.o_custkey = d.c_custkey
+      |WHERE d.c_custkey <= (SELECT greatest(1, max(c_custkey) // 50) FROM customer)
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -153,11 +153,17 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(
         prunedDirs.iterator.flatMap(_._2).map(_._2).sum)
+    // This scan prunes FILES only and returns every filter as residual
+    // (see the class doc), so the Filter node above applies selectivity
+    // to these full-table numbers exactly once; reporting them under
+    // pushed pruning filters stays the upper bound of the scan output.
     override def numRows(): java.util.OptionalLong =
-      if (pruning.isEmpty)
-        store.rowCount(tbl).map(java.util.OptionalLong.of)
-          .getOrElse(java.util.OptionalLong.empty())
-      else java.util.OptionalLong.empty()
+      store.rowCount(tbl).map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
+    override def columnStats()
+        : java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      ColumnStatsReport.build(store, tbl, required)
   }
 }
 

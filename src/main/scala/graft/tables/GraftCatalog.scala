@@ -689,13 +689,61 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
     versionAt: Option[Int])
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = store.schema(tbl)
   // complete metadata answer for a pushed whole-table aggregate:
   // (result schema, one row of catalyst-internal values)
   private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  // file subset selected by a pushed LIMIT / TopN (planning-side file
+  // pruning from recorded row counts / zone bounds + null ledger)
+  private var limitSubset: Option[Seq[String]] = None
+
+  /** `LIMIT n` directly over the scan: serve it from a minimal file
+    * subset guaranteed (by recorded per-file row counts) to hold ≥ n
+    * rows. PARTIAL pushdown — Spark keeps its own Limit, so the scan
+    * never has to be exact, only sufficient. Declined whenever the
+    * guarantee could be violated: pushed filters (they reduce per-file
+    * counts unpredictably), time travel (stats API serves the head),
+    * the SPJ batch path (its reader ignores the subset), or a snapshot
+    * with incomplete counts / pending MoR deletes. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.nonEmpty || versionAt.nonEmpty || spjPlan.isDefined ||
+      aggAnswer.nonEmpty) return false
+    store.limitRels(tbl, limit) match {
+      case Some(rs) => limitSubset = Some(rs); true
+      case None => false
+    }
+  }
+
+  /** `ORDER BY … LIMIT n` (TopN) over the scan: keep only files whose
+    * zone bounds + null ledger admit a top-n row under the LEADING sort
+    * key (a strict leading-column win is a strict full-tuple win, so
+    * extra tie-breaker columns never widen the candidate set). Same
+    * partial-pushdown contract and decline conditions as pushLimit. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (pushed.nonEmpty || versionAt.nonEmpty || spjPlan.isDefined ||
+      aggAnswer.nonEmpty || orders.isEmpty) return false
+    orders.head.expression() match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        val o = orders.head
+        val asc = o.direction() == SortDirection.ASCENDING
+        val nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST
+        store.topNRels(tbl, f.fieldNames.head, asc, nullsFirst, limit) match {
+          case Some(rs) => limitSubset = Some(rs); true
+          case None => false
+        }
+      case _ => false
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Whole-table `count(*)` / `min` / `max`(zone column) answered from
     * the snapshot's recorded statistics — the SQL-path face of
@@ -779,10 +827,19 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
     * evaluate rows, so exactness must stay above the scan. The V1
     * fallback under this contract merely double-applies — harmless. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, residual) =
+    val (ok, _) =
       filters.partition(f => GraftFilters.toColumn(f).isDefined)
     pushed = ok
-    if (spjPlan.isDefined) filters else residual
+    // EVERY filter returns as residual (both scan paths): the scan
+    // still applies `pushed` for file pruning + row skipping, and the
+    // kept Filter node above is what lets CBO scale the scan's
+    // reported column stats by predicate selectivity — claiming the
+    // conjuncts handled would erase the node FilterEstimation needs,
+    // so a selectively-filtered dim could never win a broadcast from
+    // statistics. Residual re-evaluation passes every surviving row
+    // once inside whole-stage codegen — noise next to the shuffle it
+    // saves.
+    filters
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -793,11 +850,13 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
   override def build(): Scan = spjPlan match {
     // the `_file` metadata column and complete aggregate pushdown are
     // V1-relation features; both are rare on the join hot path
-    case Some(p) if aggAnswer.isEmpty &&
+    // (a pushed limit/TopN subset implies spjPlan was None at push time)
+    case Some(p) if aggAnswer.isEmpty && limitSubset.isEmpty &&
         !required.fieldNames.contains(GraftFileMetaColumn.Name) =>
       new GraftBatchScan(store, tbl, p, pushed, required)
     case _ =>
-      new GraftV1Scan(store, tbl, versionAt, pushed, required, aggAnswer)
+      new GraftV1Scan(store, tbl, versionAt, pushed, required, aggAnswer,
+        limitSubset)
   }
 }
 
@@ -808,7 +867,8 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
   * custom PartitionReader. */
 private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
     versionAt: Option[Int], pushed: Array[Filter], required: StructType,
-    aggAnswer: Option[(StructType, Seq[Any])] = None)
+    aggAnswer: Option[(StructType, Seq[Any])] = None,
+    limitSubset: Option[Seq[String]] = None)
   extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -825,11 +885,24 @@ private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(store.scanSizeBytes(tbl, versionAt))
+    // Pushed filters do NOT suspend numRows/columnStats: every filter
+    // also returns to Spark as a residual (pushFilters), so a Filter
+    // node always sits above this scan and FilterEstimation applies
+    // predicate selectivity to these numbers exactly once — the scan's
+    // own pre-filtering only narrows execution, never the estimate
+    // path. Reporting full-table stats here is the upper bound of the
+    // scan's output in every case.
     override def numRows(): java.util.OptionalLong =
-      if (versionAt.isEmpty && pushed.isEmpty)
+      if (versionAt.isEmpty && limitSubset.isEmpty && aggAnswer.isEmpty)
         store.rowCount(tbl).map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
       else java.util.OptionalLong.empty()
+    override def columnStats()
+        : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (versionAt.isEmpty && limitSubset.isEmpty && aggAnswer.isEmpty)
+        ColumnStatsReport.build(store, tbl, required)
+      else java.util.Collections.emptyMap()
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -849,8 +922,14 @@ private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
         case None => buildDataScan()
       }
       private def buildDataScan(): RDD[Row] = {
-        val base = versionAt.map(v => store.readVersion(tbl, v))
-          .getOrElse(store.read(tbl))
+        val base = limitSubset match {
+          // pushed LIMIT/TopN: scan only the pre-selected file subset
+          // (pushLimit/pushTopN decline under time travel, so the
+          // subset always targets the current snapshot)
+          case Some(rs) => store.readRels(tbl, rs)
+          case None => versionAt.map(v => store.readVersion(tbl, v))
+            .getOrElse(store.read(tbl))
+        }
         // `_file` metadata column materializes from the scan itself
         val withMeta =
           if (required.fieldNames.contains(GraftFileMetaColumn.Name))

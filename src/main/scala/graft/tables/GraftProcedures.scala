@@ -31,7 +31,7 @@ private[tables] object GraftProcedures {
 
   def names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphans", "materialize_deletes", "create_branch", "create_tag",
-    "drop_ref", "fast_forward")
+    "drop_ref", "fast_forward", "rollback_to_version", "analyze")
 
   def load(store: => TableStore, name: String): Option[UnboundProcedure] = {
     def p(parameters: Seq[ProcedureParameter], result: StructType)(
@@ -109,6 +109,23 @@ private[tables] object GraftProcedures {
         val t = tbl(row)
         store.fastForward(t, row.getUTF8String(1).toString)
         Seq(store.currentVersion(t).toLong)
+      })
+      case "rollback_to_version" => Some(p(
+        Seq(in("table", StringType), in("version", IntegerType)),
+        out("restored" -> LongType, "version" -> LongType)) { row =>
+        val t = tbl(row)
+        store.rollback(t, row.getInt(1))
+        Seq(row.getInt(1).toLong, store.currentVersion(t).toLong)
+      })
+      case "analyze" => Some(p(
+        Seq(in("table", StringType)),
+        out("columns" -> StringType, "version" -> LongType)) { row =>
+        val t = tbl(row)
+        val est = store.analyzeTable(t)
+        Seq(UTF8String.fromString(
+          est.toSeq.sortBy(_._1).map { case (c, n) => s"$c=$n" }
+            .mkString(",")),
+          store.currentVersion(t).toLong)
       })
       case _ => None
     }

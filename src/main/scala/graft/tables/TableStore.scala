@@ -1802,6 +1802,116 @@ final class TableStore(private[tables] val spark: SparkSession,
     } finally { fs.delete(lock, false); () }
   }
 
+  /** Roll the table back to ancestor snapshot `toVersion` — as a NEW
+    * forward commit restoring that snapshot's exact file set and
+    * pending-delete state (Iceberg `rollback_to_snapshot`). A forward
+    * commit, not a pointer rewind: versions stay monotonic, so the
+    * phantom-manifest reclaim and manifest-id allocation keep their
+    * invariants, and the rolled-away commits stay readable via time
+    * travel until [[expireSnapshots]]. Restored files are pre-existing
+    * history — a failed commit must never reclaim them as staged
+    * debris (`reclaimAddedOnAbort = false`). */
+  def rollback(name: String, toVersion: Int): Unit = {
+    val base = currentVersion(name)
+    require(toVersion >= 1 && toVersion <= base,
+      s"cannot roll table $name back to $toVersion (head is $base)")
+    if (toVersion == base) return
+    // ancestry walk: restoring a non-ancestor (a branch head, a phantom)
+    // would resurrect files outside the head's linear history
+    var v: Option[Int] = Some(base)
+    while (v.exists(_ > toVersion)) v = v.flatMap(commitParent(name, _))
+    require(v.contains(toVersion),
+      s"snapshot $toVersion is not an ancestor of head $base on table $name")
+    val d = tdir(name)
+    val target = new HPath(d, f"manifest-$toVersion%06d.txt")
+    require(fs.exists(target),
+      s"snapshot $toVersion of table $name has been expired")
+    val targetFiles = readLines(target)
+    val headFiles = readLines(new HPath(d, currentManifest(name)))
+    val hs = headFiles.toSet
+    commitManifest(name, base,
+      removed = hs.diff(targetFiles.toSet),
+      added = targetFiles.filterNot(hs),
+      appended = Nil,
+      meta = Map("graft.rollback.to" -> toVersion.toString),
+      copyDeletesFrom = Some(toVersion),
+      reclaimAddedOnAbort = false)
+  }
+
+  /** Rebuild the table-level NDV sketches from the CURRENT snapshot's
+    * per-file sketches (Iceberg `compute_table_stats`): the commit-path
+    * union only ever grows — a CoW delete cannot subtract its files'
+    * contribution — so NDV drifts to an upper bound under deletes;
+    * data files are immutable, so re-unioning the LIVE files' sketches
+    * restores exactness (to HLL precision) without reading any data.
+    * Files missing a sketch (pre-NDV legacy snapshots) are backfilled
+    * first by ONE grouped stats job over just those files — running
+    * analyze once upgrades a legacy table into the NDV world. Pending
+    * MoR deletes are the one residual upper bound (a sketch cannot be
+    * masked); materialize first for exact numbers. Returns the
+    * estimate per zone column. */
+  def analyzeTable(name: String): Map[String, Long] = {
+    val zc = zoneCols(name)
+    if (zc.isEmpty) return Map.empty
+    val v = currentVersion(name)
+    val rels = currentRelPaths(name)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cache = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    def fileHll(rel: String): Map[String, String] =
+      cache.getOrElseUpdate(rel, try {
+        val sp = statsPath(name, rel)
+        if (!fs.exists(sp)) Map.empty
+        else Option(mapper.readTree(readString(sp)).get("__hll")).map { nn =>
+          val it = nn.properties().iterator()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isTextual) b += e.getKey -> e.getValue.textValue()
+          }
+          b.result()
+        }.getOrElse(Map.empty)
+      } catch { case scala.util.control.NonFatal(_) => Map.empty })
+    val missing = rels.filter(r => !zc.forall(c => fileHll(r).contains(c)))
+    if (missing.nonEmpty) {
+      writeZoneStats(name, missing)
+      missing.foreach(cache.remove)
+    }
+    val unions = zc.flatMap { c =>
+      val sketches = rels.map(r => fileHll(r).get(c))
+      if (sketches.exists(_.isEmpty)) None // backfill failed: stay honest
+      else {
+        val u = new org.apache.datasketches.hll.Union(TableStore.HllLgK)
+        sketches.flatten.foreach { b64 =>
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(
+            java.util.Base64.getDecoder.decode(b64)))
+        }
+        Some(c -> u)
+      }
+    }
+    rewriteNdv(name, v, unions.map { case (c, u) =>
+      c -> java.util.Base64.getEncoder.encodeToString(
+        u.getResult(org.apache.datasketches.hll.TgtHllType.HLL_4)
+          .toCompactByteArray)
+    }.toMap)
+    unions.map { case (c, u) => c -> math.round(u.getEstimate) }.toMap
+  }
+
+  /** Replace the `ndv` section of snapshot `v`'s consolidated manifest
+    * in place — safe to rewrite: same snapshot, fresher statistics. */
+  private def rewriteNdv(name: String, v: Int,
+      ndv: Map[String, String]): Unit = {
+    val p = statsManifestPath(name, v)
+    if (!fs.exists(p)) return
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(readString(p))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val node = root.putObject("ndv")
+      ndv.foreach { case (c, b64) => node.put(c, b64); () }
+      writeString(p, mapper.writeValueAsString(root))
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Incremental read: rows APPENDED since snapshot `version` (the
     * incremental-consumer primitive — a downstream job processes only
     * what appended, never rescanning the table).
@@ -2488,6 +2598,164 @@ final class TableStore(private[tables] val spark: SparkSession,
     } yield (lo, hi)
   }
 
+  /** Plan-time per-column statistics of the CURRENT snapshot, keyed by
+    * LOGICAL top-level column name — the CBO face of the metadata layer
+    * (Iceberg's puffin-NDV + manifest-bounds idea): distinctCount from
+    * the table-level HLL union, nullCount from the per-file null
+    * ledger, min/max from the zone-bound fold. Each piece is emitted
+    * independently and only when PROVABLE from complete metadata; the
+    * map is empty under pending MoR deletes (masked rows would make
+    * every number an unlabeled upper bound). NDV after a delete is a
+    * documented upper bound — removed files' contributions cannot be
+    * subtracted from a union — which is the conservative direction for
+    * join-size estimation. */
+  private[tables] def columnStatsFor(name: String)
+      : Map[String, TableStore.ColStats] = {
+    if (pendingDeletes(name) > 0) return Map.empty
+    val rels = currentRelPaths(name)
+    val cons = readConsolidated(name, currentVersion(name))
+      .getOrElse(return Map.empty)
+    val m = physMap(name)
+    val zc = zoneCols(name)
+    schema(name).fields.iterator.flatMap { f =>
+      val pc = physOf(m, f.name)
+      if (!zc.contains(pc)) None
+      else {
+        val ndv = cons.ndv.get(pc).flatMap { b64 =>
+          try Some(math.round(org.apache.datasketches.hll.HllSketch
+            .heapify(java.util.Base64.getDecoder.decode(b64)).getEstimate))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        val nulls =
+          if (rels.isEmpty) Some(0L)
+          else if (rels.forall(r => cons.nulls.get(r).exists(_.contains(pc))))
+            Some(rels.iterator.map(r => cons.nulls(r)(pc)).sum)
+          else None
+        val bounds = columnRange(name, f.name)
+        if (ndv.isEmpty && nulls.isEmpty && bounds.isEmpty) None
+        else Some(f.name -> TableStore.ColStats(f.dataType, ndv, nulls, bounds))
+      }
+    }.toMap
+  }
+
+  // ---- limit / top-n file pruning (DSv2 pushdown) --------------------------
+
+  private def recordPrune(total: Int)(r: Option[Seq[String]]): Option[Seq[String]] = {
+    TableStore.lastLimitPrune = r.map(keep => (total, keep.size))
+    r
+  }
+
+  /** Smallest-cardinality subset of the current snapshot's files whose
+    * recorded row counts sum to at least `n` — the planning-side answer
+    * to `LIMIT n`: a limit-10 over a million-file table should schedule
+    * a handful of splits, not a million. `None` = ineligible (pending
+    * MoR deletes make counts upper bounds; a file with no recorded
+    * count could be empty, so the subset's floor would be unknown).
+    * Partial-pushdown contract: Spark keeps its own Limit on top, so
+    * the subset only has to GUARANTEE ≥ n rows, never exactness. */
+  private[tables] def limitRels(name: String, n: Int): Option[Seq[String]] =
+    recordPrune(currentRelPaths(name).size)(limitRels0(name, n))
+
+  private def limitRels0(name: String, n: Int): Option[Seq[String]] = {
+    if (pendingDeletes(name) > 0) return None
+    val rels = currentRelPaths(name)
+    if (rels.isEmpty || n <= 0) return Some(rels.take(0))
+    val rows = readConsolidated(name, currentVersion(name))
+      .map(_.rows).getOrElse(Map.empty[String, Long])
+    if (!rels.forall(rows.contains)) return None
+    // fullest files first: fewest scheduled tasks for the same guarantee
+    val sorted = rels.sortBy(r => (-rows(r), r))
+    var acc = 0L
+    val keep = Seq.newBuilder[String]
+    val it = sorted.iterator
+    while (acc < n && it.hasNext) {
+      val r = it.next(); keep += r; acc += rows(r)
+    }
+    if (acc >= n) Some(keep.result()) else Some(rels) // table smaller than n
+  }
+
+  /** Files that can possibly contribute a row of `ORDER BY col
+    * [ASC|DESC] [NULLS FIRST|LAST] LIMIT n` over the current snapshot,
+    * decided from per-file zone bounds plus the per-file NULL ledger
+    * (min/max aggregates ignore nulls, so without null counts a
+    * nulls-first ordering could prune a file whose nulls belong in the
+    * top n). A file is dropped only when ≥ n rows PROVABLY order
+    * strictly before its every row — sound under multi-column sorts
+    * when `col` is the leading key, because a strict leading-column
+    * win is a strict full-tuple win. `None` = ineligible: not a zone
+    * column, pending MoR deletes, a file missing counts/ledger, or
+    * unbounded files holding too much mass to establish a threshold. */
+  private[tables] def topNRels(name: String, colName: String, asc: Boolean,
+      nullsFirst: Boolean, n: Int): Option[Seq[String]] =
+    recordPrune(currentRelPaths(name).size)(
+      topNRels0(name, colName, asc, nullsFirst, n))
+
+  private def topNRels0(name: String, colName: String, asc: Boolean,
+      nullsFirst: Boolean, n: Int): Option[Seq[String]] = {
+    val pc = physOf(physMap(name), colName)
+    if (!zoneCols(name).contains(pc)) return None
+    if (pendingDeletes(name) > 0) return None
+    val rels = currentRelPaths(name)
+    if (rels.isEmpty || n <= 0) return Some(rels.take(0))
+    val cons = readConsolidated(name, currentVersion(name)).getOrElse(return None)
+    // per-file ledger: (rows, nulls(col), bounds(col) — absent = the
+    // file's non-null values have no usable bound: all-null, NaN, legacy)
+    final case class E(rel: String, rows: Long, nulls: Long,
+        bounds: Option[(Any, Any)]) {
+      def nonnull: Long = rows - nulls
+    }
+    val entries = rels.map { r =>
+      for {
+        rows <- cons.rows.get(r)
+        nulls <- cons.nulls.get(r).flatMap(_.get(pc))
+        if nulls >= 0 && nulls <= rows
+      } yield E(r, rows, nulls, cons.stats.get(r).flatMap(_.get(pc)))
+    }
+    if (entries.exists(_.isEmpty)) return None
+    val es = entries.flatten
+    val totalNulls = es.map(_.nulls).sum
+    if (nullsFirst && totalNulls >= n)
+      return Some(es.filter(_.nulls > 0).map(_.rel))
+    val remaining = if (nullsFirst) n - totalNulls else n.toLong
+    // leading/tailing bound of a file in SORT order: asc reads min→max
+    def lead(b: (Any, Any)): Any = if (asc) b._1 else b._2
+    def tail(b: (Any, Any)): Any = if (asc) b._2 else b._1
+    def dirCmp(a: Any, b: Any): Option[Int] =
+      ZoneStats.cmp(a, b).map(c => if (asc) c else -c)
+    // threshold prefix: bounded files ordered by their LAST value; a
+    // non-comparable pair (corrupt mixed-type stats) aborts the whole
+    // attempt rather than risking a wrong order
+    val bounded = es.filter(e => e.nonnull > 0 && e.bounds.isDefined)
+    if (bounded.map(_.nonnull).sum < remaining) return None
+    val sorted =
+      try bounded.sortWith { (x, y) =>
+        dirCmp(tail(x.bounds.get), tail(y.bounds.get))
+          .getOrElse(throw new IllegalStateException("incomparable")) < 0
+      } catch { case _: IllegalStateException => return None }
+    var acc = 0L
+    var threshold: Any = null
+    val it = sorted.iterator
+    while (acc < remaining && it.hasNext) {
+      val e = it.next(); acc += e.nonnull; threshold = tail(e.bounds.get)
+    }
+    // keep: null contributors (when nulls lead), unbounded non-null
+    // files (unknown = candidate), and files whose first value does not
+    // order strictly after the threshold
+    val keepSet = es.iterator.filter { e =>
+      (nullsFirst && e.nulls > 0) ||
+        (e.nonnull > 0 && (e.bounds.isEmpty ||
+          dirCmp(lead(e.bounds.get), threshold).forall(_ <= 0)))
+    }.map(_.rel).toSet
+    Some(rels.filter(keepSet))
+  }
+
+  /** Read a specific subset of the current snapshot's files — the scan
+    * face of [[limitRels]]/[[topNRels]] (same masking path as a full
+    * read, so a future MoR interaction fails safe rather than silently
+    * unmasked — today both pruners decline when deletes are pending). */
+  private[tables] def readRels(name: String, rels: Seq[String]): DataFrame =
+    morMasked(name, rels, currentVersion(name))
+
   /** Drop candidate files whose blooms PROVE they hold none of the key
     * batch's tuples. Zone maps only help when files are clustered on the
     * key; a CDC batch of RANDOM keys on an unclustered table zone-prunes
@@ -2825,10 +3093,28 @@ final class TableStore(private[tables] val spark: SparkSession,
     // (A per-file footer-only read via aggregate pushdown is the
     // alternative when re-scanning fresh data is too costly.)
     val items = bloomItems(name)
+    // per-file HLL sketch per zone column (Iceberg's puffin NDV idea):
+    // mergeable, so the commit path unions them into ONE table-level
+    // sketch per column — the CBO distinctCount at plan time. Input is
+    // the column itself for the types datasketches takes natively,
+    // cast to string otherwise (injective on distinct values).
+    def hllInput(c: String): org.apache.spark.sql.Column = {
+      val dt = NestedSchema.resolve(sch, c.split('.').toSeq).map(_.dataType)
+      dt match {
+        case Some(org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.StringType) => col(c)
+        case Some(org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType) => col(c).cast("int")
+        case _ => col(c).cast("string")
+      }
+    }
     val aggs = (count(lit(1)).as("__n") +:
       zc.flatMap(c => Seq(min(col(c)), max(col(c))))) ++
+      zc.map(c => count(col(c))) ++ // non-null count → per-file null count
       bc.map(c => graft.functions.BloomAgg.bloom_build(
-        col(c), items, TableStore.BloomFpp))
+        col(c), items, TableStore.BloomFpp)) ++
+      zc.map(c => hll_sketch_agg(hllInput(c)))
     val rows = spark.read.schema(sch).parquet(paths: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
@@ -2842,13 +3128,32 @@ final class TableStore(private[tables] val spark: SparkSession,
           writeString(statsPath(name, rel), s"""{"__rows": $n}""")
         }
       byName.get(fileName(rel)).foreach { row =>
+        val nRows = row.getLong(1)
         val zonePairs = zc.zipWithIndex.map { case (c, i) =>
           s""""$c": [${statJson(row.get(2 * i + 2))}, ${statJson(row.get(2 * i + 3))}]"""
         }
-        val pairs = zonePairs :+ s""""__rows": ${row.getLong(1)}"""
+        // null count = rows − non-null count (Iceberg null_value_counts):
+        // zone min/max ignore nulls, so IS NULL skipping and null-aware
+        // ordered pruning are unsound without it
+        val nullPairs = zc.zipWithIndex.map { case (c, i) =>
+          s""""$c": ${nRows - row.getLong(2 + 2 * zc.length + i)}"""
+        }
+        // per-file NDV sketch, base64 — an all-null file aggregates to a
+        // null sketch; record an EMPTY sketch so consolidation still sees
+        // full coverage (absence would disable table NDV forever)
+        val hllPairs = zc.zipWithIndex.map { case (c, i) =>
+          val bytes = Option(row.getAs[Array[Byte]](2 + 3 * zc.length + bc.length + i))
+            .getOrElse(new org.apache.datasketches.hll.HllSketch(
+              TableStore.HllLgK).toCompactByteArray)
+          s""""$c": "${java.util.Base64.getEncoder.encodeToString(bytes)}""""
+        }
+        val pairs = zonePairs ++ Seq(
+          s""""__rows": $nRows""",
+          s""""__nulls": ${nullPairs.mkString("{", ",", "}")}""",
+          s""""__hll": ${hllPairs.mkString("{", ",", "}")}""")
         writeString(statsPath(name, rel), pairs.mkString("{", ",", "}"))
         bc.zipWithIndex.foreach { case (c, i) =>
-          val bytes = row.getAs[Array[Byte]](2 + 2 * zc.length + i)
+          val bytes = row.getAs[Array[Byte]](2 + 3 * zc.length + i)
           writeBytes(bloomPath(name, rel, c), bytes)
         }
       }
@@ -3078,12 +3383,42 @@ final class TableStore(private[tables] val spark: SparkSession,
             }
             b.result()
           }.getOrElse(Map.empty[String, Long])
+        // per-file per-column null counts `{rel: {col: n}}`; entries with
+        // a non-integral or negative count are dropped (absence = unknown)
+        val nulls = Option(root.get("nulls")).map { node =>
+          val it = node.properties().iterator()
+          val b = Map.newBuilder[String, Map[String, Long]]
+          while (it.hasNext) {
+            val e = it.next()
+            val cit = e.getValue.properties().iterator()
+            val cb = Map.newBuilder[String, Long]
+            while (cit.hasNext) {
+              val ce = cit.next()
+              if (ce.getValue.isIntegralNumber && ce.getValue.longValue() >= 0)
+                cb += ce.getKey -> ce.getValue.longValue()
+            }
+            val cols = cb.result()
+            if (cols.nonEmpty) b += e.getKey -> cols
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, Map[String, Long]])
+        // table-level NDV sketches `{col: base64}` — validated only as
+        // base64 here; heapify failures surface as None at estimate time
+        val ndv = Option(root.get("ndv")).map { node =>
+          val it = node.properties().iterator()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isTextual) b += e.getKey -> e.getValue.textValue()
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, String])
         // a parquet file is never empty (footer magic is 8 bytes) — a
         // non-positive length would fabricate an empty split and silently
         // drop the file's rows. A zero ROW count is legitimate (an empty
         // write), negative is not.
         Some(TableStore.Consolidated(stats,
-          longNode("len", 0L), longNode("rows", -1L)))
+          longNode("len", 0L), longNode("rows", -1L), nulls, ndv))
       }
     } catch {
       case scala.util.control.NonFatal(_) => None
@@ -3564,7 +3899,9 @@ final class TableStore(private[tables] val spark: SparkSession,
       meta: Map[String, String] = Map.empty,
       newDeletes: Seq[(String, Seq[String])] = Nil,
       dropDeletes: Boolean = false,
-      branch: Option[String] = None): Unit = {
+      branch: Option[String] = None,
+      copyDeletesFrom: Option[Int] = None,
+      reclaimAddedOnAbort: Boolean = true): Unit = {
     val d = tdir(name)
     val ptrKey = refKey(name, branch)
     val lock = new HPath(d, "_commit.lock")
@@ -3585,7 +3922,7 @@ final class TableStore(private[tables] val spark: SparkSession,
             val hs = headFiles.toSet
             val gone = removed.filterNot(hs)
             if (gone.nonEmpty) {
-              abortStaged(name, added)
+              if (reclaimAddedOnAbort) abortStaged(name, added)
               throw new CommitConflictException(
                 s"mutation of table $name planned against snapshot $base " +
                   s"conflicts with current snapshot $head: rewritten file(s) " +
@@ -3625,14 +3962,26 @@ final class TableStore(private[tables] val spark: SparkSession,
           // either materializes pending deletes first or drops them,
           // so new files never contain rows a pending delete masks.
           locally {
-            val headDel = if (dropDeletes || head == 0) Nil
-              else readDeleteEntries(name, head)
+            // rollback restores the TARGET snapshot's pending-delete
+            // state verbatim (entries + seqs are version-stamped with
+            // commits ≤ target, all retained) instead of deriving from
+            // the head being rolled away
+            val headDel = copyDeletesFrom match {
+              case Some(src) => readDeleteEntries(name, src)
+              case None => if (dropDeletes || head == 0) Nil
+                else readDeleteEntries(name, head)
+            }
             val nextDel = (if (dropDeletes) Nil else headDel) ++
               newDeletes.map { case (rel, cols) => DeleteEntry(rel, cols, n) }
             if (nextDel.nonEmpty) {
+              val seqSrc = copyDeletesFrom.getOrElse(head)
               val headSeqs =
-                if (head == 0) Map.empty[String, Int] else readSeqs(name, head)
-              val addedSet = added.toSet
+                if (seqSrc == 0) Map.empty[String, Int] else readSeqs(name, seqSrc)
+              // restored (rollback) files keep their source-snapshot seq —
+              // absence there means "predates the deletes" (0), never
+              // "newer than the masks"
+              val addedSet =
+                if (copyDeletesFrom.isDefined) Set.empty[String] else added.toSet
               val seqLines = files.map { f =>
                 val s = headSeqs.getOrElse(f, if (addedSet.contains(f)) n else 0)
                 s"$f\t$s"
@@ -3656,7 +4005,7 @@ final class TableStore(private[tables] val spark: SparkSession,
             // half-commits) and rebase against the new head
             deleteManifestFamily(name, n)
             if (attempts >= TableStore.CommitRetries) {
-              abortStaged(name, added)
+              if (reclaimAddedOnAbort) abortStaged(name, added)
               throw new CommitConflictException(
                 s"commit to table $name lost the pointer race " +
                   s"${TableStore.CommitRetries} times — giving up; " +
@@ -3664,7 +4013,7 @@ final class TableStore(private[tables] val spark: SparkSession,
             }
           }
         } else if (attempts >= TableStore.CommitRetries) {
-          abortStaged(name, added)
+          if (reclaimAddedOnAbort) abortStaged(name, added)
           throw new CommitConflictException(
             s"commit to table $name could not claim a manifest id after " +
               s"${TableStore.CommitRetries} attempts — giving up; " +
@@ -3726,10 +4075,70 @@ final class TableStore(private[tables] val spark: SparkSession,
           .map(_.longValue()))
         .map(nRows => s"${statJson(rel)}: $nRows")
     }
+    // per-file per-column null counts — carried forward like zone stats;
+    // absence (legacy sidecars, stat-less tables) just disables the
+    // null-aware pruning and CBO nullCount, never fails anything
+    val nullEntries =
+      if (zoneCols(name).isEmpty) Nil
+      else files.flatMap { rel =>
+        prev.nulls.get(rel).orElse(
+          sidecar(rel).flatMap(node => Option(node.get("__nulls"))).map { nn =>
+            val it = nn.properties().iterator()
+            val b = Map.newBuilder[String, Long]
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getValue.isIntegralNumber && e.getValue.longValue() >= 0)
+                b += e.getKey -> e.getValue.longValue()
+            }
+            b.result()
+          }.filter(_.nonEmpty))
+          .map { cols =>
+            val body = cols.map { case (c, v) => s"${statJson(c)}: $v" }
+              .mkString("{", ",", "}")
+            s"${statJson(rel)}: $body"
+          }
+      }
+    // table-level NDV sketch per zone column: union of the previous
+    // snapshot's sketch and the NEW files' per-file sketches (an append
+    // unions one sketch per fresh file; no O(all files) work). Removed
+    // files' contributions stay in — NDV is an UPPER bound after
+    // deletes, which is the conservative direction for CBO join/filter
+    // estimation. A column drops out (absent = unknown) when its
+    // lineage breaks: a legacy ancestor without sketches, or a new file
+    // whose sidecar lacks one.
+    val ndvEntries =
+      if (zoneCols(name).isEmpty) Nil
+      else {
+        val fresh = files.filterNot(prev.rows.contains)
+        val lineageOk = head == 0 || prev.rows.isEmpty || prev.ndv.nonEmpty
+        if (!lineageOk) Nil
+        else zoneCols(name).flatMap { c =>
+          val freshSketches = fresh.map { rel =>
+            sidecar(rel).flatMap(node => Option(node.get("__hll")))
+              .flatMap(nn => Option(nn.get(c)))
+              .filter(_.isTextual).map(_.textValue())
+          }
+          val prevOk = prev.rows.isEmpty || prev.ndv.contains(c)
+          if (!prevOk || freshSketches.exists(_.isEmpty)) None
+          else try {
+            val u = new org.apache.datasketches.hll.Union(TableStore.HllLgK)
+            (prev.ndv.get(c).toSeq ++ freshSketches.flatten).foreach { b64 =>
+              u.update(org.apache.datasketches.hll.HllSketch.heapify(
+                java.util.Base64.getDecoder.decode(b64)))
+            }
+            val out = java.util.Base64.getEncoder.encodeToString(
+              u.getResult(org.apache.datasketches.hll.TgtHllType.HLL_4)
+                .toCompactByteArray)
+            Some(s"${statJson(c)}: ${statJson(out)}")
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
     writeString(statsManifestPath(name, n),
       s"""{"stats": ${statEntries.mkString("{", ",", "}")}, """ +
         s""""len": ${lenEntries.mkString("{", ",", "}")}, """ +
-        s""""rows": ${rowEntries.mkString("{", ",", "}")}}""")
+        s""""rows": ${rowEntries.mkString("{", ",", "}")}, """ +
+        s""""nulls": ${nullEntries.mkString("{", ",", "}")}, """ +
+        s""""ndv": ${ndvEntries.mkString("{", ",", "}")}}""")
   }
 
   /** Delete the staged output of an aborted commit: fresh data files and
@@ -3927,11 +4336,37 @@ object TableStore {
 
   /** One snapshot's consolidated per-file metadata: zone bounds, file
     * lengths (plan without listing), row counts (metadata-only
-    * aggregates). Maps may be partial — absence means "unknown". */
+    * aggregates), per-zone-column NULL counts (the Iceberg
+    * null_value_counts: min/max bounds ignore nulls, so ordered-prefix
+    * pruning and null-predicate skipping are unsound without them).
+    * Maps may be partial — absence means "unknown". */
   private[tables] final case class Consolidated(
       stats: Map[String, Map[String, (Any, Any)]],
       lens: Map[String, Long],
-      rows: Map[String, Long])
+      rows: Map[String, Long],
+      nulls: Map[String, Map[String, Long]] = Map.empty,
+      ndv: Map[String, String] = Map.empty)
+
+  /** lgK of the per-file / table-level HLL NDV sketches (~2.5% rse,
+    * ≤ 4 KB compact) — matches Spark's `hll_sketch_agg` default so
+    * per-file sketches and driver-side unions agree on precision. */
+  private[tables] val HllLgK: Int = 12
+
+  /** One column's plan-time statistics (see [[TableStore.columnStatsFor]]):
+    * every piece independently optional, bounds in the stats-sidecar
+    * value domain (Long / Double / String). */
+  private[tables] final case class ColStats(
+      dataType: org.apache.spark.sql.types.DataType,
+      ndv: Option[Long], nullCount: Option[Long],
+      bounds: Option[(Any, Any)])
+
+  /** Test observability: (files in snapshot, files kept) of the last
+    * ACCEPTED limit/top-n pruning in this JVM — the spec face of the
+    * DSv2 partial pushdown (same pattern as ZoneMapFileIndex
+    * .lastScanCounts). None after a decline, so specs can pin both
+    * engagement and refusal. Companion-level because the SQL path's
+    * catalog holds its own TableStore instance. */
+  @volatile private[graft] var lastLimitPrune: Option[(Int, Int)] = None
 
   /** Sentinel: a key value outside the bloom probe domain. */
   private[tables] case object Unprobeable
