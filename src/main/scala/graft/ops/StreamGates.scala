@@ -683,6 +683,84 @@ object StreamGates {
       |FROM orders WHERE o_totalprice > 1000.0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The row-level CHANGE FEED as a streaming source under the oracle
+    * ([[graft.streaming.GraftTableSource]] with `changeFeed=true`): the
+    * same four-commit lifecycle the batch `tbl_changelog` gate replays —
+    * two appends, a merge-on-read tombstone batch, a copy-on-write
+    * predicate delete that first folds the pending tombstones (net-zero
+    * in the feed) — but consumed INCREMENTALLY across two checkpointed
+    * drains with a restart in between: the first drain sees only the
+    * first append, the second delivers exactly the remaining commits'
+    * labeled net changes (the fold commit contributes nothing), and the
+    * union must equal the batch changelog row-for-row. Admission control
+    * stays on (`maxRowsPerTrigger`) so append commits split across
+    * micro-batches; content is invariant to where the boundaries land.
+    * Versions are rebased to commit_seq so the oracle stays literal. */
+  private def stChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "scf")
+    rm(spark, s"$b/out"); rm(spark, s"$b/ckpt")
+    val store = new TableStore(spark, s"$b/store")
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    val v0 = store.currentVersion("orders")
+    def drain(startAt: Option[Int]): Unit = {
+      val reader = startAt.foldLeft(
+        spark.readStream.format("graft-table")
+          .option("root", s"$b/store").option("table", "orders")
+          .option("changeFeed", "true")
+          .option("maxRowsPerTrigger", "4000")) {
+        (r, v) => r.option("startVersion", v.toString) }
+      val q = reader.load().writeStream
+        .option("checkpointLocation", s"$b/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$b/out")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    store.append("orders", ord.filter(col("o_orderkey") <= 7500L)) // seq 1
+    drain(Some(v0)) // first drain: only the first append's inserts
+    store.append("orders", ord.filter(col("o_orderkey") > 7500L))  // seq 2
+    store.deleteMoR("orders",                                      // seq 3
+      ord.filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey")).distinct(),
+      Seq("o_custkey"))
+    // folds pending tombstones (seq 4, net-zero), then CoW delete (seq 5)
+    store.delete("orders", col("o_orderkey") % 31 === 0)
+    drain(None) // checkpoint resume: exactly the remaining net changes
+    spark.read.parquet(s"$b/out")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col(TableStore.ChangeTypeCol).as("change_type"),
+        (col(TableStore.CommitVersionCol) - lit(v0)).as("commit_seq"))
+      .orderBy("o_orderkey", "commit_seq", "change_type", "o_custkey",
+        "o_totalprice")
+  }
+
+  /** Same lifecycle, same answer as the batch changelog oracle. */
+  private val stChangeFeedSql =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'insert' AS change_type, 1 AS commit_seq
+      |FROM o WHERE o_orderkey <= 7500
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'insert' AS change_type, 2 AS commit_seq
+      |FROM o WHERE o_orderkey > 7500
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'delete' AS change_type, 3 AS commit_seq
+      |FROM o WHERE o_custkey % 50 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'delete' AS change_type, 5 AS commit_seq
+      |FROM o WHERE o_orderkey % 31 = 0 AND o_custkey % 50 <> 0
+      |ORDER BY o_orderkey, commit_seq, change_type, o_custkey,
+      |  o_totalprice""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("st_tumbling", stTumbling, Some(Events.evTumblingSql)),
     Q("st_session", stSession, Some(Events.evSessionsSql)),
@@ -693,5 +771,6 @@ object StreamGates {
     Q("st_enrich", stEnrich, Some(stEnrichSql)),
     Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)),
     Q("st_table_source", stTableSource, Some(stTableSourceSql)),
-    Q("st_table_sink", stTableSink, Some(stTableSinkSql)))
+    Q("st_table_sink", stTableSink, Some(stTableSinkSql)),
+    Q("st_change_feed", stChangeFeed, Some(stChangeFeedSql)))
 }

@@ -838,7 +838,11 @@ object TableQueries {
     Q("tbl_rollback", TableQueries2.tblRollback,
       Some(TableQueries2.tblRollbackSql)),
     Q("tbl_cbo_broadcast", TableQueries2.tblCboBroadcast,
-      Some(TableQueries2.tblCboBroadcastSql)))
+      Some(TableQueries2.tblCboBroadcastSql)),
+    Q("tbl_add_files", TableQueries2.tblAddFiles,
+      Some(TableQueries2.tblAddFilesSql)),
+    Q("tbl_changelog_updates", TableQueries2.tblChangelogUpdates,
+      Some(TableQueries2.tblChangelogUpdatesSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -1342,4 +1346,99 @@ object TableQueries2 {
       |FROM orders f JOIN customer d ON f.o_custkey = d.c_custkey
       |WHERE d.c_custkey <= (SELECT greatest(1, max(c_custkey) // 50) FROM customer)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** `add_files`/`migrate` under the oracle (the Iceberg migration
+    * surface the reference inherits through its SparkCatalog): a plain
+    * parquet corpus becomes a managed table via `CALL migrate` — adopted
+    * BY REFERENCE (absolute manifest entries, zero bytes copied; both
+    * require()d in-gate) — then a SQL CoW DELETE mutates the adopted
+    * files as first-class data. At 100 TB, migration is one stats job
+    * plus one metadata commit, never a corpus rewrite. Zero-copy,
+    * stats, ownership, and refusal mechanics: AddFilesSpec. */
+  private[ops] def tblAddFiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.gaf",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-addf")
+    spark.conf.set("spark.sql.catalog.gaf.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val src = Scratch.dir("tbl-addf-src", Scratch.tag(dir))
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(6, col("o_orderkey"))
+      .write.mode("overwrite").parquet(src)
+    spark.sql(s"DROP TABLE IF EXISTS gaf.$tbl")
+    val res = spark.sql(
+      s"CALL gaf.system.migrate('$tbl', '$src', 'o_orderkey')").head()
+    val store = new graft.tables.TableStore(spark, root)
+    val rels = store.currentRelPaths(tbl)
+    require(rels.nonEmpty && rels.forall(_.startsWith("/")),
+      s"migrate must adopt by reference, got entries: ${rels.take(3)}")
+    require(res.getLong(0) == rels.size.toLong,
+      s"migrate reported ${res.getLong(0)} files, manifest has ${rels.size}")
+    // adopted files are first-class: a SQL CoW delete rewrites them
+    spark.sql(s"DELETE FROM gaf.$tbl WHERE o_orderkey % 7 = 0")
+    spark.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice
+      FROM gaf.$tbl ORDER BY o_orderkey, o_custkey, o_totalprice""")
+  }
+
+  private[ops] val tblAddFilesSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
+
+  /** Change-feed UPDATE PAIRING under the oracle (Iceberg
+    * `create_changelog_view` identifier columns / Delta CDF pre- and
+    * post-images): a SQL UPDATE's CoW commit surfaces as paired
+    * `update_preimage`/`update_postimage` rows on the identifier
+    * (`updateKeys=o_orderkey`), while a later plain append passes
+    * through as unpaired 'insert' — proving the pairing window relabels
+    * exactly the same-commit same-key delete+insert pairs and nothing
+    * else. Doubling o_totalprice keeps the arithmetic float-exact on
+    * both engines. NULL-key and non-unique-key mechanics:
+    * ChangeFeedSpec. */
+  private[ops] def tblChangelogUpdates(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    spark.conf.set("spark.sql.catalog.gchu",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-chupd")
+    spark.conf.set("spark.sql.catalog.gchu.root", root)
+    val store = new TableStore(spark, root)
+    val tbl = s"orders_${Scratch.tag(dir).replace('.', '_')}"
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    store.create(tbl, ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append(tbl, ord.filter(col("o_orderkey") <= 10000L))
+    val v1 = store.currentVersion(tbl)
+    spark.sql(                                                 // seq 1
+      s"UPDATE gchu.$tbl SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_custkey % 10 = 0")
+    store.append(tbl, ord.filter(col("o_orderkey") > 10000L))  // seq 2
+    spark.read.option("startVersion", v1)
+      .option("updateKeys", "o_orderkey")
+      .table(s"gchu.$tbl.changes")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col(TableStore.ChangeTypeCol).as("change_type"),
+        (col(TableStore.CommitVersionCol) - lit(v1)).as("commit_seq"))
+      .orderBy("o_orderkey", "commit_seq", "change_type", "o_custkey",
+        "o_totalprice")
+  }
+
+  private[ops] val tblChangelogUpdatesSql =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'update_preimage' AS change_type, 1 AS commit_seq
+      |FROM o WHERE o_orderkey <= 10000 AND o_custkey % 10 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+      |  'update_postimage' AS change_type, 1 AS commit_seq
+      |FROM o WHERE o_orderkey <= 10000 AND o_custkey % 10 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'insert' AS change_type, 2 AS commit_seq
+      |FROM o WHERE o_orderkey > 10000
+      |ORDER BY o_orderkey, commit_seq, change_type, o_custkey,
+      |  o_totalprice""".stripMargin
 }

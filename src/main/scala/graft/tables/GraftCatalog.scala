@@ -661,7 +661,13 @@ private[tables] final class GraftChangesTable(store: TableStore,
               "the initial state, read the table itself"))
         val end = Option(options.get("endVersion")).map(_.trim.toInt)
           .getOrElse(store.currentVersion(tbl))
-        store.changeFeed(tbl, start, end)
+        // updateKeys (identifier columns): pair same-commit delete+insert
+        // rows into update_preimage/update_postimage — Iceberg's
+        // create_changelog_view "identifier columns" surface
+        val keys = Option(options.get("updateKeys")).toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        if (keys.nonEmpty) store.changeFeedWithUpdates(tbl, start, end, keys)
+        else store.changeFeed(tbl, start, end)
       }
       override def readSchema(): StructType = df.schema
       override def toV1TableScan[T <: BaseRelation with TableScan](

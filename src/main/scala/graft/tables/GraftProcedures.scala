@@ -117,6 +117,24 @@ private[tables] object GraftProcedures {
         store.rollback(t, row.getInt(1))
         Seq(row.getInt(1).toLong, store.currentVersion(t).toLong)
       })
+      case "add_files" => Some(p(
+        Seq(in("table", StringType), in("source_dir", StringType)),
+        out("added_files" -> LongType, "version" -> LongType)) { row =>
+        val t = tbl(row)
+        val added = store.addFiles(t, row.getUTF8String(1).toString)
+        Seq(added.size.toLong, store.currentVersion(t).toLong)
+      })
+      case "migrate" => Some(p(
+        Seq(in("table", StringType), in("source_dir", StringType),
+          inDef("zone_cols", StringType, "''")),
+        out("added_files" -> LongType, "version" -> LongType)) { row =>
+        val t = tbl(row)
+        val zc = row.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        store.migrate(t, row.getUTF8String(1).toString, zoneCols = zc)
+        Seq(store.currentRelPaths(t).size.toLong,
+          store.currentVersion(t).toLong)
+      })
       case "analyze" => Some(p(
         Seq(in("table", StringType)),
         out("columns" -> StringType, "version" -> LongType)) { row =>

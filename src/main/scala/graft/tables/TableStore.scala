@@ -2068,6 +2068,40 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (frames.isEmpty) emptyChanges(name) else frames.reduce(_ unionByName _)
   }
 
+  /** Change feed with UPDATE PAIRING — Iceberg's `create_changelog_view`
+    * with identifier columns / Delta CDF's pre/post-image labels: within
+    * one commit, a delete and an insert sharing the identifier tuple ARE
+    * an update — the delete row relabels 'update_preimage', the insert
+    * 'update_postimage'; unpaired rows keep 'insert'/'delete'.
+    *
+    * PRECONDITION (Iceberg's as well): `keyCols` uniquely identify a row
+    * within each snapshot. Cost: the plain feed plus ONE hash shuffle on
+    * (commit, key) over the CHANGED rows only — never the table. Rows
+    * with a NULL identifier component never pair (SQL equality), so a
+    * nullable key degrades to plain labels, not to wrong pairs. */
+  def changeFeedWithUpdates(name: String, fromVersion: Int, toVersion: Int,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "update pairing needs identifier columns")
+    val sch = schema(name)
+    keyCols.foreach(c => require(sch.fieldNames.contains(c),
+      s"identifier column $c not in table $name"))
+    val ch = changeFeed(name, fromVersion, toVersion)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(
+      (TableStore.CommitVersionCol +: keyCols).map(c => col(s"`$c`")): _*)
+    val keysNonNull = keyCols.map(c => col(s"`$c`").isNotNull)
+      .reduce(_ && _)
+    ch.withColumn("__n_types",
+        when(keysNonNull,
+          size(collect_set(col(TableStore.ChangeTypeCol)).over(w)))
+          .otherwise(lit(1)))
+      .withColumn(TableStore.ChangeTypeCol,
+        when(col("__n_types") === 2,
+          when(col(TableStore.ChangeTypeCol) === "delete",
+            lit("update_preimage")).otherwise(lit("update_postimage")))
+          .otherwise(col(TableStore.ChangeTypeCol)))
+      .drop("__n_types")
+  }
+
   /** Some(addedFiles) iff commit `v` is a PURE append — removed no file
     * and introduced no delete entry — so its changes are exactly its
     * added files as inserts (file-splittable for streaming admission
@@ -2217,6 +2251,98 @@ final class TableStore(private[tables] val spark: SparkSession,
     val newFiles = writeDataFiles(name, alignTo(name, schema(name), df))
     commitManifest(name, base, Set.empty, newFiles, newFiles, meta = meta,
       branch = branch)
+  }
+
+  /** Iceberg `add_files` surface: adopt EXISTING parquet files into the
+    * table BY REFERENCE — one metadata-only commit, no rewrite, no byte
+    * copy. At 100 TB, migrating a corpus into the table format must not
+    * re-write the corpus; this is the contract Iceberg's `add_files` /
+    * `migrate` procedures provide (the reference inherits them through
+    * its SparkCatalog + extensions, `SparkUtils.java:45-46`). The
+    * manifest records the adopted files' ABSOLUTE paths; every manifest
+    * consumer resolves entries against `data/` via Hadoop path
+    * resolution, which keeps absolute children absolute — so reads,
+    * zone/bloom pruning, time travel, change feed, CoW rewrites and
+    * expiry all treat adopted files as first-class.
+    *
+    * OWNERSHIP TRANSFERS to the table (Iceberg migrate semantics): a
+    * later copy-on-write rewrite or snapshot expiry may DELETE an
+    * adopted file. Do not adopt files another system still writes.
+    *
+    * Constraints, all checked and loud:
+    *  - unpartitioned tables only (a partitioned adopt needs a
+    *    directory-layout mapping — Iceberg's partition_filter path —
+    *    out of scope);
+    *  - the files' parquet schema must equal the table's PHYSICAL
+    *    schema by (name → type): after a column rename the physical
+    *    names differ from the logical ones and in-place adoption would
+    *    bind the wrong columns, so it is refused (copy-load instead);
+    *  - basenames must be unique within the batch AND vs live files
+    *    (copy-on-write candidate matching is by basename);
+    *  - zero-row files are skipped (dead manifest weight).
+    *
+    * Cost: one grouped stats job over the adopted files — the same job
+    * an append pays — so zone bounds, blooms, NDV sketches, row counts
+    * and metadata-only aggregates all work on adopted data; then one
+    * commit. Returns the adopted manifest entries. */
+  def addFiles(name: String, sourceDir: String): Seq[String] = {
+    require(exists(name), s"no table $name")
+    require(partitionFields(name).isEmpty,
+      s"add_files supports unpartitioned tables; $name is partitioned")
+    val m = physMap(name)
+    val renamed = schema(name).fieldNames.filter(c => physOf(m, c) != c)
+    require(renamed.isEmpty,
+      "add_files after a column rename would adopt files whose columns " +
+        s"no longer match the physical schema (renamed: " +
+        s"${renamed.mkString(", ")}) — copy-load via append instead")
+    val src = new HPath(sourceDir)
+    require(src.getFileSystem(hconf).getUri == fs.getUri,
+      s"add_files source must live on the table's filesystem " +
+        s"(${fs.getUri}); got $sourceDir")
+    require(fs.exists(src), s"no such source directory: $sourceDir")
+    val all = listStatusRec(src)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    require(all.nonEmpty, s"no parquet files under $sourceDir")
+    // scheme-less absolute entries: they resolve against `data/` to the
+    // same files (same filesystem, required above), and sidecar naming
+    // stays URI-clean
+    val files = all
+      .filter(st => st.getLen >= TableStore.EmptyFileCheckBytes ||
+        !footerRowCount(st.getPath).contains(0L))
+      .map(_.getPath.toUri.getPath).sorted
+    val phys = physSchema(name)
+    val got = spark.read.parquet(files: _*).schema
+    def shape(s: StructType): Map[String, String] =
+      s.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    require(shape(got) == shape(phys),
+      s"adopted files' schema ${got.simpleString} does not match table " +
+        s"$name's schema ${phys.simpleString}")
+    val live = currentRelPaths(name).map(fileName).toSet
+    val names = files.map(fileName)
+    require(names.distinct.size == names.size && !names.exists(live),
+      "adopted file basenames must be unique and distinct from live " +
+        "files — rename the colliding files first")
+    writeZoneStats(name, files)
+    // a lost commit race must never delete the user's source files:
+    // reclaimAddedOnAbort stays off (the orphaned stats sidecars are
+    // harmless and unreferenced)
+    commitManifest(name, currentVersion(name), Set.empty, files, files,
+      meta = Map("operation" -> "add-files", "source" -> sourceDir),
+      reclaimAddedOnAbort = false)
+    files
+  }
+
+  /** Iceberg `migrate` convenience: create a managed table FROM an
+    * existing parquet directory's own schema and adopt its files by
+    * reference ([[addFiles]]) — the whole migration is metadata + one
+    * stats job, zero data rewrite. */
+  def migrate(name: String, sourceDir: String,
+      zoneCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Unit = {
+    require(!exists(name), s"table $name already exists — use addFiles")
+    val sch = spark.read.parquet(sourceDir).schema
+    create(name, sch, zoneCols = zoneCols, bloomCols = bloomCols)
+    addFiles(name, sourceDir)
+    ()
   }
 
   /** Row-level delete (reference W2, SparkDestinationStream.java:124-135) as

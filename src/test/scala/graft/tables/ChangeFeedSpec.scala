@@ -157,4 +157,40 @@ class ChangeFeedSpec extends SparkSpec {
     // the fold rewrote files but changed no visible rows
     assert(changes(st, v2, v3) === Seq.empty)
   }
+
+  test("update pairing: same-commit same-key delete+insert relabel as " +
+      "pre/post images; null keys and unpaired rows pass through") {
+    val st = newStore()
+    val a = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .select(col("k").cast("long").as("k"), col("v"))
+    st.create("t", a.schema)
+    st.append("t", a)
+    val v1 = st.currentVersion("t")
+    // one CoW commit that UPDATES k=1 (delete old + insert new), truly
+    // DELETES k=2, and inserts a NEW key 4 — all in the same rewrite
+    val rewritten = Seq((1L, "a2"), (3L, "c"), (4L, "d")).toDF("k", "v")
+      .select(col("k").cast("long").as("k"), col("v"))
+    st.overwrite("t", rewritten)
+    val v2 = st.currentVersion("t")
+    val got = st.changeFeedWithUpdates("t", v1, v2, Seq("k"))
+      .select("k", "v", TableStore.ChangeTypeCol)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    assert(got === Seq(
+      (1L, "a", "update_preimage"), (1L, "a2", "update_postimage"),
+      (2L, "b", "delete"), (4L, "d", "insert")))
+
+    // NULL identifier components never pair
+    val st2 = newStore()
+    val n0 = Seq((Option.empty[Long], "x")).toDF("k", "v")
+    st2.create("t", n0.schema)
+    st2.append("t", n0)
+    val w1 = st2.currentVersion("t")
+    st2.overwrite("t", Seq((Option.empty[Long], "y")).toDF("k", "v"))
+    val w2 = st2.currentVersion("t")
+    val nulls = st2.changeFeedWithUpdates("t", w1, w2, Seq("k"))
+      .select("v", TableStore.ChangeTypeCol)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(nulls === Seq(("x", "delete"), ("y", "insert")))
+  }
 }
