@@ -57,6 +57,55 @@ object Text {
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
 
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9]{1,3} [0-9]{3} [0-9]{3} [0-9]{4}"
+
+  /** Full PII pass: emails, URLs, international phone numbers, IPv4
+    * addresses — four chained codegen'd regexp_replace passes (order
+    * matters: URLs before IPs so an address inside a URL redacts as part
+    * of the URL). Still map-only, zero shuffle, at any scale. */
+  def redactPiiFull(c: Column): Column =
+    regexp_replace(
+      regexp_replace(redactPii(c), PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Corpus-level BOILERPLATE removal — the C4/RefinedWeb repeated-line
+    * filter: a line occurring in at least `minDocs` DISTINCT documents
+    * (nav bars, cookie banners, license headers) is dropped from every
+    * document; each document is rebuilt from its surviving lines in
+    * original order. Output: (idCol, n_kept, clean_text) — documents
+    * whose every line was boilerplate drop out entirely.
+    *
+    * 100 TB shape: one partial-aggregated groupBy(line) for document
+    * frequencies, then an ANTI join of the lines against only the
+    * boilerplate SET — by definition at most totalLines/minDocs distinct
+    * lines, in practice tiny, so Spark broadcasts it — and one shuffle
+    * by document id to reassemble. The hot-line skew an equi-join-back
+    * would suffer never materializes: boilerplate lines are dropped by
+    * the broadcast anti join map-side. */
+  def removeBoilerplate(docs: DataFrame, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "pos", "line")
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line")
+    lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_kept"),
+        // ordered rebuild without a window: collect (pos, line) structs,
+        // array_sort is deterministic (pos is unique within a document)
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("clean_text"))
+  }
+
   /** Heuristic language ID: argmax of per-language scores; deterministic
     * tie-break on language name. Returns a struct (lang, score). */
   def langScores(text: Column): Column = {
@@ -593,7 +642,104 @@ object Text {
        |FROM pd ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
   }
 
+  /** Full PII redaction under the oracle: the fixture corpus carries no
+    * PII, so the gate WEAVES deterministic PII into every document
+    * (email, URL, international phone, IPv4 — all derived from doc_id,
+    * identically in both engines) and then verifies the per-row redacted
+    * TEXT (md5) and per-category counts — a row-exact check of all four
+    * redaction passes, not just aggregate lengths. Map-only, zero
+    * shuffle until the final sort. */
+  private def txtPii(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast(StringType)
+    val aug = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), id, lit("@mail.example.com"),
+        lit(" visit https://ex.org/p/"), id,
+        lit(" from 10."), (col("doc_id") % 200).cast(StringType),
+        lit(".0."), ((col("doc_id") * 7) % 250).cast(StringType),
+        lit(" call +1 555 "),
+        lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
+        lit(" "),
+        lpad(((col("doc_id") * 13) % 10000).cast(StringType), 4, "0")
+      ).as("text"))
+    aug.select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("text"), lit(UrlRe)).cast(LongType).as("n_urls"),
+        regexp_count(col("text"), lit(PhoneRe)).cast(LongType).as("n_phones"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast(LongType).as("n_ips"),
+        md5(redactPiiFull(col("text"))).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val txtPiiSql = {
+    val (email, url, phone, ip) = (EmailRe, UrlRe, PhoneRe, Ipv4Re)
+    s"""WITH aug AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |    || '@mail.example.com'
+       |    || ' visit https://ex.org/p/' || CAST(doc_id AS VARCHAR)
+       |    || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+       |    || '.0.' || CAST((doc_id * 7) % 250 AS VARCHAR)
+       |    || ' call +1 555 ' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |    || ' ' || LPAD(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+       |    AS text
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id,
+       | CAST(LEN(REGEXP_EXTRACT_ALL(text, '$email')) AS BIGINT) AS n_emails,
+       | CAST(LEN(REGEXP_EXTRACT_ALL(text, '$url')) AS BIGINT) AS n_urls,
+       | CAST(LEN(REGEXP_EXTRACT_ALL(text, '$phone')) AS BIGINT) AS n_phones,
+       | CAST(LEN(REGEXP_EXTRACT_ALL(text, '$ip')) AS BIGINT) AS n_ips,
+       | MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+       |   text, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
+       |   '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS fp
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
+
+  /** Boilerplate removal under the oracle: the fixture corpus has no
+    * newlines, so the gate LINE-IFIES each document into 8-token chunks
+    * (pure array expressions, identically in SQL), then drops every
+    * chunk-line that occurs in ≥2 distinct documents and fingerprints
+    * each rebuilt document. The small shared vocabulary makes ~150
+    * chunk-lines genuinely cross-document at sf0.01, so the filter does
+    * real work. Documents whose every line was boilerplate drop out (in
+    * both engines). */
+  private def txtBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nLines = floor((size(toks) - 1) / lit(8)).cast(LongType)
+    val lined = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0L), nLines),
+            i => array_join(slice(toks, (i * 8 + 1).cast(IntegerType), lit(8)), " ")),
+          "\n").as("text"))
+    removeBoilerplate(lined, minDocs = 2)
+      .select(col("doc_id"), col("n_kept"), md5(col("clean_text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val txtBoilerplateSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |ln AS (SELECT doc_id,
+       |        UNNEST(RANGE(0, ((LEN(toks) - 1) // 8) + 1)) AS pos, toks
+       |       FROM d),
+       |lines AS (SELECT doc_id, pos,
+       |           ARRAY_TO_STRING(toks[pos * 8 + 1 : pos * 8 + 8], ' ') AS line
+       |          FROM ln),
+       |boiler AS (SELECT line FROM lines
+       |           GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+       |kept AS (SELECT l.doc_id, l.pos, l.line
+       |         FROM lines l ANTI JOIN boiler b USING (line))
+       |SELECT doc_id, COUNT(*) AS n_kept,
+       | MD5(STRING_AGG(line, CHR(10) ORDER BY pos)) AS fp
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("txt_pii", txtPii, Some(txtPiiSql)),
+    Q("txt_boilerplate", txtBoilerplate, Some(txtBoilerplateSql)),
     Q("txt_token_stats", txtTokenStats, Some(txtTokenStatsSql)),
     Q("txt_quality", txtQuality, Some(txtQualitySql)),
     Q("txt_langid", txtLangid, Some(txtLangidSql)),

@@ -133,4 +133,45 @@ class TextSpec extends SparkSpec {
       .select(Text.stopwordHits(Text.tokens(col("text")), Seq("the", "of")).as("n"))
     assert(df.collect()(0).getInt(0) === 3) // the, of, the — not "theme"
   }
+
+  test("redactPiiFull: phones and IPs too; URL-embedded IPs stay in the URL") {
+    val df = Seq(
+      "call +1 555 010 1234 or +44 207 946 0958 now",
+      "server at 10.0.42.7 fell over",
+      "dash-separated 555-010-1234 is NOT the strict intl format",
+      "api http://10.1.2.3/health is one URL, bare 10.1.2.4 is an IP")
+      .toDF("text").select(Text.redactPiiFull(col("text")).as("r"))
+    val rows = df.collect().map(_.getString(0))
+    assert(rows(0) === "call <PHONE> or <PHONE> now")
+    assert(rows(1) === "server at <IP> fell over")
+    assert(rows(2) === "dash-separated 555-010-1234 is NOT the strict intl format")
+    // URL redaction runs before IP redaction, so the embedded address
+    // disappears inside <URL> instead of splitting it
+    assert(rows(3) === "api <URL> is one URL, bare <IP> is an IP")
+  }
+
+  test("removeBoilerplate drops cross-document lines, keeps order, " +
+      "drops all-boilerplate docs") {
+    val banner = "subscribe to our newsletter"
+    val legal = "all rights reserved"
+    val docs = Seq(
+      (1L, s"$banner\nunique alpha\n$legal\nunique beta"),
+      (2L, s"$banner\nsomething else entirely\n$legal"),
+      (3L, s"$banner\n$legal"), // all boilerplate → drops out
+      (4L, "standalone document with its own text")).toDF("doc_id", "text")
+    val out = Text.removeBoilerplate(docs, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) === ((2L, "unique alpha\nunique beta")))
+    assert(out(2L) === ((1L, "something else entirely")))
+    assert(!out.contains(3L))
+    assert(out(4L) === ((1L, "standalone document with its own text")))
+    // minDocs above every df keeps everything
+    val loose = Text.removeBoilerplate(docs, minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose === Map(1L -> 4L, 2L -> 3L, 3L -> 2L, 4L -> 1L))
+    // a repeated line WITHIN one doc is not boilerplate (distinct docs)
+    val within = Seq((7L, "echo\necho\nbody")).toDF("doc_id", "text")
+    val w = Text.removeBoilerplate(within, minDocs = 2).collect()
+    assert(w.head.getLong(1) === 3L)
+  }
 }
