@@ -677,12 +677,76 @@ object Similarity {
        |   i -> ABS(v[i] - qiv[i] * amax / 127.0))) AS max_abs_err
        |FROM qi ORDER BY vec_id""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup —
+    * cluster the embeddings, then inside each cluster drop items whose
+    * cosine to a KEPT item clears `tau`. Deterministic, fully-parallel
+    * adaptation: a vector is a dup iff a LOWER-id vector shares its cell
+    * with cosine ≥ tau (the paper keeps the item farthest from the
+    * centroid; keeping the lowest id makes the answer order-free and
+    * oracle-checkable — the one-hop rule also never chains, so a kept
+    * item is always a genuine cluster representative).
+    *
+    * 100 TB shape: cell assignment is one map-only pass (broadcast
+    * centroids inside the codegen'd MatVecDots literal); pair expansion
+    * self-joins WITHIN cells only — O(Σ cell²), the paper's own cost
+    * model — so `nCells` must scale ∝ corpus (the paper uses 50k cells
+    * on LAION); the dup-id set distincts down before the anti join. */
+  def semDedup(corpus: DataFrame, nCells: Int = 16, tau: Double = 0.4)
+      : DataFrame = {
+    val cents = seedCentroids(corpus, nCells)
+    val asg = corpus
+      .select(col("vec_id"), col("embedding"),
+        cellDotsFor(cents)(col("embedding")).as("_s"))
+      .select(col("vec_id"), col("embedding"),
+        bestCellsFor(cents)(col("_s"), 1).getItem(0).getField("cell").as("cell"))
+    val lo = asg.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("va"))
+    val hi = asg.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("vb"))
+    val dups = lo.join(hi, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(cosine(col("va"), col("vb")) >= tau)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    asg.select("vec_id", "cell")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  private def ddSemDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedup(qEmb(spark, dir), nCells = 16, tau = 0.4)
+      .orderBy("vec_id")
+
+  /** SemDeDup oracle: the IVF centroid/assignment rule verbatim, then
+    * within-cell lower-id pairs at cosine ≥ 0.4 mark the higher id. */
+  private def ddSemDedupSql: String =
+    s"""WITH $qvCte,
+       |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS step FROM qv),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM qv, st
+       |         WHERE vec_id % step = 0 AND vec_id < step * 16),
+       |cd AS (SELECT q.vec_id, c.cell, LIST_DOT_PRODUCT(q.v, c.cv) AS d
+       |       FROM qv q CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cell FROM (
+       |          SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY d DESC, cell DESC) AS rn FROM cd) WHERE rn = 1),
+       |dup AS (SELECT DISTINCT y.vec_id
+       |        FROM asg x JOIN asg y ON x.cell = y.cell
+       |                   AND x.vec_id < y.vec_id
+       |        JOIN qv xv ON xv.vec_id = x.vec_id
+       |        JOIN qv yv ON yv.vec_id = y.vec_id
+       |        WHERE ${cosSql("xv.v", "yv.v")} >= 0.4)
+       |SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
+       |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sim_brute_topk", simBrute, Some(simBruteSql)),
     Q("sim_ann_lsh", simAnn, Some(simAnnSql)),
     Q("sim_ann_ivf", simIvf, Some(simIvfSql)),
     Q("sim_ann_pq", simPq, Some(simPqSql)),
     Q("dd_embedding_cosine", ddEmbedding, Some(ddEmbeddingSql)),
+    Q("dd_semdedup", ddSemDedup, Some(ddSemDedupSql)),
     Q("sim_label_centroids", simCentroids, Some(simCentroidsSql)),
     Q("sim_quantize", simQuantize, Some(simQuantizeSql)))
 }

@@ -237,4 +237,37 @@ class SimilaritySpec extends SparkSpec {
         s"vec ${r.getLong(0)} err ${r.getDouble(4)} exceeds half-step")
     }
   }
+
+  test("semDedup: within-cell near-identicals mark the higher id; " +
+      "distinct directions survive") {
+    val rnd = new scala.util.Random(11)
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(16)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextGaussian() / 1000).toFloat)
+    val base = (0 until 8).map(unit)
+    // ids 0..7 seed the 8 cells (seedCentroids: every (n/8)-th id with
+    // n=16 → step 2 → ids 0,2,4,..14; keep it simple: 16 rows, 8 cells)
+    val rows = (0 until 8).map(i => (i.toLong * 2, base(i), 0)) ++
+      // near-identical copies of base(1) and base(3) at HIGHER ids
+      Seq((101L, jitter(base(1)), 0), (103L, jitter(base(3)), 0),
+        // an unrelated direction: survives
+        (105L, unit(999), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedup(df, nCells = 8, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(101L) === true, "jittered copy of a lower id must mark dup")
+    assert(out(103L) === true)
+    assert(out(105L) === false, "distinct direction must survive")
+    assert((0 until 8).forall(i => !out(i.toLong * 2)),
+      "cell representatives must survive")
+    // tau above every similarity keeps everything
+    val none = Similarity.semDedup(df, nCells = 8, tau = 1.1)
+      .collect().forall(!_.getBoolean(2))
+    assert(none)
+  }
 }
