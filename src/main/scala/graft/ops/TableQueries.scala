@@ -842,7 +842,9 @@ object TableQueries {
     Q("tbl_add_files", TableQueries2.tblAddFiles,
       Some(TableQueries2.tblAddFilesSql)),
     Q("tbl_changelog_updates", TableQueries2.tblChangelogUpdates,
-      Some(TableQueries2.tblChangelogUpdatesSql)))
+      Some(TableQueries2.tblChangelogUpdatesSql)),
+    Q("tbl_spj_temporal", TableQueries2.tblSpjTemporal,
+      Some(TableQueries2.tblSpjTemporalSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -1425,6 +1427,86 @@ object TableQueries2 {
       .orderBy("o_orderkey", "commit_seq", "change_type", "o_custkey",
         "o_totalprice")
   }
+
+  /** Storage-partitioned join over a MIXED hidden layout under the
+    * oracle — the time-series CDC shape: two event tables laid out
+    * `days(ts), bucket(8, user_id)`, joined on user_id ALONE with
+    * Spark's subset-of-partition-keys SPJ trio enabled
+    * (allowJoinKeysSubsetOfPartitionKeys + pushPartValues +
+    * requireAllClusterKeysForCoPartition=false — the Iceberg SPJ
+    * recipe). The join and aggregate must add ZERO hash exchanges
+    * (require()d on the final adaptive plan): the temporal transform
+    * rides along as extra partition metadata while the bucket field
+    * carries the co-partitioning. Both ts columns stay PROJECTED —
+    * Spark resolves the reported days(ts) transform against the pruned
+    * scan output, so dropping ts would drop the partitioning (the same
+    * constraint Iceberg SPJ has). */
+  private[ops] def tblSpjTemporal(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gspt",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-spjt")
+    spark.conf.set("spark.sql.catalog.gspt.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val views = s"views_$ident"
+    val clicks = s"clicks_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gspt.$views")
+    spark.sql(s"DROP TABLE IF EXISTS gspt.$clicks")
+    for (tbl <- Seq(views, clicks))
+      spark.sql(s"""CREATE TABLE gspt.$tbl (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+        PARTITIONED BY (days(ts), bucket(8, user_id))""")
+    val src = s"gspt_events_$ident"
+    t(spark, dir, "events").select("event_id", "ts", "user_id",
+      "event_type", "value").createOrReplaceTempView(src)
+    spark.sql(s"""INSERT INTO gspt.$views SELECT event_id, ts, user_id,
+      value FROM $src WHERE event_type = 'view'""")
+    spark.sql(s"""INSERT INTO gspt.$clicks SELECT event_id, ts, user_id,
+      value FROM $src WHERE event_type = 'click'""")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing" +
+        ".allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        s"""SELECT v.event_id AS v_id, c.event_id AS c_id,
+           |  v.user_id AS user_id,
+           |  unix_micros(v.ts) AS v_us, unix_micros(c.ts) AS c_us
+           |FROM gspt.$views v JOIN gspt.$clicks c
+           |  ON v.user_id = c.user_id
+           |WHERE v.event_id % 5 = 0 AND c.event_id % 7 = 0
+           |ORDER BY v_id, c_id""".stripMargin)
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      require(plan.contains("BatchScan"),
+        s"temporal SPJ gate expected the V2 batch scan, got:\n$plan")
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"temporal SPJ gate expected a shuffle-free join, got:\n$plan")
+      q
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private[ops] val tblSpjTemporalSql =
+    """SELECT v.event_id AS v_id, c.event_id AS c_id,
+      |  v.user_id AS user_id,
+      |  CAST(EPOCH_US(v.ts) AS BIGINT) AS v_us,
+      |  CAST(EPOCH_US(c.ts) AS BIGINT) AS c_us
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id
+      |WHERE v.event_id % 5 = 0 AND c.event_id % 7 = 0
+      |ORDER BY v_id, c_id""".stripMargin
 
   private[ops] val tblChangelogUpdatesSql =
     """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)

@@ -57,14 +57,14 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftBatchScan $tbl buckets=[${plan.buckets.map(_.render).mkString(", ")}] " +
+    s"GraftBatchScan $tbl layout=[${plan.fields.map(_.render).mkString(", ")}] " +
       s"prunedBy=[${pruning.mkString(", ")}]"
 
   // ---- partitioning ---------------------------------------------------------
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      plan.buckets.map(b => Expressions.bucket(b.n, b.source): Transform)
+      plan.fields.map(f => GraftBatchScan.transformOf(f): Transform)
         .toArray[org.apache.spark.sql.connector.expressions.Expression],
       plannedPartitions.length)
 
@@ -83,22 +83,28 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
     }
   }
 
-  /** Bucket-id allow-sets from runtime (DPP) predicates, keyed by spec
-    * position; None = no runtime restriction for that field. */
+  /** Derived-value allow-sets from runtime (DPP) predicates, keyed by
+    * spec position; None = no runtime restriction for that field. Values
+    * are catalyst-internal in the field's DIRECTORY type. */
   @volatile private var runtimeAllowed
-      : Seq[Option[Set[Int]]] = plan.buckets.map(_ => None)
+      : Seq[Option[Set[Any]]] = plan.fields.map(_ => None)
 
+  // only sources that SURVIVED column pruning: DPP resolves these against
+  // the scan's (pruned) output, so an unprojected partition source (e.g.
+  // ts in a days(ts)+bucket(k) layout read for k alone) must not appear
   override def filterAttributes(): Array[NamedReference] =
-    plan.buckets.map(b => Expressions.column(b.source): NamedReference).toArray
+    plan.fields.filter(f => required.fieldNames.contains(f.source))
+      .map(f => Expressions.column(f.source): NamedReference).toArray
 
   override def filter(predicates: Array[VPredicate]): Unit = {
     val bySource = GraftBatchScan.runtimeValues(predicates)
-    runtimeAllowed = plan.buckets.map { b =>
-      bySource.get(b.source).flatMap { vs =>
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    runtimeAllowed = plan.fields.map { f =>
+      bySource.get(f.source).flatMap { vs =>
         val srcType = plan.bundle.dataSch(
-          plan.bundle.dataSch.fieldIndex(b.source)).dataType
-        // every value must map to a bucket id, else fail open for the field
-        val ids = vs.map(v => GraftBatchScan.bucketId(b.n, v, srcType))
+          plan.bundle.dataSch.fieldIndex(f.source)).dataType
+        // every value must map through the transform, else fail open
+        val ids = vs.map(v => GraftBatchScan.derivedOf(f, v, srcType, zone))
         if (ids.exists(_.isEmpty)) None else Some(ids.flatten.toSet)
       }
     }
@@ -106,9 +112,11 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
 
   private def plannedPartitions: Array[InputPartition] = {
     val allowed = runtimeAllowed
+    val dirTypes = plan.bundle.dirTypes
     prunedDirs.flatMap { case (key, files) =>
-      val keep = plan.buckets.indices.forall { i =>
-        allowed(i).forall(ids => !key.isNullAt(i) && ids.contains(key.getInt(i)))
+      val keep = plan.fields.indices.forall { i =>
+        allowed(i).forall(ids =>
+          !key.isNullAt(i) && ids.contains(key.get(i, dirTypes(i))))
       }
       if (!keep) None
       else Some(GraftInputPartition(
@@ -239,6 +247,48 @@ private[tables] object GraftBatchScan {
     b.toMap
   }
 
+  /** The field's layout as the V2 transform Spark compares across join
+    * sides (and resolves through the catalog's [[GraftFunctions]]). */
+  private[tables] def transformOf(f: PartitionField): Transform = f match {
+    case b: PartitionField.PBucket  => Expressions.bucket(b.n, b.source)
+    case d: PartitionField.PDays    => Expressions.days(d.source)
+    case h: PartitionField.PHours   => Expressions.hours(h.source)
+    case m: PartitionField.PMonths  => Expressions.months(m.source)
+    case y: PartitionField.PYears   => Expressions.years(y.source)
+    // width folded into the NAME: Spark's SPJ machinery
+    // (KeyGroupedPartitioning.supportsExpressions) accepts only
+    // SINGLE-child transforms — bucket's literal is special-cased out by
+    // the resolver, a (width, col) truncate is not — so each width is
+    // its own catalog-served function
+    case t: PartitionField.PTruncate =>
+      Expressions.apply(s"truncate${t.w}", Expressions.column(t.source))
+    case i: PartitionField.PIdentity => Expressions.identity(i.source)
+  }
+
+  /** Derived directory value of a Catalyst-internal source value — the
+    * runtime (DPP) analogue of the write-side layout expression: builds
+    * [[PartitionField.catalystExpr]] over a literal and evaluates it, so
+    * every transform maps probes EXACTLY as the writer mapped rows.
+    * None = value/type outside the transform's domain (fail open). */
+  private[tables] def derivedOf(f: PartitionField, v: Any, srcType: DataType,
+      sessionZone: String): Option[Any] = {
+    val typeOk = (v, srcType) match {
+      case (null, _) => true
+      case (_: Integer, IntegerType) => true
+      case (_: java.lang.Long, LongType) => true
+      case (_: org.apache.spark.unsafe.types.UTF8String, StringType) => true
+      case (_: java.lang.Long, t) if t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.TimestampNTZType => true
+      case (_: Integer, org.apache.spark.sql.types.DateType) => true
+      case _ => false
+    }
+    if (!typeOk) None
+    else
+      try Some(PartitionField.catalystExpr(f, Literal(v, srcType), srcType,
+        sessionZone).eval(null))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Bucket id of a Catalyst-internal value — MUST mirror the write-side
     * layout expression `Pmod(Murmur3Hash(src), n)` exactly
     * ([[PartitionField.catalystExpr]]). Null hashes to the bare seed,
@@ -317,11 +367,105 @@ private[tables] final class GraftReaderFactory(
   * non-partitioned side to match — `v2.bucketing.shuffle.enabled`). */
 private[tables] object GraftFunctions {
 
-  val names: Seq[String] = Seq("bucket")
+  val names: Seq[String] =
+    Seq("bucket", "days", "hours", "months", "years")
+
+  private val TruncateN = """^truncate(\d+)$""".r
 
   def load(name: String): Option[UnboundFunction] = name match {
     case "bucket" => Some(BucketUnbound)
+    case "days" | "hours" | "months" | "years" => Some(new TimeUnbound(name))
+    case TruncateN(w) if w.toInt > 0 => Some(new TruncateUnbound(w.toInt))
     case _ => None
+  }
+
+  /** days/hours/months/years over a timestamp (days also over a date):
+    * the temporal hidden-partitioning transforms as V2 functions, so two
+    * tables laid out `days(ts)` report comparable partitionings. Zoned
+    * timestamps derive in the SESSION zone (captured at bind — the same
+    * zone the writer bucketed in) and embed it in the canonical name:
+    * sessions in different zones must never consider the layouts equal.
+    * NTZ/date derive zone-free. */
+  private final class TimeUnbound(fname: String) extends UnboundFunction {
+    override def name(): String = fname
+    override def description(): String =
+      s"$fname(col): temporal hidden-partitioning transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1,
+        s"$fname expects (col), got ${inputType.simpleString}")
+      val srcType = inputType(0).dataType
+      val field: PartitionField = fname match {
+        case "days"   => PartitionField.PDays("c")
+        case "hours"  => PartitionField.PHours("c")
+        case "months" => PartitionField.PMonths("c")
+        case _        => PartitionField.PYears("c")
+      }
+      PartitionField.validate(field, srcType) // throws on a bad source type
+      new DerivedBound(fname, field, srcType,
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    }
+  }
+
+  private final class TruncateUnbound(w: Int) extends UnboundFunction {
+    override def name(): String = s"truncate$w"
+    override def description(): String =
+      s"truncate$w(col): width-$w hidden-partitioning transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1,
+        s"truncate$w expects (col), got ${inputType.simpleString}")
+      val srcType = inputType(0).dataType
+      PartitionField.validate(PartitionField.PTruncate(w, "c"), srcType)
+      new TruncateBound(w, srcType,
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    }
+  }
+
+  /** Evaluates the EXACT write-side derivation
+    * ([[PartitionField.catalystExpr]]) over each input value. */
+  private final class DerivedBound(fname: String, field: PartitionField,
+      srcType: DataType, zone: String) extends ScalarFunction[AnyRef] {
+    override def inputTypes(): Array[DataType] = Array(srcType)
+    override def resultType(): DataType =
+      PartitionField.dirType(field, srcType)
+    override def name(): String = fname
+    override def canonicalName(): String = {
+      val z = if (srcType == org.apache.spark.sql.types.TimestampType)
+        s",$zone" else ""
+      s"graft.$fname(${srcType.catalogString}$z)"
+    }
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): AnyRef = {
+      val v: Any =
+        if (input.isNullAt(0)) null
+        else srcType match {
+          case org.apache.spark.sql.types.DateType => input.getInt(0)
+          case _ => input.getLong(0) // timestamp/NTZ micros
+        }
+      GraftBatchScan.derivedOf(field, v, srcType, zone)
+        .map(_.asInstanceOf[AnyRef]).orNull
+    }
+  }
+
+  private final class TruncateBound(w: Int, srcType: DataType, zone: String)
+    extends ScalarFunction[AnyRef] {
+    override def inputTypes(): Array[DataType] = Array(srcType)
+    override def resultType(): DataType = srcType
+    override def name(): String = s"truncate$w"
+    override def canonicalName(): String =
+      s"graft.truncate$w(${srcType.catalogString})"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): AnyRef = {
+      val v: Any =
+        if (input.isNullAt(0)) null
+        else srcType match {
+          case IntegerType => input.getInt(0)
+          case LongType => input.getLong(0)
+          case StringType => input.getUTF8String(0)
+          case _ => null
+        }
+      GraftBatchScan.derivedOf(PartitionField.PTruncate(w, "c"), v, srcType,
+        zone).map(_.asInstanceOf[AnyRef]).orNull
+    }
   }
 
   private object BucketUnbound extends UnboundFunction {

@@ -1446,12 +1446,17 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (bySpec.size != 1) return None
     val specId = bySpec.head._1
     val fields = partitionFieldsOfSpec(name, specId)
-    val buckets = fields.collect { case b: PartitionField.PBucket => b }
-    if (fields.isEmpty || buckets.size != fields.size) return None
+    // any all-HIDDEN-transform layout qualifies (bucket/days/hours/
+    // months/years/truncate): hidden transforms keep the source column
+    // IN the data files, so the raw reader needs no partition-value
+    // re-attachment. Identity layouts strip the column from the files
+    // (classic hive) and stay on the V1 path — a missed optimization
+    // there, never a correctness gap.
+    if (fields.isEmpty || fields.exists(_.isIdentity)) return None
     if (pendingDeletes(name) > 0) return None
     if (!TableStore.sameNameTree(schema(name), physSchema(name))) return None
     val version = currentVersion(name)
-    Some(TableStore.SpjPlan(version, buckets,
+    Some(TableStore.SpjPlan(version, fields,
       zoneIndexFor(name, specId, rels, version)))
   }
 
@@ -4536,7 +4541,7 @@ object TableStore {
     * zone-index bundle whose `listFiles` supplies pruned candidates
     * grouped by bucket tuple. */
   private[tables] final case class SpjPlan(version: Int,
-      buckets: Seq[PartitionField.PBucket],
+      fields: Seq[PartitionField],
       bundle: ZoneIndexBundle)
 
   /** Structural name/type equality at every nesting level — true when no

@@ -218,4 +218,116 @@ class SpjSpec extends SparkSpec {
     assert(GraftBatchScan.bucketId(8, null,
       org.apache.spark.sql.types.LongType).contains(((42 % 8) + 8) % 8))
   }
+
+  // ---- mixed hidden-transform layouts --------------------------------------
+
+  private def tsOf(day: Int, hour: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-0$day%d $hour%02d:00:00")
+
+  private def events(tag: String): DataFrame =
+    (0L until 180L).map(i =>
+      (tsOf(1 + (i % 3).toInt, (i % 9).toInt), i % 30, i.toDouble))
+      .toDF("ts", "k", tag).repartition(3)
+
+  test("days+bucket layout: co-partitioned join on (ts, k) is shuffle-free") {
+    spark.sql("CREATE TABLE spj.e1 (ts TIMESTAMP, k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (days(ts), bucket(4, k))")
+    spark.sql("CREATE TABLE spj.e2 (ts TIMESTAMP, k BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (days(ts), bucket(4, k))")
+    events("v").writeTo("spj.e1").append()
+    events("w").writeTo("spj.e2").append()
+    assert(store.spjPlan("e1").exists(_.fields.length == 2))
+    withSpj {
+      val j = spark.sql(
+        """SELECT a.ts, a.k, a.v, b.w FROM spj.e1 a
+          |JOIN spj.e2 b ON a.ts = b.ts AND a.k = b.k""".stripMargin)
+      val plan = finalPlan(j)
+      assert(plan.contains("BatchScan"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      val expected = events("v").join(events("w"), Seq("ts", "k"))
+      assert(j.count() === expected.count())
+      assert(j.agg(sum($"v" + $"w")).head().getDouble(0) ===
+        expected.agg(sum($"v" + $"w")).head().getDouble(0))
+    }
+  }
+
+  test("join on the bucket key alone SPJs under subset-of-keys") {
+    withSpj {
+      // subset grouping additionally needs pushPartValues (SPARK-44647)
+      // and co-partition matching relaxed to subsets — the same trio the
+      // Iceberg SPJ docs prescribe
+      val extras = Seq(
+        "spark.sql.sources.v2.bucketing" +
+          ".allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+      extras.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        // both sides must still PROJECT ts: Spark resolves the reported
+        // days(ts) transform against the scan's pruned output, so a
+        // query reading only k gets no key-grouped partitioning at all
+        // (same constraint Iceberg's SPJ has)
+        val j = spark.sql(
+          "SELECT a.ts, a.k, a.v, b.ts AS ts2, b.w FROM spj.e1 a " +
+            "JOIN spj.e2 b ON a.k = b.k")
+        val plan = finalPlan(j)
+        assert(plan.contains("BatchScan"), plan)
+        assert(!plan.contains("Exchange"), plan)
+        val expected = events("v").as("a")
+          .join(events("w").as("b"), $"a.k" === $"b.k")
+          .select($"a.ts", $"a.k", $"a.v", $"b.ts".as("ts2"), $"b.w")
+        assert(j.count() === expected.count())
+        assert(j.agg(sum($"v" + $"w")).head().getDouble(0) ===
+          expected.agg(sum($"v" + $"w")).head().getDouble(0))
+      } finally extras.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+  }
+
+  test("truncate layout: co-partitioned string-prefix join is shuffle-free") {
+    spark.sql("CREATE TABLE spj.t1 (s STRING, v DOUBLE) " +
+      "PARTITIONED BY (truncate(2, s))")
+    spark.sql("CREATE TABLE spj.t2 (s STRING, w DOUBLE) " +
+      "PARTITIONED BY (truncate(2, s))")
+    val d1 = (0L until 120L).map(i => (f"k${i % 12}%02d-${i}", i.toDouble))
+      .toDF("s", "v").repartition(3)
+    val d2 = (0L until 120L).map(i => (f"k${i % 12}%02d-${i}", i * 2.0))
+      .toDF("s", "w").repartition(2)
+    d1.writeTo("spj.t1").append()
+    d2.writeTo("spj.t2").append()
+    withSpj {
+      val j = spark.sql(
+        "SELECT a.s, a.v, b.w FROM spj.t1 a JOIN spj.t2 b ON a.s = b.s")
+      val plan = finalPlan(j)
+      assert(plan.contains("BatchScan"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      val expected = d1.join(d2, "s")
+      assert(j.orderBy("s").collect().toSeq ===
+        expected.orderBy("s").collect().toSeq)
+    }
+  }
+
+  test("derivedOf mirrors the writer for every hidden transform") {
+    import org.apache.spark.sql.types._
+    val utc = "UTC"
+    // days over micros: 2024-01-02T03:00Z → epochDay of 2024-01-02
+    val micros = java.time.Instant.parse("2024-01-02T03:00:00Z")
+      .getEpochSecond * 1000000L
+    val wantDay = java.time.LocalDate.parse("2024-01-02").toEpochDay.toInt
+    assert(GraftBatchScan.derivedOf(PartitionField.PDays("c"), micros,
+      TimestampType, utc).contains(wantDay))
+    assert(GraftBatchScan.derivedOf(PartitionField.PHours("c"), micros,
+      TimestampType, utc).contains((micros / 3600000000L).toInt))
+    assert(GraftBatchScan.derivedOf(PartitionField.PMonths("c"), micros,
+      TimestampType, utc).contains(54 * 12)) // 2024-01 is 648 months post-1970
+    assert(GraftBatchScan.derivedOf(PartitionField.PYears("c"), micros,
+      TimestampType, utc).contains(54))
+    assert(GraftBatchScan.derivedOf(PartitionField.PTruncate(10, "c"), 37L,
+      LongType, utc).contains(30L))
+    assert(GraftBatchScan.derivedOf(PartitionField.PTruncate(2, "c"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcd"),
+      StringType, utc).exists(_.toString == "ab"))
+    // out-of-domain value fails open
+    assert(GraftBatchScan.derivedOf(PartitionField.PDays("c"),
+      "nope", TimestampType, utc).isEmpty)
+  }
 }
