@@ -844,7 +844,9 @@ object TableQueries {
     Q("tbl_changelog_updates", TableQueries2.tblChangelogUpdates,
       Some(TableQueries2.tblChangelogUpdatesSql)),
     Q("tbl_spj_temporal", TableQueries2.tblSpjTemporal,
-      Some(TableQueries2.tblSpjTemporalSql)))
+      Some(TableQueries2.tblSpjTemporalSql)),
+    Q("tbl_defaults", TableQueries2.tblDefaults,
+      Some(TableQueries2.tblDefaultsSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -1507,6 +1509,51 @@ object TableQueries2 {
       |  ON v.user_id = c.user_id
       |WHERE v.event_id % 5 = 0 AND c.event_id % 7 = 0
       |ORDER BY v_id, c_id""".stripMargin
+
+  /** Column DEFAULT values under the oracle (Iceberg-v3 initial/write
+    * defaults on Spark's CURRENT_DEFAULT/EXISTS_DEFAULT metadata): half
+    * of orders lands BEFORE `ADD COLUMN band INT DEFAULT -1`, half
+    * after with an explicit computed band, and one slice inserts
+    * omitting the column (write-default resolution). Pre-evolution
+    * files read -1 back WITHOUT any rewrite — at 100 TB an existence
+    * default is the only sane way to add a non-null-semantics column.
+    * Mechanics (explicit NULL survival, SET/DROP DEFAULT, lifecycle
+    * interplay): DefaultsSpec. */
+  private[ops] def tblDefaults(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gdf",
+      classOf[graft.tables.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdf.root", Scratch.dir("tbl-dflt"))
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val src = s"gdf_src_$ident"
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView(src)
+    spark.sql(s"DROP TABLE IF EXISTS gdf.$tbl")
+    spark.sql(s"""CREATE TABLE gdf.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
+    spark.sql(s"""INSERT INTO gdf.$tbl
+      SELECT * FROM $src WHERE o_orderkey <= 7500""")
+    spark.sql(s"ALTER TABLE gdf.$tbl ADD COLUMN band INT DEFAULT -1")
+    spark.sql(s"""INSERT INTO gdf.$tbl
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        CAST(FLOOR(o_totalprice / 50000.0) AS INT)
+      FROM $src WHERE o_orderkey > 7500 AND o_orderkey % 2 = 0""")
+    // omitted column resolves the write default at INSERT time
+    spark.sql(s"""INSERT INTO gdf.$tbl (o_orderkey, o_custkey, o_totalprice)
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM $src WHERE o_orderkey > 7500 AND o_orderkey % 2 = 1""")
+    spark.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice, band
+      FROM gdf.$tbl ORDER BY o_orderkey, o_custkey, o_totalprice""")
+  }
+
+  private[ops] val tblDefaultsSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CASE WHEN o_orderkey > 7500 AND o_orderkey % 2 = 0
+      |       THEN CAST(FLOOR(o_totalprice / 50000.0) AS INT)
+      |       ELSE -1 END AS band
+      |FROM orders
+      |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
 
   private[ops] val tblChangelogUpdatesSql =
     """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)

@@ -60,6 +60,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   with StagingTableCatalog with ProcedureCatalog
   with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
+  /** Column DEFAULT values are supported (Iceberg-v3 initial/write
+    * defaults): CREATE/ALTER DDL may declare them, the schema carries
+    * them as Spark's CURRENT_DEFAULT/EXISTS_DEFAULT field metadata,
+    * INSERTs resolve them, and pre-evolution files read the existence
+    * default back instead of null. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** V2 functions backing hidden-partitioning transforms
     * ([[GraftFunctions]]): what lets the analyzer resolve a scan's
     * reported `bucket(n, col)` KeyGroupedPartitioning to a comparable
@@ -296,11 +306,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!store.exists(n)) throw new NoSuchTableException(ident)
     changes.foreach {
       case add: TableChange.AddColumn =>
-        if (add.fieldNames().length == 1)
+        if (add.fieldNames().length == 1) {
+          // a declared DEFAULT becomes the column's write default
+          // (CURRENT_DEFAULT — INSERTs omitting the column resolve it)
+          // AND its existence default (EXISTS_DEFAULT — files written
+          // BEFORE the column existed read it back instead of null; a
+          // genuine null in a post-evolution file stays null). This is
+          // the Iceberg-v3 initial/write default pair on Spark's own
+          // metadata keys, so the parquet readers fill it natively.
+          val md = Option(add.defaultValue()).map { dv =>
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", dv.getSql())
+              .putString("EXISTS_DEFAULT", dv.getSql())
+              .build()
+          }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
           store.addColumns(n, StructType(Seq(
             org.apache.spark.sql.types.StructField(
-              add.fieldNames()(0), add.dataType(), nullable = true))))
-        else store.addNestedField(n, add.fieldNames().toSeq, add.dataType())
+              add.fieldNames()(0), add.dataType(), nullable = true, md))))
+        } else {
+          require(add.defaultValue() == null,
+            "DEFAULT on a nested field is not supported")
+          store.addNestedField(n, add.fieldNames().toSeq, add.dataType())
+        }
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        require(upd.fieldNames().length == 1,
+          "nested ALTER COLUMN DEFAULT is not supported")
+        // updates the WRITE default only — the existence default is the
+        // add-time contract of already-written files and must not drift
+        store.updateColumnDefault(n, upd.fieldNames()(0),
+          Option(upd.newCurrentDefault()).map(_.getSql()))
       case ren: TableChange.RenameColumn =>
         if (ren.fieldNames().length == 1)
           store.renameColumn(n, ren.fieldNames()(0), ren.newName())

@@ -671,6 +671,36 @@ final class TableStore(private[tables] val spark: SparkSession,
     } finally { fs.delete(lock, false); () }
   }
 
+  /** Set or drop a column's WRITE default (`ALTER COLUMN ... SET/DROP
+    * DEFAULT`): rewrites the field's CURRENT_DEFAULT metadata in the
+    * catalog schema. The EXISTS_DEFAULT (what pre-evolution files read
+    * back) is deliberately untouched — it is the add-time contract of
+    * already-written files (Iceberg's initial-default), and moving it
+    * would silently rewrite history. */
+  def updateColumnDefault(name: String, colName: String,
+      sql: Option[String]): Unit = {
+    val lock = new HPath(tdir(name), "_commit.lock")
+    acquireLock(name, lock)
+    try {
+      val cur = schema(name)
+      require(cur.fieldNames.contains(colName),
+        s"no column $colName in table $name")
+      val next = StructType(cur.fields.map { f =>
+        if (f.name != colName) f
+        else {
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          sql match {
+            case Some(s) => b.putString("CURRENT_DEFAULT", s)
+            case None => b.remove("CURRENT_DEFAULT")
+          }
+          f.copy(metadata = b.build())
+        }
+      })
+      atomicWrite(new HPath(tdir(name), "_schema.json"), next.json)
+    } finally { fs.delete(lock, false); () }
+  }
+
   /** Columns added after create() — the only ones writes may omit. */
   private def evolvedCols(name: String): Set[String] = {
     val p = new HPath(tdir(name), "_evolved")
@@ -3844,7 +3874,13 @@ final class TableStore(private[tables] val spark: SparkSession,
           require(evolved.contains(f.name),
             s"incoming data for table $name lacks column ${f.name} " +
               "(only columns added by addColumns may be omitted)")
-          lit(null).cast(f.dataType).as(f.name)
+          // a declared WRITE default backfills instead of null — the
+          // programmatic analogue of SQL INSERT default resolution
+          val fill =
+            if (f.metadata.contains("CURRENT_DEFAULT"))
+              expr(f.metadata.getString("CURRENT_DEFAULT"))
+            else lit(null)
+          fill.cast(f.dataType).as(f.name)
       }
     }.toSeq: _*)
   }
