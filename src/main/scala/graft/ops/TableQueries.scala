@@ -846,7 +846,9 @@ object TableQueries {
     Q("tbl_spj_temporal", TableQueries2.tblSpjTemporal,
       Some(TableQueries2.tblSpjTemporalSql)),
     Q("tbl_defaults", TableQueries2.tblDefaults,
-      Some(TableQueries2.tblDefaultsSql)))
+      Some(TableQueries2.tblDefaultsSql)),
+    Q("tbl_dynamic_overwrite", TableQueries2.tblDynamicOverwrite,
+      Some(TableQueries2.tblDynamicOverwriteSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -1554,6 +1556,61 @@ object TableQueries2 {
       |       ELSE -1 END AS band
       |FROM orders
       |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
+
+  /** DYNAMIC partition overwrite under the oracle — the idempotent
+    * backfill primitive: events land in a `days(ts)`-partitioned table,
+    * then one day's pipeline "re-runs" (its values doubled) through
+    * `INSERT OVERWRITE` in dynamic mode, which must replace exactly
+    * that day's directories in ONE commit (require()d) while every
+    * other day's files are carried untouched (require()d by rel-path
+    * identity). Runs as a true distributed V2 staged write — Spark has
+    * no V1 fallback for dynamic overwrite. */
+  private[ops] def tblDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gdo",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-dynov")
+    spark.conf.set("spark.sql.catalog.gdo.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"events_$ident"
+    val src = s"gdo_src_$ident"
+    t(spark, dir, "events").select("event_id", "ts", "user_id", "value")
+      .createOrReplaceTempView(src)
+    spark.sql(s"DROP TABLE IF EXISTS gdo.$tbl")
+    spark.sql(s"""CREATE TABLE gdo.$tbl (
+      event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+      PARTITIONED BY (days(ts))""")
+    spark.sql(s"INSERT INTO gdo.$tbl SELECT * FROM $src")
+    val store = new graft.tables.TableStore(spark, root)
+    val vBefore = store.currentVersion(tbl)
+    // the day with the most events is the one being "re-run"
+    val hotDay = spark.sql(s"""SELECT CAST(ts AS DATE) AS d FROM $src
+      GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 1""").head().getDate(0)
+    val untouchedBefore = store.currentRelPaths(tbl)
+      .filterNot(_.contains(s"ts_day=$hotDay")).sorted
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(s"""INSERT OVERWRITE gdo.$tbl
+      SELECT event_id, ts, user_id, value * 2
+      FROM $src WHERE CAST(ts AS DATE) = DATE'$hotDay'""")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    require(store.currentVersion(tbl) == vBefore + 1,
+      "dynamic overwrite must be ONE atomic commit")
+    val untouchedAfter = store.currentRelPaths(tbl)
+      .filterNot(_.contains(s"ts_day=$hotDay")).sorted
+    require(untouchedAfter == untouchedBefore,
+      "untouched partitions must carry their exact files")
+    spark.sql(s"""SELECT event_id, user_id, value FROM gdo.$tbl
+      ORDER BY event_id, user_id, value""")
+  }
+
+  private[ops] val tblDynamicOverwriteSql =
+    """WITH hot AS (
+      |  SELECT CAST(ts AS DATE) AS d FROM events
+      |  GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 1)
+      |SELECT event_id, user_id,
+      |  CASE WHEN CAST(ts AS DATE) = (SELECT d FROM hot)
+      |       THEN value * 2 ELSE value END AS value
+      |FROM events
+      |ORDER BY event_id, user_id, value""".stripMargin
 
   private[ops] val tblChangelogUpdatesSql =
     """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)

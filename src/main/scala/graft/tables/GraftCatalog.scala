@@ -505,14 +505,15 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
     if (versionAt.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store, tbl, versionAt)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAt.isEmpty, s"cannot write to a pinned snapshot of $tbl")
-    new GraftWriteBuilder(store, tbl)
+    new GraftWriteBuilder(store, tbl, info.schema())
   }
 
   /** SQL `UPDATE` / `MERGE INTO` / rewrite-path `DELETE` — see
@@ -986,31 +987,95 @@ private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
     }.asInstanceOf[T]
 }
 
-private[tables] final class GraftWriteBuilder(store: TableStore, tbl: String)
-  extends WriteBuilder with SupportsOverwrite {
+private[tables] final class GraftWriteBuilder(store: TableStore, tbl: String,
+    writeSchema: StructType)
+  extends WriteBuilder with SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   // INSERT INTO appends; INSERT OVERWRITE arrives as overwrite(AlwaysTrue)
-  // (or truncate()) and maps to the one-commit whole-table replacement
-  private var replaceAll = false
+  // (or truncate()) = whole-table replacement, overwrite(filters) =
+  // static-partition/filter overwrite (one CoW commit), and
+  // overwriteDynamicPartitions() = replace exactly the partition dirs
+  // the incoming rows land in (partitionOverwriteMode=dynamic)
+  private sealed trait Mode
+  private case object AppendMode extends Mode
+  private case object ReplaceAll extends Mode
+  private case class Where(cond: Column) extends Mode
+  private case object Dynamic extends Mode
+  private var mode: Mode = AppendMode
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.forall(_.isInstanceOf[sources.AlwaysTrue]),
-      "only whole-table INSERT OVERWRITE is supported " +
-        s"(got ${filters.mkString(", ")})")
-    replaceAll = true
+    mode =
+      if (filters.forall(_.isInstanceOf[sources.AlwaysTrue])) ReplaceAll
+      else {
+        val conds = filters.map(f => GraftFilters.toColumn(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"untranslatable overwrite filter: $f")))
+        Where(conds.reduce(_ && _))
+      }
     this
   }
 
-  override def truncate(): WriteBuilder = { replaceAll = true; this }
+  override def truncate(): WriteBuilder = { mode = ReplaceAll; this }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          if (replaceAll || overwrite) store.overwrite(tbl, data)
-          else store.append(tbl, data)
-      }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = Dynamic; this
   }
+
+  override def build(): Write = mode match {
+    // dynamic overwrite has NO V1 fallback exec in Spark — it runs as a
+    // true distributed V2 staged write (the row-level writer machinery)
+    // whose commit replaces exactly the touched partition directories
+    case Dynamic => new GraftDynamicOverwriteWrite(store, tbl, writeSchema)
+    case _ => new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit =
+            mode match {
+              case ReplaceAll => store.overwrite(tbl, data)
+              case Where(cond) => store.overwriteWhere(tbl, cond, data)
+              case AppendMode =>
+                if (overwrite) store.overwrite(tbl, data)
+                else store.append(tbl, data)
+              case Dynamic => throw new IllegalStateException("unreachable")
+            }
+        }
+    }
+  }
+}
+
+/** Dynamic partition overwrite as a V2 batch write: tasks stage files
+  * through the shared [[GraftStagedBatchWrite]] writer (clustered by
+  * partition columns via RequiresDistributionAndOrdering), and the
+  * commit swaps exactly the partition directories the staged files
+  * landed in ([[TableStore.commitDynamicStaged]]). */
+private[tables] final class GraftDynamicOverwriteWrite(store: TableStore,
+    tbl: String, writeSchema: StructType)
+  extends Write
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    val p = store.writeLayout(tbl).partLogicalNames
+    if (p.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      p.map(n => Expressions.identity(n)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new GraftStagedBatchWrite(store, tbl, writeSchema) {
+      override protected def commitStaged(staging: HPath,
+          kept: Set[String]): Unit =
+        store.commitDynamicStaged(tbl, staging, kept)
+    }
+
+  override def description(): String = s"graft dynamic overwrite of $tbl"
 }
 
 /** Translation of Spark's data-source `Filter`s to `Column` predicates —

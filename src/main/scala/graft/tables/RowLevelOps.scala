@@ -318,24 +318,41 @@ private[tables] final class GraftCowWrite(op: GraftRowLevelOperation,
 }
 
 private[tables] final class GraftCowBatchWrite(op: GraftRowLevelOperation,
+    writeSchema: StructType)
+  extends GraftStagedBatchWrite(op.store, op.tbl, writeSchema) {
+
+  override protected def commitStaged(staging: HPath,
+      kept: Set[String]): Unit = {
+    val (base, cands) = op.planned.getOrElse((store.currentVersion(op.tbl), Nil))
+    store.commitRewriteStaged(op.tbl, base, cands.toSet, staging, kept)
+  }
+}
+
+/** Distributed staged parquet write shared by every V2 batch-write path:
+  * tasks stream rows into per-partition staged files; `commitStaged`
+  * decides what the adopted files MEAN (a row-level replacement, a
+  * dynamic partition overwrite, ...). */
+private[tables] abstract class GraftStagedBatchWrite(
+    protected val store: TableStore, tbl: String,
     writeSchema: StructType) extends BatchWrite {
 
-  private val store = op.store
-  private val staging = new HPath(store.tableDir(op.tbl),
+  private val staging = new HPath(store.tableDir(tbl),
     s"_staging-rl-${UUID.randomUUID().toString.take(8)}")
 
+  protected def commitStaged(staging: HPath, kept: Set[String]): Unit
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val layout = store.writeLayout(op.tbl)
+    val layout = store.writeLayout(tbl)
     // incoming rows use the WRITE schema — the rewritten query's output,
     // which carries the table columns by name PLUS bookkeeping columns
     // (e.g. `__row_operation`) Spark strips only for writers that
     // request metadata. Bind every table column by NAME and ignore the
     // rest.
-    val sch = store.schema(op.tbl)
+    val sch = store.schema(tbl)
     def ordOf(n: String): Int = {
       val i = writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
       require(i >= 0, s"write schema ${writeSchema.fieldNames.mkString(",")}" +
-        s" lacks table column $n of ${op.tbl}")
+        s" lacks table column $n of $tbl")
       i
     }
     val dataOrds = layout.dataOrdinals.map(i => ordOf(sch.fields(i).name))
@@ -361,8 +378,7 @@ private[tables] final class GraftCowBatchWrite(op: GraftRowLevelOperation,
       case m: GraftCowCommit => m.stagedRels
       case _ => Array.empty[String]
     }.toSet
-    val (base, cands) = op.planned.getOrElse((store.currentVersion(op.tbl), Nil))
-    store.commitRewriteStaged(op.tbl, base, cands.toSet, staging, kept)
+    commitStaged(staging, kept)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -2380,6 +2380,89 @@ final class TableStore(private[tables] val spark: SparkSession,
     ()
   }
 
+  /** Overwrite-by-filter (`INSERT OVERWRITE t PARTITION(...)` static
+    * mode / overwrite(filters)): rows matching `cond` are replaced by
+    * `df` in ONE atomic commit — a CoW anti-filter rewrite of exactly
+    * the files containing matches plus the fresh files, never a
+    * whole-table replacement. The fresh rows land on the appended
+    * sidecar (they are new rows for incremental/change-feed readers);
+    * the rewrite rows do not. */
+  def overwriteWhere(name: String, cond: Column, df: DataFrame): Unit = {
+    materializeDeletes(name)
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val rels = readLines(new HPath(tdir(name), baseManifest))
+    val fresh = writeDataFiles(name, alignTo(name, schema(name), df))
+    if (rels.isEmpty) {
+      commitManifest(name, base, Set.empty, fresh, fresh)
+      return
+    }
+    val files = rels.map(r => new HPath(dataDir(name), r).toString)
+    val affected = indexedRead(name, rels, base).filter(cond)
+      .select(input_file_name().as("f"))
+      .distinct().collect().map(r => fileName(r.getString(0))).toSet
+    val affectedPaths = files.filter(p => affected.contains(fileName(p)))
+    val survivors =
+      if (affectedPaths.isEmpty) Nil
+      else writeDataFiles(name, readFiles(name, affectedPaths)
+        .filter(!coalesce(cond, lit(false))))
+    val removedRels = rels.filter(r => affected.contains(fileName(r))).toSet
+    commitManifest(name, base, removedRels, survivors ++ fresh, fresh)
+  }
+
+  /** DYNAMIC partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic`): replace exactly the partition
+    * directories the INCOMING rows land in — untouched partitions stay
+    * byte-identical, and the whole replacement is one atomic commit.
+    * At 100 TB this is the idempotent-backfill primitive: re-running a
+    * day's pipeline rewrites that day's directories only.
+    *
+    * Requires a partitioned table on a SINGLE spec generation (matching
+    * is by directory path; a partition-evolved table's older-generation
+    * files use different directory names for the same logical tuple,
+    * and silently under-removing them would duplicate rows). */
+  def overwriteDynamic(name: String, df: DataFrame): Unit = {
+    val (base, rels) = dynamicOverwriteBase(name)
+    val fresh = writeDataFiles(name, alignTo(name, schema(name), df))
+    commitDynamicFresh(name, base, rels, fresh)
+  }
+
+  /** Validated (base version, base rel paths) for a dynamic overwrite. */
+  private def dynamicOverwriteBase(name: String): (Int, Seq[String]) = {
+    require(partitionFields(name).nonEmpty,
+      s"dynamic overwrite needs a partitioned table; $name is not")
+    materializeDeletes(name)
+    val baseManifest = currentManifest(name)
+    val rels = readLines(new HPath(tdir(name), baseManifest))
+    val gens = rels.map(specOfRel).distinct
+    require(gens.size <= 1 && gens.forall(_ == currentSpecId(name)),
+      s"dynamic overwrite on $name needs a single partition-spec " +
+        "generation — compact the table to rewrite old-layout files first")
+    (versionOf(baseManifest), rels)
+  }
+
+  private def commitDynamicFresh(name: String, base: Int,
+      baseRels: Seq[String], fresh: Seq[String]): Unit = {
+    def dirOf(r: String): String = {
+      val cut = r.lastIndexOf('/')
+      if (cut < 0) "" else r.substring(0, cut)
+    }
+    val touched = fresh.map(dirOf).toSet
+    val removed = baseRels.filter(r => touched.contains(dirOf(r))).toSet
+    commitManifest(name, base, removed, fresh, fresh)
+  }
+
+  /** Commit half of the V2 dynamic-overwrite write: adopt the
+    * distributed writer's staged files (`kept` = what the tasks actually
+    * committed) and swap exactly their partition directories. */
+  private[tables] def commitDynamicStaged(name: String, staging: HPath,
+      kept: Set[String]): Unit = {
+    val (base, rels) = dynamicOverwriteBase(name)
+    val fresh = promoteStaged(name, staging, Some(kept))
+    fs.delete(staging, true)
+    commitDynamicFresh(name, base, rels, fresh)
+  }
+
   /** Row-level delete (reference W2, SparkDestinationStream.java:124-135) as
     * an anti-filter copy-on-write: rewrite only files containing matches.
     * Runs against the snapshot current at entry; commits rebase over
