@@ -714,17 +714,31 @@ object Similarity {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
-  private def ddSemDedup(spark: SparkSession, dir: String): DataFrame =
-    semDedup(qEmb(spark, dir), nCells = 16, tau = 0.4)
-      .orderBy("vec_id")
+  /** Cell count SCALES with the corpus (the paper's own requirement —
+    * within-cell pair cost is O(n²/k), so fixed k is quadratic): ~400
+    * vectors per cell, floored at 16. At every driver SF (≤ 5k
+    * vectors) this IS 16, so oracle results are unchanged there; the
+    * 100× scale corpus gets 1250 cells and stays linear — the round-7
+    * scale checkpoint caught exactly this gate running quadratic at a
+    * fixed 16. */
+  private def semCells(n: Long): Int = math.max(16L, n / 400L).toInt
 
-  /** SemDeDup oracle: the IVF centroid/assignment rule verbatim, then
-    * within-cell lower-id pairs at cosine ≥ 0.4 mark the higher id. */
+  private def ddSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(spark, dir)
+    semDedup(emb, nCells = semCells(emb.count()), tau = 0.4)
+      .orderBy("vec_id")
+  }
+
+  /** SemDeDup oracle: the IVF centroid/assignment rule with the SAME
+    * corpus-scaled cell count, then within-cell lower-id pairs at
+    * cosine ≥ 0.4 mark the higher id. */
   private def ddSemDedupSql: String =
     s"""WITH $qvCte,
-       |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS step FROM qv),
+       |st AS (SELECT GREATEST(1, COUNT(*) //
+       |           GREATEST(16, COUNT(*) // 400)) AS step,
+       |         GREATEST(16, COUNT(*) // 400) AS cells FROM qv),
        |cent AS (SELECT vec_id AS cell, v AS cv FROM qv, st
-       |         WHERE vec_id % step = 0 AND vec_id < step * 16),
+       |         WHERE vec_id % step = 0 AND vec_id < step * cells),
        |cd AS (SELECT q.vec_id, c.cell, LIST_DOT_PRODUCT(q.v, c.cv) AS d
        |       FROM qv q CROSS JOIN cent c),
        |asg AS (SELECT vec_id, cell FROM (
