@@ -848,7 +848,9 @@ object TableQueries {
     Q("tbl_defaults", TableQueries2.tblDefaults,
       Some(TableQueries2.tblDefaultsSql)),
     Q("tbl_dynamic_overwrite", TableQueries2.tblDynamicOverwrite,
-      Some(TableQueries2.tblDynamicOverwriteSql)))
+      Some(TableQueries2.tblDynamicOverwriteSql)),
+    Q("tbl_partitions_meta", TableQueries2.tblPartitionsMeta,
+      Some(TableQueries2.tblPartitionsMetaSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -1611,6 +1613,47 @@ object TableQueries2 {
       |       THEN value * 2 ELSE value END AS value
       |FROM events
       |ORDER BY event_id, user_id, value""".stripMargin
+
+  /** `t.partitions` under the oracle (Iceberg's partitions metadata
+    * table): per-partition row totals of a `days(ts)` table answered
+    * ENTIRELY from the consolidated manifest — zero file listings, zero
+    * footer reads (at 100 TB, partition accounting must be a metadata
+    * lookup). A CoW delete mutates the table first so the summary
+    * proves itself against post-rewrite manifests, and file/byte
+    * sanity is require()d in-gate (counts aren't oracle-stable — task
+    * splits move them). */
+  private[ops] def tblPartitionsMeta(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gpm",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-pmeta")
+    spark.conf.set("spark.sql.catalog.gpm.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"events_$ident"
+    val src = s"gpm_src_$ident"
+    t(spark, dir, "events").select("event_id", "ts", "user_id", "value")
+      .createOrReplaceTempView(src)
+    spark.sql(s"DROP TABLE IF EXISTS gpm.$tbl")
+    spark.sql(s"""CREATE TABLE gpm.$tbl (
+      event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+      PARTITIONED BY (days(ts))""")
+    spark.sql(s"INSERT INTO gpm.$tbl SELECT * FROM $src")
+    spark.sql(s"DELETE FROM gpm.$tbl WHERE event_id % 13 = 0")
+    val meta = spark.sql(s"SELECT * FROM gpm.$tbl.partitions").collect()
+    require(meta.nonEmpty && meta.forall(r =>
+      r.getLong(1) >= 1L && !r.isNullAt(2) && !r.isNullAt(3) &&
+        r.getLong(3) > 0L),
+      s"partitions meta must report files/rows/bytes for every " +
+        s"partition, got: ${meta.take(3).mkString(", ")}")
+    spark.sql(s"""SELECT partition, row_count
+      FROM gpm.$tbl.partitions ORDER BY partition""")
+  }
+
+  private[ops] val tblPartitionsMetaSql =
+    """SELECT 'ts_day=' || COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR),
+      |    '__HIVE_DEFAULT_PARTITION__') AS partition,
+      |  COUNT(*) AS row_count
+      |FROM events WHERE event_id % 13 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private[ops] val tblChangelogUpdatesSql =
     """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)

@@ -623,16 +623,17 @@ private[tables] object GraftSqlTable {
   * everything comes from manifests and consolidated stats, never data
   * files. */
 private[tables] object GraftMetaTable {
-  val Names: Set[String] = Set("snapshots", "files", "refs")
+  val Names: Set[String] = Set("snapshots", "files", "refs", "partitions")
 }
 
 private[tables] final class GraftMetaTable(store: TableStore, tbl: String,
     meta: String) extends Table with SupportsRead {
 
   private def frame: DataFrame = meta match {
-    case "snapshots" => store.snapshotsFrame(tbl)
-    case "files"     => store.filesFrame(tbl)
-    case "refs"      => store.refsFrame(tbl)
+    case "snapshots"  => store.snapshotsFrame(tbl)
+    case "files"      => store.filesFrame(tbl)
+    case "refs"       => store.refsFrame(tbl)
+    case "partitions" => store.partitionsFrame(tbl)
   }
 
   override def name(): String = s"$tbl.$meta"

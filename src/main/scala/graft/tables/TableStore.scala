@@ -1696,6 +1696,39 @@ final class TableStore(private[tables] val spark: SparkSession,
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
   }
 
+  /** Per-partition summary — the `db.t.partitions` inspection surface
+    * (Iceberg's partitions metadata table): one row per live partition
+    * directory with file/row/byte totals, answered ENTIRELY from the
+    * consolidated manifest (zero file listings, zero footer reads — at
+    * 100 TB this is the difference between a metadata lookup and a
+    * storage sweep). Row/byte totals go null if ANY member file lacks
+    * the recorded figure (legacy snapshots) — a partial sum would read
+    * as an exact answer. Unpartitioned tables report one '' row. */
+  def partitionsFrame(name: String): DataFrame = {
+    val rels = currentRelPaths(name)
+    val cons = readConsolidated(name, currentVersion(name))
+    val lens = cons.map(_.lens).getOrElse(Map.empty[String, Long])
+    val rowsM = cons.map(_.rows).getOrElse(Map.empty[String, Long])
+    def dirOf(r: String): String = {
+      val cut = r.lastIndexOf('/')
+      if (cut < 0) "" else r.substring(0, cut)
+    }
+    val rows = rels.groupBy(dirOf).toSeq.sortBy(_._1).map { case (part, fs) =>
+      def total(m: Map[String, Long]): Any =
+        if (fs.forall(m.contains)) java.lang.Long.valueOf(fs.map(m).sum)
+        else null
+      org.apache.spark.sql.Row(part, fs.size.toLong, total(rowsM), total(lens))
+    }
+    val sch = StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("file_count", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true),
+      StructField("total_bytes", LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+  }
+
   /** Named refs as a DataFrame — the `db.t.refs` inspection surface:
     * every branch/tag plus the implicit `main` head. */
   def refsFrame(name: String): DataFrame = {

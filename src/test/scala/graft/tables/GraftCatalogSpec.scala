@@ -216,6 +216,17 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE gql.files (a BIGINT)")
     spark.sql("INSERT INTO gql.files VALUES (1)")
     assert(spark.sql("SELECT count(*) AS c FROM gql.files").head().getLong(0) === 1L)
+
+    // partitions: an UNPARTITIONED table reports one '' row whose totals
+    // answer from the consolidated manifest alone
+    val parts = spark.sql(
+      """SELECT partition, file_count, row_count, total_bytes
+        |FROM gql.meta.partitions""".stripMargin).collect()
+    assert(parts.length === 1)
+    assert(parts.head.getString(0) === "")
+    assert(parts.head.getLong(1).toInt === store.currentRelPaths("meta").size)
+    assert(parts.head.getLong(2) === 140L)
+    assert(parts.head.getLong(3) > 0L)
   }
 
   test("ALTER COLUMN TYPE widens int->bigint metadata-only; old files read back") {
