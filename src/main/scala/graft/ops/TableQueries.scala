@@ -1457,10 +1457,15 @@ object TableQueries2 {
     val clicks = s"clicks_$ident"
     spark.sql(s"DROP TABLE IF EXISTS gspt.$views")
     spark.sql(s"DROP TABLE IF EXISTS gspt.$clicks")
+    // hash write distribution: without it every task writes into every
+    // (day, bucket) dir it holds rows for — tiny-file spray that then
+    // dominates the join's scan time (the property exists for exactly
+    // this layout)
     for (tbl <- Seq(views, clicks))
       spark.sql(s"""CREATE TABLE gspt.$tbl (
         event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
-        PARTITIONED BY (days(ts), bucket(8, user_id))""")
+        PARTITIONED BY (days(ts), bucket(4, user_id))
+        TBLPROPERTIES ('write.distribution-mode'='hash')""")
     val src = s"gspt_events_$ident"
     t(spark, dir, "events").select("event_id", "ts", "user_id",
       "event_type", "value").createOrReplaceTempView(src)

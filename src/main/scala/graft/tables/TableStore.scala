@@ -2374,10 +2374,13 @@ final class TableStore(private[tables] val spark: SparkSession,
     // scheme-less absolute entries: they resolve against `data/` to the
     // same files (same filesystem, required above), and sidecar naming
     // stays URI-clean
-    val files = all
-      .filter(st => st.getLen >= TableStore.EmptyFileCheckBytes ||
-        !footerRowCount(st.getPath).contains(0L))
-      .map(_.getPath.toUri.getPath).sorted
+    val files = locally {
+      val keep = parFiles(all)(st =>
+        st.getLen >= TableStore.EmptyFileCheckBytes ||
+          !footerRowCount(st.getPath).contains(0L))
+      all.zip(keep).collect { case (st, true) => st.getPath.toUri.getPath }
+        .sorted
+    }
     val phys = physSchema(name)
     val got = spark.read.parquet(files: _*).schema
     def shape(s: StructType): Map[String, String] =
@@ -3353,9 +3356,11 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (relPaths.isEmpty) return
     if (zc.isEmpty && bc.isEmpty) {
       // no stats job needed — record per-file ROW COUNTS from the fresh
-      // parquet footers (driver-side, O(new files), no cluster job):
-      // metadata-only count(*) still works on stat-less tables
-      relPaths.foreach { rel =>
+      // parquet footers (driver-side, O(new files), no cluster job,
+      // parallel pool — sequential reads made stat-less partitioned
+      // commits O(files × latency)): metadata-only count(*) still works
+      // on stat-less tables
+      parFiles(relPaths) { rel =>
         footerRowCount(new HPath(dataDir(name), rel)).foreach { n =>
           writeString(statsPath(name, rel), s"""{"__rows": $n}""")
         }
@@ -3436,6 +3441,22 @@ final class TableStore(private[tables] val spark: SparkSession,
       }
     }
   }
+
+  /** Driver-side parallel map for per-file metadata I/O (footer reads,
+    * sidecar writes): a hash-distributed partitioned commit legitimately
+    * lands hundreds of files, and doing one blocking read per file
+    * SEQUENTIALLY made the commit path O(files × latency) — on an object
+    * store that is seconds per hundred files. Bounded pool, fail-fast. */
+  private def parFiles[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, xs.size))
+      try xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = f(x)
+      })).map(_.get())
+      finally { pool.shutdown() }
+    }
 
   /** Row count straight from a parquet footer — no Spark job. None on
     * any failure (stats are an optimization, never a failed write). */
@@ -4069,7 +4090,7 @@ final class TableStore(private[tables] val spark: SparkSession,
     // so a file's rel path always identifies its layout
     val specId = currentSpecId(name)
     val specPrefix = if (specId == 0) "" else s"spec-$specId/"
-    val parts = listStatusRec(staging)
+    val parts0 = listStatusRec(staging)
       .filter(st => st.getPath.getName.endsWith(".parquet"))
       .filter(st => only.forall(_.contains(relativize(staging, st.getPath))))
       // drop ZERO-ROW files (a CoW rewrite whose partition lost every row
@@ -4081,12 +4102,20 @@ final class TableStore(private[tables] val spark: SparkSession,
       // is a few hundred bytes, so large commits (files sized near
       // maxPartitionBytes) pay ZERO per-file driver round-trips here —
       // the length came with the listing. Fail-open: an unreadable
-      // footer keeps the file.
-      .filter(st => st.getLen >= TableStore.EmptyFileCheckBytes ||
-        !footerRowCount(st.getPath).contains(0L))
-      .map(_.getPath)
-      .sortBy(_.toString)
-    val named = parts.zipWithIndex.map { case (p, i) =>
+      // footer keeps the file. Checks run on the parallel pool: a
+      // hash-distributed partitioned commit lands hundreds of small
+      // files and sequential footer reads made promotion O(files).
+    val parts = locally {
+      val pre = parts0
+      val keep = parFiles(pre)(st =>
+        st.getLen >= TableStore.EmptyFileCheckBytes ||
+          !footerRowCount(st.getPath).contains(0L))
+      pre.zip(keep).collect { case (st, true) => st.getPath }
+        .sortBy(_.toString)
+    }
+    // renames run on the parallel pool (distinct targets; mkdirs is
+    // idempotent under the concurrent parent-dir races)
+    val named = parFiles(parts.zipWithIndex) { case (p, i) =>
       val subDir = {
         val rel = relativize(staging, p)
         val cut = rel.lastIndexOf('/')
@@ -4331,6 +4360,11 @@ final class TableStore(private[tables] val spark: SparkSession,
     val sidecarCache = scala.collection.mutable.Map
       .empty[String, Option[com.fasterxml.jackson.databind.JsonNode]]
     def sidecar(rel: String) = sidecarCache.getOrElseUpdate(rel, sidecarJson(rel))
+    // pre-warm the cache for FRESH files on the parallel pool — the
+    // loops below would otherwise read one sidecar at a time, making a
+    // many-file partitioned commit O(files × latency) on the driver
+    sidecarCache ++= parFiles(files.filterNot(prev.rows.contains))(r =>
+      r -> sidecarJson(r))
     val statEntries =
       if (zoneCols(name).isEmpty) Nil
       else files.flatMap { rel =>
@@ -4343,9 +4377,10 @@ final class TableStore(private[tables] val spark: SparkSession,
             s"${statJson(rel)}: $body"
           }
       }
+    val freshLens = parFiles(files.filterNot(prev.lens.contains))(rel =>
+      rel -> fs.getFileStatus(new HPath(dataDir(name), rel)).getLen).toMap
     val lenEntries = files.map { rel =>
-      val len = prev.lens.getOrElse(rel,
-        fs.getFileStatus(new HPath(dataDir(name), rel)).getLen)
+      val len = prev.lens.getOrElse(rel, freshLens(rel))
       s"${statJson(rel)}: $len"
     }
     // per-file row counts (sidecar `__rows`, written for every fresh
