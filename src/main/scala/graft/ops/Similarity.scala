@@ -693,25 +693,71 @@ object Similarity {
     * on LAION); the dup-id set distincts down before the anti join. */
   def semDedup(corpus: DataFrame, nCells: Int = 16, tau: Double = 0.4)
       : DataFrame = {
-    val cents = seedCentroids(corpus, nCells)
+    // sorted by cell id: seedCentroids collects in SCAN order, which is
+    // not contractual across file splits, and the argmax tie-break below
+    // is positional
+    val cents = seedCentroids(corpus, nCells).sortBy(_._1)
+    // assignment argmax is O(k) builtins (array_max + array_position,
+    // both codegen'd), NOT bestCellsFor's k-element struct-array sort:
+    // with corpus-scaled k (1250 cells at the 100× corpus) the sort
+    // array blows the codegen budget and the whole stage runs
+    // interpreted — the round-7 scale sweep measured 680 s there.
+    // Tie-break: FIRST maximal score = lowest cell id (array_position
+    // returns the first hit), mirrored in the oracle's `cell ASC`.
+    val cellIds = cents.map(_._1)
     val asg = corpus
       .select(col("vec_id"), col("embedding"),
         cellDotsFor(cents)(col("embedding")).as("_s"))
       .select(col("vec_id"), col("embedding"),
-        bestCellsFor(cents)(col("_s"), 1).getItem(0).getField("cell").as("cell"))
-    val lo = asg.select(col("cell"), col("vec_id").as("a"),
-      col("embedding").as("va"))
-    val hi = asg.select(col("cell"), col("vec_id").as("b"),
-      col("embedding").as("vb"))
-    val dups = lo.join(hi, Seq("cell"))
-      .filter(col("a") < col("b"))
-      .filter(cosine(col("va"), col("vb")) >= tau)
-      .select(col("b").as("vec_id")).distinct()
-      .withColumn("is_dup", lit(true))
-    asg.select("vec_id", "cell")
-      .join(dups, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        element_at(typedLit(cellIds),
+          array_position(col("_s"), array_max(col("_s"))).cast("int"))
+          .as("cell"))
+    // within-cell pairing runs as a PER-CELL in-memory kernel
+    // (flatMapGroups): a cell is ~400 vectors ≈ 200 KB, so the whole
+    // comparison is a tight local loop with EARLY EXIT on the first
+    // matching lower id — dup-heavy cells (the hot case) degrade to
+    // O(members), not O(members²). The declarative alternative — a
+    // self-join on cell — materializes O(pairs) rows each dragging TWO
+    // embedding arrays through the shuffle (~40 GB at the 100× corpus;
+    // measured minutes); this kernel moves each vector exactly once.
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    asg.select(col("cell"), col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val n = members.length
+        val vecs = members.map(_._3)
+        val norms = vecs.map(v => math.sqrt(blasDot(v, v)))
+        val out = new Array[(Long, Long, Boolean)](n)
+        var b = 0
+        while (b < n) {
+          var dup = false
+          var a = 0
+          while (!dup && a < b) {
+            val d = blasDot(vecs(a), vecs(b))
+            if (norms(a) > 0 && norms(b) > 0 &&
+              d / (norms(a) * norms(b)) >= tau) dup = true
+            a += 1
+          }
+          out(b) = (members(b)._2, cell, dup)
+          b += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_id", "cell", "is_dup")
+  }
+
+  /** Plain double dot for the per-cell kernel (quantized components:
+    * every partial sum is an exact integer — order-independent). */
+  private def blasDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   /** Cell count SCALES with the corpus (the paper's own requirement —
@@ -743,7 +789,7 @@ object Similarity {
        |       FROM qv q CROSS JOIN cent c),
        |asg AS (SELECT vec_id, cell FROM (
        |          SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |            ORDER BY d DESC, cell DESC) AS rn FROM cd) WHERE rn = 1),
+       |            ORDER BY d DESC, cell ASC) AS rn FROM cd) WHERE rn = 1),
        |dup AS (SELECT DISTINCT y.vec_id
        |        FROM asg x JOIN asg y ON x.cell = y.cell
        |                   AND x.vec_id < y.vec_id
