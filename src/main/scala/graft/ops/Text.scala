@@ -737,6 +737,205 @@ object Text {
        | MD5(STRING_AGG(line, CHR(10) ORDER BY pos)) AS fp
        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A1.1 —
+    * the standard web-corpus repetition/format filters). Each rule is a
+    * map-only column predicate over one document; the gate reports
+    * per-source failure counts for each rule plus the pass count — all
+    * integers, hash-checked cross-engine.
+    *
+    * Rules: word count in [50, 100000]; mean word length in [3, 10];
+    * symbol-to-word ratio ('#' and '...' occurrences per word) ≤ 0.1;
+    * ≥80% of words contain an alphabetic character; at least 2 DISTINCT
+    * required stopwords present. 100 TB shape: single map stage over the
+    * scan, one tiny per-source aggregate — no shuffle of document text.
+    */
+  val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherFlags(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n_words"),
+        (aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
+          .cast(DoubleType) / size(col("toks"))).as("mean_wlen"),
+        ((regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast(DoubleType) /
+          size(col("toks"))).as("symbol_ratio"),
+        (size(filter(col("toks"), w => w.rlike("[a-z]"))).cast(DoubleType) /
+          size(col("toks"))).as("alpha_ratio"),
+        size(array_intersect(col("toks"),
+          lit(gopherStops.toArray))).as("n_stop_distinct"))
+      .select(col("doc_id"), col("source"),
+        (!col("n_words").between(50, 100000)).as("fail_word_count"),
+        (!col("mean_wlen").between(3.0, 10.0)).as("fail_mean_wlen"),
+        (col("symbol_ratio") > 0.1).as("fail_symbol"),
+        (col("alpha_ratio") < 0.8).as("fail_alpha"),
+        (col("n_stop_distinct") < 2).as("fail_stopword"))
+  }
+
+  private def txtGopher(spark: SparkSession, dir: String): DataFrame = {
+    val f = gopherFlags(t(spark, dir, "documents"))
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as("n_" + c)
+    f.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        cnt("fail_word_count"), cnt("fail_mean_wlen"), cnt("fail_symbol"),
+        cnt("fail_alpha"), cnt("fail_stopword"),
+        sum(when(!col("fail_word_count") && !col("fail_mean_wlen") &&
+          !col("fail_symbol") && !col("fail_alpha") && !col("fail_stopword"),
+          1L).otherwise(0L)).as("n_pass"))
+      .orderBy("source")
+  }
+
+  private val txtGopherSql = {
+    val stops = gopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       | SELECT source,
+       |  LEN(toks) AS n_words,
+       |  CAST(LIST_SUM(LIST_TRANSFORM(toks, w -> LENGTH(w))) AS DOUBLE)
+       |    / LEN(toks) AS mean_wlen,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '#'))
+       |    + LEN(REGEXP_EXTRACT_ALL(text, '\\.\\.\\.')) AS DOUBLE)
+       |    / LEN(toks) AS symbol_ratio,
+       |  CAST(LEN(LIST_FILTER(toks, w -> REGEXP_MATCHES(w, '[a-z]'))) AS DOUBLE)
+       |    / LEN(toks) AS alpha_ratio,
+       |  LEN(LIST_INTERSECT(toks, [$stops])) AS n_stop_distinct
+       | FROM (SELECT source, text,
+       |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS toks
+       |       FROM documents WHERE text IS NOT NULL)),
+       |r AS (
+       | SELECT source,
+       |  NOT (n_words BETWEEN 50 AND 100000) AS fail_word_count,
+       |  NOT (mean_wlen BETWEEN 3.0 AND 10.0) AS fail_mean_wlen,
+       |  symbol_ratio > 0.1 AS fail_symbol,
+       |  alpha_ratio < 0.8 AS fail_alpha,
+       |  n_stop_distinct < 2 AS fail_stopword
+       | FROM f)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN fail_word_count THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+       | CAST(SUM(CASE WHEN fail_mean_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_wlen,
+       | CAST(SUM(CASE WHEN fail_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+       | CAST(SUM(CASE WHEN fail_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+       | CAST(SUM(CASE WHEN fail_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+       | CAST(SUM(CASE WHEN NOT fail_word_count AND NOT fail_mean_wlen
+       |   AND NOT fail_symbol AND NOT fail_alpha AND NOT fail_stopword
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Unigram-LM perplexity scoring — the CCNet-style quality proxy: train
+    * an add-one-smoothed unigram LM on the corpus itself (vocabulary
+    * CAPPED to the top `vocabCap` terms by frequency, deterministic
+    * (count desc, term asc) tie-break; everything else scores as OOV with
+    * count 0), then score every document by
+    * `ppl = exp(-Σ c_t·ln((cnt_t+1)/(N+V)) / n_tokens)`.
+    *
+    * 100 TB shape: the LM fits in `vocabCap` rows regardless of corpus
+    * size, so scoring is a BROADCAST join against the per-(doc,term)
+    * counts — the only shuffles carry distinct (doc,term) pairs and the
+    * vocab-sized count table, never the token stream. The cap is the
+    * design point: an uncapped vocabulary over 100 TB of web text is
+    * billions of junk terms and cannot broadcast.
+    */
+  def perplexity(docs: DataFrame, vocabCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode_outer(tokens(lower(col("text")))).as("term"))
+    val dt = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val tc = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    // N and V describe the FULL term distribution (cap applies to the
+    // broadcast LM only, not to the smoothing denominator).
+    val tot = tc.agg(sum("cnt").cast(DoubleType).as("n_total"),
+      count(lit(1)).cast(DoubleType).as("v_total"))
+    val lm = tc.withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rk") <= vocabCap).drop("rk")
+    dt.join(broadcast(lm), Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("c"),
+        when(col("cnt").isNull, col("c")).otherwise(lit(0L)).as("oov"),
+        (col("c") * log((coalesce(col("cnt"), lit(0L)) + lit(1L))
+          .cast(DoubleType) / (col("n_total") + col("v_total")))).as("lp"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast(LongType).as("n_tokens"),
+        sum("oov").cast(LongType).as("n_oov"), sum("lp").as("logprob"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        exp(-col("logprob") / col("n_tokens")).as("ppl"))
+  }
+
+  /** Gate face: ppl is ln-derived, so per repo convention raw scores stay
+    * out of oracle output — ROUND(·, 6) on both engines puts the residual
+    * float-fold + ln-ulp divergence (~1e-12 relative) nine orders of
+    * magnitude under the rounding quantum; n_oov is the integer evidence
+    * that the vocab cap actually bit. */
+  private def txtPerplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexity(t(spark, dir, "documents"), vocabCap = 16)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("ppl"), 6).as("ppl"))
+      .orderBy("doc_id")
+
+  private val txtPerplexitySql =
+    """WITH tok AS (
+      | SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS term
+      | FROM documents WHERE text IS NOT NULL),
+      |dt AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |tc AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total,
+      |               CAST(COUNT(*) AS DOUBLE) AS v_total FROM tc),
+      |lm AS (SELECT term, cnt FROM tc
+      |       QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, term) <= 16)
+      |SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+      | CAST(SUM(CASE WHEN l.cnt IS NULL THEN d.c ELSE 0 END) AS BIGINT) AS n_oov,
+      | ROUND(EXP(-SUM(d.c * LN(CAST(COALESCE(l.cnt, 0) + 1 AS DOUBLE)
+      |   / (t.n_total + t.v_total))) / SUM(d.c)), 6) AS ppl
+      |FROM dt d CROSS JOIN tot t LEFT JOIN lm l USING (term)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** BPE tokenizer-training step: the adjacent-symbol-pair frequency count
+    * at the character level — the inner loop of byte-pair-encoding merge
+    * selection, distributed. Counts each word ONCE into a (word, freq)
+    * table (map-side combined; the shuffle carries distinct words), then
+    * explodes each DISTINCT word's adjacent 2-char windows weighted by
+    * its corpus frequency — pair work is ∝ vocabulary, not ∝ corpus,
+    * which is what makes repeated merge rounds tractable at 100 TB.
+    * Output: the top `k` pairs by (count desc, pair asc). */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
+    val words = docs.filter(col("text").isNotNull)
+      .select(explode_outer(tokens(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words.filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").cast(LongType).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  private def txtBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bpePairCounts(t(spark, dir, "documents"), 32)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy("rank")
+  }
+
+  private val txtBpePairsSql =
+    """WITH w AS (
+      | SELECT word, COUNT(*) AS freq FROM (
+      |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS word
+      |  FROM documents WHERE text IS NOT NULL)
+      | GROUP BY word),
+      |p AS (
+      | SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(word) - 1),
+      |          i -> word[i : i + 1])) AS pair, freq
+      | FROM w WHERE LENGTH(word) >= 2),
+      |c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY pair)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS rank,
+      |       pair, n
+      |FROM c ORDER BY n DESC, pair LIMIT 32""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("txt_pii", txtPii, Some(txtPiiSql)),
     Q("txt_boilerplate", txtBoilerplate, Some(txtBoilerplateSql)),
@@ -749,5 +948,8 @@ object Text {
     Q("txt_novelty", txtNovelty, Some(txtNoveltySql)),
     Q("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
     Q("txt_normalize", txtNormalize, Some(txtNormalizeSql)),
-    Q("txt_bm25", txtBm25, Some(txtBm25Sql)))
+    Q("txt_bm25", txtBm25, Some(txtBm25Sql)),
+    Q("txt_gopher", txtGopher, Some(txtGopherSql)),
+    Q("txt_perplexity", txtPerplexity, Some(txtPerplexitySql)),
+    Q("txt_bpe_pairs", txtBpePairs, Some(txtBpePairsSql)))
 }

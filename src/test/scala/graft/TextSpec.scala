@@ -174,4 +174,68 @@ class TextSpec extends SparkSpec {
     val w = Text.removeBoilerplate(within, minDocs = 2).collect()
     assert(w.head.getLong(1) === 3L)
   }
+
+  test("gopherFlags: each rule fires on its planted violation and only there") {
+    val good = (Seq.fill(8)("the quick brown fox jumps over that lazy dog " +
+      "with some more words here and there to reach fifty of them total")
+      ).mkString(" ") // 160 words, mean len ~4, all alpha, stopwords the/that/with
+    val docs = Seq(
+      (1L, "s", good),
+      (2L, "s", "too short to pass the word count rule with only these"),
+      (3L, "s", good + " " + Seq.fill(120)("a").mkString(" ")), // mean wlen < 3
+      (4L, "s", good + " " + Seq.fill(20)("###").mkString(" ")), // symbols
+      (5L, "s", good + " " + Seq.fill(50)("12345").mkString(" ")), // non-alpha
+      (6L, "s", Seq.fill(60)("zork blat quux").mkString(" "))) // no stopwords
+      .toDF("doc_id", "source", "text")
+    val f = Text.gopherFlags(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(f(1L) === ((false, false, false, false, false)))
+    assert(f(2L)._1 === true)  // word count
+    assert(f(3L)._2 === true)  // mean word length
+    assert(f(3L)._1 === false)
+    assert(f(4L)._3 === true)  // symbol ratio
+    assert(f(5L)._4 === true)  // alpha ratio
+    assert(f(6L)._5 === true)  // stopwords
+    assert(f(6L)._4 === false)
+  }
+
+  test("perplexity: common-word docs score lower than rare/OOV docs; " +
+    "OOV terms score as count zero") {
+    // corpus: 'common' dominates; 'rare*' terms fall outside a cap of 2
+    val docs = (Seq((1L, Seq.fill(40)("common").mkString(" ")),
+      (2L, Seq.fill(40)("filler").mkString(" "))) ++
+      (3L to 12L).map(i => (i, s"rare$i oddity$i")))
+      .toDF("doc_id", "text")
+    val rows = Text.perplexity(docs, vocabCap = 2).collect()
+    val out = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val oov = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(oov(1L) === 0L) // all in-vocab
+    assert(oov(3L) === 2L) // both tokens OOV under cap 2
+    // docs of the two in-vocab words are far more probable than OOV docs
+    assert(out(1L) < out(3L))
+    assert(out(2L) < out(3L))
+    // every OOV term has the same smoothed prob → identical ppl across
+    // distinct OOV docs (they'd differ if counts leaked past the cap)
+    assert(math.abs(out(3L) - out(4L)) < 1e-12)
+    // hand-check doc 1: n=100 tokens total corpus? compute exactly:
+    // N = 40+40+20 = 100, V = 2 + 20 = 22; p(common) = 41/122
+    val expected = math.exp(-math.log(41.0 / 122.0))
+    assert(math.abs(out(1L) - expected) < 1e-9)
+  }
+
+  test("bpePairCounts: pair counts weight by word frequency, " +
+    "single-char words contribute nothing") {
+    val docs = Seq(
+      (1L, "abab abab x"), // 'abab' freq 2 here...
+      (2L, "abab ab")      // ...+1 here = 3; 'ab' freq 1
+    ).toDF("doc_id", "text")
+    val m = Text.bpePairCounts(docs, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'abab' has windows ab,ba,ab → ab×2, ba×1 per occurrence (freq 3);
+    // 'ab' adds ab×1 → ab = 3*2+1 = 7, ba = 3, 'x' contributes nothing
+    assert(m("ab") === 7L)
+    assert(m("ba") === 3L)
+    assert(!m.contains("x"))
+  }
 }
