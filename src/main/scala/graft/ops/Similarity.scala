@@ -800,8 +800,79 @@ object Similarity {
        |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** ANN quality evaluation: recall@k of the LSH index against the
+    * brute-force ground truth, per query — the metric that decides
+    * whether an approximate index is usable before pointing it at the
+    * full corpus. Both sides are the exact pipelines the sim_brute_topk /
+    * sim_ann_lsh gates already prove; recall is an integer hit count over
+    * the truth set plus one exact int division.
+    *
+    * 100 TB shape: recall evaluation always runs on a SAMPLED query set
+    * (here the gates' fixed 8 probes) — the brute-force side is the
+    * expensive leg and is bounded by queries × corpus with broadcast
+    * probes, while the ANN leg is the production path being measured. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val truth = bruteTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val ann = annTopK(corpus, queries, k, quantizedHashing = true)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(ann, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).cast(LongType).as("n_hits"))
+      .select(col("query_id"), col("n_true"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / col("n_true")).as("recall"))
+  }
+
+  private def simRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(spark, dir)
+    annRecall(emb, queriesOf(emb), 10).orderBy("query_id")
+  }
+
+  /** Recall oracle: the brute rk CTE joined against the ANN rk CTE —
+    * both verbatim from their own gates' oracles, so any divergence here
+    * isolates to the recall composition itself. */
+  private def simRecallSql: String =
+    s"""WITH $lshCtes,
+       |wk AS (SELECT vec_id, tb, wbit FROM (
+       |         SELECT vec_id, pid // 6 AS tb, pid % 6 AS wbit,
+       |                ROW_NUMBER() OVER (PARTITION BY vec_id, pid // 6
+       |                  ORDER BY ABS(d), pid) AS rn
+       |         FROM dots) WHERE rn = 1),
+       |qsig AS (SELECT s.vec_id, s.tb, s.sig,
+       |           xor(s.sig, (CAST(1 AS BIGINT) << w.wbit)) AS psig
+       |         FROM sigs s JOIN wk w ON s.vec_id = w.vec_id AND s.tb = w.tb
+       |         WHERE s.vec_id < 8),
+       |qbk AS (SELECT vec_id AS query_id, tb * 4294967296 + sig AS bucket FROM qsig
+       |        UNION ALL
+       |        SELECT vec_id, tb * 4294967296 + psig FROM qsig),
+       |cand AS (SELECT DISTINCT q.query_id, c.vec_id
+       |         FROM qbk q JOIN bk c USING (bucket)
+       |         WHERE c.vec_id <> q.query_id),
+       |sca AS (SELECT cand.query_id, cand.vec_id,
+       |         ${cosSql("cv.v", "qq.v")} AS cos
+       |       FROM cand JOIN qv cv ON cv.vec_id = cand.vec_id
+       |                 JOIN qv qq ON qq.vec_id = cand.query_id),
+       |rka AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, vec_id) AS rk FROM sca),
+       |scb AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |         ${cosSql("c.v", "q.v")} AS cos
+       |       FROM qv c CROSS JOIN qv q
+       |       WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |rkb AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, vec_id) AS rk FROM scb)
+       |SELECT b.query_id, COUNT(*) AS n_true,
+       | CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       | CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / COUNT(*) AS recall
+       |FROM (SELECT query_id, vec_id FROM rkb WHERE rk <= 10) b
+       |LEFT JOIN (SELECT query_id, vec_id FROM rka WHERE rk <= 10) a
+       |  ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sim_brute_topk", simBrute, Some(simBruteSql)),
+    Q("sim_recall", simRecall, Some(simRecallSql)),
     Q("sim_ann_lsh", simAnn, Some(simAnnSql)),
     Q("sim_ann_ivf", simIvf, Some(simIvfSql)),
     Q("sim_ann_pq", simPq, Some(simPqSql)),

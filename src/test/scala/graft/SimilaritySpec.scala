@@ -270,4 +270,31 @@ class SimilaritySpec extends SparkSpec {
       .collect().forall(!_.getBoolean(2))
     assert(none)
   }
+
+  test("annRecall: hit counts bounded by truth, planted clusters recalled, " +
+    "misses reported not dropped") {
+    val rnd = new scala.util.Random(13)
+    val bases = (0 until 4).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    val corpus = (bases.zipWithIndex.flatMap { case (b, bi) =>
+      (0 until 6).map { j =>
+        (bi * 10L + j, b.map(x => x + (rnd.nextGaussian() / 50).toFloat), bi)
+      }
+    } ++ (0 until 80).map(i =>
+      (1000L + i, Array.fill(64)(rnd.nextGaussian().toFloat), 99)))
+      .toDF("vec_id", "embedding", "label")
+    val queries = bases.zipWithIndex
+      .map { case (b, bi) => (5000L + bi, b, bi) }
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.annRecall(corpus, queries, 5).collect()
+    assert(rows.length === 4) // one row per query even at recall 0
+    rows.foreach { r =>
+      val (nTrue, nHits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nTrue === 5L)
+      assert(nHits >= 0L && nHits <= nTrue)
+      assert(math.abs(recall - nHits.toDouble / nTrue) < 1e-12)
+      // planted clusters are LSH-findable: brute truth is the 5 cluster
+      // members and the ANN leg recovers a majority of them
+      assert(nHits >= 3L, s"query ${r.getLong(0)} recall too low: $nHits/5")
+    }
+  }
 }
