@@ -874,8 +874,19 @@ object TableQueries2 {
       .select("event_id", "ts", "user_id", "event_type", "value")
     store.create("events", ev.schema, overwrite = true,
       partitionBy = Seq("days(ts)", "bucket(8:user_id)"))
+    // hash distribution: one task's files per (day, bucket) dir — without
+    // it every task sprays a tiny file into every dir it holds rows for
+    // (32 tasks × 240 dirs here; 1000 × thousands at scale)
+    store.setProperties("events",
+      Map("write.distribution-mode" -> Some("hash")))
     store.append("events", ev)
-    store.delete("events", col("event_id") % 17 === 0)
+    // the delete carries a ts bound so the MUTATION path itself proves
+    // transform-aware pruning: day directories outside [08, 20) are never
+    // candidates and their files survive byte-identical — at scale a CoW
+    // delete without a partition-aligned bound rewrites the whole table
+    store.delete("events", col("event_id") % 17 === 0 &&
+      col("ts") >= lit(java.time.LocalDateTime.parse("2024-01-08T00:00:00")) &&
+      col("ts") < lit(java.time.LocalDateTime.parse("2024-01-20T00:00:00")))
     store.read("events")
       .filter(col("ts") >= lit(java.time.LocalDateTime.parse("2024-01-10T00:00:00")) &&
         col("ts") < lit(java.time.LocalDateTime.parse("2024-01-15T00:00:00")) &&
@@ -889,7 +900,9 @@ object TableQueries2 {
       |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
       |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
       |  AND user_id IN (10, 20, 30, 40, 50)
-      |  AND event_id % 17 <> 0
+      |  AND NOT (event_id % 17 = 0
+      |    AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND ts < TIMESTAMP '2024-01-20 00:00:00')
       |ORDER BY event_id""".stripMargin
 
   /** SQL merge-on-read deletes under the oracle
