@@ -831,6 +831,8 @@ object TableQueries {
     Q("tbl_spj", TableQueries2.tblSpj, Some(TableQueries2.tblSpjSql)),
     Q("tbl_changelog", TableQueries2.tblChangelog,
       Some(TableQueries2.tblChangelogSql)),
+    Q("tbl_namespace", TableQueries2.tblNamespace,
+      Some(TableQueries2.tblNamespaceSql)),
     Q("tbl_sql_ctas", TableQueries2.tblSqlCtas,
       Some(TableQueries2.tblSqlCtasSql)),
     Q("tbl_limit_pushdown", TableQueries2.tblLimitPushdown,
@@ -1195,6 +1197,46 @@ object TableQueries2 {
     spark.sql(s"""SELECT c_custkey, seg, seg_cnt FROM gctas.$tbl
       ORDER BY c_custkey""")
   }
+
+  /** Multi-level namespaces under the oracle: the reference's own
+    * addressing is `catalog.namespace.table`
+    * (DestinationConfig.java:130-132). A namespaced table is created,
+    * loaded, renamed INTO a sibling namespace, and read back fully
+    * qualified — plus a metadata-table probe on the namespaced name and
+    * a CASCADE teardown of a scratch namespace, all in-gate. */
+  private[ops] def tblNamespace(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gnsg",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-ns")
+    spark.conf.set("spark.sql.catalog.gnsg.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"nation_$ident"
+    val src = s"gnsg_src_$ident"
+    t(spark, dir, "nation").createOrReplaceTempView(src)
+    spark.sql(s"DROP NAMESPACE IF EXISTS gnsg.raw_$ident CASCADE")
+    spark.sql(s"DROP NAMESPACE IF EXISTS gnsg.curated_$ident CASCADE")
+    spark.sql(s"CREATE NAMESPACE gnsg.raw_$ident " +
+      "WITH DBPROPERTIES ('tier'='bronze')")
+    spark.sql(s"CREATE NAMESPACE gnsg.curated_$ident")
+    spark.sql(s"""CREATE TABLE gnsg.raw_$ident.$tbl AS
+      SELECT n_nationkey, n_name, n_regionkey FROM $src""")
+    spark.sql(s"INSERT INTO gnsg.raw_$ident.$tbl " +
+      s"SELECT n_nationkey + 1000, n_name, n_regionkey FROM $src")
+    // promote: rename across namespaces, history intact
+    spark.sql(s"ALTER TABLE gnsg.raw_$ident.$tbl RENAME TO curated_$ident.$tbl")
+    val store = new TableStore(spark, root)
+    require(store.exists(s"curated_$ident.$tbl") &&
+      !store.exists(s"raw_$ident.$tbl"), "rename across namespaces failed")
+    require(spark.sql(s"SELECT count(*) FROM gnsg.curated_$ident.$tbl.snapshots")
+      .head().getLong(0) >= 2L, "metadata table on namespaced name failed")
+    spark.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+      FROM gnsg.curated_$ident.$tbl WHERE n_nationkey < 1000
+      ORDER BY n_nationkey""")
+  }
+
+  private[ops] val tblNamespaceSql =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
 
   private[ops] val tblSqlCtasSql =
     """WITH seg_counts AS (

@@ -131,45 +131,61 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- tables ------------------------------------------------------------
 
+  /** Store name for an identifier. The store is flat; a table in
+    * namespace [a,b] is the store table "a.b.t" (namespace levels may
+    * not contain '.', so the mangling is unambiguous). The empty and
+    * ["default"] namespaces alias the root, preserving every pre-
+    * namespace table. */
   private def tableName(ident: Identifier): String = {
-    // flat store: tables live directly under root; a one-level "default"
-    // namespace is accepted as an alias for the root so `USE graft` +
-    // unqualified names resolve
-    require(ident.namespace().isEmpty ||
-      ident.namespace().sameElements(Array("default")),
-      s"catalog $catName is flat: unexpected namespace " +
-        ident.namespace().mkString("."))
     require(!ident.name().contains(TableStore.StageMarker),
       s"table names may not contain ${TableStore.StageMarker} " +
         "(reserved for CTAS staging)")
-    ident.name()
+    require(!ident.name().contains('.'),
+      s"table names may not contain '.': ${ident.name()}")
+    val ns = ident.namespace()
+    if (ns.isEmpty || ns.sameElements(Array("default"))) ident.name()
+    else {
+      store.validateNamespace(ns.toSeq)
+      (ns :+ ident.name()).mkString(".")
+    }
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    if (!(namespace.isEmpty || namespace.sameElements(Array("default"))))
+    if (namespace.isEmpty || namespace.sameElements(Array("default")))
+      return store.tables().filter(!_.contains('.'))
+        .map(n => Identifier.of(namespace, n)).toArray
+    if (!store.namespaceExists(namespace.toSeq))
       throw new NoSuchNamespaceException(namespace)
-    store.tables().map(n => Identifier.of(namespace, n)).toArray
+    val prefix = namespace.mkString(".") + "."
+    store.tables()
+      .filter(n => n.startsWith(prefix) && !n.drop(prefix.length).contains('.'))
+      .map(n => Identifier.of(namespace, n.drop(prefix.length))).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
     store.exists(tableName(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // a REAL table always wins over an inspection suffix of the same
+    // shape (a user can name a table "snapshots" inside a namespace)
+    val real = scala.util.Try(tableName(ident)).toOption
+      .filter(store.exists)
+    real.foreach(n => return new GraftSqlTable(store, n, None))
     // inspection metadata tables, Iceberg-style: `SELECT * FROM
     // cat.t.snapshots` arrives as Identifier(namespace=[t],
-    // name=snapshots) in a flat catalog — served read-only from
-    // manifests + consolidated stats, zero data files touched
-    if (ident.namespace().length == 1 &&
-        GraftMetaTable.Names.contains(ident.name()) &&
-        store.exists(ident.namespace()(0)))
-      return new GraftMetaTable(store, ident.namespace()(0), ident.name())
-    // `t.changes`: the row-level change feed as a SQL-readable table
-    if (ident.namespace().length == 1 && ident.name() == "changes" &&
-        store.exists(ident.namespace()(0)))
-      return new GraftChangesTable(store, ident.namespace()(0))
-    val n = tableName(ident)
-    if (!store.exists(n)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(store, n, None)
+    // name=snapshots); for a namespaced table the owning table is the
+    // namespace path itself (`cat.ns.t.snapshots` → namespace [ns,t]) —
+    // served read-only from manifests + consolidated stats, zero data
+    // files touched
+    val owner = ident.namespace().mkString(".")
+    if (ident.namespace().nonEmpty && store.exists(owner)) {
+      if (GraftMetaTable.Names.contains(ident.name()))
+        return new GraftMetaTable(store, owner, ident.name())
+      // `t.changes`: the row-level change feed as a SQL-readable table
+      if (ident.name() == "changes")
+        return new GraftChangesTable(store, owner)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `VERSION AS OF v` time travel — reads route through
@@ -375,34 +391,69 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     store.renameTable(from, to)
   }
 
-  // ---- namespaces (flat catalog: one implicit root namespace) ------------
+  // ---- namespaces ---------------------------------------------------------
+  //
+  // Multi-level namespaces over the flat store (TableStore's `_ns_*`
+  // markers + dot-mangled table names): `CREATE NAMESPACE a.b`,
+  // `SHOW NAMESPACES [IN a]`, `USE cat.a.b`, `CREATE TABLE cat.a.b.t`,
+  // `DROP NAMESPACE ... CASCADE` — the reference's own addressing is
+  // `catalog.namespace.table` (DestinationConfig.java:130-132).
 
   override def defaultNamespace(): Array[String] = Array.empty
 
   override def listNamespaces(): Array[Array[String]] =
-    Array(Array("default"))
+    (Seq(Seq("default")) ++ store.namespaces().filter(_.length == 1))
+      .distinct.map(_.toArray).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
-    else throw new NoSuchNamespaceException(namespace)
+    else if (namespace.sameElements(Array("default"))) Array.empty
+    else {
+      if (!store.namespaceExists(namespace.toSeq))
+        throw new NoSuchNamespaceException(namespace)
+      store.namespaces()
+        .filter(n => n.length == namespace.length + 1 &&
+          n.startsWith(namespace.toSeq))
+        .map(_.toArray).toArray
+    }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || namespace.sameElements(Array("default"))
+    namespace.isEmpty || namespace.sameElements(Array("default")) ||
+      store.namespaceExists(namespace.toSeq)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
-    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    if (namespace.isEmpty || namespace.sameElements(Array("default")))
+      Map.empty[String, String].asJava
+    else if (store.namespaceExists(namespace.toSeq))
+      store.namespaceProps(namespace.toSeq).asJava
     else throw new NoSuchNamespaceException(namespace)
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit =
-    throw new UnsupportedOperationException("catalog is flat")
+      metadata: util.Map[String, String]): Unit = {
+    require(!namespace.sameElements(Array("default")),
+      "namespace 'default' is implicit")
+    store.createNamespace(namespace.toSeq, metadata.asScala.toMap)
+  }
 
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("catalog is flat")
+      changes: NamespaceChange*): Unit = {
+    if (!store.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    val updates = changes.map {
+      case s: NamespaceChange.SetProperty =>
+        s.property() -> Some(s.value())
+      case r: NamespaceChange.RemoveProperty => r.property() -> None
+      case other => throw new UnsupportedOperationException(
+        s"unsupported namespace change: $other")
+    }.toMap
+    store.setNamespaceProps(namespace.toSeq, updates)
+  }
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException("catalog is flat")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    require(!namespace.sameElements(Array("default")),
+      "cannot drop the implicit 'default' namespace")
+    store.dropNamespace(namespace.toSeq, cascade)
+  }
 }
 
 object GraftCatalog {
@@ -1073,7 +1124,7 @@ private[tables] final class GraftDynamicOverwriteWrite(store: TableStore,
     new GraftStagedBatchWrite(store, tbl, writeSchema) {
       override protected def commitStaged(staging: HPath,
           kept: Set[String]): Unit =
-        store.commitDynamicStaged(tbl, staging, kept)
+        this.store.commitDynamicStaged(tbl, staging, kept)
     }
 
   override def description(): String = s"graft dynamic overwrite of $tbl"

@@ -579,6 +579,103 @@ final class TableStore(private[tables] val spark: SparkSession,
       .filter(n => !n.contains(TableStore.StageMarker))
       .filter(n => coord.current(n).isDefined).sorted
 
+  // ---- namespaces ---------------------------------------------------------
+  //
+  // The store itself stays FLAT (one directory per table under root); a
+  // namespaced table `a.b.t` is simply the store table named "a.b.t" —
+  // namespace levels may not contain '.', so the mangling is unambiguous.
+  // An EXPLICITLY created namespace is a `_ns_<a.b>.json` marker file at
+  // the root holding its properties (so empty namespaces exist and
+  // survive restarts); a namespace is also implied by any live table
+  // under its prefix. This mirrors the reference's own addressing —
+  // `catalog.namespace.table` (DestinationConfig.java:130-132) — without
+  // giving the commit path a directory hierarchy to walk.
+
+  private def nsKey(ns: Seq[String]): String = ns.mkString(".")
+
+  private def nsMarker(ns: Seq[String]): HPath =
+    new HPath(rootPath, s"_ns_${nsKey(ns)}.json")
+
+  def validateNamespace(ns: Seq[String]): Unit =
+    require(ns.nonEmpty && ns.forall(l =>
+      l.nonEmpty && !l.contains('.') && !l.contains('/') &&
+        !l.contains(TableStore.StageMarker) && !l.startsWith("_")),
+      s"invalid namespace: ${ns.mkString(".")} (levels must be non-empty, " +
+        "contain no '.' or '/', and not start with '_')")
+
+  def namespaceExists(ns: Seq[String]): Boolean =
+    fs.exists(nsMarker(ns)) ||
+      tables().exists(_.startsWith(nsKey(ns) + "."))
+
+  /** Every namespace: explicit markers plus those implied by live
+    * dotted table names (all prefixes, so `a.b.t` implies [a] and
+    * [a,b]). */
+  def namespaces(): Seq[Seq[String]] = {
+    val explicit =
+      if (!fs.exists(rootPath)) Nil
+      else listNames(rootPath)
+        .filter(n => n.startsWith("_ns_") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("_ns_").stripSuffix(".json")
+          .split('.').toSeq)
+    val implied = tables().filter(_.contains('.')).flatMap { t =>
+      val levels = t.split('.').dropRight(1)
+      (1 to levels.length).map(k => levels.take(k).toSeq)
+    }
+    (explicit ++ implied).distinct.sortBy(nsKey)
+  }
+
+  def createNamespace(ns: Seq[String], props: Map[String, String]): Unit = {
+    validateNamespace(ns)
+    require(!namespaceExists(ns), s"namespace ${nsKey(ns)} already exists")
+    if (!fs.exists(rootPath)) { fs.mkdirs(rootPath); () }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v); () }
+    atomicWrite(nsMarker(ns), mapper.writeValueAsString(root))
+  }
+
+  def namespaceProps(ns: Seq[String]): Map[String, String] = {
+    require(namespaceExists(ns), s"no such namespace: ${nsKey(ns)}")
+    if (!fs.exists(nsMarker(ns))) Map.empty // implied-only namespace
+    else {
+      import scala.jdk.CollectionConverters._
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(nsMarker(ns)))
+      node.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  def setNamespaceProps(ns: Seq[String],
+      updates: Map[String, Option[String]]): Unit = {
+    val next = updates.foldLeft(namespaceProps(ns)) {
+      case (acc, (k, Some(v))) => acc + (k -> v)
+      case (acc, (k, None))    => acc - k
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    next.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v); () }
+    atomicWrite(nsMarker(ns), mapper.writeValueAsString(root))
+  }
+
+  /** Drop a namespace. Refuses a non-empty one unless `cascade`, which
+    * drops every table under the prefix (including nested namespaces'
+    * tables — their implied namespaces vanish with them). */
+  def dropNamespace(ns: Seq[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) return false
+    val prefix = nsKey(ns) + "."
+    val inNs = tables().filter(_.startsWith(prefix))
+    require(inNs.isEmpty || cascade,
+      s"namespace ${nsKey(ns)} is not empty " +
+        s"(${inNs.size} tables) — use CASCADE")
+    inNs.foreach(drop)
+    // cascade also removes explicit markers of nested namespaces
+    namespaces().filter(n => nsKey(n).startsWith(prefix))
+      .foreach(n => fs.delete(nsMarker(n), false))
+    fs.delete(nsMarker(ns), false)
+    true
+  }
+
   /** Metadata-only TRUNCATE: one commit in which no prior file is live.
     * Data files stay on disk for time travel until [[expireSnapshots]];
     * cost is one manifest write regardless of table size. */
