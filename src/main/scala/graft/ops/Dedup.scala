@@ -606,7 +606,7 @@ object Dedup {
 
   /** Connected components over verified pairs via recursive CTE (min
     * reachable label = Spark's min-label propagation fixpoint). */
-  private def clusterCtes: String =
+  private[ops] def clusterCtes: String =
     s"""$minhashCtes,
        |vp AS (SELECT a, b FROM jp WHERE jaccard >= 0.5),
        |edges AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),

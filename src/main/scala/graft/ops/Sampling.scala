@@ -384,6 +384,55 @@ object Sampling {
        |       FROM documents WHERE text IS NOT NULL))
        |GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
+  /** LEAKAGE-FREE train/val/test split: the split key is the near-dup
+    * CLUSTER, not the document — two near-duplicate documents always land
+    * in the same split, so evaluation can't score memorized training
+    * text (the train/test contamination failure every serious pipeline
+    * guards against). Documents in no cluster split by their own id —
+    * identical assignment to a per-doc split for them, so adopting the
+    * leak-free split only moves documents that needed moving.
+    *
+    * 100 TB shape: the cluster labels come from the same bounded
+    * LSH-candidate machinery as dd_dup_clusters (collision-proportional,
+    * capped buckets); the split itself is a map-only hash on the label
+    * after one labels join keyed by doc_id. */
+  def leakFreeSplit(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int, valPct: Int): DataFrame = {
+    val labels = Dedup.dupClusters(pairs)
+    val keyed = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col("doc_id")))
+    trainValTestSplit(keyed, "canonical", trainPct, valPct)
+  }
+
+  private def dsSplitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val split = leakFreeSplit(docs, Dedup.minhashNearDups(docs, 0.5), 90, 5)
+    // the property the operator exists for, require()d in-gate: no
+    // cluster spans two splits (cheap: one agg over the small label set)
+    val leaky = split.filter(col("canonical") =!= col("doc_id"))
+      .select("canonical", "split").distinct()
+      .groupBy("canonical").count().filter(col("count") > 1).count()
+    require(leaky == 0L, s"$leaky clusters span multiple splits")
+    split.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("canonical").as("n_clusters"),
+        sum("n_chars").cast(LongType).as("total_chars"))
+      .orderBy("split")
+  }
+
+  private val dsSplitLeakfreeSql =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |keyed AS (SELECT d.doc_id, d.n_chars,
+       |           COALESCE(l.canonical, d.doc_id) AS canonical
+       |          FROM documents d LEFT JOIN labels l USING (doc_id)),
+       |sp AS (SELECT *, CASE WHEN h % 100 < 90 THEN 'train'
+       |         WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+       |       FROM (SELECT *, ${idHashSql("canonical")} AS h FROM keyed))
+       |SELECT split, COUNT(*) AS n_docs,
+       | COUNT(DISTINCT canonical) AS n_clusters,
+       | CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ds_sample_hash", dsSampleHash, Some(dsSampleHashSql)),
     Q("ds_sample_stratified", dsSampleStratified, Some(dsSampleStratifiedSql)),
@@ -393,5 +442,6 @@ object Sampling {
     Q("txt_contamination", txtContamination, Some(txtContaminationSql)),
     Q("ds_filter_quality", dsFilterQuality, Some(dsFilterQualitySql)),
     Q("ds_train_split", dsTrainSplit, Some(dsTrainSplitSql)),
-    Q("ds_pack_text", dsPackText, Some(dsPackTextSql)))
+    Q("ds_pack_text", dsPackText, Some(dsPackTextSql)),
+    Q("ds_split_leakfree", dsSplitLeakfree, Some(dsSplitLeakfreeSql)))
 }
