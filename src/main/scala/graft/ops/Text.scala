@@ -841,7 +841,6 @@ object Text {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode_outer(tokens(lower(col("text")))).as("term"))
-    val dt = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
     val tc = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
     // N and V describe the FULL term distribution (cap applies to the
     // broadcast LM only, not to the smoothing denominator).
@@ -850,14 +849,19 @@ object Text {
     val lm = tc.withColumn("rk",
         row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
       .filter(col("rk") <= vocabCap).drop("rk")
-    dt.join(broadcast(lm), Seq("term"), "left")
+    // score at the TOKEN level: the LM broadcast-joins the raw token
+    // stream (map-only) and partial sums combine per doc before the one
+    // doc-keyed shuffle — the alternative (doc,term) pre-aggregation
+    // shuffles the full distinct-pair set first, which at 100× data was
+    // the entire cost of the operator
+    tok.join(broadcast(lm), Seq("term"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("c"),
-        when(col("cnt").isNull, col("c")).otherwise(lit(0L)).as("oov"),
-        (col("c") * log((coalesce(col("cnt"), lit(0L)) + lit(1L))
-          .cast(DoubleType) / (col("n_total") + col("v_total")))).as("lp"))
+      .select(col("doc_id"),
+        when(col("cnt").isNull, 1L).otherwise(0L).as("oov"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(1L))
+          .cast(DoubleType) / (col("n_total") + col("v_total"))).as("lp"))
       .groupBy("doc_id")
-      .agg(sum("c").cast(LongType).as("n_tokens"),
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
         sum("oov").cast(LongType).as("n_oov"), sum("lp").as("logprob"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         exp(-col("logprob") / col("n_tokens")).as("ppl"))
