@@ -59,7 +59,8 @@ object CdcApply {
     * `CdcRecord.metadata` (ns-epoch string, the `opencdc.createdAt`
     * shape) — records lacking it lose to any record that has it. */
   final case class CdcConfig(table: String, keyCols: Seq[String],
-      strictValidation: Boolean = true, orderCol: Option[String] = None) {
+      strictValidation: Boolean = true, orderCol: Option[String] = None,
+      autoEvolve: Boolean = false) {
     require(table != null && table.nonEmpty, "config: table is required")
     require(keyCols != null && keyCols.nonEmpty, "config: keyCols is required")
     require(orderCol.forall(_.nonEmpty), "config: orderCol must be non-empty")
@@ -95,7 +96,11 @@ object CdcApply {
       val after = if (isDelete) None else r.after
       val (payload, srow) = after match {
         case None => (null, null)
-        case Some(sd: StructuredData) => (null, CdcDecode.structToRow(sd.fields, schema))
+        // under autoEvolve structured payloads route through JSON so
+        // their unknown fields survive to schema inference (the typed
+        // fast path would silently drop them at structToRow)
+        case Some(sd: StructuredData) if !config.autoEvolve =>
+          (null, CdcDecode.structToRow(sd.fields, schema))
         case Some(raw) => (CdcDecode.payloadJson(raw), null)
       }
       val keyJson = CdcDecode.payloadJson(StructuredData(keyMap))
@@ -144,6 +149,7 @@ object CdcApply {
       config: CdcConfig, env: DataFrame,
       commitTags: Map[String, String] = Map.empty): Stats = {
     require(store.exists(config.table), s"table ${config.table} does not exist")
+    if (config.autoEvolve) evolveFromPayloads(spark, store, config, env)
     val schema = store.schema(config.table)
     val keySchema = StructType(config.keyCols.map(c =>
       schema.fields.find(_.name == c).getOrElse(
@@ -174,14 +180,26 @@ object CdcApply {
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__corrupt")))
     val jsonRow = when(col("__parsed").isNotNull, struct(
       schema.fields.map(f => col("__parsed").getField(f.name).as(f.name)).toSeq: _*))
+    // a typed __srow may predate an auto-evolved schema — rebuild it
+    // field-by-field against the CURRENT schema (absent fields null) so
+    // the structured fast path and the JSON path stay type-identical
+    val rowCol =
+      if (!env.columns.contains("__srow")) jsonRow
+      else {
+        val srowFields = env.schema("__srow").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        if (schema.fieldNames.forall(srowFields)) coalesce(col("__srow"), jsonRow)
+        else when(col("__srow").isNotNull, struct(schema.fields.map { f =>
+          (if (srowFields(f.name)) col("__srow").getField(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }.toSeq: _*)).otherwise(jsonRow)
+      }
     val decoded = env
       .withColumn("__k",
         from_json(normalize(col("__key")), keySchema, Map("mode" -> "FAILFAST")))
       .withColumn("__parsed", parsed)
       .withColumn("__corrupt", col("__parsed").getField("__corrupt"))
-      .withColumn("__row",
-        if (env.columns.contains("__srow")) coalesce(col("__srow"), jsonRow)
-        else jsonRow)
+      .withColumn("__row", rowCol)
       .cache()
     try {
       // backtick-quoted so a metadata-shaped name like `opencdc.createdAt`
@@ -257,6 +275,42 @@ object CdcApply {
         meta = commitTags)
       Stats(statsRow.getLong(0), statsRow.getLong(1))
     } finally { decoded.unpersist(); () }
+  }
+
+  /** AUTO SCHEMA EVOLUTION (`CdcConfig.autoEvolve`): add table columns
+    * for payload fields the table does not have yet, BEFORE the batch
+    * applies — the evolution Iceberg sink connectors offer and the
+    * reference pointedly lacks (it parses against the catalog schema and
+    * silently drops unknown fields, SparkDestinationStream.java:216-227).
+    *
+    * Mechanics: one schema-inference pass over the BATCH's payload JSON
+    * (Spark's reader union-infers field types; conflicting types widen to
+    * string), minus the table's current columns (case-insensitive, so a
+    * field differing only in case is NOT re-added), added in name order
+    * via the metadata-only [[TableStore.addColumns]] — old files read the
+    * new columns back as null, nothing rewrites. Scope: TOP-LEVEL fields;
+    * a new subfield inside an existing struct column does not evolve the
+    * struct (the parse keeps the declared type — evolve nested fields
+    * explicitly via addNestedField).
+    *
+    * Cost at 100 TB: the inference job scans the incoming batch once —
+    * cost ∝ batch, never the table — and is gated behind the option. */
+  def evolveFromPayloads(spark: SparkSession, store: TableStore,
+      config: CdcConfig, env: DataFrame): Seq[String] = {
+    import spark.implicits._
+    val payloads = env.filter(col("__payload").isNotNull)
+      .select(col("__payload")).as[String]
+    if (payloads.isEmpty) return Nil
+    val inferred = spark.read.json(payloads).schema
+    val existing = store.schema(config.table).fieldNames
+      .map(_.toLowerCase).toSet
+    val fresh = inferred.fields
+      .filter(f => !existing.contains(f.name.toLowerCase) &&
+        f.name != "_corrupt_record")
+      .sortBy(_.name)
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+    if (fresh.nonEmpty) store.addColumns(config.table, StructType(fresh))
+    fresh.map(_.name).toSeq
   }
 
   /** Cross-batch stale-record guard: drop envelope records whose

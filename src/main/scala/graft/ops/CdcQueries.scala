@@ -170,8 +170,63 @@ object CdcQueries {
       |FROM orders WHERE o_orderkey % 107 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** CDC auto schema evolution under the oracle (`CdcConfig.autoEvolve`):
+    * a batch whose payloads carry fields the table never had — the sink
+    * adds them as columns BEFORE applying (metadata-only, inference-typed)
+    * instead of silently dropping them like the reference
+    * (SparkDestinationStream.java:216-227). Untouched rows read the new
+    * columns back as null with zero rewrite; a same-batch record without
+    * the new fields upserts null for them. */
+  private def cdcAutoEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(spark, Scratch.dir("cdc-evolve", Scratch.tag(dir)))
+    val cust = t(spark, dir, "customer")
+    store.create("customer", cust.schema, overwrite = true,
+      zoneCols = Seq("c_custkey"))
+    store.append("customer", cust)
+    def key(id: Long) = Some(RawData(s"""{"c_custkey": $id}"""): CdcData)
+    val batch = Seq(
+      CdcRecord(Array(1), CdcOp.Update, key = key(1L),
+        after = Some(RawData(
+          """{"c_custkey": 1, "c_name": "EVOLVED#1", "c_nationkey": 7,
+            | "c_acctbal": 999.99, "c_mktsegment": "BUILDING",
+            | "c_tier": "gold", "c_score": 1.5}""".stripMargin))),
+      CdcRecord(Array(2), CdcOp.Create, key = key(900000101L),
+        after = Some(RawData(
+          """{"c_custkey": 900000101, "c_name": "NEW#E", "c_nationkey": 3,
+            | "c_acctbal": 10.0, "c_mktsegment": "MACHINERY",
+            | "c_tier": "silver", "c_score": 2.5}""".stripMargin))),
+      // a record WITHOUT the new fields in the same batch: nulls, not a crash
+      CdcRecord(Array(3), CdcOp.Update, key = key(4L),
+        after = Some(RawData(
+          """{"c_custkey": 4, "c_name": "PLAIN#4", "c_nationkey": 2,
+            | "c_acctbal": 50.0, "c_mktsegment": "AUTOMOBILE"}""".stripMargin))),
+      CdcRecord(Array(4), CdcOp.Delete, key = key(5L)))
+    CdcApply(spark, store,
+      CdcApply.CdcConfig("customer", Seq("c_custkey"), autoEvolve = true), batch)
+    store.read("customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment", "c_tier", "c_score")
+      .orderBy("c_custkey")
+  }
+
+  private val cdcAutoEvolveSql =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      | c_tier, c_score FROM (
+      | SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |  CAST(NULL AS VARCHAR) AS c_tier, CAST(NULL AS DOUBLE) AS c_score
+      | FROM customer
+      | WHERE c_custkey NOT IN (1, 4, 5, 900000101)
+      | UNION ALL SELECT CAST(1 AS BIGINT), 'EVOLVED#1', CAST(7 AS INT),
+      |  CAST(999.99 AS DOUBLE), 'BUILDING', 'gold', CAST(1.5 AS DOUBLE)
+      | UNION ALL SELECT CAST(4 AS BIGINT), 'PLAIN#4', CAST(2 AS INT),
+      |  CAST(50.0 AS DOUBLE), 'AUTOMOBILE', NULL, NULL
+      | UNION ALL SELECT CAST(900000101 AS BIGINT), 'NEW#E', CAST(3 AS INT),
+      |  CAST(10.0 AS DOUBLE), 'MACHINERY', 'silver', CAST(2.5 AS DOUBLE))
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("cdc_apply_customer", cdcApplyCustomer, Some(cdcApplyCustomerSql)),
     Q("cdc_bulk_orders", cdcBulkOrders, Some(cdcBulkOrdersSql)),
-    Q("cdc_out_of_order", cdcOutOfOrder, Some(cdcOutOfOrderSql)))
+    Q("cdc_out_of_order", cdcOutOfOrder, Some(cdcOutOfOrderSql)),
+    Q("cdc_auto_evolve", cdcAutoEvolve, Some(cdcAutoEvolveSql)))
 }

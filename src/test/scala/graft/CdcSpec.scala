@@ -442,4 +442,92 @@ class CdcSpec extends SparkSpec {
         CdcConfig("t", Seq("int_field"), orderCol = Some("src_ts")), env)
     }
   }
+
+  test("autoEvolve: unknown payload fields become columns; without the " +
+    "flag they are silently dropped (reference behavior)") {
+    import spark.implicits._
+    val st = newTable()
+    st.append("t", spark.createDataFrame(
+      java.util.List.of(
+        Row("pre", null, null, Integer.valueOf(1), null, null, null, null)),
+      itSchema))
+    val env = Seq(
+      (1L, "update", """{"int_field": 1}""",
+        """{"int_field": 1, "string_field": "evolved",
+          | "tier": "gold", "score": 9.5, "visits": 42}""".stripMargin),
+      (2L, "create", """{"int_field": 2}""",
+        """{"int_field": 2, "string_field": "fresh", "tier": "silver"}"""))
+      .toDF("__seq", "__op", "__key", "__payload")
+    // control: same envelopes WITHOUT the flag drop the unknown fields
+    CdcApply.applyEnvelopes(spark, st, CdcConfig("t", Seq("int_field")), env)
+    assert(!st.schema("t").fieldNames.contains("tier"))
+    // now with autoEvolve: columns appear, typed by inference
+    CdcApply.applyEnvelopes(spark, st,
+      CdcConfig("t", Seq("int_field"), autoEvolve = true), env)
+    val sch = st.schema("t")
+    assert(sch("tier").dataType === StringType)
+    assert(sch("score").dataType === DoubleType)
+    assert(sch("visits").dataType === LongType)
+    val out = st.read("t")
+      .select("int_field", "string_field", "tier", "score", "visits")
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getString(2), r.get(3), r.get(4))).toMap
+    assert(out(1) === (("evolved", "gold", 9.5, 42L)))
+    assert(out(2) === (("fresh", "silver", null, null)))
+    // re-applying the same batch adds nothing new (idempotent evolution)
+    val before = st.schema("t").fieldNames.toSeq
+    CdcApply.applyEnvelopes(spark, st,
+      CdcConfig("t", Seq("int_field"), autoEvolve = true), env)
+    assert(st.schema("t").fieldNames.toSeq === before)
+  }
+
+  test("autoEvolve: case-insensitive match refuses to re-add an existing " +
+    "column; structured payloads route through JSON and evolve too") {
+    val st = newTable()
+    val structured = CdcRecord(Array(1), CdcOp.Create,
+      key = Some(RawData("""{"int_field": 5}""")),
+      after = Some(StructuredData(Map(
+        "int_field" -> 5L, "string_field" -> "s5",
+        "STRING_FIELD" -> "cased", "brand_new" -> "yes"))))
+    CdcApply(spark, st,
+      CdcConfig("t", Seq("int_field"), autoEvolve = true), Seq(structured))
+    val names = st.schema("t").fieldNames.toSeq
+    // STRING_FIELD matched string_field case-insensitively: not re-added
+    assert(!names.contains("STRING_FIELD"))
+    assert(names.contains("brand_new"))
+    val row = st.read("t").filter(org.apache.spark.sql.functions
+      .col("int_field") === 5).select("string_field", "brand_new").head()
+    // the cased field parsed into the EXISTING column? from_json is
+    // case-sensitive by field name, so the value lands in the new-cased
+    // reading only if Spark resolves it; pin what actually happens:
+    // brand_new must carry the value, string_field stays whatever the
+    // parse bound (null under case-sensitive JSON field matching)
+    assert(row.getString(1) === "yes")
+  }
+
+  test("autoEvolve: old typed __srow envelopes still apply after evolution") {
+    import spark.implicits._
+    val st = newTable()
+    // evolve first via a JSON envelope
+    val evolving = Seq((1L, "create", """{"int_field": 7}""",
+      """{"int_field": 7, "string_field": "j7", "extra_field": "e"}"""))
+      .toDF("__seq", "__op", "__key", "__payload")
+    CdcApply.applyEnvelopes(spark, st,
+      CdcConfig("t", Seq("int_field"), autoEvolve = true), evolving)
+    // now an envelope with a typed __srow built against the OLD schema
+    val oldSchema = itSchema
+    val env = spark.createDataFrame(
+      java.util.List.of(Row(2L, "create", """{"int_field": 8}""", null,
+        Row("srow", null, null, Integer.valueOf(8), null, null, null, null))),
+      StructType(CdcApply.envelopeSchema.fields :+
+        StructField("__srow", oldSchema)))
+    CdcApply.applyEnvelopes(spark, st,
+      CdcConfig("t", Seq("int_field"), autoEvolve = true), env)
+    val out = st.read("t").select("int_field", "string_field", "extra_field")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    // the JSON-evolved row carries the new column; the old-schema typed
+    // row applies cleanly with the absent column null
+    assert(out(7) === (("j7", "e")))
+    assert(out(8) === (("srow", null)))
+  }
 }
