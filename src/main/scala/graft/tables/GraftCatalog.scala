@@ -674,7 +674,8 @@ private[tables] object GraftSqlTable {
   * everything comes from manifests and consolidated stats, never data
   * files. */
 private[tables] object GraftMetaTable {
-  val Names: Set[String] = Set("snapshots", "files", "refs", "partitions")
+  val Names: Set[String] =
+    Set("snapshots", "files", "refs", "partitions", "history")
 }
 
 private[tables] final class GraftMetaTable(store: TableStore, tbl: String,
@@ -685,6 +686,7 @@ private[tables] final class GraftMetaTable(store: TableStore, tbl: String,
     case "files"      => store.filesFrame(tbl)
     case "refs"       => store.refsFrame(tbl)
     case "partitions" => store.partitionsFrame(tbl)
+    case "history"    => store.historyFrame(tbl)
   }
 
   override def name(): String = s"$tbl.$meta"

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Bridge
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** Parquet-backed managed table with Iceberg-like snapshot semantics,
   * re-providing the reference's table layer (no Iceberg jars in this
@@ -1695,31 +1695,65 @@ final class TableStore(private[tables] val spark: SparkSession,
     * operation column is derived from the manifest diff against the
     * parent; `total_rows` is null when any file of that snapshot
     * predates count recording (same honesty rule as [[rowCount]]). */
-  def snapshotsFrame(name: String): DataFrame = {
+  /** Ancestor versions of the MAIN head via parent pointers, ascending.
+    * Legacy chains (meta predating parent pointers) fall back to every
+    * retained manifest at or below the head. */
+  private def headChainVersions(name: String): Seq[Int] = {
     val head = currentVersion(name)
-    val versions: Seq[Int] = {
-      val b = Seq.newBuilder[Int]
-      var v = head
-      var legacy = false
-      while (v > 0 && !legacy) {
-        b += v
-        commitParent(name, v) match {
-          // a parent whose manifest expireSnapshots removed (history
-          // recorded before parent-clamping) ends the chain cleanly —
-          // the retained window is the whole visible history
-          case Some(p) if p > 0 && p < v &&
-              !fs.exists(new HPath(tdir(name), f"manifest-$p%06d.txt")) =>
-            v = 0
-          case Some(p) if p >= 0 && p < v => v = p
-          case _                          => legacy = true
-        }
+    val b = Seq.newBuilder[Int]
+    var v = head
+    var legacy = false
+    while (v > 0 && !legacy) {
+      b += v
+      commitParent(name, v) match {
+        // a parent whose manifest expireSnapshots removed (history
+        // recorded before parent-clamping) ends the chain cleanly —
+        // the retained window is the whole visible history
+        case Some(p) if p > 0 && p < v &&
+            !fs.exists(new HPath(tdir(name), f"manifest-$p%06d.txt")) =>
+          v = 0
+        case Some(p) if p >= 0 && p < v => v = p
+        case _                          => legacy = true
       }
-      if (legacy)
-        listNames(tdir(name))
-          .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
-          .map(versionOf).filter(_ <= head).sorted
-      else b.result().sorted
     }
+    if (legacy)
+      listNames(tdir(name))
+        .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
+        .map(versionOf).filter(_ <= head).sorted
+    else b.result().sorted
+  }
+
+  /** `t.history` (Iceberg's history metadata table): every RETAINED
+    * snapshot with its commit wall-clock (the manifest's filesystem
+    * timestamp — the same source `versionAsOf` time travel trusts), its
+    * parent, and whether it is an ancestor of the current MAIN head.
+    * Branch-only commits and snapshots stranded by an expired-parent gap
+    * are visible with is_current_ancestor = false. */
+  def historyFrame(name: String): DataFrame = {
+    val ancestors = headChainVersions(name).toSet
+    val rows = listNames(tdir(name))
+      .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
+      .map(versionOf).sorted
+      .map { v =>
+        val ts = fs.getFileStatus(
+          new HPath(tdir(name), f"manifest-$v%06d.txt")).getModificationTime
+        org.apache.spark.sql.Row(
+          new java.sql.Timestamp(ts), v,
+          commitParent(name, v).map(Integer.valueOf).orNull,
+          ancestors.contains(v))
+      }
+    val sch = StructType(Seq(
+      StructField("made_current_at", TimestampType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("parent", IntegerType, nullable = true),
+      StructField("is_current_ancestor", BooleanType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+  }
+
+  def snapshotsFrame(name: String): DataFrame = {
+    val versions: Seq[Int] = headChainVersions(name)
     val rows = versions.map { v =>
       val files = readLines(new HPath(tdir(name), f"manifest-$v%06d.txt"))
       val parent = commitParent(name, v)

@@ -73,6 +73,35 @@ class ProceduresSpec extends SparkSpec {
     assert(!store.refs("b1").contains("audit"))
   }
 
+  test("t.history: ancestry-aware after branch commits, timestamps " +
+    "monotone along the chain") {
+    spark.sql("CREATE TABLE gpr.h1 (k BIGINT)")
+    store.append("h1", Seq(1L).toDF("k"))
+    store.append("h1", Seq(2L).toDF("k"))
+    store.createBranch("h1", "side")
+    // a branch-only commit: retained, but not an ancestor of MAIN
+    store.append("h1", Seq(99L).toDF("k"), branch = Some("side"))
+    store.append("h1", Seq(3L).toDF("k"))
+    val h = spark.sql(
+      "SELECT version, parent, is_current_ancestor FROM gpr.h1.history " +
+        "ORDER BY version").collect()
+    val byV = h.map(r => r.getInt(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Int]), r.getBoolean(2))).toMap
+    // create(1), append(2), append(3) = main chain; branch append and the
+    // main append that followed got distinct versions
+    val ancestors = byV.filter(_._2._2).keys.toSeq.sorted
+    val strays = byV.filterNot(_._2._2).keys.toSeq
+    assert(strays.size === 1, s"expected 1 branch-only commit, got $byV")
+    assert(ancestors.size === byV.size - 1)
+    // the branch commit's parent is on the main chain (it forked there)
+    assert(byV(strays.head)._1.exists(p => ancestors.contains(p)))
+    // timestamps are present and ordered along ascending versions
+    val ts = spark.sql(
+      "SELECT made_current_at FROM gpr.h1.history ORDER BY version")
+      .collect().map(_.getTimestamp(0).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+  }
+
   test("unknown procedure fails loudly") {
     val e = intercept[Exception](spark.sql("CALL gpr.system.nope()"))
     assert(e.getMessage.contains("no such procedure") ||
