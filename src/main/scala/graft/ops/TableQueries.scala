@@ -833,6 +833,8 @@ object TableQueries {
       Some(TableQueries2.tblChangelogSql)),
     Q("tbl_namespace", TableQueries2.tblNamespace,
       Some(TableQueries2.tblNamespaceSql)),
+    Q("tbl_sql_view", TableQueries2.tblSqlView,
+      Some(TableQueries2.tblSqlViewSql)),
     Q("tbl_sql_ctas", TableQueries2.tblSqlCtas,
       Some(TableQueries2.tblSqlCtasSql)),
     Q("tbl_limit_pushdown", TableQueries2.tblLimitPushdown,
@@ -1237,6 +1239,48 @@ object TableQueries2 {
   private[ops] val tblNamespaceSql =
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
+
+  /** Persistent SQL views under the oracle: two managed tables, a view
+    * joining them, a view ON the view (aggregation), all resolved through
+    * the catalog at read time — plus an always-current probe (an INSERT
+    * after view creation must show through). Created via
+    * `CALL cat.system.create_view` (Spark 4.1 has no V2 CREATE VIEW
+    * routing); read back as plain `SELECT ... FROM cat.view`. */
+  private[ops] def tblSqlView(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gvwg",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-view")
+    spark.conf.set("spark.sql.catalog.gvwg.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val (nat, reg) = (s"nation_$ident", s"region_$ident")
+    val store = new TableStore(spark, root)
+    Seq(nat, reg, s"vn_$ident", s"vsum_$ident").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS gvwg.$n")
+      store.dropView(n)
+    }
+    t(spark, dir, "nation").createOrReplaceTempView(s"gvwg_nat_$ident")
+    t(spark, dir, "region").createOrReplaceTempView(s"gvwg_reg_$ident")
+    spark.sql(s"CREATE TABLE gvwg.$nat AS SELECT * FROM gvwg_nat_$ident " +
+      "WHERE n_nationkey < 20")
+    spark.sql(s"CREATE TABLE gvwg.$reg AS SELECT * FROM gvwg_reg_$ident")
+    spark.sql(s"CALL gvwg.system.create_view('vn_$ident', " +
+      s"'SELECT n.n_nationkey, n.n_name, r.r_name FROM gvwg.$nat n " +
+      s"JOIN gvwg.$reg r ON n.n_regionkey = r.r_regionkey')")
+    spark.sql(s"CALL gvwg.system.create_view('vsum_$ident', " +
+      s"'SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation " +
+      s"FROM gvwg.vn_$ident GROUP BY r_name')")
+    // always-current: rows appended AFTER view creation show through
+    spark.sql(s"INSERT INTO gvwg.$nat " +
+      s"SELECT n_nationkey, n_name, n_regionkey FROM gvwg_nat_$ident " +
+      "WHERE n_nationkey >= 20")
+    spark.sql(s"""SELECT r_name, n_nations, first_nation
+      FROM gvwg.vsum_$ident ORDER BY r_name""")
+  }
+
+  private[ops] val tblSqlViewSql =
+    """SELECT r.r_name, COUNT(*) AS n_nations, MIN(n.n_name) AS first_nation
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin
 
   private[ops] val tblSqlCtasSql =
     """WITH seg_counts AS (

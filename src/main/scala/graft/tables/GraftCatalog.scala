@@ -152,14 +152,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.isEmpty || namespace.sameElements(Array("default")))
-      return store.tables().filter(!_.contains('.'))
-        .map(n => Identifier.of(namespace, n)).toArray
+      return (store.tables() ++ store.views()).filter(!_.contains('.'))
+        .sorted.map(n => Identifier.of(namespace, n)).toArray
     if (!store.namespaceExists(namespace.toSeq))
       throw new NoSuchNamespaceException(namespace)
     val prefix = namespace.mkString(".") + "."
-    store.tables()
+    (store.tables() ++ store.views())
       .filter(n => n.startsWith(prefix) && !n.drop(prefix.length).contains('.'))
-      .map(n => Identifier.of(namespace, n.drop(prefix.length))).toArray
+      .sorted.map(n => Identifier.of(namespace, n.drop(prefix.length))).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -177,6 +177,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // namespace path itself (`cat.ns.t.snapshots` → namespace [ns,t]) —
     // served read-only from manifests + consolidated stats, zero data
     // files touched
+    // persistent views resolve next: the stored SQL re-plans against the
+    // session on every read (Iceberg-view semantics — always current)
+    scala.util.Try(tableName(ident)).toOption
+      .filter(store.viewExists)
+      .foreach(v => return new GraftViewTable(store, v))
     val owner = ident.namespace().mkString(".")
     if (ident.namespace().nonEmpty && store.exists(owner)) {
       if (GraftMetaTable.Names.contains(ident.name()))
@@ -758,6 +763,56 @@ private[tables] final class GraftChangesTable(store: TableStore,
         if (keys.nonEmpty) store.changeFeedWithUpdates(tbl, start, end, keys)
         else store.changeFeed(tbl, start, end)
       }
+      override def readSchema(): StructType = df.schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = df.schema
+          override def needConversion: Boolean = false
+          override def buildScan(): RDD[Row] =
+            df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+        }.asInstanceOf[T]
+    }
+}
+
+/** A persistent SQL view (`CALL cat.system.create_view(...)`) served as a
+  * read-only table: the stored SQL re-plans against the ACTIVE session on
+  * every read, so the view always reflects the current state and schema
+  * of whatever it selects from — Iceberg-view semantics, without waiting
+  * on Spark to route `CREATE VIEW` DDL to V2 catalogs (no such path in
+  * Spark 4.1). Views may reference views; a reference CYCLE is detected
+  * by the per-thread resolution stack and fails loudly instead of
+  * overflowing during analysis. */
+private[tables] object GraftViewTable {
+  private val resolving = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+  def guarded[A](key: String)(body: => A): A = {
+    val cur = resolving.get()
+    require(!cur.contains(key),
+      s"view cycle detected: ${(cur + key).toSeq.sorted.mkString(" -> ")}")
+    resolving.set(cur + key)
+    try body finally resolving.set(cur)
+  }
+}
+
+private[tables] final class GraftViewTable(store: TableStore, view: String)
+  extends Table with SupportsRead {
+
+  private def frame: DataFrame =
+    GraftViewTable.guarded(view) {
+      SparkSession.active.sql(store.viewSql(view))
+    }
+
+  override def name(): String = s"view $view"
+  override def schema(): StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      private val df = frame // one consistent resolution per scan build
       override def readSchema(): StructType = df.schema
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =

@@ -31,7 +31,8 @@ private[tables] object GraftProcedures {
 
   def names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphans", "materialize_deletes", "create_branch", "create_tag",
-    "drop_ref", "fast_forward", "rollback_to_version", "analyze")
+    "drop_ref", "fast_forward", "rollback_to_version", "add_files",
+    "migrate", "analyze", "create_view", "drop_view")
 
   def load(store: => TableStore, name: String): Option[UnboundProcedure] = {
     def p(parameters: Seq[ProcedureParameter], result: StructType)(
@@ -144,6 +145,22 @@ private[tables] object GraftProcedures {
           est.toSeq.sortBy(_._1).map { case (c, n) => s"$c=$n" }
             .mkString(",")),
           store.currentVersion(t).toLong)
+      })
+      case "create_view" => Some(p(
+        Seq(in("view", StringType), in("sql", StringType),
+          inDef("replace", StringType, "'false'")),
+        out("view" -> StringType)) { row =>
+        val v = tbl(row)
+        store.createView(v, row.getUTF8String(1).toString,
+          orReplace = row.getUTF8String(2).toString.trim
+            .equalsIgnoreCase("true"))
+        Seq(UTF8String.fromString(v))
+      })
+      case "drop_view" => Some(p(
+        Seq(in("view", StringType)),
+        out("dropped" -> StringType)) { row =>
+        val v = tbl(row)
+        Seq(UTF8String.fromString(store.dropView(v).toString))
       })
       case _ => None
     }

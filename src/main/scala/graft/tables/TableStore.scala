@@ -234,6 +234,7 @@ final class TableStore(private[tables] val spark: SparkSession,
       partitionBy: Seq[String] = Nil, zoneCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       bloomItems: Long = TableStore.DefaultBloomItems): Unit = {
+    require(!viewExists(name), s"a view named $name already exists")
     val d = tdir(name)
     if (fs.exists(d)) {
       require(overwrite, s"table $name already exists")
@@ -675,6 +676,53 @@ final class TableStore(private[tables] val spark: SparkSession,
     fs.delete(nsMarker(ns), false)
     true
   }
+
+  // ---- views ----------------------------------------------------------------
+  //
+  // Persistent SQL views, Iceberg-view-style: the view IS its SQL text,
+  // stored in a `_view_<name>.json` marker at the root and re-resolved
+  // against the catalog on every read — so a view always reflects the
+  // current state (and current schema) of the tables under it. Views
+  // share the table namespace: a dotted name places the view in that
+  // namespace, and a view may not shadow a live table (or vice versa).
+
+  private def viewMarker(name: String): HPath =
+    new HPath(rootPath, s"_view_$name.json")
+
+  def viewExists(name: String): Boolean = fs.exists(viewMarker(name))
+
+  def createView(name: String, sql: String,
+      props: Map[String, String] = Map.empty,
+      orReplace: Boolean = false): Unit = {
+    require(name.nonEmpty && !name.contains('/') &&
+      !name.contains(TableStore.StageMarker) && !name.startsWith("_"),
+      s"invalid view name: $name")
+    require(sql != null && sql.trim.nonEmpty, "view SQL must be non-empty")
+    require(!exists(name), s"a table named $name already exists")
+    require(orReplace || !viewExists(name), s"view $name already exists")
+    if (!fs.exists(rootPath)) { fs.mkdirs(rootPath); () }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("sql", sql)
+    val p = root.putObject("props")
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v); () }
+    atomicWrite(viewMarker(name), mapper.writeValueAsString(root))
+  }
+
+  def viewSql(name: String): String = {
+    require(viewExists(name), s"no such view: $name")
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readString(viewMarker(name))).get("sql").asText()
+  }
+
+  def dropView(name: String): Boolean =
+    viewExists(name) && fs.delete(viewMarker(name), false)
+
+  def views(): Seq[String] =
+    if (!fs.exists(rootPath)) Nil
+    else listNames(rootPath)
+      .filter(n => n.startsWith("_view_") && n.endsWith(".json"))
+      .map(_.stripPrefix("_view_").stripSuffix(".json")).sorted
 
   /** Metadata-only TRUNCATE: one commit in which no prior file is live.
     * Data files stay on disk for time travel until [[expireSnapshots]];
