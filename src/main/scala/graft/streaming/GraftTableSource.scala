@@ -30,14 +30,15 @@ import graft.tables.TableStore
   *     [[GraftSourceOffset]]: restart from a checkpoint resumes at
   *     exactly the recorded position (the file sequence is
   *     deterministic, so re-delivered ranges are byte-identical).
-  *   - ADMISSION CONTROL: `maxRowsPerTrigger` / `maxFilesPerTrigger`
-  *     split the initial snapshot and large catch-up ranges across
-  *     micro-batches. Without a cap, the first trigger on a 100 TB
-  *     table is one monolithic job with no incremental checkpoint —
-  *     with one, each trigger commits a bounded slice and a crash
-  *     retries only that slice (the Delta/Iceberg `maxFilesPerTrigger`
-  *     shape). Row sizing comes from the snapshot's recorded per-file
-  *     counts — one metadata read, no footer opened.
+  *   - ADMISSION CONTROL: `maxRowsPerTrigger` / `maxFilesPerTrigger` /
+  *     `maxBytesPerTrigger` split the initial snapshot and large
+  *     catch-up ranges across micro-batches. Without a cap, the first
+  *     trigger on a 100 TB table is one monolithic job with no
+  *     incremental checkpoint — with one, each trigger commits a
+  *     bounded slice and a crash retries only that slice (the
+  *     Delta/Iceberg `maxFilesPerTrigger` shape). Row and byte sizing
+  *     come from the snapshot's recorded per-file counts and lengths —
+  *     one metadata read, no footer opened.
   *   - Append-only contract: rows REMOVED by deletes/merges after the
   *     initial snapshot are not retracted (use [[TableStore.diffVersions]]
   *     or the CDC path for net changes). `startVersion` tails from a
@@ -128,7 +129,8 @@ final class GraftTableSourceProvider
     new GraftTableSource(ctx.sparkSession, store, table, startVersion,
       parameters.get("maxRowsPerTrigger").map(_.trim.toLong),
       parameters.get("maxFilesPerTrigger").map(_.trim.toInt),
-      changeFeed, Some(metadataPath))
+      changeFeed, Some(metadataPath),
+      parameters.get("maxBytesPerTrigger").map(_.trim.toLong))
   }
 }
 
@@ -225,7 +227,8 @@ final class GraftTableSource(spark: SparkSession, store: TableStore,
     maxRowsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
     changeFeed: Boolean = false,
-    metadataPath: Option[String] = None) extends Source
+    metadataPath: Option[String] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -237,7 +240,8 @@ final class GraftTableSource(spark: SparkSession, store: TableStore,
     else store.schema(table)
 
   private def capped: Boolean =
-    maxRowsPerTrigger.isDefined || maxFilesPerTrigger.isDefined
+    maxRowsPerTrigger.isDefined || maxFilesPerTrigger.isDefined ||
+      maxBytesPerTrigger.isDefined
 
   /** File list of one log position's version. In change-feed mode a
     * pure-append version lists its appended files (splittable inserts);
@@ -374,23 +378,28 @@ final class GraftTableSource(spark: SparkSession, store: TableStore,
     // stats; a file without one conservatively counts as the row cap.
     val maxR = maxRowsPerTrigger.getOrElse(Long.MaxValue)
     val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     var rows = 0L
     var nfiles = 0
+    var bytes = 0L
     var endOff: GraftSourceOffset = null
     val it = pending.iterator
     var done = false
     while (it.hasNext && !done) {
       val (v, s, rels) = it.next()
       val counts = store.fileRowCounts(table, v)
+      val lens = store.fileByteLengths(table, v)
       val consumedAlready = listOf(v, s).size - rels.size
       var taken = 0
       val rit = rels.iterator
       while (rit.hasNext && !done) {
         val rel = rit.next()
         val r = counts.getOrElse(rel, maxR)
-        if (nfiles > 0 && (rows + r > maxR || nfiles + 1 > maxF)) done = true
+        val b = lens.getOrElse(rel, maxB)
+        if (nfiles > 0 && (rows + r > maxR || nfiles + 1 > maxF ||
+            bytes + b > maxB)) done = true
         else {
-          rows += r; nfiles += 1; taken += 1
+          rows += r; nfiles += 1; bytes += b; taken += 1
           endOff = GraftSourceOffset(v, s, consumedAlready + taken)
         }
       }

@@ -2263,6 +2263,10 @@ final class TableStore(private[tables] val spark: SparkSession,
       version: Int): Map[String, Long] =
     readConsolidated(name, version).map(_.rows).getOrElse(Map.empty)
 
+  private[graft] def fileByteLengths(name: String,
+      version: Int): Map[String, Long] =
+    readConsolidated(name, version).map(_.lens).getOrElse(Map.empty)
+
   /** Masked read of specific rel paths under snapshot `version`'s
     * pending deletes — the streaming source's batch primitive. */
   private[graft] def readRelsMasked(name: String, rels: Seq[String],

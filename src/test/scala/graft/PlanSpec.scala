@@ -136,4 +136,32 @@ class PlanSpec extends SparkSpec {
     assert("""\+- Scan parquet""".r.findAllIn(p).size === 1,
       s"unpivot must read the input exactly once:\n$p")
   }
+
+  test("perplexity scoring: LM joins broadcast; the token stream itself " +
+    "never shuffles") {
+    val p = planOf("txt_perplexity")
+    // the capped LM and the 1-row totals are the ONLY join inputs — both
+    // broadcast; a SortMergeJoin here would shuffle the exploded stream
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"LM join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the token stream must never sort-merge:\n$p")
+  }
+
+  test("gopher rules are map-only up to the per-source aggregate") {
+    val p = planOf("txt_gopher")
+    // exactly two exchanges, both on the tiny per-source frame: the
+    // groupBy(source) and the ORDER BY's range partitioning — nothing
+    // document-sized ever shuffles
+    assert("""\+- Exchange""".r.findAllIn(p).size === 2,
+      s"gopher flags must add no shuffle beyond the final aggregate:\n$p")
+  }
+
+  test("leak-free split: cluster labels broadcast onto the corpus") {
+    val p = planOf("ds_split_leakfree")
+    // the labels frame is collected-size bounded (union-find output);
+    // joining it to documents must broadcast, never shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"labels join must broadcast:\n$p")
+  }
 }

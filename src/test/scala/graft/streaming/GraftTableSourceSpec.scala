@@ -216,6 +216,28 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(sizes.forall(_ <= 2) && sizes.size >= 3, s"got $sizes")
   }
 
+  test("maxBytesPerTrigger caps by recorded file bytes") {
+    val root = tmpDir("tsrc-capb-")
+    val ckpt = tmpDir("tsrc-capb-ckpt-")
+    val st = new TableStore(spark, root)
+    st.create("t", schema)
+    (0 until 6).foreach { b =>
+      st.append("t", Seq((b.toLong, s"v$b")).toDF("id", "v").coalesce(1))
+    }
+    // every file is a few hundred bytes: a 1-byte cap still admits one
+    // file per trigger (progress guarantee), so 6 batches of 1 file
+    val tiny = drain(root, "t", ckpt, Map("maxBytesPerTrigger" -> "1"))
+    val sizes = tiny.map(_._2.size).filter(_ > 0)
+    assert(sizes.sum === 6)
+    assert(sizes.forall(_ === 1), s"1-byte cap must admit one file each: $sizes")
+    // a generous cap drains in fewer, larger batches
+    val ckpt2 = tmpDir("tsrc-capb2-ckpt-")
+    val fat = drain(root, "t", ckpt2, Map("maxBytesPerTrigger" -> "1000000"))
+    val fatSizes = fat.map(_._2.size).filter(_ > 0)
+    assert(fatSizes.sum === 6)
+    assert(fatSizes.size < 6, s"large cap must batch multiple files: $fatSizes")
+  }
+
   test("restart mid-snapshot: failed batch replays byte-identical, total exact") {
     val root = tmpDir("tsrc-crash-")
     val ckpt = tmpDir("tsrc-crash-ckpt-")
