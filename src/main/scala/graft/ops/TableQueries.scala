@@ -940,10 +940,13 @@ object TableQueries2 {
     spark.sql(s"DELETE FROM gmor.$tbl WHERE o_orderkey = 7")
     spark.sql(s"DELETE FROM gmor.$tbl WHERE o_orderkey IN (100, 101, 102, 103)")
     spark.sql(s"DELETE FROM gmor.$tbl WHERE o_orderstatus = 'P'")
+    // a NON-key shape (range) stays merge-on-read too: a POSITION-delete
+    // sidecar of matched (file, ordinal) pairs — still no rewrite
+    spark.sql(s"DELETE FROM gmor.$tbl WHERE o_totalprice > 304000.0")
     require(store.currentRelPaths(tbl).size == filesBefore,
       "merge-on-read SQL deletes must not rewrite data files")
-    require(store.pendingDeletes(tbl) == 3,
-      s"expected 3 pending equality deletes, got ${store.pendingDeletes(tbl)}")
+    require(store.pendingDeletes(tbl) == 4,
+      s"expected 4 pending delete sidecars, got ${store.pendingDeletes(tbl)}")
     spark.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       FROM gmor.$tbl
       ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""")
@@ -955,6 +958,7 @@ object TableQueries2 {
       |WHERE o_orderkey <> 7
       |  AND o_orderkey NOT IN (100, 101, 102, 103)
       |  AND o_orderstatus <> 'P'
+      |  AND NOT (o_totalprice > 304000.0)
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
 
   /** Nested schema evolution under the oracle: orders lands as a STRUCT

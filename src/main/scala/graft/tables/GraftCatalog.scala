@@ -617,7 +617,14 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
     if (!routed) {
       val cond = filters.flatMap(GraftFilters.toColumn)
         .reduceOption(_ && _).getOrElse(lit(true))
-      store.delete(tbl, cond)
+      // merge-on-read for NON-key shapes too: a POSITION-delete sidecar
+      // records the matched (file, ordinal) pairs — one filtered scan
+      // that writes coordinates, zero data files rewritten. The
+      // predicate evaluates exactly (row-group stats still skip inside
+      // the scan), so ranges/functions keep MoR cost instead of falling
+      // to copy-on-write.
+      if (mor) store.deletePos(tbl, cond)
+      else store.delete(tbl, cond)
     }
   }
 

@@ -2865,7 +2865,14 @@ final class TableStore(private[tables] val spark: SparkSession,
       .filter(cond)
       .select(col(TableStore.PosFileCol), col(TableStore.PosIdxCol))
     val rel = s"pos-${java.util.UUID.randomUUID()}"
-    hits.write.parquet(new HPath(deletesDir(name), rel).toString)
+    val out = new HPath(deletesDir(name), rel)
+    hits.write.parquet(out.toString)
+    // a predicate matching nothing must not commit (or mask with) an
+    // empty sidecar — the footer row count is one driver read
+    val wrote = listStatusRec(out)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .exists(st => !footerRowCount(st.getPath).contains(0L))
+    if (!wrote) { fs.delete(out, true); return }
     commitManifest(name, base, Set.empty, Nil, Nil,
       newDeletes = Seq((rel, Seq(TableStore.PosMarker))))
   }

@@ -46,18 +46,33 @@ class SqlMorSpec extends SparkSpec {
       expect.size - 1L)
   }
 
-  test("non-key-shaped DELETE falls back to copy-on-write") {
+  test("non-key-shaped DELETE stays merge-on-read via a POSITION sidecar") {
     spark.sql("""CREATE TABLE gsm.c (k BIGINT, v DOUBLE)
       TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
     spark.range(0, 50).select(col("id").as("k"), col("id").cast("double").as("v"))
       .createOrReplaceTempView("gsm_src2")
     spark.sql("INSERT INTO gsm.c SELECT * FROM gsm_src2")
-    spark.sql("DELETE FROM gsm.c WHERE k >= 40") // range: not MoR-able
-    assert(store.pendingDeletes("c") === 0, "range delete must be CoW")
+    val files = store.currentRelPaths("c").size
+    spark.sql("DELETE FROM gsm.c WHERE k >= 40") // range: positional MoR
+    assert(store.pendingDeletes("c") === 1, "range delete must MoR via positions")
+    assert(store.currentRelPaths("c").size === files, "no data file rewritten")
     assert(spark.sql("SELECT count(*) FROM gsm.c").head().getLong(0) === 40L)
-    // null-matching shapes also refuse MoR (SQL `=` never matches null)
-    spark.sql("DELETE FROM gsm.c WHERE k IS NULL")
+    // null-matching predicates keep rows (SQL DELETE semantics) — the
+    // positional path evaluates the predicate exactly, and a no-match
+    // delete commits NOTHING (no empty sidecar)
+    spark.sql("DELETE FROM gsm.c WHERE v IS NULL")
+    assert(store.pendingDeletes("c") === 1, "no-match delete must not commit")
+    assert(spark.sql("SELECT count(*) FROM gsm.c").head().getLong(0) === 40L)
+    // materialize folds the positional mask into the files
+    spark.sql("CALL gsm.system.materialize_deletes('c')")
     assert(store.pendingDeletes("c") === 0)
+    assert(spark.sql("SELECT count(*) FROM gsm.c").head().getLong(0) === 40L)
+    // without the property, a range delete is copy-on-write as before
+    spark.sql("CREATE TABLE gsm.c2 (k BIGINT)")
+    spark.sql("INSERT INTO gsm.c2 VALUES (1), (2), (3)")
+    spark.sql("DELETE FROM gsm.c2 WHERE k >= 2")
+    assert(store.pendingDeletes("c2") === 0, "default mode stays CoW")
+    assert(spark.sql("SELECT count(*) FROM gsm.c2").head().getLong(0) === 1L)
   }
 
   test("mode toggles via ALTER TABLE SET/UNSET TBLPROPERTIES") {
