@@ -824,6 +824,8 @@ object TableQueries {
     Q("tbl_hidden_partition", TableQueries2.tblHiddenPartition,
       Some(TableQueries2.tblHiddenPartitionSql)),
     Q("tbl_sql_mor", TableQueries2.tblSqlMor, Some(TableQueries2.tblSqlMorSql)),
+    Q("tbl_mor_update", TableQueries2.tblMorUpdate,
+      Some(TableQueries2.tblMorUpdateSql)),
     Q("tbl_nested_evolution", TableQueries2.tblNestedEvolution,
       Some(TableQueries2.tblNestedEvolutionSql)),
     Q("tbl_pos_delete", TableQueries2.tblPosDelete,
@@ -959,6 +961,45 @@ object TableQueries2 {
       |  AND o_orderkey NOT IN (100, 101, 102, 103)
       |  AND o_orderstatus <> 'P'
       |  AND NOT (o_totalprice > 304000.0)
+      |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
+  /** Merge-on-read UPDATE under the oracle: one atomic commit carries a
+    * positional delete of the matched rows plus appended files with the
+    * SET applied — zero existing files rewritten (require()d), and the
+    * read that hash-matches DuckDB runs with the update masks PENDING.
+    * A second update over the first's rows proves chained MoR updates
+    * see each other's values. */
+  private[ops] def tblMorUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-morupd", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("orders", ord)
+    val before = store.currentRelPaths("orders").toSet
+    store.updateMoR("orders", col("o_orderstatus") === "P",
+      Map("o_totalprice" -> (col("o_totalprice") + lit(100000.0))))
+    store.updateMoR("orders",
+      col("o_orderstatus") === "P" && col("o_totalprice") > lit(400000.0),
+      Map("o_orderstatus" -> lit("X")))
+    require(before.subsetOf(store.currentRelPaths("orders").toSet),
+      "MoR update must not rewrite existing data files")
+    require(store.pendingDeletes("orders") == 2,
+      s"expected 2 pending position sidecars, got " +
+        s"${store.pendingDeletes("orders")}")
+    store.read("orders")
+      .orderBy("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  }
+
+  private[ops] val tblMorUpdateSql =
+    """SELECT o_orderkey, o_custkey,
+      | CASE WHEN o_orderstatus = 'P' AND o_totalprice + 100000.0 > 400000.0
+      |      THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      | CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 100000.0
+      |      ELSE o_totalprice END AS o_totalprice
+      |FROM orders
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
 
   /** Nested schema evolution under the oracle: orders lands as a STRUCT

@@ -87,4 +87,43 @@ class PosDeleteSpec extends SparkSpec {
     assert(st.read("t").select("k").collect().map(_.getLong(0)).sorted.toSeq
       === ((0L until 10L) ++ (20L until 45L)))
   }
+
+  test("updateMoR: one commit, no rewrite, chained updates compose, " +
+    "materialize folds") {
+    val st = newStore()
+    val df = spark.range(0, 100).select(col("id").as("k"),
+      (col("id") * 10).as("v"))
+    st.create("t", df.schema)
+    st.append("t", df.repartition(4))
+    val filesBefore = st.currentRelPaths("t").toSet
+    val verBefore = st.currentVersion("t")
+    st.updateMoR("t", col("k") < 10, Map("v" -> (col("v") + 1)))
+    // ONE commit: old files intact, new files appended, one pos sidecar
+    assert(st.currentVersion("t") === verBefore + 1)
+    assert(filesBefore.subsetOf(st.currentRelPaths("t").toSet),
+      "MoR update must not rewrite existing files")
+    assert(st.pendingDeletes("t") === 1)
+    def vOf(k: Long): Long = st.read("t").filter(col("k") === k)
+      .select("v").head().getLong(0)
+    assert(vOf(3L) === 31L)
+    assert(vOf(50L) === 500L)
+    assert(st.read("t").count() === 100L)
+    // a chained update touching previously-updated rows sees their NEW
+    // values (the masked read includes the appended files)
+    st.updateMoR("t", col("k") < 5, Map("v" -> (col("v") * 100)))
+    assert(vOf(3L) === 3100L)
+    assert(vOf(7L) === 71L)
+    assert(st.read("t").count() === 100L)
+    // update matching nothing commits nothing
+    val ver = st.currentVersion("t")
+    st.updateMoR("t", col("k") > 1000, Map("v" -> lit(0L)))
+    assert(st.currentVersion("t") === ver)
+    // time travel shows pre-update state; materialize folds everything
+    assert(st.readVersion("t", verBefore).filter(col("k") === 3)
+      .select("v").head().getLong(0) === 30L)
+    st.materializeDeletes("t")
+    assert(st.pendingDeletes("t") === 0)
+    assert(vOf(3L) === 3100L)
+    assert(st.read("t").count() === 100L)
+  }
 }
