@@ -826,6 +826,8 @@ object TableQueries {
     Q("tbl_sql_mor", TableQueries2.tblSqlMor, Some(TableQueries2.tblSqlMorSql)),
     Q("tbl_mor_update", TableQueries2.tblMorUpdate,
       Some(TableQueries2.tblMorUpdateSql)),
+    Q("tbl_sql_delta", TableQueries2.tblSqlDelta,
+      Some(TableQueries2.tblSqlDeltaSql)),
     Q("tbl_nested_evolution", TableQueries2.tblNestedEvolution,
       Some(TableQueries2.tblNestedEvolutionSql)),
     Q("tbl_pos_delete", TableQueries2.tblPosDelete,
@@ -1000,6 +1002,71 @@ object TableQueries2 {
       | CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 100000.0
       |      ELSE o_totalprice END AS o_totalprice
       |FROM orders
+      |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
+  /** Delta-based SQL row-level ops under the oracle
+    * (`write.update.mode` / `write.merge.mode` = `merge-on-read`, the
+    * Iceberg v2 positional-delta plan via SupportsDelta): an UPDATE and
+    * a MERGE (update + delete + insert clauses) each commit position
+    * sidecars plus appended rows — zero existing files rewritten
+    * (require()d in-gate) — and the read that hash-matches DuckDB runs
+    * with ALL masks pending. */
+  private[ops] def tblSqlDelta(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gdlt",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-delta")
+    spark.conf.set("spark.sql.catalog.gdlt.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val src = s"gdlt_src_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gdlt.$tbl")
+    spark.sql(s"""CREATE TABLE gdlt.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT,
+      o_orderstatus STRING, o_totalprice DOUBLE)
+      TBLPROPERTIES ('zone_cols'='o_orderkey',
+        'write.update.mode'='merge-on-read',
+        'write.merge.mode'='merge-on-read')""")
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView(src)
+    spark.sql(s"INSERT INTO gdlt.$tbl SELECT * FROM $src")
+    val store = new TableStore(spark, root)
+    val before = store.currentRelPaths(tbl).toSet
+    spark.sql(s"UPDATE gdlt.$tbl SET o_totalprice = o_totalprice + 50000.0 " +
+      "WHERE o_orderstatus = 'F'")
+    spark.sql(s"""MERGE INTO gdlt.$tbl t
+      USING (SELECT o_orderkey AS k, o_totalprice AS p FROM $src
+             WHERE o_orderkey % 1000 = 0) s
+      ON t.o_orderkey = s.k
+      WHEN MATCHED AND t.o_totalprice < 150000.0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+      WHEN NOT MATCHED THEN
+        INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+        VALUES (s.k + 90000000, 0, 'Z', s.p)""")
+    require(before.subsetOf(store.currentRelPaths(tbl).toSet),
+      "delta SQL ops must not rewrite existing data files")
+    require(store.pendingDeletes(tbl) >= 2,
+      s"expected pending position sidecars, got ${store.pendingDeletes(tbl)}")
+    spark.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM gdlt.$tbl
+      ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""")
+  }
+
+  private[ops] val tblSqlDeltaSql =
+    """WITH upd AS (
+      | SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 50000.0
+      |       ELSE o_totalprice END AS o_totalprice
+      | FROM orders),
+      |m AS (
+      | SELECT u.o_orderkey, u.o_custkey,
+      |  CASE WHEN u.o_orderkey % 1000 = 0 THEN 'M'
+      |       ELSE u.o_orderstatus END AS o_orderstatus,
+      |  u.o_totalprice,
+      |  (u.o_orderkey % 1000 = 0 AND u.o_totalprice < 150000.0) AS killed
+      | FROM upd u)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM m WHERE NOT killed
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
 
   /** Nested schema evolution under the oracle: orders lands as a STRUCT

@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.functions.{col, input_file_name, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -468,6 +469,8 @@ object GraftCatalog {
   val LayoutProps: Set[String] = Set("zone_cols", "bloom_cols", "bloom_items")
 
   val DeleteModeProp = "write.delete.mode"
+  val UpdateModeProp = "write.update.mode"
+  val MergeModeProp = "write.merge.mode"
   val MergeOnRead = "merge-on-read"
 }
 
@@ -527,9 +530,11 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
   /** `_file`: which data file a row lives in (Iceberg's metadata column
     * of the same name) — selectable by users and REQUIRED by the
     * row-level operation, whose write task only strips bookkeeping
-    * columns for writers that request metadata. */
+    * columns for writers that request metadata. `_pos`: the row's
+    * ordinal within its file — with `_file` it is the ROW ID of the
+    * delta-based (merge-on-read) SQL operations. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftFileMetaColumn)
+    Array(GraftFileMetaColumn, GraftPosMetaColumn)
 
   override def name(): String = tbl
 
@@ -579,7 +584,18 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(versionAt.isEmpty, s"cannot mutate a pinned snapshot of $tbl")
-    () => new GraftRowLevelOperation(store, tbl, info.command())
+    // per-command write mode (the Iceberg v2 properties): merge-on-read
+    // plans the DELTA operation — position sidecars + appended rows, no
+    // data file rewritten — copy-on-write plans the group rewrite
+    val modeProp = info.command() match {
+      case Command.UPDATE => GraftCatalog.UpdateModeProp
+      case Command.MERGE  => GraftCatalog.MergeModeProp
+      case _              => GraftCatalog.DeleteModeProp
+    }
+    if (store.properties(tbl).get(modeProp).contains(GraftCatalog.MergeOnRead))
+      () => new GraftDeltaOperation(store, tbl, info.command())
+    else
+      () => new GraftRowLevelOperation(store, tbl, info.command())
   }
 
   /** SQL `DELETE FROM` → the zone/bloom-pruned copy-on-write delete; only
@@ -842,6 +858,15 @@ private[tables] object GraftFileMetaColumn extends MetadataColumn {
   override def comment(): String = "data file the row lives in"
 }
 
+private[tables] object GraftPosMetaColumn extends MetadataColumn {
+  val Name = "_pos"
+  override def name(): String = Name
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def isNullable(): Boolean = false
+  override def comment(): String = "row ordinal within its data file"
+}
+
 private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
     versionAt: Option[Int])
   extends ScanBuilder with SupportsPushDownFilters
@@ -1005,11 +1030,13 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
     required = requiredSchema
 
   override def build(): Scan = spjPlan match {
-    // the `_file` metadata column and complete aggregate pushdown are
-    // V1-relation features; both are rare on the join hot path
-    // (a pushed limit/TopN subset implies spjPlan was None at push time)
+    // the `_file`/`_pos` metadata columns and complete aggregate
+    // pushdown are V1-relation features; both are rare on the join hot
+    // path (a pushed limit/TopN subset implies spjPlan was None at push
+    // time)
     case Some(p) if aggAnswer.isEmpty && limitSubset.isEmpty &&
-        !required.fieldNames.contains(GraftFileMetaColumn.Name) =>
+        !required.fieldNames.contains(GraftFileMetaColumn.Name) &&
+        !required.fieldNames.contains(GraftPosMetaColumn.Name) =>
       new GraftBatchScan(store, tbl, p, pushed, required)
     case _ =>
       new GraftV1Scan(store, tbl, versionAt, pushed, required, aggAnswer,
@@ -1079,17 +1106,28 @@ private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
         case None => buildDataScan()
       }
       private def buildDataScan(): RDD[Row] = {
+        val needPos = required.fieldNames.contains(GraftPosMetaColumn.Name)
         val base = limitSubset match {
           // pushed LIMIT/TopN: scan only the pre-selected file subset
           // (pushLimit/pushTopN decline under time travel, so the
           // subset always targets the current snapshot)
           case Some(rs) => store.readRels(tbl, rs)
+          case None if needPos =>
+            // row coordinates: the masked read that carries (rel path,
+            // ordinal) — only current-snapshot (row-level ops never
+            // target a pinned version). `_file` here is the REL path,
+            // which is what delete sidecars and the delta writer key on.
+            require(versionAt.isEmpty, "_pos is not available under time travel")
+            store.readWithPos(tbl)
+              .withColumnRenamed(TableStore.PosIdxCol, GraftPosMetaColumn.Name)
+              .withColumnRenamed(TableStore.PosFileCol, GraftFileMetaColumn.Name)
           case None => versionAt.map(v => store.readVersion(tbl, v))
             .getOrElse(store.read(tbl))
         }
         // `_file` metadata column materializes from the scan itself
         val withMeta =
-          if (required.fieldNames.contains(GraftFileMetaColumn.Name))
+          if (!needPos &&
+              required.fieldNames.contains(GraftFileMetaColumn.Name))
             base.withColumn(GraftFileMetaColumn.Name, input_file_name())
           else base
         val filtered = pushed.flatMap(GraftFilters.toColumn)

@@ -1404,6 +1404,13 @@ final class TableStore(private[tables] val spark: SparkSession,
   def read(name: String): DataFrame =
     morMasked(name, currentRelPaths(name), currentVersion(name))
 
+  /** Masked read carrying row coordinates — logical columns plus
+    * `PosFileCol` (rel path) and `PosIdxCol` (ordinal in file): the
+    * row-identity read under delta-based SQL row-level operations. */
+  private[tables] def readWithPos(name: String): DataFrame =
+    morMasked(name, currentRelPaths(name), currentVersion(name),
+      rowPos = true)
+
   /** Dispatcher over partition-spec generations: a never-evolved table
     * (or a snapshot whose files all share one generation) takes the
     * single-relation path unchanged; a mixed-layout snapshot builds one
@@ -4375,6 +4382,39 @@ final class TableStore(private[tables] val spark: SparkSession,
         else Nil
       if (removed.nonEmpty || added.nonEmpty)
         commitManifest(name, base, removed, added, Nil)
+    } finally { fs.delete(staging, true); () }
+  }
+
+  /** Commit a DELTA write's staged output as ONE snapshot: the tasks'
+    * appended data files (promoted with stats like any append) plus
+    * their position-coordinate files gathered under a single positional
+    * delete sidecar. Appended files are untouched by the sidecar by
+    * construction (position masks are file-scoped). */
+  private[tables] def commitDeltaStaged(name: String, staging: HPath,
+      keptData: Set[String], keptDel: Set[String]): Unit = {
+    try {
+      if (keptData.isEmpty && keptDel.isEmpty) return
+      // move coordinates OUT of staging first so promoteStaged's listing
+      // only adopts data files
+      val newDeletes =
+        if (keptDel.isEmpty) Nil
+        else {
+          val rel = s"pos-${UUID.randomUUID()}"
+          val dst = new HPath(deletesDir(name), rel)
+          fs.mkdirs(dst)
+          keptDel.foreach { r =>
+            val src = new HPath(staging, r)
+            require(fs.rename(src, new HPath(dst, fileName(r))),
+              s"staging move of delete coordinates $src failed")
+          }
+          Seq((rel, Seq(TableStore.PosMarker)))
+        }
+      val added =
+        if (keptData.isEmpty || !fs.exists(staging)) Nil
+        else promoteStaged(name, staging, Some(keptData))
+      if (added.nonEmpty || newDeletes.nonEmpty)
+        commitManifest(name, currentVersion(name), Set.empty, added, added,
+          meta = Map("operation" -> "delta"), newDeletes = newDeletes)
     } finally { fs.delete(staging, true); () }
   }
 
