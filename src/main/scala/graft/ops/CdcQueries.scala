@@ -224,9 +224,46 @@ object CdcQueries {
       |  CAST(10.0 AS DOUBLE), 'MACHINERY', 'silver', CAST(2.5 AS DOUBLE))
       |ORDER BY c_custkey""".stripMargin
 
+  /** CDC apply in MERGE-ON-READ mode (`write.merge.mode=merge-on-read`):
+    * the same bulk orders batch as cdc_bulk_orders, but the apply
+    * commits an equality-delete sidecar + appended upserts in ONE
+    * snapshot with ZERO data files rewritten (require()d in-gate) — the
+    * CDC tombstone pattern a scattered-key batch needs at 100 TB. The
+    * read that hash-matches DuckDB runs with the mask PENDING. */
+  private def cdcMorApply(spark: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(spark, Scratch.dir("cdc-mor", Scratch.tag(dir)))
+    val orders = t(spark, dir, "orders")
+    store.create("orders", orders.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+    store.setProperties("orders",
+      Map("write.merge.mode" -> Some("merge-on-read")))
+    store.append("orders", orders.repartitionByRange(8, col("o_orderkey")))
+    val filesBefore = store.currentRelPaths("orders").size
+    val env = orderEnvelopes(orders)
+    CdcApply.applyEnvelopes(spark, store,
+      CdcApply.CdcConfig("orders", Seq("o_orderkey")), env)
+    require(store.currentRelPaths("orders").size > filesBefore,
+      "MoR apply must append upsert files")
+    require(store.currentRelPaths("orders").take(filesBefore).nonEmpty &&
+      store.pendingDeletes("orders") == 1,
+      s"expected 1 pending equality sidecar, got " +
+        s"${store.pendingDeletes("orders")}")
+    store.read("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val cdcMorApplySql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      | CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+      |      ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 101 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("cdc_apply_customer", cdcApplyCustomer, Some(cdcApplyCustomerSql)),
     Q("cdc_bulk_orders", cdcBulkOrders, Some(cdcBulkOrdersSql)),
     Q("cdc_out_of_order", cdcOutOfOrder, Some(cdcOutOfOrderSql)),
-    Q("cdc_auto_evolve", cdcAutoEvolve, Some(cdcAutoEvolveSql)))
+    Q("cdc_auto_evolve", cdcAutoEvolve, Some(cdcAutoEvolveSql)),
+    Q("cdc_mor_apply", cdcMorApply, Some(cdcMorApplySql)))
 }

@@ -3000,6 +3000,30 @@ final class TableStore(private[tables] val spark: SparkSession,
     * (SparkDestinationStream.java:110-114; README.md:74-77). */
   def applyNet(name: String, keys: DataFrame, newRows: DataFrame,
       keyCols: Seq[String], meta: Map[String, String] = Map.empty): Unit = {
+    // `write.merge.mode=merge-on-read`: the CDC tombstone pattern at
+    // scale — ONE commit carrying an equality-delete sidecar over the
+    // touched keys plus the appended upserts, no data file rewritten.
+    // The sidecar and the appended files share the commit's sequence, so
+    // the mask applies to every OLDER file and never to the upserts
+    // themselves (strict seq comparison); pending deletes stay pending
+    // (masked reads fold them; compaction materializes). A copy-on-write
+    // apply rewrites every file a batch key touches — on a 100 TB table
+    // a scattered 1k-key batch rewrites thousands of files for a few
+    // thousand rows, which is exactly what this mode avoids.
+    if (properties(name).get("write.merge.mode").contains("merge-on-read")) {
+      val sch = schema(name)
+      val m = physMap(name)
+      val rel = s"del-${java.util.UUID.randomUUID()}"
+      keys.select(keyCols.map { c =>
+        col(c).cast(sch(sch.fieldIndex(c)).dataType).as(physOf(m, c))
+      }: _*).distinct()
+        .write.parquet(new HPath(deletesDir(name), rel).toString)
+      val appended = writeDataFiles(name, alignTo(name, sch, newRows))
+      commitManifest(name, currentVersion(name), Set.empty, appended,
+        appended, meta = meta,
+        newDeletes = Seq((rel, keyCols.map(c => physOf(m, c)))))
+      return
+    }
     materializeDeletes(name) // see delete(): rewrites start from a clean table
     val sch = schema(name)
     val baseManifest = currentManifest(name)

@@ -505,6 +505,36 @@ class CdcSpec extends SparkSpec {
     assert(row.getString(1) === "yes")
   }
 
+  test("applyNet honors write.merge.mode=merge-on-read: sidecar + append, " +
+    "no rewrite, chained batches mask correctly") {
+    import spark.implicits._
+    val st = new TableStore(spark, tmpDir("cdc-mor-"))
+    val sch = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    st.create("t", sch)
+    st.setProperties("t", Map("write.merge.mode" -> Some("merge-on-read")))
+    st.append("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    val files = st.currentRelPaths("t").toSet
+    val ver = st.currentVersion("t")
+    // batch 1: upsert k=2, delete k=3
+    st.applyNet("t", Seq(2, 3).toDF("k"), Seq((2, "B")).toDF("k", "v"), Seq("k"))
+    assert(st.currentVersion("t") === ver + 1, "one atomic commit")
+    assert(files.subsetOf(st.currentRelPaths("t").toSet), "no rewrite")
+    assert(st.pendingDeletes("t") === 1)
+    def state() = st.read("t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(state() === Map(1 -> "a", 2 -> "B"))
+    // batch 2 re-upserts k=2: the new sidecar must mask batch 1's upsert
+    // file (strictly older seq) but never its own appended rows
+    st.applyNet("t", Seq(2).toDF("k"), Seq((2, "B2")).toDF("k", "v"), Seq("k"))
+    assert(state() === Map(1 -> "a", 2 -> "B2"))
+    assert(st.pendingDeletes("t") === 2)
+    // fold: same answer, masks gone
+    st.materializeDeletes("t")
+    assert(st.pendingDeletes("t") === 0)
+    assert(state() === Map(1 -> "a", 2 -> "B2"))
+  }
+
   test("autoEvolve: old typed __srow envelopes still apply after evolution") {
     import spark.implicits._
     val st = newTable()
