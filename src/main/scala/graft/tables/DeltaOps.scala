@@ -69,14 +69,37 @@ private[tables] final class GraftDeltaOperation(val store: TableStore,
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new GraftDeltaWrite(store, tbl)
+      override def build(): DeltaWrite = new GraftDeltaWrite(store, tbl, cmd)
     }
 }
 
-private[tables] final class GraftDeltaWrite(store: TableStore, tbl: String)
-  extends DeltaWrite {
+private[tables] final class GraftDeltaWrite(store: TableStore, tbl: String,
+    cmd: Command) extends DeltaWrite
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
   override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(store, tbl)
   override def description(): String = s"graft delta write to $tbl"
+
+  /** Cluster the delta rows by partition tuple on partitioned tables so
+    * a task writes one file per directory instead of every task spraying
+    * a fragment into every directory it sees — a broad UPDATE on a
+    * 1000-dir layout would otherwise write tasks×dirs files per
+    * statement. Delete rows carry null row attributes and cluster into
+    * one bucket; their output is coordinates, so size is never a
+    * concern. A pure DELETE plan has no row attributes to cluster on. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    val p = store.writeLayout(tbl).partLogicalNames
+    if (cmd == Command.DELETE || p.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      p.map(n => Expressions.identity(n)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 }
 
 private[tables] final class GraftDeltaBatchWrite(store: TableStore,

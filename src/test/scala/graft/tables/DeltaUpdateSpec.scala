@@ -102,6 +102,27 @@ class DeltaUpdateSpec extends SparkSpec {
       .head().getLong(0) === 2L)
   }
 
+  test("delta write clusters by partition: one appended file per dir") {
+    spark.sql("""CREATE TABLE gdl.w (k BIGINT, p STRING)
+      PARTITIONED BY (p)
+      TBLPROPERTIES ('write.update.mode'='merge-on-read')""")
+    store.append("w", (0L until 400L)
+      .map(i => (i, s"p${i % 4}")).toDF("k", "p").repartition(8))
+    val before = store.currentRelPaths("w").toSet
+    spark.sql("UPDATE gdl.w SET k = k + 1000 WHERE k < 200")
+    val appended = store.currentRelPaths("w").toSet -- before
+    // updated rows span all 4 partitions from 8 input partitions; the
+    // clustered distribution must land ONE file per partition dir
+    val byDir = appended.groupBy(_.split('/').init.mkString("/"))
+    assert(byDir.keys.size === 4, s"expected 4 dirs, got ${byDir.keys}")
+    byDir.foreach { case (dir, fs) =>
+      assert(fs.size === 1, s"$dir got ${fs.size} files — spray, not clustered")
+    }
+    assert(spark.sql("SELECT count(*) FROM gdl.w WHERE k >= 1000")
+      .head().getLong(0) === 200L)
+    assert(spark.sql("SELECT count(*) FROM gdl.w").head().getLong(0) === 400L)
+  }
+
   test("copy-on-write remains the default (no property, files rewrite)") {
     spark.sql("CREATE TABLE gdl.c (k BIGINT, v STRING)")
     store.append("c", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
