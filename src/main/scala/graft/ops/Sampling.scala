@@ -433,6 +433,65 @@ object Sampling {
        | CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM sp GROUP BY split ORDER BY split""".stripMargin
 
+  /** TEMPERATURE-BASED mixture sampling to a TOKEN BUDGET — the "data
+    * recipe" materialization step: per-source sampling rates are chosen
+    * so expected selected tokens hit `budget` split across sources by
+    * p_s ∝ sqrt(share_s) (temperature τ=2 — the standard flattening
+    * that keeps small sources from vanishing), then document selection
+    * is a deterministic hash-threshold test — map-only, RNG-free,
+    * retry-stable, and NO per-source sort (an exact cumulative-sum cut
+    * would serialize each source through one partition; the rate-based
+    * form is what scales, trading exact budgets for expected ones).
+    * sqrt (unlike pow) is correctly-rounded IEEE, so both engines
+    * compute identical thresholds. */
+  def temperatureSample(docs: DataFrame, budget: Long): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("tok"))
+    val t = d.groupBy("source")
+      .agg(sum("tok").cast(DoubleType).as("ts"))
+    val g = t.agg(sum(sqrt(col("ts"))).as("sq"))
+    val rates = t.crossJoin(broadcast(g))
+      .select(col("source"),
+        least(lit(1.0),
+          (lit(budget.toDouble) * sqrt(col("ts")) / col("sq")) / col("ts"))
+          .as("rate"))
+      .select(col("source"),
+        floor(col("rate") * 1000000).cast(LongType).as("thresh"))
+    d.join(broadcast(rates), Seq("source"))
+      .filter(idHash(col("doc_id")) % 1000000 < col("thresh"))
+      .select("source", "doc_id", "tok")
+  }
+
+  private def dsTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    temperatureSample(t(spark, dir, "documents"), budget = 8000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum("tok").cast(LongType).as("sel_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("source")
+
+  private val dsTokenBudgetSql =
+    s"""WITH d AS (
+       | SELECT source, doc_id,
+       |  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT) AS tok
+       | FROM documents WHERE text IS NOT NULL),
+       |t AS (SELECT source, CAST(SUM(tok) AS DOUBLE) AS ts
+       |      FROM d GROUP BY source),
+       |g AS (SELECT SUM(SQRT(ts)) AS sq FROM t),
+       |r AS (SELECT source,
+       |       CAST(FLOOR(LEAST(1.0,
+       |         (8000.0 * SQRT(ts) / g.sq) / ts) * 1000000) AS BIGINT)
+       |         AS thresh
+       |      FROM t CROSS JOIN g),
+       |sel AS (SELECT d.source, d.doc_id, d.tok
+       |        FROM d JOIN r USING (source)
+       |        WHERE ${idHashSql("doc_id")} % 1000000 < r.thresh)
+       |SELECT source, COUNT(*) AS n_selected,
+       | CAST(SUM(tok) AS BIGINT) AS sel_tokens,
+       | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM sel GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ds_sample_hash", dsSampleHash, Some(dsSampleHashSql)),
     Q("ds_sample_stratified", dsSampleStratified, Some(dsSampleStratifiedSql)),
@@ -443,5 +502,6 @@ object Sampling {
     Q("ds_filter_quality", dsFilterQuality, Some(dsFilterQualitySql)),
     Q("ds_train_split", dsTrainSplit, Some(dsTrainSplitSql)),
     Q("ds_pack_text", dsPackText, Some(dsPackTextSql)),
-    Q("ds_split_leakfree", dsSplitLeakfree, Some(dsSplitLeakfreeSql)))
+    Q("ds_split_leakfree", dsSplitLeakfree, Some(dsSplitLeakfreeSql)),
+    Q("ds_token_budget", dsTokenBudget, Some(dsTokenBudgetSql)))
 }

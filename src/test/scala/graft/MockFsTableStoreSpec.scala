@@ -144,4 +144,43 @@ class MockFsTableStoreSpec extends SparkSpec {
     assert(st.read("t").filter(col("id") === 1).select("v")
       .collect()(0).getString(0) === "changed")
   }
+
+  test("round-7 surfaces hold on the non-file branch: namespaces, views, " +
+    "MoR update/apply, position deletes") {
+    import spark.implicits._
+    val st = newStore()
+    // namespaces + markers through the generic atomicWrite path
+    st.createNamespace(Seq("ns"), Map("tier" -> "t"))
+    assert(st.namespaceExists(Seq("ns")))
+    assert(st.namespaceProps(Seq("ns")) === Map("tier" -> "t"))
+    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    st.create("ns.t", df.schema)
+    st.append("ns.t", df)
+    // views (marker files) resolve and read back
+    st.createView("ns.view1", "SELECT 1 AS one")
+    assert(st.viewExists("ns.view1"))
+    assert(st.viewSql("ns.view1") === "SELECT 1 AS one")
+    assert(st.dropView("ns.view1"))
+    // MoR update: position sidecar + appended rows, one commit
+    val files = st.currentRelPaths("ns.t").toSet
+    st.updateMoR("ns.t", col("k") <= 5, Map("v" -> lit("u")))
+    assert(files.subsetOf(st.currentRelPaths("ns.t").toSet))
+    assert(st.pendingDeletes("ns.t") === 1)
+    assert(st.read("ns.t").filter(col("v") === "u").count() === 5L)
+    // MoR CDC apply (property-routed)
+    st.setProperties("ns.t", Map("write.merge.mode" -> Some("merge-on-read")))
+    st.applyNet("ns.t", Seq(7L).toDF("k"), Seq((7L, "seven")).toDF("k", "v"),
+      Seq("k"))
+    assert(st.read("ns.t").filter(col("k") === 7).select("v")
+      .head().getString(0) === "seven")
+    // position delete + materialize fold
+    st.deletePos("ns.t", col("k") > 45)
+    assert(st.read("ns.t").count() === 45L)
+    st.materializeDeletes("ns.t")
+    assert(st.pendingDeletes("ns.t") === 0)
+    assert(st.read("ns.t").count() === 45L)
+    // cascade teardown
+    assert(st.dropNamespace(Seq("ns"), cascade = true))
+    assert(!st.exists("ns.t"))
+  }
 }

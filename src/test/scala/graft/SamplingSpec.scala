@@ -168,6 +168,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample: expected budget, temperature flattening, " +
+    "determinism, rate cap") {
+    import spark.implicits._
+    // source A: 100 docs x 100 tokens; source B: 20 docs x 10 tokens
+    val docs = ((1L to 100L).map(i => (i, "A", Seq.fill(100)("w").mkString(" "))) ++
+      (201L to 220L).map(i => (i, "B", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val sel = Sampling.temperatureSample(docs, budget = 2000L)
+    val byS = sel.groupBy("source").agg(sum("tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byS.values.sum
+    // expected-budget semantics: within a loose band of the target
+    assert(total > 1000 && total < 3200, s"total $total vs budget 2000")
+    // temperature flattening: B's raw token share is 200/10200 (~2%),
+    // but sqrt weighting gives it sqrt(200)/(sqrt(10000)+sqrt(200)) ~12%
+    // of the budget -> B's selected share must exceed its raw share
+    val bShare = byS.getOrElse("B", 0L).toDouble / total
+    assert(bShare > 0.05, s"B share $bShare not flattened upward")
+    // deterministic: the same call selects the same docs
+    val ids1 = sel.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Sampling.temperatureSample(docs, budget = 2000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.toSeq === ids2.toSeq)
+    // a budget above the corpus selects everything (rate caps at 1)
+    assert(Sampling.temperatureSample(docs, budget = 1000000L).count() === 120L)
+  }
+
   test("leakFreeSplit keeps near-dup pairs in one split; " +
     "singletons match the per-doc split") {
     import spark.implicits._
