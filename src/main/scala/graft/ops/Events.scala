@@ -467,7 +467,47 @@ object Events {
       |FROM sp LEFT JOIN d ON sp.user_id = d.user_id AND sp.day = d.day
       |ORDER BY 1, 2""".stripMargin
 
+  /** Event-transition matrix (first-order Markov chain over each user's
+    * event stream): per (from, to) event-type pair, transition counts
+    * and the conditional probability P(to | from). One LEAD window per
+    * user — the shuffle carries (user, ts, type) triples partitioned by
+    * user, so at 100 TB the sort is bounded by a user's history, never
+    * global — then a tiny (|types|²) aggregate. Probabilities are exact
+    * int/int divisions. Ties on ts break by event_id (total order, so
+    * both engines pick the same successor). */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum("n").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast(DoubleType) / col("from_total")).as("p"))
+  }
+
+  private def evMarkov(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrix(ev(spark, dir)).orderBy("from_type", "to_type")
+
+  private val evMarkovSql =
+    """WITH seq AS (
+      | SELECT user_id, event_type AS from_type,
+      |  LEAD(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS to_type
+      | FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n
+      |      FROM seq WHERE to_type IS NOT NULL
+      |      GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      | CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("ev_markov", evMarkov, Some(evMarkovSql)),
     Q("ev_tumbling_window", evTumbling, Some(evTumblingSql)),
     Q("ev_sliding_window", evSliding, Some(evSlidingSql)),
     Q("ev_window_topk", evWindowTopk, Some(evWindowTopkSql)),

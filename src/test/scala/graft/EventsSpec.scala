@@ -99,4 +99,27 @@ class EventsSpec extends SparkSpec {
       (1L, "2024-01-04", 1L, 2.5),
       (2L, "2024-02-10", 3L, 1.0)))
   }
+
+  test("transition matrix: per-user successors, ties by event_id, " +
+    "probabilities sum to one per source state") {
+    import spark.implicits._
+    import graft.ops.Events
+    // user 1: a->b->a ; user 2: a->b (same ts ties broken by event_id)
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 10L, "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 10L, "b"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 10L, "a"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 20L, "a"),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 20L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.transitionMatrix(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("a", "b")) === ((2L, 1.0)))   // a always transitions to b
+    assert(out(("b", "a")) === ((1L, 1.0)))   // user 1 only
+    assert(out.size === 2)                     // no cross-user pair (3->4)
+    // per-from probabilities sum to 1
+    out.groupBy(_._1._1).foreach { case (_, m) =>
+      assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-12)
+    }
+  }
 }
