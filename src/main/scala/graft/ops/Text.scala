@@ -838,7 +838,6 @@ object Text {
     * billions of junk terms and cannot broadcast.
     */
   def perplexity(docs: DataFrame, vocabCap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode_outer(tokens(lower(col("text")))).as("term"))
     val tc = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
@@ -846,9 +845,11 @@ object Text {
     // broadcast LM only, not to the smoothing denominator).
     val tot = tc.agg(sum("cnt").cast(DoubleType).as("n_total"),
       count(lit(1)).cast(DoubleType).as("v_total"))
-    val lm = tc.withColumn("rk",
-        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
-      .filter(col("rk") <= vocabCap).drop("rk")
+    // top-K via orderBy+limit = distributed TakeOrdered (per-partition
+    // top-K then a K-sized merge) — a global-window row_number here
+    // would single-partition-sort the ENTIRE vocabulary, which on web
+    // text is billions of junk terms
+    val lm = tc.orderBy(col("cnt").desc, col("term")).limit(vocabCap)
     // score at the TOKEN level: the LM broadcast-joins the raw token
     // stream (map-only) and partial sums combine per doc before the one
     // doc-keyed shuffle — the alternative (doc,term) pre-aggregation
