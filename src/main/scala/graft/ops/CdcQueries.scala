@@ -238,14 +238,15 @@ object CdcQueries {
     store.setProperties("orders",
       Map("write.merge.mode" -> Some("merge-on-read")))
     store.append("orders", orders.repartitionByRange(8, col("o_orderkey")))
-    val filesBefore = store.currentRelPaths("orders").size
+    val before = store.currentRelPaths("orders").toSet
     val env = orderEnvelopes(orders)
     CdcApply.applyEnvelopes(spark, store,
       CdcApply.CdcConfig("orders", Seq("o_orderkey")), env)
-    require(store.currentRelPaths("orders").size > filesBefore,
-      "MoR apply must append upsert files")
-    require(store.currentRelPaths("orders").take(filesBefore).nonEmpty &&
-      store.pendingDeletes("orders") == 1,
+    val after = store.currentRelPaths("orders").toSet
+    require(after.size > before.size, "MoR apply must append upsert files")
+    require(before.subsetOf(after),
+      "MoR apply must not rewrite the original data files")
+    require(store.pendingDeletes("orders") == 1,
       s"expected 1 pending equality sidecar, got " +
         s"${store.pendingDeletes("orders")}")
     store.read("orders")

@@ -443,22 +443,30 @@ object Sampling {
     * would serialize each source through one partition; the rate-based
     * form is what scales, trading exact budgets for expected ones).
     * sqrt (unlike pow) is correctly-rounded IEEE, so both engines
-    * compute identical thresholds. */
+    * compute identical thresholds. The cross-source sqrt-sum is reduced
+    * ON THE DRIVER in source order (rows ∝ #sources, a handful): a
+    * distributed double sum has nondeterministic addition order, and a
+    * one-ulp difference exactly at an integer boundary would flip
+    * floor() and change the selected set; the left-to-right fold here
+    * matches the ordered aggregate the oracle uses. */
   def temperatureSample(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val d = docs.filter(col("text").isNotNull)
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast(LongType).as("tok"))
-    val t = d.groupBy("source")
+    val perSource = d.groupBy("source")
       .agg(sum("tok").cast(DoubleType).as("ts"))
-    val g = t.agg(sum(sqrt(col("ts"))).as("sq"))
-    val rates = t.crossJoin(broadcast(g))
-      .select(col("source"),
-        least(lit(1.0),
-          (lit(budget.toDouble) * sqrt(col("ts")) / col("sq")) / col("ts"))
-          .as("rate"))
-      .select(col("source"),
-        floor(col("rate") * 1000000).cast(LongType).as("thresh"))
-    d.join(broadcast(rates), Seq("source"))
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val sq = perSource.foldLeft(0.0) { case (acc, (_, ts)) =>
+      acc + math.sqrt(ts)
+    }
+    val rates = perSource.toSeq.map { case (s, ts) =>
+      val rate = math.min(1.0, (budget.toDouble * math.sqrt(ts) / sq) / ts)
+      (s, math.floor(rate * 1000000).toLong)
+    }
+    d.join(broadcast(rates.toDF("source", "thresh")), Seq("source"))
       .filter(idHash(col("doc_id")) % 1000000 < col("thresh"))
       .select("source", "doc_id", "tok")
   }
@@ -478,7 +486,7 @@ object Sampling {
        | FROM documents WHERE text IS NOT NULL),
        |t AS (SELECT source, CAST(SUM(tok) AS DOUBLE) AS ts
        |      FROM d GROUP BY source),
-       |g AS (SELECT SUM(SQRT(ts)) AS sq FROM t),
+       |g AS (SELECT SUM(SQRT(ts) ORDER BY source) AS sq FROM t),
        |r AS (SELECT source,
        |       CAST(FLOOR(LEAST(1.0,
        |         (8000.0 * SQRT(ts) / g.sq) / ts) * 1000000) AS BIGINT)

@@ -1177,6 +1177,19 @@ object TableQueries2 {
       .createOrReplaceTempView(srcD)
     spark.sql(s"INSERT INTO gspj.$fact SELECT * FROM $srcF")
     spark.sql(s"INSERT INTO gspj.$dim SELECT * FROM $srcD")
+    // pile MERGE-ON-READ tombstones onto the fact table — one equality
+    // sidecar (the CDC tombstone shape) and one position sidecar — and
+    // require they are STILL PENDING at read time: the zero-exchange
+    // join must survive exactly the state a CDC-busy MoR table lives in
+    // (the V2 readers mask per file; see GraftMaskedReaderFactory)
+    import org.apache.spark.sql.functions.col
+    val store = new graft.tables.TableStore(spark, root)
+    store.deleteMoR(fact,
+      t(spark, dir, "orders").filter(col("o_orderkey") % 19 === 0)
+        .select("o_orderkey"), Seq("o_orderkey"))
+    store.deletePos(fact, col("o_totalprice") > 200000.0)
+    require(store.pendingDeletes(fact) == 2,
+      s"expected 2 pending MoR sidecars, got ${store.pendingDeletes(fact)}")
     val confs = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
@@ -1203,6 +1216,8 @@ object TableQueries2 {
       // the bucket-keyed aggregate must add NO hash exchange
       require(!plan.contains("Exchange hashpartitioning"),
         s"SPJ gate expected a shuffle-free join+aggregate, got:\n$plan")
+      require(store.pendingDeletes(fact) == 2,
+        "the masked read must leave the sidecars pending (MoR, not CoW)")
       // re-issue under restored confs: the RESULT the driver compares is
       // conf-independent, only the plan shape needed the pinned settings
       q
@@ -1217,6 +1232,7 @@ object TableQueries2 {
       |  count(*) AS cnt,
       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderkey % 19 <> 0 AND o.o_totalprice <= 200000.0
       |GROUP BY o.o_custkey, c.c_mktsegment
       |ORDER BY custkey, seg""".stripMargin
 

@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Murmur3HashFunction, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BoundReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Murmur3HashFunction, StartsWith, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** Storage-partitioned-join scan: a TRUE DSv2 batch scan over a
@@ -29,9 +29,13 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * matching buckets directly.
   *
   * Eligibility is decided by [[TableStore.spjPlan]] (all-bucket spec, one
-  * spec generation, no pending MoR deletes, no renames); every other
-  * table state falls back to the V1 scan, so this path never has to
-  * reproduce masking or relabel semantics. File pruning reuses the SAME
+  * spec generation, no renames); every other table state falls back to
+  * the V1 scan. Pending merge-on-read deletes do NOT fall back: the
+  * sidecars ship as an [[TableStore.SpjDeleteMask]] and every read task
+  * applies them in memory per file ([[GraftMaskedReaderFactory]]) —
+  * masking drops rows WITHIN a bucket, so KeyGroupedPartitioning (and
+  * the zero-exchange join) survives the CDC tombstones that a busy
+  * merge-on-read table always carries. File pruning reuses the SAME
   * [[ZoneMapFileIndex]] the V1 relation plans through (zone stats, bloom
   * sidecars, bucket-dir arithmetic), so pushed filters skip files
   * identically on both paths.
@@ -58,7 +62,9 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftBatchScan $tbl layout=[${plan.fields.map(_.render).mkString(", ")}] " +
-      s"prunedBy=[${pruning.mkString(", ")}]"
+      s"prunedBy=[${pruning.mkString(", ")}]" +
+      plan.mask.map(m => s" morMask=[eq=${m.eq.size}, " +
+        s"posFiles=${m.posFiles.size}]").getOrElse("")
 
   // ---- partitioning ---------------------------------------------------------
 
@@ -125,7 +131,11 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
           PartitionedFile(InternalRow.empty,
             org.apache.spark.paths.SparkPath.fromPathString(path),
             0L, len, Array.empty, 0L, len, Map.empty)
-        }.toArray): InputPartition)
+        }.toArray,
+        // rel path under data/ — the key the delete mask's fileSeqs and
+        // position sidecars use (same split the V1 masked read applies
+        // to _metadata.file_path)
+        files.map(_._1.split("/data/").last).toArray): InputPartition)
     }.toArray
   }
 
@@ -133,26 +143,66 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
 
   // ---- reading --------------------------------------------------------------
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // Built ONCE on the driver; ParquetFileFormat returns a serializable
-    // closure (hadoopConf travels as its own broadcast) designed for
-    // exactly this shipping. Filters go to parquet for row-group/page
-    // skipping — exact evaluation stays with Spark's residual filter.
-    // Missing columns (post-evolution files) read back null; INT32/FLOAT
-    // pages upcast natively under a widened required schema. The
-    // vectorized reader stays ON but returns ROWS (returning_batch=false)
-    // — the DSv2 row-based PartitionReader contract.
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+  /** Driver-built serializable parquet read closure (hadoopConf travels
+    * as its own broadcast — ParquetFileFormat is designed for exactly
+    * this shipping). Filters go to parquet for row-group/page skipping —
+    * exact evaluation stays with Spark's residual filter. Missing
+    * columns (post-evolution files) read back null; INT32/FLOAT pages
+    * upcast natively under a widened required schema. The vectorized
+    * reader stays ON but returns ROWS (returning_batch=false) — the DSv2
+    * row-based PartitionReader contract. */
+  private def buildRead(dataSchema: StructType, requiredSchema: StructType,
+      filters: Seq[Filter]): PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      dataSchema = plan.bundle.dataSch,
+      dataSchema = dataSchema,
       partitionSchema = new StructType(),
-      requiredSchema = required,
-      filters = pruning.toSeq,
+      requiredSchema = requiredSchema,
+      filters = filters,
       options = Map(
         org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = spark.sessionState.newHadoopConf())
-    new GraftReaderFactory(readFunc)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dataSch = plan.bundle.dataSch
+    plan.mask match {
+      case None => new GraftReaderFactory(buildRead(dataSch, required, pruning.toSeq))
+      case Some(m) =>
+        // pending MoR deletes: widen the read so masking has what it
+        // needs — equality-delete key columns the projection pruned
+        // away, and the parquet reader's TRUE row ordinal (populated
+        // from page-store row ranges, so row-group/page skipping never
+        // desynchronizes it) when position sidecars are pending. The
+        // extra columns are dropped after masking.
+        val eqCols = m.eq.flatMap(_.cols).distinct
+        val missing = eqCols.filterNot(required.fieldNames.contains)
+        val needPos = m.posFiles.nonEmpty
+        var widened = missing.foldLeft(required)((s, c) =>
+          s.add(dataSch(dataSch.fieldIndex(c))))
+        // the reader-recognized temp name; MUST be nullable so the
+        // parquet reader classifies it "missing in file" and hands it
+        // to the RowIndexGenerator instead of erroring
+        if (needPos)
+          widened = widened.add(StructField(
+            ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+            LongType, nullable = true))
+        val keySchemas: Map[Seq[String], StructType] =
+          m.eq.map(_.cols).distinct.map { cs =>
+            cs -> StructType(cs.map(c =>
+              dataSch(dataSch.fieldIndex(c)).copy(nullable = true)))
+          }.toMap
+        val delFuncs = keySchemas.map { case (cs, ks) =>
+          cs -> buildRead(ks, ks, Nil)
+        }
+        val posSchema = StructType(Seq(
+          StructField(TableStore.PosFileCol, StringType, nullable = true),
+          StructField(TableStore.PosIdxCol, LongType, nullable = true)))
+        val posFunc =
+          if (needPos) Some(buildRead(posSchema, posSchema, Nil)) else None
+        new GraftMaskedReaderFactory(buildRead(dataSch, widened, pruning.toSeq),
+          widened, required, m, delFuncs, keySchemas, posFunc)
+    }
   }
 
   // ---- statistics -----------------------------------------------------------
@@ -314,9 +364,11 @@ private[tables] object GraftBatchScan {
 
 /** One bucket-tuple's worth of files. `keyVals` are the directory's
   * parsed bucket ids (plain Ints — serializable by construction) in spec
-  * order, matching the reported KeyGroupedPartitioning keys. */
+  * order, matching the reported KeyGroupedPartitioning keys. `rels` are
+  * the files' rel paths under `data/` (parallel to `files`) — the keys
+  * the pending-delete mask is scoped by. */
 private[tables] final case class GraftInputPartition(keyVals: Array[Any],
-    files: Array[PartitionedFile])
+    files: Array[PartitionedFile], rels: Array[String])
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow.fromSeq(keyVals.toSeq)
@@ -351,6 +403,143 @@ private[tables] final class GraftReaderFactory(
           } else if (files.hasNext) {
             cur = readFunc(files.next()).asInstanceOf[Iterator[Object]]
           } else return false
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** SPJ reader with pending merge-on-read deletes applied per file —
+  * the Iceberg MoR read shape: each task re-reads the (small, byte-
+  * capped at plan time) applicable delete sidecars, builds in-memory
+  * masks once, and drops masked rows while streaming its data files.
+  * Equality entries mask a file only when their commit sequence is
+  * ABOVE the file's recorded sequence (the rule that lets a later
+  * append re-insert a deleted key); delete keys containing any null
+  * mask nothing (equality semantics — and an all-set UnsafeRow probe
+  * can never bytewise-equal a set member with a null bit, so null data
+  * keys are safe by construction). Position entries mask by (rel path,
+  * true parquet row ordinal). Masking never moves a row between
+  * buckets, so the scan's reported KeyGroupedPartitioning stays exact.
+  *
+  * Mirrors [[TableStore.morMasked]]'s semantics (sequence classes,
+  * union-of-entries per key set, file-scoped position masks) without
+  * its DataFrame anti-joins — which would sit between scan and join
+  * and forfeit the zero-exchange plan this scan exists to keep. */
+private[tables] final class GraftMaskedReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    widened: StructType, output: StructType,
+    mask: TableStore.SpjDeleteMask,
+    delFuncs: Map[Seq[String], PartitionedFile => Iterator[InternalRow]],
+    keySchemas: Map[Seq[String], StructType],
+    posFunc: Option[PartitionedFile => Iterator[InternalRow]])
+  extends PartitionReaderFactory {
+
+  private def pfOf(path: String, len: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(path),
+      0L, len, Array.empty, 0L, len, Map.empty)
+
+  /** Vectorized readers hand back ColumnarBatch disguised as
+    * InternalRow — flatten to true rows (same contract as
+    * [[GraftReaderFactory]]). */
+  private def flatRows(f: PartitionedFile => Iterator[InternalRow],
+      file: PartitionedFile): Iterator[InternalRow] =
+    f(file).asInstanceOf[Iterator[Object]].flatMap {
+      case b: ColumnarBatch => b.rowIterator().asScala
+      case r: InternalRow => Iterator.single(r)
+    }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftInputPartition]
+    // per-task mask state, built once and shared by the task's files
+    val eqSets: Seq[(Seq[String], Int, java.util.HashSet[UnsafeRow])] =
+      mask.eq.map { e =>
+        val ks = keySchemas(e.cols)
+        val proj = UnsafeProjection.create(ks)
+        val set = new java.util.HashSet[UnsafeRow]()
+        e.files.foreach { case (path, len) =>
+          flatRows(delFuncs(e.cols), pfOf(path, len)).foreach { r =>
+            if (!(0 until ks.length).exists(r.isNullAt)) {
+              set.add(proj(r).copy()); ()
+            }
+          }
+        }
+        (e.cols, e.seq, set)
+      }
+    val posSets: Map[String, java.util.HashSet[java.lang.Long]] =
+      posFunc match {
+        case None => Map.empty
+        case Some(f) =>
+          val m = scala.collection.mutable.Map
+            .empty[String, java.util.HashSet[java.lang.Long]]
+          mask.posFiles.foreach { case (path, len) =>
+            flatRows(f, pfOf(path, len)).foreach { r =>
+              if (!r.isNullAt(0) && !r.isNullAt(1)) {
+                m.getOrElseUpdate(r.getUTF8String(0).toString,
+                  new java.util.HashSet[java.lang.Long]())
+                  .add(r.getLong(1)); ()
+              }
+            }
+          }
+          m.toMap
+      }
+    val posOrd =
+      if (posFunc.isDefined)
+        widened.fieldIndex(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME)
+      else -1
+    val keyProjs: Map[Seq[String], UnsafeProjection] =
+      mask.eq.map(_.cols).distinct.map { cols =>
+        cols -> UnsafeProjection.create(cols.map { c =>
+          val i = widened.fieldIndex(c)
+          BoundReference(i, widened(i).dataType, nullable = true): Expression
+        })
+      }.toMap
+    val outProj: InternalRow => InternalRow =
+      if (widened == output) identity
+      else {
+        val proj = UnsafeProjection.create(
+          output.fieldNames.toIndexedSeq.map { c =>
+            val i = widened.fieldIndex(c)
+            BoundReference(i, widened(i).dataType,
+              widened(i).nullable): Expression
+          })
+        proj(_)
+      }
+
+    new PartitionReader[InternalRow] {
+      private var fi = -1
+      private var cur: Iterator[InternalRow] = Iterator.empty
+      private var applicable
+          : Seq[(UnsafeProjection, java.util.HashSet[UnsafeRow])] = Nil
+      private var posSet: java.util.HashSet[java.lang.Long] = null
+      private var row: InternalRow = _
+      private def advanceFile(): Boolean = {
+        fi += 1
+        if (fi >= part.files.length) return false
+        val fseq = mask.fileSeqs.getOrElse(part.rels(fi), 0)
+        applicable = eqSets.collect {
+          case (cols, seq, set) if seq > fseq && !set.isEmpty =>
+            (keyProjs(cols), set)
+        }
+        posSet = posSets.getOrElse(part.rels(fi), null)
+        cur = flatRows(readFunc, part.files(fi))
+        true
+      }
+      override def next(): Boolean = {
+        while (true) {
+          if (cur.hasNext) {
+            val r = cur.next()
+            val masked =
+              (posSet != null && posSet.contains(r.getLong(posOrd))) ||
+                applicable.exists { case (proj, set) =>
+                  set.contains(proj(r))
+                }
+            if (!masked) { row = outProj(r); return true }
+          } else if (!advanceFile()) return false
         }
         false
       }

@@ -606,7 +606,8 @@ final class TableStore(private[tables] val spark: SparkSession,
 
   def namespaceExists(ns: Seq[String]): Boolean =
     fs.exists(nsMarker(ns)) ||
-      tables().exists(_.startsWith(nsKey(ns) + "."))
+      tables().exists(_.startsWith(nsKey(ns) + ".")) ||
+      views().exists(_.startsWith(nsKey(ns) + "."))
 
   /** Every namespace: explicit markers plus those implied by live
     * dotted table names (all prefixes, so `a.b.t` implies [a] and
@@ -618,10 +619,11 @@ final class TableStore(private[tables] val spark: SparkSession,
         .filter(n => n.startsWith("_ns_") && n.endsWith(".json"))
         .map(n => n.stripPrefix("_ns_").stripSuffix(".json")
           .split('.').toSeq)
-    val implied = tables().filter(_.contains('.')).flatMap { t =>
-      val levels = t.split('.').dropRight(1)
-      (1 to levels.length).map(k => levels.take(k).toSeq)
-    }
+    val implied =
+      (tables() ++ views()).filter(_.contains('.')).flatMap { t =>
+        val levels = t.split('.').dropRight(1)
+        (1 to levels.length).map(k => levels.take(k).toSeq)
+      }
     (explicit ++ implied).distinct.sortBy(nsKey)
   }
 
@@ -660,15 +662,17 @@ final class TableStore(private[tables] val spark: SparkSession,
   }
 
   /** Drop a namespace. Refuses a non-empty one unless `cascade`, which
-    * drops every table under the prefix (including nested namespaces'
-    * tables — their implied namespaces vanish with them). */
+    * drops every table AND view under the prefix (including nested
+    * namespaces' members — their implied namespaces vanish with them). */
   def dropNamespace(ns: Seq[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(ns)) return false
     val prefix = nsKey(ns) + "."
     val inNs = tables().filter(_.startsWith(prefix))
-    require(inNs.isEmpty || cascade,
+    val viewsInNs = views().filter(_.startsWith(prefix))
+    require((inNs.isEmpty && viewsInNs.isEmpty) || cascade,
       s"namespace ${nsKey(ns)} is not empty " +
-        s"(${inNs.size} tables) — use CASCADE")
+        s"(${inNs.size} tables, ${viewsInNs.size} views) — use CASCADE")
+    viewsInNs.foreach(dropView)
     inNs.foreach(drop)
     // cascade also removes explicit markers of nested namespaces
     namespaces().filter(n => nsKey(n).startsWith(prefix))
@@ -1614,8 +1618,15 @@ final class TableStore(private[tables] val spark: SparkSession,
     *    clusterings);
     *  - one spec generation (mixed layouts union two relations — no
     *    single partitioning to report);
-    *  - no pending merge-on-read deletes (masking needs the anti-join
-    *    read);
+    *  - pending merge-on-read deletes are SERVED, not declined: the
+    *    sidecars ship to the readers as an [[TableStore.SpjDeleteMask]]
+    *    and every task masks its own files in memory (Iceberg's MoR read
+    *    shape), so a CDC-busy merge-on-read table KEEPS its
+    *    zero-exchange joins — masking is row-dropping within a bucket,
+    *    which preserves KeyGroupedPartitioning. The only declines are a
+    *    sidecar set too large to hold per task
+    *    ([[TableStore.SpjMaskMaxBytes]]) or an equality-delete key no
+    *    longer in the schema;
     *  - no logical/physical name drift anywhere in the schema (renames
     *    need the relabel projection; type WIDENING is fine — the parquet
     *    reader upcasts INT32/FLOAT pages natively under the widened
@@ -1635,11 +1646,34 @@ final class TableStore(private[tables] val spark: SparkSession,
     // (classic hive) and stay on the V1 path — a missed optimization
     // there, never a correctness gap.
     if (fields.isEmpty || fields.exists(_.isIdentity)) return None
-    if (pendingDeletes(name) > 0) return None
     if (!TableStore.sameNameTree(schema(name), physSchema(name))) return None
     val version = currentVersion(name)
+    val entries = readDeleteEntries(name, version)
+    val mask: Option[TableStore.SpjDeleteMask] =
+      if (entries.isEmpty) None
+      else {
+        val (posE, eqE) =
+          entries.partition(_.cols == Seq(TableStore.PosMarker))
+        // no renames here (sameNameTree gate), so sidecar physical key
+        // names ARE current logical names — but a dropped key column
+        // cannot be masked by a raw reader
+        val live = schema(name).fieldNames.toSet
+        if (!eqE.forall(_.cols.forall(live.contains))) return None
+        def sidecarFiles(rel: String): Seq[(String, Long)] =
+          listStatusRec(new HPath(deletesDir(name), rel))
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(st => (st.getPath.toString, st.getLen))
+        val eqSpecs = eqE.map(e =>
+          TableStore.SpjEqDelete(e.cols, e.seq, sidecarFiles(e.rel)))
+        val posFiles = posE.flatMap(e => sidecarFiles(e.rel))
+        val totalBytes =
+          (eqSpecs.flatMap(_.files) ++ posFiles).map(_._2).sum
+        if (totalBytes > TableStore.SpjMaskMaxBytes) return None
+        Some(TableStore.SpjDeleteMask(eqSpecs, posFiles,
+          readSeqs(name, version)))
+      }
     Some(TableStore.SpjPlan(version, fields,
-      zoneIndexFor(name, specId, rels, version)))
+      zoneIndexFor(name, specId, rels, version), mask))
   }
 
   /** Parsed partition values of one hive-style directory (`a=1/b=x`), in
@@ -4990,6 +5024,14 @@ object TableStore {
   private[tables] val PosFileCol: String = "__graft_pos_file"
   private[tables] val PosIdxCol: String = "__graft_pos_idx"
 
+  /** Largest total pending-delete sidecar byte size the SPJ batch scan
+    * will mask in its readers. Per-task sidecar re-reading is the
+    * Iceberg MoR trade (cost = tasks × sidecar bytes, each set held in
+    * executor memory); a table that has accumulated more pending
+    * tombstones than this stays on the V1 masked read until maintenance
+    * folds them ([[TableStore.materializeDeletes]] / compaction). */
+  private[tables] val SpjMaskMaxBytes: Long = 256L * 1024 * 1024
+
   /** Change-feed label columns (the Delta-CDF spellings, so downstream
     * consumers port unchanged). */
   val ChangeTypeCol: String = "_change_type"
@@ -5014,14 +5056,33 @@ object TableStore {
       dataSch: org.apache.spark.sql.types.StructType,
       physSch: org.apache.spark.sql.types.StructType)
 
+  /** One pending equality-delete sidecar as the SPJ batch reader sees
+    * it: key columns (physical == logical under the no-rename gate),
+    * the commit sequence it applies FROM (masks only files with a lower
+    * recorded sequence), and its parquet part files (path, length). */
+  private[tables] final case class SpjEqDelete(cols: Seq[String], seq: Int,
+      files: Seq[(String, Long)])
+
+  /** Pending merge-on-read delete state the SPJ batch reader must apply
+    * per data file (Iceberg-style: each read task re-reads the small
+    * applicable sidecars and masks in memory, so the bucket layout —
+    * and with it the zero-exchange join — survives CDC tombstones).
+    * `fileSeqs` maps data-file rel paths to their recorded sequence;
+    * an absent file predates every pending delete. */
+  private[tables] final case class SpjDeleteMask(eq: Seq[SpjEqDelete],
+      posFiles: Seq[(String, Long)],
+      fileSeqs: Map[String, Int])
+
   /** Inputs of the storage-partitioned-join batch scan (see
     * [[TableStore.spjPlan]]): the snapshot version it was planned
-    * against, the all-bucket partition spec in layout order, and the
+    * against, the all-bucket partition spec in layout order, the
     * zone-index bundle whose `listFiles` supplies pruned candidates
-    * grouped by bucket tuple. */
+    * grouped by bucket tuple, and the pending-delete mask the reader
+    * applies per file (None = nothing pending). */
   private[tables] final case class SpjPlan(version: Int,
       fields: Seq[PartitionField],
-      bundle: ZoneIndexBundle)
+      bundle: ZoneIndexBundle,
+      mask: Option[SpjDeleteMask])
 
   /** Structural name/type equality at every nesting level — true when no
     * logical→physical rename exists anywhere, so logical rows ARE

