@@ -70,7 +70,7 @@ object Dedup {
   /** 64-bit SimHash; sign of each counter becomes the bit. */
   def simhash(text: Column): Column = simhashFromCounts(simhashCounts(text))
 
-  private val MaxBucket = 50 // cap degenerate LSH buckets (skew guard)
+  private[ops] val MaxBucket = 50 // cap degenerate LSH buckets (skew guard)
   private val ContainmentDfCap = 5 // posting-list blocking cap (see containmentPairs)
   private val NgramBlockCap = 32 // prefix-blocking cap (see ddNgramJaccard)
 
@@ -352,14 +352,22 @@ object Dedup {
       (0 until 64).map(b =>
         when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_.bitwiseOR(_)).as("sig"))
-    // one LONG bucket key per 16-bit chunk: chunk<<32 | chunk value
+    hammingPairs(sigs, maxHamming = 3).orderBy("a", "b")
+  }
+
+  /** Hamming-LSH candidate pairs over 64-bit signatures `(doc_id, sig)`:
+    * one LONG bucket key per 16-bit chunk (a pair within Hamming ≤ 3
+    * shares some chunk by pigeonhole; larger thresholds trade recall),
+    * capped buckets (skew guard), and the signature travels WITH the
+    * pair (collect struct, expand pairs) — one pass over the signature
+    * pipeline, no verify rejoin. Shared by SimHash text near-dup and
+    * dHash perceptual image near-dup ([[Multimodal.phashDedup]]). */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(j =>
         lit(j.toLong) * lit(4294967296L) +
           shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as("bucket"))
-    // the signature travels WITH the pair (collect struct, expand pairs) —
-    // one pass over the signature pipeline, no verify rejoin
     val grouped = chunks.groupBy("bucket")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
@@ -373,8 +381,7 @@ object Dedup {
       .select(col("p.x.doc_id").as("a"), col("p.y.doc_id").as("b"),
         expr("bit_count(p.x.sig ^ p.y.sig)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy("a", "b")
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Candidate pairs from cheap prefix blocking, verified by exact n-gram
@@ -685,6 +692,121 @@ object Dedup {
        |           JOIN shd y ON y.doc_id = cand.b)
        |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin
 
+  // ---- exact substring dedup -------------------------------------------------
+
+  /** EXACT SUBSTRING (span-level) DEDUP — the standard suffix-array dedup
+    * of LLM corpus prep (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed as distributed
+    * window-hash matching: hash every k-token window; a window seen in
+    * MORE THAN ONE document is a duplicated-span seed whose canonical
+    * occurrence is the LOWEST doc_id containing it, and every token
+    * covered by a duplicated window in any OTHER document is excised. A
+    * shared span of length L ≥ k yields L−k+1 colliding windows whose
+    * union covers the whole span, so the excision is exactly the maximal
+    * cross-document duplicated region at window resolution — unlike the
+    * doc-level near-dup family, this removes a 200-token boilerplate
+    * shared by millions of otherwise-distinct documents while keeping
+    * one canonical copy. (Within-document repetition is deliberately out
+    * of scope — that is txt_repetition's signal, not corpus duplication.)
+    *
+    * Scale: tokens explode once to (doc, pos) — linear in corpus tokens;
+    * windows shuffle as FIXED-WIDTH md5 keys (the gram text never leaves
+    * the map side); duplicated-window detection is a groupBy with
+    * map-side combine; the covered-position set is proportional to the
+    * duplicated volume, not the corpus. A mega-duplicated boilerplate
+    * gram is a single hot join key — exactly the AQE skew-join case; no
+    * silent frequency cap here because excision must stay exact.
+    *
+    * Returns one row per input document: `doc_id`, `n_tokens`,
+    * `n_removed`, and `clean_md5` (md5 of the space-joined surviving
+    * tokens; md5("") when everything was excised). */
+  def substringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tokPos = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val grams = toks.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+        .as(Seq("pos", "g")))
+    val dup = grams.groupBy("g")
+      .agg(min("doc_id").as("keeper"), count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("g", "keeper")
+    val covered = grams.join(dup, "g")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val cleaned = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ")).as("clean_md5"))
+    // a fully-excised doc (an exact whole-doc duplicate) must still be
+    // reported — with zero kept tokens and the empty-string hash
+    tokPos.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  /** Shared 11-token boilerplate the gate plants (11 ≥ k=8 so it seeds
+    * pure-boilerplate windows of its own). Interpolated into BOTH
+    * engines' inputs — change it here and nowhere else. */
+  private val Boiler =
+    "the quick brown fox jumps over the lazy dog again and again"
+
+  /** Gate: the corpus plus a planted prefix-augmented copy of every 7th
+    * doc (doc_id + 1,000,000). Each augmented doc shares (a) its whole
+    * original text with the lower-id original — every window duplicated,
+    * keeper = the original, so the copy is excised down to its unique
+    * boundary windows — and (b) the pure-boilerplate windows with every
+    * OTHER augmented doc, keeper = the lowest augmented id. Originals
+    * come through untouched unless they naturally share 8-token spans. */
+  private def ddSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text")
+    val planted = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit(Boiler + " "), col("text")).as("text"))
+    substringDedup(base.unionByName(planted), k = 8).orderBy("doc_id")
+  }
+
+  private def ddSubstringSql: String =
+    s"""WITH src AS (
+       | SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       | UNION ALL
+       | SELECT doc_id + 1000000, '$Boiler ' || text
+       | FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0),
+       |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+       |         FROM src),
+       |tp AS (SELECT doc_id, unnest(l) AS tok, unnest(range(0, len(l))) AS pos
+       |       FROM toks),
+       |gr AS (SELECT doc_id, i AS pos,
+       |        md5(array_to_string(l[i+1:i+8], ' ')) AS g
+       |       FROM toks, UNNEST(range(0, len(l) - 7)) AS u(i)
+       |       WHERE len(l) >= 8),
+       |dup AS (SELECT g, MIN(doc_id) AS keeper FROM gr GROUP BY g
+       |        HAVING COUNT(DISTINCT doc_id) > 1),
+       |cov AS (SELECT DISTINCT gr.doc_id, gr.pos + o AS pos
+       |        FROM gr JOIN dup USING (g), UNNEST(range(0, 8)) AS t(o)
+       |        WHERE gr.doc_id <> dup.keeper),
+       |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+       |         LEFT JOIN cov USING (doc_id, pos) WHERE cov.pos IS NULL),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tp GROUP BY doc_id),
+       |cln AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+       |        FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_tokens,
+       | t.n_tokens - COALESCE(c.n_kept, 0) AS n_removed,
+       | COALESCE(c.clean_md5, md5('')) AS clean_md5
+       |FROM tot t LEFT JOIN cln c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // dd_minhash_lsh runs BEFORE the composed pipelines that reuse its
   // signature stage, so the (identical) generated code is jit/codegen-warm
   // when dd_dup_clusters / dd_clean_corpus pay for their full chains
@@ -697,5 +819,6 @@ object Dedup {
     Q("dd_incremental", ddIncremental, Some(ddIncrementalSql)),
     Q("dd_dup_clusters", ddDupClusters, Some(ddDupClustersSql)),
     Q("dd_keep_best", ddKeepBest, Some(ddKeepBestSql)),
-    Q("dd_clean_corpus", ddCleanCorpus, Some(ddCleanCorpusSql)))
+    Q("dd_clean_corpus", ddCleanCorpus, Some(ddCleanCorpusSql)),
+    Q("dd_substring", ddSubstring, Some(ddSubstringSql)))
 }

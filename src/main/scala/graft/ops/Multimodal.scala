@@ -107,6 +107,58 @@ object Multimodal {
       // "undecodable", which the caller treats as SQL NULL
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Encode a grayscale PNG whose row-major pixel i is `f(i)` — the
+      * generator for gate fixtures whose content a DuckDB oracle can
+      * re-derive arithmetically. */
+    def encodeWith(w: Int, h: Int, f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, f(i) & 0xFF); x += 1; i += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 64-bit difference hash (dHash — the standard perceptual image
+      * fingerprint): REAL decode, nearest-neighbor sample onto a 9×8
+      * grid with the SAME integer-grid mapping as [[resize]]
+      * (sx = x·sw/9, sy = y·sh/8 — so a codec-resized copy samples the
+      * exact source pixels of its original: floor(floor(k·t)/k) =
+      * floor(t)), bit y·8+x set iff sample(x,y) > sample(x+1,y).
+      * Near-identical images land within a few bits; None when the
+      * payload is undecodable. */
+    def dHash(payload: Array[Byte]): Option[Long] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val sw = img.getWidth
+          val sh = img.getHeight
+          val r = img.getRaster
+          def s(x: Int, y: Int): Int =
+            r.getSample((x.toLong * sw / 9).toInt, (y.toLong * sh / 8).toInt, 0)
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (s(x, y) > s(x + 1, y)) hash |= (1L << (y * 8 + x))
+              x += 1
+            }
+            y += 1
+          }
+          Some(hash)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Real nearest-neighbor resize: decode, sample source pixels on the
       * integer grid (no AWT rendering pipeline — bit-deterministic on any
       * JVM), re-encode as grayscale PNG. None when undecodable. */
@@ -235,6 +287,55 @@ object Multimodal {
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+
+  // ---- perceptual-hash image dedup -------------------------------------------
+
+  /** Gate-specific image corpus for perceptual-hash dedup. Pixels come
+    * from a multiplicative hash `((id+1)·(i+7)·2654435761) mod 256` —
+    * pseudo-random per image, so distinct images get near-uniform dHashes
+    * (Hamming ≈ 32 apart) where [[mediaTable]]'s gradient ramp would make
+    * every image look alike. Every 9th image also appears as a PLANTED
+    * near-duplicate: its real PNG 2×-upscaled through the REAL codec path
+    * ([[PngCodec.resize]]), re-encoded, under media_id + 1,000,000 — a
+    * decode→resize→re-encode roundtrip whose dHash must collide with the
+    * original's (the 9×8 sampling grid maps through the 2× upscale to the
+    * exact same source pixels). */
+  def phashTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long].mapPartitions { it =>
+        it.flatMap { id =>
+          val w = (8 + id % 8).toInt
+          val h = (4 + id % 4).toInt
+          val orig = PngCodec.encodeWith(w, h,
+            i => (((id + 1) * (i + 7) * 2654435761L) % 256).toInt)
+          val base = (id, w, h, orig)
+          if (id % 9 == 0)
+            Seq(base, (id + 1000000L, 2 * w, 2 * h,
+              PngCodec.resize(orig, 2 * w, 2 * h).get))
+          else Seq(base)
+        }
+      }.toDF("media_id", "width", "height", "payload")
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash each payload through
+    * the REAL codec, then Hamming-LSH pairing via the SAME 16-bit-chunk
+    * band machinery the SimHash text near-dup uses
+    * ([[Dedup.hammingPairs]]). The hash is one map-side pass per image
+    * (decode cost ∝ bytes); candidates shuffle 16 bytes per image per
+    * band — never pixels, never payloads. Keep rule downstream: `a` of
+    * each pair is the lower (canonical) media_id. */
+  def phashDedup(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val sigs = media.filter(col("payload").isNotNull)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        PngCodec.dHash(p).map(hh => (id, hh))
+      }).toDF("doc_id", "sig")
+    Dedup.hammingPairs(sigs, maxHamming)
+  }
 
   // ---- registered queries --------------------------------------------------
 
@@ -380,10 +481,54 @@ object Multimodal {
       | FROM documents WHERE doc_id % 3 = 2)
       |GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** Image near-dup proof: every planted 2×-resized copy must pair with
+    * its original at Hamming 0; pseudo-random distinct images stay apart.
+    * The oracle re-derives each dHash from the pixel formula and the two
+    * integer-grid maps (copy: 9×8 grid → 2× dims → original pixels), then
+    * replays the chunk-bucket/cap/pair machinery — DuckDB never sees a
+    * byte of PNG, so a match proves the real decode+resize+hash ran. */
+  private def mmPhashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashDedup(spark, phashTable(spark, dir), maxHamming = 6)
+      .orderBy("a", "b")
+
+  private def mmPhashDedupSql: String = {
+    val sigBits = (0 until 64).map { b =>
+      val p1 = (b / 8) * 9 + (b % 8) + 1
+      s"(CASE WHEN px[$p1] > px[${p1 + 1}] THEN ${1L << b} ELSE 0 END)::BIGINT"
+    }.mkString(" | ")
+    val chunkList = (0 until 4).map(j =>
+      s"($j::BIGINT * 4294967296 + ((sig >> ${j * 16}) & 65535))").mkString(", ")
+    s"""WITH imgs AS (
+       | SELECT doc_id AS media_id, doc_id AS src, 1 AS s FROM documents
+       | WHERE doc_id % 3 = 0
+       | UNION ALL
+       | SELECT doc_id + 1000000, doc_id, 2 FROM documents
+       | WHERE doc_id % 3 = 0 AND doc_id % 9 = 0),
+       |samp AS (SELECT media_id,
+       |  LIST_TRANSFORM(RANGE(0, 72), g ->
+       |   ((src + 1) * (((((g // 9) * s * (4 + src % 4)) // 8) // s)
+       |       * (8 + src % 8)
+       |      + ((((g % 9) * s * (8 + src % 8)) // 9) // s) + 7)
+       |    * 2654435761) % 256) AS px
+       | FROM imgs),
+       |sg AS (SELECT media_id AS doc_id, ($sigBits) AS sig FROM samp),
+       |ck AS (SELECT doc_id, sig, UNNEST([$chunkList]) AS bucket FROM sg),
+       |caps AS (SELECT bucket FROM ck GROUP BY bucket
+       |         HAVING COUNT(*) BETWEEN 2 AND ${Dedup.MaxBucket}),
+       |ckc AS (SELECT ck.doc_id, ck.sig, ck.bucket FROM ck
+       |        JOIN caps USING (bucket))
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       | CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+       |FROM ckc l JOIN ckc r USING (bucket)
+       |WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sig, r.sig)) <= 6
+       |ORDER BY a, b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
     Q("mm_features", mmFeatures, Some(mmFeaturesSql)),
     Q("mm_image_decode", mmImageDecode, Some(mmImageDecodeSql)),
     Q("mm_resize", mmResize, Some(mmResizeSql)),
-    Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)))
+    Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
+    Q("mm_phash_dedup", mmPhashDedup, Some(mmPhashDedupSql)))
 }

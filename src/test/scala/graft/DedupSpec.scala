@@ -11,6 +11,34 @@ class DedupSpec extends SparkSpec {
       "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
   private val base = (words + " ") * 4 + words // ~115 tokens
 
+  test("substringDedup excises planted shared spans, keeps one canonical") {
+    // span = 10 tokens shared between A (keeper, lowest id) and B;
+    // C is an exact whole-doc duplicate of A (fully excised);
+    // D is distinct and shorter than k (passes through untouched)
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val a = s"a1 a2 $span a3 a4"
+    val b = s"b1 b2 b3 b4 b5 b6 b7 b8 $span b9 b10"
+    val docs = Seq((1L, a), (2L, b), (3L, a), (4L, "d1 d2 d3"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, k = 8).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // A: keeper of every duplicated window → nothing removed
+    assert(got(0) === ((1L, 14L, 0L)))
+    // B: exactly the 10 span tokens removed (b1..b10 survive)
+    assert(got(1) === ((2L, 20L, 10L)))
+    // C: whole doc duplicated against A → everything removed
+    assert(got(2) === ((3L, 14L, 14L)))
+    // D: shorter than k → no windows, untouched
+    assert(got(3) === ((4L, 3L, 0L)))
+    // cleaned hashes: B keeps its unique frame in order; C hashes empty
+    val md5s = Dedup.substringDedup(docs, k = 8).orderBy("doc_id")
+      .collect().map(_.getString(3))
+    val exp = spark.sql(
+      "SELECT md5('b1 b2 b3 b4 b5 b6 b7 b8 b9 b10'), md5('')").head()
+    assert(md5s(1) === exp.getString(0))
+    assert(md5s(2) === exp.getString(1))
+  }
+
   test("shingles: distinct word trigrams; short docs degrade gracefully") {
     val df = Seq("a b c d e", "x y").toDF("text")
       .select(Dedup.shingles(col("text")).as("sh"))

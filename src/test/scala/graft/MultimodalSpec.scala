@@ -68,6 +68,47 @@ class MultimodalSpec extends SparkSpec {
       again.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq)
   }
 
+  test("dHash: resized/re-encoded copies collide, distinct images differ") {
+    import spark.implicits._
+    def mk(id: Long, w: Int, h: Int): Array[Byte] =
+      Multimodal.PngCodec.encodeWith(w, h,
+        i => (((id + 1) * (i + 7) * 2654435761L) % 256).toInt)
+    val a = mk(1L, 12, 6)
+    val b = mk(2L, 12, 6) // different content, same dims
+    val aUp = Multimodal.PngCodec.resize(a, 24, 12).get // 2× upscale of a
+    val aRe = { // decode→re-encode roundtrip of a (same pixels)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val ha = Multimodal.PngCodec.dHash(a).get
+    assert(Multimodal.PngCodec.dHash(aUp).get === ha,
+      "2x nearest-neighbor upscale must sample the same source pixels")
+    assert(Multimodal.PngCodec.dHash(aRe).get === ha)
+    val hb = Multimodal.PngCodec.dHash(b).get
+    assert(java.lang.Long.bitCount(ha ^ hb) > 6,
+      s"distinct pseudo-random images must hash apart, got ${ha ^ hb}")
+    // end-to-end: only the planted (original, copy) pair survives
+    val media = Seq((1L, 12, 6, a), (2L, 12, 6, b), (100001L, 24, 12, aUp))
+      .toDF("media_id", "width", "height", "payload")
+    val pairs = Multimodal.phashDedup(spark, media, maxHamming = 6)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 100001L, 0)))
+  }
+
+  test("phashTable plants decodable copies that pair with their originals") {
+    val tbl = Multimodal.phashTable(spark, dir)
+    val nOrig = tbl.filter(col("media_id") < 1000000L).count()
+    val nCopy = tbl.filter(col("media_id") >= 1000000L).count()
+    assert(nOrig > 0 && nCopy > 0)
+    val pairs = Multimodal.phashDedup(spark, tbl, maxHamming = 6)
+    // every copy pairs with its original at Hamming 0
+    val exact = pairs.filter(col("hamming") === 0)
+      .filter(col("b") - col("a") === 1000000L).count()
+    assert(exact === nCopy)
+  }
+
   test("sampleFrames: every step-th frame, only for video") {
     val media = Multimodal.mediaTable(spark, dir)
     val sampled = Multimodal.sampleFrames(media, 4)
