@@ -773,6 +773,86 @@ object TableQueries {
       FROM gsqlm.$tbl GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
+  /** SQL MERGE **schema evolution** — `MERGE WITH SCHEMA EVOLUTION INTO`
+    * whose source carries a column the target lacks (`n_orders`):
+    * Spark's ResolveMergeIntoSchemaEvolution turns it into an AddColumn
+    * through the catalog (metadata-only — the capability is advertised
+    * in [[graft.tables.GraftSqlTable.capabilities]]), then MATCHED rows
+    * land values, pre-evolution rows read back NULL. The staple of any
+    * pipeline promoting staged data into evolving tables. */
+  private def tblSqlMergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gsqme",
+      classOf[graft.tables.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqme.root", Scratch.dir("tbl-sqlmev"))
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"customer_$ident"
+    val cust = s"gsqme_cust_$ident"
+    val ords = s"gsqme_ord_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gsqme.$tbl")
+    spark.sql(s"""CREATE TABLE gsqme.$tbl (c_custkey BIGINT, c_acctbal DOUBLE)
+      TBLPROPERTIES ('zone_cols'='c_custkey')""")
+    t(spark, dir, "customer").select("c_custkey", "c_acctbal")
+      .createOrReplaceTempView(cust)
+    t(spark, dir, "orders").createOrReplaceTempView(ords)
+    spark.sql(s"INSERT INTO gsqme.$tbl SELECT * FROM $cust")
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gsqme_src_$ident AS
+      WITH spend AS (
+        SELECT o_custkey AS key,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent,
+          COUNT(*) AS n_orders
+        FROM $ords GROUP BY o_custkey)
+      SELECT key, spent, n_orders FROM spend
+      UNION ALL
+      SELECT key + 1 + (SELECT GREATEST(MAX(c.c_custkey), MAX(o.o_custkey))
+                        FROM $cust c, $ords o) AS key, spent, n_orders
+      FROM spend""")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO gsqme.$tbl t
+      USING gsqme_src_$ident s ON t.c_custkey = s.key
+      WHEN MATCHED THEN
+        UPDATE SET c_acctbal = t.c_acctbal + s.spent, n_orders = s.n_orders
+      WHEN NOT MATCHED THEN
+        INSERT (c_custkey, c_acctbal, n_orders) VALUES (s.key, s.spent, s.n_orders)""")
+    val store = new graft.tables.TableStore(spark, Scratch.dir("tbl-sqlmev"))
+    require(store.schema(tbl).fieldNames.toSeq ==
+      Seq("c_custkey", "c_acctbal", "n_orders"),
+      s"MERGE must have evolved the schema, got " +
+        s"${store.schema(tbl).fieldNames.mkString(",")}")
+    spark.sql(s"""SELECT
+        CASE WHEN n_orders IS NULL THEN 'old' ELSE 'new' END AS grp,
+        c_custkey % 7 AS bucket, count(*) AS cnt,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        SUM(n_orders) AS sum_orders
+      FROM gsqme.$tbl GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  private val tblSqlMergeEvolveSql =
+    """WITH spend AS (
+      |  SELECT o_custkey AS key,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey),
+      |src AS (
+      |  SELECT key, spent, n_orders FROM spend
+      |  UNION ALL
+      |  SELECT key + 1 + (SELECT GREATEST(MAX(c.c_custkey), MAX(o.o_custkey))
+      |                    FROM customer c, orders o) AS key, spent, n_orders
+      |  FROM spend),
+      |merged AS (
+      |  SELECT c.c_custkey AS k,
+      |    CASE WHEN s.key IS NOT NULL THEN c.c_acctbal + s.spent
+      |         ELSE c.c_acctbal END AS bal,
+      |    s.n_orders AS n_orders
+      |  FROM customer c LEFT JOIN src s ON c.c_custkey = s.key
+      |  UNION ALL
+      |  SELECT s.key AS k, s.spent AS bal, s.n_orders
+      |  FROM src s LEFT JOIN customer c ON c.c_custkey = s.key
+      |  WHERE c.c_custkey IS NULL)
+      |SELECT CASE WHEN n_orders IS NULL THEN 'old' ELSE 'new' END AS grp,
+      | k % 7 AS bucket, COUNT(*) AS cnt,
+      | CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      | CAST(SUM(n_orders) AS BIGINT) AS sum_orders
+      |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val tblSqlMergeSql =
     """WITH spend AS (
       |  SELECT o_custkey AS key,
@@ -821,6 +901,7 @@ object TableQueries {
     Q("tbl_branch_wap", tblBranchWap, Some(tblBranchWapSql)),
     Q("tbl_sql_update", tblSqlUpdate, Some(tblSqlUpdateSql)),
     Q("tbl_sql_merge", tblSqlMerge, Some(tblSqlMergeSql)),
+    Q("tbl_sql_merge_evolve", tblSqlMergeEvolve, Some(tblSqlMergeEvolveSql)),
     Q("tbl_hidden_partition", TableQueries2.tblHiddenPartition,
       Some(TableQueries2.tblHiddenPartitionSql)),
     Q("tbl_sql_mor", TableQueries2.tblSqlMor, Some(TableQueries2.tblSqlMorSql)),

@@ -941,6 +941,164 @@ object Text {
       |       pair, n
       |FROM c ORDER BY n DESC, pair LIMIT 32""".stripMargin
 
+  // ---- BPE tokenizer: train K merges, encode documents -----------------------
+
+  /** Apply ONE learned BPE merge to a space-separated, space-GUARDED
+    * symbol sequence (`" h e l l o "`). The merge rule is defined as
+    * left-to-right non-overlapping replacement of `" a b "` with
+    * `" ab "`, repeated to fixpoint — and TWO passes always reach the
+    * fixpoint: a pass misses an occurrence only when its leading space
+    * was consumed by the immediately preceding match, and two such
+    * misses can never be adjacent (the scan resumes before the second,
+    * whose guards are then intact), so pass two catches every survivor
+    * and a replacement (`"ab"`, no inner space) can never create a new
+    * occurrence. Plain `replace` has identical semantics in Spark and
+    * DuckDB, which is what lets the oracle replay training EXACTLY. */
+  def bpeApply(seq: Column, pair: String): Column = {
+    val find = " " + pair + " "
+    val repl = " " + pair.replace(" ", "") + " "
+    val once = replace(seq, lit(find), lit(repl))
+    replace(once, lit(find), lit(repl))
+  }
+
+  /** Adjacent-symbol pairs (as `"x y"` strings) of a guarded symbol
+    * sequence, for frequency counting. */
+  private def seqPairs(seq: Column): Column = {
+    val syms = split(trim(seq), " ")
+    // guard: Spark's sequence(1, 0) DESCENDS rather than being empty
+    when(size(syms) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1),
+        i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+  }
+
+  /** BPE TRAINING, k merge rounds: the word vocabulary starts as
+    * space-guarded character sequences; each round counts adjacent
+    * symbol pairs weighted by word frequency (work ∝ VOCABULARY — the
+    * [[bpePairCounts]] insight — not corpus), picks the winner by
+    * (count desc, pair asc), and applies it with [[bpeApply]]. The
+    * vocab is localCheckpoint()ed per round so k rounds stay k small
+    * jobs with bounded lineage instead of one k-deep expression tree
+    * (the SemDeDup codegen-budget lesson). Returns the ordered merge
+    * list and the final `(word, freq, seq)` vocabulary. */
+  def bpeTrain(docs: DataFrame, k: Int): (Seq[String], DataFrame) = {
+    var vocab = docs.filter(col("text").isNotNull)
+      .select(explode_outer(tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" "))
+          .as("seq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[String]
+    var r = 0
+    var dry = false
+    while (r < k && !dry) {
+      val top = vocab
+        .select(col("freq"), explode(seqPairs(col("seq"))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) dry = true
+      else {
+        val pair = top(0).getString(0)
+        merges += pair
+        vocab = vocab
+          .withColumn("seq", bpeApply(col("seq"), pair))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    (merges.result(), vocab)
+  }
+
+  /** BPE ENCODE: train k merges on the corpus, then encode every
+    * document to its symbol sequence through a vocab join (the learned
+    * segmentation per distinct word — encoding cost is one join on
+    * `word`, never a per-document scan of the merge list). Symbol ids
+    * are the dense alphabetical rank over the final symbol set (a few
+    * hundred rows — chars + k merges — so the rank window is trivially
+    * small). Output per doc: symbol count, id-sum evidence, and md5 of
+    * the full encoded sequence. */
+  def bpeEncode(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, vocab) = bpeTrain(docs, k)
+    val syms = vocab.select(col("word"), split(trim(col("seq")), " ").as("syms"))
+    val idTable = syms.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("sym_id",
+        row_number().over(Window.orderBy("sym")).cast(LongType))
+    val tokPos = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(tokens(lower(col("text")))).as(Seq("pos", "word")))
+      .filter(length(col("word")) >= 1)
+    val enc = tokPos.join(syms, "word")
+    val docSyms = enc.select(col("doc_id"), explode(col("syms")).as("sym"))
+      .join(broadcast(idTable), "sym")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_syms"), sum("sym_id").as("sum_sym_id"))
+    val docText = enc.groupBy("doc_id")
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        s => concat_ws(" ", s.getField("syms"))), " ")).as("enc_md5"))
+    docSyms.join(docText, "doc_id")
+      .select("doc_id", "n_syms", "sum_sym_id", "enc_md5")
+  }
+
+  private def dsBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(t(spark, dir, "documents"), k = 6).orderBy("doc_id")
+
+  /** The oracle REPLAYS the six training rounds as generated CTE chains
+    * — each round's winner feeds the next round's vocabulary — then
+    * encodes with the same join. REPLACE has the same left-to-right
+    * non-overlap semantics in DuckDB, so the fixpoint rule matches. */
+  private def dsBpeEncodeSql: String = {
+    val rounds = (1 to 6).map { r =>
+      s"""p$r AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |  SELECT freq, UNNEST(LIST_TRANSFORM(
+         |    RANGE(1, LEN(string_split(trim(seq), ' '))),
+         |    i -> string_split(trim(seq), ' ')[i] || ' ' ||
+         |         string_split(trim(seq), ' ')[i + 1])) AS pair
+         |  FROM v${r - 1}) GROUP BY pair),
+         |t$r AS (SELECT pair FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |v$r AS (SELECT word, freq,
+         |  REPLACE(REPLACE(seq,
+         |    ' ' || t$r.pair || ' ', ' ' || REPLACE(t$r.pair, ' ', '') || ' '),
+         |    ' ' || t$r.pair || ' ', ' ' || REPLACE(t$r.pair, ' ', '') || ' ')
+         |    AS seq
+         | FROM v${r - 1} CROSS JOIN t$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       | SELECT word, COUNT(*) AS freq FROM (
+       |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL)
+       | WHERE LENGTH(word) >= 1 GROUP BY word),
+       |v0 AS (SELECT word, freq,
+       |  ' ' || array_to_string(LIST_TRANSFORM(RANGE(1, LENGTH(word) + 1),
+       |    i -> word[i:i]), ' ') || ' ' AS seq
+       | FROM w),
+       |$rounds,
+       |syms AS (SELECT word, string_split(trim(seq), ' ') AS syms FROM v6),
+       |idt AS (SELECT sym,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY sym) AS BIGINT) AS sym_id
+       |        FROM (SELECT DISTINCT UNNEST(syms) AS sym FROM syms)),
+       |tp AS (SELECT doc_id, unnest(range(0, len(l))) AS pos,
+       |        unnest(l) AS word
+       |       FROM (SELECT doc_id,
+       |              REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS l
+       |             FROM documents WHERE text IS NOT NULL)),
+       |enc AS (SELECT tp.doc_id, tp.pos, s.syms FROM tp
+       |        JOIN syms s USING (word) WHERE LENGTH(tp.word) >= 1),
+       |ds AS (SELECT e.doc_id, COUNT(*) AS n_syms,
+       |        CAST(SUM(i.sym_id) AS BIGINT) AS sum_sym_id
+       |       FROM (SELECT doc_id, UNNEST(syms) AS sym FROM enc) e
+       |       JOIN idt i USING (sym) GROUP BY e.doc_id),
+       |dt AS (SELECT doc_id,
+       |        md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+       |          AS enc_md5
+       |       FROM enc GROUP BY doc_id)
+       |SELECT ds.doc_id, ds.n_syms, ds.sum_sym_id, dt.enc_md5
+       |FROM ds JOIN dt USING (doc_id) ORDER BY ds.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("txt_pii", txtPii, Some(txtPiiSql)),
     Q("txt_boilerplate", txtBoilerplate, Some(txtBoilerplateSql)),
@@ -956,5 +1114,6 @@ object Text {
     Q("txt_bm25", txtBm25, Some(txtBm25Sql)),
     Q("txt_gopher", txtGopher, Some(txtGopherSql)),
     Q("txt_perplexity", txtPerplexity, Some(txtPerplexitySql)),
-    Q("txt_bpe_pairs", txtBpePairs, Some(txtBpePairsSql)))
+    Q("txt_bpe_pairs", txtBpePairs, Some(txtBpePairsSql)),
+    Q("ds_bpe_encode", dsBpeEncode, Some(dsBpeEncodeSql)))
 }

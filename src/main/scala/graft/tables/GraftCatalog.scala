@@ -564,10 +564,17 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
 
   override def capabilities(): util.Set[TableCapability] =
     if (versionAt.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    // AUTOMATIC_SCHEMA_EVOLUTION serves `MERGE WITH SCHEMA EVOLUTION`:
+    // Spark's ResolveMergeIntoSchemaEvolution turns the source's extra
+    // columns into AddColumn changes through alterTable (metadata-only
+    // here) before planning the row-level operation — the user opt-in is
+    // the explicit SQL clause, the capability only says the catalog can
+    // honor it (Iceberg advertises it the same way).
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store, tbl, versionAt)

@@ -238,4 +238,43 @@ class TextSpec extends SparkSpec {
     assert(m("ba") === 3L)
     assert(!m.contains("x"))
   }
+
+  test("bpeApply: guarded double-replace reaches the fixpoint") {
+    val df = Seq(" a b a b a b ", " a a a a a ", " x a b y ", " xa b ")
+      .toDF("seq").select(Text.bpeApply(col("seq"), "a b").as("s"))
+    val got = df.collect().map(_.getString(0))
+    assert(got(0) === " ab ab ab ")   // adjacent run all merges
+    assert(got(1) === " a a a a a ")  // wrong pair: untouched
+    assert(got(2) === " x ab y ")
+    assert(got(3) === " xa b ")       // no cross-symbol false match
+    val aa = Seq(" a a a a a ").toDF("seq")
+      .select(Text.bpeApply(col("seq"), "a a").as("s")).head().getString(0)
+    assert(aa === " aa a aa ")        // documented guarded-replace order
+  }
+
+  test("bpeTrain learns the classic merges; bpeEncode round-trips") {
+    // the textbook BPE corpus: low×5, lower×2, newest×6, widest×3
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val (merges, vocab) = Text.bpeTrain(docs, 4)
+    // round 1: 'es' (newest 6 + widest 3 = 9); round 2: 'es t' → 'est' (9);
+    // round 3: 'lo' (low 5 + lower 2 = 7); round 4: 'lo w' → 'low' (7)
+    assert(merges === Seq("e s", "es t", "l o", "lo w"))
+    val seqs = vocab.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seqs("newest") === " n e w est ")
+    assert(seqs("low") === " low ")
+    assert(seqs("lower") === " low e r ")
+    // encode: n_syms counts the learned segmentation per doc
+    val enc = Text.bpeEncode(docs, 4).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(enc.toSeq === Seq(
+      (1L, 5L),      // low → 1 symbol × 5
+      (2L, 2L * 3),  // lower → low e r
+      (3L, 6L * 4),  // newest → n e w est
+      (4L, 3L * 4))) // widest → w i d est
+  }
 }

@@ -280,4 +280,50 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS c FROM gql.tt VERSION AS OF 'first_load'")
       .head().getLong(0) === 10L)
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target with source columns") {
+    spark.sql("CREATE TABLE gql.mse (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gql.mse VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    Seq((2L, 200.0, "two"), (9L, 900.0, "nine"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("mse_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gql.mse t
+      USING mse_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(store.schema("mse").fieldNames.toSeq === Seq("k", "v", "tag"))
+    val rows = spark.sql("SELECT k, v, tag FROM gql.mse ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)).getOrElse("-")))
+    // untouched rows null-backfill the new column; matched rows carry it
+    assert(rows.toSeq === Seq((1L, 10.0, "-"), (2L, 200.0, "two"),
+      (3L, 30.0, "-"), (9L, 900.0, "nine")))
+    // without the clause, an extra source column still fails loudly
+    Seq((1L, 1.0, 7)).toDF("k", "v", "extra2")
+      .createOrReplaceTempView("mse_src2")
+    intercept[Exception] {
+      spark.sql("""MERGE INTO gql.mse t USING mse_src2 s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION under merge-on-read (delta path)") {
+    spark.sql("""CREATE TABLE gql.msed (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('write.merge.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO gql.msed VALUES (1, 10.0), (2, 20.0)")
+    val files = store.currentRelPaths("msed").toSet
+    Seq((2L, 200.0, "two"), (9L, 900.0, "nine"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("msed_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gql.msed t
+      USING msed_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // still merge-on-read: original data files survive, sidecar pending
+    assert(files.subsetOf(store.currentRelPaths("msed").toSet))
+    assert(store.pendingDeletes("msed") > 0)
+    val rows = spark.sql("SELECT k, v, tag FROM gql.msed ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)).getOrElse("-")))
+    assert(rows.toSeq === Seq((1L, 10.0, "-"), (2L, 200.0, "two"),
+      (9L, 900.0, "nine")))
+  }
 }
