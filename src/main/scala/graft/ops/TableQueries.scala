@@ -1072,6 +1072,16 @@ object TableQueries2 {
     require(store.pendingDeletes("orders") == 2,
       s"expected 2 pending position sidecars, got " +
         s"${store.pendingDeletes("orders")}")
+    // incremental sidecar compaction: the two position sidecars fold
+    // into ONE (file-scoped masks merge unconditionally) without
+    // touching any data file, and the read that hash-matches DuckDB
+    // runs with the MERGED mask pending
+    val filesPreRewrite = store.currentRelPaths("orders").toSet
+    val (entriesBefore, entriesAfter) = store.rewriteDeletes("orders")
+    require(entriesBefore == 2 && entriesAfter == 1,
+      s"rewrite_deletes expected 2 -> 1, got $entriesBefore -> $entriesAfter")
+    require(store.currentRelPaths("orders").toSet == filesPreRewrite,
+      "rewrite_deletes must not touch data files")
     store.read("orders")
       .orderBy("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
   }

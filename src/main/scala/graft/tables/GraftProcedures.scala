@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[tables] object GraftProcedures {
 
   def names: Seq[String] = Seq("compact", "expire_snapshots",
-    "remove_orphans", "materialize_deletes", "create_branch", "create_tag",
+    "remove_orphans", "materialize_deletes", "rewrite_deletes",
+    "create_branch", "create_tag",
     "drop_ref", "fast_forward", "rollback_to_version", "add_files",
     "migrate", "analyze", "create_view", "drop_view")
 
@@ -80,6 +81,14 @@ private[tables] object GraftProcedures {
         val pending = store.pendingDeletes(t).toLong
         store.materializeDeletes(t)
         Seq(pending, store.currentVersion(t).toLong)
+      })
+      case "rewrite_deletes" => Some(p(
+        Seq(in("table", StringType)),
+        out("entries_before" -> LongType, "entries_after" -> LongType,
+          "version" -> LongType)) { row =>
+        val t = tbl(row)
+        val (before, after) = store.rewriteDeletes(t)
+        Seq(before.toLong, after.toLong, store.currentVersion(t).toLong)
       })
       case "create_branch" => Some(p(
         Seq(in("table", StringType), in("branch", StringType),

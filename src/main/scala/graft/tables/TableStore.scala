@@ -3024,6 +3024,78 @@ final class TableStore(private[tables] val spark: SparkSession,
       dropDeletes = true)
   }
 
+  /** Incremental delete-sidecar compaction (the
+    * `rewrite_position_delete_files` analogue): merges many small
+    * pending sidecars into fewer WITHOUT touching any data file.
+    * Update-heavy merge-on-read tables accumulate one sidecar per
+    * commit, and every masked read pays per entry (a sidecar open plus
+    * a per-class anti-join), so folding them keeps read cost flat
+    * between full [[materializeDeletes]] runs — which rewrite data
+    * files and are the expensive maintenance step this one defers.
+    *
+    * Position sidecars all merge into one (their masks are file-scoped
+    * and sequence-independent). Equality sidecars merge per key-column
+    * set, but ONLY within runs of commit sequences with no live data
+    * file sequence in between: merging across such a file would raise
+    * the earlier keys' sequence past it and newly mask rows appended
+    * between the two deletes (the re-insert rule). The commit carries
+    * the same data-file list and replaces only the entry list, seqs
+    * preserved. Returns (entries before, entries after). */
+  def rewriteDeletes(name: String): (Int, Int) = {
+    val base = currentVersion(name)
+    val entries = readDeleteEntries(name, base)
+    if (entries.size <= 1) return (entries.size, entries.size)
+    val (posE, eqE) = entries.partition(_.cols == Seq(TableStore.PosMarker))
+    val fileSeqs = readSeqs(name, base).values.toSet
+    val inv = invPhysMap(name)
+    val sch = schema(name)
+    def readSidecar(e: DeleteEntry): DataFrame =
+      spark.read.parquet(new HPath(deletesDir(name), e.rel).toString)
+    def writeSidecar(df: DataFrame, prefix: String): String = {
+      val rel = s"$prefix-${java.util.UUID.randomUUID()}"
+      df.write.parquet(new HPath(deletesDir(name), rel).toString)
+      rel
+    }
+    val newPos =
+      if (posE.size <= 1) posE
+      else {
+        val merged = posE.map(readSidecar).reduce(_ unionByName _).distinct()
+        Seq(DeleteEntry(writeSidecar(merged, "pos"),
+          Seq(TableStore.PosMarker), posE.map(_.seq).max))
+      }
+    val newEq = eqE.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+      .flatMap { case (cols, es0) =>
+        val es = es0.sortBy(_.seq)
+        // maximal runs with no live file sequence between consecutive
+        // entry sequences (sidecars may predate a later type widening —
+        // align every key column to its CURRENT declared type)
+        val runs = es.foldLeft(Vector.empty[Vector[DeleteEntry]]) { (acc, e) =>
+          acc.lastOption match {
+            case Some(run)
+                if !fileSeqs.exists(f => f >= run.last.seq && f < e.seq) =>
+              acc.init :+ (run :+ e)
+            case _ => acc :+ Vector(e)
+          }
+        }
+        runs.map { run =>
+          if (run.size == 1) run.head
+          else {
+            val merged = run.map(e => readSidecar(e).select(cols.map { pc =>
+              col(s"`$pc`")
+                .cast(sch(sch.fieldIndex(inv(pc))).dataType).as(pc)
+            }: _*)).reduce(_ unionByName _).distinct()
+            DeleteEntry(writeSidecar(merged, "del"), cols, run.last.seq)
+          }
+        }
+      }
+    val next = (newPos ++ newEq).sortBy(e => (e.seq, e.rel))
+    if (next.size == entries.size) return (entries.size, entries.size)
+    commitManifest(name, base, Set.empty, Nil, Nil,
+      meta = Map("operation" -> "rewrite-deletes"),
+      replaceDeletes = Some(next))
+    (entries.size, next.size)
+  }
+
   /** First column name of a positional sidecar (written as
     * (PosFileCol, PosIdxCol); tolerated by name for forward compat). */
   private def col0Name(posE: Seq[DeleteEntry]): String = TableStore.PosFileCol
@@ -4539,7 +4611,10 @@ final class TableStore(private[tables] val spark: SparkSession,
       dropDeletes: Boolean = false,
       branch: Option[String] = None,
       copyDeletesFrom: Option[Int] = None,
-      reclaimAddedOnAbort: Boolean = true): Unit = {
+      reclaimAddedOnAbort: Boolean = true,
+      // replaces the carried entry list VERBATIM (seqs preserved) —
+      // the sidecar-compaction commit (rewriteDeletes)
+      replaceDeletes: Option[Seq[DeleteEntry]] = None): Unit = {
     val d = tdir(name)
     val ptrKey = refKey(name, branch)
     val lock = new HPath(d, "_commit.lock")
@@ -4552,6 +4627,13 @@ final class TableStore(private[tables] val spark: SparkSession,
         attempts += 1
         val headManifest = coord.current(ptrKey)
         val head = headManifest.map(versionOf).getOrElse(0)
+        // a verbatim entry replacement is only sound against the exact
+        // snapshot it was planned from — a concurrent commit may have
+        // added entries the replacement would silently drop
+        if (replaceDeletes.isDefined && head != base)
+          throw new CommitConflictException(
+            s"delete-sidecar rewrite of $name planned against snapshot " +
+              s"$base but head is $head — re-run against the current snapshot")
         val headFiles: Seq[String] =
           headManifest.map(mf => readLines(new HPath(d, mf))).getOrElse(Nil)
         val files: Seq[String] =
@@ -4609,8 +4691,9 @@ final class TableStore(private[tables] val spark: SparkSession,
               case None => if (dropDeletes || head == 0) Nil
                 else readDeleteEntries(name, head)
             }
-            val nextDel = (if (dropDeletes) Nil else headDel) ++
-              newDeletes.map { case (rel, cols) => DeleteEntry(rel, cols, n) }
+            val nextDel = replaceDeletes.getOrElse(
+              (if (dropDeletes) Nil else headDel) ++
+                newDeletes.map { case (rel, cols) => DeleteEntry(rel, cols, n) })
             if (nextDel.nonEmpty) {
               val seqSrc = copyDeletesFrom.getOrElse(head)
               val headSeqs =

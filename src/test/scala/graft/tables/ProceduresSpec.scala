@@ -102,6 +102,63 @@ class ProceduresSpec extends SparkSpec {
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
   }
 
+  test("CALL rewrite_deletes merges sidecars, never touches data files") {
+    spark.sql("CREATE TABLE gpr.rd (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('zone_cols'='k')")
+    store.append("rd", (0L until 100L).map(i => (i, i.toDouble)).toDF("k", "v"))
+    // three consecutive equality tombstone batches + two position deletes,
+    // NO appends in between — all mergeable
+    store.deleteMoR("rd", Seq(1L, 2L).toDF("k"), Seq("k"))
+    store.deleteMoR("rd", Seq(3L).toDF("k"), Seq("k"))
+    store.deleteMoR("rd", Seq(4L, 5L).toDF("k"), Seq("k"))
+    store.deletePos("rd", col("v") === 50.0)
+    store.deletePos("rd", col("v") === 60.0)
+    assert(store.pendingDeletes("rd") === 5)
+    val files = store.currentRelPaths("rd").toSet
+    val before = spark.sql("SELECT k FROM gpr.rd ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    val r = spark.sql(
+      "CALL gpr.system.rewrite_deletes(`table` => 'rd')").head()
+    assert(r.getLong(0) === 5L) // entries_before
+    assert(r.getLong(1) === 2L) // one merged eq + one merged pos
+    assert(store.pendingDeletes("rd") === 2)
+    assert(store.currentRelPaths("rd").toSet === files,
+      "data files must be untouched")
+    val after = spark.sql("SELECT k FROM gpr.rd ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after === before, "masked read must be identical")
+    assert(!after.exists(Set(1L, 2L, 3L, 4L, 5L, 50L, 60L)))
+  }
+
+  test("rewrite_deletes honors the sequence rule across interleaved appends") {
+    spark.sql("CREATE TABLE gpr.rd2 (k BIGINT)")
+    store.append("rd2", (0L until 10L).map(Tuple1(_)).toDF("k"))
+    store.deleteMoR("rd2", Seq(1L).toDF("k"), Seq("k"))
+    // re-insert k=1 BETWEEN the two deletes: merging across this file
+    // would raise the first delete's sequence past it and re-mask it
+    store.append("rd2", Seq(1L).map(Tuple1(_)).toDF("k"))
+    store.deleteMoR("rd2", Seq(2L).toDF("k"), Seq("k"))
+    assert(store.pendingDeletes("rd2") === 2)
+    val before = spark.sql("SELECT k FROM gpr.rd2 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(before.contains(1L) && !before.contains(2L))
+    val r = spark.sql(
+      "CALL gpr.system.rewrite_deletes(`table` => 'rd2')").head()
+    // nothing mergeable: the interleaved append splits the run
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    val after = spark.sql("SELECT k FROM gpr.rd2 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after === before)
+    // a third tombstone right after the second DOES merge with it
+    store.deleteMoR("rd2", Seq(3L).toDF("k"), Seq("k"))
+    val r2 = spark.sql(
+      "CALL gpr.system.rewrite_deletes(`table` => 'rd2')").head()
+    assert(r2.getLong(0) === 3L && r2.getLong(1) === 2L)
+    val after2 = spark.sql("SELECT k FROM gpr.rd2 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after2 === before.filterNot(_ == 3L))
+  }
+
   test("unknown procedure fails loudly") {
     val e = intercept[Exception](spark.sql("CALL gpr.system.nope()"))
     assert(e.getMessage.contains("no such procedure") ||
