@@ -207,6 +207,38 @@ object StreamGates {
       .orderBy("user_id", "session_start")
   }
 
+  /** Session windows under a WATERMARK in Append mode — the bounded-state
+    * variant that is the RECOMMENDATION at scale: closed sessions emit to
+    * the sink and EVICT from the state store as the watermark passes, so
+    * state holds only open sessions (st_session's Complete mode re-emits
+    * and retains everything forever — SCALE.md records its 5.2 GB peak;
+    * that gate stays as the explicit unbounded trade). Two far-future
+    * sentinel batches (the stOuterJoin pattern) push the final watermark
+    * past every real session so the sink holds the COMPLETE session set
+    * deterministically — without them the tail sessions would sit
+    * unflushed in state when AvailableNow stops, and which sessions are
+    * "tail" depends on range-partitioner boundaries no oracle can see.
+    * Sentinel user −1 is filtered (its own sessions are the only ones the
+    * final batch cannot flush). Oracle: the SAME full-session SQL the
+    * batch and Complete-mode gates use. */
+  private def stSessionWatermarked(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "session-wm")
+    val ev = Events.ev(spark, dir)
+    def sentinel(day: Int): DataFrame =
+      spark.range(1).select(
+        lit(-100L - day).as("event_id"),
+        to_timestamp(lit(f"2100-01-$day%02d 00:00:00")).as("ts"),
+        lit(-1L).as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    stage(spark, ev, "ts", 4, s"$b/in",
+      fingerprint(spark, dir, "events", "ts-range-4;session-wm-sentinels-2"),
+      tails = Seq(sentinel(1), sentinel(2)))
+    runStream(spark, s"$b/in", s"$b/out", s"$b/ckpt", "append")(
+      df => StreamOps.sessionStats(df, "30 minutes"))
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start")
+  }
+
   /** Streaming exactly-once dedup under the oracle: every %37 event is
     * re-delivered byte-identically (the at-least-once transport case), a
     * streaming query drops replays via dropDuplicatesWithinWatermark
@@ -764,6 +796,7 @@ object StreamGates {
   val all: Seq[Q] = Seq(
     Q("st_tumbling", stTumbling, Some(Events.evTumblingSql)),
     Q("st_session", stSession, Some(Events.evSessionsSql)),
+    Q("st_session_wm", stSessionWatermarked, Some(Events.evSessionsSql)),
     Q("st_dedup", stDedup, Some(stDedupSql)),
     Q("st_join", stJoin, Some(stJoinSql)),
     Q("st_outer", stOuterJoin, Some(stOuterSql)),

@@ -907,6 +907,8 @@ object TableQueries {
     Q("tbl_sql_mor", TableQueries2.tblSqlMor, Some(TableQueries2.tblSqlMorSql)),
     Q("tbl_mor_update", TableQueries2.tblMorUpdate,
       Some(TableQueries2.tblMorUpdateSql)),
+    Q("tbl_row_lineage", TableQueries2.tblRowLineage,
+      Some(TableQueries2.tblRowLineageSql)),
     Q("tbl_sql_delta", TableQueries2.tblSqlDelta,
       Some(TableQueries2.tblSqlDeltaSql)),
     Q("tbl_nested_evolution", TableQueries2.tblNestedEvolution,
@@ -1045,6 +1047,51 @@ object TableQueries2 {
       |  AND o_orderstatus <> 'P'
       |  AND NOT (o_totalprice > 304000.0)
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
+  /** ROW LINEAGE under the oracle (Iceberg v3 `_row_id`): stable per-row
+    * ids assigned metadata-only at commit and carried through a CoW
+    * delete, a merge-on-read update, AND a full compaction — the
+    * invariants (ids unique; every surviving row keeps its pre-mutation
+    * id) are require()d in-gate over the engine-assigned values, and the
+    * DATA the lineage read returns hash-matches DuckDB's replay of the
+    * same mutations. */
+  private[ops] def tblRowLineage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-lineage", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.setProperties("orders", Map("row-lineage" -> Some("true")))
+    store.append("orders", ord)
+    val before = store.readLineage("orders")
+      .select(col("o_orderkey"), col("_row_id").as("rid0"))
+    store.delete("orders", col("o_orderkey") % 31 === 0)
+    store.updateMoR("orders", col("o_orderstatus") === "P",
+      Map("o_totalprice" -> (col("o_totalprice") + lit(50000.0))))
+    store.compact("orders", numFiles = 4)
+    val after = store.readLineage("orders")
+    require(after
+      .groupBy("_row_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).isEmpty, "row ids must stay unique")
+    require(after.select(col("o_orderkey"), col("_row_id"))
+      .join(before, "o_orderkey")
+      .filter(col("_row_id") =!= col("rid0") ||
+        col("_row_id").isNull).isEmpty,
+      "every surviving row must keep its pre-mutation id through " +
+        "CoW delete + MoR update + compaction")
+    after
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private[ops] val tblRowLineageSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      | CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 50000.0
+      |      ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 31 <> 0
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Merge-on-read UPDATE under the oracle: one atomic commit carries a
     * positional delete of the matched rows plus appended files with the

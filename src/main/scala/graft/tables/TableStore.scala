@@ -235,6 +235,8 @@ final class TableStore(private[tables] val spark: SparkSession,
       bloomCols: Seq[String] = Nil,
       bloomItems: Long = TableStore.DefaultBloomItems): Unit = {
     require(!viewExists(name), s"a view named $name already exists")
+    require(!schema.fieldNames.contains(TableStore.RowIdCol),
+      s"${TableStore.RowIdCol} is the reserved row-lineage column")
     val d = tdir(name)
     if (fs.exists(d)) {
       require(overwrite, s"table $name already exists")
@@ -1041,7 +1043,10 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (identical) df
     else df.select(sch.fields.zip(ph.fields).map { case (lf, pf) =>
       NestedSchema.relabel(col(s"`${lf.name}`"), lf, pf)
-    }.toSeq: _*)
+    }.toSeq ++
+      // the lineage id rides along a relabeling rewrite untouched
+      (if (df.columns.contains(TableStore.RowIdCol))
+        Seq(col(s"`${TableStore.RowIdCol}`")) else Nil): _*)
   }
 
   /** LOGICAL dotted paths of nested fields added after create (the only
@@ -1425,21 +1430,26 @@ final class TableStore(private[tables] val spark: SparkSession,
     * a mixed read falls back to scanning, and [[compact]] restores the
     * single-generation fast path. */
   private def indexedRead(name: String, rels: Seq[String],
-      version: Int, rowPos: Boolean = false): DataFrame = {
+      version: Int, rowPos: Boolean = false,
+      rowIds: Boolean = false): DataFrame = {
     val bySpec = rels.groupBy(specOfRel)
     if (bySpec.size <= 1)
       indexedReadSpec(name, bySpec.headOption.map(_._1).getOrElse(0),
-        rels, version, rowPos)
+        rels, version, rowPos, rowIds)
     else
       bySpec.toSeq.sortBy(_._1)
-        .map { case (id, rs) => indexedReadSpec(name, id, rs, version, rowPos) }
+        .map { case (id, rs) =>
+          indexedReadSpec(name, id, rs, version, rowPos, rowIds) }
         .reduce(_ unionByName _)
   }
 
   private def indexedReadSpec(name: String, specId: Int, rels: Seq[String],
-      version: Int, rowPos: Boolean = false): DataFrame = {
+      version: Int, rowPos: Boolean = false,
+      rowIds: Boolean = false): DataFrame = {
     if (rels.isEmpty) {
-      val base = readFiles(name, Nil)
+      var base = readFiles(name, Nil)
+      if (rowIds)
+        base = base.withColumn(TableStore.RowIdCol, lit(null).cast(LongType))
       return if (!rowPos) base
         else base.withColumn(TableStore.PosFileCol,
           lit(null).cast(StringType))
@@ -1449,7 +1459,13 @@ final class TableStore(private[tables] val spark: SparkSession,
     val bundle = zoneIndexFor(name, specId, rels, version)
     val idx = bundle.idx
     val pSchema = bundle.pSchema
-    val dataSch = bundle.dataSch
+    // row lineage: widen the read with the MATERIALIZED id column —
+    // files that never went through a lineage-preserving rewrite lack
+    // it and read back null, coalesced below with the virtual id
+    val dataSch =
+      if (!rowIds) bundle.dataSch
+      else StructType(bundle.dataSch.fields :+
+        StructField(TableStore.RowIdCol, LongType, nullable = true))
     MetadataAggregateRule.register(spark)
     val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
@@ -1465,7 +1481,22 @@ final class TableStore(private[tables] val spark: SparkSession,
         element_at(split(col("_metadata.file_path"), "/data/"), -1)
           .as(TableStore.PosFileCol),
         col("_metadata.row_index").as(TableStore.PosIdxCol))
-    raw.select(logicalProjection(name, sch, bundle.physSch) ++ posCols: _*)
+    val idCols =
+      if (!rowIds) Nil
+      else {
+        val (_, firsts) = readRowIds(name, version)
+        val virt =
+          if (firsts.isEmpty) lit(null).cast(LongType)
+          else element_at(
+            map(firsts.toSeq.sortBy(_._1).flatMap { case (r, f) =>
+              Seq(lit(r), lit(f)) }: _*),
+            element_at(split(col("_metadata.file_path"), "/data/"), -1)) +
+            col("_metadata.row_index")
+        Seq(coalesce(col(s"`${TableStore.RowIdCol}`"), virt)
+          .as(TableStore.RowIdCol))
+      }
+    raw.select(
+      logicalProjection(name, sch, bundle.physSch) ++ posCols ++ idCols: _*)
   }
 
   private[tables] def zoneIndexFor(name: String, specId: Int,
@@ -2311,19 +2342,21 @@ final class TableStore(private[tables] val spark: SparkSession,
   /** Masked read of specific rel paths under snapshot `version`'s
     * pending deletes — the streaming source's batch primitive. */
   private[graft] def readRelsMasked(name: String, rels: Seq[String],
-      version: Int): DataFrame = morMasked(name, rels, version)
+      version: Int, rowIds: Boolean = false): DataFrame =
+    morMasked(name, rels, version, rowIds = rowIds)
 
   /** Read appended-sidecar rel paths, failing LOUDLY if any expired
     * before being consumed (same contract as [[readAppendedBetween]]). */
   private[graft] def readAppendedRels(name: String,
-      rels: Seq[String]): DataFrame = {
+      rels: Seq[String], rowIdsAt: Option[Int] = None): DataFrame = {
     val missing = rels.filterNot(r => fs.exists(new HPath(dataDir(name), r)))
     require(missing.isEmpty,
       s"appended files of table $name expired before being consumed " +
         s"(missing: ${missing.take(3).mkString(", ")}" +
         s"${if (missing.length > 3) ", ..." else ""}) — " +
         "expire snapshots only after incremental consumers caught up")
-    readFiles(name, rels.map(r => new HPath(dataDir(name), r).toString))
+    readFiles(name, rels.map(r => new HPath(dataDir(name), r).toString),
+      rowIdsAt = rowIdsAt)
   }
 
   /** Row-level CHANGE FEED between two snapshots — the Delta-CDF/Iceberg-
@@ -2352,12 +2385,41 @@ final class TableStore(private[tables] val spark: SparkSession,
     * (expiry rewrites no manifest). Legacy history without commit-parent
     * metadata walks version-by-version like
     * [[committedVersionsBetween]]. */
-  def changeFeed(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
+  def changeFeed(name: String, fromVersion: Int, toVersion: Int,
+      rowIds: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"changeFeed range is reversed: ($fromVersion, $toVersion]")
     val frames = committedVersionsBetween(name, fromVersion, toVersion)
-      .map(v => changesOfVersion(name, v))
-    if (frames.isEmpty) emptyChanges(name) else frames.reduce(_ unionByName _)
+      .map(v => changesOfVersion(name, v, rowIds))
+    if (frames.isEmpty) emptyChanges(name, rowIds)
+    else frames.reduce(_ unionByName _)
+  }
+
+  /** Update pairing WITHOUT a user key: the identifier is the lineage id
+    * ([[TableStore.RowIdCol]]) — downstream incremental consumers track
+    * an entity through CoW rewrites and MoR updates with no user-level
+    * key at all (the Iceberg v3 row-lineage promise). The feed reads
+    * surface each row's id (materialized or virtual per file) BEFORE the
+    * net-change difference, so an update's delete+insert of one entity
+    * share the id and pair; ids also make the netting sharper — a
+    * rewrite preserving row ids always cancels exactly. */
+  def changeFeedLineage(name: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(rowLineage(name),
+      s"table $name does not have row-lineage enabled")
+    val ch = changeFeed(name, fromVersion, toVersion, rowIds = true)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(
+      col(TableStore.CommitVersionCol), col(s"`${TableStore.RowIdCol}`"))
+    ch.withColumn("__n_types",
+        when(col(s"`${TableStore.RowIdCol}`").isNotNull,
+          size(collect_set(col(TableStore.ChangeTypeCol)).over(w)))
+          .otherwise(lit(1)))
+      .withColumn(TableStore.ChangeTypeCol,
+        when(col("__n_types") === 2,
+          when(col(TableStore.ChangeTypeCol) === "delete",
+            lit("update_preimage")).otherwise(lit("update_postimage")))
+          .otherwise(col(TableStore.ChangeTypeCol)))
+      .drop("__n_types")
   }
 
   /** Change feed with UPDATE PAIRING — Iceberg's `create_changelog_view`
@@ -2413,7 +2475,8 @@ final class TableStore(private[tables] val spark: SparkSession,
   }
 
   /** One commit's labeled net changes — see [[changeFeed]]. */
-  private[graft] def changesOfVersion(name: String, v: Int): DataFrame = {
+  private[graft] def changesOfVersion(name: String, v: Int,
+      rowIds: Boolean = false): DataFrame = {
     val parent = commitParent(name, v).getOrElse(v - 1)
     val cur = relPathsOf(name, v)
     val prev = if (parent <= 0) Nil else relPathsOf(name, parent)
@@ -2429,24 +2492,31 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (removed.isEmpty && newDeletes.isEmpty) {
       // pure append (or a metadata-only commit): the appended files ARE
       // the inserts — sequence rules say no earlier tombstone masks them
-      if (added.isEmpty) emptyChanges(name)
-      else label(readAppendedRels(name, added), "insert")
+      if (added.isEmpty) emptyChanges(name, rowIds)
+      else label(readAppendedRels(name, added,
+        rowIdsAt = if (rowIds) Some(v) else None), "insert")
     } else {
       val common = if (newDeletes.nonEmpty) cur.filter(prevS) else Nil
       // pin the column ORDER on both sides: the masked read surfaces its
       // anti-join key columns first, and exceptAll matches POSITIONALLY —
       // order drift would make identical rows fail to cancel
-      val cols = schema(name).fieldNames.map(n => col(s"`$n`")).toSeq
-      val before = readRelsMasked(name, removed ++ common, parent)
+      val cols = (schema(name).fieldNames.toSeq ++
+        (if (rowIds) Seq(TableStore.RowIdCol) else Nil))
+        .map(n => col(s"`$n`"))
+      val before = readRelsMasked(name, removed ++ common, parent, rowIds)
         .select(cols: _*)
-      val after = readRelsMasked(name, added ++ common, v).select(cols: _*)
+      val after = readRelsMasked(name, added ++ common, v, rowIds)
+        .select(cols: _*)
       label(after.exceptAll(before), "insert")
         .unionByName(label(before.exceptAll(after), "delete"))
     }
   }
 
-  private def emptyChanges(name: String): DataFrame = {
-    val sch = StructType(schema(name).fields ++ Seq(
+  private def emptyChanges(name: String, rowIds: Boolean = false): DataFrame = {
+    val sch = StructType(schema(name).fields ++
+      (if (rowIds)
+        Seq(StructField(TableStore.RowIdCol, LongType, nullable = true))
+      else Nil) ++ Seq(
       StructField(TableStore.ChangeTypeCol, StringType, nullable = false),
       StructField(TableStore.CommitVersionCol, IntegerType, nullable = false)))
     spark.createDataFrame(new java.util.ArrayList[Row](), sch)
@@ -2489,10 +2559,17 @@ final class TableStore(private[tables] val spark: SparkSession,
       .filter(col("change") =!= "same")
   }
 
-  private def readFiles(name: String, files: Seq[String]): DataFrame = {
+  /** `rowIdsAt = Some(version)`: additionally surface the lineage id
+    * column ([[TableStore.RowIdCol]]) — materialized value when the file
+    * carries one, else that snapshot's first_row_id + ordinal. */
+  private def readFiles(name: String, files: Seq[String],
+      rowIdsAt: Option[Int] = None): DataFrame = {
     val sch = schema(name)
-    if (files.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+    if (files.isEmpty) {
+      val empty = spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+      return rowIdsAt.fold(empty)(_ =>
+        empty.withColumn(TableStore.RowIdCol, lit(null).cast(LongType)))
+    }
     // files carry PHYSICAL column names (fixed at field creation, at
     // every nesting level); read under the physical schema, surface
     // logical names — a renamed column reads back from every snapshot
@@ -2500,7 +2577,23 @@ final class TableStore(private[tables] val spark: SparkSession,
     // each generation reads under its OWN basePath so hive discovery
     // fills exactly its spec's columns from the directory names (the
     // rest are data columns in the files).
-    val physSch = physSchema(name)
+    val physSch0 = physSchema(name)
+    val physSch =
+      if (rowIdsAt.isEmpty) physSch0
+      else StructType(physSch0.fields :+
+        StructField(TableStore.RowIdCol, LongType, nullable = true))
+    val idCols = rowIdsAt.toSeq.map { v =>
+      val (_, firsts) = readRowIds(name, v)
+      val virt =
+        if (firsts.isEmpty) lit(null).cast(LongType)
+        else element_at(
+          map(firsts.toSeq.sortBy(_._1).flatMap { case (r, f) =>
+            Seq(lit(r), lit(f)) }: _*),
+          element_at(split(col("_metadata.file_path"), "/data/"), -1)) +
+          col("_metadata.row_index")
+      coalesce(col(s"`${TableStore.RowIdCol}`"), virt)
+        .as(TableStore.RowIdCol)
+    }
     val dd = fs.makeQualified(dataDir(name)).toString
     def relOf(p: String): String =
       fs.makeQualified(new HPath(p)).toString.stripPrefix(dd + "/")
@@ -2525,7 +2618,7 @@ final class TableStore(private[tables] val spark: SparkSession,
               .option("basePath", specBaseDir(name, id).toString)
               .parquet(fls: _*)
           }
-        raw.select(logicalProjection(name, sch, physSch): _*)
+        raw.select(logicalProjection(name, sch, physSch0) ++ idCols: _*)
       }.reduce(_ unionByName _)
   }
 
@@ -2662,12 +2755,15 @@ final class TableStore(private[tables] val spark: SparkSession,
       .select(input_file_name().as("f"))
       .distinct().collect().map(r => fileName(r.getString(0))).toSet
     val affectedPaths = files.filter(p => affected.contains(fileName(p)))
+    val lineage = rowLineage(name)
     val survivors =
       if (affectedPaths.isEmpty) Nil
-      else writeDataFiles(name, readFiles(name, affectedPaths)
+      else writeDataFiles(name, readFiles(name, affectedPaths,
+        rowIdsAt = if (lineage) Some(base) else None)
         .filter(!coalesce(cond, lit(false))))
     val removedRels = rels.filter(r => affected.contains(fileName(r))).toSet
-    commitManifest(name, base, removedRels, survivors ++ fresh, fresh)
+    commitManifest(name, base, removedRels, survivors ++ fresh, fresh,
+      idAdds = if (lineage) survivors.toSet else Set.empty)
   }
 
   /** DYNAMIC partition overwrite (Spark's
@@ -2742,13 +2838,17 @@ final class TableStore(private[tables] val spark: SparkSession,
       .distinct().collect().map(r => fileName(r.getString(0))).toSet
     if (affected.isEmpty) return
     val affectedPaths = files.filter(p => affected.contains(fileName(p)))
+    val lineage = rowLineage(name)
     // SQL DELETE WHERE semantics: rows where cond is NULL are KEPT — a bare
-    // !cond would silently drop them (NOT(NULL) filters the row out)
-    val survivors = readFiles(name, affectedPaths)
+    // !cond would silently drop them (NOT(NULL) filters the row out).
+    // Survivors keep their lineage ids through the rewrite.
+    val survivors = readFiles(name, affectedPaths,
+      rowIdsAt = if (lineage) Some(base) else None)
       .filter(!coalesce(cond, lit(false)))
     val rewritten = writeDataFiles(name, survivors)
     val removedRels = rels.filter(r => affected.contains(fileName(r))).toSet
-    commitManifest(name, base, removedRels, rewritten, Nil)
+    commitManifest(name, base, removedRels, rewritten, Nil,
+      idAdds = if (lineage) rewritten.toSet else Set.empty)
   }
 
   // ---- merge-on-read deletes ----------------------------------------------
@@ -2797,6 +2897,45 @@ final class TableStore(private[tables] val spark: SparkSession,
   def pendingDeletes(name: String): Int =
     readDeleteEntries(name, currentVersion(name)).size
 
+  // ---- row lineage -----------------------------------------------------------
+
+  /** Whether the table tracks row lineage ([[TableStore.RowIdCol]]).
+    * Enable via table property `row-lineage=true` BEFORE the first data
+    * commit — files committed earlier have no id range recorded and
+    * surface NULL ids. */
+  def rowLineage(name: String): Boolean =
+    properties(name).get("row-lineage").contains("true")
+
+  private def rowIdsPath(name: String, v: Int): HPath =
+    new HPath(tdir(name), f"manifest-$v%06d.rowids")
+
+  /** Lineage sidecar of a snapshot: (next unassigned id, first_row_id
+    * per VIRTUAL data file). A live file absent from the map carries
+    * its ids as a materialized physical column. */
+  private def readRowIds(name: String, version: Int): (Long, Map[String, Long]) = {
+    val p = rowIdsPath(name, version)
+    if (version == 0 || !fs.exists(p)) return (0L, Map.empty)
+    val lines = readLines(p)
+    val next = lines.headOption.filter(_.startsWith("#next\t"))
+      .flatMap(_.stripPrefix("#next\t").toLongOption).getOrElse(0L)
+    val m = lines.drop(1).flatMap { l =>
+      l.split('\t') match {
+        case Array(rel, f) => f.toLongOption.map(rel -> _)
+        case _ => None
+      }
+    }.toMap
+    (next, m)
+  }
+
+  /** The current snapshot with [[TableStore.RowIdCol]] surfaced — the
+    * masked read plus each row's stable lineage id. */
+  def readLineage(name: String): DataFrame = {
+    require(rowLineage(name),
+      s"table $name does not have row-lineage enabled")
+    morMasked(name, currentRelPaths(name), currentVersion(name),
+      rowIds = true)
+  }
+
   /** Merge-on-read DELETE: writes the key set as an equality-delete file
     * and commits METADATA ONLY — no data file is opened, rewritten, or
     * even listed. Cost is O(|keys|) regardless of table size; reads
@@ -2838,9 +2977,11 @@ final class TableStore(private[tables] val spark: SparkSession,
     * (the anti-join sits between scan and aggregate, so the rule cannot
     * fire on a masked class by construction). */
   private def morMasked(name: String, rels: Seq[String],
-      version: Int, rowPos: Boolean = false): DataFrame = {
+      version: Int, rowPos: Boolean = false,
+      rowIds: Boolean = false): DataFrame = {
     val entries = readDeleteEntries(name, version)
-    if (entries.isEmpty) return indexedRead(name, rels, version, rowPos)
+    if (entries.isEmpty)
+      return indexedRead(name, rels, version, rowPos, rowIds)
     // position deletes mask by (file, row ordinal) — inherently
     // file-scoped, so the sequence-class machinery below only governs
     // the EQUALITY entries; pos masks apply to the whole union and are
@@ -2855,7 +2996,7 @@ final class TableStore(private[tables] val spark: SparkSession,
         s"$pc which is no longer in the schema")))
     def classOf(r: String): Int = delSeqs.count(_ > seqs.getOrElse(r, 0))
     val eqMasked = rels.groupBy(classOf).toSeq.sortBy(_._1).map { case (c, rs) =>
-      val base = indexedRead(name, rs, version, needPos)
+      val base = indexedRead(name, rs, version, needPos, rowIds)
       if (c == 0) base
       else {
         val applicable = delSeqs.takeRight(c).toSet
@@ -2937,22 +3078,28 @@ final class TableStore(private[tables] val spark: SparkSession,
     val base = versionOf(baseManifest)
     val rels = readLines(new HPath(tdir(name), baseManifest))
     if (rels.isEmpty) return
-    val hits = morMasked(name, rels, base, rowPos = true)
+    val lineage = rowLineage(name)
+    val hits = morMasked(name, rels, base, rowPos = true, rowIds = lineage)
       .filter(cond).persist()
     try {
       if (hits.isEmpty) return
       val rel = s"pos-${java.util.UUID.randomUUID()}"
       hits.select(col(TableStore.PosFileCol), col(TableStore.PosIdxCol))
         .write.parquet(new HPath(deletesDir(name), rel).toString)
+      // an updated row keeps its lineage id into its appended file
+      val keepCols = sch.fieldNames.toSeq ++
+        (if (lineage) Seq(TableStore.RowIdCol) else Nil)
       val updated = sets.foldLeft(
         hits.drop(TableStore.PosFileCol, TableStore.PosIdxCol)) {
         case (df, (c, e)) =>
           df.withColumn(c, e.cast(sch(sch.fieldIndex(c)).dataType))
-      }.select(sch.fieldNames.map(c => col(s"`$c`")).toSeq: _*)
-      val newFiles = writeDataFiles(name, alignTo(name, sch, updated))
+      }.select(keepCols.map(c => col(s"`$c`")): _*)
+      val newFiles = writeDataFiles(name,
+        alignTo(name, sch, updated, keepRowId = lineage))
       commitManifest(name, base, Set.empty, newFiles, newFiles,
         meta = Map("operation" -> "update-mor"),
-        newDeletes = Seq((rel, Seq(TableStore.PosMarker))))
+        newDeletes = Seq((rel, Seq(TableStore.PosMarker))),
+        idAdds = if (lineage) newFiles.toSet else Set.empty)
     } finally { hits.unpersist(); () }
   }
 
@@ -3010,18 +3157,21 @@ final class TableStore(private[tables] val spark: SparkSession,
         rels.filter(named.contains).toSet
       }
     val candidates = eqCandidates ++ posCandidates
+    val lineage = rowLineage(name)
     val rewritten =
       if (candidates.isEmpty) Nil
       else {
         // rewrite candidates with their fully-masked content — the
         // masked read itself applies exactly the right deletes per
         // sequence class, so a file touched by BOTH kinds is rewritten
-        // once with both applied
-        val survivors = morMasked(name, candidates.toSeq.sorted, base)
+        // once with both applied (row ids materialize under lineage)
+        val survivors = morMasked(name, candidates.toSeq.sorted, base,
+          rowIds = lineage)
         writeDataFiles(name, survivors)
       }
     commitManifest(name, base, candidates, rewritten, Nil,
-      dropDeletes = true)
+      dropDeletes = true,
+      idAdds = if (lineage) rewritten.toSet else Set.empty)
   }
 
   /** Incremental delete-sidecar compaction (the
@@ -3131,6 +3281,7 @@ final class TableStore(private[tables] val spark: SparkSession,
       return
     }
     materializeDeletes(name) // see delete(): rewrites start from a clean table
+    val lineage = rowLineage(name)
     val sch = schema(name)
     val baseManifest = currentManifest(name)
     val base = versionOf(baseManifest)
@@ -3163,16 +3314,33 @@ final class TableStore(private[tables] val spark: SparkSession,
           .collect().map(r => fileName(r.getString(0))).toSet
         if (affected.nonEmpty) {
           val affectedPaths = candidatePaths.filter(p => affected.contains(fileName(p)))
-          val survivors = readFiles(name, affectedPaths)
+          val survivors = readFiles(name, affectedPaths,
+            rowIdsAt = if (lineage) Some(base) else None)
             .join(distinctKeys, keyCols, "left_anti")
           rewritten = writeDataFiles(name, survivors)
           removed = rels.filter(r => affected.contains(fileName(r))).toSet
         }
       }
     }
-    val appended = writeDataFiles(name, alignTo(name, sch, newRows))
+    // under lineage, newRows may MIX carried rows (merge's rebuilt
+    // matches, id attached) and fresh rows (inserts, id null/absent):
+    // carried rows materialize their ids into their own files, fresh
+    // rows stay virtual and get a commit-assigned range
+    val (appended, carriedAdds) =
+      if (!lineage || !newRows.columns.contains(TableStore.RowIdCol)) {
+        (writeDataFiles(name, alignTo(name, sch, newRows)), Set.empty[String])
+      } else {
+        val aligned = alignTo(name, sch, newRows, keepRowId = true)
+        val carried = writeDataFiles(name,
+          aligned.filter(col(TableStore.RowIdCol).isNotNull))
+        val fresh = writeDataFiles(name,
+          aligned.filter(col(TableStore.RowIdCol).isNull)
+            .drop(TableStore.RowIdCol))
+        (carried ++ fresh, carried.toSet)
+      }
     commitManifest(name, base, removed, rewritten ++ appended, appended,
-      meta = meta)
+      meta = meta,
+      idAdds = if (lineage) rewritten.toSet ++ carriedAdds else Set.empty)
   }
 
   /** Zone- AND bloom-pruned candidate files for a key batch — exposed for
@@ -3539,8 +3707,10 @@ final class TableStore(private[tables] val spark: SparkSession,
     val srcCols = source.columns.toSet
     (keyCols ++ updateCols).foreach(c => require(srcCols.contains(c),
       s"source frame lacks column $c"))
+    val lineage = rowLineage(name)
     val cand = candidateFilesForKeys(name, source, keyCols)
-    val tgt = readFiles(name, cand.map(r => new HPath(dataDir(name), r).toString))
+    val tgt = readFiles(name, cand.map(r => new HPath(dataDir(name), r).toString),
+      rowIdsAt = if (lineage) Some(currentVersion(name)) else None)
     val joinCond = keyCols.map(k => tgt(k) === source(k)).reduce(_ && _)
     val joined = tgt.join(source, joinCond, "inner")
     // delete-first precedence: rows the delete clause claims are simply
@@ -3556,13 +3726,17 @@ final class TableStore(private[tables] val spark: SparkSession,
         if (updateCols.contains(f.name))
           source(f.name).cast(f.dataType).as(f.name)
         else tgt(f.name).as(f.name)
-      }.toSeq: _*)
+      }.toSeq ++
+        // an UPDATED row keeps its lineage id (Iceberg v3 row lineage);
+        // inserts below union in without one → fresh commit-assigned ids
+        (if (lineage) Seq(tgt(TableStore.RowIdCol)) else Nil): _*)
     val newRows =
       if (!insertUnmatched) matched
       else {
         val inserts = source.join(
           tgt.select(keyCols.map(tgt(_)): _*), keyCols, "left_anti")
-        matched.unionByName(alignTo(name, sch, inserts))
+        matched.unionByName(alignTo(name, sch, inserts),
+          allowMissingColumns = true)
       }
     applyNet(name, source.select(keyCols.map(col): _*), newRows, keyCols)
   }
@@ -3585,9 +3759,11 @@ final class TableStore(private[tables] val spark: SparkSession,
     val baseManifest = currentManifest(name)
     val base = versionOf(baseManifest)
     val baseRels = readLines(new HPath(tdir(name), baseManifest))
+    val lineage = rowLineage(name)
     // a compaction rewrites everything anyway — fold pending MoR deletes
     // in by reading masked and dropping the sidecars in the same commit
-    val cur = morMasked(name, baseRels, base)
+    // (row ids materialize into the rewritten files when lineage is on)
+    val cur = morMasked(name, baseRels, base, rowIds = lineage)
     val df =
       if (clusterCols.nonEmpty) {
         require(numFiles > 0, "z-order compaction needs an explicit numFiles")
@@ -3606,7 +3782,8 @@ final class TableStore(private[tables] val spark: SparkSession,
     // mutation of a base file is a loud conflict — Iceberg's
     // rewrite-files validation, expressed through the generic intent.
     commitManifest(name, base, baseRels.toSet, rewritten, Nil,
-      dropDeletes = true)
+      dropDeletes = true,
+      idAdds = if (lineage) rewritten.toSet else Set.empty)
   }
 
   /** Orphan cleanup: delete files under `data/` that NO manifest (of any
@@ -4361,11 +4538,16 @@ final class TableStore(private[tables] val spark: SparkSession,
     * frame (the pre-evolution-producer case; it backfills null) — a frame
     * missing any create-time column fails loudly, so a misspelled column
     * stays an error instead of silently committing nulls. */
-  private def alignTo(name: String, sch: StructType, df: DataFrame): DataFrame = {
+  private def alignTo(name: String, sch: StructType, df: DataFrame,
+      keepRowId: Boolean = false): DataFrame = {
     val have = df.schema.fields.map(f => f.name -> f).toMap
     lazy val evolved = evolvedCols(name)
     lazy val addedNested = addedNestedLogical(name)
-    df.select(sch.fields.map { f =>
+    val idTail =
+      if (keepRowId && df.columns.contains(TableStore.RowIdCol))
+        Seq(col(s"`${TableStore.RowIdCol}`"))
+      else Nil
+    df.select(idTail ++ sch.fields.map { f =>
       have.get(f.name) match {
         case Some(in) =>
           // nested-aware align: structs rebuild so that fields added by
@@ -4614,7 +4796,11 @@ final class TableStore(private[tables] val spark: SparkSession,
       reclaimAddedOnAbort: Boolean = true,
       // replaces the carried entry list VERBATIM (seqs preserved) —
       // the sidecar-compaction commit (rewriteDeletes)
-      replaceDeletes: Option[Seq[DeleteEntry]] = None): Unit = {
+      replaceDeletes: Option[Seq[DeleteEntry]] = None,
+      // rel paths among `added` whose files CARRY materialized row ids
+      // (lineage-preserving rewrites) — excluded from virtual-range
+      // assignment
+      idAdds: Set[String] = Set.empty): Unit = {
     val d = tdir(name)
     val ptrKey = refKey(name, branch)
     val lock = new HPath(d, "_commit.lock")
@@ -4716,6 +4902,35 @@ final class TableStore(private[tables] val spark: SparkSession,
             }
           }
           writeConsolidated(name, n, head, files)
+          // row lineage: assign first_row_id ranges to this commit's
+          // VIRTUAL adds (metadata-only — counts come from the stats
+          // the consolidated file just recorded), carry live files'
+          // entries, never regress the counter (rollback takes the max
+          // of source and rolled-away head)
+          if (properties(name).get("row-lineage").contains("true")) {
+            val srcV = copyDeletesFrom.getOrElse(head)
+            val (srcNext, srcMap) = readRowIds(name, srcV)
+            val (headNext, _) =
+              if (head == srcV) (srcNext, srcMap) else readRowIds(name, head)
+            var nextId = math.max(srcNext, headNext)
+            val liveSet = files.toSet
+            val carried = srcMap.filter { case (rel, _) => liveSet(rel) }
+            val rows = readConsolidated(name, n).map(_.rows)
+              .getOrElse(Map.empty[String, Long])
+            val assigned = added.filterNot(idAdds).sorted.map { rel =>
+              val cnt = rows.get(rel)
+                .orElse(footerRowCount(new HPath(dataDir(name), rel)))
+                .getOrElse(sys.error(
+                  s"row lineage needs a row count for $rel of $name"))
+              val e = rel -> nextId
+              nextId += cnt
+              e
+            }
+            val entries = (carried ++ assigned).toSeq.sortBy(_._1)
+            writeString(rowIdsPath(name, n),
+              (s"#next\t$nextId" +: entries.map { case (r, f) => s"$r\t$f" })
+                .mkString("\n"))
+          }
           writeMetaFile(name, n, head, meta)
           writeRollups(name, n, head,
             carried = files.filterNot(added.toSet), added = added)
@@ -5106,6 +5321,17 @@ object TableStore {
     * position-aware reads. */
   private[tables] val PosFileCol: String = "__graft_pos_file"
   private[tables] val PosIdxCol: String = "__graft_pos_idx"
+
+  /** ROW LINEAGE column (Iceberg v3 `_row_id`): a stable per-row id
+    * assigned at first commit and carried across rewrites. Virtual by
+    * default — a data file's ids are `first_row_id + ordinal`, assigned
+    * METADATA-ONLY at commit from the per-file row counts the stats job
+    * already records (no write-path cost, no distributed id-assignment
+    * job) — and MATERIALIZED as a physical column of this name when a
+    * lineage-preserving rewrite (compact / CoW delete / merge /
+    * materialize / MoR update) rewrites the rows. Readers surface
+    * `coalesce(materialized, first_row_id + ordinal)`. */
+  val RowIdCol: String = "_row_id"
 
   /** Largest total pending-delete sidecar byte size the SPJ batch scan
     * will mask in its readers. Per-task sidecar re-reading is the
