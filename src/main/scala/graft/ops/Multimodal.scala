@@ -290,11 +290,21 @@ object Multimodal {
 
   // ---- perceptual-hash image dedup -------------------------------------------
 
+  /** Pixel generator for the perceptual-hash gate: a QUADRATIC-in-i
+    * product `((s0+i+7)·(s0+2i+13)) mod 256` with `s0 = id mod 4096 + 1`
+    * — pseudo-random per image (so distinct images get diverse dHashes
+    * where [[mediaTable]]'s gradient ramp would make every image look
+    * alike) and BOUNDED: every intermediate stays far below 2^63, so the
+    * DuckDB oracle computes it at ANY doc_id scale (a raw
+    * `(id+1)·(i+7)·2654435761` overflowed INT64 the moment a 10× corpus
+    * shifted ids past 3.5e9 — caught by the round-8 scale sweep). */
+  private[graft] def phashPixel(id: Long, i: Int): Int = {
+    val s0 = id % 4096 + 1
+    (((s0 + i + 7) * (s0 + 2L * i + 13)) % 256).toInt
+  }
+
   /** Gate-specific image corpus for perceptual-hash dedup. Pixels come
-    * from a multiplicative hash `((id+1)·(i+7)·2654435761) mod 256` —
-    * pseudo-random per image, so distinct images get near-uniform dHashes
-    * (Hamming ≈ 32 apart) where [[mediaTable]]'s gradient ramp would make
-    * every image look alike. Every 9th image also appears as a PLANTED
+    * from [[phashPixel]]. Every 9th image also appears as a PLANTED
     * near-duplicate: its real PNG 2×-upscaled through the REAL codec path
     * ([[PngCodec.resize]]), re-encoded, under media_id + 1,000,000 — a
     * decode→resize→re-encode roundtrip whose dHash must collide with the
@@ -307,8 +317,7 @@ object Multimodal {
         it.flatMap { id =>
           val w = (8 + id % 8).toInt
           val h = (4 + id % 4).toInt
-          val orig = PngCodec.encodeWith(w, h,
-            i => (((id + 1) * (i + 7) * 2654435761L) % 256).toInt)
+          val orig = PngCodec.encodeWith(w, h, i => phashPixel(id, i))
           val base = (id, w, h, orig)
           if (id % 9 == 0)
             Seq(base, (id + 1000000L, 2 * w, 2 * h,
@@ -505,11 +514,12 @@ object Multimodal {
        | SELECT doc_id + 1000000, doc_id, 2 FROM documents
        | WHERE doc_id % 3 = 0 AND doc_id % 9 = 0),
        |samp AS (SELECT media_id,
-       |  LIST_TRANSFORM(RANGE(0, 72), g ->
-       |   ((src + 1) * (((((g // 9) * s * (4 + src % 4)) // 8) // s)
-       |       * (8 + src % 8)
-       |      + ((((g % 9) * s * (8 + src % 8)) // 9) // s) + 7)
-       |    * 2654435761) % 256) AS px
+       |  LIST_TRANSFORM(
+       |   LIST_TRANSFORM(RANGE(0, 72), g ->
+       |    (((((g // 9) * s * (4 + src % 4)) // 8) // s) * (8 + src % 8)
+       |     + ((((g % 9) * s * (8 + src % 8)) // 9) // s))),
+       |   i -> ((src % 4096 + 1 + i + 7) * (src % 4096 + 1 + 2*i + 13))
+       |          % 256) AS px
        | FROM imgs),
        |sg AS (SELECT media_id AS doc_id, ($sigBits) AS sig FROM samp),
        |ck AS (SELECT doc_id, sig, UNNEST([$chunkList]) AS bucket FROM sg),

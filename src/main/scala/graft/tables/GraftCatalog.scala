@@ -532,9 +532,12 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
     * row-level operation, whose write task only strips bookkeeping
     * columns for writers that request metadata. `_pos`: the row's
     * ordinal within its file — with `_file` it is the ROW ID of the
-    * delta-based (merge-on-read) SQL operations. */
+    * delta-based (merge-on-read) SQL operations. `_row_id` (lineage
+    * tables only): the stable Iceberg-v3 row lineage id. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftFileMetaColumn, GraftPosMetaColumn)
+    if (store.rowLineage(tbl))
+      Array(GraftFileMetaColumn, GraftPosMetaColumn, GraftRowIdMetaColumn)
+    else Array(GraftFileMetaColumn, GraftPosMetaColumn)
 
   override def name(): String = tbl
 
@@ -874,6 +877,15 @@ private[tables] object GraftPosMetaColumn extends MetadataColumn {
   override def comment(): String = "row ordinal within its data file"
 }
 
+private[tables] object GraftRowIdMetaColumn extends MetadataColumn {
+  val Name = TableStore.RowIdCol
+  override def name(): String = Name
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def isNullable(): Boolean = true // pre-lineage files read null
+  override def comment(): String = "stable row lineage id (Iceberg v3)"
+}
+
 private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
     versionAt: Option[Int])
   extends ScanBuilder with SupportsPushDownFilters
@@ -1043,7 +1055,8 @@ private[tables] final class GraftScanBuilder(store: TableStore, tbl: String,
     // time)
     case Some(p) if aggAnswer.isEmpty && limitSubset.isEmpty &&
         !required.fieldNames.contains(GraftFileMetaColumn.Name) &&
-        !required.fieldNames.contains(GraftPosMetaColumn.Name) =>
+        !required.fieldNames.contains(GraftPosMetaColumn.Name) &&
+        !required.fieldNames.contains(GraftRowIdMetaColumn.Name) =>
       new GraftBatchScan(store, tbl, p, pushed, required)
     case _ =>
       new GraftV1Scan(store, tbl, versionAt, pushed, required, aggAnswer,
@@ -1114,6 +1127,8 @@ private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
       }
       private def buildDataScan(): RDD[Row] = {
         val needPos = required.fieldNames.contains(GraftPosMetaColumn.Name)
+        val needRowId =
+          required.fieldNames.contains(GraftRowIdMetaColumn.Name)
         val base = limitSubset match {
           // pushed LIMIT/TopN: scan only the pre-selected file subset
           // (pushLimit/pushTopN decline under time travel, so the
@@ -1125,9 +1140,13 @@ private[tables] final class GraftV1Scan(store: TableStore, tbl: String,
             // target a pinned version). `_file` here is the REL path,
             // which is what delete sidecars and the delta writer key on.
             require(versionAt.isEmpty, "_pos is not available under time travel")
-            store.readWithPos(tbl)
+            store.readWithPos(tbl, rowIds = needRowId)
               .withColumnRenamed(TableStore.PosIdxCol, GraftPosMetaColumn.Name)
               .withColumnRenamed(TableStore.PosFileCol, GraftFileMetaColumn.Name)
+          case None if needRowId =>
+            require(versionAt.isEmpty,
+              "_row_id is not available under time travel")
+            store.readLineage(tbl)
           case None => versionAt.map(v => store.readVersion(tbl, v))
             .getOrElse(store.read(tbl))
         }

@@ -1416,9 +1416,10 @@ final class TableStore(private[tables] val spark: SparkSession,
   /** Masked read carrying row coordinates — logical columns plus
     * `PosFileCol` (rel path) and `PosIdxCol` (ordinal in file): the
     * row-identity read under delta-based SQL row-level operations. */
-  private[tables] def readWithPos(name: String): DataFrame =
+  private[tables] def readWithPos(name: String,
+      rowIds: Boolean = false): DataFrame =
     morMasked(name, currentRelPaths(name), currentVersion(name),
-      rowPos = true)
+      rowPos = true, rowIds = rowIds)
 
   /** Dispatcher over partition-spec generations: a never-evolved table
     * (or a snapshot whose files all share one generation) takes the

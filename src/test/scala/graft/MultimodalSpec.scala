@@ -72,7 +72,7 @@ class MultimodalSpec extends SparkSpec {
     import spark.implicits._
     def mk(id: Long, w: Int, h: Int): Array[Byte] =
       Multimodal.PngCodec.encodeWith(w, h,
-        i => (((id + 1) * (i + 7) * 2654435761L) % 256).toInt)
+        i => Multimodal.phashPixel(id, i))
     val a = mk(1L, 12, 6)
     val b = mk(2L, 12, 6) // different content, same dims
     val aUp = Multimodal.PngCodec.resize(a, 24, 12).get // 2× upscale of a

@@ -281,6 +281,26 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 10L)
   }
 
+  test("SQL can SELECT the _row_id metadata column on lineage tables") {
+    spark.sql("CREATE TABLE gql.lin (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('row-lineage'='true')")
+    spark.sql("INSERT INTO gql.lin VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    val rows = spark.sql("SELECT k, _row_id FROM gql.lin ORDER BY _row_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).toSeq === Seq(0L, 1L, 2L))
+    // stable through a CoW DELETE issued over SQL
+    val before = rows.toMap
+    spark.sql("DELETE FROM gql.lin WHERE k = 2")
+    val after = spark.sql("SELECT k, _row_id FROM gql.lin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after.keySet === Set(1L, 3L))
+    after.foreach { case (k, id) => assert(id === before(k)) }
+    // non-lineage tables do not advertise the column
+    intercept[Exception] {
+      spark.sql("SELECT _row_id FROM gql.t1").collect()
+    }
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens the target with source columns") {
     spark.sql("CREATE TABLE gql.mse (k BIGINT, v DOUBLE)")
     spark.sql("INSERT INTO gql.mse VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
