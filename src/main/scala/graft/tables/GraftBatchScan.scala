@@ -58,6 +58,22 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
 
   private val spark: SparkSession = store.spark
 
+  /** IDENTITY partition fields: their values live in directory names
+    * only (classic hive — stripped from the data files), so the reader
+    * attaches each directory's parsed value as the parquet
+    * partition-values row. Hidden transforms keep their sources IN the
+    * files and need nothing. */
+  private val identityFields: Seq[PartitionField] =
+    plan.fields.filter(_.isIdentity)
+  private val identityIdx: Seq[Int] =
+    plan.fields.zipWithIndex.collect { case (f, i) if f.isIdentity => i }
+  private val identitySchema: StructType = StructType(identityFields.map { f =>
+    val src = plan.bundle.physSch(plan.bundle.physSch.fieldIndex(f.source))
+    StructField(f.source, src.dataType, nullable = true)
+  })
+  private val identityNames: Set[String] =
+    identitySchema.fieldNames.toSet
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -125,17 +141,27 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
           !key.isNullAt(i) && ids.contains(key.get(i, dirTypes(i))))
       }
       if (!keep) None
-      else Some(GraftInputPartition(
-        key.toSeq(plan.bundle.pSchema).toArray,
-        files.map { case (path, len) =>
-          PartitionedFile(InternalRow.empty,
-            org.apache.spark.paths.SparkPath.fromPathString(path),
-            0L, len, Array.empty, 0L, len, Map.empty)
-        }.toArray,
-        // rel path under data/ — the key the delete mask's fileSeqs and
-        // position sidecars use (same split the V1 masked read applies
-        // to _metadata.file_path)
-        files.map(_._1.split("/data/").last).toArray): InputPartition)
+      else {
+        // identity layouts: this directory's parsed values ride as the
+        // parquet partition-values row, appended to every row the
+        // closure reads (dir type == source type for identity)
+        val partVals =
+          if (identityIdx.isEmpty) InternalRow.empty
+          else InternalRow.fromSeq(identityIdx.map(i =>
+            if (key.isNullAt(i)) null
+            else key.get(i, plan.bundle.dirTypes(i))))
+        Some(GraftInputPartition(
+          key.toSeq(plan.bundle.pSchema).toArray,
+          files.map { case (path, len) =>
+            PartitionedFile(partVals,
+              org.apache.spark.paths.SparkPath.fromPathString(path),
+              0L, len, Array.empty, 0L, len, Map.empty)
+          }.toArray,
+          // rel path under data/ — the key the delete mask's fileSeqs and
+          // position sidecars use (same split the V1 masked read applies
+          // to _metadata.file_path)
+          files.map(_._1.split("/data/").last).toArray): InputPartition)
+      }
     }.toArray
   }
 
@@ -152,11 +178,13 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
     * reader stays ON but returns ROWS (returning_batch=false) — the DSv2
     * row-based PartitionReader contract. */
   private def buildRead(dataSchema: StructType, requiredSchema: StructType,
-      filters: Seq[Filter]): PartitionedFile => Iterator[InternalRow] =
+      filters: Seq[Filter],
+      partitionSchema: StructType = new StructType())
+      : PartitionedFile => Iterator[InternalRow] =
     new ParquetFileFormat().buildReaderWithPartitionValues(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       dataSchema = dataSchema,
-      partitionSchema = new StructType(),
+      partitionSchema = partitionSchema,
       requiredSchema = requiredSchema,
       filters = filters,
       options = Map(
@@ -166,31 +194,52 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val dataSch = plan.bundle.dataSch
+    // identity columns come from the partition-values row, never the
+    // file: read only the DATA part of `required`, let the closure
+    // append the identity values, and project back to `required`'s
+    // order afterwards. Filters over identity columns never reach
+    // parquet (the file has no such column) — they already pruned
+    // directories in listFiles, and Spark's residual applies exactly.
+    val dataRequired =
+      StructType(required.fields.filterNot(f => identityNames(f.name)))
+    val dataFilters = pruning.toSeq
+      .filter(_.references.forall(r => !identityNames(r)))
     plan.mask match {
-      case None => new GraftReaderFactory(buildRead(dataSch, required, pruning.toSeq))
+      case None =>
+        val combined = StructType(dataRequired.fields ++ identitySchema.fields)
+        new GraftReaderFactory(
+          buildRead(dataSch, dataRequired, dataFilters, identitySchema),
+          if (combined == required) None else Some((combined, required)))
       case Some(m) =>
         // pending MoR deletes: widen the read so masking has what it
         // needs — equality-delete key columns the projection pruned
         // away, and the parquet reader's TRUE row ordinal (populated
         // from page-store row ranges, so row-group/page skipping never
         // desynchronizes it) when position sidecars are pending. The
-        // extra columns are dropped after masking.
+        // extra columns are dropped after masking. Identity-sourced key
+        // columns arrive via the appended partition values like any
+        // other identity column.
         val eqCols = m.eq.flatMap(_.cols).distinct
-        val missing = eqCols.filterNot(required.fieldNames.contains)
+        val missing = eqCols.filterNot(c =>
+          dataRequired.fieldNames.contains(c) || identityNames(c))
         val needPos = m.posFiles.nonEmpty
-        var widened = missing.foldLeft(required)((s, c) =>
+        var widenedData = missing.foldLeft(dataRequired)((s, c) =>
           s.add(dataSch(dataSch.fieldIndex(c))))
         // the reader-recognized temp name; MUST be nullable so the
         // parquet reader classifies it "missing in file" and hands it
         // to the RowIndexGenerator instead of erroring
         if (needPos)
-          widened = widened.add(StructField(
+          widenedData = widenedData.add(StructField(
             ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
             LongType, nullable = true))
+        // the reader's true output layout: widened data ++ identity
+        val combined =
+          StructType(widenedData.fields ++ identitySchema.fields)
+        val sch = StructType(dataSch.fields ++ identitySchema.fields)
         val keySchemas: Map[Seq[String], StructType] =
           m.eq.map(_.cols).distinct.map { cs =>
             cs -> StructType(cs.map(c =>
-              dataSch(dataSch.fieldIndex(c)).copy(nullable = true)))
+              sch(sch.fieldIndex(c)).copy(nullable = true)))
           }.toMap
         val delFuncs = keySchemas.map { case (cs, ks) =>
           cs -> buildRead(ks, ks, Nil)
@@ -200,8 +249,9 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
           StructField(TableStore.PosIdxCol, LongType, nullable = true)))
         val posFunc =
           if (needPos) Some(buildRead(posSchema, posSchema, Nil)) else None
-        new GraftMaskedReaderFactory(buildRead(dataSch, widened, pruning.toSeq),
-          widened, required, m, delFuncs, keySchemas, posFunc)
+        new GraftMaskedReaderFactory(
+          buildRead(dataSch, widenedData, dataFilters, identitySchema),
+          combined, required, m, delFuncs, keySchemas, posFunc)
     }
   }
 
@@ -379,13 +429,28 @@ private[tables] final case class GraftInputPartition(keyVals: Array[Any],
   * reads hand back ColumnarBatch disguised as InternalRow — flattened
   * here row-by-row (the same contract FileSourceScan's consumers
   * handle); reader close is registered by the closure itself on the
-  * task-completion listener. */
+  * task-completion listener. `reorder` (combined layout, output layout)
+  * reprojects when the closure's output order differs from the scan's
+  * readSchema — the identity-layout case, where partition values append
+  * at the END of each row. */
 private[tables] final class GraftReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    reorder: Option[(StructType, StructType)] = None)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val files = p.asInstanceOf[GraftInputPartition].files.iterator
+    val proj: InternalRow => InternalRow = reorder match {
+      case None => identity
+      case Some((combined, output)) =>
+        val up = UnsafeProjection.create(
+          output.fieldNames.toIndexedSeq.map { c =>
+            val i = combined.fieldIndex(c)
+            BoundReference(i, combined(i).dataType,
+              combined(i).nullable): Expression
+          })
+        up(_)
+    }
     new PartitionReader[InternalRow] {
       private var cur: Iterator[Object] = Iterator.empty
       private var row: InternalRow = _
@@ -397,7 +462,7 @@ private[tables] final class GraftReaderFactory(
                 val rows = b.rowIterator().asScala
                 cur = rows.asInstanceOf[Iterator[Object]] ++ cur
               case r: InternalRow =>
-                row = r
+                row = proj(r)
                 return true
             }
           } else if (files.hasNext) {

@@ -1671,13 +1671,13 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (bySpec.size != 1) return None
     val specId = bySpec.head._1
     val fields = partitionFieldsOfSpec(name, specId)
-    // any all-HIDDEN-transform layout qualifies (bucket/days/hours/
-    // months/years/truncate): hidden transforms keep the source column
-    // IN the data files, so the raw reader needs no partition-value
-    // re-attachment. Identity layouts strip the column from the files
-    // (classic hive) and stay on the V1 path — a missed optimization
-    // there, never a correctness gap.
-    if (fields.isEmpty || fields.exists(_.isIdentity)) return None
+    // every layout qualifies: hidden transforms keep the source column
+    // IN the data files; IDENTITY layouts (classic hive) strip it, and
+    // the V2 reader re-attaches each directory's value as the parquet
+    // partition-values row — so identity-partitioned tables get
+    // zero-exchange joins too (closing what earlier rounds documented
+    // as a missed optimization).
+    if (fields.isEmpty) return None
     if (!TableStore.sameNameTree(schema(name), physSchema(name))) return None
     val version = currentVersion(name)
     val entries = readDeleteEntries(name, version)

@@ -151,10 +151,17 @@ class SpjSpec extends SparkSpec {
     withSpj {
       assert(spark.sql("SELECT w FROM spj.r").collect().head.getDouble(0) === 1.0)
     }
-    // (c) identity partitioning → dir values live outside data files
+    // (c) identity partitioning is now SERVED (dir values re-attach as
+    // the parquet partition-values row) — dedicated tests below
     spark.sql("CREATE TABLE spj.i (k BIGINT, p STRING) PARTITIONED BY (p)")
     Seq((1L, "a"), (2L, "b")).toDF("k", "p").writeTo("spj.i").append()
-    assert(store.spjPlan("i").isEmpty)
+    assert(store.spjPlan("i").isDefined)
+    withSpj {
+      val q = spark.sql("SELECT k, p FROM spj.i ORDER BY k")
+      assert(q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (2L, "b")))
+      assert(finalPlan(q).contains("BatchScan"))
+    }
     // (d) time travel stays V1 (versionAt bypasses spjPlan entirely)
     withSpj {
       val v = store.currentVersion("f")
@@ -203,6 +210,53 @@ class SpjSpec extends SparkSpec {
       val k3 = spark.sql("SELECT v FROM spj.mf WHERE k = 3")
       assert(finalPlan(k3).contains("BatchScan"))
       assert(k3.collect().map(_.getDouble(0)).toSeq === Seq(999.0))
+    }
+  }
+
+  test("identity layout: co-partitioned join is shuffle-free, values exact") {
+    spark.sql("CREATE TABLE spj.if1 (k BIGINT, v DOUBLE, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql("CREATE TABLE spj.if2 (w DOUBLE, region STRING) " +
+      "PARTITIONED BY (region)")
+    val regions = Seq("emea", "apac", "amer")
+    val d1 = (0L until 90L).map(i => (i, i.toDouble, regions((i % 3).toInt)))
+      .toDF("k", "v", "region")
+    val d2 = (0L until 30L).map(i => (i * 2.0, regions((i % 3).toInt)))
+      .toDF("w", "region")
+    d1.writeTo("spj.if1").append()
+    d2.writeTo("spj.if2").append()
+    assert(store.spjPlan("if1").exists(_.fields.exists(_.isIdentity)))
+    withSpj {
+      val j = spark.sql(
+        """SELECT a.k, a.v, a.region, b.w FROM spj.if1 a
+          |JOIN spj.if2 b ON a.region = b.region""".stripMargin)
+      val plan = finalPlan(j)
+      assert(plan.contains("BatchScan"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      val expected = d1.join(d2, "region").select($"k", $"v", $"region", $"w")
+      assert(j.count() === expected.count())
+      assert(j.agg(sum($"v" + $"w")).head().getDouble(0) ===
+        expected.agg(sum($"v" + $"w")).head().getDouble(0))
+      // identity values are exact per row (re-attached, not nulled)
+      val perRegion = j.groupBy("region").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perRegion === expected.groupBy("region").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      // filter ON the identity column prunes directories and stays exact
+      val f = spark.sql(
+        "SELECT k FROM spj.if1 WHERE region = 'emea' AND v < 10.0")
+      assert(f.collect().map(_.getLong(0)).sorted.toSeq ===
+        d1.filter($"region" === "emea" && $"v" < 10.0)
+          .select("k").collect().map(_.getLong(0)).sorted.toSeq)
+    }
+    // masking interplay: an equality tombstone keyed on a DATA column
+    // masks rows under the identity layout too
+    store.deleteMoR("if1", Seq(5L, 6L).toDF("k"), Seq("k"))
+    withSpj {
+      val q = spark.sql("SELECT k FROM spj.if1 ORDER BY k")
+      assert(finalPlan(q).contains("BatchScan"))
+      assert(q.collect().map(_.getLong(0)).toSeq ===
+        (0L until 90L).filterNot(Set(5L, 6L)))
     }
   }
 
