@@ -934,6 +934,8 @@ object TableQueries {
       Some(TableQueries2.tblAddFilesSql)),
     Q("tbl_changelog_updates", TableQueries2.tblChangelogUpdates,
       Some(TableQueries2.tblChangelogUpdatesSql)),
+    Q("tbl_spj_identity", TableQueries2.tblSpjIdentity,
+      Some(TableQueries2.tblSpjIdentitySql)),
     Q("tbl_spj_temporal", TableQueries2.tblSpjTemporal,
       Some(TableQueries2.tblSpjTemporalSql)),
     Q("tbl_defaults", TableQueries2.tblDefaults,
@@ -1373,6 +1375,74 @@ object TableQueries2 {
       |WHERE o.o_orderkey % 19 <> 0 AND o.o_totalprice <= 200000.0
       |GROUP BY o.o_custkey, c.c_mktsegment
       |ORDER BY custkey, seg""".stripMargin
+
+  /** IDENTITY-layout storage-partitioned join under the oracle: two
+    * classic hive tables partitioned by the same month column (values
+    * live in DIRECTORY NAMES only — the V2 reader re-attaches them as
+    * parquet partition values) join and aggregate with zero hash
+    * exchanges under broadcast-off, require()d in-gate. */
+  private[ops] def tblSpjIdentity(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gspi",
+      classOf[graft.tables.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspi.root", Scratch.dir("tbl-spji"))
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val fact = s"orders_$ident"
+    val dim = s"months_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gspi.$fact")
+    spark.sql(s"DROP TABLE IF EXISTS gspi.$dim")
+    spark.sql(s"""CREATE TABLE gspi.$fact (
+      o_orderkey BIGINT, o_totalprice DOUBLE, m STRING)
+      PARTITIONED BY (m)""")
+    spark.sql(s"""CREATE TABLE gspi.$dim (n_month BIGINT, m STRING)
+      PARTITIONED BY (m)""")
+    val src = s"gspi_src_$ident"
+    t(spark, dir, "orders")
+      .selectExpr("o_orderkey", "o_totalprice",
+        "date_format(o_orderdate, 'yyyy-MM') AS m")
+      .createOrReplaceTempView(src)
+    spark.sql(s"INSERT INTO gspi.$fact SELECT * FROM $src")
+    spark.sql(
+      s"INSERT INTO gspi.$dim SELECT count(*) AS n_month, m FROM $src GROUP BY m")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        s"""SELECT f.m, count(*) AS cnt,
+           |  CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total,
+           |  MAX(d.n_month) AS n_month
+           |FROM gspi.$fact f JOIN gspi.$dim d ON f.m = d.m
+           |GROUP BY f.m ORDER BY f.m""".stripMargin)
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      require(plan.contains("BatchScan"),
+        s"identity SPJ gate expected the V2 batch scan, got:\n$plan")
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"identity SPJ gate expected a shuffle-free join+agg, got:\n$plan")
+      q
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private[ops] val tblSpjIdentitySql =
+    """WITH src AS (
+      | SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m') AS m
+      | FROM orders),
+      |d AS (SELECT m, COUNT(*) AS n_month FROM src GROUP BY m)
+      |SELECT f.m, count(*) AS cnt,
+      | CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      | CAST(MAX(d.n_month) AS BIGINT) AS n_month
+      |FROM src f JOIN d ON f.m = d.m
+      |GROUP BY f.m ORDER BY f.m""".stripMargin
 
   /** Row-level change feed under the oracle (the Delta-CDF/Iceberg-
     * changelog surface): a four-commit lifecycle — two appends, a
