@@ -803,8 +803,9 @@ object TableQueries {
         FROM $ords GROUP BY o_custkey)
       SELECT key, spent, n_orders FROM spend
       UNION ALL
-      SELECT key + 1 + (SELECT GREATEST(MAX(c.c_custkey), MAX(o.o_custkey))
-                        FROM $cust c, $ords o) AS key, spent, n_orders
+      SELECT key + 1 + GREATEST((SELECT MAX(c_custkey) FROM $cust),
+                                (SELECT MAX(o_custkey) FROM $ords)) AS key,
+        spent, n_orders
       FROM spend""")
     spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO gsqme.$tbl t
       USING gsqme_src_$ident s ON t.c_custkey = s.key
@@ -834,8 +835,9 @@ object TableQueries {
       |src AS (
       |  SELECT key, spent, n_orders FROM spend
       |  UNION ALL
-      |  SELECT key + 1 + (SELECT GREATEST(MAX(c.c_custkey), MAX(o.o_custkey))
-      |                    FROM customer c, orders o) AS key, spent, n_orders
+      |  SELECT key + 1 + GREATEST((SELECT MAX(c_custkey) FROM customer),
+      |                            (SELECT MAX(o_custkey) FROM orders))
+      |      AS key, spent, n_orders
       |  FROM spend),
       |merged AS (
       |  SELECT c.c_custkey AS k,
@@ -1390,11 +1392,16 @@ object TableQueries2 {
     val dim = s"months_$ident"
     spark.sql(s"DROP TABLE IF EXISTS gspi.$fact")
     spark.sql(s"DROP TABLE IF EXISTS gspi.$dim")
+    // hash write distribution: one task's worth of files per month dir
+    // instead of every task spraying into every dir (the small-files
+    // guard every partitioned table needs at scale)
     spark.sql(s"""CREATE TABLE gspi.$fact (
       o_orderkey BIGINT, o_totalprice DOUBLE, m STRING)
-      PARTITIONED BY (m)""")
+      PARTITIONED BY (m)
+      TBLPROPERTIES ('write.distribution-mode'='hash')""")
     spark.sql(s"""CREATE TABLE gspi.$dim (n_month BIGINT, m STRING)
-      PARTITIONED BY (m)""")
+      PARTITIONED BY (m)
+      TBLPROPERTIES ('write.distribution-mode'='hash')""")
     val src = s"gspi_src_$ident"
     t(spark, dir, "orders")
       .selectExpr("o_orderkey", "o_totalprice",
