@@ -52,14 +52,24 @@ private[tables] final class GraftDeltaOperation(val store: TableStore,
 
   override def description(): String = s"graft MoR delta $cmd on $tbl"
 
+  private val lineage = store.rowLineage(tbl)
+
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(GraftFileMetaColumn.Name),
       Expressions.column(GraftPosMetaColumn.Name))
 
+  /** Row lineage: the matched row's `_row_id` rides as a metadata
+    * attribute so the writer can carry it into the update-after image
+    * (the Iceberg v3 contract that an UPDATE preserves the entity id).
+    * Non-lineage tables need nothing beyond the row id. */
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array.empty // the row id carries everything the writer needs
+    if (lineage) Array(Expressions.column(TableStore.RowIdCol))
+    else Array.empty
 
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  /** Lineage tables take the true UPDATE verb — `update(meta, id, row)`
+    * — because the split delete+insert representation loses the
+    * metadata on the insert half, and with it the carried id. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = !lineage
 
   /** The table's ordinary scan builder: requesting `_pos` routes it to
     * the masked row-coordinate read, and pushed statement filters prune
@@ -126,25 +136,48 @@ private[tables] final class GraftDeltaBatchWrite(store: TableStore,
     val coordJob = Job.getInstance(store.hadoopConf)
     val owfCoord = new ParquetFileFormat().prepareWrite(store.sparkSession,
       coordJob, Map.empty[String, String], coordSchema)
+    // row lineage: a SECOND data writer whose files carry the id column
+    // materialized — update-after rows route there, true inserts stay on
+    // the fresh (virtual-id) writer
+    val idWriter =
+      if (!store.rowLineage(tbl)) None
+      else {
+        val rowSch = StructType(sch.fields :+
+          StructField(TableStore.RowIdCol, LongType, nullable = true))
+        val dataSch = StructType(layout.dataPhysSchema.fields :+
+          StructField(TableStore.RowIdCol, LongType, nullable = true))
+        val job = Job.getInstance(store.hadoopConf)
+        val owf = new ParquetFileFormat().prepareWrite(store.sparkSession,
+          job, Map.empty[String, String], dataSch)
+        Some(GraftDeltaIdWriterSpec(owf,
+          new SerializableHadoopConf(job.getConfiguration),
+          rowSch.json, dataSch.json,
+          (dataOrds :+ sch.length).toArray))
+      }
     new GraftDeltaWriterFactory(owfData,
       new SerializableHadoopConf(dataJob.getConfiguration),
       owfCoord, new SerializableHadoopConf(coordJob.getConfiguration),
       staging.toString, sch.json, layout.dataPhysSchema.json,
       coordSchema.json, dataOrds.toArray, layout.partPhysNames.toArray,
       partOrds.toArray, layout.partSpecs.toArray,
-      store.sparkSession.sessionState.conf.sessionLocalTimeZone)
+      store.sparkSession.sessionState.conf.sessionLocalTimeZone,
+      idWriter)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val data = messages.flatMap {
-      case m: GraftDeltaCommit => m.dataRels
+      case m: GraftDeltaCommit => m.dataRels ++ m.idDataRels
+      case _ => Array.empty[String]
+    }.toSet
+    val idData = messages.flatMap {
+      case m: GraftDeltaCommit => m.idDataRels
       case _ => Array.empty[String]
     }.toSet
     val dels = messages.flatMap {
       case m: GraftDeltaCommit => m.deleteRels
       case _ => Array.empty[String]
     }.toSet
-    store.commitDeltaStaged(tbl, staging, data, dels)
+    store.commitDeltaStaged(tbl, staging, data, dels, idData)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -153,7 +186,17 @@ private[tables] final class GraftDeltaBatchWrite(store: TableStore,
 }
 
 private[tables] final case class GraftDeltaCommit(dataRels: Array[String],
-  deleteRels: Array[String]) extends WriterCommitMessage
+  deleteRels: Array[String],
+  idDataRels: Array[String] = Array.empty) extends WriterCommitMessage
+
+/** Driver-prepared pieces of the id-carrying writer (row lineage):
+  * output factory over the dataSchema + `_row_id` column, and ordinals
+  * binding over the (table row ++ metadata) combined layout. */
+private[tables] final case class GraftDeltaIdWriterSpec(
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableHadoopConf,
+    rowSchemaJson: String, dataSchemaJson: String,
+    dataOrdinals: Array[Int])
 
 private[tables] final class GraftDeltaWriterFactory(
     owfData: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
@@ -163,7 +206,9 @@ private[tables] final class GraftDeltaWriterFactory(
     stagingDir: String, rowSchemaJson: String, dataSchemaJson: String,
     coordSchemaJson: String, dataOrdinals: Array[Int],
     partPhysNames: Array[String], partOrdinals: Array[Int],
-    partSpecs: Array[String], timeZone: String) extends DeltaWriterFactory {
+    partSpecs: Array[String], timeZone: String,
+    idWriter: Option[GraftDeltaIdWriterSpec] = None)
+  extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
@@ -173,6 +218,12 @@ private[tables] final class GraftDeltaWriterFactory(
         DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
         dataOrdinals, partPhysNames, partOrdinals, partSpecs, timeZone,
         partitionId, taskId),
+      idWriter.map(s =>
+        new GraftCowDataWriter(s.owf, s.conf.value, stagingDir,
+          DataType.fromJson(s.rowSchemaJson).asInstanceOf[StructType],
+          DataType.fromJson(s.dataSchemaJson).asInstanceOf[StructType],
+          s.dataOrdinals, partPhysNames, partOrdinals, partSpecs, timeZone,
+          partitionId, taskId, tag = "-rid")),
       owfCoord, coordConf.value, stagingDir,
       DataType.fromJson(coordSchemaJson).asInstanceOf[StructType],
       partitionId, taskId)
@@ -184,6 +235,7 @@ private[tables] final class GraftDeltaWriterFactory(
   * created lazily, so a task that deletes nothing contributes none. */
 private[tables] final class GraftDeltaDataWriter(
     inserts: GraftCowDataWriter,
+    idInserts: Option[GraftCowDataWriter],
     owfCoord: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     coordConfv: Configuration, stagingDir: String, coordSchema: StructType,
     partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
@@ -218,23 +270,42 @@ private[tables] final class GraftDeltaDataWriter(
 
   override def insert(row: InternalRow): Unit = inserts.write(row)
 
+  /** Row lineage only (representUpdateAsDeleteAndInsert = false there):
+    * delete the old coordinates AND write the update-after image WITH
+    * the carried `_row_id` — the combined (row ++ meta) layout binds the
+    * id at ordinal |schema|. A null id (a pre-lineage row) falls back to
+    * the fresh writer: the row honestly becomes a new entity. */
   override def update(meta: InternalRow, id: InternalRow,
-      row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
+      row: InternalRow): Unit = {
+    idInserts match {
+      case None =>
+        throw new UnsupportedOperationException(
+          "updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
+      case Some(w) =>
+        delete(meta, id)
+        if (meta.isNullAt(0)) inserts.write(row)
+        else w.write(new org.apache.spark.sql.catalyst.expressions
+          .JoinedRow(row, meta))
+    }
+  }
 
   override def commit(): WriterCommitMessage = {
     val dataMsg = inserts.commit() match {
       case GraftCowCommit(rels) => rels
       case _ => Array.empty[String]
     }
+    val idMsg = idInserts.map(_.commit() match {
+      case GraftCowCommit(rels) => rels
+      case _ => Array.empty[String]
+    }).getOrElse(Array.empty[String])
     if (coordWriter != null) { coordWriter.close(); coordWriter = null }
     GraftDeltaCommit(dataMsg, if (coordRel == null) Array.empty
-      else Array(coordRel))
+      else Array(coordRel), idMsg)
   }
 
   override def abort(): Unit = {
     inserts.abort()
+    idInserts.foreach(_.abort())
     if (coordWriter != null) {
       try coordWriter.close() catch { case _: Exception => () }
       coordWriter = null
@@ -243,6 +314,7 @@ private[tables] final class GraftDeltaDataWriter(
 
   override def close(): Unit = {
     inserts.close()
+    idInserts.foreach(_.close())
     if (coordWriter != null) {
       try coordWriter.close() catch { case _: Exception => () }
       coordWriter = null

@@ -414,7 +414,10 @@ private[tables] final class GraftCowDataWriter(owf: OutputWriterFactory,
     dataSchema: StructType, dataOrdinals: Array[Int],
     partPhysNames: Array[String], partOrdinals: Array[Int],
     partSpecs: Array[String], timeZone: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    // distinguishes files when one task runs TWO writers (the delta
+    // path's id-carrying vs fresh split under row lineage)
+    tag: String = "") extends DataWriter[InternalRow] {
 
   private val tac = new TaskAttemptContextImpl(conf,
     new TaskAttemptID("graft-rl", 0, TaskType.MAP, partitionId, 0))
@@ -467,7 +470,7 @@ private[tables] final class GraftCowDataWriter(owf: OutputWriterFactory,
         segs.mkString("/")
     }
     val w = writers.getOrElseUpdate(dir, {
-      val fn = f"part-$partitionId%05d-$taskId-${writers.size}%03d$ext"
+      val fn = f"part$tag-$partitionId%05d-$taskId-${writers.size}%03d$ext"
       val rel = if (dir.isEmpty) fn else s"$dir/$fn"
       staged += rel
       owf.newInstance(s"$stagingDir/$rel", dataSchema, tac)

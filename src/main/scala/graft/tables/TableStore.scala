@@ -4704,7 +4704,8 @@ final class TableStore(private[tables] val spark: SparkSession,
     * delete sidecar. Appended files are untouched by the sidecar by
     * construction (position masks are file-scoped). */
   private[tables] def commitDeltaStaged(name: String, staging: HPath,
-      keptData: Set[String], keptDel: Set[String]): Unit = {
+      keptData: Set[String], keptDel: Set[String],
+      keptIdData: Set[String] = Set.empty): Unit = {
     try {
       if (keptData.isEmpty && keptDel.isEmpty) return
       // move coordinates OUT of staging first so promoteStaged's listing
@@ -4722,12 +4723,22 @@ final class TableStore(private[tables] val spark: SparkSession,
           }
           Seq((rel, Seq(TableStore.PosMarker)))
         }
+      // id-carrying files (row lineage: update-after images) promote
+      // SEPARATELY so the commit can exclude them from virtual-range
+      // assignment; the rename consumes them, so the second promotion's
+      // listing sees only the fresh files
+      val idAdded =
+        if (keptIdData.isEmpty || !fs.exists(staging)) Nil
+        else promoteStaged(name, staging, Some(keptIdData))
+      val freshKept = keptData -- keptIdData
       val added =
-        if (keptData.isEmpty || !fs.exists(staging)) Nil
-        else promoteStaged(name, staging, Some(keptData))
-      if (added.nonEmpty || newDeletes.nonEmpty)
-        commitManifest(name, currentVersion(name), Set.empty, added, added,
-          meta = Map("operation" -> "delta"), newDeletes = newDeletes)
+        if (freshKept.isEmpty || !fs.exists(staging)) Nil
+        else promoteStaged(name, staging, Some(freshKept))
+      if (added.nonEmpty || idAdded.nonEmpty || newDeletes.nonEmpty)
+        commitManifest(name, currentVersion(name), Set.empty,
+          idAdded ++ added, idAdded ++ added,
+          meta = Map("operation" -> "delta"), newDeletes = newDeletes,
+          idAdds = idAdded.toSet)
     } finally { fs.delete(staging, true); () }
   }
 

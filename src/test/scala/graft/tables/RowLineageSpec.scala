@@ -123,6 +123,39 @@ class RowLineageSpec extends SparkSpec {
     }
   }
 
+  test("SQL merge-on-read UPDATE carries ids through the delta writer") {
+    spark.conf.set("spark.sql.catalog.glin", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glin.root", root)
+    spark.sql("""CREATE TABLE glin.sd (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('row-lineage'='true',
+        'write.update.mode'='merge-on-read',
+        'write.merge.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO glin.sd VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    val before = ids("sd")
+    val files = store.currentRelPaths("sd").toSet
+    spark.sql("UPDATE glin.sd SET v = v + 100.0 WHERE k >= 2")
+    // still merge-on-read: originals intact, one positional sidecar
+    assert(files.subsetOf(store.currentRelPaths("sd").toSet))
+    assert(store.pendingDeletes("sd") === 1)
+    val after = store.readLineage("sd").select("k", "v", "_row_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(after.length === 3)
+    after.foreach { case (k, v, id) =>
+      assert(id === before(k), s"k=$k must keep its id through SQL UPDATE")
+      assert(v === (if (k >= 2) k + 100.0 else k.toDouble))
+    }
+    // a MERGE's NOT MATCHED insert still gets a FRESH id
+    Seq((3L, 333.0), (9L, 9.0)).toDF("k", "v")
+      .createOrReplaceTempView("glin_src")
+    spark.sql("""MERGE INTO glin.sd t USING glin_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    val m = ids("sd")
+    assert(m(3L) === before(3L), "merge-updated row keeps its id")
+    assert(!before.values.toSet.contains(m(9L)), "insert gets a fresh id")
+    assert(m.values.toSet.size === m.size)
+  }
+
   test("changeFeedLineage pairs updates by _row_id — no user key needed") {
     lineageTable("cf")
     store.append("cf", (0L until 10L).map(i => (i, i.toDouble)).toDF("k", "v"))
