@@ -291,11 +291,11 @@ private[tables] final class GraftDeltaDataWriter(
 
   override def commit(): WriterCommitMessage = {
     val dataMsg = inserts.commit() match {
-      case GraftCowCommit(rels) => rels
+      case GraftCowCommit(rels, _) => rels
       case _ => Array.empty[String]
     }
     val idMsg = idInserts.map(_.commit() match {
-      case GraftCowCommit(rels) => rels
+      case GraftCowCommit(rels, _) => rels
       case _ => Array.empty[String]
     }).getOrElse(Array.empty[String])
     if (coordWriter != null) { coordWriter.close(); coordWriter = null }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.execution.datasources.OutputWriterFactory
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, input_file_name}
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Group-based copy-on-write row-level SQL operations — `UPDATE`,
@@ -75,14 +75,21 @@ final class GraftRowLevelOperation(val store: TableStore, val tbl: String,
 
   override def description(): String = s"graft CoW $cmd on $tbl"
 
+  private[tables] val lineage = store.rowLineage(tbl)
+
   /** Request `_file` so Spark's writing task takes the
     * metadata-projection path — the ONLY path that strips the rewrite's
     * `__row_operation` bookkeeping column before rows reach the writer
     * (rows without metadata, i.e. MERGE inserts, arrive by the plain
-    * single-argument write). `_file` also feeds runtime group filtering. */
+    * single-argument write). `_file` also feeds runtime group filtering.
+    * Lineage tables additionally carry `_row_id` so carried/updated rows
+    * keep their entity ids through the rewrite. */
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column(GraftFileMetaColumn.Name))
+    if (lineage)
+      Array(Expressions.column(GraftFileMetaColumn.Name),
+        Expressions.column(TableStore.RowIdCol))
+    else Array(Expressions.column(GraftFileMetaColumn.Name))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CowScanBuilder(this)
@@ -188,8 +195,11 @@ private[tables] final class GraftCowScan(op: GraftRowLevelOperation,
   private def plannedRdd: RDD[InternalRow] = synchronized {
     val key = op.runtimeFiles
     if (cached == null || cached._1 != key) {
-      val (_, cands) = op.planCandidates()
-      val df = op.store.readDataFilesByRel(op.tbl, cands)
+      val (base, cands) = op.planCandidates()
+      val df = op.store.readDataFilesByRel(op.tbl, cands,
+        rowIdsAt =
+          if (required.fieldNames.contains(TableStore.RowIdCol)) Some(base)
+          else None)
       val withMeta =
         if (required.fieldNames.contains(GraftFileMetaColumn.Name))
           df.withColumn(GraftFileMetaColumn.Name, input_file_name())
@@ -321,10 +331,16 @@ private[tables] final class GraftCowBatchWrite(op: GraftRowLevelOperation,
     writeSchema: StructType)
   extends GraftStagedBatchWrite(op.store, op.tbl, writeSchema) {
 
+  // row lineage: _row_id sits at ordinal 1 of the metadata row
+  // (requiredMetadataAttributes order) — carried/updated rows route to
+  // the id-materializing writer
+  override protected def lineageMetaIdOrdinal: Option[Int] =
+    if (op.lineage) Some(1) else None
+
   override protected def commitStaged(staging: HPath,
-      kept: Set[String]): Unit = {
+      kept: Set[String], idKept: Set[String]): Unit = {
     val (base, cands) = op.planned.getOrElse((store.currentVersion(op.tbl), Nil))
-    store.commitRewriteStaged(op.tbl, base, cands.toSet, staging, kept)
+    store.commitRewriteStaged(op.tbl, base, cands.toSet, staging, kept, idKept)
   }
 }
 
@@ -339,7 +355,14 @@ private[tables] abstract class GraftStagedBatchWrite(
   private val staging = new HPath(store.tableDir(tbl),
     s"_staging-rl-${UUID.randomUUID().toString.take(8)}")
 
-  protected def commitStaged(staging: HPath, kept: Set[String]): Unit
+  protected def commitStaged(staging: HPath, kept: Set[String],
+      idKept: Set[String]): Unit
+
+  /** Row-lineage hook: Some(ordinal of `_row_id` in the metadata row)
+    * when carried rows must route to an id-materializing writer —
+    * overridden by the row-level rewrite, None for plain staged writes
+    * (dynamic overwrite — fresh rows by definition). */
+  protected def lineageMetaIdOrdinal: Option[Int] = None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val layout = store.writeLayout(tbl)
@@ -363,22 +386,46 @@ private[tables] abstract class GraftStagedBatchWrite(
     val job = Job.getInstance(store.hadoopConf)
     val owf = new ParquetFileFormat().prepareWrite(store.sparkSession, job,
       Map.empty[String, String], layout.dataPhysSchema)
+    // lineage: a second writer whose files carry the id column; rows
+    // route there as (row ++ metadata), id bound at |writeSchema| +
+    // metaIdOrd (metadata = [_file, _row_id])
+    val idSpec = lineageMetaIdOrdinal.map { metaIdOrd =>
+      val metaSch = StructType(Seq(
+        StructField(GraftFileMetaColumn.Name, StringType, nullable = true),
+        StructField(TableStore.RowIdCol,
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val rowSch = StructType(writeSchema.fields ++ metaSch.fields)
+      val dataSch = StructType(layout.dataPhysSchema.fields :+
+        StructField(TableStore.RowIdCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+      val idJob = Job.getInstance(store.hadoopConf)
+      val idOwf = new ParquetFileFormat().prepareWrite(store.sparkSession,
+        idJob, Map.empty[String, String], dataSch)
+      (GraftDeltaIdWriterSpec(idOwf,
+        new SerializableHadoopConf(idJob.getConfiguration),
+        rowSch.json, dataSch.json,
+        (dataOrds :+ (writeSchema.length + metaIdOrd)).toArray), metaIdOrd)
+    }
     new GraftCowWriterFactory(owf,
       new SerializableHadoopConf(job.getConfiguration),
       staging.toString, writeSchema.json, layout.dataPhysSchema.json,
       dataOrds.toArray, layout.partPhysNames.toArray,
       partOrds.toArray, layout.partSpecs.toArray,
-      store.sparkSession.sessionState.conf.sessionLocalTimeZone)
+      store.sparkSession.sessionState.conf.sessionLocalTimeZone, idSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // kept = what tasks actually committed; a speculative duplicate's
     // files sit in staging but are not adopted
     val kept = messages.flatMap {
-      case m: GraftCowCommit => m.stagedRels
+      case m: GraftCowCommit => m.stagedRels ++ m.idStagedRels
       case _ => Array.empty[String]
     }.toSet
-    commitStaged(staging, kept)
+    val idKept = messages.flatMap {
+      case m: GraftCowCommit => m.idStagedRels
+      case _ => Array.empty[String]
+    }.toSet
+    commitStaged(staging, kept, idKept)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -386,22 +433,67 @@ private[tables] abstract class GraftStagedBatchWrite(
   }
 }
 
-private[tables] final case class GraftCowCommit(stagedRels: Array[String])
-  extends WriterCommitMessage
+private[tables] final case class GraftCowCommit(stagedRels: Array[String],
+  idStagedRels: Array[String] = Array.empty) extends WriterCommitMessage
 
 private[tables] final class GraftCowWriterFactory(owf: OutputWriterFactory,
     conf: SerializableHadoopConf, stagingDir: String, rowSchemaJson: String,
     dataSchemaJson: String, dataOrdinals: Array[Int],
     partPhysNames: Array[String], partOrdinals: Array[Int],
-    partSpecs: Array[String], timeZone: String)
+    partSpecs: Array[String], timeZone: String,
+    idSpec: Option[(GraftDeltaIdWriterSpec, Int)] = None)
   extends DataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCowDataWriter(owf, conf.value, stagingDir,
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val fresh = new GraftCowDataWriter(owf, conf.value, stagingDir,
       DataType.fromJson(rowSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
       dataOrdinals, partPhysNames, partOrdinals, partSpecs, timeZone,
       partitionId, taskId)
+    idSpec match {
+      case None => fresh
+      case Some((s, metaIdOrd)) =>
+        val idW = new GraftCowDataWriter(s.owf, s.conf.value, stagingDir,
+          DataType.fromJson(s.rowSchemaJson).asInstanceOf[StructType],
+          DataType.fromJson(s.dataSchemaJson).asInstanceOf[StructType],
+          s.dataOrdinals, partPhysNames, partOrdinals, partSpecs, timeZone,
+          partitionId, taskId, tag = "-rid")
+        new GraftCowLineageRouter(fresh, idW, metaIdOrd)
+    }
+  }
+}
+
+/** Routes row-level rewrite output under ROW LINEAGE: carried/updated
+  * rows (two-arg write, metadata carries a non-null `_row_id`) land in
+  * the id-materializing writer as (row ++ metadata); MERGE inserts
+  * (one-arg write) and pre-lineage rows (null id) stay on the fresh
+  * writer and get virtual commit-assigned ids. */
+private[tables] final class GraftCowLineageRouter(
+    fresh: GraftCowDataWriter, idW: GraftCowDataWriter, metaIdOrd: Int)
+  extends DataWriter[InternalRow] {
+
+  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    if (metadata == null || metadata.isNullAt(metaIdOrd)) fresh.write(row)
+    else idW.write(joined(row, metadata))
+
+  override def write(row: InternalRow): Unit = fresh.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val f = fresh.commit() match {
+      case GraftCowCommit(rels, _) => rels
+      case _ => Array.empty[String]
+    }
+    val i = idW.commit() match {
+      case GraftCowCommit(rels, _) => rels
+      case _ => Array.empty[String]
+    }
+    GraftCowCommit(f, i)
+  }
+
+  override def abort(): Unit = { fresh.abort(); idW.abort() }
+  override def close(): Unit = { fresh.close(); idW.close() }
 }
 
 /** Per-task parquet writer with dynamic hive-style partition dirs. One

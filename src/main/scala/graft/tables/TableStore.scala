@@ -4688,13 +4688,20 @@ final class TableStore(private[tables] val spark: SparkSession,
     * rules as every other CoW mutation. A no-op plan (nothing removed,
     * nothing staged) commits nothing. */
   private[tables] def commitRewriteStaged(name: String, base: Int,
-      removed: Set[String], staging: HPath, kept: Set[String]): Unit = {
+      removed: Set[String], staging: HPath, kept: Set[String],
+      idKept: Set[String] = Set.empty): Unit = {
     try {
+      // id-carrying files (row lineage) promote separately so the commit
+      // excludes them from virtual-range assignment
+      val idAdded =
+        if (idKept.isEmpty || !fs.exists(staging)) Nil
+        else promoteStaged(name, staging, Some(idKept))
       val added =
-        if (fs.exists(staging)) promoteStaged(name, staging, Some(kept))
-        else Nil
-      if (removed.nonEmpty || added.nonEmpty)
-        commitManifest(name, base, removed, added, Nil)
+        if (!fs.exists(staging)) Nil
+        else promoteStaged(name, staging, Some(kept -- idKept))
+      if (removed.nonEmpty || added.nonEmpty || idAdded.nonEmpty)
+        commitManifest(name, base, removed, idAdded ++ added, Nil,
+          idAdds = idAdded.toSet)
     } finally { fs.delete(staging, true); () }
   }
 
@@ -4743,10 +4750,12 @@ final class TableStore(private[tables] val spark: SparkSession,
   }
 
   /** Full-row read of specific manifest rel paths (logical names,
-    * partition values materialized) — the group-based row-level scan. */
+    * partition values materialized) — the group-based row-level scan.
+    * `rowIdsAt` additionally surfaces the lineage id column. */
   private[tables] def readDataFilesByRel(name: String,
-      rels: Seq[String]): DataFrame =
-    readFiles(name, rels.map(r => new HPath(dataDir(name), r).toString))
+      rels: Seq[String], rowIdsAt: Option[Int] = None): DataFrame =
+    readFiles(name, rels.map(r => new HPath(dataDir(name), r).toString),
+      rowIdsAt = rowIdsAt)
 
   private[tables] def sparkSession: SparkSession = spark
   private[tables] def hadoopConf: org.apache.hadoop.conf.Configuration = hconf

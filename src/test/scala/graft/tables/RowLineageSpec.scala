@@ -156,6 +156,40 @@ class RowLineageSpec extends SparkSpec {
     assert(m.values.toSet.size === m.size)
   }
 
+  test("SQL copy-on-write UPDATE/MERGE carry ids through the group rewrite") {
+    spark.conf.set("spark.sql.catalog.glin2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glin2.root", root)
+    // NO merge-on-read properties → the group-based CoW rewrite path
+    spark.sql("""CREATE TABLE glin2.cw (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('row-lineage'='true')""")
+    spark.sql("INSERT INTO glin2.cw VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    val before = ids("cw")
+    spark.sql("UPDATE glin2.cw SET v = v + 100.0 WHERE k >= 2")
+    val afterU = store.readLineage("cw").select("k", "v", "_row_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(afterU.length === 3)
+    afterU.foreach { case (k, v, id) =>
+      assert(id === before(k), s"k=$k keeps its id through CoW SQL UPDATE")
+      assert(v === (if (k >= 2) k + 100.0 else k.toDouble))
+    }
+    // CoW MERGE: updated row keeps id, insert gets a fresh one
+    Seq((3L, 333.0), (9L, 9.0)).toDF("k", "v")
+      .createOrReplaceTempView("glin2_src")
+    spark.sql("""MERGE INTO glin2.cw t USING glin2_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    val m = ids("cw")
+    assert(m(3L) === before(3L))
+    assert(!before.values.toSet.contains(m(9L)))
+    assert(m.values.toSet.size === m.size)
+    // CoW SQL DELETE (rewrite path, subquery shape): survivors keep ids
+    spark.sql(
+      "DELETE FROM glin2.cw WHERE k IN (SELECT k FROM glin2_src WHERE v > 100)")
+    val afterD = ids("cw")
+    assert(afterD.keySet === Set(1L, 2L, 9L))
+    afterD.foreach { case (k, id) => assert(id === m(k), s"k=$k") }
+  }
+
   test("changeFeedLineage pairs updates by _row_id — no user key needed") {
     lineageTable("cf")
     store.append("cf", (0L until 10L).map(i => (i, i.toDouble)).toDF("k", "v"))
