@@ -768,8 +768,16 @@ private[tables] final class GraftChangesTable(store: TableStore,
 
   override def name(): String = s"$tbl.changes"
 
+  // lineage tables' feeds always carry the stable row id (virtual or
+  // materialized per file) — the declared schema must match the served
+  // rows column-for-column (the V1 bridge passes InternalRows through)
+  private val lineage = store.rowLineage(tbl)
+
   override def schema(): StructType =
-    StructType(store.schema(tbl).fields ++ Seq(
+    StructType(store.schema(tbl).fields ++
+      (if (lineage) Seq(org.apache.spark.sql.types.StructField(
+        TableStore.RowIdCol, org.apache.spark.sql.types.LongType,
+        nullable = true)) else Nil) ++ Seq(
       org.apache.spark.sql.types.StructField(TableStore.ChangeTypeCol,
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField(TableStore.CommitVersionCol,
@@ -790,11 +798,23 @@ private[tables] final class GraftChangesTable(store: TableStore,
           .getOrElse(store.currentVersion(tbl))
         // updateKeys (identifier columns): pair same-commit delete+insert
         // rows into update_preimage/update_postimage — Iceberg's
-        // create_changelog_view "identifier columns" surface
+        // create_changelog_view "identifier columns" surface.
+        // lineage=true pairs by the stable _row_id instead — no user key
+        // needed (row-lineage tables only); the feed rows then carry the
+        // _row_id column.
         val keys = Option(options.get("updateKeys")).toSeq
           .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-        if (keys.nonEmpty) store.changeFeedWithUpdates(tbl, start, end, keys)
-        else store.changeFeed(tbl, start, end)
+        val byLineage = Option(options.get("lineage"))
+          .exists(_.trim.equalsIgnoreCase("true"))
+        require(!(byLineage && keys.nonEmpty),
+          "updateKeys and lineage=true are mutually exclusive")
+        require(!byLineage || lineage,
+          s"lineage=true needs row-lineage enabled on $tbl")
+        if (byLineage) store.changeFeedLineage(tbl, start, end)
+        else if (keys.nonEmpty)
+          store.changeFeedWithUpdates(tbl, start, end, keys,
+            rowIds = lineage)
+        else store.changeFeed(tbl, start, end, rowIds = lineage)
       }
       override def readSchema(): StructType = df.schema
       override def toV1TableScan[T <: BaseRelation with TableScan](

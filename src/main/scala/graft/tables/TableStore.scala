@@ -2435,12 +2435,12 @@ final class TableStore(private[tables] val spark: SparkSession,
     * with a NULL identifier component never pair (SQL equality), so a
     * nullable key degrades to plain labels, not to wrong pairs. */
   def changeFeedWithUpdates(name: String, fromVersion: Int, toVersion: Int,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], rowIds: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "update pairing needs identifier columns")
     val sch = schema(name)
     keyCols.foreach(c => require(sch.fieldNames.contains(c),
       s"identifier column $c not in table $name"))
-    val ch = changeFeed(name, fromVersion, toVersion)
+    val ch = changeFeed(name, fromVersion, toVersion, rowIds)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(
       (TableStore.CommitVersionCol +: keyCols).map(c => col(s"`$c`")): _*)
     val keysNonNull = keyCols.map(c => col(s"`$c`").isNotNull)

@@ -212,6 +212,28 @@ class RowLineageSpec extends SparkSpec {
     assert(!byType.contains("insert"))
   }
 
+  test("SQL t.changes with lineage=true pairs by _row_id") {
+    spark.conf.set("spark.sql.catalog.glin3", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glin3.root", root)
+    spark.sql("""CREATE TABLE glin3.cf2 (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('row-lineage'='true')""")
+    spark.sql("INSERT INTO glin3.cf2 VALUES (1, 1.0), (2, 2.0)")
+    val v0 = store.currentVersion("cf2")
+    store.updateMoR("cf2", col("k") === 2L, Map("v" -> lit(22.0)))
+    val feed = spark.read
+      .option("startVersion", v0).option("lineage", "true")
+      .table("glin3.cf2.changes")
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(feed === Set((2L, 2.0, "update_preimage"),
+      (2L, 22.0, "update_postimage")))
+    intercept[Exception] {
+      spark.read.option("startVersion", v0)
+        .option("lineage", "true").option("updateKeys", "k")
+        .table("glin3.cf2.changes").collect()
+    }
+  }
+
   private def rowIdColOf(df: DataFrame): Boolean =
     df.columns.contains("_row_id")
 
