@@ -89,7 +89,16 @@ object Bench {
     val spreads = results.map { case (k, _, mx) => "\"" + k + "\":" + mx }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"rep_max":$spreads,"sf":"$sfDir"}""")
+    // headline keys LAST: the driver keeps only the tail of stdout, so a
+    // leading total would be the first thing truncated away by a long
+    // per-query map. The full line also lands in bench.json on disk.
+    val line = s"""{"queries":$qs,"rep_max":$spreads,"reps":$reps,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
