@@ -130,9 +130,9 @@ private[tables] final class GraftDeltaBatchWrite(store: TableStore,
     val dataJob = Job.getInstance(store.hadoopConf)
     val owfData = new ParquetFileFormat().prepareWrite(store.sparkSession,
       dataJob, Map.empty[String, String], layout.dataPhysSchema)
-    val coordSchema = StructType(Seq(
-      StructField(TableStore.PosFileCol, StringType, nullable = false),
-      StructField(TableStore.PosIdxCol, LongType, nullable = false)))
+    // deletes leave each task as DELETION VECTORS — one bitmap row per
+    // touched data file — not a row per tombstone coordinate
+    val coordSchema = DeletionVectors.dvSchema
     val coordJob = Job.getInstance(store.hadoopConf)
     val owfCoord = new ParquetFileFormat().prepareWrite(store.sparkSession,
       coordJob, Map.empty[String, String], coordSchema)
@@ -230,9 +230,14 @@ private[tables] final class GraftDeltaWriterFactory(
 }
 
 /** Per-task delta writer: inserts stream into the shared partition-dir
-  * parquet writer; deletes stream row coordinates into a per-task
-  * coordinate file under `deletes/` in staging. The coordinate file is
-  * created lazily, so a task that deletes nothing contributes none. */
+  * parquet writer; deletes accumulate as per-file roaring bitmaps
+  * (deletion vectors) and land as one `(pos_file, dv)` parquet file per
+  * task at commit. Task memory for deletes is the COMPRESSED bitmap
+  * set — smaller than even one buffered coordinate page of the old
+  * pair format. The file is created lazily, so a task that deletes
+  * nothing contributes none. Tasks are independent, so a data file
+  * deleted from by several tasks appears in several sidecar rows;
+  * readers OR them ([[DeletionVectors]]). */
 private[tables] final class GraftDeltaDataWriter(
     inserts: GraftCowDataWriter,
     idInserts: Option[GraftCowDataWriter],
@@ -242,10 +247,11 @@ private[tables] final class GraftDeltaDataWriter(
 
   private val tac = new TaskAttemptContextImpl(coordConfv,
     new TaskAttemptID("graft-delta", 0, TaskType.MAP, partitionId, 0))
-  private var coordWriter: org.apache.spark.sql.execution.datasources.OutputWriter = _
   private var coordRel: String = _
   private val coordProj = UnsafeProjection.create(coordSchema)
   private val reuse = new GenericInternalRow(2)
+  private val dvs = scala.collection.mutable.LinkedHashMap
+    .empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
 
   /** Scan `_file` values are rel paths (the `_pos` read serves them so);
     * a URI that slipped through normalizes by the same `/data/` cut the
@@ -257,15 +263,25 @@ private[tables] final class GraftDeltaDataWriter(
   }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
-    if (coordWriter == null) {
-      val ext = owfCoord.getFileExtension(tac)
-      coordRel = f"deletes/pos-$partitionId%05d-$taskId$ext"
-      coordWriter = owfCoord.newInstance(s"$stagingDir/$coordRel",
-        coordSchema, tac)
-    }
-    reuse.update(0, relOf(id.getUTF8String(0)))
-    reuse.update(1, id.getLong(1))
-    coordWriter.write(coordProj(reuse))
+    dvs.getOrElseUpdate(relOf(id.getUTF8String(0)).toString,
+      new org.roaringbitmap.longlong.Roaring64Bitmap())
+      .addLong(id.getLong(1))
+    ()
+  }
+
+  /** Write the accumulated deletion vectors as this task's sidecar
+    * parquet (lazily created — a task with no deletes writes none). */
+  private def flushDvs(): Unit = {
+    if (dvs.isEmpty) return
+    val ext = owfCoord.getFileExtension(tac)
+    coordRel = f"deletes/dv-$partitionId%05d-$taskId$ext"
+    val w = owfCoord.newInstance(s"$stagingDir/$coordRel", coordSchema, tac)
+    try dvs.foreach { case (f, bm) =>
+      reuse.update(0, UTF8String.fromString(f))
+      reuse.update(1, DeletionVectors.serialize(bm))
+      w.write(coordProj(reuse))
+    } finally w.close()
+    dvs.clear()
   }
 
   override def insert(row: InternalRow): Unit = inserts.write(row)
@@ -298,7 +314,7 @@ private[tables] final class GraftDeltaDataWriter(
       case GraftCowCommit(rels, _) => rels
       case _ => Array.empty[String]
     }).getOrElse(Array.empty[String])
-    if (coordWriter != null) { coordWriter.close(); coordWriter = null }
+    flushDvs()
     GraftDeltaCommit(dataMsg, if (coordRel == null) Array.empty
       else Array(coordRel), idMsg)
   }
@@ -306,18 +322,12 @@ private[tables] final class GraftDeltaDataWriter(
   override def abort(): Unit = {
     inserts.abort()
     idInserts.foreach(_.abort())
-    if (coordWriter != null) {
-      try coordWriter.close() catch { case _: Exception => () }
-      coordWriter = null
-    }
+    dvs.clear()
   }
 
   override def close(): Unit = {
     inserts.close()
     idInserts.foreach(_.close())
-    if (coordWriter != null) {
-      try coordWriter.close() catch { case _: Exception => () }
-      coordWriter = null
-    }
+    dvs.clear()
   }
 }

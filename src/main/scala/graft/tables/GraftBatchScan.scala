@@ -80,7 +80,8 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
     s"GraftBatchScan $tbl layout=[${plan.fields.map(_.render).mkString(", ")}] " +
       s"prunedBy=[${pruning.mkString(", ")}]" +
       plan.mask.map(m => s" morMask=[eq=${m.eq.size}, " +
-        s"posFiles=${m.posFiles.size}]").getOrElse("")
+        s"posFiles=${m.posFiles.size}, dvFiles=${m.dvFiles.size}]")
+        .getOrElse("")
 
   // ---- partitioning ---------------------------------------------------------
 
@@ -140,7 +141,7 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
         allowed(i).forall(ids =>
           !key.isNullAt(i) && ids.contains(key.get(i, dirTypes(i))))
       }
-      if (!keep) None
+      if (!keep) Nil
       else {
         // identity layouts: this directory's parsed values ride as the
         // parquet partition-values row, appended to every row the
@@ -150,17 +151,37 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
           else InternalRow.fromSeq(identityIdx.map(i =>
             if (key.isNullAt(i)) null
             else key.get(i, plan.bundle.dirTypes(i))))
-        Some(GraftInputPartition(
-          key.toSeq(plan.bundle.pSchema).toArray,
-          files.map { case (path, len) =>
-            PartitionedFile(partVals,
-              org.apache.spark.paths.SparkPath.fromPathString(path),
-              0L, len, Array.empty, 0L, len, Map.empty)
-          }.toArray,
-          // rel path under data/ — the key the delete mask's fileSeqs and
-          // position sidecars use (same split the V1 masked read applies
-          // to _metadata.file_path)
-          files.map(_._1.split("/data/").last).toArray): InputPartition)
+        // ONE InputPartition PER FILE (each carrying its key-group
+        // values via HasPartitionKey): Spark's BatchScanExec re-groups
+        // splits per key for the normal storage-partitioned join, and —
+        // when `v2.bucketing.partiallyClusteredDistribution` is on —
+        // KEEPS a skewed side's splits ungrouped and replicates the
+        // other side's groups across them, so one hot bucket becomes
+        // several tasks instead of serializing the zero-exchange join.
+        // Per-file granularity is what makes both modes available.
+        //
+        // EXCEPT under a pending-delete mask: the masked reader re-reads
+        // the applicable sidecars PER TASK (the Iceberg MoR trade), so
+        // per-file tasks would multiply that cost by the file count —
+        // masked tables keep one task per key group until maintenance
+        // folds the tombstones (partial clustering resumes after).
+        val keyArr = key.toSeq(plan.bundle.pSchema).toArray
+        def pf(path: String, len: Long) =
+          PartitionedFile(partVals,
+            org.apache.spark.paths.SparkPath.fromPathString(path),
+            0L, len, Array.empty, 0L, len, Map.empty)
+        // rel path under data/ — the key the delete mask's fileSeqs
+        // and position sidecars use (same split the V1 masked read
+        // applies to _metadata.file_path)
+        def rel(path: String) = path.split("/data/").last
+        if (plan.mask.isDefined)
+          Seq(GraftInputPartition(keyArr,
+            files.map { case (p, l) => pf(p, l) }.toArray,
+            files.map(f => rel(f._1)).toArray): InputPartition)
+        else files.map { case (path, len) =>
+          GraftInputPartition(keyArr, Array(pf(path, len)),
+            Array(rel(path))): InputPartition
+        }
       }
     }.toArray
   }
@@ -222,7 +243,7 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
         val eqCols = m.eq.flatMap(_.cols).distinct
         val missing = eqCols.filterNot(c =>
           dataRequired.fieldNames.contains(c) || identityNames(c))
-        val needPos = m.posFiles.nonEmpty
+        val needPos = m.posFiles.nonEmpty || m.dvFiles.nonEmpty
         var widenedData = missing.foldLeft(dataRequired)((s, c) =>
           s.add(dataSch(dataSch.fieldIndex(c))))
         // the reader-recognized temp name; MUST be nullable so the
@@ -248,10 +269,18 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
           StructField(TableStore.PosFileCol, StringType, nullable = true),
           StructField(TableStore.PosIdxCol, LongType, nullable = true)))
         val posFunc =
-          if (needPos) Some(buildRead(posSchema, posSchema, Nil)) else None
+          if (m.posFiles.nonEmpty)
+            Some(buildRead(posSchema, posSchema, Nil)) else None
+        val dvSchema = StructType(
+          DeletionVectors.dvSchema.fields.map(_.copy(nullable = true)))
+        val dvFunc =
+          if (m.dvFiles.nonEmpty)
+            Some(buildRead(dvSchema, dvSchema, Nil)) else None
         new GraftMaskedReaderFactory(
           buildRead(dataSch, widenedData, dataFilters, identitySchema),
-          combined, required, m, delFuncs, keySchemas, posFunc)
+          combined, required, m, delFuncs, keySchemas, posFunc, dvFunc,
+          plan.fields,
+          spark.sessionState.conf.sessionLocalTimeZone)
     }
   }
 
@@ -500,7 +529,10 @@ private[tables] final class GraftMaskedReaderFactory(
     mask: TableStore.SpjDeleteMask,
     delFuncs: Map[Seq[String], PartitionedFile => Iterator[InternalRow]],
     keySchemas: Map[Seq[String], StructType],
-    posFunc: Option[PartitionedFile => Iterator[InternalRow]])
+    posFunc: Option[PartitionedFile => Iterator[InternalRow]],
+    dvFunc: Option[PartitionedFile => Iterator[InternalRow]],
+    specFields: Seq[PartitionField],
+    sessionZone: String)
   extends PartitionReaderFactory {
 
   private def pfOf(path: String, len: Long): PartitionedFile =
@@ -518,42 +550,104 @@ private[tables] final class GraftMaskedReaderFactory(
       case r: InternalRow => Iterator.single(r)
     }
 
+  /** Key-group scoping of equality-delete keys: a row in this task has
+    * derived(field) == the task's partition value for EVERY layout
+    * field, and an equality key masks a row only when it EQUALS it on
+    * the key columns — so a key whose derived value differs from the
+    * task's can mask nothing here and is dropped at set-build time.
+    * One predicate per layout field whose source is a key column
+    * (bucket is the headline — per-task retained keys shrink ∝ 1/n —
+    * but the same argument holds for identity/days/truncate layouts).
+    * A null task value or a non-evaluating derivation keeps the key
+    * (fail open: extra keys cost memory, never correctness). */
+  private def keyGroupScopes(taskKey: Array[Any], cols: Seq[String],
+      ks: StructType): Seq[InternalRow => Boolean] =
+    specFields.zipWithIndex.flatMap { case (f, i) =>
+      val ci = cols.indexOf(f.source)
+      if (ci < 0 || i >= taskKey.length || taskKey(i) == null) None
+      else {
+        val dt = ks(ci).dataType
+        val expr = PartitionField.catalystExpr(f,
+          BoundReference(ci, dt, nullable = true), dt, sessionZone)
+        val expect = taskKey(i)
+        Some((r: InternalRow) => {
+          val v = try expr.eval(r) catch { case _: Exception => null }
+          v == null || v == expect
+        })
+      }
+    }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftInputPartition]
-    // per-task mask state, built once and shared by the task's files
+    // per-task mask state, built once and shared by the task's files —
+    // scoped to THIS task's key group (equality keys) and files
+    // (position bitmaps): a task retains only the tombstones that can
+    // touch its own rows, so mask memory divides by the layout width
+    // instead of every task holding the whole table's pending deletes
     val eqSets: Seq[(Seq[String], Int, java.util.HashSet[UnsafeRow])] =
       mask.eq.map { e =>
         val ks = keySchemas(e.cols)
         val proj = UnsafeProjection.create(ks)
+        val scopes = keyGroupScopes(part.keyVals, e.cols, ks)
         val set = new java.util.HashSet[UnsafeRow]()
         e.files.foreach { case (path, len) =>
           flatRows(delFuncs(e.cols), pfOf(path, len)).foreach { r =>
-            if (!(0 until ks.length).exists(r.isNullAt)) {
+            if (!(0 until ks.length).exists(r.isNullAt) &&
+                scopes.forall(_(r))) {
               set.add(proj(r).copy()); ()
             }
           }
         }
         (e.cols, e.seq, set)
       }
-    val posSets: Map[String, java.util.HashSet[java.lang.Long]] =
-      posFunc match {
-        case None => Map.empty
-        case Some(f) =>
-          val m = scala.collection.mutable.Map
-            .empty[String, java.util.HashSet[java.lang.Long]]
-          mask.posFiles.foreach { case (path, len) =>
-            flatRows(f, pfOf(path, len)).foreach { r =>
-              if (!r.isNullAt(0) && !r.isNullAt(1)) {
-                m.getOrElseUpdate(r.getUTF8String(0).toString,
-                  new java.util.HashSet[java.lang.Long]())
-                  .add(r.getLong(1)); ()
+    // positional masks normalize to ONE roaring bitmap per data file:
+    // legacy pair sidecars add ordinals, deletion-vector sidecars OR
+    // deserialized bitmaps — task memory is the COMPRESSED bitmap size,
+    // not an entry per tombstone (what lets the SpjMaskMaxBytes budget
+    // survive orders of magnitude more tombstones than the old
+    // HashSet[Long]-per-file representation)
+    // position bitmaps are FILE-scoped: retain only entries for this
+    // task's own data files — other tasks' tombstones never apply here
+    val myRels: Set[String] = part.rels.toSet
+    val posSets: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap] = {
+      val m = scala.collection.mutable.Map
+        .empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
+      posFunc.foreach { f =>
+        mask.posFiles.foreach { case (path, len) =>
+          flatRows(f, pfOf(path, len)).foreach { r =>
+            if (!r.isNullAt(0) && !r.isNullAt(1) &&
+                myRels.contains(r.getUTF8String(0).toString)) {
+              m.getOrElseUpdate(r.getUTF8String(0).toString,
+                new org.roaringbitmap.longlong.Roaring64Bitmap())
+                .addLong(r.getLong(1)); ()
+            }
+          }
+        }
+      }
+      dvFunc.foreach { f =>
+        mask.dvFiles.foreach { case (path, len) =>
+          flatRows(f, pfOf(path, len)).foreach { r =>
+            if (!r.isNullAt(0) && !r.isNullAt(1) &&
+                myRels.contains(r.getUTF8String(0).toString)) {
+              val bm = DeletionVectors.deserialize(r.getBinary(1))
+              m.get(r.getUTF8String(0).toString) match {
+                case Some(acc) => acc.or(bm)
+                case None =>
+                  m.update(r.getUTF8String(0).toString, bm)
               }
             }
           }
-          m.toMap
+        }
       }
+      m.toMap
+    }
+    if (SpjMaskStats.enabled.get()) {
+      val eqN = eqSets.map(_._3.size.toLong).sum
+      SpjMaskStats.record(eqN,
+        posSets.valuesIterator.map(_.getLongCardinality).sum)
+    }
     val posOrd =
-      if (posFunc.isDefined)
+      if (posFunc.isDefined || dvFunc.isDefined)
         widened.fieldIndex(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME)
       else -1
     val keyProjs: Map[Seq[String], UnsafeProjection] =
@@ -580,7 +674,7 @@ private[tables] final class GraftMaskedReaderFactory(
       private var cur: Iterator[InternalRow] = Iterator.empty
       private var applicable
           : Seq[(UnsafeProjection, java.util.HashSet[UnsafeRow])] = Nil
-      private var posSet: java.util.HashSet[java.lang.Long] = null
+      private var posSet: org.roaringbitmap.longlong.Roaring64Bitmap = null
       private var row: InternalRow = _
       private def advanceFile(): Boolean = {
         fi += 1
@@ -612,6 +706,30 @@ private[tables] final class GraftMaskedReaderFactory(
       override def close(): Unit = ()
     }
   }
+}
+
+/** Test-visible per-task mask-size telemetry for the SPJ masked read
+  * (local mode only — executors share the driver JVM; on a real cluster
+  * this is a per-executor no-op unless enabled there, and nothing in
+  * the read path depends on it). `sumEq`/`sumPos` across tasks pin that
+  * key-group scoping retains each tombstone in ~one task instead of
+  * every task; `maxTaskEq` pins the per-task ceiling. */
+private[tables] object SpjMaskStats {
+  val enabled = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val sumEq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val sumPos = new java.util.concurrent.atomic.AtomicLong(0)
+  private val maxEq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val taskN = new java.util.concurrent.atomic.AtomicLong(0)
+  def reset(): Unit = {
+    sumEq.set(0); sumPos.set(0); maxEq.set(0); taskN.set(0)
+  }
+  def record(eq: Long, pos: Long): Unit = {
+    sumEq.addAndGet(eq); sumPos.addAndGet(pos)
+    maxEq.updateAndGet(m => math.max(m, eq)); taskN.incrementAndGet()
+    ()
+  }
+  def snapshot(): (Long, Long, Long, Long) =
+    (sumEq.get(), sumPos.get(), maxEq.get(), taskN.get())
 }
 
 /** The catalog-served V2 functions backing hidden-partitioning

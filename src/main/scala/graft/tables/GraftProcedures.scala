@@ -31,7 +31,7 @@ private[tables] object GraftProcedures {
 
   def names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphans", "materialize_deletes", "rewrite_deletes",
-    "create_branch", "create_tag",
+    "add_variant_shred", "create_branch", "create_tag",
     "drop_ref", "fast_forward", "rollback_to_version", "add_files",
     "migrate", "analyze", "create_view", "drop_view")
 
@@ -89,6 +89,19 @@ private[tables] object GraftProcedures {
         val t = tbl(row)
         val (before, after) = store.rewriteDeletes(t)
         Seq(before.toLong, after.toLong, store.currentVersion(t).toLong)
+      })
+      case "add_variant_shred" => Some(p(
+        Seq(in("table", StringType), in("source_col", StringType),
+          in("path", StringType), in("as_name", StringType),
+          in("shred_type", StringType)),
+        out("added" -> StringType)) { row =>
+        val t = tbl(row)
+        val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(row.getUTF8String(4).toString)
+        store.addVariantShred(t, row.getUTF8String(1).toString,
+          row.getUTF8String(2).toString, row.getUTF8String(3).toString, dt)
+        Seq(org.apache.spark.unsafe.types.UTF8String.fromString(
+          row.getUTF8String(3).toString))
       })
       case "create_branch" => Some(p(
         Seq(in("table", StringType), in("branch", StringType),

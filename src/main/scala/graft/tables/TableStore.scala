@@ -822,6 +822,71 @@ final class TableStore(private[tables] val spark: SparkSession,
     } finally { fs.delete(lock, false); () }
   }
 
+  /** Declare a SHREDDED sub-column of a semi-structured (JSON "variant")
+    * column: `asName` becomes a real typed column of the table, DERIVED
+    * at every write as `get_json_object(srcCol, path)` cast to `dt` —
+    * the Iceberg-v3/Parquet variant-shredding design re-expressed on the
+    * engine's own machinery. Because the shred is a physical column, it
+    * gets everything real columns get for free: parquet column pruning
+    * and predicate pushdown, per-file zone stats (registered here, so
+    * filters on the extracted path SKIP FILES at plan time), and exact
+    * values with no per-row JSON parse at read. Non-shredded paths stay
+    * available via runtime `get_json_object` over the variant column.
+    *
+    * Rows never carry an inconsistent shred: the derivation RECOMPUTES
+    * on every write path (append, upsert, CDC apply, MoR update), so a
+    * writer supplying its own value for `asName` is overridden — the
+    * JSON is the source of truth. Declare shreds BEFORE the first data
+    * commit: earlier files would null-backfill instead of deriving
+    * (the addColumns contract), silently diverging from the JSON.
+    *
+    * CDC payloads are schemaless JSON in the reference
+    * (opencdc.proto:96) — this is the typed/prunable read surface for
+    * them at scale. */
+  def addVariantShred(name: String, srcCol: String, path: String,
+      asName: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+    val sch = schema(name)
+    require(sch.fieldNames.contains(srcCol),
+      s"variant column $srcCol not in table $name")
+    require(sch(sch.fieldIndex(srcCol)).dataType == StringType,
+      s"variant column $srcCol must be a JSON string column, got " +
+        sch(sch.fieldIndex(srcCol)).dataType.simpleString)
+    require(path.startsWith("$."),
+      s"shred path must be a JSON path like $$.a.b, got $path")
+    require(currentRelPaths(name).isEmpty,
+      s"declare variant shreds before the first data commit to $name — " +
+        "existing files would null-backfill instead of deriving")
+    val zonable = dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+      dt == StringType
+    require(zonable || dt == BooleanType ||
+        dt == TimestampType,
+      s"shred type must be numeric/string/boolean/timestamp, " +
+        s"got ${dt.simpleString}")
+    addColumns(name, StructType(Seq(StructField(asName, dt,
+      nullable = true))))
+    setProperties(name, Map(
+      s"variant.shred.$asName" -> Some(s"$srcCol\t$path\t${dt.json}")))
+    // per-file zone stats make the shred prunable (numeric/string only —
+    // the zone machinery's domain); physical == logical for a fresh column
+    if (zonable)
+      writeString(new HPath(tdir(name), "_zonecols"),
+        (zoneCols(name) :+ asName).mkString(","))
+  }
+
+  /** Declared shreds of `name`: (source variant column, JSON path,
+    * shred column name, declared type). */
+  private[tables] def variantShreds(name: String)
+      : Seq[(String, String, String, org.apache.spark.sql.types.DataType)] =
+    properties(name).toSeq.collect {
+      case (k, v) if k.startsWith("variant.shred.") =>
+        v.split('\t') match {
+          case Array(src, path, dtJson) =>
+            (src, path, k.stripPrefix("variant.shred."),
+              org.apache.spark.sql.types.DataType.fromJson(dtJson))
+          case _ => sys.error(s"corrupt variant shred spec $k=$v on $name")
+        }
+    }.sortBy(_._3)
+
   /** Set or drop a column's WRITE default (`ALTER COLUMN ... SET/DROP
     * DEFAULT`): rewrites the field's CURRENT_DEFAULT metadata in the
     * catalog schema. The EXISTS_DEFAULT (what pre-evolution files read
@@ -1684,8 +1749,9 @@ final class TableStore(private[tables] val spark: SparkSession,
     val mask: Option[TableStore.SpjDeleteMask] =
       if (entries.isEmpty) None
       else {
-        val (posE, eqE) =
-          entries.partition(_.cols == Seq(TableStore.PosMarker))
+        val (posAll, eqE) =
+          entries.partition(e => TableStore.isPosEntry(e.cols))
+        val (dvE, posE) = posAll.partition(_.cols == Seq(TableStore.DvMarker))
         // no renames here (sameNameTree gate), so sidecar physical key
         // names ARE current logical names — but a dropped key column
         // cannot be masked by a raw reader
@@ -1698,10 +1764,11 @@ final class TableStore(private[tables] val spark: SparkSession,
         val eqSpecs = eqE.map(e =>
           TableStore.SpjEqDelete(e.cols, e.seq, sidecarFiles(e.rel)))
         val posFiles = posE.flatMap(e => sidecarFiles(e.rel))
+        val dvFiles = dvE.flatMap(e => sidecarFiles(e.rel))
         val totalBytes =
-          (eqSpecs.flatMap(_.files) ++ posFiles).map(_._2).sum
+          (eqSpecs.flatMap(_.files) ++ posFiles ++ dvFiles).map(_._2).sum
         if (totalBytes > TableStore.SpjMaskMaxBytes) return None
-        Some(TableStore.SpjDeleteMask(eqSpecs, posFiles,
+        Some(TableStore.SpjDeleteMask(eqSpecs, posFiles, dvFiles,
           readSeqs(name, version)))
       }
     Some(TableStore.SpjPlan(version, fields,
@@ -2987,7 +3054,7 @@ final class TableStore(private[tables] val spark: SparkSession,
     // file-scoped, so the sequence-class machinery below only governs
     // the EQUALITY entries; pos masks apply to the whole union and are
     // no-ops for files their sidecars never name
-    val (posE, eqE) = entries.partition(_.cols == Seq(TableStore.PosMarker))
+    val (posE, eqE) = entries.partition(e => TableStore.isPosEntry(e.cols))
     val needPos = posE.nonEmpty || rowPos
     val seqs = readSeqs(name, version)
     val delSeqs = eqE.map(_.seq).distinct.sorted
@@ -3016,17 +3083,56 @@ final class TableStore(private[tables] val spark: SparkSession,
     val posMasked =
       if (posE.isEmpty) eqMasked
       else {
-        val pairs = posE.map(e => spark.read.parquet(
-            new HPath(deletesDir(name), e.rel).toString))
-          .reduce(_ unionByName _).distinct()
-          .toDF(TableStore.PosFileCol, TableStore.PosIdxCol)
-        eqMasked.join(pairs,
-          Seq(TableStore.PosFileCol, TableStore.PosIdxCol), "left_anti")
+        // normalize both sidecar formats to (file, bitmap): DV entries
+        // read as-is, legacy pair entries fold into bitmaps on the
+        // executors first. Small masks (by far the common case — DVs
+        // compress tombstones to runs) broadcast as a map and filter
+        // MAP-SIDE with a DvProbe predicate: no join, no shuffle, the
+        // scan's partitioning survives. Oversized masks fall back to
+        // exploding into a distributed pair anti-join — correct at any
+        // size, just not exchange-free.
+        val dvDf = posE.map { e =>
+          val raw = spark.read.parquet(
+            new HPath(deletesDir(name), e.rel).toString)
+          if (e.cols == Seq(TableStore.DvMarker)) raw
+            .select(col(TableStore.PosFileCol), col(DeletionVectors.DvCol))
+          else DeletionVectors.fromPairs(
+            raw.toDF(TableStore.PosFileCol, TableStore.PosIdxCol))
+        }.reduce(_ unionByName _)
+        val sidecarBytes = posE.map(e =>
+          listStatusRec(new HPath(deletesDir(name), e.rel))
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum).sum
+        if (sidecarBytes <= TableStore.DvBroadcastMaxBytes) {
+          val merged = DeletionVectors.mergeDvs(dvDf)
+            .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+            .toMap
+          val bc = spark.sparkContext.broadcast(merged)
+          eqMasked.filter(DeletionVectors.notMaskedColumn(bc,
+            col(TableStore.PosFileCol), col(TableStore.PosIdxCol)))
+        } else {
+          val pairs = DeletionVectors.explodePairs(dvDf)
+          eqMasked.join(pairs,
+            Seq(TableStore.PosFileCol, TableStore.PosIdxCol), "left_anti")
+        }
       }
-    if (rowPos) posMasked
-    else if (needPos)
-      posMasked.drop(TableStore.PosFileCol, TableStore.PosIdxCol)
-    else posMasked
+    // restore the TABLE's column order: a USING-column anti-join moves
+    // its join keys to the FRONT of the output, so an equality delete
+    // keyed on a non-first column silently reordered the masked frame —
+    // harmless to name-bound readers but fatal to POSITIONAL consumers
+    // (the streaming source maps batch attributes to the source schema
+    // by position). Caught by st_table_source_mor's oracle in round 9.
+    val tail =
+      (if (rowIds) Seq(TableStore.RowIdCol) else Nil) ++
+        (if (rowPos) Seq(TableStore.PosFileCol, TableStore.PosIdxCol)
+         else Nil)
+    val outCols = schema(name).fieldNames.toSeq ++ tail
+    val result =
+      if (rowPos) posMasked
+      else if (needPos)
+        posMasked.drop(TableStore.PosFileCol, TableStore.PosIdxCol)
+      else posMasked
+    result.select(outCols.map(c => col(s"`$c`")): _*)
   }
 
   /** Position-delete: record the (file, row ordinal) of every row
@@ -3047,11 +3153,35 @@ final class TableStore(private[tables] val spark: SparkSession,
     val hits = morMasked(name, rels, base, rowPos = true)
       .filter(cond)
       .select(col(TableStore.PosFileCol), col(TableStore.PosIdxCol))
+    val rel = s"dv-${java.util.UUID.randomUUID()}"
+    val out = new HPath(deletesDir(name), rel)
+    // deletion-vector sidecar: one bitmap row per touched file — sidecar
+    // bytes scale with COMPRESSED bitmap size, not tombstone count
+    DeletionVectors.fromPairs(hits).write.parquet(out.toString)
+    // a predicate matching nothing must not commit (or mask with) an
+    // empty sidecar — the footer row count is one driver read
+    val wrote = listStatusRec(out)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .exists(st => !footerRowCount(st.getPath).contains(0L))
+    if (!wrote) { fs.delete(out, true); return }
+    commitManifest(name, base, Set.empty, Nil, Nil,
+      newDeletes = Seq((rel, Seq(TableStore.DvMarker))))
+  }
+
+  /** Legacy pair-format positional delete — kept ONLY so specs can pin
+    * that readers and maintenance still handle (and upgrade) sidecars
+    * written before the deletion-vector format landed. */
+  private[tables] def deletePosLegacyPairs(name: String, cond: Column): Unit = {
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val rels = readLines(new HPath(tdir(name), baseManifest))
+    if (rels.isEmpty) return
+    val hits = morMasked(name, rels, base, rowPos = true)
+      .filter(cond)
+      .select(col(TableStore.PosFileCol), col(TableStore.PosIdxCol))
     val rel = s"pos-${java.util.UUID.randomUUID()}"
     val out = new HPath(deletesDir(name), rel)
     hits.write.parquet(out.toString)
-    // a predicate matching nothing must not commit (or mask with) an
-    // empty sidecar — the footer row count is one driver read
     val wrote = listStatusRec(out)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .exists(st => !footerRowCount(st.getPath).contains(0L))
@@ -3084,8 +3214,9 @@ final class TableStore(private[tables] val spark: SparkSession,
       .filter(cond).persist()
     try {
       if (hits.isEmpty) return
-      val rel = s"pos-${java.util.UUID.randomUUID()}"
-      hits.select(col(TableStore.PosFileCol), col(TableStore.PosIdxCol))
+      val rel = s"dv-${java.util.UUID.randomUUID()}"
+      DeletionVectors.fromPairs(
+          hits.select(col(TableStore.PosFileCol), col(TableStore.PosIdxCol)))
         .write.parquet(new HPath(deletesDir(name), rel).toString)
       // an updated row keeps its lineage id into its appended file
       val keepCols = sch.fieldNames.toSeq ++
@@ -3099,7 +3230,7 @@ final class TableStore(private[tables] val spark: SparkSession,
         alignTo(name, sch, updated, keepRowId = lineage))
       commitManifest(name, base, Set.empty, newFiles, newFiles,
         meta = Map("operation" -> "update-mor"),
-        newDeletes = Seq((rel, Seq(TableStore.PosMarker))),
+        newDeletes = Seq((rel, Seq(TableStore.DvMarker))),
         idAdds = if (lineage) newFiles.toSet else Set.empty)
     } finally { hits.unpersist(); () }
   }
@@ -3116,7 +3247,7 @@ final class TableStore(private[tables] val spark: SparkSession,
     val entries = readDeleteEntries(name, base)
     if (entries.isEmpty) return
     val rels = readLines(new HPath(tdir(name), baseManifest))
-    val (posE, eqE) = entries.partition(_.cols == Seq(TableStore.PosMarker))
+    val (posE, eqE) = entries.partition(e => TableStore.isPosEntry(e.cols))
     val seqs = readSeqs(name, base)
     val delSeqs = eqE.map(_.seq).distinct.sorted
     val inv = invPhysMap(name)
@@ -3195,8 +3326,12 @@ final class TableStore(private[tables] val spark: SparkSession,
   def rewriteDeletes(name: String): (Int, Int) = {
     val base = currentVersion(name)
     val entries = readDeleteEntries(name, base)
-    if (entries.size <= 1) return (entries.size, entries.size)
-    val (posE, eqE) = entries.partition(_.cols == Seq(TableStore.PosMarker))
+    // a lone legacy pair-format positional entry still rewrites (the
+    // format upgrade to a deletion vector); anything else lone is final
+    if (entries.isEmpty ||
+        (entries.size == 1 && entries.head.cols != Seq(TableStore.PosMarker)))
+      return (entries.size, entries.size)
+    val (posE, eqE) = entries.partition(e => TableStore.isPosEntry(e.cols))
     val fileSeqs = readSeqs(name, base).values.toSet
     val inv = invPhysMap(name)
     val sch = schema(name)
@@ -3207,12 +3342,23 @@ final class TableStore(private[tables] val spark: SparkSession,
       df.write.parquet(new HPath(deletesDir(name), rel).toString)
       rel
     }
+    // positional entries merge into ONE deletion-vector sidecar; a lone
+    // legacy pair entry also rewrites — compaction is the format-upgrade
+    // point (bitmaps OR per file, file-scoped and sequence-independent)
     val newPos =
-      if (posE.size <= 1) posE
+      if (posE.isEmpty ||
+          (posE.size == 1 && posE.head.cols == Seq(TableStore.DvMarker)))
+        posE
       else {
-        val merged = posE.map(readSidecar).reduce(_ unionByName _).distinct()
-        Seq(DeleteEntry(writeSidecar(merged, "pos"),
-          Seq(TableStore.PosMarker), posE.map(_.seq).max))
+        val dvDf = posE.map { e =>
+          val raw = readSidecar(e)
+          if (e.cols == Seq(TableStore.DvMarker)) raw
+            .select(col(TableStore.PosFileCol), col(DeletionVectors.DvCol))
+          else DeletionVectors.fromPairs(
+            raw.toDF(TableStore.PosFileCol, TableStore.PosIdxCol))
+        }.reduce(_ unionByName _)
+        Seq(DeleteEntry(writeSidecar(DeletionVectors.mergeDvs(dvDf), "dv"),
+          Seq(TableStore.DvMarker), posE.map(_.seq).max))
       }
     val newEq = eqE.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
       .flatMap { case (cols, es0) =>
@@ -3240,7 +3386,7 @@ final class TableStore(private[tables] val spark: SparkSession,
         }
       }
     val next = (newPos ++ newEq).sortBy(e => (e.seq, e.rel))
-    if (next.size == entries.size) return (entries.size, entries.size)
+    if (next.toSet == entries.toSet) return (entries.size, entries.size)
     commitManifest(name, base, Set.empty, Nil, Nil,
       meta = Map("operation" -> "rewrite-deletes"),
       replaceDeletes = Some(next))
@@ -4539,8 +4685,17 @@ final class TableStore(private[tables] val spark: SparkSession,
     * frame (the pre-evolution-producer case; it backfills null) — a frame
     * missing any create-time column fails loudly, so a misspelled column
     * stays an error instead of silently committing nulls. */
-  private def alignTo(name: String, sch: StructType, df: DataFrame,
+  private def alignTo(name: String, sch: StructType, df0: DataFrame,
       keepRowId: Boolean = false): DataFrame = {
+    // variant shreds derive from the JSON on EVERY write — a supplied
+    // value for the shred column is overridden (the JSON is the source
+    // of truth, so a shred can never disagree with its path)
+    val df = variantShreds(name).foldLeft(df0) {
+      case (acc, (src, path, asName, dt)) =>
+        if (!acc.columns.contains(src)) acc
+        else acc.withColumn(asName,
+          get_json_object(col(s"`$src`"), path).cast(dt))
+    }
     val have = df.schema.fields.map(f => f.name -> f).toMap
     lazy val evolved = evolvedCols(name)
     lazy val addedNested = addedNestedLogical(name)
@@ -4720,7 +4875,7 @@ final class TableStore(private[tables] val spark: SparkSession,
       val newDeletes =
         if (keptDel.isEmpty) Nil
         else {
-          val rel = s"pos-${UUID.randomUUID()}"
+          val rel = s"dv-${UUID.randomUUID()}"
           val dst = new HPath(deletesDir(name), rel)
           fs.mkdirs(dst)
           keptDel.foreach { r =>
@@ -4728,7 +4883,7 @@ final class TableStore(private[tables] val spark: SparkSession,
             require(fs.rename(src, new HPath(dst, fileName(r))),
               s"staging move of delete coordinates $src failed")
           }
-          Seq((rel, Seq(TableStore.PosMarker)))
+          Seq((rel, Seq(TableStore.DvMarker)))
         }
       // id-carrying files (row lineage: update-after images) promote
       // SEPARATELY so the commit can exclude them from virtual-range
@@ -5338,6 +5493,26 @@ object TableStore {
     * POSITIONAL delete file ('#' can never appear in a column name). */
   private[tables] val PosMarker: String = "#pos"
 
+  /** Marker for a DELETION-VECTOR positional sidecar: one roaring
+    * bitmap of masked ordinals per data file ([[DeletionVectors]])
+    * instead of one parquet row per tombstone. All positional writers
+    * emit this format; [[PosMarker]] pair sidecars remain readable and
+    * upgrade to DV whenever [[TableStore.rewriteDeletes]] merges them. */
+  private[tables] val DvMarker: String = "#dv"
+
+  /** Positional entry of either format. */
+  private[tables] def isPosEntry(cols: Seq[String]): Boolean =
+    cols == Seq(PosMarker) || cols == Seq(DvMarker)
+
+  /** Largest total positional-sidecar byte size the V1 masked read will
+    * broadcast as a deletion-vector map (the map-side mask that avoids
+    * an anti-join shuffle). Above it, masking falls back to exploding
+    * the bitmaps into a distributed pair anti-join — still correct,
+    * no driver/executor map to hold. Compressed bitmaps make this cap
+    * ~an order of magnitude harder to hit than the pair format it
+    * replaced (SCALE.md round 9). */
+  private[tables] val DvBroadcastMaxBytes: Long = 256L * 1024 * 1024
+
   /** Helper column names carrying (file rel path, row ordinal) through
     * position-aware reads. */
   private[tables] val PosFileCol: String = "__graft_pos_file"
@@ -5401,6 +5576,7 @@ object TableStore {
     * an absent file predates every pending delete. */
   private[tables] final case class SpjDeleteMask(eq: Seq[SpjEqDelete],
       posFiles: Seq[(String, Long)],
+      dvFiles: Seq[(String, Long)],
       fileSeqs: Map[String, Int])
 
   /** Inputs of the storage-partitioned-join batch scan (see

@@ -93,16 +93,22 @@ class SpjSpec extends SparkSpec {
   }
 
   test("bucket equality prunes input partitions on the V2 scan") {
+    // partitions are PER FILE (partial-clustering granularity; Spark
+    // groups them by key for SPJ) — the pruning pin counts KEY GROUPS
+    def groups(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.map(_.asInstanceOf[GraftInputPartition].keyVals.toSeq).distinct
     val p = store.spjPlan("f").get
     val all = new GraftBatchScan(store, "f", p, Array.empty,
       store.schema("f")).planInputPartitions()
-    assert(all.length === 8, s"expected 8 bucket groups, got ${all.length}")
+    assert(groups(all).length === 8,
+      s"expected 8 bucket groups, got ${groups(all).length}")
     // k = 7 → exactly one surviving bucket group, planned from the SAME
     // pruning path the SQL scan uses
     val one = new GraftBatchScan(store, "f", p,
       Array(org.apache.spark.sql.sources.EqualTo("k", 7L)),
       store.schema("f")).planInputPartitions()
-    assert(one.length === 1, s"expected 1 surviving bucket, got ${one.length}")
+    assert(groups(one).length === 1,
+      s"expected 1 surviving bucket, got ${groups(one).length}")
     withSpj {
       val q = spark.sql("SELECT count(*) AS c FROM spj.f WHERE k = 7")
       assert(q.collect().head.getLong(0) === 4L) // k=7 appears 4× in 0..399
@@ -184,8 +190,11 @@ class SpjSpec extends SparkSpec {
     store.deleteMoR("mf", Seq(3L, 5L).toDF("k"), Seq("k"))
     store.deletePos("mf", $"v" > 350.0)
     assert(store.pendingDeletes("mf") === 2)
+    // position tombstones ship as DELETION VECTORS (round 9) — the
+    // pair-file list stays empty for freshly-written sidecars
     assert(store.spjPlan("mf").exists(m =>
-      m.mask.exists(x => x.eq.size == 1 && x.posFiles.nonEmpty)))
+      m.mask.exists(x =>
+        x.eq.size == 1 && x.dvFiles.nonEmpty && x.posFiles.isEmpty)))
     val expected = mfData
       .filter($"k" =!= 3L && $"k" =!= 5L && $"v" <= 350.0)
     withSpj {
@@ -260,12 +269,127 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("partially-clustered SPJ: a hot bucket splits across tasks") {
+    // fact: heavily skewed into bucket(4) of one key (many files for the
+    // hot bucket); dim: one row per key. With partiallyClustered
+    // distribution, Spark keeps the fact side's PER-FILE splits for the
+    // hot group and replicates the dim group across them — the hot
+    // bucket no longer serializes the join, and there is STILL no
+    // Exchange. Results stay exact.
+    spark.sql("CREATE TABLE spj.skf (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE spj.skd (k BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // hot key 0: 4 separate appends → >=4 files in its bucket
+    (0 until 4).foreach { i =>
+      (0L until 500L).map(j => (0L, (i * 500 + j).toDouble)).toDF("k", "v")
+        .coalesce(1).writeTo("spj.skf").append()
+    }
+    (1L until 8L).map(k => (k, k.toDouble)).toDF("k", "v")
+      .coalesce(1).writeTo("spj.skf").append()
+    (0L until 8L).map(k => (k, s"d$k")).toDF("k", "name")
+      .coalesce(1).writeTo("spj.skd").append()
+    val factDf = spark.table("spj.skf")
+    val dimDf = spark.table("spj.skd")
+    val extras = Seq(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+        -> "true")
+    val saved = extras.map { case (c, _) => c -> spark.conf.getOption(c) }
+    extras.foreach { case (c, v) => spark.conf.set(c, v) }
+    try withSpj {
+      val j = spark.sql(
+        "SELECT f.k, f.v, d.name FROM spj.skf f JOIN spj.skd d ON f.k = d.k")
+      val rows = j.collect()
+      val plan = finalPlan(j)
+      assert(plan.contains("BatchScan"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      val exp = factDf.join(dimDf, "k").select($"k", $"v", $"name").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .sorted.toSeq ===
+        exp.map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+          .sorted.toSeq)
+      // the fact scan ran MORE tasks than key groups — the hot bucket's
+      // files were not merged into one serializing task
+      // AQE wraps stages in QueryStageExec whose plan is NOT a child —
+      // unwrap recursively to reach the scans
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b)
+          case other => other.children.flatMap(scans)
+        }
+      val scanParts = scans(j.queryExecution.executedPlan)
+        .filter(_.output.exists(_.name == "v"))
+        .map(_.inputRDD.getNumPartitions)
+      val keyGroups = 1 + (1L until 8L).map(k =>
+        graft.tables.PartitionField.catalystExpr(
+          PartitionField.PBucket(4, "k"),
+          org.apache.spark.sql.catalyst.expressions.Literal(k),
+          org.apache.spark.sql.types.LongType,
+          spark.sessionState.conf.sessionLocalTimeZone)
+          .eval(null).asInstanceOf[Int]).distinct.size
+      assert(scanParts.nonEmpty &&
+        scanParts.head > keyGroups,
+        s"hot bucket must split: fact scan ran ${scanParts.headOption} " +
+          s"tasks over $keyGroups key groups")
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
+
+  test("mask scoping: a task retains only its key group's tombstones") {
+    // 8 buckets, 64 deleted keys spread across them, plus position
+    // tombstones in a handful of files. WITHOUT scoping every task
+    // holds every tombstone (sum across tasks = keys × tasks); WITH
+    // key-group scoping each equality key lands in exactly the ONE
+    // task whose bucket it hashes to, and each position bitmap only in
+    // the task owning its file — the 1/buckets shrink of VERDICT r8 #2.
+    spark.sql("CREATE TABLE spj.sc (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, k))")
+    val data = (0L until 4000L).map(i => (i % 500, i.toDouble)).toDF("k", "v")
+    data.writeTo("spj.sc").append()
+    val delKeys = (0L until 64L).map(_ * 7L)
+    store.deleteMoR("sc", delKeys.toDF("k"), Seq("k"))
+    store.deletePos("sc", $"v" >= 3990.0) // 10 position tombstones
+    val expected = data.filter(!$"k".isin(delKeys: _*) && $"v" < 3990.0)
+    SpjMaskStats.reset()
+    SpjMaskStats.enabled.set(true)
+    try withSpj {
+      val q = spark.sql("SELECT k, v FROM spj.sc")
+      // ONE execution (no orderBy — its range-partitioner sampling pass
+      // would run the scan a second time and double the counters)
+      val rows = q.collect()
+      val (sumEq, sumPos, maxEq, tasks) = SpjMaskStats.snapshot()
+      assert(finalPlan(q).contains("BatchScan"))
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq ===
+        expected.collect().map(r => (r.getLong(0), r.getDouble(1)))
+          .sorted.toSeq)
+      assert(tasks >= 4, s"want several key-group tasks, got $tasks")
+      // every key retained exactly once across all tasks — not per task
+      assert(sumEq === delKeys.size.toLong,
+        s"keys retained across tasks: $sumEq (unscoped would be " +
+          s"${delKeys.size * tasks})")
+      assert(maxEq < delKeys.size,
+        s"one task held ALL keys ($maxEq) — scoping not applied")
+      // position tombstones: 10 rows deleted, each bitmap held only by
+      // the task owning its file
+      assert(sumPos === 10L, s"position tombstones retained: $sumPos")
+    } finally SpjMaskStats.enabled.set(false)
+  }
+
   test("oversized pending sidecars fall back to V1 (mask byte cap)") {
     // cap respected structurally: spjPlan declines when the sidecar
     // bytes exceed SpjMaskMaxBytes — probe the predicate, not 256 MB of
     // disk, by checking the plan's mask carries the real file lengths
     val m = store.spjPlan("mf").flatMap(_.mask).get
-    val bytes = (m.eq.flatMap(_.files) ++ m.posFiles).map(_._2).sum
+    val bytes =
+      (m.eq.flatMap(_.files) ++ m.posFiles ++ m.dvFiles).map(_._2).sum
     assert(bytes > 0 && bytes <= TableStore.SpjMaskMaxBytes)
   }
 
