@@ -10,8 +10,8 @@ object SparkEntry {
   /** Every registered query across all modules. */
   def registry: Seq[Q] =
     Rel.all ++ CdcQueries.all ++ Text.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ Events.all ++ Sampling.all ++ AsOf.all ++
-      StreamGates.all ++ TableQueries.all
+      AnnIndex.all ++ Multimodal.all ++ Events.all ++ Sampling.all ++
+      AsOf.all ++ StreamGates.all ++ TableQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -513,6 +513,11 @@ object Similarity {
     * |dot|, ties → lower bit — exact integer comparisons). Candidates
     * dedupe across tables (TopKAggregator collapses identical (score,id)
     * rows on the Spark side), then exact cosine ranks. */
+  /** The ANN oracle, shared with [[AnnIndex]]'s incremental gate — the
+    * stored-index query is result-identical to the per-query pipeline
+    * by contract, so both check against the same end-to-end SQL. */
+  private[ops] def annOracleSql: String = simAnnSql
+
   private def simAnnSql: String =
     s"""WITH $lshCtes,
        |wk AS (SELECT vec_id, tb, wbit FROM (
