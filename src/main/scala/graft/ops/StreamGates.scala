@@ -197,7 +197,15 @@ object StreamGates {
   /** Session windows per user across micro-batches: sessions opened in one
     * batch merge with events arriving in later batches (state carry). The
     * unbounded variant — Complete mode retains all state, and a watermark
-    * would evict (and thus lose) closed sessions from the final output. */
+    * would evict (and thus lose) closed sessions from the final output.
+    *
+    * SCALE TRADE (measured at 100×, SCALE.md round-8 checkpoint): this
+    * gate's Complete-mode state peaks at 9.55M rows / 5.27 GB where the
+    * watermarked sibling `st_session_wm` holds 2.56M / 1.72 GB — and the
+    * gap is UNBOUNDED over a longer horizon (state ∝ every session ever
+    * seen vs ∝ open sessions). This gate stays registered as the
+    * explicit retain-everything trade; `st_session_wm` is the
+    * recommendation at scale. */
   private def stSession(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir, "session")
     stage(spark, Events.ev(spark, dir), "ts", 4, s"$b/in",
@@ -669,6 +677,72 @@ object StreamGates {
       |FROM orders
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
 
+  /** Table-source semantics under PENDING merge-on-read sidecars, both
+    * kinds (VERDICT r8 #6), end-to-end under the oracle:
+    *
+    *  - the SNAPSHOT phase masks pending equality tombstones AND
+    *    deletion-vector position deletes (require()d still pending at
+    *    drain — nothing materialized them);
+    *  - a LATER append streams RAW: rows re-inserting a tombstoned key
+    *    must flow (their file's sequence is above the delete's — the
+    *    same re-insert rule batch reads honor), and no retraction is
+    *    emitted for snapshot rows (the documented append-only
+    *    contract; the change-feed face serves retractions).
+    */
+  private def stTableSourceMor(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "tsrcmor")
+    rm(spark, s"$b/out"); rm(spark, s"$b/ckpt")
+    val store = new TableStore(spark, s"$b/store")
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("root", s"$b/store").option("table", "orders")
+        .option("maxRowsPerTrigger", "4000").load()
+        .writeStream
+        .option("checkpointLocation", s"$b/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$b/out")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    store.append("orders", ord.filter(col("o_orderkey") % 4 =!= 3)
+      .repartitionByRange(2, col("o_orderkey")))
+    // two pending sidecars: equality keys + a deletion-vector predicate.
+    // The eq key is deliberately NOT the first column — round 9's oracle
+    // on this gate caught a latent column-reorder in the masked read
+    // (USING-join keys move to the front) that positional streaming
+    // consumers turned into silently swapped values.
+    store.deleteMoR("orders",
+      ord.filter(col("o_custkey") % 7 === 0).select("o_custkey"),
+      Seq("o_custkey"))
+    store.deletePos("orders", col("o_totalprice") > 400000.0)
+    require(store.pendingDeletes("orders") == 2,
+      "both sidecars must still be PENDING when the snapshot streams")
+    drain() // masked snapshot
+    // later append: includes tombstoned custkeys — the re-insert rule
+    // says they stream (file sequence above the delete's)
+    store.append("orders", ord.filter(col("o_orderkey") % 4 === 3))
+    require(store.pendingDeletes("orders") == 2)
+    drain() // raw appends, no retraction
+    spark.read.parquet(s"$b/out")
+      .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  private val stTableSourceMorSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey % 4 <> 3 AND o_custkey % 7 <> 0
+      |  AND o_totalprice <= 400000.0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey % 4 = 3
+      |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
+
   /** Streaming WRITE into a managed table
     * ([[graft.streaming.GraftTableSink]]) under the oracle: a staged
     * file stream (4 micro-batches) is transformed in flight (filter +
@@ -804,6 +878,7 @@ object StreamGates {
     Q("st_enrich", stEnrich, Some(stEnrichSql)),
     Q("st_cdc_apply", stCdcApply, Some(CdcQueries.cdcBulkOrdersSql)),
     Q("st_table_source", stTableSource, Some(stTableSourceSql)),
+    Q("st_table_source_mor", stTableSourceMor, Some(stTableSourceMorSql)),
     Q("st_table_sink", stTableSink, Some(stTableSinkSql)),
     Q("st_change_feed", stChangeFeed, Some(stChangeFeedSql)))
 }

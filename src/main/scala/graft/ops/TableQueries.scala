@@ -945,7 +945,9 @@ object TableQueries {
     Q("tbl_dynamic_overwrite", TableQueries2.tblDynamicOverwrite,
       Some(TableQueries2.tblDynamicOverwriteSql)),
     Q("tbl_partitions_meta", TableQueries2.tblPartitionsMeta,
-      Some(TableQueries2.tblPartitionsMetaSql)))
+      Some(TableQueries2.tblPartitionsMetaSql)),
+    Q("tbl_variant", TableQueries2.tblVariant,
+      Some(TableQueries2.tblVariantSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -2101,6 +2103,47 @@ object TableQueries2 {
       |  COUNT(*) AS row_count
       |FROM events WHERE event_id % 13 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Variant shredding under the oracle: orders rows wrap into a
+    * schemaless JSON `payload` column (the reference's CDC payload
+    * shape, opencdc.proto:96), with two SHREDDED paths declared before
+    * load ([[graft.tables.TableStore.addVariantShred]]) — `$.cust` and
+    * `$.status` materialize as typed, zone-indexed physical columns at
+    * write. The query filters on the shreds (typed comparison, no JSON
+    * parse, file-skippable) and extracts a NON-shredded nested path at
+    * runtime. The oracle bypasses the JSON round-trip entirely and
+    * selects the original columns — exactly the contract shredding
+    * must keep: extraction equals the source values. */
+  private[ops] def tblVariant(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, get_json_object, struct, to_json}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-variant", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      to_json(struct(
+        col("o_custkey").as("cust"),
+        col("o_orderstatus").as("status"),
+        struct(col("o_orderpriority").as("pri")).as("meta"))).as("payload"))
+    store.create("orders_v", StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("payload", StringType))), overwrite = true)
+    store.addVariantShred("orders_v", "payload", "$.cust", "cust", LongType)
+    store.addVariantShred("orders_v", "payload", "$.status", "status",
+      StringType)
+    store.append("orders_v", ord.repartitionByRange(8, col("o_orderkey")))
+    store.read("orders_v")
+      .filter(col("cust") % 10 === 0 && col("status") === "F")
+      .select(col("o_orderkey"), col("cust"), col("status"),
+        get_json_object(col("payload"), "$.meta.pri").as("pri"))
+      .orderBy("o_orderkey")
+  }
+
+  private[ops] val tblVariantSql =
+    """SELECT o_orderkey, o_custkey AS cust, o_orderstatus AS status,
+      |  o_orderpriority AS pri
+      |FROM orders WHERE o_custkey % 10 = 0 AND o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
 
   private[ops] val tblChangelogUpdatesSql =
     """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)

@@ -78,6 +78,55 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(got.map(_._1).sorted === Seq(1L, 3L))
   }
 
+  test("snapshot masks pending DV position deletes; columns stay bound") {
+    // two same-typed adjacent long columns: a positional misbind in the
+    // masked snapshot (streamingFrame maps attributes by POSITION to the
+    // source schema) would swap values silently — pin exact tuples
+    val root = tmpDir("tsrc-")
+    val ckpt = tmpDir("tsrc-ckpt-")
+    val st = new TableStore(spark, root)
+    val sch = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType), StructField("v", StringType)))
+    st.create("t", sch, zoneCols = Seq("a"))
+    st.append("t", (0L until 20L).map(i => (i, i * 100L, s"s$i"))
+      .toDF("a", "b", "v").repartition(2))
+    st.deletePos("t", col("a") % 4 === 0)
+    st.deleteMoR("t", Seq(1L, 5L).toDF("a"), Seq("a"))
+    assert(st.pendingDeletes("t") === 2)
+    val got = mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = spark.readStream.format("graft-table")
+      .option("root", root).option("table", "t")
+      .option("maxRowsPerTrigger", "6").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        got.synchronized { got ++= rows; () }
+      }.start()
+    q.awaitTermination()
+    val expect = (0L until 20L)
+      .filterNot(i => i % 4 == 0 || i == 1L || i == 5L)
+      .map(i => (i, i * 100L, s"s$i"))
+    assert(got.sortBy(_._1).toSeq === expect)
+    // appends AFTER the pending tombstones stream raw: a re-inserted
+    // key flows (its file's sequence is above the deletes') and no
+    // retraction is emitted
+    st.append("t", Seq((1L, -1L, "back")).toDF("a", "b", "v"))
+    got.clear()
+    val q2 = spark.readStream.format("graft-table")
+      .option("root", root).option("table", "t").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        got.synchronized { got ++= rows; () }
+      }.start()
+    q2.awaitTermination()
+    assert(got.toSeq === Seq((1L, -1L, "back")))
+  }
+
   test("startVersion tails from a known snapshot without the initial state") {
     val root = tmpDir("tsrc-")
     val ckpt = tmpDir("tsrc-ckpt-")
