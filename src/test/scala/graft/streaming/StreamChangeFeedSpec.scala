@@ -81,6 +81,37 @@ class StreamChangeFeedSpec extends SparkSpec {
     assert(drain(root, "t", ckpt).isEmpty)
   }
 
+  test("feed stays sequence-correct under PENDING sidecars of both kinds") {
+    // tombstones stay pending (never materialized) while the feed
+    // replays: (1) a deleteMoR commit labels exactly the masked rows
+    // 'delete'; (2) a LATER append re-inserting a tombstoned key labels
+    // 'insert' and is NOT retro-masked (its file sequence is above the
+    // delete's); (3) an updateMoR (deletion-vector sidecar) commit
+    // labels old rows 'delete' and new rows 'insert' in one version.
+    val root = tmpDir("scf-")
+    val ckpt = tmpDir("scf-ckpt-")
+    val st = new TableStore(spark, root)
+    st.create("t", schema)
+    st.append("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val v0 = st.currentVersion("t")
+    st.deleteMoR("t", Seq(2L).toDF("id"), Seq("id"))
+    val v1 = st.currentVersion("t")
+    st.append("t", Seq((2L, "back")).toDF("id", "v")) // re-insert rule
+    val v2 = st.currentVersion("t")
+    st.updateMoR("t", col("id") === 3L, Map("v" -> lit("C")))
+    val v3 = st.currentVersion("t")
+    assert(st.pendingDeletes("t") === 2, "sidecars must stay PENDING")
+    val got = drain(root, "t", ckpt, Map("startVersion" -> v0.toString))
+    assert(got === Seq(
+      (2L, "b", "delete", v1),
+      (2L, "back", "insert", v2),
+      (3L, "c", "delete", v3),
+      (3L, "C", "insert", v3)).sorted)
+    // the pending tombstones never retro-mask already-delivered rows:
+    // nothing further to deliver
+    assert(drain(root, "t", ckpt).isEmpty)
+  }
+
   test("admission control splits append versions, not mutation units") {
     val root = tmpDir("scf-")
     val ckpt = tmpDir("scf-ckpt-")
