@@ -161,7 +161,9 @@ private[tables] final class GraftDeltaBatchWrite(store: TableStore,
       coordSchema.json, dataOrds.toArray, layout.partPhysNames.toArray,
       partOrds.toArray, layout.partSpecs.toArray,
       store.sparkSession.sessionState.conf.sessionLocalTimeZone,
-      idWriter)
+      idWriter,
+      shredSpecs = store.variantShreds(tbl).map { case (src, path, as, dt) =>
+        s"$src\t$path\t$as\t${dt.json}" }.toArray)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -207,7 +209,8 @@ private[tables] final class GraftDeltaWriterFactory(
     coordSchemaJson: String, dataOrdinals: Array[Int],
     partPhysNames: Array[String], partOrdinals: Array[Int],
     partSpecs: Array[String], timeZone: String,
-    idWriter: Option[GraftDeltaIdWriterSpec] = None)
+    idWriter: Option[GraftDeltaIdWriterSpec] = None,
+    shredSpecs: Array[String] = Array.empty)
   extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -217,13 +220,13 @@ private[tables] final class GraftDeltaWriterFactory(
         DataType.fromJson(rowSchemaJson).asInstanceOf[StructType],
         DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
         dataOrdinals, partPhysNames, partOrdinals, partSpecs, timeZone,
-        partitionId, taskId),
+        partitionId, taskId, shredSpecs = shredSpecs),
       idWriter.map(s =>
         new GraftCowDataWriter(s.owf, s.conf.value, stagingDir,
           DataType.fromJson(s.rowSchemaJson).asInstanceOf[StructType],
           DataType.fromJson(s.dataSchemaJson).asInstanceOf[StructType],
           s.dataOrdinals, partPhysNames, partOrdinals, partSpecs, timeZone,
-          partitionId, taskId, tag = "-rid")),
+          partitionId, taskId, tag = "-rid", shredSpecs = shredSpecs)),
       owfCoord, coordConf.value, stagingDir,
       DataType.fromJson(coordSchemaJson).asInstanceOf[StructType],
       partitionId, taskId)

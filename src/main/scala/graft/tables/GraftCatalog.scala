@@ -594,17 +594,11 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(versionAt.isEmpty, s"cannot mutate a pinned snapshot of $tbl")
-    // variant shreds derive in the append/overwrite/CDC write paths
-    // (TableStore.alignTo); the distributed row-level REWRITE writers
-    // project rows straight from the rewrite plan, which would carry a
-    // STALE shred if the statement changed the variant column — refuse
-    // row-producing SQL mutations loudly rather than desynchronize a
-    // shred from its JSON (DELETE produces no rows and stays allowed)
-    require(info.command() == Command.DELETE ||
-        store.variantShreds(tbl).isEmpty,
-      s"SQL ${info.command()} on variant-shredded table $tbl is not " +
-        "supported yet — shreds would not re-derive through the rewrite " +
-        "writers; mutate via the programmatic API (applyNet/updateMoR)")
+    // variant shreds re-derive inside the distributed rewrite writers
+    // (GraftCowDataWriter substitutes the derivation expression for the
+    // shred ordinal), matching TableStore.alignTo on the bulk paths —
+    // so SQL UPDATE/MERGE on shredded tables stay consistent-by-
+    // construction even when the statement changes the variant column
     // per-command write mode (the Iceberg v2 properties): merge-on-read
     // plans the DELTA operation — position sidecars + appended rows, no
     // data file rewritten — copy-on-write plans the group rewrite
@@ -1230,13 +1224,6 @@ private[tables] final class GraftWriteBuilder(store: TableStore, tbl: String,
   override def truncate(): WriteBuilder = { mode = ReplaceAll; this }
 
   override def overwriteDynamicPartitions(): WriteBuilder = {
-    // the staged V2 writer projects task rows directly — it would not
-    // re-derive variant shreds (all other modes funnel through
-    // TableStore.alignTo, which does)
-    require(store.variantShreds(tbl).isEmpty,
-      s"dynamic-partition overwrite on variant-shredded table $tbl is " +
-        "not supported yet — shreds would not re-derive in the staged " +
-        "writer; use INSERT OVERWRITE or the programmatic API")
     mode = Dynamic; this
   }
 

@@ -411,7 +411,9 @@ private[tables] abstract class GraftStagedBatchWrite(
       staging.toString, writeSchema.json, layout.dataPhysSchema.json,
       dataOrds.toArray, layout.partPhysNames.toArray,
       partOrds.toArray, layout.partSpecs.toArray,
-      store.sparkSession.sessionState.conf.sessionLocalTimeZone, idSpec)
+      store.sparkSession.sessionState.conf.sessionLocalTimeZone, idSpec,
+      shredSpecs = store.variantShreds(tbl).map { case (src, path, as, dt) =>
+        s"$src\t$path\t$as\t${dt.json}" }.toArray)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -441,7 +443,8 @@ private[tables] final class GraftCowWriterFactory(owf: OutputWriterFactory,
     dataSchemaJson: String, dataOrdinals: Array[Int],
     partPhysNames: Array[String], partOrdinals: Array[Int],
     partSpecs: Array[String], timeZone: String,
-    idSpec: Option[(GraftDeltaIdWriterSpec, Int)] = None)
+    idSpec: Option[(GraftDeltaIdWriterSpec, Int)] = None,
+    shredSpecs: Array[String] = Array.empty)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -449,7 +452,7 @@ private[tables] final class GraftCowWriterFactory(owf: OutputWriterFactory,
       DataType.fromJson(rowSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
       dataOrdinals, partPhysNames, partOrdinals, partSpecs, timeZone,
-      partitionId, taskId)
+      partitionId, taskId, shredSpecs = shredSpecs)
     idSpec match {
       case None => fresh
       case Some((s, metaIdOrd)) =>
@@ -457,7 +460,7 @@ private[tables] final class GraftCowWriterFactory(owf: OutputWriterFactory,
           DataType.fromJson(s.rowSchemaJson).asInstanceOf[StructType],
           DataType.fromJson(s.dataSchemaJson).asInstanceOf[StructType],
           s.dataOrdinals, partPhysNames, partOrdinals, partSpecs, timeZone,
-          partitionId, taskId, tag = "-rid")
+          partitionId, taskId, tag = "-rid", shredSpecs = shredSpecs)
         new GraftCowLineageRouter(fresh, idW, metaIdOrd)
     }
   }
@@ -509,14 +512,40 @@ private[tables] final class GraftCowDataWriter(owf: OutputWriterFactory,
     partitionId: Int, taskId: Long,
     // distinguishes files when one task runs TWO writers (the delta
     // path's id-carrying vs fresh split under row lineage)
-    tag: String = "") extends DataWriter[InternalRow] {
+    tag: String = "",
+    // variant shreds as "src\tpath\tasName\tdtJson" lines: the writer
+    // RE-DERIVES each shred from its JSON column so SQL rewrites can
+    // never desynchronize a shred (TableStore.alignTo does the same on
+    // the bulk paths); names resolve against THIS writer's row schema
+    shredSpecs: Array[String] = Array.empty)
+  extends DataWriter[InternalRow] {
 
   private val tac = new TaskAttemptContextImpl(conf,
     new TaskAttemptID("graft-rl", 0, TaskType.MAP, partitionId, 0))
   private val ext = owf.getFileExtension(tac)
+  private val shredByOrd
+      : Map[Int, org.apache.spark.sql.catalyst.expressions.Expression] =
+    shredSpecs.flatMap { s =>
+      s.split('\t') match {
+        case Array(src, path, asName, dtJson) =>
+          val so = rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(src))
+          val dst = rowSchema.fieldNames.indexWhere(
+            _.equalsIgnoreCase(asName))
+          if (so < 0 || dst < 0) None
+          else Some(dst -> Cast(
+            org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+              BoundReference(so, StringType, nullable = true),
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(path),
+                StringType)),
+            DataType.fromJson(dtJson), Some(timeZone)))
+        case _ => None
+      }
+    }.toMap
   private val dataProj = UnsafeProjection.create(
     dataOrdinals.map(i =>
-      BoundReference(i, rowSchema(i).dataType, nullable = true)
+      shredByOrd.getOrElse(i,
+        BoundReference(i, rowSchema(i).dataType, nullable = true))
         : org.apache.spark.sql.catalyst.expressions.Expression).toIndexedSeq)
   // directory value per spec field: identity renders the raw value,
   // hidden transforms rebuild their derived-value expression from the

@@ -1312,6 +1312,13 @@ final class TableStore(private[tables] val spark: SparkSession,
       require(to.nonEmpty, "new column name must be non-empty")
       require(!cur.fieldNames.exists(f => f != from && f.equalsIgnoreCase(to)),
         s"column $to already exists in table $name")
+      // a variant shred's spec stores the source and shred column by
+      // LOGICAL name (the derivation re-resolves them in every writer);
+      // renaming either would silently sever the derivation
+      require(!variantShreds(name).exists { case (src, _, as, _) =>
+          src.equalsIgnoreCase(from) || as.equalsIgnoreCase(from) },
+        s"column $from participates in a variant shred of $name — " +
+          "renaming would sever the derivation")
       val cat = materializeCatalog(name)
       writeCatalog(name, cat.copy(fields = cat.fields.map(r =>
         if (r.name == from) r.copy(name = to) else r)))
@@ -1339,6 +1346,10 @@ final class TableStore(private[tables] val spark: SparkSession,
           .exists(_.cols.contains(physOf(physMap(name), colName))),
         s"column $colName is a key of a pending merge-on-read delete — " +
           s"materializeDeletes($name) first")
+      require(!variantShreds(name).exists { case (src, _, as, _) =>
+          src.equalsIgnoreCase(colName) || as.equalsIgnoreCase(colName) },
+        s"column $colName participates in a variant shred of $name — " +
+          "dropping would sever the derivation")
       require(cur.fields.length > 1, "cannot drop the last column")
       val m = physMap(name)
       require(!allPartitionSources(name).contains(physOf(m, colName)),

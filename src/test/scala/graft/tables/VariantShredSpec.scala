@@ -91,7 +91,7 @@ class VariantShredSpec extends SparkSpec {
     assert(back.toSeq === Seq((2L, 999L), (3L, 30L)))
   }
 
-  test("SQL surface: CALL add_variant_shred + INSERT derives; rewrites refuse") {
+  test("SQL surface: CALL add_variant_shred; INSERT/UPDATE/MERGE re-derive") {
     val root = tmpDir("varsql-")
     spark.conf.set("spark.sql.catalog.gvar", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gvar.root", root)
@@ -105,14 +105,39 @@ class VariantShredSpec extends SparkSpec {
       """INSERT INTO gvar.t (k, payload) VALUES (1, '{"amount": 42}')""")
     val row = spark.sql("SELECT k, amount FROM gvar.t").head()
     assert((row.getLong(0), row.getLong(1)) === ((1L, 42L)))
-    // row-producing SQL mutations refuse loudly (shreds would not
-    // re-derive through the rewrite writers); DELETE stays allowed
-    val e = intercept[Exception] {
-      spark.sql("UPDATE gvar.t SET payload = '{}' WHERE k = 1")
-    }
-    assert(e.getMessage.contains("variant-shredded"))
+    // SQL UPDATE changing the VARIANT column re-derives in the rewrite
+    // writer (even though the statement never mentions the shred) —
+    // and a direct SET on the shred itself is OVERRIDDEN by the JSON
+    spark.sql("UPDATE gvar.t SET payload = '{\"amount\": 99}' WHERE k = 1")
+    assert(spark.sql("SELECT amount FROM gvar.t WHERE k = 1")
+      .head().getLong(0) === 99L)
+    spark.sql("UPDATE gvar.t SET amount = -1 WHERE k = 1")
+    assert(spark.sql("SELECT amount FROM gvar.t WHERE k = 1")
+      .head().getLong(0) === 99L, "the JSON is the source of truth")
+    // MERGE: both the matched-update and not-matched-insert branches
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW vsrc AS
+      SELECT * FROM VALUES (1, '{"amount": 7}'), (2, '{"amount": 8}')
+      AS t(k, payload)""")
+    spark.sql("""MERGE INTO gvar.t USING vsrc ON gvar.t.k = vsrc.k
+      WHEN MATCHED THEN UPDATE SET payload = vsrc.payload
+      WHEN NOT MATCHED THEN INSERT (k, payload) VALUES (vsrc.k, vsrc.payload)""")
+    val rows = spark.sql("SELECT k, amount FROM gvar.t ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rows.toSeq === Seq((1L, 7L), (2L, 8L)))
+    // the merge-on-read DELTA path re-derives too
+    spark.sql("ALTER TABLE gvar.t SET TBLPROPERTIES " +
+      "('write.update.mode'='merge-on-read')")
+    spark.sql("UPDATE gvar.t SET payload = '{\"amount\": 70}' WHERE k = 1")
+    assert(spark.sql("SELECT amount FROM gvar.t WHERE k = 1")
+      .head().getLong(0) === 70L)
     spark.sql("DELETE FROM gvar.t WHERE k = 1")
-    assert(spark.sql("SELECT count(*) FROM gvar.t").head().getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM gvar.t").head().getLong(0) === 1L)
+    // rename/drop of shred participants refuses (would sever derivation)
+    val st = new TableStore(spark, root)
+    intercept[IllegalArgumentException] {
+      st.renameColumn("t", "payload", "body")
+    }
+    intercept[IllegalArgumentException] { st.dropColumn("t", "amount") }
   }
 
   test("declaration guards: type, path shape, and pre-data requirement") {
