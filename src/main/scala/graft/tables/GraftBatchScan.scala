@@ -151,18 +151,20 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
           else InternalRow.fromSeq(identityIdx.map(i =>
             if (key.isNullAt(i)) null
             else key.get(i, plan.bundle.dirTypes(i))))
-        // ONE InputPartition PER FILE (each carrying its key-group
-        // values via HasPartitionKey): Spark's BatchScanExec re-groups
-        // splits per key for the normal storage-partitioned join, and —
-        // when `v2.bucketing.partiallyClusteredDistribution` is on —
-        // KEEPS a skewed side's splits ungrouped and replicates the
-        // other side's groups across them, so one hot bucket becomes
+        // SPLIT partitions WITHIN each key group (each carrying the
+        // group's values via HasPartitionKey): Spark's BatchScanExec
+        // re-groups splits per key for the normal storage-partitioned
+        // join, and — when `v2.bucketing.partiallyClusteredDistribution`
+        // is on — KEEPS a skewed side's splits ungrouped and replicates
+        // the other side's groups across them, so one hot bucket becomes
         // several tasks instead of serializing the zero-exchange join.
-        // Per-file granularity is what makes both modes available.
+        // Splits are BIN-PACKED to maxPartitionBytes (not one per file):
+        // a small-files-heavy group stays a few tasks while a hot
+        // bucket's volume still fans out.
         //
         // EXCEPT under a pending-delete mask: the masked reader re-reads
         // the applicable sidecars PER TASK (the Iceberg MoR trade), so
-        // per-file tasks would multiply that cost by the file count —
+        // per-split tasks would multiply that cost by the split count —
         // masked tables keep one task per key group until maintenance
         // folds the tombstones (partial clustering resumes after).
         val keyArr = key.toSeq(plan.bundle.pSchema).toArray
@@ -178,9 +180,24 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
           Seq(GraftInputPartition(keyArr,
             files.map { case (p, l) => pf(p, l) }.toArray,
             files.map(f => rel(f._1)).toArray): InputPartition)
-        else files.map { case (path, len) =>
-          GraftInputPartition(keyArr, Array(pf(path, len)),
-            Array(rel(path))): InputPartition
+        else {
+          val cap = math.max(1L,
+            spark.sessionState.conf.filesMaxPartitionBytes)
+          val bins = Seq.newBuilder[Seq[(String, Long)]]
+          var cur = List.empty[(String, Long)]
+          var curBytes = 0L
+          files.foreach { f =>
+            if (cur.nonEmpty && curBytes + f._2 > cap) {
+              bins += cur.reverse; cur = Nil; curBytes = 0L
+            }
+            cur = f :: cur; curBytes += f._2
+          }
+          if (cur.nonEmpty) bins += cur.reverse
+          bins.result().map { bin =>
+            GraftInputPartition(keyArr,
+              bin.map { case (p, l) => pf(p, l) }.toArray,
+              bin.map(f => rel(f._1)).toArray): InputPartition
+          }
         }
       }
     }.toArray

@@ -294,7 +294,10 @@ class SpjSpec extends SparkSpec {
     val extras = Seq(
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
-        -> "true")
+        -> "true",
+      // splits bin-pack to maxPartitionBytes; the test files are tiny,
+      // so force a small cap to make the hot bucket actually split
+      "spark.sql.files.maxPartitionBytes" -> "4096")
     val saved = extras.map { case (c, _) => c -> spark.conf.getOption(c) }
     extras.foreach { case (c, v) => spark.conf.set(c, v) }
     try withSpj {
