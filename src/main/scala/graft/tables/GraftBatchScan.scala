@@ -160,13 +160,10 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
         // several tasks instead of serializing the zero-exchange join.
         // Splits are BIN-PACKED to maxPartitionBytes (not one per file):
         // a small-files-heavy group stays a few tasks while a hot
-        // bucket's volume still fans out.
-        //
-        // EXCEPT under a pending-delete mask: the masked reader re-reads
-        // the applicable sidecars PER TASK (the Iceberg MoR trade), so
-        // per-split tasks would multiply that cost by the split count —
-        // masked tables keep one task per key group until maintenance
-        // folds the tombstones (partial clustering resumes after).
+        // bucket's volume still fans out. Masked tables split the same
+        // way — the per-executor [[SpjMaskCache]] shares one sidecar
+        // build across a group's splits, so fine splits no longer
+        // multiply the MoR re-read trade.
         val keyArr = key.toSeq(plan.bundle.pSchema).toArray
         def pf(path: String, len: Long) =
           PartitionedFile(partVals,
@@ -176,28 +173,22 @@ private[tables] final class GraftBatchScan(store: TableStore, tbl: String,
         // and position sidecars use (same split the V1 masked read
         // applies to _metadata.file_path)
         def rel(path: String) = path.split("/data/").last
-        if (plan.mask.isDefined)
-          Seq(GraftInputPartition(keyArr,
-            files.map { case (p, l) => pf(p, l) }.toArray,
-            files.map(f => rel(f._1)).toArray): InputPartition)
-        else {
-          val cap = math.max(1L,
-            spark.sessionState.conf.filesMaxPartitionBytes)
-          val bins = Seq.newBuilder[Seq[(String, Long)]]
-          var cur = List.empty[(String, Long)]
-          var curBytes = 0L
-          files.foreach { f =>
-            if (cur.nonEmpty && curBytes + f._2 > cap) {
-              bins += cur.reverse; cur = Nil; curBytes = 0L
-            }
-            cur = f :: cur; curBytes += f._2
+        val cap = math.max(1L,
+          spark.sessionState.conf.filesMaxPartitionBytes)
+        val bins = Seq.newBuilder[Seq[(String, Long)]]
+        var cur = List.empty[(String, Long)]
+        var curBytes = 0L
+        files.foreach { f =>
+          if (cur.nonEmpty && curBytes + f._2 > cap) {
+            bins += cur.reverse; cur = Nil; curBytes = 0L
           }
-          if (cur.nonEmpty) bins += cur.reverse
-          bins.result().map { bin =>
-            GraftInputPartition(keyArr,
-              bin.map { case (p, l) => pf(p, l) }.toArray,
-              bin.map(f => rel(f._1)).toArray): InputPartition
-          }
+          cur = f :: cur; curBytes += f._2
+        }
+        if (cur.nonEmpty) bins += cur.reverse
+        bins.result().map { bin =>
+          GraftInputPartition(keyArr,
+            bin.map { case (p, l) => pf(p, l) }.toArray,
+            bin.map(f => rel(f._1)).toArray): InputPartition
         }
       }
     }.toArray
@@ -596,73 +587,75 @@ private[tables] final class GraftMaskedReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftInputPartition]
-    // per-task mask state, built once and shared by the task's files —
-    // scoped to THIS task's key group (equality keys) and files
-    // (position bitmaps): a task retains only the tombstones that can
-    // touch its own rows, so mask memory divides by the layout width
-    // instead of every task holding the whole table's pending deletes
+    // mask state CACHED per executor ([[SpjMaskCache]]) — equality sets
+    // per KEY GROUP (scoped: a task's group retains only tombstones
+    // whose derived partition value matches, so retained keys divide by
+    // the layout width), position bitmaps once per mask (compressed —
+    // the whole table's tombstones fit in roaring-bitmap bytes). Splits
+    // of the same group share one sidecar build.
     val eqSets: Seq[(Seq[String], Int, java.util.HashSet[UnsafeRow])] =
-      mask.eq.map { e =>
-        val ks = keySchemas(e.cols)
-        val proj = UnsafeProjection.create(ks)
-        val scopes = keyGroupScopes(part.keyVals, e.cols, ks)
-        val set = new java.util.HashSet[UnsafeRow]()
-        e.files.foreach { case (path, len) =>
-          flatRows(delFuncs(e.cols), pfOf(path, len)).foreach { r =>
-            if (!(0 until ks.length).exists(r.isNullAt) &&
-                scopes.forall(_(r))) {
-              set.add(proj(r).copy()); ()
+      SpjMaskCache.getOrBuild(("eq", mask, part.keyVals.toSeq)) {
+        val built = mask.eq.map { e =>
+          val ks = keySchemas(e.cols)
+          val proj = UnsafeProjection.create(ks)
+          val scopes = keyGroupScopes(part.keyVals, e.cols, ks)
+          val set = new java.util.HashSet[UnsafeRow]()
+          e.files.foreach { case (path, len) =>
+            flatRows(delFuncs(e.cols), pfOf(path, len)).foreach { r =>
+              if (!(0 until ks.length).exists(r.isNullAt) &&
+                  scopes.forall(_(r))) {
+                set.add(proj(r).copy()); ()
+              }
             }
           }
+          (e.cols, e.seq, set)
         }
-        (e.cols, e.seq, set)
+        if (SpjMaskStats.enabled.get())
+          SpjMaskStats.record(built.map(_._3.size.toLong).sum, 0L)
+        built
       }
     // positional masks normalize to ONE roaring bitmap per data file:
     // legacy pair sidecars add ordinals, deletion-vector sidecars OR
-    // deserialized bitmaps — task memory is the COMPRESSED bitmap size,
-    // not an entry per tombstone (what lets the SpjMaskMaxBytes budget
+    // deserialized bitmaps — memory is the COMPRESSED bitmap size, not
+    // an entry per tombstone (what lets the SpjMaskMaxBytes budget
     // survive orders of magnitude more tombstones than the old
-    // HashSet[Long]-per-file representation)
-    // position bitmaps are FILE-scoped: retain only entries for this
-    // task's own data files — other tasks' tombstones never apply here
-    val myRels: Set[String] = part.rels.toSet
-    val posSets: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap] = {
-      val m = scala.collection.mutable.Map
-        .empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
-      posFunc.foreach { f =>
-        mask.posFiles.foreach { case (path, len) =>
-          flatRows(f, pfOf(path, len)).foreach { r =>
-            if (!r.isNullAt(0) && !r.isNullAt(1) &&
-                myRels.contains(r.getUTF8String(0).toString)) {
-              m.getOrElseUpdate(r.getUTF8String(0).toString,
-                new org.roaringbitmap.longlong.Roaring64Bitmap())
-                .addLong(r.getLong(1)); ()
-            }
-          }
-        }
-      }
-      dvFunc.foreach { f =>
-        mask.dvFiles.foreach { case (path, len) =>
-          flatRows(f, pfOf(path, len)).foreach { r =>
-            if (!r.isNullAt(0) && !r.isNullAt(1) &&
-                myRels.contains(r.getUTF8String(0).toString)) {
-              val bm = DeletionVectors.deserialize(r.getBinary(1))
-              m.get(r.getUTF8String(0).toString) match {
-                case Some(acc) => acc.or(bm)
-                case None =>
-                  m.update(r.getUTF8String(0).toString, bm)
+    // HashSet[Long]-per-file representation); built ONCE per mask per
+    // executor, readers probe only their own files' entries
+    val posSets: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap] =
+      SpjMaskCache.getOrBuild(("pos", mask)) {
+        val m = scala.collection.mutable.Map
+          .empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
+        posFunc.foreach { f =>
+          mask.posFiles.foreach { case (path, len) =>
+            flatRows(f, pfOf(path, len)).foreach { r =>
+              if (!r.isNullAt(0) && !r.isNullAt(1)) {
+                m.getOrElseUpdate(r.getUTF8String(0).toString,
+                  new org.roaringbitmap.longlong.Roaring64Bitmap())
+                  .addLong(r.getLong(1)); ()
               }
             }
           }
         }
+        dvFunc.foreach { f =>
+          mask.dvFiles.foreach { case (path, len) =>
+            flatRows(f, pfOf(path, len)).foreach { r =>
+              if (!r.isNullAt(0) && !r.isNullAt(1)) {
+                val bm = DeletionVectors.deserialize(r.getBinary(1))
+                m.get(r.getUTF8String(0).toString) match {
+                  case Some(acc) => acc.or(bm)
+                  case None =>
+                    m.update(r.getUTF8String(0).toString, bm)
+                }
+              }
+            }
+          }
+        }
+        val built = m.toMap
+        if (SpjMaskStats.enabled.get())
+          SpjMaskStats.record(0L,
+            built.valuesIterator.map(_.getLongCardinality).sum)
+        built
       }
-      m.toMap
-    }
-    if (SpjMaskStats.enabled.get()) {
-      val eqN = eqSets.map(_._3.size.toLong).sum
-      SpjMaskStats.record(eqN,
-        posSets.valuesIterator.map(_.getLongCardinality).sum)
-    }
     val posOrd =
       if (posFunc.isDefined || dvFunc.isDefined)
         widened.fieldIndex(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME)
@@ -723,6 +716,41 @@ private[tables] final class GraftMaskedReaderFactory(
       override def close(): Unit = ()
     }
   }
+}
+
+/** Per-executor cache of built SPJ delete masks, keyed by mask content
+  * (sidecar paths + sequences — distinct per table snapshot) plus the
+  * key group for equality sets. Splits of the same key group share one
+  * sidecar build instead of re-reading per task, which is what lets
+  * masked tables keep FINE-GRAINED splits (bin-packed, partial-
+  * clustering-capable) without multiplying the Iceberg MoR re-read
+  * trade by the split count. Bounded LRU; a concurrent miss may build
+  * twice (same value — no lock held during IO). On a real cluster each
+  * executor builds a group's mask at most once; local[n] shares one. */
+private[tables] object SpjMaskCache {
+  private val MaxEntries = 32
+  /** Single-flight holder: `lazy val` gives one build per key with its
+    * own monitor, so the GLOBAL lock is never held during sidecar IO
+    * and concurrent misses on the same key still build exactly once. */
+  private final class Holder(build: () => AnyRef) {
+    lazy val value: AnyRef = build()
+  }
+  private val cache =
+    new java.util.LinkedHashMap[AnyRef, Holder](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, Holder]): Boolean =
+        size() > MaxEntries
+    }
+  def getOrBuild[T <: AnyRef](key: AnyRef)(build: => T): T = {
+    val h = cache.synchronized {
+      var v = cache.get(key)
+      if (v == null) { v = new Holder(() => build); cache.put(key, v) }
+      v
+    }
+    h.value.asInstanceOf[T]
+  }
+  /** Test hook: clear between measurements. */
+  private[tables] def reset(): Unit = cache.synchronized { cache.clear() }
 }
 
 /** Test-visible per-task mask-size telemetry for the SPJ masked read

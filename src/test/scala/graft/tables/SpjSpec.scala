@@ -361,6 +361,7 @@ class SpjSpec extends SparkSpec {
     store.deleteMoR("sc", delKeys.toDF("k"), Seq("k"))
     store.deletePos("sc", $"v" >= 3990.0) // 10 position tombstones
     val expected = data.filter(!$"k".isin(delKeys: _*) && $"v" < 3990.0)
+    SpjMaskCache.reset() // records happen on BUILD (cache miss)
     SpjMaskStats.reset()
     SpjMaskStats.enabled.set(true)
     try withSpj {
