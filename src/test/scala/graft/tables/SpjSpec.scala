@@ -340,6 +340,26 @@ class SpjSpec extends SparkSpec {
         scanParts.head > keyGroups,
         s"hot bucket must split: fact scan ran ${scanParts.headOption} " +
           s"tasks over $keyGroups key groups")
+      // pending tombstones no longer forfeit fine splits: the mask
+      // builds once per executor per group (SpjMaskCache), so the
+      // masked join keeps zero exchanges AND the hot bucket's split
+      // fan-out, with exact results
+      store.deleteMoR("skf", Seq(0L, 5L).toDF("k"), Seq("k"))
+      val jm = spark.sql(
+        "SELECT f.k, f.v, d.name FROM spj.skf f JOIN spj.skd d ON f.k = d.k")
+      val rowsM = jm.collect()
+      assert(!finalPlan(jm).contains("Exchange"), finalPlan(jm))
+      val expM = factDf.filter(!$"k".isin(0L, 5L)).join(dimDf, "k")
+        .select($"k", $"v", $"name").collect()
+      assert(rowsM.map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .sorted.toSeq ===
+        expM.map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+          .sorted.toSeq)
+      val scanPartsM = scans(jm.queryExecution.executedPlan)
+        .filter(_.output.exists(_.name == "v"))
+        .map(_.inputRDD.getNumPartitions)
+      assert(scanPartsM.nonEmpty && scanPartsM.head > keyGroups,
+        s"masked fact scan must keep split fan-out: ${scanPartsM.headOption}")
     } finally saved.foreach {
       case (c, Some(v)) => spark.conf.set(c, v)
       case (c, None) => spark.conf.unset(c)
