@@ -127,6 +127,111 @@ object AnnIndex {
     } finally { qT.unpersist(); () }
   }
 
+  // ---- persistent IVF --------------------------------------------------
+
+  /** The IVF index family persisted the same way: the CENTROIDS are the
+    * index's stateful core — seeded once from the corpus at first build
+    * and STORED as a tiny managed table `<index>_centroids`
+    * (cell, cv) — and the covering rows `(cell, vec_id, embedding,
+    * label)` range-cluster by cell. `refreshIvf` assigns ONLY the
+    * appended vectors to the FIXED stored centroids (one map-only pass,
+    * centroids broadcast inside the codegen'd MatVecDots literal) — no
+    * re-seeding, no reassignment of already-indexed vectors, which is
+    * exactly what makes the refresh incremental and the served results
+    * stable. Centroid DRIFT is the documented trade: after heavy
+    * distribution shift, rebuild (drop the index) — same as every
+    * IVF system; recall against brute force is the drift monitor. */
+  def refreshIvf(store: TableStore, corpusTable: String,
+      indexTable: String, nCells: Int = 16): Long = {
+    val corpusV = store.currentVersion(corpusTable)
+    val exists = store.exists(indexTable)
+    val indexedV =
+      if (!exists) 0
+      else store.properties(indexTable)
+        .get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
+    if (exists && indexedV == corpusV) return 0L
+    val appendOnly = exists && indexedV > 0 && indexedV < corpusV &&
+      ((indexedV + 1) to corpusV).forall(v =>
+        store.commitAppendedOnly(corpusTable, v).isDefined)
+    val centTable = s"${indexTable}_centroids"
+    val corpusDf = store.read(corpusTable)
+    val spark = corpusDf.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Double])] =
+      if (appendOnly && store.exists(centTable))
+        store.read(centTable).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+      else {
+        // first build (or forced rebuild): seed from the CURRENT corpus
+        val seeds = Similarity.seedCentroids(corpusDf, nCells)
+        val seedDf = seeds.toSeq.map(s => (s._1, s._2.toSeq))
+          .toDF("cell", "cv")
+        store.create(centTable, seedDf.schema, overwrite = true)
+        store.append(centTable, seedDf)
+        seeds.sortBy(_._1)
+      }
+    val src =
+      if (appendOnly) store.readAppendedSince(corpusTable, indexedV)
+      else store.read(corpusTable)
+    val rows = src
+      .select(col("vec_id"), col("embedding"), col("label"),
+        Similarity.cellDotsFor(cents)(col("embedding")).as("_s"))
+      .select(
+        Similarity.bestCellsFor(cents)(col("_s"), 1)
+          .getItem(0).getField("cell").as("cell"),
+        col("vec_id"), col("embedding"), col("label"))
+      .persist()
+    try {
+      val n = rows.count()
+      if (!appendOnly || !store.exists(indexTable))
+        store.create(indexTable, rows.schema, overwrite = true,
+          zoneCols = Seq("cell"))
+      store.append(indexTable, rows.repartitionByRange(8, col("cell")))
+      store.setProperties(indexTable,
+        Map(IndexedVersionProp -> Some(corpusV.toString)))
+      n
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Top-k from the stored IVF index: probe cells come from the stored
+    * centroids (a tiny collect), the index scan file-skips to the
+    * probed cells, exact cosine ranks within candidates. */
+  def queryIvf(store: TableStore, indexTable: String, queries: DataFrame,
+      k: Int, nprobe: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = store.read(s"${indexTable}_centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qProbes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        Similarity.cellDotsFor(cents)(col("embedding")).as("_s"))
+      .select(col("query_id"), col("qv"),
+        explode(Similarity.bestCellsFor(cents)(col("_s"), nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+      .persist()
+    try {
+      val probeCells = qProbes.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      store.read(indexTable)
+        .filter(col("cell").isin(probeCells: _*))
+        .join(broadcast(qProbes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"),
+          Similarity.cosine(col("embedding"), col("qv")).as("score"),
+          col("vec_id").as("id"), col("label").as("payload"))
+        .as[graft.functions.ScoredRow]
+        .groupByKey(_.query_id)
+        .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
+        .toDF("query_id", "topk")
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("vec_id"), col("col.payload").as("label"),
+          col("col.score").as("cos"))
+    } finally { qProbes.unpersist(); () }
+  }
+
   // ---- gate ------------------------------------------------------------
 
   /** Incremental-index gate: corpus lands in two appends; the index is
@@ -166,7 +271,46 @@ object AnnIndex {
     query(store, "annidx", queries, 10).orderBy("query_id", "rank")
   }
 
+  /** Incremental IVF gate: centroids fix at first build (pinned
+    * byte-identical across refreshes), the second refresh assigns only
+    * the appended vectors, and queries served from the stored index
+    * match the oracle's fixed-centroid assignment end-to-end. */
+  private def simAnnIvfIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val store = new TableStore(spark,
+      Scratch.dir("sim-ivf-inc", Scratch.tag(dir)))
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantize(col("embedding"))
+        .as("embedding"), col("label"))
+    val first = emb.filter(col("vec_id") % 3 =!= 0)
+    val second = emb.filter(col("vec_id") % 3 === 0)
+    if (store.exists("ivfidx")) store.drop("ivfidx")
+    if (store.exists("ivfidx_centroids")) store.drop("ivfidx_centroids")
+    store.create("corpus", emb.schema, overwrite = true)
+    store.append("corpus", first)
+    require(refreshIvf(store, "corpus", "ivfidx") > 0,
+      "initial IVF build indexed nothing")
+    val filesAfterBuild = store.currentRelPaths("ivfidx").toSet
+    val centsAfterBuild = store.read("ivfidx_centroids")
+      .orderBy("cell").collect().toSeq
+    store.append("corpus", second)
+    val n2 = refreshIvf(store, "corpus", "ivfidx")
+    require(n2 == second.count(),
+      s"IVF refresh must assign EXACTLY the appended rows, got $n2")
+    require(filesAfterBuild.subsetOf(store.currentRelPaths("ivfidx").toSet),
+      "IVF refresh must append to the index, not rebuild it")
+    require(store.read("ivfidx_centroids").orderBy("cell").collect()
+        .toSeq == centsAfterBuild,
+      "stored centroids must stay FIXED across incremental refreshes")
+    require(refreshIvf(store, "corpus", "ivfidx") == 0L,
+      "IVF refresh with no corpus change must be a no-op")
+    val queries = emb.filter(col("vec_id") < 8)
+    queryIvf(store, "ivfidx", queries, 10).orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     Q("sim_ann_incremental", simAnnIncremental,
-      Some(Similarity.annOracleSql)))
+      Some(Similarity.annOracleSql)),
+    Q("sim_ann_ivf_incremental", simAnnIvfIncremental,
+      Some(Similarity.ivfIncrementalOracleSql)))
 }

@@ -184,14 +184,15 @@ object Similarity {
 
   /** All centroid dots in ONE codegen'd expression (MatVecDots) — bound
     * to an attribute so argmax/probe derivations read materialized scores
-    * instead of re-evaluating k separate dot expressions. */
-  private def cellDotsFor(cents: Array[(Long, Array[Double])])(v: Column): Column =
+    * instead of re-evaluating k separate dot expressions. (Shared with
+    * [[AnnIndex]]'s persistent IVF index.) */
+  private[ops] def cellDotsFor(cents: Array[(Long, Array[Double])])(v: Column): Column =
     graft.functions.VectorExprs.mat_vec_dots(
       v, cents.flatMap(_._2), cents.length)
 
   /** Best `take` cells from bound scores (greatest over (score, cell)
     * structs; deterministic — cell id breaks score ties). */
-  private def bestCellsFor(cents: Array[(Long, Array[Double])])(
+  private[ops] def bestCellsFor(cents: Array[(Long, Array[Double])])(
       scores: Column, take: Int): Column = {
     val scored = array(cents.toIndexedSeq.zipWithIndex.map { case ((cid, _), i) =>
       struct(element_at(scores, i + 1).as("score"), lit(cid).as("cell"))
@@ -578,6 +579,41 @@ object Similarity {
        |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS step FROM qv),
        |cent AS (SELECT vec_id AS cell, v AS cv FROM qv, st
        |         WHERE vec_id % step = 0 AND vec_id < step * 16),
+       |cd AS (SELECT q.vec_id, c.cell, LIST_DOT_PRODUCT(q.v, c.cv) AS d
+       |       FROM qv q CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cell FROM (
+       |          SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY d DESC, cell DESC) AS rn FROM cd) WHERE rn = 1),
+       |prb AS (SELECT vec_id AS query_id, cell FROM (
+       |          SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY d DESC, cell DESC) AS rn FROM cd
+       |          WHERE vec_id < 8) WHERE rn <= 3),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |         FROM prb p JOIN asg a USING (cell)
+       |         WHERE a.vec_id <> p.query_id),
+       |sc AS (SELECT cand.query_id, cand.vec_id, cv.label,
+       |         ${cosSql("cv.v", "qq.v")} AS cos
+       |       FROM cand JOIN qv cv ON cv.vec_id = cand.vec_id
+       |                 JOIN qv qq ON qq.vec_id = cand.query_id),
+       |rk AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, vec_id) AS INT) AS "rank",
+       |         vec_id, label, cos FROM sc)
+       |SELECT query_id, "rank", vec_id, label, cos FROM rk
+       |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+
+  /** Oracle for [[AnnIndex]]'s INCREMENTAL IVF gate: centroids seed from
+    * the INITIAL corpus subset only (vec_id % 3 <> 0 — the first append;
+    * step from ITS count, seeds constrained to its members), then every
+    * vector — both appends — assigns to those FIXED centroids and
+    * queries probe them: exactly what a stored-centroid index serves
+    * after an incremental refresh. */
+  private[ops] def ivfIncrementalOracleSql: String =
+    s"""WITH $qvCte,
+       |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS step FROM qv
+       |       WHERE vec_id % 3 <> 0),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM qv, st
+       |         WHERE vec_id % step = 0 AND vec_id < step * 16
+       |           AND vec_id % 3 <> 0),
        |cd AS (SELECT q.vec_id, c.cell, LIST_DOT_PRODUCT(q.v, c.cv) AS d
        |       FROM qv q CROSS JOIN cent c),
        |asg AS (SELECT vec_id, cell FROM (
