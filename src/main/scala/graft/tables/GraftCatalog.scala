@@ -718,7 +718,7 @@ private[tables] object GraftSqlTable {
   * files. */
 private[tables] object GraftMetaTable {
   val Names: Set[String] =
-    Set("snapshots", "files", "refs", "partitions", "history")
+    Set("snapshots", "files", "refs", "partitions", "history", "deletes")
 }
 
 private[tables] final class GraftMetaTable(store: TableStore, tbl: String,
@@ -730,6 +730,7 @@ private[tables] final class GraftMetaTable(store: TableStore, tbl: String,
     case "refs"       => store.refsFrame(tbl)
     case "partitions" => store.partitionsFrame(tbl)
     case "history"    => store.historyFrame(tbl)
+    case "deletes"    => store.deletesFrame(tbl)
   }
 
   override def name(): String = s"$tbl.$meta"

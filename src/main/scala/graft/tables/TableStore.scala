@@ -2059,6 +2059,41 @@ final class TableStore(private[tables] val spark: SparkSession,
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
   }
 
+  /** Pending merge-on-read delete sidecars — the `db.t.deletes`
+    * inspection surface (Iceberg's delete-files metadata table): one
+    * row per pending entry with its kind (`equality` / `position` /
+    * `deletion-vector`), key columns, commit sequence, sidecar file
+    * count and bytes. Answered from the delete manifest plus one
+    * sidecar-directory listing per entry — no data file touched. The
+    * maintenance signal at scale: entry count drives `rewrite_deletes`,
+    * byte totals against [[TableStore.SpjMaskMaxBytes]] predict the SPJ
+    * fallback, and an empty frame proves a table clean. */
+  def deletesFrame(name: String): DataFrame = {
+    val entries = readDeleteEntries(name, currentVersion(name))
+    val rows = entries.sortBy(e => (e.seq, e.rel)).map { e =>
+      val kind =
+        if (e.cols == Seq(TableStore.DvMarker)) "deletion-vector"
+        else if (e.cols == Seq(TableStore.PosMarker)) "position"
+        else "equality"
+      val keyCols = if (TableStore.isPosEntry(e.cols)) "" else
+        e.cols.mkString(",")
+      val parts = listStatusRec(new HPath(deletesDir(name), e.rel))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      org.apache.spark.sql.Row(e.rel, kind, keyCols, e.seq.toLong,
+        parts.size.toLong, parts.map(_.getLen).sum)
+    }
+    val sch = StructType(Seq(
+      StructField("sidecar", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("key_columns", StringType, nullable = false),
+      StructField("sequence", LongType, nullable = false),
+      StructField("file_count", LongType, nullable = false),
+      StructField("total_bytes", LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+  }
+
   /** Named refs as a DataFrame — the `db.t.refs` inspection surface:
     * every branch/tag plus the implicit `main` head. */
   def refsFrame(name: String): DataFrame = {
@@ -3292,10 +3327,13 @@ final class TableStore(private[tables] val spark: SparkSession,
     val posCandidates: Set[String] =
       if (posE.isEmpty) Set.empty
       else {
+        // project the file column BEFORE the union: pair and DV sidecars
+        // share only that column (and it is all this listing needs —
+        // column pruning skips the bitmap/ordinal bytes entirely)
         val named = posE.map(e => spark.read.parquet(
-            new HPath(deletesDir(name), e.rel).toString))
-          .reduce(_ unionByName _)
-          .select(col(col0Name(posE)).as("f")).distinct()
+            new HPath(deletesDir(name), e.rel).toString)
+            .select(col(col0Name(posE)).as("f")))
+          .reduce(_ unionByName _).distinct()
           .collect().map(_.getString(0)).toSet
         rels.filter(named.contains).toSet
       }

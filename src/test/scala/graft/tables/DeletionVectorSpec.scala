@@ -130,6 +130,31 @@ class DeletionVectorSpec extends SparkSpec {
     assert(st2.rewriteDeletes("u") === ((1, 1)))
   }
 
+  test("t.deletes inspection surface reports pending sidecars by kind") {
+    val root = tmpDir("dvmeta-")
+    spark.conf.set("spark.sql.catalog.gdv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdv.root", root)
+    val st = new TableStore(spark, root)
+    val df = spark.range(0, 100).select(col("id").as("k"))
+    st.create("t", df.schema)
+    st.append("t", df.coalesce(1))
+    assert(spark.sql("SELECT * FROM gdv.t.deletes").count() === 0L,
+      "a clean table reports no pending deletes")
+    st.deleteMoR("t", Seq(1L).toDF("k"), Seq("k"))
+    st.deletePos("t", col("k") >= 90L)
+    st.deletePosLegacyPairs("t", col("k") === 50L)
+    val rows = spark.sql(
+      "SELECT kind, key_columns, file_count, total_bytes " +
+        "FROM gdv.t.deletes ORDER BY sequence, kind").collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("equality", "deletion-vector", "position"))
+    assert(rows.head.getString(1) === "k")
+    assert(rows.forall(r => r.getLong(2) >= 1L && r.getLong(3) > 0L))
+    // maintenance folds; the surface empties
+    st.materializeDeletes("t")
+    assert(spark.sql("SELECT * FROM gdv.t.deletes").count() === 0L)
+  }
+
   test("updateMoR and materializeDeletes run on DV sidecars") {
     val st = newStore()
     val df = spark.range(0, 50)
