@@ -232,6 +232,154 @@ object AnnIndex {
     } finally { qProbes.unpersist(); () }
   }
 
+  // ---- persistent PQ ---------------------------------------------------
+
+  /** The third index family persisted: PRODUCT QUANTIZATION. The
+    * codebooks (m subspaces × ksub centroids) are the stateful core —
+    * trained once from the corpus at first build and stored as
+    * `<index>_codebooks` rows (s, j, cv) — and the covering rows carry
+    * `(vec_id, codes, embedding, label)`. `refreshPq` ENCODES only the
+    * appended vectors against the FIXED stored codebooks (map-only,
+    * books broadcast inside the codegen'd distance expression).
+    * Serving is the classic two-phase PQ read: the ADC scan projects
+    * ONLY the codes column (parquet column pruning skips the vector
+    * bytes — the 64× bandwidth trade PQ exists for), bounded top-`r`
+    * candidates re-rank by exact cosine against the same table.
+    * Codebook drift after distribution shift = rebuild, as with IVF. */
+  def refreshPq(store: TableStore, corpusTable: String,
+      indexTable: String, m: Int = 8, ksub: Int = 16): Long = {
+    val corpusV = store.currentVersion(corpusTable)
+    val exists = store.exists(indexTable)
+    val indexedV =
+      if (!exists) 0
+      else store.properties(indexTable)
+        .get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
+    if (exists && indexedV == corpusV) return 0L
+    val appendOnly = exists && indexedV > 0 && indexedV < corpusV &&
+      ((indexedV + 1) to corpusV).forall(v =>
+        store.commitAppendedOnly(corpusTable, v).isDefined)
+    val bookTable = s"${indexTable}_codebooks"
+    val corpusDf = store.read(corpusTable)
+    val spark = corpusDf.sparkSession
+    import spark.implicits._
+    val books: Array[Array[Array[Double]]] =
+      if (appendOnly && store.exists(bookTable)) {
+        val rows = store.read(bookTable).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        val bySub = rows.groupBy(_._1)
+        Array.tabulate(bySub.size)(s =>
+          bySub(s).sortBy(_._2).map(_._3))
+      } else {
+        val trained = Similarity.pqCodebooks(corpusDf, m, ksub)
+        val bookDf = trained.zipWithIndex.flatMap { case (book, s) =>
+          book.zipWithIndex.map { case (cv, j) => (s, j, cv.toSeq) }
+        }.toSeq.toDF("s", "j", "cv")
+        store.create(bookTable, bookDf.schema, overwrite = true)
+        store.append(bookTable, bookDf)
+        trained
+      }
+    val src =
+      if (appendOnly) store.readAppendedSince(corpusTable, indexedV)
+      else corpusDf
+    val rows = src.select(col("vec_id"),
+      Similarity.pqCodes(col("embedding"), books).as("codes"),
+      col("embedding"), col("label")).persist()
+    try {
+      val n = rows.count()
+      if (!appendOnly || !store.exists(indexTable))
+        store.create(indexTable, rows.schema, overwrite = true,
+          zoneCols = Seq("vec_id"))
+      store.append(indexTable,
+        rows.repartitionByRange(8, col("vec_id")))
+      store.setProperties(indexTable,
+        Map(IndexedVersionProp -> Some(corpusV.toString)))
+      n
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Top-k from the stored PQ index: ADC scan over the CODES column
+    * (vectors never read in phase one), bounded `rerank` candidates,
+    * exact-cosine re-rank fetching only the candidates' vectors from
+    * the same table (zone stats on vec_id prune the fetch). */
+  def queryPq(store: TableStore, indexTable: String, queries: DataFrame,
+      k: Int, rerank: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = store.read(s"${indexTable}_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val bySub = rows.groupBy(_._1)
+    val books = Array.tabulate(bySub.size)(s => bySub(s).sortBy(_._2).map(_._3))
+    val ql = queries.select(col("vec_id").as("query_id"),
+      Similarity.pqLuts(col("embedding"), books).as("luts"))
+    val cand = store.read(indexTable)
+      .select(col("vec_id"), col("label"), col("codes")) // NOT embedding
+      .crossJoin(broadcast(ql))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        aggregate(zip_with(col("codes"), col("luts"),
+          (c, l) => element_at(l, c + 1)), lit(0.0), (acc, x) => acc + x)
+          .as("score"),
+        col("vec_id").as("id"), col("label").as("payload"))
+      .as[graft.functions.ScoredRow]
+      .groupByKey(_.query_id)
+      .agg(new graft.functions.TopKAggregator(rerank).toColumn.name("cand"))
+      .toDF("query_id", "cand")
+      .select(col("query_id"), explode(col("cand")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val rer = store.read(indexTable)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    rer.withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "cos")
+  }
+
+  /** Incremental PQ gate — same shape as the LSH/IVF ones: codebooks
+    * fix at first build (pinned byte-identical), the second refresh
+    * encodes only the appended vectors, and the served top-k matches a
+    * DuckDB oracle that re-derives codebooks from the INITIAL subset
+    * and replays encode → ADC → re-rank end-to-end. */
+  private def simAnnPqIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val store = new TableStore(spark,
+      Scratch.dir("sim-pq-inc", Scratch.tag(dir)))
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantize(col("embedding"))
+        .as("embedding"), col("label"))
+    val first = emb.filter(col("vec_id") % 3 =!= 0)
+    val second = emb.filter(col("vec_id") % 3 === 0)
+    if (store.exists("pqidx")) store.drop("pqidx")
+    if (store.exists("pqidx_codebooks")) store.drop("pqidx_codebooks")
+    store.create("corpus", emb.schema, overwrite = true)
+    store.append("corpus", first)
+    require(refreshPq(store, "corpus", "pqidx") > 0,
+      "initial PQ build indexed nothing")
+    val filesAfterBuild = store.currentRelPaths("pqidx").toSet
+    val booksAfterBuild = store.read("pqidx_codebooks")
+      .orderBy("s", "j").collect().toSeq
+    store.append("corpus", second)
+    val n2 = refreshPq(store, "corpus", "pqidx")
+    require(n2 == second.count(),
+      s"PQ refresh must encode EXACTLY the appended rows, got $n2")
+    require(filesAfterBuild.subsetOf(store.currentRelPaths("pqidx").toSet),
+      "PQ refresh must append to the index, not rebuild it")
+    require(store.read("pqidx_codebooks").orderBy("s", "j").collect()
+        .toSeq == booksAfterBuild,
+      "stored codebooks must stay FIXED across incremental refreshes")
+    require(refreshPq(store, "corpus", "pqidx") == 0L,
+      "PQ refresh with no corpus change must be a no-op")
+    val queries = emb.filter(col("vec_id") < 8)
+    queryPq(store, "pqidx", queries, 10).orderBy("query_id", "rank")
+  }
+
   // ---- gate ------------------------------------------------------------
 
   /** Incremental-index gate: corpus lands in two appends; the index is
@@ -312,5 +460,7 @@ object AnnIndex {
     Q("sim_ann_incremental", simAnnIncremental,
       Some(Similarity.annOracleSql)),
     Q("sim_ann_ivf_incremental", simAnnIvfIncremental,
-      Some(Similarity.ivfIncrementalOracleSql)))
+      Some(Similarity.ivfIncrementalOracleSql)),
+    Q("sim_ann_pq_incremental", simAnnPqIncremental,
+      Some(Similarity.pqIncrementalOracleSql)))
 }

@@ -675,6 +675,52 @@ object Similarity {
        |SELECT query_id, "rank", vec_id, label, cos FROM rk
        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
 
+  /** Oracle for [[AnnIndex]]'s INCREMENTAL PQ gate: codebooks derive
+    * from the INITIAL corpus subset only (vec_id % 3 <> 0 — step from
+    * ITS count, seeds constrained to its members) with DENSE codebook
+    * indices (`ROW_NUMBER` over seed id — the subset has gaps at
+    * multiples of 3, so the full-corpus oracle's `vec_id // step`
+    * indexing would mislabel codes), then every vector encodes against
+    * those FIXED books and the ADC → exact-re-rank pipeline replays
+    * end-to-end. */
+  private[ops] def pqIncrementalOracleSql: String =
+    s"""WITH $qvCte,
+       |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS step FROM qv
+       |       WHERE vec_id % 3 <> 0),
+       |sub AS (SELECT vec_id, g.s AS s, LIST_SLICE(v, g.s*8+1, (g.s+1)*8) AS sv
+       |        FROM qv CROSS JOIN GENERATE_SERIES(0, 7) g(s)),
+       |seeds AS (SELECT vec_id,
+       |            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+       |          FROM qv, st WHERE vec_id % step = 0
+       |            AND vec_id < step * 16 AND vec_id % 3 <> 0),
+       |cb AS (SELECT sub.s, seeds.j, sub.sv AS cv
+       |       FROM sub JOIN seeds USING (vec_id)),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |          SELECT sub.vec_id, sub.s, cb.j AS code,
+       |            ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |              ORDER BY LIST_DOT_PRODUCT(cb.cv, cb.cv)
+       |                - 2 * LIST_DOT_PRODUCT(sub.sv, cb.cv), cb.j) AS rn
+       |          FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+       |lut AS (SELECT sub.vec_id AS query_id, sub.s, cb.j,
+       |          LIST_DOT_PRODUCT(sub.sv, cb.cv) AS d
+       |        FROM sub JOIN cb ON sub.s = cb.s WHERE sub.vec_id < 8),
+       |adc AS (SELECT l.query_id, e.vec_id, SUM(l.d) AS approx
+       |        FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.j
+       |        WHERE e.vec_id <> l.query_id
+       |        GROUP BY l.query_id, e.vec_id),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |          SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY approx DESC, vec_id) AS rn FROM adc) WHERE rn <= 50),
+       |sc AS (SELECT cand.query_id, cand.vec_id, cv.label,
+       |         ${cosSql("cv.v", "qq.v")} AS cos
+       |       FROM cand JOIN qv cv ON cv.vec_id = cand.vec_id
+       |                 JOIN qv qq ON qq.vec_id = cand.query_id),
+       |rk AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, vec_id) AS INT) AS "rank",
+       |         vec_id, label, cos FROM sc)
+       |SELECT query_id, "rank", vec_id, label, cos FROM rk
+       |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+
   /** Symmetric int8 quantization per vector (the standard embedding-index
     * compression step): scale = 127/amax over the quantized-integer view,
     * qi = round(x·127/amax). Every reported stat is order-INDEPENDENT —
