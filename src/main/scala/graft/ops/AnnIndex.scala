@@ -53,6 +53,29 @@ object AnnIndex {
     * corpus row contributes exactly this many covering index rows. */
   private val LshTables = 4L
 
+  /** Deterministic seed selection by HASH RANK: the `n` vectors with the
+    * smallest portable 60-bit id-hash (ties → lower id), evaluated as a
+    * distributed top-k (TakeOrdered — no global sort). Unlike the
+    * modular rule ([[Similarity.seedCentroids]], kept for its oracled
+    * gates), this never degenerates on sparse or shifted id spaces —
+    * the 100× corpus (ids offset by 1e8 per replica) left the modular
+    * rule ZERO seeds. Cross-engine: the oracle ranks by the same
+    * `md5`-prefix hash. Returned sorted by id (stable cell/codebook
+    * ordering). */
+  private def hashSeeds(corpus: DataFrame,
+      n: Int): Array[(Long, Array[Double])] =
+    corpus.select(col("vec_id"), col("embedding"),
+        PortableHash.h60(col("vec_id")
+          .cast(org.apache.spark.sql.types.StringType)).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(n)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => other.toString.toDouble
+      }.toArray))
+      .sortBy(_._1)
+
   def refresh(store: TableStore, corpusTable: String,
       indexTable: String): Long = {
     val corpusV = store.currentVersion(corpusTable)
@@ -164,12 +187,14 @@ object AnnIndex {
           .sortBy(_._1)
       else {
         // first build (or forced rebuild): seed from the CURRENT corpus
-        val seeds = Similarity.seedCentroids(corpusDf, nCells)
+        // by hash rank (never degenerates on sparse id spaces)
+        val seeds = hashSeeds(corpusDf, nCells)
+        require(seeds.nonEmpty, s"cannot seed IVF index: $corpusTable empty")
         val seedDf = seeds.toSeq.map(s => (s._1, s._2.toSeq))
           .toDF("cell", "cv")
         store.create(centTable, seedDf.schema, overwrite = true)
         store.append(centTable, seedDf)
-        seeds.sortBy(_._1)
+        seeds
       }
     val src =
       if (appendOnly) store.readAppendedSince(corpusTable, indexedV)
@@ -270,7 +295,15 @@ object AnnIndex {
         Array.tabulate(bySub.size)(s =>
           bySub(s).sortBy(_._2).map(_._3))
       } else {
-        val trained = Similarity.pqCodebooks(corpusDf, m, ksub)
+        // hash-ranked seeds sliced into subspaces (same construction as
+        // pqCodebooks, robust seeding)
+        val seeds = hashSeeds(corpusDf, ksub)
+        require(seeds.nonEmpty, s"cannot seed PQ index: $corpusTable empty")
+        val dim = seeds.head._2.length
+        require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+        val dsub = dim / m
+        val trained = Array.tabulate(m)(s =>
+          seeds.map(_._2.slice(s * dsub, (s + 1) * dsub)))
         val bookDf = trained.zipWithIndex.flatMap { case (book, s) =>
           book.zipWithIndex.map { case (cv, j) => (s, j, cv.toSeq) }
         }.toSeq.toDF("s", "j", "cv")

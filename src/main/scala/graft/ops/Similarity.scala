@@ -609,11 +609,11 @@ object Similarity {
     * after an incremental refresh. */
   private[ops] def ivfIncrementalOracleSql: String =
     s"""WITH $qvCte,
-       |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS step FROM qv
-       |       WHERE vec_id % 3 <> 0),
-       |cent AS (SELECT vec_id AS cell, v AS cv FROM qv, st
-       |         WHERE vec_id % step = 0 AND vec_id < step * 16
-       |           AND vec_id % 3 <> 0),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM (
+       |           SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY
+       |             ${graft.ops.PortableHash.h60Sql("CAST(vec_id AS VARCHAR)")},
+       |             vec_id) AS hrn
+       |           FROM qv WHERE vec_id % 3 <> 0) WHERE hrn <= 16),
        |cd AS (SELECT q.vec_id, c.cell, LIST_DOT_PRODUCT(q.v, c.cv) AS d
        |       FROM qv q CROSS JOIN cent c),
        |asg AS (SELECT vec_id, cell FROM (
@@ -685,14 +685,16 @@ object Similarity {
     * end-to-end. */
   private[ops] def pqIncrementalOracleSql: String =
     s"""WITH $qvCte,
-       |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS step FROM qv
-       |       WHERE vec_id % 3 <> 0),
        |sub AS (SELECT vec_id, g.s AS s, LIST_SLICE(v, g.s*8+1, (g.s+1)*8) AS sv
        |        FROM qv CROSS JOIN GENERATE_SERIES(0, 7) g(s)),
+       |picked AS (SELECT vec_id FROM (
+       |            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+       |              ${graft.ops.PortableHash.h60Sql("CAST(vec_id AS VARCHAR)")},
+       |              vec_id) AS hrn
+       |            FROM qv WHERE vec_id % 3 <> 0) WHERE hrn <= 16),
        |seeds AS (SELECT vec_id,
        |            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
-       |          FROM qv, st WHERE vec_id % step = 0
-       |            AND vec_id < step * 16 AND vec_id % 3 <> 0),
+       |          FROM picked),
        |cb AS (SELECT sub.s, seeds.j, sub.sv AS cv
        |       FROM sub JOIN seeds USING (vec_id)),
        |enc AS (SELECT vec_id, s, code FROM (
