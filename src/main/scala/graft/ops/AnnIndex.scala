@@ -41,14 +41,47 @@ object AnnIndex {
       explode_outer(Similarity.lshBucketsQ(col("embedding"))).as("bucket"),
       col("vec_id"), col("embedding"), col("label"))
 
-  /** Create/refresh `indexTable` to cover `corpusTable`'s CURRENT
-    * snapshot. Incremental by construction: only rows appended since
-    * the last indexed version are signed and appended (clustered by
-    * bucket before the write so zone stats stay tight). A corpus
-    * mutation (delete/update/compact) since the indexed version cannot
-    * be served by an append-only delta — the index rebuilds from
-    * scratch, loudly, rather than silently serving deleted vectors.
-    * Returns the number of corpus rows indexed by THIS call. */
+  /** Net corpus delta in `(indexedV, corpusV]` for index maintenance:
+    * `(insert rows, Some(touched keys))` — or None when only a full
+    * rebuild can serve (no prior coverage, or the feed's files expired).
+    *
+    *  - append-only history: inserts = the appended rows, no keys
+    *    touched (the cheap path — a manifest-sidecar read);
+    *  - mutations in range: the CHANGE FEED nets them — every touched
+    *    `vec_id`'s stale index rows mask via ONE equality tombstone on
+    *    the index (metadata-only, no index file rewritten), and keys
+    *    whose LATEST change is an insert re-enter with their newest
+    *    row (the index append commits after the tombstone, so the
+    *    sequence rule keeps exactly the new rows visible). Index reads
+    *    fold the tombstones like any merge-on-read table;
+    *    `rewrite_deletes` / `materialize_deletes` are its maintenance.
+    */
+  private def corpusDelta(store: TableStore, corpusTable: String,
+      indexedV: Int, corpusV: Int): Option[(DataFrame, Option[DataFrame])] = {
+    if (indexedV <= 0 || indexedV >= corpusV) return None
+    val appendOnly = ((indexedV + 1) to corpusV).forall(v =>
+      store.commitAppendedOnly(corpusTable, v).isDefined)
+    if (appendOnly)
+      return Some((store.readAppendedSince(corpusTable, indexedV), None))
+    try {
+      val ch = store.changeFeed(corpusTable, indexedV, corpusV)
+      // final state per key: latest commit wins; within one commit an
+      // update is delete+insert of the same key — insert is the outcome
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id")
+        .orderBy(col(TableStore.CommitVersionCol).desc,
+          (col(TableStore.ChangeTypeCol) === "insert").desc)
+      val latest = ch.withColumn("__rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rn") === 1)
+      val ins = latest
+        .filter(col(TableStore.ChangeTypeCol) === "insert")
+        .drop("__rn", TableStore.ChangeTypeCol, TableStore.CommitVersionCol)
+      val touched = ch.select("vec_id").distinct()
+      Some((ins, Some(touched)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** LSH tables in the signature expression (lshBucketsQ default): each
     * corpus row contributes exactly this many covering index rows. */
   private val LshTables = 4L
@@ -76,6 +109,13 @@ object AnnIndex {
       }.toArray))
       .sortBy(_._1)
 
+  /** Create/refresh `indexTable` to cover `corpusTable`'s CURRENT
+    * snapshot, incrementally: appended corpus rows sign and append;
+    * mutated history maintains THROUGH THE CHANGE FEED
+    * ([[corpusDelta]] — deleted keys tombstone the index, changed keys
+    * re-enter with their newest row) — a full rebuild happens only on
+    * first build, a stale pointer, or an unreadable feed. Returns the
+    * number of corpus rows indexed by THIS call. */
   def refresh(store: TableStore, corpusTable: String,
       indexTable: String): Long = {
     val corpusV = store.currentVersion(corpusTable)
@@ -85,26 +125,32 @@ object AnnIndex {
       else store.properties(indexTable)
         .get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
     if (exists && indexedV == corpusV) return 0L
-    // append-only delta is valid only if every commit since indexedV
-    // appended (no removals, no new delete sidecars). A stale pointer
-    // PAST the corpus head (the corpus was re-created under the index)
-    // can never serve a delta — full rebuild.
-    val appendOnly = exists && indexedV > 0 && indexedV < corpusV &&
-      ((indexedV + 1) to corpusV).forall(v =>
-        store.commitAppendedOnly(corpusTable, v).isDefined)
-    val (src, fullRebuild) =
-      if (appendOnly) (store.readAppendedSince(corpusTable, indexedV), false)
-      else (store.read(corpusTable), true)
+    // delta maintenance needs prior coverage; a stale pointer PAST the
+    // corpus head (the corpus was re-created under the index) or an
+    // unreadable feed falls back to a full rebuild
+    val delta =
+      if (exists) corpusDelta(store, corpusTable, indexedV, corpusV)
+      else None
+    val (src, touched) = delta match {
+      case Some((ins, t)) => (ins, t)
+      case None => (store.read(corpusTable), None)
+    }
+    // mutations: ONE equality tombstone on the index masks every
+    // touched key's stale rows (metadata-only); the append below
+    // commits after it, so re-inserted keys stay visible (sequence rule)
+    touched.foreach { keys =>
+      if (!keys.isEmpty) store.deleteMoR(indexTable, keys, Seq("vec_id"))
+    }
     val rows = indexRows(src).persist()
     try {
       val n = rows.count()
-      if (fullRebuild || !exists) {
+      if (delta.isEmpty || !exists) {
         store.create(indexTable, rows.schema, overwrite = true,
           zoneCols = Seq("bucket"))
       }
       // range-clustered by bucket: each probe's files are contiguous and
       // zone stats carry tight bucket bounds per file
-      store.append(indexTable,
+      if (n > 0) store.append(indexTable,
         rows.repartitionByRange(8, col("bucket")))
       store.setProperties(indexTable,
         Map(IndexedVersionProp -> Some(corpusV.toString)))
@@ -173,15 +219,15 @@ object AnnIndex {
       else store.properties(indexTable)
         .get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
     if (exists && indexedV == corpusV) return 0L
-    val appendOnly = exists && indexedV > 0 && indexedV < corpusV &&
-      ((indexedV + 1) to corpusV).forall(v =>
-        store.commitAppendedOnly(corpusTable, v).isDefined)
+    val delta =
+      if (exists) corpusDelta(store, corpusTable, indexedV, corpusV)
+      else None
     val centTable = s"${indexTable}_centroids"
     val corpusDf = store.read(corpusTable)
     val spark = corpusDf.sparkSession
     import spark.implicits._
     val cents: Array[(Long, Array[Double])] =
-      if (appendOnly && store.exists(centTable))
+      if (delta.isDefined && store.exists(centTable))
         store.read(centTable).collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1)
@@ -196,9 +242,13 @@ object AnnIndex {
         store.append(centTable, seedDf)
         seeds
       }
-    val src =
-      if (appendOnly) store.readAppendedSince(corpusTable, indexedV)
-      else store.read(corpusTable)
+    val (src, touched) = delta match {
+      case Some((ins, t)) => (ins, t)
+      case None => (store.read(corpusTable), None)
+    }
+    touched.foreach { keys =>
+      if (!keys.isEmpty) store.deleteMoR(indexTable, keys, Seq("vec_id"))
+    }
     val rows = src
       .select(col("vec_id"), col("embedding"), col("label"),
         Similarity.cellDotsFor(cents)(col("embedding")).as("_s"))
@@ -209,10 +259,11 @@ object AnnIndex {
       .persist()
     try {
       val n = rows.count()
-      if (!appendOnly || !store.exists(indexTable))
+      if (delta.isEmpty || !store.exists(indexTable))
         store.create(indexTable, rows.schema, overwrite = true,
           zoneCols = Seq("cell"))
-      store.append(indexTable, rows.repartitionByRange(8, col("cell")))
+      if (n > 0)
+        store.append(indexTable, rows.repartitionByRange(8, col("cell")))
       store.setProperties(indexTable,
         Map(IndexedVersionProp -> Some(corpusV.toString)))
       n
@@ -280,15 +331,15 @@ object AnnIndex {
       else store.properties(indexTable)
         .get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
     if (exists && indexedV == corpusV) return 0L
-    val appendOnly = exists && indexedV > 0 && indexedV < corpusV &&
-      ((indexedV + 1) to corpusV).forall(v =>
-        store.commitAppendedOnly(corpusTable, v).isDefined)
+    val delta =
+      if (exists) corpusDelta(store, corpusTable, indexedV, corpusV)
+      else None
     val bookTable = s"${indexTable}_codebooks"
     val corpusDf = store.read(corpusTable)
     val spark = corpusDf.sparkSession
     import spark.implicits._
     val books: Array[Array[Array[Double]]] =
-      if (appendOnly && store.exists(bookTable)) {
+      if (delta.isDefined && store.exists(bookTable)) {
         val rows = store.read(bookTable).collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
         val bySub = rows.groupBy(_._1)
@@ -311,18 +362,22 @@ object AnnIndex {
         store.append(bookTable, bookDf)
         trained
       }
-    val src =
-      if (appendOnly) store.readAppendedSince(corpusTable, indexedV)
-      else corpusDf
+    val (src, touched) = delta match {
+      case Some((ins, t)) => (ins, t)
+      case None => (corpusDf, None)
+    }
+    touched.foreach { keys =>
+      if (!keys.isEmpty) store.deleteMoR(indexTable, keys, Seq("vec_id"))
+    }
     val rows = src.select(col("vec_id"),
       Similarity.pqCodes(col("embedding"), books).as("codes"),
       col("embedding"), col("label")).persist()
     try {
       val n = rows.count()
-      if (!appendOnly || !store.exists(indexTable))
+      if (delta.isEmpty || !store.exists(indexTable))
         store.create(indexTable, rows.schema, overwrite = true,
           zoneCols = Seq("vec_id"))
-      store.append(indexTable,
+      if (n > 0) store.append(indexTable,
         rows.repartitionByRange(8, col("vec_id")))
       store.setProperties(indexTable,
         Map(IndexedVersionProp -> Some(corpusV.toString)))
