@@ -6,13 +6,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.tables.TableStore
 import Tables.t
 
-/** Persistent ANN index as a MANAGED TABLE (VERDICT r8 #4): the LSH
-  * index — (bucket, vec_id, embedding, label) covering rows — lives in
-  * TableStore, is maintained INCREMENTALLY from the corpus table's
-  * append feed, and serves queries by scanning only the probed buckets'
-  * files. The per-query pipelines ([[Similarity.annTopK]]) rebuild
-  * signatures over the whole corpus on every call; at 100 TB that is a
-  * full-corpus map pass per query batch. With the index stored:
+/** Persistent ANN indexes as MANAGED TABLES (VERDICT r8 #4) — all
+  * three families: LSH (covering (bucket, vec_id, embedding, label)
+  * rows), IVF (stored centroids + cell-clustered rows) and PQ (stored
+  * codebooks + code rows). Each maintains INCREMENTALLY from the
+  * corpus table's history — appends via the appended-files sidecar,
+  * mutations via the CHANGE FEED ([[corpusDelta]]) — and serves
+  * queries from the stored structure. The per-query pipelines
+  * ([[Similarity.annTopK]] etc.) rebuild signatures over the whole
+  * corpus on every call; at 100 TB that is a full-corpus map pass per
+  * query batch. With the LSH index stored:
   *
   *  - build cost is paid ONCE (and only for NEW vectors thereafter —
   *    `refresh` indexes exactly the corpus rows appended since the last
