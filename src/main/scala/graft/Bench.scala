@@ -94,10 +94,22 @@ object Bench {
     // per-query map. The full line also lands in bench.json on disk.
     val line = s"""{"queries":$qs,"rep_max":$spreads,"reps":$reps,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
     println(line)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // artifact path: explicit override, else the enclosing repo root
+    // (walk up to build.sbt), else cwd — a bench run from a subdirectory
+    // must not scribble a stray bench.json there
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        var d = java.nio.file.Paths.get("").toAbsolutePath
+        while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+          d = d.getParent
+        (if (d != null) d else java.nio.file.Paths.get("").toAbsolutePath)
+          .resolve("bench.json")
+      }
+    try { java.nio.file.Files.write(out,
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8)); () }
     catch { case e: Exception =>
-      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $out write failed: ${e.getMessage}")
     }
     spark.stop()
   }

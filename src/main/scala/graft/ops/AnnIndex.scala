@@ -39,6 +39,25 @@ object AnnIndex {
     * rows the index covers. */
   private val IndexedVersionProp = "ann.indexed-version"
 
+  /** Property on the INDEX table: the corpus table's identity token
+    * ([[TableStore.tableUuid]]) the version pointer refers to. A bare
+    * version is ambiguous across drop + re-create — if the new corpus's
+    * head happens to equal the stored pointer, refresh would return 0
+    * and silently serve a stale index. A uuid mismatch (or an index
+    * predating the token) forces a full rebuild instead. */
+  private val IndexedUuidProp = "ann.indexed-uuid"
+
+  /** Version of `corpusUuid`'s corpus that `indexTable` covers; 0 when
+    * the index doesn't exist, predates the uuid stamp, or was built
+    * against a DIFFERENT incarnation of the corpus (→ full rebuild). */
+  private def indexedVersionOf(store: TableStore, corpusUuid: String,
+      indexTable: String): Int = {
+    if (!store.exists(indexTable)) return 0
+    val props = store.properties(indexTable)
+    if (!props.get(IndexedUuidProp).contains(corpusUuid)) 0
+    else props.get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
+  }
+
   private def indexRows(corpus: DataFrame): DataFrame =
     corpus.select(
       explode_outer(Similarity.lshBucketsQ(col("embedding"))).as("bucket"),
@@ -122,12 +141,10 @@ object AnnIndex {
   def refresh(store: TableStore, corpusTable: String,
       indexTable: String): Long = {
     val corpusV = store.currentVersion(corpusTable)
+    val corpusUuid = store.tableUuid(corpusTable)
     val exists = store.exists(indexTable)
-    val indexedV =
-      if (!exists) 0
-      else store.properties(indexTable)
-        .get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
-    if (exists && indexedV == corpusV) return 0L
+    val indexedV = indexedVersionOf(store, corpusUuid, indexTable)
+    if (exists && indexedV == corpusV && indexedV > 0) return 0L
     // delta maintenance needs prior coverage; a stale pointer PAST the
     // corpus head (the corpus was re-created under the index) or an
     // unreadable feed falls back to a full rebuild
@@ -156,7 +173,8 @@ object AnnIndex {
       if (n > 0) store.append(indexTable,
         rows.repartitionByRange(8, col("bucket")))
       store.setProperties(indexTable,
-        Map(IndexedVersionProp -> Some(corpusV.toString)))
+        Map(IndexedVersionProp -> Some(corpusV.toString),
+          IndexedUuidProp -> Some(corpusUuid)))
       n / LshTables // each corpus row contributes LshTables index rows
     } finally { rows.unpersist(); () }
   }
@@ -216,12 +234,10 @@ object AnnIndex {
   def refreshIvf(store: TableStore, corpusTable: String,
       indexTable: String, nCells: Int = 16): Long = {
     val corpusV = store.currentVersion(corpusTable)
+    val corpusUuid = store.tableUuid(corpusTable)
     val exists = store.exists(indexTable)
-    val indexedV =
-      if (!exists) 0
-      else store.properties(indexTable)
-        .get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
-    if (exists && indexedV == corpusV) return 0L
+    val indexedV = indexedVersionOf(store, corpusUuid, indexTable)
+    if (exists && indexedV == corpusV && indexedV > 0) return 0L
     val delta =
       if (exists) corpusDelta(store, corpusTable, indexedV, corpusV)
       else None
@@ -268,7 +284,8 @@ object AnnIndex {
       if (n > 0)
         store.append(indexTable, rows.repartitionByRange(8, col("cell")))
       store.setProperties(indexTable,
-        Map(IndexedVersionProp -> Some(corpusV.toString)))
+        Map(IndexedVersionProp -> Some(corpusV.toString),
+          IndexedUuidProp -> Some(corpusUuid)))
       n
     } finally { rows.unpersist(); () }
   }
@@ -328,12 +345,10 @@ object AnnIndex {
   def refreshPq(store: TableStore, corpusTable: String,
       indexTable: String, m: Int = 8, ksub: Int = 16): Long = {
     val corpusV = store.currentVersion(corpusTable)
+    val corpusUuid = store.tableUuid(corpusTable)
     val exists = store.exists(indexTable)
-    val indexedV =
-      if (!exists) 0
-      else store.properties(indexTable)
-        .get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
-    if (exists && indexedV == corpusV) return 0L
+    val indexedV = indexedVersionOf(store, corpusUuid, indexTable)
+    if (exists && indexedV == corpusV && indexedV > 0) return 0L
     val delta =
       if (exists) corpusDelta(store, corpusTable, indexedV, corpusV)
       else None
@@ -383,7 +398,8 @@ object AnnIndex {
       if (n > 0) store.append(indexTable,
         rows.repartitionByRange(8, col("vec_id")))
       store.setProperties(indexTable,
-        Map(IndexedVersionProp -> Some(corpusV.toString)))
+        Map(IndexedVersionProp -> Some(corpusV.toString),
+          IndexedUuidProp -> Some(corpusUuid)))
       n
     } finally { rows.unpersist(); () }
   }

@@ -567,12 +567,18 @@ private[tables] final class GraftMaskedReaderFactory(
     * (bucket is the headline — per-task retained keys shrink ∝ 1/n —
     * but the same argument holds for identity/days/truncate layouts).
     * A null task value or a non-evaluating derivation keeps the key
-    * (fail open: extra keys cost memory, never correctness). */
+    * (fail open: extra keys cost memory, never correctness). Zone-
+    * DEPENDENT derivations (days/months/years over a zoned timestamp)
+    * are skipped entirely: a read-session zone differing from the
+    * write-time zone yields a real, non-null, MISMATCHED value — which
+    * the null/exception guards don't catch — and dropping an applicable
+    * tombstone on it would resurrect deleted rows. */
   private def keyGroupScopes(taskKey: Array[Any], cols: Seq[String],
       ks: StructType): Seq[InternalRow => Boolean] =
     specFields.zipWithIndex.flatMap { case (f, i) =>
       val ci = cols.indexOf(f.source)
       if (ci < 0 || i >= taskKey.length || taskKey(i) == null) None
+      else if (PartitionField.zoneDependent(f, ks(ci).dataType)) None
       else {
         val dt = ks(ci).dataType
         val expr = PartitionField.catalystExpr(f,
@@ -613,6 +619,15 @@ private[tables] final class GraftMaskedReaderFactory(
         if (SpjMaskStats.enabled.get())
           SpjMaskStats.record(built.map(_._3.size.toLong).sum, 0L)
         built
+      } { built =>
+        // estimated pinned bytes: UnsafeRow payload + ~48B HashSet entry
+        // overhead per retained key
+        built.iterator.map { case (_, _, set) =>
+          var b = 64L
+          val it = set.iterator()
+          while (it.hasNext) b += it.next().getSizeInBytes + 48L
+          b
+        }.sum
       }
     // positional masks normalize to ONE roaring bitmap per data file:
     // legacy pair sidecars add ordinals, deletion-vector sidecars OR
@@ -655,6 +670,11 @@ private[tables] final class GraftMaskedReaderFactory(
           SpjMaskStats.record(0L,
             built.valuesIterator.map(_.getLongCardinality).sum)
         built
+      } { built =>
+        // roaring bitmaps: in-memory ≈ serialized form (+ map overhead)
+        built.iterator.map { case (f, bm) =>
+          bm.serializedSizeInBytes() + f.length * 2L + 96L
+        }.sum
       }
     val posOrd =
       if (posFunc.isDefined || dvFunc.isDefined)
@@ -724,33 +744,20 @@ private[tables] final class GraftMaskedReaderFactory(
   * sidecar build instead of re-reading per task, which is what lets
   * masked tables keep FINE-GRAINED splits (bin-packed, partial-
   * clustering-capable) without multiplying the Iceberg MoR re-read
-  * trade by the split count. Bounded LRU; a concurrent miss may build
-  * twice (same value — no lock held during IO). On a real cluster each
-  * executor builds a group's mask at most once; local[n] shares one. */
+  * trade by the split count. Bounded by ESTIMATED BYTES (one entry can
+  * expand up to `SpjMaskMaxBytes` of sidecar into in-memory sets, so an
+  * entry-count bound alone could pin multiple GB per executor). On a
+  * real cluster each executor builds a group's mask at most once;
+  * local[n] shares one. */
 private[tables] object SpjMaskCache {
-  private val MaxEntries = 32
-  /** Single-flight holder: `lazy val` gives one build per key with its
-    * own monitor, so the GLOBAL lock is never held during sidecar IO
-    * and concurrent misses on the same key still build exactly once. */
-  private final class Holder(build: () => AnyRef) {
-    lazy val value: AnyRef = build()
-  }
   private val cache =
-    new java.util.LinkedHashMap[AnyRef, Holder](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[AnyRef, Holder]): Boolean =
-        size() > MaxEntries
-    }
-  def getOrBuild[T <: AnyRef](key: AnyRef)(build: => T): T = {
-    val h = cache.synchronized {
-      var v = cache.get(key)
-      if (v == null) { v = new Holder(() => build); cache.put(key, v) }
-      v
-    }
-    h.value.asInstanceOf[T]
-  }
+    new BoundedLoadingCache(TableStore.SpjMaskCacheMaxBytes, 32)
+  def getOrBuild[T <: AnyRef](key: AnyRef)(build: => T)(
+      sizeOf: T => Long): T = cache.getOrBuild(key)(build)(sizeOf)
   /** Test hook: clear between measurements. */
-  private[tables] def reset(): Unit = cache.synchronized { cache.clear() }
+  private[tables] def reset(): Unit = cache.reset()
+  private[tables] def accountedBytes: Long = cache.accountedBytes
+  private[tables] def size: Int = cache.size
 }
 
 /** Test-visible per-task mask-size telemetry for the SPJ masked read

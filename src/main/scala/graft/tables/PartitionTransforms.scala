@@ -129,6 +129,21 @@ object PartitionField {
           s"got ${srcType.simpleString}")
   }
 
+  /** True iff the derived directory value depends on the session
+    * timezone: days/months/years over a ZONED timestamp go through a
+    * session-zone cast-to-date (hours buckets epoch micros — zone-free;
+    * NTZ and date sources pin UTC). A reader whose session zone differs
+    * from the write-time zone derives a DIFFERENT value for the same
+    * input, so any logic that treats "derived(x) ≠ partition value" as
+    * proof of non-membership (e.g. equality-delete key-group scoping)
+    * must skip these fields — a zone-shifted mismatch would fail
+    * CLOSED and resurrect deleted rows. */
+  def zoneDependent(f: PartitionField, srcType: DataType): Boolean =
+    srcType == TimestampType && (f match {
+      case _: PDays | _: PMonths | _: PYears => true
+      case _ => false
+    })
+
   /** Timezone the time transforms bucket in: the session zone for zoned
     * timestamps (same zone `Cast(ts, Date)` uses, so write layout and
     * prune bounds agree), UTC for NTZ/date (no zone — the stored local

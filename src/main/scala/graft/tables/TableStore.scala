@@ -297,7 +297,28 @@ final class TableStore(private[tables] val spark: SparkSession,
       writeString(new HPath(d, "_bloomcols"), bloomCols.mkString(","))
       writeString(new HPath(d, "_bloomitems"), bloomItems.toString)
     }
+    writeString(new HPath(d, "_uuid"), UUID.randomUUID().toString)
     commitManifest(name, 0, Set.empty, Nil, Nil)
+  }
+
+  /** Stable identity token of THIS incarnation of the table: assigned at
+    * create, destroyed with the directory — so a drop + re-create under
+    * the same name yields a NEW uuid even if the new head's version
+    * number happens to match an old one. Derived state that stores a
+    * bare version pointer (e.g. the ANN indexes' `ann.indexed-version`)
+    * stores this alongside and forces a rebuild on mismatch, instead of
+    * silently serving rows of a table that no longer exists. Tables
+    * created before the token existed get one lazily (first call wins;
+    * a concurrent double-write converges on the read-back). */
+  def tableUuid(name: String): String = {
+    val p = new HPath(tdir(name), "_uuid")
+    if (fs.exists(p)) readString(p).trim
+    else {
+      require(exists(name), s"table $name does not exist")
+      val u = UUID.randomUUID().toString
+      writeStringNoOverwrite(p, u)
+      readString(p).trim
+    }
   }
 
   /** Shared create/repartitionSpec validation of a partition spec's
@@ -3142,7 +3163,7 @@ final class TableStore(private[tables] val spark: SparkSession,
             new HPath(deletesDir(name), e.rel).toString)
           if (e.cols == Seq(TableStore.DvMarker)) raw
             .select(col(TableStore.PosFileCol), col(DeletionVectors.DvCol))
-          else DeletionVectors.fromPairs(
+          else DeletionVectors.fromPairsLocal(
             raw.toDF(TableStore.PosFileCol, TableStore.PosIdxCol))
         }.reduce(_ unionByName _)
         val sidecarBytes = posE.map(e =>
@@ -3200,18 +3221,49 @@ final class TableStore(private[tables] val spark: SparkSession,
       .filter(cond)
       .select(col(TableStore.PosFileCol), col(TableStore.PosIdxCol))
     val rel = s"dv-${java.util.UUID.randomUUID()}"
-    val out = new HPath(deletesDir(name), rel)
-    // deletion-vector sidecar: one bitmap row per touched file — sidecar
-    // bytes scale with COMPRESSED bitmap size, not tombstone count
-    DeletionVectors.fromPairs(hits).write.parquet(out.toString)
     // a predicate matching nothing must not commit (or mask with) an
-    // empty sidecar — the footer row count is one driver read
-    val wrote = listStatusRec(out)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .exists(st => !footerRowCount(st.getPath).contains(0L))
-    if (!wrote) { fs.delete(out, true); return }
+    // empty sidecar — writeDvSidecar reports it from the footer counts
+    if (!writeDvSidecar(name, rel, hits)) return
     commitManifest(name, base, Set.empty, Nil, Nil,
       newDeletes = Seq((rel, Seq(TableStore.DvMarker))))
+  }
+
+  /** Write positional `hits` as a DV sidecar at `deletes/<rel>` with the
+    * NO-SHUFFLE per-task fold ([[DeletionVectors.fromPairsLocal]]) —
+    * the adaptive small-commit path: fromPairs' clustering shuffle per
+    * positional commit regressed every small-commit MoR lifecycle 2-3×
+    * (round-9 verdict) for zero benefit at that scale. Returns false
+    * (and removes the directory) when nothing matched. A delete spread
+    * over many tasks leaves task-level duplicate rows per file; when
+    * duplication is material, ONE [[DeletionVectors.mergeDvs]] pass
+    * over the written sidecar compacts it — a shuffle of BITMAP rows
+    * (≤ tasks × touched files), never of the raw tombstones. */
+  private[tables] def writeDvSidecar(name: String, rel: String,
+      hits: DataFrame): Boolean = {
+    val out = new HPath(deletesDir(name), rel)
+    DeletionVectors.fromPairsLocal(hits).write.parquet(out.toString)
+    val counts = listStatusRec(out)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => footerRowCount(st.getPath))
+    if (!counts.exists(c => !c.contains(0L))) { fs.delete(out, true); return false }
+    val rows = counts.flatten.sum
+    if (counts.forall(_.isDefined) && rows > TableStore.DvCompactRowThreshold) {
+      // compact only when duplication is real — a wide but duplicate-free
+      // sidecar gains nothing from a rewrite
+      val nFiles = spark.read.schema(DeletionVectors.dvSchema)
+        .parquet(out.toString)
+        .select(TableStore.PosFileCol).distinct().count()
+      if (rows > nFiles + nFiles / 2) {
+        val tmp = new HPath(deletesDir(name), s"$rel-compact")
+        DeletionVectors.mergeDvs(
+            spark.read.schema(DeletionVectors.dvSchema).parquet(out.toString))
+          .write.parquet(tmp.toString)
+        fs.delete(out, true)
+        require(fs.rename(tmp, out),
+          s"DV sidecar compaction rename failed for $name/$rel")
+      }
+    }
+    true
   }
 
   /** Legacy pair-format positional delete — kept ONLY so specs can pin
@@ -3261,9 +3313,8 @@ final class TableStore(private[tables] val spark: SparkSession,
     try {
       if (hits.isEmpty) return
       val rel = s"dv-${java.util.UUID.randomUUID()}"
-      DeletionVectors.fromPairs(
-          hits.select(col(TableStore.PosFileCol), col(TableStore.PosIdxCol)))
-        .write.parquet(new HPath(deletesDir(name), rel).toString)
+      writeDvSidecar(name, rel,
+        hits.select(col(TableStore.PosFileCol), col(TableStore.PosIdxCol)))
       // an updated row keeps its lineage id into its appended file
       val keepCols = sch.fieldNames.toSeq ++
         (if (lineage) Seq(TableStore.RowIdCol) else Nil)
@@ -3403,7 +3454,7 @@ final class TableStore(private[tables] val spark: SparkSession,
           val raw = readSidecar(e)
           if (e.cols == Seq(TableStore.DvMarker)) raw
             .select(col(TableStore.PosFileCol), col(DeletionVectors.DvCol))
-          else DeletionVectors.fromPairs(
+          else DeletionVectors.fromPairsLocal(
             raw.toDF(TableStore.PosFileCol, TableStore.PosIdxCol))
         }.reduce(_ unionByName _)
         Seq(DeleteEntry(writeSidecar(DeletionVectors.mergeDvs(dvDf), "dv"),
@@ -5561,6 +5612,23 @@ object TableStore {
     * ~an order of magnitude harder to hit than the pair format it
     * replaced (SCALE.md round 9). */
   private[tables] val DvBroadcastMaxBytes: Long = 256L * 1024 * 1024
+
+  /** Above this many written DV sidecar rows, [[writeDvSidecar]] checks
+    * task-level duplication and compacts with one bitmap-row merge pass.
+    * Below it, duplicate rows per file are cheaper than a second job. */
+  private[tables] val DvCompactRowThreshold: Long = 128L
+
+  /** Per-executor budget for CACHED deserialized DV probe maps
+    * ([[DeletionVectors.cachedBitmaps]]): each masked V1 read creates a
+    * fresh broadcast, so without a byte bound the cache would grow with
+    * query count for the executor's lifetime. */
+  private[tables] val DvProbeCacheMaxBytes: Long = 512L * 1024 * 1024
+
+  /** Per-executor budget for CACHED built SPJ delete masks
+    * ([[SpjMaskCache]]): one entry can expand up to [[SpjMaskMaxBytes]]
+    * of sidecar into in-memory key sets, so the cache bounds ESTIMATED
+    * BYTES, not entries. */
+  private[tables] val SpjMaskCacheMaxBytes: Long = 1024L * 1024 * 1024
 
   /** Helper column names carrying (file rel path, row ordinal) through
     * position-aware reads. */

@@ -89,6 +89,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(served(st, "idx") === served(st2, "idx"))
   }
 
+  test("corpus drop + re-create with a matching head forces a rebuild") {
+    // a bare version pointer is ambiguous across re-creation: the new
+    // corpus's head can EQUAL the stored pointer, and refresh would
+    // return 0 and serve vectors of a table that no longer exists. The
+    // ann.indexed-uuid stamp (TableStore.tableUuid) disambiguates.
+    val st = new TableStore(spark, tmpDir("annidx6-"))
+    val data = emb(100)
+    st.create("corpus", data.schema)
+    st.append("corpus", data)
+    assert(AnnIndex.refresh(st, "corpus", "idx") === 100L)
+    assert(AnnIndex.refreshIvf(st, "corpus", "ivf") === 100L)
+    assert(AnnIndex.refreshPq(st, "corpus", "pq") === 100L)
+    val headV = st.currentVersion("corpus")
+    // same name, same head VERSION NUMBER, entirely different rows
+    val data2 = emb(300).filter($"vec_id" >= 200)
+    st.create("corpus", data.schema, overwrite = true)
+    st.append("corpus", data2)
+    assert(st.currentVersion("corpus") === headV,
+      "test setup: the re-created head must collide with the pointer")
+    for ((idx, n) <- Seq(("idx", AnnIndex.refresh(st, "corpus", "idx")),
+        ("ivf", AnnIndex.refreshIvf(st, "corpus", "ivf")),
+        ("pq", AnnIndex.refreshPq(st, "corpus", "pq")))) {
+      assert(n === 100L, s"$idx: uuid mismatch must trigger a full rebuild")
+      val ids = st.read(idx).select("vec_id").distinct()
+        .collect().map(_.getLong(0))
+      assert(ids.nonEmpty && ids.forall(_ >= 200L),
+        s"$idx still serves rows of the dropped corpus")
+    }
+    // and the pointer is coherent again afterwards
+    assert(AnnIndex.refresh(st, "corpus", "idx") === 0L)
+    assert(AnnIndex.refreshIvf(st, "corpus", "ivf") === 0L)
+    assert(AnnIndex.refreshPq(st, "corpus", "pq") === 0L)
+  }
+
   test("IVF and PQ maintenance: deletes mask, state stays fixed") {
     val st = new TableStore(spark, tmpDir("annidx5-"))
     val data = emb(120)

@@ -102,6 +102,55 @@ class DeletionVectorSpec extends SparkSpec {
     assert(bm.getLongCardinality === 3 && bm.contains(9L))
   }
 
+  test("fromPairsLocal: per-task fold, no shuffle, consumers OR the rows") {
+    // duplicates across partitions — each task folds what it sees
+    val pairs = Seq(("f1", 0L), ("f1", 5L), ("f2", 3L), ("f1", 5L))
+      .toDF(TableStore.PosFileCol, TableStore.PosIdxCol).repartition(3)
+    val dv = DeletionVectors.fromPairsLocal(pairs)
+    val back = DeletionVectors.explodePairs(dv).distinct()
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(back === Seq(("f1", 0L), ("f1", 5L), ("f2", 3L)))
+    assert(DeletionVectors.mergeDvs(dv).count() === 2)
+    // the small-commit point: the fold itself plans with NO Exchange
+    val flat = DeletionVectors.fromPairsLocal(Seq(("f", 1L))
+      .toDF(TableStore.PosFileCol, TableStore.PosIdxCol))
+    assert(!flat.queryExecution.executedPlan.toString.contains("Exchange"),
+      flat.queryExecution.executedPlan.toString)
+  }
+
+  test("adaptive DV write compacts only materially duplicated sidecars") {
+    val root = tmpDir("dvw-")
+    val st = new TableStore(spark, root)
+    def sidecar(rel: String): String =
+      new HPath(new HPath(new HPath(root, "t"), "deletes"), rel).toString
+    val df = spark.range(0, 10).select(col("id").as("k"))
+    st.create("t", df.schema)
+    st.append("t", df)
+    // 100 files × 4 task-level duplicates = 400 written rows > threshold
+    // AND > 1.5× the 100 distinct files → one bitmap-level merge pass
+    val pairs = spark.range(0, 400).select(
+      concat(lit("file-"), col("id") % 100).as(TableStore.PosFileCol),
+      (col("id") % 7).as(TableStore.PosIdxCol)).repartition(4)
+    assert(st.writeDvSidecar("t", "dv-test-dup", pairs))
+    val dupOut = spark.read.schema(DeletionVectors.dvSchema)
+      .parquet(sidecar("dv-test-dup"))
+    assert(dupOut.count() === 100L, "duplicated sidecar must compact")
+    // duplicate-free wide sidecar: over the row threshold but at one row
+    // per file — a compaction pass would gain nothing, so none runs
+    // (pinned as: the written rows stay exactly tasks-distinct = 200)
+    val wide = spark.range(0, 200).select(
+      concat(lit("w-"), col("id")).as(TableStore.PosFileCol),
+      lit(0L).as(TableStore.PosIdxCol)).repartition(4)
+    assert(st.writeDvSidecar("t", "dv-test-wide", wide))
+    val wideOut = spark.read.schema(DeletionVectors.dvSchema)
+      .parquet(sidecar("dv-test-wide"))
+    assert(wideOut.count() === 200L)
+    // nothing matched → no sidecar directory left behind
+    val empty = spark.range(0, 0).select(
+      lit("x").as(TableStore.PosFileCol), col("id").as(TableStore.PosIdxCol))
+    assert(!st.writeDvSidecar("t", "dv-test-empty", empty))
+  }
+
   test("legacy pair sidecars read exactly and upgrade to DV on rewrite") {
     val st = newStore()
     val df = spark.range(0, 100).select(col("id").as("k"))

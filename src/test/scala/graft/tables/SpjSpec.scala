@@ -407,6 +407,35 @@ class SpjSpec extends SparkSpec {
     } finally SpjMaskStats.enabled.set(false)
   }
 
+  test("zone-shifted read keeps applicable time-layout tombstones") {
+    // days(ts) over a ZONED timestamp derives through a session-zone
+    // cast: a reader in a different zone computes a DIFFERENT calendar
+    // day for the same tombstone key. Key-group scoping must therefore
+    // SKIP zone-dependent layout fields (fail open) — treating the
+    // mismatch as non-applicability would drop every one of these
+    // tombstones and resurrect the deleted rows.
+    spark.sql("CREATE TABLE spj.tz (ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    // 03:00 UTC — still the PREVIOUS day in America/Los_Angeles, so the
+    // write-zone (UTC) and read-zone derivations disagree for every key
+    val base = java.time.Instant.parse("2024-03-10T03:00:00Z")
+    val rows = (0 until 20).map(i =>
+      (java.sql.Timestamp.from(base.plusSeconds(i * 86400L)), i.toDouble))
+      .toDF("ts", "v")
+    rows.writeTo("spj.tz").append()
+    store.deleteMoR("tz", rows.filter($"v" < 5.0).select("ts"), Seq("ts"))
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try withSpj {
+      SpjMaskCache.reset()
+      val q = spark.sql("SELECT v FROM spj.tz")
+      val got = q.collect().map(_.getDouble(0)).sorted.toSeq
+      assert(finalPlan(q).contains("BatchScan"), finalPlan(q))
+      assert(got === (5 until 20).map(_.toDouble),
+        "zone-shifted read resurrected deleted rows")
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
   test("oversized pending sidecars fall back to V1 (mask byte cap)") {
     // cap respected structurally: spjPlan declines when the sidecar
     // bytes exceed SpjMaskMaxBytes — probe the predicate, not 256 MB of
