@@ -947,7 +947,9 @@ object TableQueries {
     Q("tbl_partitions_meta", TableQueries2.tblPartitionsMeta,
       Some(TableQueries2.tblPartitionsMetaSql)),
     Q("tbl_variant", TableQueries2.tblVariant,
-      Some(TableQueries2.tblVariantSql)))
+      Some(TableQueries2.tblVariantSql)),
+    Q("tbl_maintain", TableQueries2.tblMaintain,
+      Some(TableQueries2.tblMaintainSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -2144,6 +2146,69 @@ object TableQueries2 {
       |  o_orderpriority AS pri
       |FROM orders WHERE o_custkey % 10 = 0 AND o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Policy-driven delete maintenance through the SQL CALL surface
+    * ([[graft.tables.TableStore.maintainDeletes]]): a merge-on-read
+    * table accumulates six equality tombstone commits, and
+    * `maintain_deletes` ACTS on the `t.deletes` signal — entry count
+    * over budget merges the sidecars (`rewrite`, metadata-only, no data
+    * file touched), byte pressure against the SPJ mask budget folds
+    * them into data files (`materialize`, pending → 0), and a clean
+    * table reports `none` (idempotence). The reference's runtime ships
+    * the knobs as separate Spark procedures and leaves the policy to an
+    * operator; at 100 TB the signal→action loop is the part that has to
+    * be automatic. The read-back after both actions hash-matches DuckDB
+    * on the raw parquet — maintenance must never change visible rows. */
+  private[ops] def tblMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.gmnt",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-maint", Scratch.tag(dir))
+    spark.conf.set("spark.sql.catalog.gmnt.root", root)
+    val store = new TableStore(spark, root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    store.create(tbl, ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append(tbl, ord.repartitionByRange(4, col("o_orderkey")))
+    val filesBefore = store.currentRelPaths(tbl).size
+    (0 until 6).foreach { i =>
+      store.deleteMoR(tbl,
+        ord.filter(col("o_orderkey") % 7 === i).select("o_orderkey"),
+        Seq("o_orderkey"))
+    }
+    require(store.pendingDeletes(tbl) == 6)
+    // entries over budget, bytes under: REWRITE — data files untouched
+    val r1 = spark.sql(s"CALL gmnt.system.maintain_deletes(" +
+      s"`table` => '$tbl', max_entries => 4)").head()
+    require(r1.getString(0) == "rewrite" && r1.getLong(2) < r1.getLong(1),
+      s"expected a sidecar merge, got $r1")
+    require(store.currentRelPaths(tbl).size == filesBefore,
+      "rewrite must not touch data files")
+    // byte pressure: MATERIALIZE — deletes fold, pending drops to zero
+    val r2 = spark.sql(s"CALL gmnt.system.maintain_deletes(" +
+      s"`table` => '$tbl', max_bytes => CAST(1 AS BIGINT))").head()
+    require(r2.getString(0) == "materialize" && r2.getLong(2) == 0L,
+      s"expected a fold to zero pending entries, got $r2")
+    require(store.pendingDeletes(tbl) == 0)
+    // clean table: NONE (idempotent)
+    val r3 = spark.sql(s"CALL gmnt.system.maintain_deletes(" +
+      s"`table` => '$tbl')").head()
+    require(r3.getString(0) == "none", s"expected a no-op, got $r3")
+    spark.sql(s"""SELECT count(*) AS cnt,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        count(DISTINCT o_custkey) AS custs
+      FROM gmnt.$tbl WHERE o_orderkey % 2 = 1""")
+  }
+
+  private[ops] val tblMaintainSql =
+    """SELECT count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(DISTINCT o_custkey) AS custs
+      |FROM orders
+      |WHERE o_orderkey % 7 = 6 AND o_orderkey % 2 = 1""".stripMargin
 
   private[ops] val tblChangelogUpdatesSql =
     """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)

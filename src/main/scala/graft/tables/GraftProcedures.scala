@@ -31,9 +31,9 @@ private[tables] object GraftProcedures {
 
   def names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphans", "materialize_deletes", "rewrite_deletes",
-    "add_variant_shred", "create_branch", "create_tag",
-    "drop_ref", "fast_forward", "rollback_to_version", "add_files",
-    "migrate", "analyze", "create_view", "drop_view")
+    "maintain_deletes", "add_variant_shred", "create_branch",
+    "create_tag", "drop_ref", "fast_forward", "rollback_to_version",
+    "add_files", "migrate", "analyze", "create_view", "drop_view")
 
   def load(store: => TableStore, name: String): Option[UnboundProcedure] = {
     def p(parameters: Seq[ProcedureParameter], result: StructType)(
@@ -89,6 +89,18 @@ private[tables] object GraftProcedures {
         val t = tbl(row)
         val (before, after) = store.rewriteDeletes(t)
         Seq(before.toLong, after.toLong, store.currentVersion(t).toLong)
+      })
+      case "maintain_deletes" => Some(p(
+        Seq(in("table", StringType), inDef("max_entries", IntegerType, "8"),
+          inDef("max_bytes", LongType,
+            (TableStore.SpjMaskMaxBytes / 2).toString)),
+        out("action" -> StringType, "entries_before" -> LongType,
+          "entries_after" -> LongType, "version" -> LongType)) { row =>
+        val t = tbl(row)
+        val (action, before, after) =
+          store.maintainDeletes(t, row.getInt(1), row.getLong(2))
+        Seq(org.apache.spark.unsafe.types.UTF8String.fromString(action),
+          before.toLong, after.toLong, store.currentVersion(t).toLong)
       })
       case "add_variant_shred" => Some(p(
         Seq(in("table", StringType), in("source_col", StringType),

@@ -3406,6 +3406,43 @@ final class TableStore(private[tables] val spark: SparkSession,
       idAdds = if (lineage) rewritten.toSet else Set.empty)
   }
 
+  /** Policy-driven delete maintenance: ACT on the `t.deletes` signal
+    * instead of leaving the thresholds to an operator. The two-level
+    * policy mirrors how the costs scale —
+    *
+    *  - pending sidecar BYTES above `maxBytes` (default: half the
+    *    [[TableStore.SpjMaskMaxBytes]] per-task mask budget) mean masked
+    *    reads are approaching the SPJ fallback cliff: FOLD the deletes
+    *    into data files ([[materializeDeletes]] — rewrites only the
+    *    files the sidecars touch) and restore full headroom;
+    *  - otherwise, ENTRY COUNT above `maxEntries` just taxes every read
+    *    with a sidecar open per entry: MERGE the sidecars
+    *    ([[rewriteDeletes]] — metadata-level, no data file touched);
+    *  - below both thresholds, do nothing.
+    *
+    * Returns (action ∈ none|rewrite|materialize, entries before,
+    * entries after). Idempotent: a second call right after reports
+    * `none`. The SQL surface is `CALL <cat>.system.maintain_deletes`. */
+  def maintainDeletes(name: String, maxEntries: Int = 8,
+      maxBytes: Long = TableStore.SpjMaskMaxBytes / 2): (String, Int, Int) = {
+    require(maxEntries > 0 && maxBytes > 0,
+      "maintain_deletes thresholds must be positive")
+    val entries = readDeleteEntries(name, currentVersion(name))
+    if (entries.isEmpty) return ("none", 0, 0)
+    val bytes = entries.map(e =>
+      listStatusRec(new HPath(deletesDir(name), e.rel))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum).sum
+    if (bytes > maxBytes) {
+      val before = entries.size
+      materializeDeletes(name)
+      ("materialize", before, pendingDeletes(name))
+    } else if (entries.size > maxEntries) {
+      val (b, a) = rewriteDeletes(name)
+      ("rewrite", b, a)
+    } else ("none", entries.size, entries.size)
+  }
+
   /** Incremental delete-sidecar compaction (the
     * `rewrite_position_delete_files` analogue): merges many small
     * pending sidecars into fewer WITHOUT touching any data file.

@@ -58,6 +58,35 @@ class ProceduresSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq === Seq(1L, 3L))
   }
 
+  test("CALL maintain_deletes acts on the t.deletes signal by policy") {
+    spark.sql("CREATE TABLE gpr.md (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('zone_cols'='k')")
+    store.append("md", (0L until 100L).map(i => (i, i.toDouble)).toDF("k", "v"))
+    // clean table: none, and nothing commits
+    val v0 = store.currentVersion("md")
+    val c = spark.sql("CALL gpr.system.maintain_deletes('md')").head()
+    assert(c.getString(0) === "none" && store.currentVersion("md") === v0)
+    (0 until 5).foreach(i =>
+      store.deleteMoR("md", Seq(i.toLong).toDF("k"), Seq("k")))
+    val files = store.currentRelPaths("md").toSet
+    // entries (5) over max_entries (3), bytes under: rewrite merges them
+    val r = spark.sql("CALL gpr.system.maintain_deletes(" +
+      "`table` => 'md', max_entries => 3)").head()
+    assert(r.getString(0) === "rewrite")
+    assert(r.getLong(1) === 5L && r.getLong(2) < 5L)
+    assert(store.currentRelPaths("md").toSet === files,
+      "rewrite must not touch data files")
+    // byte pressure: materialize folds everything into data files
+    val m = spark.sql("CALL gpr.system.maintain_deletes(" +
+      "`table` => 'md', max_bytes => CAST(1 AS BIGINT))").head()
+    assert(m.getString(0) === "materialize" && m.getLong(2) === 0L)
+    assert(store.pendingDeletes("md") === 0)
+    assert(spark.sql("SELECT count(*) FROM gpr.md").head().getLong(0) === 95L)
+    // idempotent afterwards
+    assert(spark.sql("CALL gpr.system.maintain_deletes('md')").head()
+      .getString(0) === "none")
+  }
+
   test("CALL branch / tag / fast_forward drive the WAP flow") {
     spark.sql("CREATE TABLE gpr.b1 (k BIGINT)")
     store.append("b1", Seq(1L).toDF("k"))
