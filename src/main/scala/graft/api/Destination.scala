@@ -44,7 +44,20 @@ object Destination {
         "record (reference per-record semantics); 'net-only' validates only " +
         "the per-key net winners (faster on large replays; a malformed " +
         "record that loses last-write-wins cannot fail the batch)",
-      inclusion = Seq("strict", "net-only")))
+      inclusion = Seq("strict", "net-only")),
+    ParamSpec("maintenance.auto", required = false,
+      "Run the maintain_deletes policy after each committed write: a " +
+        "resident CDC stream commits one equality tombstone sidecar per " +
+        "batch, and without maintenance masked-read cost grows per entry " +
+        "until the SPJ mask budget fallback. Maintenance commits run " +
+        "AFTER the write is durable — its failure never fails an ack " +
+        "(inspect lastMaintenance)",
+      inclusion = Seq("true", "false")),
+    ParamSpec("maintenance.max_entries", required = false,
+      "maintain_deletes entry-count budget (default 8)"),
+    ParamSpec("maintenance.max_bytes", required = false,
+      "maintain_deletes pending-sidecar byte budget (default half the " +
+        "per-task SPJ mask budget)"))
 
   /** Passthrough namespace, the analogue of the reference's `catalog.*`
     * properties (DestinationConfig.java:44,95-105): every `hadoop.`-prefixed
@@ -55,7 +68,9 @@ object Destination {
   val passthroughPrefix = "hadoop."
 
   final case class Config(storeRoot: String, table: String, keyCols: Seq[String],
-      validation: String = "strict", hadoopProps: Map[String, String] = Map.empty)
+      validation: String = "strict", hadoopProps: Map[String, String] = Map.empty,
+      autoMaintain: Boolean = false, maintainMaxEntries: Int = 8,
+      maintainMaxBytes: Long = graft.tables.TableStore.SpjMaskMaxBytes / 2)
 
   /** Required-key + inclusion validation with exact-cause errors (reference
     * DestinationConfig.java:45-49,110-118 and its unit tests). */
@@ -79,9 +94,27 @@ object Destination {
       case (k, v) if k.startsWith(passthroughPrefix) =>
         k.stripPrefix(passthroughPrefix) -> v
     }
+    def posInt(k: String, d: Int): Int = params.get(k).map { v =>
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"parameter $k must be an integer, got '$v'"))
+      if (n <= 0) throw new IllegalArgumentException(
+        s"parameter $k must be positive, got $n")
+      n
+    }.getOrElse(d)
+    def posLong(k: String, d: Long): Long = params.get(k).map { v =>
+      val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"parameter $k must be an integer, got '$v'"))
+      if (n <= 0) throw new IllegalArgumentException(
+        s"parameter $k must be positive, got $n")
+      n
+    }.getOrElse(d)
     Config(req("store.root"), req("table"),
       req("key.columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-      params.getOrElse("batch.validation", "strict"), hadoopProps)
+      params.getOrElse("batch.validation", "strict"), hadoopProps,
+      autoMaintain = params.get("maintenance.auto").contains("true"),
+      maintainMaxEntries = posInt("maintenance.max_entries", 8),
+      maintainMaxBytes = posLong("maintenance.max_bytes",
+        graft.tables.TableStore.SpjMaskMaxBytes / 2))
   }
 
   def open(spark: SparkSession, config: Config): DestinationStream = {
@@ -90,7 +123,9 @@ object Destination {
       s"table ${config.table} does not exist in ${config.storeRoot}")
     new DestinationStream(spark, store,
       CdcApply.CdcConfig(config.table, config.keyCols,
-        strictValidation = config.validation == "strict"))
+        strictValidation = config.validation == "strict"),
+      maintenance = if (config.autoMaintain)
+        Some((config.maintainMaxEntries, config.maintainMaxBytes)) else None)
   }
 }
 
@@ -100,13 +135,26 @@ final case class Ack(position: Array[Byte])
 /** An open ingest stream. Thread-unsafe single-writer, like the reference's
   * strictly-sequential record stream (SURVEY.md §3). */
 final class DestinationStream private[api] (
-    spark: SparkSession, store: TableStore, cfg: CdcApply.CdcConfig) {
+    spark: SparkSession, store: TableStore, cfg: CdcApply.CdcConfig,
+    maintenance: Option[(Int, Long)] = None) {
+
+  /** Last auto-maintenance outcome: (action, entries before, entries
+    * after) or the failure. None until the first maintained write.
+    * Maintenance runs AFTER the write commit, so its failure never
+    * fails an ack (the data is already durable — failing the ack would
+    * lie); a resident caller monitors THIS instead. */
+  @volatile var lastMaintenance: Option[Try[(String, Int, Int)]] = None
+
+  private def maintain(): Unit = maintenance.foreach { case (e, b) =>
+    lastMaintenance = Some(Try(store.maintainDeletes(cfg.table, e, b)))
+  }
 
   /** Per-record write → ack, the reference's exact contract (one record,
     * one durable commit, one ack). Prefer `writeBatch` — the reference's
     * one-Spark-job-per-record shape is its own documented bottleneck. */
   def write(record: CdcRecord): Try[Ack] =
     Try { CdcApply(spark, store, cfg, Seq(record)); Ack(record.position) }
+      .map { ack => maintain(); ack }
 
   /** Batched write: ONE distributed apply + ONE atomic snapshot commit for
     * the whole batch; acks preserve record order. All-or-nothing — on
@@ -116,7 +164,7 @@ final class DestinationStream private[api] (
     Try {
       CdcApply(spark, store, cfg, records)
       records.map(r => Ack(r.position))
-    }
+    }.map { acks => maintain(); acks }
 
   /** Current table contents (read-your-writes after an ack). */
   def table = store.read(cfg.table)

@@ -3439,7 +3439,17 @@ final class TableStore(private[tables] val spark: SparkSession,
       ("materialize", before, pendingDeletes(name))
     } else if (entries.size > maxEntries) {
       val (b, a) = rewriteDeletes(name)
-      ("rewrite", b, a)
+      if (a < b) ("rewrite", b, a)
+      else {
+        // un-mergeable under the sequence rule — the CDC shape: applyNet
+        // interleaves an APPEND with every tombstone, so every run is a
+        // singleton and a sidecar merge can relieve nothing. The only
+        // remaining pressure valve is the fold; without this escalation
+        // a resident ingest stream would re-trigger a no-op rewrite on
+        // every batch forever while entries keep growing.
+        materializeDeletes(name)
+        ("materialize", b, pendingDeletes(name))
+      }
     } else ("none", entries.size, entries.size)
   }
 
@@ -5689,7 +5699,7 @@ object TableStore {
     * executor memory); a table that has accumulated more pending
     * tombstones than this stays on the V1 masked read until maintenance
     * folds them ([[TableStore.materializeDeletes]] / compaction). */
-  private[tables] val SpjMaskMaxBytes: Long = 256L * 1024 * 1024
+  private[graft] val SpjMaskMaxBytes: Long = 256L * 1024 * 1024
 
   /** Change-feed label columns (the Delta-CDF spellings, so downstream
     * consumers port unchanged). */

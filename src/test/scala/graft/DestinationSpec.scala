@@ -17,7 +17,9 @@ class DestinationSpec extends SparkSpec {
   test("spec surface: name, version, parameter inventory") {
     assert(Destination.name === "graft-table")
     assert(Destination.parameters.map(_.name) ===
-      Seq("store.root", "table", "key.columns", "batch.validation"))
+      Seq("store.root", "table", "key.columns", "batch.validation",
+        "maintenance.auto", "maintenance.max_entries",
+        "maintenance.max_bytes"))
     assert(Destination.parameters.filter(_.required).map(_.name) ===
       Seq("store.root", "table", "key.columns"))
     // inclusion metadata is introspectable (SpecifierService TYPE_INCLUSION)
@@ -92,6 +94,49 @@ class DestinationSpec extends SparkSpec {
     val got = stream.table.orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq === Seq((1L, "a2"), (2L, "b")))
+  }
+
+  test("auto-maintenance bounds pending tombstones on a resident stream") {
+    val root = tmpDir("dest-maint-")
+    val store = new TableStore(spark, root)
+    store.create("t", schema)
+    // the CDC-at-scale shape: updates commit equality tombstones (MoR),
+    // not CoW rewrites — exactly the mode that accumulates sidecars
+    store.setProperties("t", Map("write.merge.mode" -> Some("merge-on-read")))
+    val stream = Destination.open(spark, Destination.configure(Map(
+      "store.root" -> root, "table" -> "t", "key.columns" -> "id",
+      "maintenance.auto" -> "true",
+      "maintenance.max_entries" -> "2")).get)
+    // seed, then a stream of update batches: every CDC apply commits one
+    // equality tombstone sidecar alongside its appends — a resident
+    // stream accumulates them forever without maintenance
+    def upd(pos: String, id: Long, v: String) =
+      CdcRecord(pos.getBytes, CdcOp.Update,
+        key = Some(RawData(s"""{"id": $id}""")),
+        after = Some(RawData(s"""{"id": $id, "v": "$v"}""")))
+    assert(stream.write(CdcRecord("p0".getBytes, CdcOp.Create,
+      key = Some(RawData("""{"id": 1}""")),
+      after = Some(RawData("""{"id": 1, "v": "a"}""")))).isSuccess)
+    (1 to 5).foreach { i =>
+      assert(stream.writeBatch(Seq(upd(s"p$i", 1L, s"v$i"))).isSuccess)
+      // the policy holds the bound after EVERY batch, not just at the end
+      assert(store.pendingDeletes("t") <= 3,
+        s"batch $i left ${store.pendingDeletes("t")} pending entries")
+    }
+    // CDC runs are un-mergeable (an append interleaves every tombstone),
+    // so the policy must have escalated rewrite → materialize
+    assert(stream.lastMaintenance.exists(_.isSuccess))
+    assert(stream.lastMaintenance.get.get._1 != "rewrite",
+      "CDC singleton runs cannot merge — rewrite would be a no-op loop")
+    // rows stay exact through maintenance
+    val got = stream.table.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "v5")))
+    // without the flag nothing maintains (the default contract)
+    val plain = Destination.open(spark, Destination.configure(Map(
+      "store.root" -> root, "table" -> "t", "key.columns" -> "id")).get)
+    (6 to 9).foreach(i => assert(plain.writeBatch(Seq(upd(s"p$i", 1L, s"v$i"))).isSuccess))
+    assert(plain.lastMaintenance.isEmpty)
+    assert(store.pendingDeletes("t") > 3)
   }
 
   test("write failure surfaces the decode cause and applies nothing") {

@@ -87,6 +87,24 @@ class ProceduresSpec extends SparkSpec {
       .getString(0) === "none")
   }
 
+  test("maintain_deletes escalates to materialize when runs cannot merge") {
+    spark.sql("CREATE TABLE gpr.me (k BIGINT, v DOUBLE)")
+    store.append("me", (0L until 50L).map(i => (i, i.toDouble)).toDF("k", "v"))
+    // an APPEND between every tombstone — the CDC shape: each entry's
+    // run is a singleton under the sequence rule, rewrite merges nothing
+    (0 until 4).foreach { i =>
+      store.deleteMoR("me", Seq(i.toLong).toDF("k"), Seq("k"))
+      store.append("me", Seq((100L + i, 0.0)).toDF("k", "v"))
+    }
+    assert(store.pendingDeletes("me") === 4)
+    val r = spark.sql("CALL gpr.system.maintain_deletes(" +
+      "`table` => 'me', max_entries => 2)").head()
+    assert(r.getString(0) === "materialize",
+      s"un-mergeable runs must escalate past the no-op rewrite, got $r")
+    assert(r.getLong(2) === 0L && store.pendingDeletes("me") === 0)
+    assert(spark.sql("SELECT count(*) FROM gpr.me").head().getLong(0) === 50L)
+  }
+
   test("CALL branch / tag / fast_forward drive the WAP flow") {
     spark.sql("CREATE TABLE gpr.b1 (k BIGINT)")
     store.append("b1", Seq(1L).toDF("k"))
