@@ -949,7 +949,10 @@ object TableQueries {
     Q("tbl_variant", TableQueries2.tblVariant,
       Some(TableQueries2.tblVariantSql)),
     Q("tbl_maintain", TableQueries2.tblMaintain,
-      Some(TableQueries2.tblMaintainSql)))
+      Some(TableQueries2.tblMaintainSql)),
+    Q("tbl_txn", TableQueries2.tblTxn, Some(TableQueries2.tblTxnSql)),
+    Q("tbl_sorted_write", TableQueries2.tblSortedWrite,
+      Some(TableQueries2.tblSortedWriteSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -2225,4 +2228,95 @@ object TableQueries2 {
       |FROM o WHERE o_orderkey > 10000
       |ORDER BY o_orderkey, commit_seq, change_type, o_custkey,
       |  o_totalprice""".stripMargin
+
+  /** Multi-table ATOMIC transaction under the oracle
+    * ([[graft.tables.TableStore.transaction]] — the Iceberg REST
+    * `CommitTransaction` shape the reference lacks even single-table,
+    * `README.md:74-77`): a CDC-fan-out pattern writes facts AND their
+    * derived per-status rollup in ONE transaction — remaining orders
+    * append to the fact table while the rollup is deleted and rebuilt
+    * from the transaction's OWN buffered view of the facts
+    * (read-your-writes). The returned frame joins the committed rollup
+    * against a fresh recount of the committed facts, so the hash match
+    * proves the two tables published consistently; atomicity under
+    * conflict/abort is pinned in TransactionSpec. */
+  private[ops] def tblTxn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-txn", Scratch.tag(dir)))
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    def rollupOf(df: DataFrame): DataFrame =
+      df.groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"),
+        Dets.dsum(col("o_totalprice")).as("total"))
+    val seed = o.filter(col("o_orderkey") % 3 =!= 0)
+    store.create("facts", o.schema, overwrite = true)
+    store.create("rollup", rollupOf(seed).schema, overwrite = true)
+    store.append("facts", seed)
+    store.append("rollup", rollupOf(seed))
+    store.transaction { tx =>
+      tx.append("facts", o.filter(col("o_orderkey") % 3 === 0))
+      tx.delete("rollup", lit(true))
+      tx.append("rollup", rollupOf(tx.read("facts")))
+    }
+    val recount = rollupOf(store.read("facts"))
+      .withColumnRenamed("cnt", "cnt2").withColumnRenamed("total", "total2")
+    store.read("rollup").join(recount, "o_orderstatus")
+      .select("o_orderstatus", "cnt", "total", "cnt2", "total2")
+      .orderBy("o_orderstatus")
+  }
+
+  private[ops] val tblTxnSql =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(*) AS cnt2,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total2
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Write-time sort order under the oracle (`write.sort-order` +
+    * `write.distribution-mode=range`, the Iceberg write properties):
+    * lineitem lands through a range shuffle keyed on the declared sort
+    * column and a local sort within each task, so file zone ranges on
+    * `l_orderkey` are near-disjoint WITHOUT any compaction pass. The
+    * key-range read that the gate hash-matches is served by a pruned
+    * scan — the in-gate require() pins that a thin key range touches a
+    * strict minority of the files (pruning effectiveness ratios are
+    * spec-pinned in SortOrderSpec). */
+  private[ops] def tblSortedWrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-sortw", Scratch.tag(dir)))
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    store.create("lineitem_s", li.schema, overwrite = true,
+      zoneCols = Seq("l_orderkey"))
+    store.setProperties("lineitem_s", Map(
+      "write.distribution-mode" -> Some("range"),
+      "write.sort-order" -> Some("l_orderkey")))
+    // write from a deliberately key-shuffled input: the layout must come
+    // from the table's write properties, not the source ordering
+    store.append("lineitem_s",
+      li.repartition(8, col("l_partkey")))
+    val q = store.read("lineitem_s")
+      .filter(col("l_orderkey") >= 100L && col("l_orderkey") <= 400L)
+    val (total, scanned) = graft.tables.ZoneMapFileIndex.lastCountsOf(q)
+    if (total > 1) require(scanned * 2 <= total,
+      s"sorted write should prune a thin key range to a minority of " +
+        s"files; scanned $scanned of $total")
+    q.groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("items"),
+        Dets.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_orderkey")
+  }
+
+  private[ops] val tblSortedWriteSql =
+    """SELECT l_orderkey, count(*) AS items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 100 AND 400
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
 }

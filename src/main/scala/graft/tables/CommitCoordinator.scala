@@ -36,6 +36,52 @@ trait CommitCoordinator {
 
   /** Forget the pointer (table drop / re-create). */
   def clear(table: String): Unit
+
+  /** Multi-pointer commit — the catalog capability behind
+    * [[TableStore.transaction]] (Iceberg's REST `CommitTransaction`
+    * endpoint is the same contract: N tables advance together or not at
+    * all, backed by whatever transactionality the catalog store has).
+    *
+    * Advance EVERY `(table, expected, next)` pointer, or none; returns
+    * whether the whole set swapped. `swaps` must not repeat a table.
+    *
+    * This DEFAULT implementation is optimistic compose-from-CAS:
+    * validate every pointer first (cheap rejection, no side effects),
+    * then swap in order; if a later swap loses, already-advanced
+    * pointers are compensated back via reverse CAS. The compensation
+    * window is real — a coordinator backed by a transactional store
+    * (one DB transaction, one conditional multi-key put) should
+    * override this with a genuinely atomic version, as
+    * [[InProcessCasCoordinator]] does. A compensation that itself loses
+    * (a third writer advanced a half-committed pointer meanwhile)
+    * throws rather than silently leaving a torn transaction;
+    * [[TableStore.transaction]] narrows the window to near-zero by
+    * holding every touched table's commit lock across this call. */
+  def swapAll(swaps: Seq[(String, Option[String], String)]): Boolean = {
+    require(swaps.map(_._1).distinct.size == swaps.size,
+      "swapAll: duplicate table in transaction commit set")
+    if (swaps.exists { case (t, e, _) => current(t) != e }) return false
+    val done = scala.collection.mutable.ListBuffer[(String, Option[String], String)]()
+    val won = swaps.forall { case s @ (t, e, n) =>
+      val ok = swap(t, e, n)
+      if (ok) done += s
+      ok
+    }
+    if (!won) {
+      val stuck = done.reverse.filterNot { case (t, e, n) =>
+        e match {
+          case Some(prev) => swap(t, Some(n), prev)
+          case None => if (current(t).contains(n)) { clear(t); true } else false
+        }
+      }
+      if (stuck.nonEmpty) throw new IllegalStateException(
+        "transaction compensation failed — pointer(s) advanced by a " +
+          s"third writer mid-rollback: ${stuck.map(_._1).mkString(", ")}; " +
+          "back the coordinator with a transactional store for " +
+          "cross-process transactions")
+    }
+    won
+  }
 }
 
 /** In-process CAS coordinator: the pointer lives in a JVM-local
@@ -56,4 +102,18 @@ final class InProcessCasCoordinator extends CommitCoordinator {
   }
 
   override def clear(table: String): Unit = { ptrs.remove(table); () }
+
+  /** Transaction-vs-transaction atomicity via one lock (the stand-in
+    * for the backing store's transaction): two swapAlls serialize, so
+    * the compensation path in the default implementation never runs
+    * between them. A SINGLE swap racing a swapAll stays lock-free and
+    * resolves through the per-key CHM CAS — the swapAll loses cleanly
+    * and compensates, all-or-nothing either way.
+    * [[TableStore.transaction]] additionally holds every touched
+    * table's commit lock, which serializes single-table committers
+    * too (they hold the same lock across their swap). */
+  override def swapAll(
+      swaps: Seq[(String, Option[String], String)]): Boolean = synchronized {
+    super.swapAll(swaps)
+  }
 }

@@ -1271,8 +1271,26 @@ private[tables] final class GraftDynamicOverwriteWrite(store: TableStore,
   }
 
   override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    // the table's declared write.sort-order, prefixed by the partition
+    // columns (the staged writer needs dir clustering first) — Spark
+    // inserts the local sort before the write exactly like the
+    // programmatic path's sortWithinPartitions in writeDataFiles
+    val sort = store.writeSortOrder(tbl)
+    if (sort.isEmpty) Array.empty
+    else {
+      import org.apache.spark.sql.connector.expressions.{Expressions => E}
+      import org.apache.spark.sql.connector.expressions.{SortDirection, NullOrdering}
+      (store.writeLayout(tbl).partLogicalNames.map(n =>
+        E.sort(E.identity(n), SortDirection.ASCENDING,
+          NullOrdering.NULLS_FIRST)) ++
+        sort.map { case (c, asc) =>
+          E.sort(E.identity(c),
+            if (asc) SortDirection.ASCENDING else SortDirection.DESCENDING,
+            if (asc) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST)
+        }).toArray
+    }
+  }
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftStagedBatchWrite(store, tbl, writeSchema) {

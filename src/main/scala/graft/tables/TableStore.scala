@@ -240,6 +240,7 @@ final class TableStore(private[tables] val spark: SparkSession,
     val d = tdir(name)
     if (fs.exists(d)) {
       require(overwrite, s"table $name already exists")
+      requireNotInTx(s"overwrite-create($name)")
       // see drop(): external branch pointers outlive the dir otherwise
       scala.util.Try(refs(name)).getOrElse(Map.empty).foreach {
         case (r, ("branch", _)) => coord.clear(refKey(name, Some(r)))
@@ -483,6 +484,7 @@ final class TableStore(private[tables] val spark: SparkSession,
   }
 
   def drop(name: String): Unit = {
+    requireNotInTx(s"drop($name)")
     // branch pointers may live in an external coordinator — clear them
     // BEFORE the refs dir (their registry) goes away with the table
     scala.util.Try(refs(name)).getOrElse(Map.empty).foreach {
@@ -505,6 +507,7 @@ final class TableStore(private[tables] val spark: SparkSession,
     * re-registration is a no-op check). Single-writer maintenance op,
     * like drop: concurrent writers must quiesce first. */
   def renameTable(name: String, to: String): Unit = {
+    requireNotInTx(s"renameTable($name, $to)")
     require(exists(name), s"table $name does not exist")
     require(to.nonEmpty && !to.contains('/') && !to.contains('@'),
       s"invalid table name: $to")
@@ -1477,6 +1480,35 @@ final class TableStore(private[tables] val spark: SparkSession,
         mapper.writeValueAsString(root))
     } finally { fs.delete(lock, false); () }
   }
+
+  /** Parsed `write.sort-order` table property — Iceberg's write sort
+    * order, e.g. `"l_shipdate, l_orderkey DESC"`: every data-file write
+    * (append, CoW rewrite, MoR materialization, compaction) locally
+    * sorts rows by these columns before writing, so file zone maps and
+    * parquet row-group stats span tight ranges and range/point scans
+    * prune. Combine with `write.distribution-mode=range` to make file
+    * ranges near-disjoint ACROSS tasks — sorting alone only tightens
+    * within-task files. Returns (LOGICAL column, ascending) pairs —
+    * [[writeDataFiles]] maps to physical names itself; validation is
+    * loud at write time, not at setProperties. */
+  private[tables] def writeSortOrder(name: String): Seq[(String, Boolean)] =
+    properties(name).get("write.sort-order").map { spec =>
+      val sch = schema(name)
+      spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+        val toks = part.split("\\s+").toSeq
+        val asc = toks.drop(1).map(_.toLowerCase) match {
+          case Seq() | Seq("asc") => true
+          case Seq("desc")        => false
+          case other => throw new IllegalArgumentException(
+            s"write.sort-order on $name: unknown direction " +
+              s"'${other.mkString(" ")}' in '$part' (use ASC | DESC)")
+        }
+        require(sch.fieldNames.contains(toks.head),
+          s"write.sort-order on $name references unknown column " +
+            s"'${toks.head}'")
+        (toks.head, asc)
+      }
+    }.getOrElse(Nil)
 
   def schema(name: String): StructType =
     org.apache.spark.sql.types.DataType
@@ -2771,6 +2803,82 @@ final class TableStore(private[tables] val spark: SparkSession,
     val newFiles = writeDataFiles(name, alignTo(name, schema(name), df))
     commitManifest(name, base, Set.empty, newFiles, newFiles, meta = meta,
       branch = branch)
+  }
+
+  /** Multi-table ATOMIC transaction — the shape of Iceberg's REST-catalog
+    * `CommitTransaction` (N tables advance together or not at all), which
+    * the reference's CDC update path conspicuously lacks even for ONE
+    * table (delete + insert as two snapshots, `README.md:74-77`).
+    *
+    * `body` receives a store whose commits are BUFFERED: each operation
+    * runs its full normal prepare (data files staged, manifest family
+    * written, conflict checks) but the pointer swap lands in a
+    * [[TxOverlayCoordinator]] instead of publishing. Within the body,
+    * later operations chain on earlier ones (read-your-writes — an
+    * append then a delete of the same table compose); outside readers
+    * see nothing. When the body returns, every buffered pointer
+    * publishes through ONE [[CommitCoordinator.swapAll]] under all
+    * touched tables' commit locks — so a CDC fan-out writing facts plus
+    * a derived rollup can never expose one without the other.
+    *
+    * Scale: the prepare work is all distributed Spark jobs exactly as
+    * outside a transaction; only the pointer publication is coordinated,
+    * and it is O(tables touched) metadata CAS — nothing rewrites or
+    * re-reads data at commit. Transactions must complete within
+    * [[TableStore.StaleLockMs]] (their unpublished manifests look like
+    * phantoms to other writers' age-fenced reclaim beyond that).
+    *
+    * Conflicts: any outside commit to a TOUCHED table between prepare
+    * and publish fails the whole transaction with
+    * [[CommitConflictException]]; staged manifests and data files are
+    * reclaimed, nothing half-commits. DROP / overwrite-create / rename
+    * inside the body are refused (destructive directory surgery cannot
+    * be staged); creating NEW tables is supported and they become
+    * visible atomically with everything else. Nested calls fold into
+    * the enclosing transaction. */
+  def transaction[A](body: TableStore => A): A = coord match {
+    case _: TxOverlayCoordinator =>
+      // nested: the enclosing transaction owns publication
+      body(this)
+    case _ =>
+      val tx = new TxOverlayCoordinator(coord)
+      val txStore = new TableStore(spark, root, hadoopProps, Some(tx))
+      val result =
+        try body(txStore)
+        catch { case e: Throwable => tx.abort(); throw e }
+      // publish under every touched table's commit lock: single-table
+      // committers hold the same lock across their swap, so this closes
+      // the default (rename-based) coordinator's validate-then-publish
+      // window; sorted acquisition order makes lock-up deadlock-free
+      val tables = tx.touchedKeys.map(_.takeWhile(_ != '@')).distinct.sorted
+      var won = false
+      try {
+        val held = scala.collection.mutable.ListBuffer[HPath]()
+        try {
+          tables.foreach { t =>
+            val l = new HPath(tdir(t), "_commit.lock")
+            acquireLock(t, l); held += l
+          }
+          won = tx.commitAll()
+        } finally { held.foreach(l => fs.delete(l, false)) }
+      } catch { case e: Throwable => tx.abort(); throw e }
+      if (!won) {
+        tx.abort()
+        throw new CommitConflictException(
+          s"transaction on ${tables.mkString(", ")} lost a pointer race — " +
+            "staged manifests and files were cleaned up; re-run the " +
+            "transaction against the current snapshots")
+      }
+      result
+  }
+
+  /** Destructive directory surgery (drop / overwrite-create / rename)
+    * cannot be staged-and-published like a snapshot commit — refuse it
+    * inside a transaction instead of half-destroying state. */
+  private def requireNotInTx(op: String): Unit = coord match {
+    case _: TxOverlayCoordinator => throw new UnsupportedOperationException(
+      s"$op inside a transaction is not supported — run it outside")
+    case _ => ()
   }
 
   /** Iceberg `add_files` surface: adopt EXISTING parquet files into the
@@ -4069,7 +4177,11 @@ final class TableStore(private[tables] val spark: SparkSession,
           .drop(zc)
       } else if (numFiles > 0) cur.repartition(numFiles)
       else cur
-    val rewritten = writeDataFiles(name, df)
+    // an explicit z-order clustering overrides the table's declared
+    // write.sort-order for THIS rewrite — re-sorting by the declared
+    // order would undo the interleaved clustering within each file
+    val rewritten = writeDataFiles(name, df,
+      applySortOrder = clusterCols.isEmpty)
     // a rewrite appends no rows. Removing exactly the BASE snapshot's
     // files makes compaction commute with concurrent appends (their
     // files survive the rebase untouched) while any concurrent CoW
@@ -4877,7 +4989,8 @@ final class TableStore(private[tables] val spark: SparkSession,
   /** Write df as immutable data files; returns their manifest-relative
     * paths (hive-style `col=value/` subdirs for partitioned tables). Data
     * lands in a staging dir first so a failed job never pollutes `data/`. */
-  private def writeDataFiles(name: String, df: DataFrame): Seq[String] = {
+  private def writeDataFiles(name: String, df: DataFrame,
+      applySortOrder: Boolean = true): Seq[String] = {
     val id = UUID.randomUUID().toString.take(8)
     val staging = new HPath(tdir(name), s"_staging-$id")
     try {
@@ -4907,18 +5020,40 @@ final class TableStore(private[tables] val spark: SparkSession,
       // shuffle); `range` range-partitions on the tuple, additionally
       // clustering adjacent partition values together (time-ordered
       // appends compact naturally). AQE's rebalance handles dir skew.
+      // write.sort-order: local sort before the write, prefixed by the
+      // partition dir columns — the dynamic-partition writer requires
+      // clustering by dir cols and would otherwise insert its own sort
+      // on them ALONE, destroying the data-column order within files
+      val sortSpec =
+        if (applySortOrder) {
+          val m = physMap(name)
+          writeSortOrder(name).map { case (c, asc) => (physOf(m, c), asc) }
+        } else Nil
+      def sortKeys: Seq[Column] = sortSpec.map { case (c, asc) =>
+        if (asc) col(s"`$c`").asc else col(s"`$c`").desc
+      }
       val distributed =
-        if (dirCols.isEmpty) out
-        else properties(name).getOrElse("write.distribution-mode", "none") match {
+        properties(name).getOrElse("write.distribution-mode", "none") match {
           case "none" => out
-          case "hash" => out.repartition(dirCols.map(c => col(s"`$c`")): _*)
+          case "hash" =>
+            if (dirCols.isEmpty) out
+            else out.repartition(dirCols.map(c => col(s"`$c`")): _*)
           case "range" =>
-            out.repartitionByRange(dirCols.map(c => col(s"`$c`")): _*)
+            // Iceberg range distribution orders by partition tuple THEN
+            // the declared sort order — so an unpartitioned-but-sorted
+            // table still gets near-disjoint file ranges across tasks
+            // (sorting alone only tightens within-task files)
+            val keys = dirCols.map(c => col(s"`$c`").asc) ++ sortKeys
+            if (keys.isEmpty) out else out.repartitionByRange(keys: _*)
           case other => throw new IllegalArgumentException(
             s"unknown write.distribution-mode '$other' " +
               "(supported: none, hash, range)")
         }
-      val writer = distributed.write.mode("overwrite")
+      val sorted =
+        if (sortSpec.isEmpty) distributed
+        else distributed.sortWithinPartitions(
+          (dirCols.map(c => col(s"`$c`").asc) ++ sortKeys): _*)
+      val writer = sorted.write.mode("overwrite")
       (if (dirCols.isEmpty) writer else writer.partitionBy(dirCols: _*))
         .parquet(staging.toString)
       promoteStaged(name, staging, None)
@@ -5257,8 +5392,20 @@ final class TableStore(private[tables] val spark: SparkSession,
           writeMetaFile(name, n, head, meta)
           writeRollups(name, n, head,
             carried = files.filterNot(added.toSet), added = added)
-          if (coord.swap(ptrKey, headManifest, manifest)) committed = true
-          else {
+          if (coord.swap(ptrKey, headManifest, manifest)) {
+            committed = true
+            // inside a transaction the swap only BUFFERED — register the
+            // cleanup that makes a later abort leave no trace on disk
+            coord match {
+              case tx: TxOverlayCoordinator =>
+                val v = n
+                tx.onAbort { () =>
+                  deleteManifestFamily(name, v)
+                  if (reclaimAddedOnAbort) abortStaged(name, added)
+                }
+              case _ => ()
+            }
+          } else {
             // lost the pointer race: the manifest family is unreferenced
             // by any pointer — delete it (a failed CAS never
             // half-commits) and rebase against the new head

@@ -387,3 +387,20 @@ final class ZoneMapFileIndex(
       .map { case (v, s) => PartitionDirectory(v, s.toArray) }
   }
 }
+
+object ZoneMapFileIndex {
+  /** Force `df` and return its scan's (candidate files, files scanned)
+    * — the pruning-effectiveness observability hook gates and specs
+    * assert against. (0, 0) when the plan has no zone-indexed relation
+    * or nothing forced a listing. */
+  def lastCountsOf(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    df.collect()
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location
+    }.collectFirst { case z: ZoneMapFileIndex => z.lastScanCounts }
+      .flatten.getOrElse((0, 0))
+  }
+}
