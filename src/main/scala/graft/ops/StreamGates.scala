@@ -867,6 +867,66 @@ object StreamGates {
       |ORDER BY o_orderkey, commit_seq, change_type, o_custkey,
       |  o_totalprice""".stripMargin
 
+  /** Exactly-once multi-table fan-out under the oracle
+    * ([[graft.api.FanOutSink]]): one order stream lands on a fact table
+    * AND a per-status rollup, every micro-batch committed to both in a
+    * single [[TableStore.transaction]] — so the derived table can never
+    * be observed out of sync with the landing table, and a re-delivered
+    * batch is skipped on the evidence of either. The gate drains the
+    * same checkpoint twice (the second run must re-apply nothing) and
+    * hash-matches a frame that joins the rollup against a fresh recount
+    * of the facts — equality of the two sides IS the consistency proof,
+    * and DuckDB recomputes both from the raw parquet. Rollup amounts
+    * live as DECIMAL in the table so cross-batch summation stays exact
+    * (a per-batch double would re-introduce accumulation-order drift). */
+  private def stFanout(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "fanout")
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    stage(spark, ord, "o_orderkey", 3, s"$b/in",
+      fingerprint(spark, dir, "orders", "okey-range-3"))
+    rm(spark, s"$b/store"); rm(spark, s"$b/ckpt")
+    val store = new TableStore(spark, s"$b/store")
+    val rollup: DataFrame => DataFrame = bdf => bdf
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(Dets.dec(col("o_totalprice"))).as("total"))
+    store.create("facts", ord.schema, overwrite = true)
+    store.create("by_status", rollup(ord).schema, overwrite = true)
+    val routes = Seq[(String, DataFrame => DataFrame)](
+      "facts" -> (bdf => bdf), "by_status" -> rollup)
+    val schema = spark.read.parquet(s"$b/in").schema
+    def run(): Unit = {
+      val q = graft.api.FanOutSink.attach(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$b/in"),
+        store, routes, sinkId = "st_fanout")
+        .option("checkpointLocation", s"$b/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    run() // same checkpoint: re-delivers nothing (idempotence under oracle)
+    val recount = store.read("facts").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt2"),
+        Dets.dsum(col("o_totalprice")).as("total2"))
+    store.read("by_status").groupBy("o_orderstatus")
+      .agg(sum("cnt").as("cnt"), Dets.dbl(sum("total")).as("total"))
+      .join(recount, "o_orderstatus")
+      .select("o_orderstatus", "cnt", "total", "cnt2", "total2")
+      .orderBy("o_orderstatus")
+  }
+
+  private val stFanoutSql =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(*) AS cnt2,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total2
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("st_tumbling", stTumbling, Some(Events.evTumblingSql)),
     Q("st_session", stSession, Some(Events.evSessionsSql)),
@@ -880,5 +940,6 @@ object StreamGates {
     Q("st_table_source", stTableSource, Some(stTableSourceSql)),
     Q("st_table_source_mor", stTableSourceMor, Some(stTableSourceMorSql)),
     Q("st_table_sink", stTableSink, Some(stTableSinkSql)),
-    Q("st_change_feed", stChangeFeed, Some(stChangeFeedSql)))
+    Q("st_change_feed", stChangeFeed, Some(stChangeFeedSql)),
+    Q("st_fanout", stFanout, Some(stFanoutSql)))
 }

@@ -952,7 +952,9 @@ object TableQueries {
       Some(TableQueries2.tblMaintainSql)),
     Q("tbl_txn", TableQueries2.tblTxn, Some(TableQueries2.tblTxnSql)),
     Q("tbl_sorted_write", TableQueries2.tblSortedWrite,
-      Some(TableQueries2.tblSortedWriteSql)))
+      Some(TableQueries2.tblSortedWriteSql)),
+    Q("tbl_binpack", TableQueries2.tblBinpack,
+      Some(TableQueries2.tblBinpackSql)))
 }
 
 /** Late-round table gates — separate object so the registry list above
@@ -2319,4 +2321,62 @@ object TableQueries2 {
       |WHERE l_orderkey BETWEEN 100 AND 400
       |GROUP BY l_orderkey
       |ORDER BY l_orderkey""".stripMargin
+
+  /** Bin-pack small-file compaction under the oracle
+    * ([[graft.tables.TableStore.compactSmallFiles]] — Iceberg's
+    * `rewrite_data_files` binpack strategy, the routine-maintenance
+    * shape [[graft.tables.TableStore.compact]]'s full rewrite is not):
+    * one right-sized load followed by eight tiny CDC-style appends,
+    * then ONE pack that must rewrite exactly the eight fragments while
+    * the big file survives byte-identical (rel path require()d live).
+    * Read-back hash-matches DuckDB on the raw parquet — packing must
+    * never change visible rows. Mask folding, partition-dir scoping,
+    * lineage carry and idempotence are spec-pinned in BinpackSpec. */
+  private[ops] def tblBinpack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      Scratch.dir("tbl-binpack", Scratch.tag(dir)))
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    store.create("orders_bp", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    val bulk = ord.filter(col("o_orderkey") % 9 =!= 0)
+    store.append("orders_bp", bulk.coalesce(2))
+    val bulkRels = store.currentRelPaths("orders_bp").toSet
+    (0 until 8).foreach { i =>
+      store.append("orders_bp",
+        ord.filter(col("o_orderkey") % 9 === 0 &&
+          col("o_orderkey") % 8 === i).coalesce(1))
+    }
+    // target sized AT the bulk files (which vary with the corpus SF):
+    // they are "right-sized" by definition, the 1/72-of-the-data
+    // fragments fall under the 3/4 threshold at every scale
+    val dataDir = Scratch.dir("tbl-binpack", Scratch.tag(dir),
+      "orders_bp", "data")
+    val targetBytes = bulkRels
+      .map(r => new java.io.File(dataDir, r).length()).min
+    // zero-row appends commit no file (tiny corpora may yield < 8
+    // fragments) — the pack must rewrite exactly the fragments present
+    val fragCount =
+      store.currentRelPaths("orders_bp").toSet.diff(bulkRels).size
+    val (rewritten, written) =
+      store.compactSmallFiles("orders_bp", targetBytes = targetBytes)
+    if (fragCount >= 2) require(rewritten == fragCount && written < fragCount,
+      s"expected the $fragCount fragments to pack, got ($rewritten, $written)")
+    require(bulkRels.subsetOf(store.currentRelPaths("orders_bp").toSet),
+      "right-sized files must survive a bin-pack untouched")
+    store.read("orders_bp")
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        Dets.dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  private[ops] val tblBinpackSql =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 }

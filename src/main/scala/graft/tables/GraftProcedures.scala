@@ -60,6 +60,21 @@ private[tables] object GraftProcedures {
         Seq(before, store.currentRelPaths(t).size.toLong,
           store.currentVersion(t).toLong)
       })
+      case "rewrite_small_files" => Some(p(
+        // Iceberg rewrite_data_files(strategy=>'binpack'): rewrite ONLY
+        // undersized files, O(small files) not O(table) — the routine
+        // maintenance shape; `compact` stays the full-rewrite tool
+        Seq(in("table", StringType),
+          inDef("target_bytes", LongType,
+            TableStore.DefaultTargetFileBytes.toString),
+          inDef("min_input_files", IntegerType, "2")),
+        out("rewritten" -> LongType, "written" -> LongType,
+          "version" -> LongType)) { row =>
+        val t = tbl(row)
+        val (rw, wr) = store.compactSmallFiles(t,
+          targetBytes = row.getLong(1), minInputFiles = row.getInt(2))
+        Seq(rw.toLong, wr.toLong, store.currentVersion(t).toLong)
+      })
       case "expire_snapshots" => Some(p(
         Seq(in("table", StringType), inDef("keep_last", IntegerType, "1")),
         out("kept" -> LongType, "version" -> LongType)) { row =>

@@ -4192,6 +4192,99 @@ final class TableStore(private[tables] val spark: SparkSession,
       idAdds = if (lineage) rewritten.toSet else Set.empty)
   }
 
+  /** Bin-pack compaction: rewrite ONLY the undersized data files
+    * (Iceberg's `rewrite_data_files` binpack strategy). [[compact]]
+    * rewrites the whole table — O(table), unthinkable as routine
+    * maintenance at 100 TB; this is O(small files): within each
+    * partition directory, files under 3/4 of `targetBytes` with at
+    * least `minInputFiles` such siblings are read back (pending MoR
+    * deletes folded for exactly those rows — untouched files keep
+    * their masks, and the fresh files' commit sequence keeps old
+    * equality tombstones from re-applying) and rewritten as
+    * ceil(bytes/targetBytes) right-sized files. Right-sized and
+    * lone-small files are NEVER rewritten — their bytes stay
+    * byte-identical on disk. One atomic snapshot; removal of exactly
+    * the victim files makes the commit commute with concurrent appends
+    * and conflict loudly with a concurrent mutation of a victim.
+    * Old-generation victims re-land under the CURRENT partition spec
+    * (bin-packing doubles as incremental layout migration), and a
+    * declared `write.sort-order` re-applies on the rewrite, so packing
+    * also restores range-disjointness. Idempotent: a second call finds
+    * nothing under-sized and commits nothing.
+    *
+    * Returns (files rewritten, files written). */
+  def compactSmallFiles(name: String,
+      targetBytes: Long = TableStore.DefaultTargetFileBytes,
+      minInputFiles: Int = 2): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(minInputFiles >= 2,
+      "minInputFiles < 2 would rewrite lone files for no benefit")
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val rels = readLines(new HPath(tdir(name), baseManifest))
+    val lens = readConsolidated(name, base).map(_.lens)
+      .getOrElse(Map.empty[String, Long])
+    def dirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    // unknown length (no consolidated entry — legacy adopt) = one
+    // getFileStatus, parallel; fail-open to "not small" on error
+    val sized = parFiles(rels) { rel =>
+      lens.get(rel).orElse(
+        try Some(fs.getFileStatus(new HPath(dataDir(name), rel)).getLen)
+        catch { case scala.util.control.NonFatal(_) => None })
+    }
+    val victims = rels.zip(sized)
+      .collect { case (r, Some(len)) if len < targetBytes * 3 / 4 => (r, len) }
+      .groupBy { case (r, _) => dirOf(r) }
+      .filter { case (_, group) => group.size >= minInputFiles }
+      .values.flatten.toSeq.sortBy(_._1)
+    if (victims.isEmpty) return (0, 0)
+    val victimRels = victims.map(_._1)
+    // TRUE bin-packing, planned on the driver over the (small) victim
+    // list: first-fit-decreasing per partition dir — bins never span
+    // dirs, every bin ≤ targetBytes, and the row-level route is
+    // DETERMINISTIC (keyed on each row's source file), so task retries
+    // re-route identically. Routing by a hash of the bin id can merge
+    // two bins into one write task (an occasionally 2×-sized file —
+    // benign for maintenance); it can never lose or duplicate rows.
+    val binOf = scala.collection.mutable.Map[String, Int]()
+    var nextBin = 0
+    victims.groupBy { case (r, _) => dirOf(r) }.toSeq.sortBy(_._1).foreach {
+      case (_, group) =>
+        val open = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+        group.sortBy { case (r, len) => (-len, r) }.foreach {
+          case (rel, len) =>
+            open.indexWhere(_._2 + len <= targetBytes) match {
+              case -1 =>
+                binOf(rel) = nextBin
+                open += ((nextBin, len)); nextBin += 1
+              case i =>
+                val (b, used) = open(i)
+                binOf(rel) = b; open(i) = (b, used + len)
+            }
+        }
+    }
+    val lineage = rowLineage(name)
+    val cur = morMasked(name, victimRels, base, rowPos = true,
+      rowIds = lineage)
+    val bc = "__graft_bin"
+    require(!cur.columns.contains(bc), s"column name $bc is reserved")
+    val keep = cur.columns
+      .filterNot(c => c == TableStore.PosFileCol || c == TableStore.PosIdxCol)
+      .map(c => col(s"`$c`"))
+    val packed = cur
+      .withColumn(bc,
+        element_at(typedLit(binOf.toMap), col(TableStore.PosFileCol)))
+      .repartition(nextBin, col(bc))
+      .select(keep: _*)
+    val rewritten = writeDataFiles(name, packed, preDistributed = true)
+    commitManifest(name, base, victimRels.toSet, rewritten, Nil,
+      idAdds = if (lineage) rewritten.toSet else Set.empty)
+    (victimRels.size, rewritten.size)
+  }
+
   /** Orphan cleanup: delete files under `data/` that NO manifest (of any
     * retained snapshot) references and that are older than `olderThanMs`
     * — the crash debris [[expireSnapshots]] cannot see. A writer that
@@ -4990,7 +5083,8 @@ final class TableStore(private[tables] val spark: SparkSession,
     * paths (hive-style `col=value/` subdirs for partitioned tables). Data
     * lands in a staging dir first so a failed job never pollutes `data/`. */
   private def writeDataFiles(name: String, df: DataFrame,
-      applySortOrder: Boolean = true): Seq[String] = {
+      applySortOrder: Boolean = true,
+      preDistributed: Boolean = false): Seq[String] = {
     val id = UUID.randomUUID().toString.take(8)
     val staging = new HPath(tdir(name), s"_staging-$id")
     try {
@@ -5033,7 +5127,11 @@ final class TableStore(private[tables] val spark: SparkSession,
         if (asc) col(s"`$c`").asc else col(s"`$c`").desc
       }
       val distributed =
-        properties(name).getOrElse("write.distribution-mode", "none") match {
+        // preDistributed: the caller already routed rows to exactly the
+        // write tasks it wants (bin-pack compaction's per-bin shuffle) —
+        // skip the property-driven distribution, keep the local sort
+        if (preDistributed) out
+        else properties(name).getOrElse("write.distribution-mode", "none") match {
           case "none" => out
           case "hash" =>
             if (dirCols.isEmpty) out
@@ -5716,6 +5814,12 @@ object TableStore {
 
   /** Locks older than this are treated as crash debris and reclaimed. */
   val StaleLockMs: Long = 10 * 60 * 1000L
+
+  /** Default bin-pack target for [[TableStore.compactSmallFiles]] —
+    * Iceberg's write.target-file-size-bytes default (512 MB there;
+    * 128 MB here matches spark.sql.files.maxPartitionBytes so one
+    * packed file = one scan split). */
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
 
   /** How long a contending writer waits for the commit lock before
     * giving up. A var so specs exercising contention timeouts can
