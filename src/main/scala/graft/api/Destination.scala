@@ -57,7 +57,18 @@ object Destination {
       "maintain_deletes entry-count budget (default 8)"),
     ParamSpec("maintenance.max_bytes", required = false,
       "maintain_deletes pending-sidecar byte budget (default half the " +
-        "per-task SPJ mask budget)"))
+        "per-task SPJ mask budget)"),
+    ParamSpec("maintenance.files", required = false,
+      "Also bin-pack undersized data files after each committed write " +
+        "(rewrite_small_files policy): a resident CDC stream commits one " +
+        "small file per batch, and without packing scan task counts grow " +
+        "per batch. Cheap when nothing qualifies (driver-side manifest " +
+        "check, no job); failure never fails an ack (inspect " +
+        "lastFilePack)",
+      inclusion = Seq("true", "false")),
+    ParamSpec("maintenance.target_bytes", required = false,
+      "rewrite_small_files target file size (default 128 MB — one packed " +
+        "file per scan split)"))
 
   /** Passthrough namespace, the analogue of the reference's `catalog.*`
     * properties (DestinationConfig.java:44,95-105): every `hadoop.`-prefixed
@@ -70,7 +81,9 @@ object Destination {
   final case class Config(storeRoot: String, table: String, keyCols: Seq[String],
       validation: String = "strict", hadoopProps: Map[String, String] = Map.empty,
       autoMaintain: Boolean = false, maintainMaxEntries: Int = 8,
-      maintainMaxBytes: Long = graft.tables.TableStore.SpjMaskMaxBytes / 2)
+      maintainMaxBytes: Long = graft.tables.TableStore.SpjMaskMaxBytes / 2,
+      maintainFiles: Boolean = false,
+      maintainTargetBytes: Long = graft.tables.TableStore.DefaultTargetFileBytes)
 
   /** Required-key + inclusion validation with exact-cause errors (reference
     * DestinationConfig.java:45-49,110-118 and its unit tests). */
@@ -114,7 +127,10 @@ object Destination {
       autoMaintain = params.get("maintenance.auto").contains("true"),
       maintainMaxEntries = posInt("maintenance.max_entries", 8),
       maintainMaxBytes = posLong("maintenance.max_bytes",
-        graft.tables.TableStore.SpjMaskMaxBytes / 2))
+        graft.tables.TableStore.SpjMaskMaxBytes / 2),
+      maintainFiles = params.get("maintenance.files").contains("true"),
+      maintainTargetBytes = posLong("maintenance.target_bytes",
+        graft.tables.TableStore.DefaultTargetFileBytes))
   }
 
   def open(spark: SparkSession, config: Config): DestinationStream = {
@@ -125,7 +141,9 @@ object Destination {
       CdcApply.CdcConfig(config.table, config.keyCols,
         strictValidation = config.validation == "strict"),
       maintenance = if (config.autoMaintain)
-        Some((config.maintainMaxEntries, config.maintainMaxBytes)) else None)
+        Some((config.maintainMaxEntries, config.maintainMaxBytes)) else None,
+      filePacking = if (config.maintainFiles)
+        Some(config.maintainTargetBytes) else None)
   }
 }
 
@@ -136,7 +154,8 @@ final case class Ack(position: Array[Byte])
   * strictly-sequential record stream (SURVEY.md §3). */
 final class DestinationStream private[api] (
     spark: SparkSession, store: TableStore, cfg: CdcApply.CdcConfig,
-    maintenance: Option[(Int, Long)] = None) {
+    maintenance: Option[(Int, Long)] = None,
+    filePacking: Option[Long] = None) {
 
   /** Last auto-maintenance outcome: (action, entries before, entries
     * after) or the failure. None until the first maintained write.
@@ -145,8 +164,17 @@ final class DestinationStream private[api] (
     * lie); a resident caller monitors THIS instead. */
   @volatile var lastMaintenance: Option[Try[(String, Int, Int)]] = None
 
-  private def maintain(): Unit = maintenance.foreach { case (e, b) =>
-    lastMaintenance = Some(Try(store.maintainDeletes(cfg.table, e, b)))
+  /** Last auto-pack outcome: (files rewritten, files written) or the
+    * failure — same never-fails-an-ack contract as lastMaintenance. */
+  @volatile var lastFilePack: Option[Try[(Int, Int)]] = None
+
+  private def maintain(): Unit = {
+    maintenance.foreach { case (e, b) =>
+      lastMaintenance = Some(Try(store.maintainDeletes(cfg.table, e, b)))
+    }
+    filePacking.foreach { target =>
+      lastFilePack = Some(Try(store.compactSmallFiles(cfg.table, target)))
+    }
   }
 
   /** Per-record write → ack, the reference's exact contract (one record,

@@ -19,7 +19,8 @@ class DestinationSpec extends SparkSpec {
     assert(Destination.parameters.map(_.name) ===
       Seq("store.root", "table", "key.columns", "batch.validation",
         "maintenance.auto", "maintenance.max_entries",
-        "maintenance.max_bytes"))
+        "maintenance.max_bytes", "maintenance.files",
+        "maintenance.target_bytes"))
     assert(Destination.parameters.filter(_.required).map(_.name) ===
       Seq("store.root", "table", "key.columns"))
     // inclusion metadata is introspectable (SpecifierService TYPE_INCLUSION)
@@ -137,6 +138,39 @@ class DestinationSpec extends SparkSpec {
     (6 to 9).foreach(i => assert(plain.writeBatch(Seq(upd(s"p$i", 1L, s"v$i"))).isSuccess))
     assert(plain.lastMaintenance.isEmpty)
     assert(store.pendingDeletes("t") > 3)
+  }
+
+  test("auto file-packing bounds file fragmentation on a resident stream") {
+    val root = tmpDir("dest-pack-")
+    val store = new TableStore(spark, root)
+    store.create("t", schema)
+    val stream = Destination.open(spark, Destination.configure(Map(
+      "store.root" -> root, "table" -> "t", "key.columns" -> "id",
+      "maintenance.files" -> "true")).get)
+    def create(pos: String, id: Long) =
+      CdcRecord(pos.getBytes, CdcOp.Create,
+        key = Some(RawData(s"""{"id": $id}""")),
+        after = Some(RawData(s"""{"id": $id, "v": "v$id"}""")))
+    // every tiny batch commits one fragment file; the packer must hold
+    // the live file count bounded after EVERY batch — without it a
+    // resident stream fragments the table one file per ack forever
+    (1 to 8).foreach { i =>
+      assert(stream.writeBatch(Seq(create(s"p$i", i.toLong))).isSuccess)
+      assert(store.currentRelPaths("t").size <= 2,
+        s"batch $i left ${store.currentRelPaths("t").size} live files")
+    }
+    assert(stream.lastFilePack.exists(_.isSuccess))
+    // rows stay exact through packing
+    assert(stream.table.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      (1L to 8L).map(i => (i, s"v$i")))
+    // without the flag nothing packs (the default contract)
+    val plain = Destination.open(spark, Destination.configure(Map(
+      "store.root" -> root, "table" -> "t", "key.columns" -> "id")).get)
+    (9 to 12).foreach(i =>
+      assert(plain.writeBatch(Seq(create(s"p$i", i.toLong))).isSuccess))
+    assert(plain.lastFilePack.isEmpty)
+    assert(store.currentRelPaths("t").size > 2)
   }
 
   test("write failure surfaces the decode cause and applies nothing") {
