@@ -2168,7 +2168,11 @@ object TableQueries2 {
     import org.apache.spark.sql.functions.col
     spark.conf.set("spark.sql.catalog.gmnt",
       classOf[graft.tables.GraftCatalog].getName)
-    val root = Scratch.dir("tbl-maint", Scratch.tag(dir))
+    // UNTAGGED root (corpus identity lives in the table name): Spark
+    // caches the catalog instance per session with the root it saw at
+    // initialize, so a corpus-tagged root breaks the second corpus the
+    // same session touches (bench warms at sf0.001 then times sf0.1)
+    val root = Scratch.dir("tbl-maint")
     spark.conf.set("spark.sql.catalog.gmnt.root", root)
     val store = new TableStore(spark, root)
     val ident = Scratch.tag(dir).replace('.', '_')
