@@ -261,8 +261,81 @@ object CdcQueries {
       |FROM orders WHERE o_orderkey % 101 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Multi-collection CDC under the oracle ([[graft.api.MultiDestination]]):
+    * ONE mixed batch carries records for `customer` AND `orders`, routed
+    * by the standard `opencdc.collection` metadata key the reference
+    * never reads (opencdc.proto:64-67; SparkDestinationStream.java uses
+    * only the fixed configured table), and the whole batch publishes as
+    * ONE transaction — neither table's half can be observed without the
+    * other. The read-back aggregates both tables into one frame DuckDB
+    * reproduces from the raw parquet; atomic-abort and routing negatives
+    * are spec-pinned in MultiDestinationSpec. */
+  private def cdcMulti(spark: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(spark, Scratch.dir("cdc-multi", Scratch.tag(dir)))
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    store.create("customer", cust.schema, overwrite = true,
+      zoneCols = Seq("c_custkey"))
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("customer", cust)
+    store.append("orders", ord)
+    val stream = graft.api.MultiDestination.open(spark,
+      graft.api.MultiDestination.Config(
+        Scratch.dir("cdc-multi", Scratch.tag(dir)),
+        keyColsByCollection = Map(
+          "customer" -> Seq("c_custkey"), "orders" -> Seq("o_orderkey"))))
+    def rec(coll: String, op: CdcOp, pos: Int, key: String,
+        payload: String = null): CdcRecord =
+      CdcRecord(Array(pos.toByte), op,
+        metadata = Map("opencdc.collection" -> coll),
+        key = Some(RawData(key)),
+        after = Option(payload).map(RawData(_)))
+    val res = stream.writeBatch(Seq(
+      rec("customer", CdcOp.Update, 1, """{"c_custkey": 1}""",
+        """{"c_custkey": 1, "c_name": "UPDATED#1", "c_nationkey": 7,
+          | "c_acctbal": 999.99, "c_mktsegment": "BUILDING"}""".stripMargin),
+      rec("orders", CdcOp.Delete, 2, """{"o_orderkey": 7}"""),
+      rec("customer", CdcOp.Delete, 3, """{"c_custkey": 2}"""),
+      rec("orders", CdcOp.Create, 4, """{"o_orderkey": 900000001}""",
+        """{"o_orderkey": 900000001, "o_custkey": 5, "o_totalprice": 10.5}""")))
+    require(res.isSuccess, s"multi-collection batch failed: $res")
+    val c = store.read("customer").agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("c_name") === "UPDATED#1", 1)).as("marker"),
+      Dets.dsum(col("c_acctbal")).as("total"))
+      .select(lit("customer").as("src"), col("cnt"), col("marker"),
+        col("total"))
+    val o = store.read("orders").agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("o_orderkey") === 900000001L, 1)).as("marker"),
+      Dets.dsum(col("o_totalprice")).as("total"))
+      .select(lit("orders").as("src"), col("cnt"), col("marker"),
+        col("total"))
+    c.unionByName(o).orderBy("src")
+  }
+
+  private val cdcMultiSql =
+    """SELECT src, cnt, marker, total FROM (
+      | SELECT 'customer' AS src, count(*) AS cnt,
+      |   count(CASE WHEN c_name = 'UPDATED#1' THEN 1 END) AS marker,
+      |   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+      | FROM (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_custkey NOT IN (1, 2)
+      |       UNION ALL SELECT 'UPDATED#1', CAST(999.99 AS DOUBLE))
+      | UNION ALL
+      | SELECT 'orders' AS src, count(*) AS cnt,
+      |   count(CASE WHEN o_orderkey = 900000001 THEN 1 END) AS marker,
+      |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      | FROM (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_orderkey NOT IN (7, 900000001)
+      |       UNION ALL SELECT CAST(900000001 AS BIGINT), CAST(10.5 AS DOUBLE))
+      |) ORDER BY src""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("cdc_apply_customer", cdcApplyCustomer, Some(cdcApplyCustomerSql)),
+    Q("cdc_multi", cdcMulti, Some(cdcMultiSql)),
     Q("cdc_bulk_orders", cdcBulkOrders, Some(cdcBulkOrdersSql)),
     Q("cdc_out_of_order", cdcOutOfOrder, Some(cdcOutOfOrderSql)),
     Q("cdc_auto_evolve", cdcAutoEvolve, Some(cdcAutoEvolveSql)),
