@@ -114,3 +114,78 @@ final class MultiDestinationStream private[api] (
     * ack). */
   def table(name: String) = store.read(name)
 }
+
+/** Streaming multi-collection CDC sink: one envelope stream carrying a
+  * collection column fans out to per-collection tables, every
+  * micro-batch committed to ALL touched tables in one
+  * [[TableStore.transaction]] — [[CdcStreamSink]]'s routing-aware,
+  * cross-table-atomic completion, with [[FanOutSink]]'s replay
+  * contract: batch ids record in every routed table's commit metadata,
+  * and because publication is all-or-nothing a re-delivered batch is
+  * skipped on the evidence of any one table. The set of tables a batch
+  * touches may vary batch to batch (only collections PRESENT in the
+  * batch commit), which is exactly why the replay check takes the max
+  * over every CONFIGURED collection's table rather than the batch's.
+  *
+  * Expected input columns: `op`, `key`, `payload` (as
+  * [[CdcStreamSink]]), plus the collection column (default
+  * `collection`); an optional `seqCol` carries a source offset/LSN for
+  * cross-partition last-write-wins within a batch. */
+object MultiCdcStreamSink {
+
+  def attach(spark: SparkSession, stream: org.apache.spark.sql.DataFrame,
+      store: TableStore, keyColsByCollection: Map[String, Seq[String]],
+      collectionCol: String = "collection",
+      seqCol: Option[String] = None,
+      sinkId: String = "multi"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keyColsByCollection.nonEmpty, "at least one collection route")
+    val tag = CdcStreamSink.batchIdTag(sinkId)
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val lastApplied = keyColsByCollection.keys.toSeq.flatMap { t =>
+          if (store.exists(t))
+            store.lastMetaValue(t, tag)
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+          else None
+        }.maxOption
+        if (batchId == 0 && lastApplied.exists(_ > 0))
+          throw new IllegalStateException(
+            s"multi-collection sink '$sinkId' saw batch 0 but its tables " +
+              s"already record batch ${lastApplied.get} — pass a new " +
+              "sinkId for a new checkpoint")
+        if (lastApplied.exists(_ >= batchId)) () // replay: already durable
+        else {
+          batch.persist()
+          try {
+            // collections present in THIS batch — driver-side, bounded
+            // by the configured table count
+            val present = batch.select(col(collectionCol))
+              .distinct().collect().map(_.getString(0)).sorted
+            present.foreach { c =>
+              require(keyColsByCollection.contains(c),
+                s"batch $batchId carries unrouted collection '$c' " +
+                  s"(configured: ${keyColsByCollection.keys.toSeq.sorted
+                    .mkString(", ")})")
+              require(store.exists(c), s"table $c does not exist — " +
+                "schema is catalog-owned, create it first")
+            }
+            store.transaction { tx =>
+              present.foreach { c =>
+                val seq = seqCol.map(s => col(s).cast("long"))
+                  .getOrElse(monotonically_increasing_id())
+                val env = batch.filter(col(collectionCol) === c)
+                  .withColumn("__seq", seq)
+                  .select(col("__seq"), lower(col("op")).as("__op"),
+                    col("key").as("__key"), col("payload").as("__payload"))
+                CdcApply.applyEnvelopes(spark, tx,
+                  CdcApply.CdcConfig(c, keyColsByCollection(c)), env,
+                  commitTags = Map(tag -> batchId.toString))
+                ()
+              }
+            }
+          } finally { batch.unpersist(); () }
+        }
+    }
+  }
+}

@@ -927,6 +927,97 @@ object StreamGates {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Streaming MULTI-COLLECTION CDC under the oracle
+    * ([[graft.api.MultiCdcStreamSink]]): one envelope stream whose rows
+    * carry a `collection` column fans out to `customer` (constant-field
+    * updates on a key slice) and `orders` (creates of shifted sentinel
+    * keys), each micro-batch committed to every touched table in ONE
+    * transaction with cross-table batch-id idempotence. Update/create
+    * payloads use CONSTANT non-key fields and per-key dedup so the
+    * oracle stays well-defined on corpora with duplicated keys
+    * (MakeScale replicas). Crash-window replay and unrouted-collection
+    * negatives are spec-pinned in MultiDestinationSpec. */
+  private def stCdcMulti(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "cdcmulti")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val env = cust.filter(col("c_custkey") % 11 === 5)
+      .select(col("c_custkey")).distinct()
+      .select(lit("customer").as("collection"), lit("update").as("op"),
+        to_json(struct(col("c_custkey"))).as("key"),
+        to_json(struct(col("c_custkey"), lit("STREAMED").as("c_name"),
+          lit(0).as("c_nationkey"), lit(0.0).as("c_acctbal"),
+          lit("NA").as("c_mktsegment"))).as("payload"))
+      .unionByName(ord.filter(col("o_orderkey") % 7 === 3)
+        .select((col("o_orderkey") + 1000000000000L).as("k")).distinct()
+        .select(lit("orders").as("collection"), lit("create").as("op"),
+          to_json(struct(col("k").as("o_orderkey"))).as("key"),
+          to_json(struct(col("k").as("o_orderkey"),
+            lit(1L).as("o_custkey"),
+            lit(10.5).as("o_totalprice"))).as("payload")))
+    stage(spark, env, "key", 3, s"$b/in",
+      fingerprint(spark, dir, "orders", "cdc-multi-4") +
+        fingerprint(spark, dir, "customer", "cdc-multi-4"))
+    rm(spark, s"$b/store"); rm(spark, s"$b/ckpt")
+    val store = new TableStore(spark, s"$b/store")
+    store.create("customer", cust.schema, overwrite = true,
+      zoneCols = Seq("c_custkey"))
+    store.create("orders", ord.schema, overwrite = true,
+      zoneCols = Seq("o_orderkey"))
+    store.append("customer", cust)
+    store.append("orders", ord)
+    val schema = spark.read.parquet(s"$b/in").schema
+    def run(): Unit = {
+      val q = graft.api.MultiCdcStreamSink.attach(spark,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$b/in"),
+        store, Map("customer" -> Seq("c_custkey"),
+          "orders" -> Seq("o_orderkey")), sinkId = "st_cdc_multi")
+        .option("checkpointLocation", s"$b/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    run() // same checkpoint: re-delivers nothing (idempotence under oracle)
+    val c = store.read("customer").agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("c_name") === "STREAMED", 1)).as("marker"),
+      Dets.dsum(col("c_acctbal")).as("total"))
+      .select(lit("customer").as("src"), col("cnt"), col("marker"),
+        col("total"))
+    val o = store.read("orders").agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("o_orderkey") >= 1000000000000L, 1)).as("marker"),
+      Dets.dsum(col("o_totalprice")).as("total"))
+      .select(lit("orders").as("src"), col("cnt"), col("marker"),
+        col("total"))
+    c.unionByName(o).orderBy("src")
+  }
+
+  private val stCdcMultiSql =
+    """SELECT src, cnt, marker, total FROM (
+      | SELECT 'customer' AS src, count(*) AS cnt,
+      |   count(CASE WHEN c_name = 'STREAMED' THEN 1 END) AS marker,
+      |   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+      | FROM (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_custkey % 11 <> 5
+      |       UNION ALL
+      |       SELECT 'STREAMED' AS c_name, CAST(0.0 AS DOUBLE) AS c_acctbal
+      |       FROM (SELECT DISTINCT c_custkey FROM customer
+      |             WHERE c_custkey % 11 = 5))
+      | UNION ALL
+      | SELECT 'orders' AS src, count(*) AS cnt,
+      |   count(CASE WHEN o_orderkey >= 1000000000000 THEN 1 END) AS marker,
+      |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      | FROM (SELECT o_orderkey, o_totalprice FROM orders
+      |       UNION ALL
+      |       SELECT o_orderkey, CAST(10.5 AS DOUBLE) AS o_totalprice
+      |       FROM (SELECT DISTINCT o_orderkey + 1000000000000 AS o_orderkey
+      |             FROM orders WHERE o_orderkey % 7 = 3))
+      |) ORDER BY src""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("st_tumbling", stTumbling, Some(Events.evTumblingSql)),
     Q("st_session", stSession, Some(Events.evSessionsSql)),
@@ -941,5 +1032,6 @@ object StreamGates {
     Q("st_table_source_mor", stTableSourceMor, Some(stTableSourceMorSql)),
     Q("st_table_sink", stTableSink, Some(stTableSinkSql)),
     Q("st_change_feed", stChangeFeed, Some(stChangeFeedSql)),
-    Q("st_fanout", stFanout, Some(stFanoutSql)))
+    Q("st_fanout", stFanout, Some(stFanoutSql)),
+    Q("st_cdc_multi", stCdcMulti, Some(stCdcMultiSql)))
 }

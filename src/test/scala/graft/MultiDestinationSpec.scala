@@ -126,6 +126,83 @@ class MultiDestinationSpec extends SparkSpec {
     assert(stream.table("customer").count() === 1)
   }
 
+  test("streaming sink: collection-routed micro-batches commit atomically; replays skip") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.api.{CdcStreamSink, MultiCdcStreamSink}
+    val base = tmpDir("multisink-")
+    val store = new TableStore(spark, s"$base/store")
+    store.create("customer", custSchema)
+    store.create("orders", ordSchema)
+    val in = s"$base/in"
+    def stage(i: Int, rows: Seq[(String, String, String, String)]): Unit = {
+      rows.toDF("collection", "op", "key", "payload").coalesce(1)
+        .write.parquet(s"$in/f$i")
+      val dir = new java.io.File(s"$in/f$i")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val tgt = new java.io.File(in, f"part-$i%03d.parquet")
+        assert(f.renameTo(tgt)); tgt.setLastModified(1000000000000L + i * 1000L)
+        ()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+    // batch 0: creates in both collections; batch 1: orders-only (the
+    // touched-table set varies per batch); batch 2: cross-collection mix
+    stage(0, Seq(
+      ("customer", "create", """{"c_id": 1}""", """{"c_id": 1, "name": "ada"}"""),
+      ("orders", "create", """{"o_id": 10}""", """{"o_id": 10, "total": 5.0}""")))
+    stage(1, Seq(
+      ("orders", "create", """{"o_id": 11}""", """{"o_id": 11, "total": 6.0}""")))
+    stage(2, Seq(
+      ("customer", "update", """{"c_id": 1}""", """{"c_id": 1, "name": "ada2"}"""),
+      ("orders", "delete", """{"o_id": 10}""", null)))
+    val ckpt = s"$base/ckpt"
+    def runOnce(): Unit = {
+      val sch = spark.read.parquet(in).schema
+      val q = MultiCdcStreamSink.attach(spark,
+        spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        store, Map("customer" -> Seq("c_id"), "orders" -> Seq("o_id")),
+        sinkId = "ms")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    def custRows = store.read("customer").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def ordRows = store.read("orders").orderBy("o_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(custRows === Seq((1L, "ada2")))
+    assert(ordRows === Seq((11L, 6.0)))
+    val tag = CdcStreamSink.batchIdTag("ms")
+    assert(store.lastMetaValue("customer", tag) === Some("2"))
+    assert(store.lastMetaValue("orders", tag) === Some("2"))
+    val vC = store.currentVersion("customer")
+    val vO = store.currentVersion("orders")
+    // crash window: batch 2 committed to the tables, checkpoint marker lost
+    val marker = new java.io.File(s"$ckpt/commits", "2")
+    assert(marker.exists()); assert(marker.delete())
+    val crc = new java.io.File(s"$ckpt/commits", ".2.crc")
+    if (crc.exists()) { assert(crc.delete()); () }
+    runOnce()
+    assert(store.currentVersion("customer") === vC,
+      "re-delivered batch must not double-apply")
+    assert(store.currentVersion("orders") === vO)
+    assert(custRows === Seq((1L, "ada2")) && ordRows === Seq((11L, 6.0)))
+    // an UNROUTED collection fails the query loud (nothing half-applies)
+    stage(3, Seq(
+      ("payments", "create", """{"p_id": 1}""", """{"p_id": 1}""")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("payments")))
+    assert(store.currentVersion("customer") === vC)
+    assert(store.currentVersion("orders") === vO)
+  }
+
   test("deletes route too; per-collection keys are independent") {
     val root = tmpDir("multidest-")
     val store = new TableStore(spark, root)
