@@ -31,7 +31,8 @@ private[tables] object GraftProcedures {
 
   def names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphans", "materialize_deletes", "rewrite_deletes",
-    "maintain_deletes", "add_variant_shred", "create_branch",
+    "maintain_deletes", "rewrite_small_files", "maintain",
+    "add_variant_shred", "create_branch",
     "create_tag", "drop_ref", "fast_forward", "rollback_to_version",
     "add_files", "migrate", "analyze", "create_view", "drop_view")
 
@@ -116,6 +117,32 @@ private[tables] object GraftProcedures {
           store.maintainDeletes(t, row.getInt(1), row.getLong(2))
         Seq(org.apache.spark.unsafe.types.UTF8String.fromString(action),
           before.toLong, after.toLong, store.currentVersion(t).toLong)
+      })
+      case "maintain" => Some(p(
+        // the whole routine-maintenance policy in one call, in dependency
+        // order: fold/merge pending deletes (a materialize rewrites files,
+        // so it runs BEFORE packing), bin-pack the undersized files the
+        // stream left behind, then expire history beyond the retention.
+        // Each step is idempotent and visible rows never change — this is
+        // the CALL a scheduler fires per table per interval at 100 TB.
+        Seq(in("table", StringType),
+          inDef("max_entries", IntegerType, "8"),
+          inDef("max_bytes", LongType,
+            (TableStore.SpjMaskMaxBytes / 2).toString),
+          inDef("target_bytes", LongType,
+            TableStore.DefaultTargetFileBytes.toString),
+          inDef("keep_last", IntegerType, "0")),
+        out("deletes_action" -> StringType, "entries_after" -> LongType,
+          "files_rewritten" -> LongType, "files_written" -> LongType,
+          "version" -> LongType)) { row =>
+        val t = tbl(row)
+        val (action, _, after) =
+          store.maintainDeletes(t, row.getInt(1), row.getLong(2))
+        val (rw, wr) = store.compactSmallFiles(t, row.getLong(3))
+        if (row.getInt(4) > 0) store.expireSnapshots(t, row.getInt(4))
+        Seq(org.apache.spark.unsafe.types.UTF8String.fromString(action),
+          after.toLong, rw.toLong, wr.toLong,
+          store.currentVersion(t).toLong)
       })
       case "add_variant_shred" => Some(p(
         Seq(in("table", StringType), in("source_col", StringType),

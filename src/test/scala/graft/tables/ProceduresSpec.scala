@@ -105,6 +105,33 @@ class ProceduresSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gpr.me").head().getLong(0) === 50L)
   }
 
+  test("CALL maintain runs the whole routine policy: deletes, packing, expiry") {
+    spark.sql("CREATE TABLE gpr.mt1 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    // fragment the table like a resident stream would, with a pending
+    // tombstone in the mix
+    (1 to 6).foreach(i =>
+      store.append("mt1", Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    store.deleteMoR("mt1", Seq(3L).toDF("k"), Seq("k"))
+    assert(store.pendingDeletes("mt1") === 1)
+    assert(store.currentRelPaths("mt1").size === 6)
+    val r = spark.sql("CALL gpr.system.maintain(`table` => 'mt1', " +
+      "max_bytes => CAST(1 AS BIGINT), keep_last => 2)").head()
+    // byte pressure folded the sidecar, packing merged the fragments,
+    // expiry trimmed history — and visible rows never changed
+    assert(r.getString(0) === "materialize")
+    assert(r.getLong(1) === 0L) // entries_after
+    assert(r.getLong(2) >= 2L) // files_rewritten
+    assert(r.getLong(3) < r.getLong(2)) // files_written: packed down
+    assert(store.pendingDeletes("mt1") === 0)
+    assert(spark.sql("SELECT k FROM gpr.mt1 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 5L, 6L))
+    // idempotent: a second call is all no-ops
+    val r2 = spark.sql("CALL gpr.system.maintain(`table` => 'mt1')").head()
+    assert(r2.getString(0) === "none")
+    assert(r2.getLong(2) === 0L && r2.getLong(3) === 0L)
+  }
+
   test("CALL branch / tag / fast_forward drive the WAP flow") {
     spark.sql("CREATE TABLE gpr.b1 (k BIGINT)")
     store.append("b1", Seq(1L).toDF("k"))
