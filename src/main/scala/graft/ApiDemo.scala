@@ -34,6 +34,39 @@ object ApiDemo {
     println("[demo] bad record: " + stream.write(
       CdcRecord("pos-4".getBytes, CdcOp.Delete, key = Some(RawData("{}")))))
     stream.table.orderBy("id").show(false)
+
+    // multi-collection routing + atomic cross-table batch: one batch
+    // carries records for BOTH tables; either every table publishes or
+    // none does (graft.api.MultiDestination)
+    val store = new TableStore(spark, root)
+    store.create("logins", StructType(Seq(
+      StructField("id", LongType), StructField("at", StringType))))
+    val multi = graft.api.MultiDestination.open(spark,
+      graft.api.MultiDestination.Config(root,
+        keyColsByCollection = Map("users" -> Seq("id"), "logins" -> Seq("id"))))
+    def routed(coll: String, pos: String, id: Long, payload: String) =
+      CdcRecord(pos.getBytes, CdcOp.Create,
+        metadata = Map("opencdc.collection" -> coll),
+        key = Some(RawData(s"""{"id": $id}""")),
+        after = Some(RawData(payload)))
+    val multiAcks = multi.writeBatch(Seq(
+      routed("users", "pos-5", 3L, """{"id": 3, "name": "edsger"}"""),
+      routed("logins", "pos-6", 100L, """{"id": 100, "at": "2026-08-16"}""")))
+    println("[demo] multi-collection acks: " +
+      multiAcks.map(_.map(a => new String(a.position))))
+    multi.table("logins").show(false)
+
+    // multi-table transaction straight on the store: facts + rollup can
+    // never be observed out of sync
+    store.transaction { tx =>
+      tx.append("logins", {
+        import spark.implicits._
+        Seq((101L, "2026-08-17")).toDF("id", "at")
+      })
+      tx.delete("logins", org.apache.spark.sql.functions.col("id") === 100L)
+    }
+    println("[demo] after transaction:")
+    store.read("logins").orderBy("id").show(false)
     spark.stop()
   }
 }
