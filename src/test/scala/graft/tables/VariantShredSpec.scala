@@ -53,6 +53,32 @@ class VariantShredSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("who_name")))
   }
 
+  test("compaction carries shred values: full rewrite and bin-pack") {
+    val st = newStore()
+    st.create("t", StructType(Seq(
+      StructField("k", LongType), StructField("payload", StringType))))
+    st.addVariantShred("t", "payload", "$.amount", "amount", LongType)
+    // many tiny appends — the CDC fragmentation shape
+    (0L until 6L).foreach { k =>
+      st.append("t", Seq((k, payload(k))).toDF("k", "payload").coalesce(1))
+    }
+    def amounts = st.read("t").orderBy("k").collect()
+      .map(_.getAs[Long]("amount")).toSeq
+    assert(amounts === (0L until 6L).map(_ * 10))
+    // bin-pack: rewritten files carry the derived values verbatim (the
+    // masked read returns them; no re-derivation needed — JSON unchanged)
+    val (rw, wr) = st.compactSmallFiles("t", targetBytes = 1L << 20)
+    assert(rw === 6 && wr === 1)
+    assert(amounts === (0L until 6L).map(_ * 10))
+    // full-table compact too
+    st.append("t", Seq((6L, payload(6L))).toDF("k", "payload"))
+    st.compact("t", numFiles = 1)
+    assert(amounts === (0L until 7L).map(_ * 10))
+    // and the shred still derives on writes AFTER the rewrites
+    st.append("t", Seq((7L, payload(7L))).toDF("k", "payload"))
+    assert(amounts === (0L until 8L).map(_ * 10))
+  }
+
   test("filters on a shredded path skip files via zone stats") {
     val st = newStore()
     st.create("t", StructType(Seq(
