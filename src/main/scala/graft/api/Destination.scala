@@ -68,7 +68,12 @@ object Destination {
       inclusion = Seq("true", "false")),
     ParamSpec("maintenance.target_bytes", required = false,
       "rewrite_small_files target file size (default 128 MB — one packed " +
-        "file per scan split)"))
+        "file per scan split)"),
+    ParamSpec("maintenance.min_input_files", required = false,
+      "minimum undersized siblings in a partition dir before auto-pack " +
+        "rewrites them (default 5, Iceberg's min-input-files): bounds " +
+        "write amplification of the resident packed file to one rewrite " +
+        "per min_input_files-1 new small files instead of every ack"))
 
   /** Passthrough namespace, the analogue of the reference's `catalog.*`
     * properties (DestinationConfig.java:44,95-105): every `hadoop.`-prefixed
@@ -83,7 +88,8 @@ object Destination {
       autoMaintain: Boolean = false, maintainMaxEntries: Int = 8,
       maintainMaxBytes: Long = graft.tables.TableStore.SpjMaskMaxBytes / 2,
       maintainFiles: Boolean = false,
-      maintainTargetBytes: Long = graft.tables.TableStore.DefaultTargetFileBytes)
+      maintainTargetBytes: Long = graft.tables.TableStore.DefaultTargetFileBytes,
+      maintainMinInputFiles: Int = 5)
 
   /** Required-key + inclusion validation with exact-cause errors (reference
     * DestinationConfig.java:45-49,110-118 and its unit tests). */
@@ -130,7 +136,8 @@ object Destination {
         graft.tables.TableStore.SpjMaskMaxBytes / 2),
       maintainFiles = params.get("maintenance.files").contains("true"),
       maintainTargetBytes = posLong("maintenance.target_bytes",
-        graft.tables.TableStore.DefaultTargetFileBytes))
+        graft.tables.TableStore.DefaultTargetFileBytes),
+      maintainMinInputFiles = posInt("maintenance.min_input_files", 5))
   }
 
   def open(spark: SparkSession, config: Config): DestinationStream = {
@@ -143,7 +150,8 @@ object Destination {
       maintenance = if (config.autoMaintain)
         Some((config.maintainMaxEntries, config.maintainMaxBytes)) else None,
       filePacking = if (config.maintainFiles)
-        Some(config.maintainTargetBytes) else None)
+        Some((config.maintainTargetBytes, config.maintainMinInputFiles))
+      else None)
   }
 }
 
@@ -155,7 +163,7 @@ final case class Ack(position: Array[Byte])
 final class DestinationStream private[api] (
     spark: SparkSession, store: TableStore, cfg: CdcApply.CdcConfig,
     maintenance: Option[(Int, Long)] = None,
-    filePacking: Option[Long] = None) {
+    filePacking: Option[(Long, Int)] = None) {
 
   /** Last auto-maintenance outcome: (action, entries before, entries
     * after) or the failure. None until the first maintained write.
@@ -172,8 +180,17 @@ final class DestinationStream private[api] (
     maintenance.foreach { case (e, b) =>
       lastMaintenance = Some(Try(store.maintainDeletes(cfg.table, e, b)))
     }
-    filePacking.foreach { target =>
-      lastFilePack = Some(Try(store.compactSmallFiles(cfg.table, target)))
+    // minInputFiles (default 5, Iceberg's min-input-files) gates the
+    // per-ack pack: without it the accumulating packed file (< 3/4 of
+    // target) is re-read and fully rewritten on EVERY subsequent ack
+    // together with the new tiny file — O(n^2) write amplification over
+    // a resident stream's life. With the gate, the resident file is
+    // rewritten once per `minInputFiles - 1` new small files: amortized
+    // O(n * target / minInputFiles) bytes, and most acks pack nothing
+    // (a driver-side manifest check, no Spark job).
+    filePacking.foreach { case (target, minIn) =>
+      lastFilePack =
+        Some(Try(store.compactSmallFiles(cfg.table, target, minIn)))
     }
   }
 

@@ -287,6 +287,19 @@ final class TableStore(private[tables] val spark: SparkSession,
     }
     require(bloomItems > 0, "bloomItems must be positive")
     coord.clear(name) // a re-created table starts a fresh pointer history
+    coord match {
+      case tx: TxOverlayCoordinator =>
+        // the directory metadata below is written eagerly; on abort
+        // exists() is false but the dir would remain, so a later
+        // create(name) would fail "already exists" on a table nobody
+        // can see. Inside a transaction only FRESH creates reach here
+        // (overwrite-create is requireNotInTx'd above), so the dir is
+        // unconditionally this transaction's to remove. Registered
+        // FIRST: abort runs actions in reverse, deleting the buffered
+        // commit's manifest family before the directory that holds it.
+        tx.onAbort(() => fs.delete(d, true))
+      case _ => ()
+    }
     fs.mkdirs(dataDir(name))
     fs.mkdirs(new HPath(d, "stats"))
     if (bloomCols.nonEmpty) fs.mkdirs(new HPath(d, "bloom"))
@@ -4209,8 +4222,12 @@ final class TableStore(private[tables] val spark: SparkSession,
     * Old-generation victims re-land under the CURRENT partition spec
     * (bin-packing doubles as incremental layout migration), and a
     * declared `write.sort-order` re-applies on the rewrite, so packing
-    * also restores range-disjointness. Idempotent: a second call finds
-    * nothing under-sized and commits nothing.
+    * also restores range-disjointness. Bins that would hold a single
+    * source file (two siblings each just over targetBytes/2 cannot
+    * share a bin) are dropped — a 1:1 rewrite merges nothing and
+    * would leave a file that is still a victim, looping forever under
+    * `CALL system.maintain`. Idempotent: a second call finds nothing
+    * mergeable and commits nothing.
     *
     * Returns (files rewritten, files written). */
   def compactSmallFiles(name: String,
@@ -4266,8 +4283,18 @@ final class TableStore(private[tables] val spark: SparkSession,
             }
         }
     }
+    // a bin holding a single source file would rewrite it 1:1 into a
+    // same-sized file that is STILL a victim next call (two siblings in
+    // (target/2, 3/4*target] can never share a bin) — dropping such
+    // bins is what makes packing genuinely idempotent: a pack that
+    // cannot merge anything is a no-op, not an infinite rewrite loop
+    val mergeable = binOf.groupBy(_._2).filter(_._2.size >= 2)
+      .values.flatMap(_.keys).toSet
+    binOf.filterInPlace { case (rel, _) => mergeable(rel) }
+    if (binOf.isEmpty) return (0, 0)
+    val packRels = victimRels.filter(mergeable)
     val lineage = rowLineage(name)
-    val cur = morMasked(name, victimRels, base, rowPos = true,
+    val cur = morMasked(name, packRels, base, rowPos = true,
       rowIds = lineage)
     val bc = "__graft_bin"
     require(!cur.columns.contains(bc), s"column name $bc is reserved")
@@ -4280,9 +4307,9 @@ final class TableStore(private[tables] val spark: SparkSession,
       .repartition(nextBin, col(bc))
       .select(keep: _*)
     val rewritten = writeDataFiles(name, packed, preDistributed = true)
-    commitManifest(name, base, victimRels.toSet, rewritten, Nil,
+    commitManifest(name, base, packRels.toSet, rewritten, Nil,
       idAdds = if (lineage) rewritten.toSet else Set.empty)
-    (victimRels.size, rewritten.size)
+    (packRels.size, rewritten.size)
   }
 
   /** Orphan cleanup: delete files under `data/` that NO manifest (of any

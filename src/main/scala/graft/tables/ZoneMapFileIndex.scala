@@ -395,12 +395,17 @@ object ZoneMapFileIndex {
     * or nothing forced a listing. */
   def lastCountsOf(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
     df.collect()
+    // pattern-match, don't cast: a plan may also contain non-file
+    // LogicalRelations (JDBC, in-memory) — those are skipped, not a
+    // ClassCastException
     df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation
-          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-          .location
-    }.collectFirst { case z: ZoneMapFileIndex => z.lastScanCounts }
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some(h.location)
+          case _ => None
+        }
+    }.flatten.collectFirst { case z: ZoneMapFileIndex => z.lastScanCounts }
       .flatten.getOrElse((0, 0))
   }
 }

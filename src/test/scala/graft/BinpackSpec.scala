@@ -124,6 +124,36 @@ class BinpackSpec extends SparkSpec {
     assert(after === before, "row ids must survive the rewrite")
   }
 
+  test("unmergeable victims are a no-op, not a 1:1 rewrite loop") {
+    val root = tmpDir("binpack-")
+    val st = new TableStore(spark, root)
+    st.create("t", schema)
+    // two sibling files, each ~40 KB. With targetBytes = 60 KB both are
+    // victims (< 3/4 * target = 45 KB) yet can never share a bin
+    // (sum > target) — before the single-file-bin drop, every call
+    // rewrote each 1:1 into a file that was STILL a victim, forever.
+    (0 until 2).foreach { b =>
+      st.append("t", (0L until 5000L).map(i => (b * 10000L + i, s"v$i"))
+        .toDF("id", "v").coalesce(1))
+    }
+    val before = fileBytes(root, "t")
+    assert(before.size === 2)
+    val target = before.values.max * 3 / 2
+    assert(before.values.forall(_ < target * 3 / 4), "both must be victims")
+    assert(before.values.sum > target, "but they cannot share a bin")
+    assert(st.compactSmallFiles("t", targetBytes = target) === ((0, 0)))
+    assert(fileBytes(root, "t") === before, "files must stay byte-identical")
+    // genuinely mergeable additions still pack: FFD folds the tiny
+    // files into ONE of the 40 KB files' bin (3 inputs → 1 output);
+    // the other 40 KB file lands alone in its bin and is left untouched
+    (0 until 2).foreach { b =>
+      st.append("t", Seq((90000L + b, s"s$b")).toDF("id", "v").coalesce(1))
+    }
+    val (rw, wr) = st.compactSmallFiles("t", targetBytes = target)
+    assert(rw === 3 && wr === 1, s"got ($rw, $wr)")
+    assert(st.read("t").count() === 10002)
+  }
+
   test("SQL CALL surface: rewrite_small_files") {
     spark.conf.set("spark.sql.catalog.gbp",
       classOf[graft.tables.GraftCatalog].getName)

@@ -20,7 +20,7 @@ class DestinationSpec extends SparkSpec {
       Seq("store.root", "table", "key.columns", "batch.validation",
         "maintenance.auto", "maintenance.max_entries",
         "maintenance.max_bytes", "maintenance.files",
-        "maintenance.target_bytes"))
+        "maintenance.target_bytes", "maintenance.min_input_files"))
     assert(Destination.parameters.filter(_.required).map(_.name) ===
       Seq("store.root", "table", "key.columns"))
     // inclusion metadata is introspectable (SpecifierService TYPE_INCLUSION)
@@ -146,14 +146,16 @@ class DestinationSpec extends SparkSpec {
     store.create("t", schema)
     val stream = Destination.open(spark, Destination.configure(Map(
       "store.root" -> root, "table" -> "t", "key.columns" -> "id",
-      "maintenance.files" -> "true")).get)
+      "maintenance.files" -> "true",
+      "maintenance.min_input_files" -> "2")).get)
     def create(pos: String, id: Long) =
       CdcRecord(pos.getBytes, CdcOp.Create,
         key = Some(RawData(s"""{"id": $id}""")),
         after = Some(RawData(s"""{"id": $id, "v": "v$id"}""")))
-    // every tiny batch commits one fragment file; the packer must hold
-    // the live file count bounded after EVERY batch — without it a
-    // resident stream fragments the table one file per ack forever
+    // every tiny batch commits one fragment file; at min_input_files=2
+    // (most aggressive) the packer holds the live file count bounded
+    // after EVERY batch — without packing a resident stream fragments
+    // the table one file per ack forever
     (1 to 8).foreach { i =>
       assert(stream.writeBatch(Seq(create(s"p$i", i.toLong))).isSuccess)
       assert(store.currentRelPaths("t").size <= 2,
@@ -171,6 +173,36 @@ class DestinationSpec extends SparkSpec {
       assert(plain.writeBatch(Seq(create(s"p$i", i.toLong))).isSuccess))
     assert(plain.lastFilePack.isEmpty)
     assert(store.currentRelPaths("t").size > 2)
+  }
+
+  test("default min_input_files=5 amortizes packing instead of rewriting per ack") {
+    val root = tmpDir("dest-pack-")
+    val store = new TableStore(spark, root)
+    store.create("t", schema)
+    val stream = Destination.open(spark, Destination.configure(Map(
+      "store.root" -> root, "table" -> "t", "key.columns" -> "id",
+      "maintenance.files" -> "true")).get)
+    def create(pos: String, id: Long) =
+      CdcRecord(pos.getBytes, CdcOp.Create,
+        key = Some(RawData(s"""{"id": $id}""")),
+        after = Some(RawData(s"""{"id": $id, "v": "v$id"}""")))
+    // per-ack packing with min=2 rewrites the resident packed file on
+    // EVERY ack — O(n^2) write amplification. The default (5, Iceberg's
+    // min-input-files) packs only once 5 small siblings accumulate:
+    // most acks pack nothing, the resident file rewrites once per 4 new
+    // files, and the live count stays bounded by 5.
+    var packs = 0
+    (1 to 10).foreach { i =>
+      assert(stream.writeBatch(Seq(create(s"p$i", i.toLong))).isSuccess)
+      val (rw, _) = stream.lastFilePack.get.get
+      if (rw > 0) packs += 1
+      assert(store.currentRelPaths("t").size <= 5,
+        s"batch $i left ${store.currentRelPaths("t").size} live files")
+    }
+    assert(packs === 2, s"10 acks must pack exactly twice, got $packs")
+    assert(stream.table.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      (1L to 10L).map(i => (i, s"v$i")))
   }
 
   test("write failure surfaces the decode cause and applies nothing") {

@@ -119,6 +119,26 @@ class TransactionSpec extends SparkSpec {
     assert(rows(outside, "derived") === Seq((10L, "d")))
   }
 
+  test("an aborted transaction's created table leaves no directory behind") {
+    val root = tmpDir("txn-")
+    val st = new TableStore(spark, root)
+    intercept[IllegalStateException] {
+      st.transaction { tx =>
+        tx.create("derived", schema)
+        tx.append("derived", Seq((10L, "d")).toDF("id", "v"))
+        throw new IllegalStateException("boom")
+      }
+    }
+    assert(!st.exists("derived"))
+    // the eagerly-written directory metadata must be gone too —
+    // otherwise a later create fails "already exists" on a table
+    // nobody can see
+    assert(!new java.io.File(s"$root/derived").exists())
+    st.create("derived", schema) // fresh create succeeds
+    st.append("derived", Seq((1L, "x")).toDF("id", "v"))
+    assert(rows(st, "derived") === Seq((1L, "x")))
+  }
+
   test("drop / overwrite-create / rename refused inside a transaction") {
     val root = tmpDir("txn-")
     val st = new TableStore(spark, root)
