@@ -1338,9 +1338,15 @@ object TableQueries2 {
     store.deleteMoR(fact,
       t(spark, dir, "orders").filter(col("o_orderkey") % 19 === 0)
         .select("o_orderkey"), Seq("o_orderkey"))
+    // a SECOND tombstone generation (the CDC-heavy pile shape): its
+    // sidecar is layout-clustered with per-file ranges, so each bucket
+    // task reads only its slice however large the pile grows
+    store.deleteMoR(fact,
+      t(spark, dir, "orders").filter(col("o_orderkey") % 23 === 1)
+        .select("o_orderkey"), Seq("o_orderkey"))
     store.deletePos(fact, col("o_totalprice") > 200000.0)
-    require(store.pendingDeletes(fact) == 2,
-      s"expected 2 pending MoR sidecars, got ${store.pendingDeletes(fact)}")
+    require(store.pendingDeletes(fact) == 3,
+      s"expected 3 pending MoR sidecars, got ${store.pendingDeletes(fact)}")
     val confs = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
@@ -1367,7 +1373,7 @@ object TableQueries2 {
       // the bucket-keyed aggregate must add NO hash exchange
       require(!plan.contains("Exchange hashpartitioning"),
         s"SPJ gate expected a shuffle-free join+aggregate, got:\n$plan")
-      require(store.pendingDeletes(fact) == 2,
+      require(store.pendingDeletes(fact) == 3,
         "the masked read must leave the sidecars pending (MoR, not CoW)")
       // re-issue under restored confs: the RESULT the driver compares is
       // conf-independent, only the plan shape needed the pinned settings
@@ -1383,7 +1389,8 @@ object TableQueries2 {
       |  count(*) AS cnt,
       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      |WHERE o.o_orderkey % 19 <> 0 AND o.o_totalprice <= 200000.0
+      |WHERE o.o_orderkey % 19 <> 0 AND o.o_orderkey % 23 <> 1
+      |  AND o.o_totalprice <= 200000.0
       |GROUP BY o.o_custkey, c.c_mktsegment
       |ORDER BY custkey, seg""".stripMargin
 

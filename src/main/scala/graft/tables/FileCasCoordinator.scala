@@ -26,16 +26,61 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * or renamed; old entries are pruned only once they are
   * [[FileCasCoordinator.Keep]] generations behind the head (a reader
   * listing concurrently still resolves the head correctly because the
-  * head entry is never deleted). */
+  * head entry is never deleted).
+  *
+  * == Atomic multi-pointer commit ==
+  *
+  * [[swapAll]] here is GENUINELY atomic — it does not use the
+  * compensate-on-loss default. The protocol is consensus by
+  * create-exclusive, in three steps:
+  *
+  *  1. RESERVE: for each table (in sorted order) CAS a ledger entry
+  *     whose value is the marker `tx:<txid>` instead of a manifest
+  *     name. A lost reservation aborts the whole transaction.
+  *  2. DECIDE: create-exclusive the transaction record
+  *     `<dir>/_tx/<txid>` holding `commit` plus the table→manifest
+  *     mapping. Creating this ONE file is the linearization point: the
+  *     transaction is committed iff the record exists and says commit.
+  *  3. REPAIR (best-effort): re-assert each table's head as a normal
+  *     entry so later readers stop resolving through the record.
+  *
+  * A reader that finds a `tx:` marker at a head resolves it through
+  * the record; if the record does not exist yet, the reader DECIDES
+  * THE ABORT by create-exclusive-writing `abort` into it — of the
+  * committer's `commit` and any reader's `abort` exactly one create
+  * wins, so every observer agrees forever (undecided in-flight
+  * transactions lose to concurrent readers, the standard optimistic
+  * outcome; the committer sees the abort and reports failure). An
+  * aborted marker resolves to the PREVIOUS entry's value, so aborted
+  * reservations leave no torn state — they only consume a generation
+  * number. A crash at ANY point leaves either no record (aborted by
+  * the next observer) or a commit record (every pointer advances) —
+  * never a partial advance. Decided records are immutable and cached;
+  * they are tiny and kept (crash-window evidence), while marker
+  * entries age out of the ledger under the normal Keep window once
+  * repaired/superseded. */
 final class FileCasCoordinator(conf: Configuration, dir: String)
   extends CommitCoordinator {
+
+  import FileCasCoordinator.{Keep, TxDirName, TxPrefix}
 
   private val base = new HPath(dir)
   private val fs: FileSystem = base.getFileSystem(conf)
 
-  private def keyDir(table: String): HPath =
+  /** Decided transaction outcomes are immutable: cache them so steady-
+    * state reads of a repaired-but-still-marker head cost no FS reads. */
+  private val txCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, String]]]()
+
+  private def keyDir(table: String): HPath = {
+    require(table != TxDirName,
+      s"table key $table collides with the transaction-record directory")
     // table keys are fs-safe names ('@' joins branch refs)
     new HPath(base, table.replace("@", "__at__"))
+  }
+
+  private def txPath(id: String): HPath =
+    new HPath(new HPath(base, TxDirName), id)
 
   private def entries(table: String): Seq[(Long, HPath)] = {
     val d = keyDir(table)
@@ -51,14 +96,91 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
   }
 
-  /** Head of the ledger: (generation, value); generation 0 = empty. */
-  private def head(table: String): (Long, Option[String]) =
-    entries(table).lastOption match {
-      case None => (0L, None)
-      case Some((n, p)) =>
-        val v = readEntry(p)
-        (n, if (v.isEmpty) None else Some(v))
+  /** Create-exclusive write — the one primitive everything here is
+    * built on. Returns whether THIS call created the file. */
+  private def createExclusive(target: HPath, value: String): Boolean =
+    try {
+      if (fs.getScheme == "file") {
+        // RawLocalFileSystem's create(overwrite=false) is
+        // check-then-create; O_EXCL via java.nio is atomic
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          value.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } else {
+        val out = fs.create(target, false)
+        try out.write(value.getBytes("UTF-8")) finally out.close()
+        true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(target) => false
     }
+
+  /** Outcome of transaction `id`: Some(table→manifest) = committed,
+    * None = aborted. An absent record is UNDECIDED — this call decides
+    * the abort (create-exclusive `abort`); if the committer's `commit`
+    * wins that race instead, the re-read observes it. Either way the
+    * outcome is decided exactly once and never changes. */
+  private def txOutcome(id: String): Option[Map[String, String]] = {
+    val cached = txCache.get(id)
+    if (cached != null) return cached
+    val p = txPath(id)
+    val content =
+      if (fs.exists(p)) readEntry(p)
+      else {
+        fs.mkdirs(new HPath(base, TxDirName))
+        createExclusive(p, "abort")
+        readEntry(p) // ours or the committer's — decided either way
+      }
+    val out =
+      if (!content.startsWith("commit")) None
+      else Some(content.linesIterator.drop(1).flatMap { l =>
+        l.split('\t') match {
+          case Array(t, m) => Some(t -> m)
+          case _ => None
+        }
+      }.toMap)
+    txCache.putIfAbsent(id, out)
+    out
+  }
+
+  /** Head of the ledger with transaction markers RESOLVED:
+    * (next-free generation - 1 i.e. the raw max generation, value).
+    * Walks back through aborted markers to the newest real value; a
+    * committed marker resolves through its record's mapping. Walking
+    * past the oldest retained entry (> Keep consecutive crashed
+    * transactions — see prune) fails loudly rather than resurrecting
+    * an older generation as the head. */
+  private def head(table: String): (Long, Option[String]) = {
+    val es = entries(table)
+    if (es.isEmpty) return (0L, None)
+    val rawGen = es.last._1
+    var i = es.size - 1
+    while (i >= 0) {
+      val v = readEntry(es(i)._2)
+      if (v.startsWith(TxPrefix)) {
+        txOutcome(v.stripPrefix(TxPrefix)) match {
+          case Some(mapping) =>
+            val m = mapping.getOrElse(table, sys.error(
+              s"transaction record for $table names no manifest — " +
+                "corrupt commit record"))
+            return (rawGen, Some(m))
+          case None => i -= 1 // aborted reservation: look further back
+        }
+      } else {
+        return (rawGen, if (v.isEmpty) None else Some(v))
+      }
+    }
+    // every retained entry is an aborted marker; the real value was
+    // pruned away — refuse to guess
+    if (es.head._1 > 1L) sys.error(
+      s"commit ledger for $table holds only aborted transaction " +
+        "markers in its retained window — cannot resolve the pointer")
+    (rawGen, None)
+  }
 
   override def current(table: String): Option[String] = head(table)._2
 
@@ -78,29 +200,62 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     if (cur != expected) return false
     val d = keyDir(table)
     if (n == 0L) fs.mkdirs(d)
-    val target = new HPath(d, s"commit-${n + 1}")
-    val won =
-      try {
-        if (fs.getScheme == "file") {
-          // RawLocalFileSystem's create(overwrite=false) is
-          // check-then-create; O_EXCL via java.nio is atomic
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            value.getBytes("UTF-8"),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
-          true
-        } else {
-          val out = fs.create(target, false)
-          try out.write(value.getBytes("UTF-8")) finally out.close()
-          true
-        }
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if fs.exists(target) => false
-      }
+    val won = createExclusive(new HPath(d, s"commit-${n + 1}"), value)
     if (won) prune(table, n + 1)
     won
+  }
+
+  /** Atomic multi-pointer commit (see class doc): reservations + ONE
+    * decided-by-create-exclusive transaction record, replacing the
+    * compensate-on-loss default — there is no window in which a crash
+    * or a racing observer can see some pointers advanced and others
+    * not. */
+  override def swapAll(swaps: Seq[(String, Option[String], String)]): Boolean = {
+    require(swaps.map(_._1).distinct.size == swaps.size,
+      "swapAll: duplicate table in transaction commit set")
+    swaps match {
+      case Seq() => return true
+      case Seq((t, e, n)) => return swap(t, e, n) // no record needed
+      case _ => ()
+    }
+    val txid = java.util.UUID.randomUUID().toString
+    val reserved = scala.collection.mutable.ListBuffer[(String, Long)]()
+    val ok = swaps.sortBy(_._1).forall { case (t, e, _) =>
+      val (n, cur) = head(t)
+      cur == e && {
+        val d = keyDir(t)
+        if (n == 0L) fs.mkdirs(d)
+        val won = createExclusive(new HPath(d, s"commit-${n + 1}"),
+          TxPrefix + txid)
+        if (won) reserved += ((t, n + 1))
+        won
+      }
+    }
+    if (!ok) {
+      // decide the abort ourselves so our dangling reservations resolve
+      // immediately instead of waiting for the next reader
+      fs.mkdirs(new HPath(base, TxDirName))
+      createExclusive(txPath(txid), "abort")
+      txCache.putIfAbsent(txid, None)
+      return false
+    }
+    val content = "commit\n" +
+      swaps.map { case (t, _, n) => s"$t\t$n" }.mkString("\n")
+    fs.mkdirs(new HPath(base, TxDirName))
+    val committed = createExclusive(txPath(txid), content)
+    if (!committed) return false // a racing observer decided the abort
+    txCache.putIfAbsent(txid,
+      Some(swaps.map { case (t, _, n) => t -> n }.toMap))
+    // best-effort repair: a normal head entry per table, so future
+    // reads resolve without touching the record; losing the create to
+    // a writer that already advanced past us is fine
+    reserved.foreach { case (t, gen) =>
+      swaps.find(_._1 == t).foreach { case (_, _, n) =>
+        createExclusive(new HPath(keyDir(t), s"commit-${gen + 1}"), n)
+        prune(t, gen + 1)
+      }
+    }
+    true
   }
 
   /** Best-effort ledger pruning: entries more than [[FileCasCoordinator.Keep]]
@@ -115,4 +270,8 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
 object FileCasCoordinator {
   /** Ledger generations retained behind the head. */
   val Keep: Long = 16L
+  /** Ledger-entry marker prefix naming an in-flight transaction. */
+  private[tables] val TxPrefix = "tx:"
+  /** Directory of decided transaction records. */
+  private[tables] val TxDirName = "_tx"
 }

@@ -573,6 +573,95 @@ private[tables] final class GraftMaskedReaderFactory(
     * write-time zone yields a real, non-null, MISMATCHED value — which
     * the null/exception guards don't catch — and dropping an applicable
     * tombstone on it would resurrect deleted rows. */
+  /** Stat-domain range value → the Catalyst internal value the layout
+    * expression evaluates over. None = unrepresentable (fail open —
+    * the sidecar file is read, never skipped). */
+  private def statToInternal(v: Any, dt: org.apache.spark.sql.types.DataType)
+      : Option[Any] = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (s: String, StringType) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case (l: Long, LongType) => Some(l)
+      case (l: Long, IntegerType) if l.isValidInt => Some(l.toInt)
+      case (l: Long, ShortType) if l.isValidShort => Some(l.toShort)
+      case (l: Long, ByteType) if l.isValidByte => Some(l.toByte)
+      case (l: Long, TimestampType | TimestampNTZType) => Some(l)
+      case (l: Long, DateType) if l.isValidInt => Some(l.toInt)
+      case (d: Double, DoubleType) => Some(d)
+      case (d: Double, FloatType) => Some(d.toFloat)
+      case _ => None
+    }
+  }
+
+  /** Normalize derived values to [[ZoneStats.cmp]]'s domain. */
+  private def cmpNorm(a: Any, b: Any): Option[Int] = {
+    def n(v: Any): Any = v match {
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case y: Byte => y.toLong
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case f: Float => f.toDouble
+      case other => other
+    }
+    ZoneStats.cmp(n(a), n(b))
+  }
+
+  /** Per-dimension skip tests for whole sidecar files: a sidecar file
+    * whose recorded range on a layout dimension excludes the task's
+    * partition value can mask nothing in this task and is skipped
+    * WITHOUT being read. This is what layout-clustered sidecars buy:
+    * each key-group task reads only its slice of the tombstone pile,
+    * so per-task sidecar I/O and retained bytes stay bounded however
+    * large the total pile grows.
+    *
+    * Two tests per layout field over a key column: (a) the DIRECT test
+    * against the recorded derived-value range under the field's
+    * dirName — valid for EVERY transform including bucket, because the
+    * writer recorded the derived values themselves (identity records
+    * under the source name, which IS its dirName); (b) a monotonic
+    * fallback deriving bounds from the RAW key range under the source
+    * name — covers sidecars written before a spec change re-derived
+    * the layout (bucket excluded: hash order has no relation to key
+    * order). The same zone-dependence exclusion as [[keyGroupScopes]]
+    * applies, and every conversion/evaluation failure keeps the file
+    * (fail open). */
+  private def fileSkipTests(taskKey: Array[Any], cols: Seq[String],
+      ks: StructType): Seq[(String, (Any, Any) => Boolean)] =
+    specFields.zipWithIndex.flatMap { case (f, i) =>
+      val ci = cols.indexOf(f.source)
+      if (ci < 0 || i >= taskKey.length || taskKey(i) == null) Nil
+      else if (PartitionField.zoneDependent(f, ks(ci).dataType)) Nil
+      else {
+        val dt = ks(ci).dataType
+        val expect = taskKey(i)
+        val direct: (Any, Any) => Boolean = (mn, mx) =>
+          (cmpNorm(expect, mn), cmpNorm(expect, mx)) match {
+            case (Some(x), Some(y)) => x < 0 || y > 0
+            case _ => false
+          }
+        val mono: Option[(String, (Any, Any) => Boolean)] =
+          if (f.isInstanceOf[PartitionField.PBucket] || f.isIdentity) None
+          else {
+            val expr = PartitionField.catalystExpr(f,
+              BoundReference(0, dt, nullable = true), dt, sessionZone)
+            def derive(v: Any): Any =
+              try expr.eval(InternalRow(v))
+              catch { case _: Exception => null }
+            Some((f.source, (mn: Any, mx: Any) =>
+              (statToInternal(mn, dt), statToInternal(mx, dt)) match {
+                case (Some(a), Some(b)) =>
+                  val (da, db) = (derive(a), derive(b))
+                  // monotonic derivation: keys in [mn,mx] derive inside
+                  // [da,db]; a task value strictly outside matches none
+                  da != null && db != null && direct(da, db)
+                case _ => false
+              }))
+          }
+        Seq((f.dirName, direct)) ++ mono
+      }
+    }
+
   private def keyGroupScopes(taskKey: Array[Any], cols: Seq[String],
       ks: StructType): Seq[InternalRow => Boolean] =
     specFields.zipWithIndex.flatMap { case (f, i) =>
@@ -599,31 +688,53 @@ private[tables] final class GraftMaskedReaderFactory(
     // the layout width), position bitmaps once per mask (compressed —
     // the whole table's tombstones fit in roaring-bitmap bytes). Splits
     // of the same group share one sidecar build.
-    val eqSets: Seq[(Seq[String], Int, java.util.HashSet[UnsafeRow])] =
+    val eqSets: Seq[(Seq[String], Int, java.util.HashSet[UnsafeRow],
+        org.apache.spark.util.sketch.BloomFilter)] =
       SpjMaskCache.getOrBuild(("eq", mask, part.keyVals.toSeq)) {
+        var bytesRead = 0L
         val built = mask.eq.map { e =>
           val ks = keySchemas(e.cols)
           val proj = UnsafeProjection.create(ks)
           val scopes = keyGroupScopes(part.keyVals, e.cols, ks)
+          // whole-file skip from the sorted sidecar's per-file ranges:
+          // read only the files whose key slice can touch this task
+          val tests = fileSkipTests(part.keyVals, e.cols, ks)
+          def skip(path: String): Boolean = tests.nonEmpty && {
+            val fn = path.substring(path.lastIndexOf('/') + 1)
+            e.ranges.get(fn).exists(cr => tests.exists { case (c, t) =>
+              cr.get(c).exists { case (mn, mx) => t(mn, mx) }
+            })
+          }
           val set = new java.util.HashSet[UnsafeRow]()
           e.files.foreach { case (path, len) =>
-            flatRows(delFuncs(e.cols), pfOf(path, len)).foreach { r =>
-              if (!(0 until ks.length).exists(r.isNullAt) &&
-                  scopes.forall(_(r))) {
-                set.add(proj(r).copy()); ()
+            if (!skip(path)) {
+              bytesRead += len
+              flatRows(delFuncs(e.cols), pfOf(path, len)).foreach { r =>
+                if (!(0 until ks.length).exists(r.isNullAt) &&
+                    scopes.forall(_(r))) {
+                  set.add(proj(r).copy()); ()
+                }
               }
             }
           }
-          (e.cols, e.seq, set)
+          // bloom prescreen for the probe loop: data rows are mostly
+          // NOT deleted, and a bit-array miss is cheaper than a
+          // HashSet walk — ~1.2 bytes/key at 1% fpp, false positives
+          // just fall through to the exact set
+          val bloom = org.apache.spark.util.sketch.BloomFilter
+            .create(math.max(set.size().toLong, 64L), 0.01)
+          set.forEach(k => bloom.putLong(k.hashCode().toLong))
+          (e.cols, e.seq, set, bloom)
         }
         if (SpjMaskStats.enabled.get())
-          SpjMaskStats.record(built.map(_._3.size.toLong).sum, 0L)
+          SpjMaskStats.record(built.map(_._3.size.toLong).sum, 0L,
+            eqBytes = bytesRead)
         built
       } { built =>
         // estimated pinned bytes: UnsafeRow payload + ~48B HashSet entry
-        // overhead per retained key
-        built.iterator.map { case (_, _, set) =>
-          var b = 64L
+        // overhead per retained key, + the bloom's bit array
+        built.iterator.map { case (_, _, set, bloom) =>
+          var b = 64L + bloom.bitSize() / 8
           val it = set.iterator()
           while (it.hasNext) b += it.next().getSizeInBytes + 48L
           b
@@ -702,8 +813,9 @@ private[tables] final class GraftMaskedReaderFactory(
     new PartitionReader[InternalRow] {
       private var fi = -1
       private var cur: Iterator[InternalRow] = Iterator.empty
-      private var applicable
-          : Seq[(UnsafeProjection, java.util.HashSet[UnsafeRow])] = Nil
+      private var applicable: Seq[(UnsafeProjection,
+          java.util.HashSet[UnsafeRow],
+          org.apache.spark.util.sketch.BloomFilter)] = Nil
       private var posSet: org.roaringbitmap.longlong.Roaring64Bitmap = null
       private var row: InternalRow = _
       private def advanceFile(): Boolean = {
@@ -711,8 +823,8 @@ private[tables] final class GraftMaskedReaderFactory(
         if (fi >= part.files.length) return false
         val fseq = mask.fileSeqs.getOrElse(part.rels(fi), 0)
         applicable = eqSets.collect {
-          case (cols, seq, set) if seq > fseq && !set.isEmpty =>
-            (keyProjs(cols), set)
+          case (cols, seq, set, bloom) if seq > fseq && !set.isEmpty =>
+            (keyProjs(cols), set, bloom)
         }
         posSet = posSets.getOrElse(part.rels(fi), null)
         cur = flatRows(readFunc, part.files(fi))
@@ -724,8 +836,10 @@ private[tables] final class GraftMaskedReaderFactory(
             val r = cur.next()
             val masked =
               (posSet != null && posSet.contains(r.getLong(posOrd))) ||
-                applicable.exists { case (proj, set) =>
-                  set.contains(proj(r))
+                applicable.exists { case (proj, set, bloom) =>
+                  val k = proj(r)
+                  bloom.mightContainLong(k.hashCode().toLong) &&
+                    set.contains(k)
                 }
             if (!masked) { row = outProj(r); return true }
           } else if (!advanceFile()) return false
@@ -772,16 +886,25 @@ private[tables] object SpjMaskStats {
   private val sumPos = new java.util.concurrent.atomic.AtomicLong(0)
   private val maxEq = new java.util.concurrent.atomic.AtomicLong(0)
   private val taskN = new java.util.concurrent.atomic.AtomicLong(0)
+  private val sumEqB = new java.util.concurrent.atomic.AtomicLong(0)
+  private val maxEqB = new java.util.concurrent.atomic.AtomicLong(0)
   def reset(): Unit = {
     sumEq.set(0); sumPos.set(0); maxEq.set(0); taskN.set(0)
+    sumEqB.set(0); maxEqB.set(0)
   }
-  def record(eq: Long, pos: Long): Unit = {
+  def record(eq: Long, pos: Long, eqBytes: Long = 0L): Unit = {
     sumEq.addAndGet(eq); sumPos.addAndGet(pos)
     maxEq.updateAndGet(m => math.max(m, eq)); taskN.incrementAndGet()
+    sumEqB.addAndGet(eqBytes)
+    maxEqB.updateAndGet(m => math.max(m, eqBytes))
     ()
   }
   def snapshot(): (Long, Long, Long, Long) =
     (sumEq.get(), sumPos.get(), maxEq.get(), taskN.get())
+  /** (total sidecar bytes read across eq builds, max per one build) —
+    * pins that range-based file skipping shrinks per-task sidecar I/O
+    * with key-sorted sidecars. */
+  def eqBytesRead(): (Long, Long) = (sumEqB.get(), maxEqB.get())
 }
 
 /** The catalog-served V2 functions backing hidden-partitioning

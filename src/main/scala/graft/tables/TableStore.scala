@@ -1839,11 +1839,37 @@ final class TableStore(private[tables] val spark: SparkSession,
             .filter(_.getPath.getName.endsWith(".parquet"))
             .map(st => (st.getPath.toString, st.getLen))
         val eqSpecs = eqE.map(e =>
-          TableStore.SpjEqDelete(e.cols, e.seq, sidecarFiles(e.rel)))
+          TableStore.SpjEqDelete(e.cols, e.seq, sidecarFiles(e.rel),
+            readEqRanges(name, e.rel)))
         val posFiles = posE.flatMap(e => sidecarFiles(e.rel))
         val dvFiles = dvE.flatMap(e => sidecarFiles(e.rel))
-        val totalBytes =
-          (eqSpecs.flatMap(_.files) ++ posFiles ++ dvFiles).map(_._2).sum
+        // the mask budget is PER TASK, so an entry whose layout-
+        // clustered sidecar carries per-file derived ranges on a
+        // layout field over a key column is charged only its worst
+        // single-point bytes (the most any one key-group task can
+        // retain after file skipping), not its total bytes — the
+        // ceiling raise that keeps CDC-heavy tables on SPJ with
+        // tombstone piles far above SpjMaskMaxBytes. A task's
+        // partition value is a POINT in each derived dimension, so the
+        // stabbing bound is exact per dimension (bucket included — the
+        // sidecar recorded derived values, not key order). Entries
+        // without usable ranges charge full bytes, as before; zone-
+        // dependent derivations are excluded to mirror the reader.
+        val sch0 = schema(name)
+        val budgetDims = fields.filter { f =>
+          sch0.fieldNames.contains(f.source) &&
+            !PartitionField.zoneDependent(f,
+              sch0(sch0.fieldIndex(f.source)).dataType)
+        }
+        def perTaskBytes(e: TableStore.SpjEqDelete): Long = {
+          val full = e.files.map(_._2).sum
+          val refined = budgetDims.filter(f => e.cols.contains(f.source))
+            .flatMap(f =>
+              TableStore.maxPointBytes(e.files, e.ranges, f.dirName))
+          if (refined.isEmpty) full else math.min(full, refined.min)
+        }
+        val totalBytes = eqSpecs.map(perTaskBytes).sum +
+          (posFiles ++ dvFiles).map(_._2).sum
         if (totalBytes > TableStore.SpjMaskMaxBytes) return None
         Some(TableStore.SpjDeleteMask(eqSpecs, posFiles, dvFiles,
           readSeqs(name, version)))
@@ -3112,6 +3138,133 @@ final class TableStore(private[tables] val spark: SparkSession,
   private def deletesDir(name: String): HPath =
     new HPath(tdir(name), "deletes")
 
+  /** Per-file key ranges of a (sorted) equality-delete sidecar:
+    * `deletes/<rel>.ranges.json` = `{fileName: {col: [min, max]}}` in
+    * the stat domain (micros/epoch-days as Long). The SPJ masked reader
+    * uses them to SKIP whole sidecar files whose key range cannot
+    * intersect a task's key group, and [[spjPlan]] uses them to budget
+    * the mask by PER-TASK bytes instead of total sidecar bytes — the
+    * equality-delete scale ceiling. Purely an optimization: an absent
+    * or unparsable file just means every task reads every sidecar file
+    * (the pre-range behavior). */
+  private def eqRangesPath(name: String, rel: String): HPath =
+    new HPath(deletesDir(name), s"$rel.ranges.json")
+
+  /** External collected value → the stat domain ranges/zone stats
+    * compare in (temporal types as Long micros / epoch days). */
+  private def statDomainOf(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case t: java.sql.Timestamp      => DateTimeUtils.fromJavaTimestamp(t)
+      case i: java.time.Instant       => DateTimeUtils.instantToMicros(i)
+      case l: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(l)
+      case d: java.sql.Date           => DateTimeUtils.fromJavaDate(d).toLong
+      case d: java.time.LocalDate     => d.toEpochDay
+      case other                      => other
+    }
+  }
+
+  /** Write an equality-delete sidecar CLUSTERED BY THE TABLE'S LAYOUT
+    * and key-sorted, with per-file ranges. Keys range-partition on
+    * (derived partition values of the layout fields over key columns,
+    * then the raw keys), so each output file holds one narrow slice of
+    * the partition-value space — Iceberg's partitioned-delete-files
+    * shape. The recorded per-file min/max of each DERIVED dimension
+    * (by its dirName) lets an SPJ key-group task skip every sidecar
+    * file but its own slice — bucket layouts included, because the
+    * derived value itself is recorded (no monotonicity argument
+    * needed); raw key ranges are recorded too, serving monotonic-
+    * transform skips if the table is later re-specced. The follow-up
+    * per-file min/max aggregation is one tiny job over the keys just
+    * written (tombstone-sized, not table-sized); a single-file sidecar
+    * records nothing (nothing to skip). Types the stat domain cannot
+    * represent (decimals, binaries, nested) record no range for that
+    * column, and zone-dependent derivations are excluded — readers
+    * fail open on both. */
+  private def writeEqSidecar(name: String, keys: DataFrame,
+      pCols: Seq[String], prefix: String = "del"): String = {
+    val rel = s"$prefix-${java.util.UUID.randomUUID()}"
+    val out = new HPath(deletesDir(name), rel)
+    val sessionZone = spark.sessionState.conf.sessionLocalTimeZone
+    def derivedCol(df: DataFrame, f: PartitionField)
+        : org.apache.spark.sql.Column = {
+      val srcType = df.schema(df.schema.fieldIndex(f.source)).dataType
+      Bridge.column(PartitionField.catalystExpr(
+        f, Bridge.expression(col(s"`${f.source}`")), srcType, sessionZone))
+    }
+    val dims = partitionFields(name).filter { f =>
+      pCols.contains(f.source) && keys.columns.contains(f.source) &&
+        !PartitionField.zoneDependent(f,
+          keys.schema(keys.schema.fieldIndex(f.source)).dataType)
+    }
+    // identity dims cluster on the raw column (derived == source);
+    // recording them once under the source name serves both lookups
+    val derivedDims = dims.filterNot(_.isIdentity)
+    val sortCols = dims.map(f =>
+      if (f.isIdentity) col(s"`${f.source}`") else derivedCol(keys, f)) ++
+      pCols.map(c => col(s"`$c`"))
+    keys.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+      .write.parquet(out.toString)
+    val parquetFiles = listStatusRec(out)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    if (parquetFiles < 2) return rel // one slice: nothing to ever skip
+    val back = spark.read.parquet(out.toString)
+    val statCols: Seq[(String, org.apache.spark.sql.Column)] =
+      pCols.map(c => c -> col(s"`$c`")) ++
+        derivedDims.map(f => f.dirName -> derivedCol(back, f))
+    val aggs = statCols.flatMap { case (_, c) => Seq(min(c), max(c)) }
+    val rows = back.groupBy(input_file_name())
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val sb = new StringBuilder("{")
+    var firstF = true
+    rows.foreach { r =>
+      val full = r.getString(0)
+      val fn = full.substring(full.lastIndexOf('/') + 1)
+      val cols = statCols.map(_._1).zipWithIndex.flatMap { case (c, i) =>
+        val (lo, hi) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
+        if (lo == null || hi == null) None
+        else {
+          val (a, b) = (statJson(statDomainOf(lo)), statJson(statDomainOf(hi)))
+          if (a == "null" || b == "null") None
+          else Some(s"${statJson(c)}: [$a, $b]")
+        }
+      }
+      if (cols.nonEmpty) {
+        if (!firstF) sb.append(", ")
+        firstF = false
+        sb.append(s"${statJson(fn)}: {${cols.mkString(", ")}}")
+      }
+    }
+    sb.append("}")
+    writeString(eqRangesPath(name, rel), sb.toString)
+    rel
+  }
+
+  /** Parsed per-file ranges of one equality sidecar (empty = none
+    * recorded — pre-range sidecar or unrepresentable key types). */
+  private def readEqRanges(name: String, rel: String)
+      : Map[String, Map[String, (Any, Any)]] = {
+    val p = eqRangesPath(name, rel)
+    try {
+      if (!fs.exists(p)) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readString(p))
+        val it = root.properties().iterator()
+        val b = Map.newBuilder[String, Map[String, (Any, Any)]]
+        while (it.hasNext) {
+          val e = it.next()
+          val cols = parseFileStats(Set.empty, e.getValue)
+          if (cols.nonEmpty) b += e.getKey -> cols
+        }
+        b.result()
+      }
+    } catch {
+      // ranges are an optimization — a corrupt file widens, never fails
+      case scala.util.control.NonFatal(_) => Map.empty
+    }
+  }
+
   /** One equality-delete file: `rel` (a parquet directory under
     * `deletes/`) holding distinct key tuples over physical columns
     * `cols`, committed at version `seq`. It masks rows only in data
@@ -3213,12 +3366,12 @@ final class TableStore(private[tables] val spark: SparkSession,
       s"key column $c not in table $name"))
     val m = physMap(name)
     val pCols = keyCols.map(c => physOf(m, c))
-    val rel = s"del-${java.util.UUID.randomUUID()}"
-    val out = new HPath(deletesDir(name), rel)
-    // distinct, cast to the table's declared key types, physical names
-    keys.select(keyCols.map { c =>
+    // distinct, cast to the table's declared key types, physical names;
+    // written key-sorted with per-file ranges so the SPJ masked read can
+    // skip whole sidecar files per key group
+    val rel = writeEqSidecar(name, keys.select(keyCols.map { c =>
       col(c).cast(sch(sch.fieldIndex(c)).dataType).as(physOf(m, c))
-    }: _*).distinct().write.parquet(out.toString)
+    }: _*).distinct(), pCols)
     commitManifest(name, currentVersion(name), Set.empty, Nil, Nil,
       newDeletes = Seq((rel, pCols)))
   }
@@ -3649,7 +3802,10 @@ final class TableStore(private[tables] val spark: SparkSession,
               col(s"`$pc`")
                 .cast(sch(sch.fieldIndex(inv(pc))).dataType).as(pc)
             }: _*)).reduce(_ unionByName _).distinct()
-            DeleteEntry(writeSidecar(merged, "del"), cols, run.last.seq)
+            // merged sidecars re-sort and re-range: compaction is also
+            // the upgrade point for pre-range sidecars
+            DeleteEntry(writeEqSidecar(name, merged, cols), cols,
+              run.last.seq)
           }
         }
       }
@@ -3684,11 +3840,9 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (properties(name).get("write.merge.mode").contains("merge-on-read")) {
       val sch = schema(name)
       val m = physMap(name)
-      val rel = s"del-${java.util.UUID.randomUUID()}"
-      keys.select(keyCols.map { c =>
+      val rel = writeEqSidecar(name, keys.select(keyCols.map { c =>
         col(c).cast(sch(sch.fieldIndex(c)).dataType).as(physOf(m, c))
-      }: _*).distinct()
-        .write.parquet(new HPath(deletesDir(name), rel).toString)
+      }: _*).distinct(), keyCols.map(c => physOf(m, c)))
       val appended = writeDataFiles(name, alignTo(name, sch, newRows))
       commitManifest(name, currentVersion(name), Set.empty, appended,
         appended, meta = meta,
@@ -4404,7 +4558,9 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (fs.exists(deletesDir(name))) {
       val liveDel = keep
         .flatMap(m => readDeleteEntries(name, versionOf(m)).map(_.rel)).toSet
-      listNames(deletesDir(name)).filterNot(liveDel)
+      // a live sidecar's `.ranges.json` sibling lives on with it
+      listNames(deletesDir(name))
+        .filterNot(r => liveDel(r) || liveDel(r.stripSuffix(".ranges.json")))
         .foreach(r => fs.delete(new HPath(deletesDir(name), r), true))
     }
   }
@@ -6007,8 +6163,45 @@ object TableStore {
     * it: key columns (physical == logical under the no-rename gate),
     * the commit sequence it applies FROM (masks only files with a lower
     * recorded sequence), and its parquet part files (path, length). */
+  /** `ranges`: per sidecar FILE NAME, per key column, the file's (min,
+    * max) in the stat domain — present when the sidecar was written
+    * key-sorted ([[TableStore.writeEqSidecar]]). Empty = pre-range
+    * sidecar; readers fall back to reading every file. */
   private[tables] final case class SpjEqDelete(cols: Seq[String], seq: Int,
-      files: Seq[(String, Long)])
+      files: Seq[(String, Long)],
+      ranges: Map[String, Map[String, (Any, Any)]] = Map.empty)
+
+  /** Worst single-point stabbing weight of an entry's sidecar files on
+    * key column `c`: the max total bytes of files whose [min, max] on
+    * `c` contains one value — what ONE identity-layout key-group task
+    * retains after range-based file skipping (its partition value is a
+    * point; every other file is skipped at mask-build time). None when
+    * any file lacks a range on `c` or any pair is non-comparable — the
+    * caller falls back to total bytes. The max over all points occurs
+    * at some interval start, so the O(n²) sweep over starts is exact;
+    * sidecar file counts are range-partitioner-sized (≤ shuffle
+    * partitions per entry), not data-file-sized. */
+  private[tables] def maxPointBytes(files: Seq[(String, Long)],
+      ranges: Map[String, Map[String, (Any, Any)]], c: String): Option[Long] = {
+    val iv = files.map { case (path, len) =>
+      val fn = path.substring(path.lastIndexOf('/') + 1)
+      ranges.get(fn).flatMap(_.get(c)).map { case (mn, mx) => (mn, mx, len) }
+    }
+    if (iv.exists(_.isEmpty) || iv.isEmpty) return None
+    val list = iv.flatten
+    var best = 0L
+    list.foreach { case (mn, _, _) =>
+      var s = 0L
+      list.foreach { case (mn2, mx2, len2) =>
+        (ZoneStats.cmp(mn2, mn), ZoneStats.cmp(mx2, mn)) match {
+          case (Some(a), Some(b)) => if (a <= 0 && b >= 0) s += len2
+          case _ => return None // non-comparable pair: no refinement
+        }
+      }
+      best = math.max(best, s)
+    }
+    Some(best)
+  }
 
   /** Pending merge-on-read delete state the SPJ batch reader must apply
     * per data file (Iceberg-style: each read task re-reads the small

@@ -112,4 +112,120 @@ class DurableCasSpec extends SparkSpec {
     fresh.delete("t", col("id") <= 10L)
     assert(mkStore().read("t").count() === 90L)
   }
+
+  test("swapAll commits every pointer atomically or none") {
+    val dir = tmpDir("cas-tx-")
+    val a = new FileCasCoordinator(conf(), dir)
+    val b = new FileCasCoordinator(conf(), dir)
+    assert(a.swap("x", None, "x1") && a.swap("y", None, "y1"))
+    // commit: both advance, second instance observes both
+    assert(a.swapAll(Seq(("x", Some("x1"), "x2"), ("y", Some("y1"), "y2"))))
+    assert(b.current("x") === Some("x2") && b.current("y") === Some("y2"))
+    // stale expected on ONE table: NEITHER advances
+    assert(!b.swapAll(Seq(("x", Some("x2"), "x3"), ("y", Some("y1"), "y3"))))
+    assert(a.current("x") === Some("x2") && a.current("y") === Some("y2"))
+    // plain CAS still works above transaction markers
+    assert(a.swap("x", Some("x2"), "x3"))
+    assert(b.current("x") === Some("x3"))
+  }
+
+  test("racing multi-table transactions from independent instances: no torn state") {
+    val dir = tmpDir("cas-txrace-")
+    val setup = new FileCasCoordinator(conf(), dir)
+    assert(setup.swap("p", None, "p0") && setup.swap("q", None, "q0"))
+    // 8 independent coordinator instances × 10 generations, every
+    // transaction advancing BOTH pointers in lockstep: after each
+    // round exactly one winner, and p/q must NEVER disagree on the
+    // generation — a torn (compensated-late or half-advanced) state
+    // would surface as p@i with q@j, i != j
+    val coords = (0 until 8).map(_ => new FileCasCoordinator(conf(), dir))
+    (1 to 10).foreach { gen =>
+      val e = (Some(s"p${gen - 1}"): Option[String],
+        Some(s"q${gen - 1}"): Option[String])
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val threads = coords.map { c =>
+        new Thread(() => {
+          if (c.swapAll(Seq(("p", e._1, s"p$gen"), ("q", e._2, s"q$gen"))))
+            { wins.incrementAndGet(); () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get() === 1, s"generation $gen: ${wins.get()} winners")
+      val fresh = new FileCasCoordinator(conf(), dir)
+      assert(fresh.current("p") === Some(s"p$gen"))
+      assert(fresh.current("q") === Some(s"q$gen"))
+    }
+  }
+
+  test("a crashed transaction's reservations abort on first read — no block, no tear") {
+    val dir = tmpDir("cas-crash-")
+    val c = new FileCasCoordinator(conf(), dir)
+    assert(c.swap("x", None, "x1") && c.swap("y", None, "y1"))
+    // simulate a committer that died between reserving and deciding:
+    // hand-write marker entries with NO transaction record
+    val fs = new HPath(dir).getFileSystem(conf())
+    def plant(key: String, gen: Long, txid: String): Unit = {
+      val out = fs.create(new HPath(new HPath(dir, key), s"commit-$gen"), false)
+      try out.write(s"tx:$txid".getBytes("UTF-8")) finally out.close()
+    }
+    plant("x", 2L, "dead-tx")
+    plant("y", 2L, "dead-tx")
+    // a fresh observer resolves BOTH pointers to the pre-transaction
+    // values (deciding the abort as a side effect), not one old one new
+    val reader = new FileCasCoordinator(conf(), dir)
+    assert(reader.current("x") === Some("x1"))
+    assert(reader.current("y") === Some("y1"))
+    // the dead transaction is now decided: a late "committer" re-trying
+    // its record loses, and normal CAS proceeds above the markers
+    assert(reader.swap("x", Some("x1"), "x2"))
+    assert(reader.swap("y", Some("y1"), "y2"))
+    val fresh = new FileCasCoordinator(conf(), dir)
+    assert(fresh.current("x") === Some("x2"))
+    assert(fresh.current("y") === Some("y2"))
+  }
+
+  test("racing independent TableStore instances' multi-table transactions") {
+    val root = "mockfs:" + tmpDir("cas-txstore-")
+    fsProps.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v) }
+    val casDir = tmpDir("cas-txptr-")
+    def mkStore() = new TableStore(spark, root, fsProps,
+      Some(new FileCasCoordinator(conf(), casDir)))
+    val a = mkStore()
+    val b = mkStore()
+    val schema = (1L to 1L).map(i => (i, s"v$i")).toDF("id", "v").schema
+    a.create("src", schema)
+    a.create("dst", schema)
+    // two independent processes move disjoint batches src→dst in
+    // multi-table transactions; retries on conflict. Every batch must
+    // land in BOTH tables or neither — across processes, through the
+    // durable coordinator alone.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def mover(st: TableStore, lo: Long, hi: Long) = new Thread(() => {
+      try (lo to hi).foreach { i =>
+        var done = false
+        var tries = 0
+        while (!done && tries < 30) {
+          tries += 1
+          try {
+            st.transaction { tx =>
+              tx.append("src", Seq((i, s"v$i")).toDF("id", "v"))
+              tx.append("dst", Seq((i, s"v$i")).toDF("id", "v"))
+            }
+            done = true
+          } catch { case _: graft.tables.CommitConflictException => () }
+        }
+        if (!done) sys.error(s"batch $i never committed after $tries tries")
+      } catch { case e: Throwable => errs.add(e); () }
+    })
+    val t1 = mover(a, 1L, 8L)
+    val t2 = mover(b, 101L, 108L)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    if (!errs.isEmpty) throw errs.peek()
+    val fresh = mkStore()
+    val srcIds = fresh.read("src").select("id").collect().map(_.getLong(0)).sorted
+    val dstIds = fresh.read("dst").select("id").collect().map(_.getLong(0)).sorted
+    assert(srcIds.toSeq === ((1L to 8L) ++ (101L to 108L)))
+    assert(dstIds.toSeq === srcIds.toSeq, "src and dst must advance in lockstep")
+  }
 }

@@ -407,6 +407,87 @@ class SpjSpec extends SparkSpec {
     } finally SpjMaskStats.enabled.set(false)
   }
 
+  test("layout-clustered sidecars: file skip bounds per-task sidecar bytes") {
+    // BUCKET layout on the delete key — the CDC-canonical case where
+    // key ORDER cannot scope anything (hash order): the sidecar is
+    // clustered by the derived bucket id with per-file derived ranges,
+    // so each key-group task SKIPS every sidecar file but its own
+    // bucket slice. Without the skip each of the 8 key groups reads
+    // the whole pile (8 × total bytes across builds); with it the max
+    // single build reads ~1/8.
+    spark.sql("CREATE TABLE spj.rs (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, k))")
+    val data = (0L until 4000L).map(i => (i % 1000, i.toDouble))
+      .toDF("k", "v")
+    data.writeTo("spj.rs").append()
+    val delKeys = (0L until 500L)
+    // a test-sized pile coalesces to one file under AQE (fine — nothing
+    // to skip in one file); force the at-scale multi-slice shape
+    val coalesce = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce, "false")
+    try store.deleteMoR("rs", delKeys.toDF("k"), Seq("k"))
+    finally spark.conf.unset(coalesce)
+    val m = store.spjPlan("rs").flatMap(_.mask).get
+    val e = m.eq.head
+    assert(e.files.size > 1, "need a multi-file sidecar to skip within")
+    assert(e.ranges.nonEmpty,
+      "layout-clustered sidecar must record per-file ranges")
+    val totalSidecarBytes = e.files.map(_._2).sum
+    // the per-task budget charge is the worst single bucket, not the pile
+    val pt = TableStore.maxPointBytes(e.files, e.ranges, "k_bucket")
+    assert(pt.exists(_ < totalSidecarBytes),
+      s"point bytes $pt vs total $totalSidecarBytes")
+    SpjMaskCache.reset()
+    SpjMaskStats.reset()
+    SpjMaskStats.enabled.set(true)
+    try withSpj {
+      val q = spark.sql("SELECT k, v FROM spj.rs")
+      val rows = q.collect()
+      assert(finalPlan(q).contains("BatchScan"))
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq ===
+        data.filter(!$"k".isin(delKeys: _*)).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq)
+      val (sumEq, _, _, tasks) = SpjMaskStats.snapshot()
+      val (sumB, maxB) = SpjMaskStats.eqBytesRead()
+      assert(tasks >= 4, s"want several key-group builds, got $tasks")
+      assert(sumEq === delKeys.size.toLong, s"keys retained once: $sumEq")
+      // unskipped builds would read tasks × totalSidecarBytes in sum;
+      // file skipping holds the SUM near ONE pass over the pile and
+      // each single build well under it
+      assert(sumB < tasks * totalSidecarBytes,
+        s"no file was ever skipped: sum=$sumB tasks=$tasks " +
+          s"total=$totalSidecarBytes")
+      assert(maxB < totalSidecarBytes,
+        s"one build read the whole pile: max=$maxB total=$totalSidecarBytes")
+    } finally SpjMaskStats.enabled.set(false)
+  }
+
+  test("maxPointBytes: stabbing-weight arithmetic for the per-task budget") {
+    val files = Seq(("d/a.parquet", 100L), ("d/b.parquet", 200L),
+      ("d/c.parquet", 400L))
+    def rng(a: Long, b: Long) = Map("k" -> ((a: Any, b: Any)))
+    // disjoint slices: one point stabs one file → max single file
+    assert(TableStore.maxPointBytes(files, Map(
+      "a.parquet" -> rng(0L, 9L), "b.parquet" -> rng(10L, 19L),
+      "c.parquet" -> rng(20L, 29L)), "k") === Some(400L))
+    // boundary overlap: a point can stab two adjacent files
+    assert(TableStore.maxPointBytes(files, Map(
+      "a.parquet" -> rng(0L, 9L), "b.parquet" -> rng(10L, 20L),
+      "c.parquet" -> rng(20L, 29L)), "k") === Some(600L))
+    // fully overlapping (unsorted legacy shape): every point stabs all
+    assert(TableStore.maxPointBytes(files, Map(
+      "a.parquet" -> rng(0L, 29L), "b.parquet" -> rng(0L, 29L),
+      "c.parquet" -> rng(0L, 29L)), "k") === Some(700L))
+    // a file without a range → no refinement (fail open to full bytes)
+    assert(TableStore.maxPointBytes(files, Map(
+      "a.parquet" -> rng(0L, 9L), "b.parquet" -> rng(10L, 19L)), "k")
+      === None)
+    // non-comparable pair → no refinement
+    assert(TableStore.maxPointBytes(files, Map(
+      "a.parquet" -> rng(0L, 9L), "b.parquet" -> Map("k" -> (("x": Any),
+        ("y": Any))), "c.parquet" -> rng(20L, 29L)), "k") === None)
+  }
+
   test("zone-shifted read keeps applicable time-layout tombstones") {
     // days(ts) over a ZONED timestamp derives through a session-zone
     // cast: a reader in a different zone computes a DIFFERENT calendar
