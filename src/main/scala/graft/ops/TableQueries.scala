@@ -913,6 +913,8 @@ object TableQueries {
       Some(TableQueries2.tblRowLineageSql)),
     Q("tbl_sql_delta", TableQueries2.tblSqlDelta,
       Some(TableQueries2.tblSqlDeltaSql)),
+    Q("tbl_sql_merge_source", TableQueries2.tblSqlMergeSource,
+      Some(TableQueries2.tblSqlMergeSourceSql)),
     Q("tbl_nested_evolution", TableQueries2.tblNestedEvolution,
       Some(TableQueries2.tblNestedEvolutionSql)),
     Q("tbl_pos_delete", TableQueries2.tblPosDelete,
@@ -1219,6 +1221,79 @@ object TableQueries2 {
       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM m WHERE NOT killed
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
+  /** `MERGE … WHEN NOT MATCHED BY SOURCE` under the oracle — the
+    * sync-style mirror statement (Spark 4 clause; the reference
+    * inherits it through Iceberg's Spark extensions, SparkUtils.java:45):
+    * one statement updates matches, inserts new source rows, deletes
+    * overdrawn stale targets and demotes the rest, in ONE merge-on-read
+    * commit with no data file rewritten. Source keys are split half
+    * existing / half synthetic (at +1e12 — clear of MakeScale replica
+    * key space) so every clause fires. The oracle reconstructs the
+    * merged state as a pure SELECT (value-exact, including the
+    * DECIMAL-summed per-customer totals). */
+  private[ops] def tblSqlMergeSource(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gmsrc",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-mergesrc")
+    spark.conf.set("spark.sql.catalog.gmsrc.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"customer_$ident"
+    val srcO = s"gmsrc_orders_$ident"
+    val srcC = s"gmsrc_customer_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gmsrc.$tbl")
+    spark.sql(s"""CREATE TABLE gmsrc.$tbl (
+      c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+      TBLPROPERTIES ('write.merge.mode'='merge-on-read')""")
+    t(spark, dir, "orders").createOrReplaceTempView(srcO)
+    t(spark, dir, "customer").createOrReplaceTempView(srcC)
+    spark.sql(s"INSERT INTO gmsrc.$tbl " +
+      s"SELECT c_custkey, c_mktsegment, c_acctbal FROM $srcC")
+    val store = new graft.tables.TableStore(spark, root)
+    val before = store.currentRelPaths(tbl).toSet
+    val ver = store.currentVersion(tbl)
+    spark.sql(s"""MERGE INTO gmsrc.$tbl t
+      USING (SELECT CASE WHEN o_custkey % 2 = 0 THEN o_custkey
+                         ELSE o_custkey + 1000000000000 END AS k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+             FROM $srcO WHERE o_orderstatus = 'O'
+             GROUP BY 1) s
+      ON t.c_custkey = s.k
+      WHEN MATCHED THEN UPDATE SET c_mktsegment = 'ACTIVE', c_acctbal = s.total
+      WHEN NOT MATCHED THEN
+        INSERT (c_custkey, c_mktsegment, c_acctbal) VALUES (s.k, 'NEW', s.total)
+      WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'DORMANT'""")
+    require(store.currentVersion(tbl) == ver + 1,
+      "the four-clause merge must be ONE atomic commit")
+    require(before.subsetOf(store.currentRelPaths(tbl).toSet),
+      "merge-on-read MERGE must not rewrite existing data files")
+    require(store.pendingDeletes(tbl) >= 1,
+      "deletes/update-before images must pend as sidecars (MoR)")
+    spark.sql(s"""SELECT c_custkey, c_mktsegment, c_acctbal FROM gmsrc.$tbl
+      ORDER BY c_custkey, c_mktsegment, c_acctbal""")
+  }
+
+  private[ops] val tblSqlMergeSourceSql =
+    """WITH src AS (
+      | SELECT CASE WHEN o_custkey % 2 = 0 THEN o_custkey
+      |             ELSE o_custkey + 1000000000000 END AS k,
+      |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      | FROM orders WHERE o_orderstatus = 'O'
+      | GROUP BY 1)
+      |SELECT c.c_custkey AS c_custkey,
+      |  CASE WHEN s.k IS NOT NULL THEN 'ACTIVE'
+      |       ELSE 'DORMANT' END AS c_mktsegment,
+      |  CASE WHEN s.k IS NOT NULL THEN s.total
+      |       ELSE c.c_acctbal END AS c_acctbal
+      |FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+      |WHERE s.k IS NOT NULL OR c.c_acctbal >= 0
+      |UNION ALL
+      |SELECT s.k AS c_custkey, 'NEW' AS c_mktsegment, s.total AS c_acctbal
+      |FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+      |WHERE c.c_custkey IS NULL
+      |ORDER BY c_custkey, c_mktsegment, c_acctbal""".stripMargin
 
   /** Nested schema evolution under the oracle: orders lands as a STRUCT
     * payload, a nested field is ADDED between two appends (old files

@@ -70,6 +70,31 @@ class DeltaUpdateSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "a"), (2L, "B"), (4L, "d"), (9L, "new")))
   }
 
+  test("MERGE NOT MATCHED BY SOURCE under merge-on-read stays delta") {
+    spark.sql("""CREATE TABLE gdl.ms (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.merge.mode'='merge-on-read')""")
+    store.append("ms", (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v"))
+    Seq((2L, "B"), (9L, "new")).toDF("k", "v")
+      .createOrReplaceTempView("gdl_ms_src")
+    val before = store.currentRelPaths("ms").toSet
+    val ver = store.currentVersion("ms")
+    // full sync-style mirror: every clause kind incl. BY SOURCE, one
+    // commit, no data file rewritten (deltas + appends only)
+    spark.sql("""MERGE INTO gdl.ms t USING gdl_ms_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.k > 6 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""")
+    assert(store.currentVersion("ms") === ver + 1, "one atomic commit")
+    assert(before.subsetOf(store.currentRelPaths("ms").toSet),
+      "MoR merge must not rewrite existing files")
+    assert(store.pendingDeletes("ms") >= 1)
+    val got = spark.sql("SELECT k, v FROM gdl.ms ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "stale"), (2L, "B"), (3L, "stale"),
+      (4L, "stale"), (5L, "stale"), (6L, "stale"), (9L, "new")))
+  }
+
   test("delta DELETE via the rewrite path (subquery condition) stays MoR") {
     spark.sql("""CREATE TABLE gdl.d (k BIGINT, v STRING)
       TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")

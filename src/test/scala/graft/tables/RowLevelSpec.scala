@@ -93,6 +93,38 @@ class RowLevelSpec extends SparkSpec {
     assert(rows === Seq((1L, "a"), (9L, "z")))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: the sync-style mirror statement") {
+    spark.sql("CREATE TABLE grl.m4 (k BIGINT, v STRING, amt DOUBLE)")
+    store.append("m4", Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "v", "amt"))
+    Seq((2L, "B", 200.0), (5L, "E", 500.0)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("m4_src")
+    val v0 = store.currentVersion("m4")
+    // mirror the source: update matches, insert new, delete stale-but-
+    // small, demote the rest — all four clause kinds, ONE snapshot
+    spark.sql("""MERGE INTO grl.m4 t USING m4_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.amt < 35.0 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""")
+    assert(store.currentVersion("m4") === v0 + 1)
+    val rows = spark.sql("SELECT k, v, amt FROM grl.m4 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((2L, "B", 200.0), (4L, "stale", 40.0),
+      (5L, "E", 500.0)))
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE alone mirrors a full delete-sync") {
+    spark.sql("CREATE TABLE grl.m5 (k BIGINT, v STRING)")
+    store.append("m5", (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    (3L to 7L).map(i => (i, "")).toDF("k", "ignore")
+      .createOrReplaceTempView("m5_src")
+    spark.sql("""MERGE INTO grl.m5 t USING m5_src s ON t.k = s.k
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT k FROM grl.m5 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === (3L to 7L))
+  }
+
   test("MERGE prunes candidate files via the runtime _file group filter") {
     spark.sql("""CREATE TABLE grl.m3 (k BIGINT, v STRING)
       TBLPROPERTIES ('zone_cols'='k')""")
