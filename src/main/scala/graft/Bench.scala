@@ -58,8 +58,20 @@ object Bench {
     // load-insensitive estimator for a deterministic workload.
     val reps = math.max(1, scala.util.Try(
       sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
+    // JVM-health telemetry around the timed loop: cumulative GC time and
+    // post-reset peak heap turn "this round is 1.5× slower with
+    // unchanged code" from a verdict-cycle mystery into a one-line
+    // diagnosis (heavy GC / memory pressure = contaminated run)
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    heapPools.foreach(_.resetPeakUsage())
+    val gc0 = gcMillis
     val results = selected.map { q =>
-      val times = (1 to reps).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         val ok =
           try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -77,22 +89,39 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         if (ok) elapsed else -1.0
       }
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to reps).foreach(_ => times += once())
+      // sub-3s gates are the ones ambient-load spikes distort most (one
+      // 300ms GC is a 1.5× "regression"): give them at least 3 samples
+      // so the min is a real steady-state estimate
+      while (times.forall(_ >= 0) && times.min < 3.0 &&
+          times.size < math.max(reps, 3))
+        times += once()
       // a failed query reports -1, never a plausible-looking partial time
-      if (times.exists(_ < 0)) (q.name, -1.0, -1.0)
-      else (q.name, times.min, times.max)
+      if (times.exists(_ < 0)) (q.name, -1.0, -1.0, Seq(-1.0))
+      else (q.name, times.min, times.max, times.toSeq)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query max alongside the reported min: a wide min/max spread is
     // direct evidence of ambient-load contamination, so cross-round
     // comparisons can discount noisy samples without a re-run
-    val spreads = results.map { case (k, _, mx) => "\"" + k + "\":" + mx }
+    val spreads = results.map { case (k, _, mx, _) => "\"" + k + "\":" + mx }
       .mkString("{", ",", "}")
+    // every raw sample: the next contamination episode self-diagnoses
+    // from the artifact instead of consuming a verdict cycle
+    val repTimes = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val gcSec = (gcMillis - gc0) / 1000.0
+    val peakHeapMb =
+      heapPools.map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+        .sum / (1024.0 * 1024.0)
     val total = results.map(_._2).filter(_ >= 0).sum
     // headline keys LAST: the driver keeps only the tail of stdout, so a
     // leading total would be the first thing truncated away by a long
     // per-query map. The full line also lands in bench.json on disk.
-    val line = s"""{"queries":$qs,"rep_max":$spreads,"reps":$reps,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    val line = s"""{"queries":$qs,"rep_max":$spreads,"rep_times":$repTimes,"reps":$reps,"gc_sec":${f"$gcSec%.1f"},"peak_heap_mb":${f"$peakHeapMb%.0f"},"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
     println(line)
     // artifact path: explicit override, else the enclosing repo root
     // (walk up to build.sbt), else cwd — a bench run from a subdirectory

@@ -449,6 +449,56 @@ object AnnIndex {
       .select("query_id", "rank", "vec_id", "label", "cos")
   }
 
+  /** Composite index maintenance — the one CALL a scheduler fires per
+    * index per interval: (1) refresh to the corpus head (incremental —
+    * appended rows index, mutated keys tombstone + re-enter), (2) fold
+    * the index's own pending tombstones (`rewrite_deletes` — CDC-heavy
+    * corpora otherwise accumulate sidecars on the index), (3) measure
+    * RECALL against brute force on a deterministic hash-ranked corpus
+    * sample — the drift monitor for the fixed-seed structures (IVF
+    * centroids / PQ codebooks drift under distribution shift; LSH
+    * planes do not but its bucket balance can). Returns
+    * (rows indexed, tombstone entries before, after, truth pairs
+    * sampled, recall, action) where action is "ok" or
+    * "rebuild-recommended" when recall fell below `recallFloor`.
+    * The sample is O(sample·k) driver-side pairs; brute force scans the
+    * corpus ONCE with the sample broadcast — the same cost profile as
+    * one ANN query batch, safe to run routinely at scale. */
+  def maintainIndex(store: TableStore, corpusTable: String,
+      indexTable: String, kind: String, sample: Int = 8, k: Int = 5,
+      recallFloor: Double = 0.0): (Long, Long, Long, Long, Double, String) = {
+    require(sample > 0 && k > 0, "sample and k must be positive")
+    val rows = kind match {
+      case "lsh" => refresh(store, corpusTable, indexTable)
+      case "ivf" => refreshIvf(store, corpusTable, indexTable)
+      case "pq"  => refreshPq(store, corpusTable, indexTable)
+      case other => throw new IllegalArgumentException(
+        s"unknown index kind '$other' (lsh | ivf | pq)")
+    }
+    val (before, after) = store.rewriteDeletes(indexTable)
+    val corpus = store.read(corpusTable)
+    // deterministic sample by portable hash rank (the hashSeeds rule):
+    // stable across runs and engines, never degenerate on sparse ids
+    val queries = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(PortableHash.h60(col("vec_id")
+        .cast(org.apache.spark.sql.types.StringType)), col("vec_id"))
+      .limit(sample)
+    val truth = Similarity.bruteTopK(corpus, queries, k)
+      .select("query_id", "vec_id")
+    val approx = (kind match {
+      case "lsh" => query(store, indexTable, queries, k)
+      case "ivf" => queryIvf(store, indexTable, queries, k)
+      case _     => queryPq(store, indexTable, queries, k)
+    }).select("query_id", "vec_id")
+    val nTrue = truth.count()
+    val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .count()
+    val recall = if (nTrue == 0) 1.0 else hits.toDouble / nTrue
+    val action = if (recall >= recallFloor) "ok" else "rebuild-recommended"
+    (rows, before.toLong, after.toLong, nTrue, recall, action)
+  }
+
   /** Incremental PQ gate — same shape as the LSH/IVF ones: codebooks
     * fix at first build (pinned byte-identical), the second refresh
     * encodes only the appended vectors, and the served top-k matches a

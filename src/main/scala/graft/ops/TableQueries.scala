@@ -936,6 +936,8 @@ object TableQueries {
       Some(TableQueries2.tblCboBroadcastSql)),
     Q("tbl_add_files", TableQueries2.tblAddFiles,
       Some(TableQueries2.tblAddFilesSql)),
+    Q("tbl_add_files_partitioned", TableQueries2.tblAddFilesPartitioned,
+      Some(TableQueries2.tblAddFilesPartitionedSql)),
     Q("tbl_changelog_updates", TableQueries2.tblChangelogUpdates,
       Some(TableQueries2.tblChangelogUpdatesSql)),
     Q("tbl_spj_identity", TableQueries2.tblSpjIdentity,
@@ -1928,6 +1930,66 @@ object TableQueries2 {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders WHERE o_orderkey % 7 <> 0
       |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
+
+  /** PARTITIONED `add_files` under the oracle (Iceberg's
+    * add_files(partition_filter)): a hive-layout orders corpus
+    * (partitioned by o_orderstatus) adopts BY REFERENCE into a matching
+    * identity-partitioned table — two of its three status directories
+    * via partition_filter, metadata-only, zero copy (require()d) — and
+    * the partition column re-attaches from the adopted paths' directory
+    * names. Directory pruning on adopted files is require()d in-gate:
+    * a status-equality scan lists only that directory's files. */
+  private[ops] def tblAddFilesPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.gafp",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-addfp")
+    spark.conf.set("spark.sql.catalog.gafp.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val src = Scratch.dir("tbl-addfp-src", Scratch.tag(dir))
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .repartitionByRange(3, col("o_orderkey"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(src)
+    spark.sql(s"DROP TABLE IF EXISTS gafp.$tbl")
+    spark.sql(s"""CREATE TABLE gafp.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+      o_orderstatus STRING)
+      PARTITIONED BY (o_orderstatus)
+      TBLPROPERTIES ('zone_cols'='o_orderkey')""")
+    val store = new graft.tables.TableStore(spark, root)
+    val r1 = spark.sql(s"CALL gafp.system.add_files(`table` => '$tbl', " +
+      s"source_dir => '$src', partition_filter => 'o_orderstatus=F')").head()
+    val r2 = spark.sql(s"CALL gafp.system.add_files(`table` => '$tbl', " +
+      s"source_dir => '$src', partition_filter => 'o_orderstatus=O')").head()
+    require(r1.getLong(0) >= 1L && r2.getLong(0) >= 1L,
+      "both filtered adoptions must add files")
+    val rels = store.currentRelPaths(tbl)
+    require(rels.forall(r => r.startsWith("/") &&
+        (r.contains("o_orderstatus=F") || r.contains("o_orderstatus=O"))),
+      s"by-reference hive entries expected, got: ${rels.take(3)}")
+    require(!new java.io.File(s"$root/$tbl/data").exists() ||
+        new java.io.File(s"$root/$tbl/data").listFiles().forall(f =>
+          !f.getName.endsWith(".parquet")),
+      "partitioned add_files must copy nothing")
+    // directory pruning on adopted files: the 'F' scan lists only the
+    // F directory's files
+    val fOnly = store.read(tbl).filter(col("o_orderstatus") === "F")
+    fOnly.collect()
+    val (cand, scanned) = graft.tables.ZoneMapFileIndex.lastCountsOf(
+      store.read(tbl).filter(col("o_orderstatus") === "F"))
+    require(cand > 0 && scanned < cand,
+      s"partition pruning on adopted files: scanned $scanned of $cand")
+    spark.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM gafp.$tbl
+      ORDER BY o_orderkey, o_custkey, o_totalprice, o_orderstatus""")
+  }
+
+  private[ops] val tblAddFilesPartitionedSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_orderstatus IN ('F', 'O')
+      |ORDER BY o_orderkey, o_custkey, o_totalprice, o_orderstatus""".stripMargin
 
   /** Change-feed UPDATE PAIRING under the oracle (Iceberg
     * `create_changelog_view` identifier columns / Delta CDF pre- and

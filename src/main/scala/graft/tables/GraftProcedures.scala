@@ -32,7 +32,7 @@ private[tables] object GraftProcedures {
   def names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphans", "materialize_deletes", "rewrite_deletes",
     "maintain_deletes", "rewrite_small_files", "maintain",
-    "add_variant_shred", "create_branch",
+    "maintain_index", "add_variant_shred", "create_branch",
     "create_tag", "drop_ref", "fast_forward", "rollback_to_version",
     "add_files", "migrate", "analyze", "create_view", "drop_view")
 
@@ -144,6 +144,32 @@ private[tables] object GraftProcedures {
           after.toLong, rw.toLong, wr.toLong,
           store.currentVersion(t).toLong)
       })
+      case "maintain_index" => Some(p(
+        // ANN-index maintenance in one call: incremental refresh to the
+        // corpus head, tombstone fold on the index, and a recall-vs-
+        // brute-force drift report on a deterministic sample. `action`
+        // says "rebuild-recommended" when recall fell below the floor —
+        // the signal to re-seed IVF centroids / PQ codebooks after
+        // distribution shift (drop the index and call again).
+        Seq(in("corpus", StringType), in("index", StringType),
+          inDef("kind", StringType, "'lsh'"),
+          inDef("sample", IntegerType, "8"),
+          inDef("k", IntegerType, "5"),
+          inDef("recall_floor", org.apache.spark.sql.types.DoubleType,
+            "0.0")),
+        out("rows_indexed" -> LongType, "entries_before" -> LongType,
+          "entries_after" -> LongType, "truth_pairs" -> LongType,
+          "recall" -> org.apache.spark.sql.types.DoubleType,
+          "action" -> StringType, "version" -> LongType)) { row =>
+        val (rows, before, after, nTrue, recall, action) =
+          graft.ops.AnnIndex.maintainIndex(store,
+            row.getUTF8String(0).toString, row.getUTF8String(1).toString,
+            row.getUTF8String(2).toString, row.getInt(3), row.getInt(4),
+            row.getDouble(5))
+        Seq(rows, before, after, nTrue, recall,
+          UTF8String.fromString(action),
+          store.currentVersion(row.getUTF8String(1).toString).toLong)
+      })
       case "add_variant_shred" => Some(p(
         Seq(in("table", StringType), in("source_col", StringType),
           in("path", StringType), in("as_name", StringType),
@@ -195,10 +221,21 @@ private[tables] object GraftProcedures {
         Seq(row.getInt(1).toLong, store.currentVersion(t).toLong)
       })
       case "add_files" => Some(p(
-        Seq(in("table", StringType), in("source_dir", StringType)),
+        Seq(in("table", StringType), in("source_dir", StringType),
+          // Iceberg's partition_filter: 'col=value,col2=value2' adopts
+          // only matching hive directories
+          inDef("partition_filter", StringType, "''")),
         out("added_files" -> LongType, "version" -> LongType)) { row =>
         val t = tbl(row)
-        val added = store.addFiles(t, row.getUTF8String(1).toString)
+        val pf = row.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => k.trim -> v.trim
+              case _ => throw new IllegalArgumentException(
+                s"partition_filter entry '$kv' is not col=value")
+            }
+          }.toMap
+        val added = store.addFiles(t, row.getUTF8String(1).toString, pf)
         Seq(added.size.toLong, store.currentVersion(t).toLong)
       })
       case "migrate" => Some(p(

@@ -1678,9 +1678,13 @@ final class TableStore(private[tables] val spark: SparkSession,
       if (pCols.isEmpty) Seq((org.apache.spark.sql.catalyst.InternalRow.empty, rels))
       else rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).toSeq
         .map { case (dir, rs) =>
-          // evolved generations carry a `spec-<id>/` prefix before the
-          // hive kv segments — strip it for value parsing
-          val hiveDir = if (specId == 0) dir else dir.substring(dir.indexOf('/') + 1)
+          // the hive kv segments are the LAST |fields| dir segments:
+          // native rels have exactly those (evolved generations carry a
+          // `spec-<id>/` prefix above them), files adopted BY REFERENCE
+          // (partitioned add_files) carry their absolute source path
+          // above them — parsePartitionValues validates each segment's
+          // `<dirName>=` prefix, so a mis-shaped path fails loudly
+          val hiveDir = dir.split('/').takeRight(pFields.length).mkString("/")
           (parsePartitionValues(name, hiveDir, pFields, dirTypes), rs)
         }
     val groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[org.apache.hadoop.fs.FileStatus])] =
@@ -2805,11 +2809,11 @@ final class TableStore(private[tables] val spark: SparkSession,
       fs.makeQualified(new HPath(p)).toString.stripPrefix(dd + "/")
     val specs = partitionSpecs(name).toMap
     files.groupBy(p => specOfRel(relOf(p))).toSeq.sortBy(_._1)
-      .map { case (id, fls) =>
+      .flatMap { case (id, fls) =>
         val fields = specs.getOrElse(id, Nil).map(PartitionField.parse)
-        val raw =
+        val raws =
           if (fields.isEmpty)
-            spark.read.schema(physSch).parquet(fls: _*)
+            Seq(spark.read.schema(physSch).parquet(fls: _*))
           else {
             // partition discovery fills every dir column, so each one —
             // including hidden-transform DERIVED columns — must appear
@@ -2820,11 +2824,26 @@ final class TableStore(private[tables] val spark: SparkSession,
                 physSch(physSch.fieldIndex(f.source)).dataType),
                 nullable = true)
             }
-            spark.read.schema(StructType(physSch.fields ++ derived))
-              .option("basePath", specBaseDir(name, id).toString)
-              .parquet(fls: _*)
+            val rdSchema = StructType(physSch.fields ++ derived)
+            def withBase(base: String, ps: Seq[String]) =
+              spark.read.schema(rdSchema).option("basePath", base)
+                .parquet(ps: _*)
+            // adopted-by-reference files (partitioned add_files) live
+            // OUTSIDE data/ — each adoption source gets its own
+            // basePath (the path above its hive tail) so discovery
+            // fills the same partition columns from their directories
+            val (native, adopted) = fls.partition(p =>
+              fs.makeQualified(new HPath(p)).toString.startsWith(dd + "/"))
+            def baseOf(p: String): String = {
+              val segs = p.split('/')
+              segs.dropRight(fields.length + 1).mkString("/")
+            }
+            (if (native.isEmpty) Nil
+             else Seq(withBase(specBaseDir(name, id).toString, native))) ++
+              adopted.groupBy(baseOf).toSeq.sortBy(_._1)
+                .map { case (b, ps) => withBase(b, ps) }
           }
-        raw.select(logicalProjection(name, sch, physSch0) ++ idCols: _*)
+        raws.map(_.select(logicalProjection(name, sch, physSch0) ++ idCols: _*))
       }.reduce(_ unionByName _)
   }
 
@@ -2937,13 +2956,21 @@ final class TableStore(private[tables] val spark: SparkSession,
     * adopted file. Do not adopt files another system still writes.
     *
     * Constraints, all checked and loud:
-    *  - unpartitioned tables only (a partitioned adopt needs a
-    *    directory-layout mapping — Iceberg's partition_filter path —
-    *    out of scope);
+    *  - a PARTITIONED table must be single-generation (never
+    *    repartitioned) with an all-IDENTITY spec matching the source's
+    *    hive layout: each adopted file's last partition-depth directory
+    *    segments must read `<col>=<value>` in spec order (the classic
+    *    hive-corpus migration; hidden-transform layouts would need
+    *    derived values no foreign corpus carries). `partitionFilter`
+    *    (Iceberg's add_files partition_filter) restricts adoption to
+    *    directories whose identity values match every given
+    *    column→value pair;
     *  - the files' parquet schema must equal the table's PHYSICAL
-    *    schema by (name → type): after a column rename the physical
-    *    names differ from the logical ones and in-place adoption would
-    *    bind the wrong columns, so it is refused (copy-load instead);
+    *    schema by (name → type) — minus identity partition columns for
+    *    a partitioned adopt (hive strips them from data files, exactly
+    *    as this store does): after a column rename the physical names
+    *    differ from the logical ones and in-place adoption would bind
+    *    the wrong columns, so it is refused (copy-load instead);
     *  - basenames must be unique within the batch AND vs live files
     *    (copy-on-write candidate matching is by basename);
     *  - zero-row files are skipped (dead manifest weight).
@@ -2951,11 +2978,26 @@ final class TableStore(private[tables] val spark: SparkSession,
     * Cost: one grouped stats job over the adopted files — the same job
     * an append pays — so zone bounds, blooms, NDV sketches, row counts
     * and metadata-only aggregates all work on adopted data; then one
-    * commit. Returns the adopted manifest entries. */
-  def addFiles(name: String, sourceDir: String): Seq[String] = {
+    * commit. Partition-value parsing happens at PLAN time from each
+    * adopted path's hive tail, so directory pruning on partition-key
+    * predicates works on adopted files exactly as on native ones.
+    * Returns the adopted manifest entries. */
+  def addFiles(name: String, sourceDir: String,
+      partitionFilter: Map[String, String] = Map.empty): Seq[String] = {
     require(exists(name), s"no table $name")
-    require(partitionFields(name).isEmpty,
-      s"add_files supports unpartitioned tables; $name is partitioned")
+    val pFields = partitionFields(name)
+    require(pFields.forall(_.isIdentity),
+      s"add_files needs an identity (classic hive) layout; $name has " +
+        s"hidden transforms: ${pFields.filterNot(_.isIdentity)
+          .map(_.render).mkString(", ")}")
+    require(pFields.isEmpty || partitionSpecs(name).size == 1,
+      s"add_files into a repartitioned table is not supported; " +
+        s"$name has ${partitionSpecs(name).size} spec generations")
+    require(partitionFilter.isEmpty || pFields.nonEmpty,
+      "partition_filter given for an unpartitioned table")
+    partitionFilter.keys.foreach(k =>
+      require(pFields.exists(_.dirName == k),
+        s"partition_filter column $k is not a partition column of $name"))
     val m = physMap(name)
     val renamed = schema(name).fieldNames.filter(c => physOf(m, c) != c)
     require(renamed.isEmpty,
@@ -2967,8 +3009,32 @@ final class TableStore(private[tables] val spark: SparkSession,
       s"add_files source must live on the table's filesystem " +
         s"(${fs.getUri}); got $sourceDir")
     require(fs.exists(src), s"no such source directory: $sourceDir")
-    val all = listStatusRec(src)
+    val all0 = listStatusRec(src)
       .filter(_.getPath.getName.endsWith(".parquet"))
+    val all =
+      if (pFields.isEmpty) all0
+      else {
+        // validate every file's hive tail against the spec (throws with
+        // the exact offending segment), then apply the partition filter
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val physSch = physSchema(name)
+        val dirTypes = pFields.map(f => PartitionField.dirType(f,
+          physSch(physSch.fieldIndex(f.source)).dataType))
+        all0.filter { st =>
+          val segs = st.getPath.toUri.getPath.split('/').dropRight(1)
+            .takeRight(pFields.length)
+          require(segs.length == pFields.length,
+            s"adopted file ${st.getPath} is not ${pFields.length} " +
+              "partition directories deep")
+          parsePartitionValues(name, segs.mkString("/"), pFields, dirTypes)
+          pFields.zip(segs).forall { case (f, seg) =>
+            partitionFilter.get(f.dirName).forall { want =>
+              ExternalCatalogUtils.unescapePathName(
+                seg.substring(f.dirName.length + 1)) == want
+            }
+          }
+        }
+      }
     require(all.nonEmpty, s"no parquet files under $sourceDir")
     // scheme-less absolute entries: they resolve against `data/` to the
     // same files (same filesystem, required above), and sidecar naming
@@ -2980,18 +3046,50 @@ final class TableStore(private[tables] val spark: SparkSession,
       all.zip(keep).collect { case (st, true) => st.getPath.toUri.getPath }
         .sorted
     }
-    val phys = physSchema(name)
-    val got = spark.read.parquet(files: _*).schema
+    val phys0 = physSchema(name)
+    // identity partition columns live in directory names, not data
+    // files — hive convention, matching this store's own layout
+    val identSrcs = partitionFields(name).map(_.source).toSet
+    val phys = StructType(phys0.filterNot(f => identSrcs.contains(f.name)))
+    val got0 = spark.read.parquet(files: _*).schema
+    // partition DISCOVERY may re-attach dir columns when the adopted
+    // files share a hive-shaped parent — those are not data columns
+    val got = StructType(got0.filterNot(f => identSrcs.contains(f.name)))
     def shape(s: StructType): Map[String, String] =
       s.fields.map(f => f.name -> f.dataType.catalogString).toMap
     require(shape(got) == shape(phys),
       s"adopted files' schema ${got.simpleString} does not match table " +
-        s"$name's schema ${phys.simpleString}")
-    val live = currentRelPaths(name).map(fileName).toSet
-    val names = files.map(fileName)
-    require(names.distinct.size == names.size && !names.exists(live),
-      "adopted file basenames must be unique and distinct from live " +
-        "files — rename the colliding files first")
+        s"$name's data schema ${phys.simpleString}")
+    // UNPARTITIONED tables keep strict basename uniqueness (CoW
+    // candidate matching is by basename; distinct names keep the
+    // rewrite set exact). Hive corpora legitimately REPEAT basenames
+    // across partition directories (one writing task emits the same
+    // part-N name into every directory it holds rows for), so a
+    // partitioned adopt requires only per-directory uniqueness —
+    // cross-directory collisions make CoW matching over-select
+    // consistently (the same basename set drives both the survivor
+    // read and the removal, so extra files rewrite byte-identically;
+    // correct, just wider), never under-select.
+    val liveRels = currentRelPaths(name)
+    if (pFields.isEmpty) {
+      val live = liveRels.map(fileName).toSet
+      val names = files.map(fileName)
+      require(names.distinct.size == names.size && !names.exists(live),
+        "adopted file basenames must be unique and distinct from live " +
+          "files — rename the colliding files first")
+    } else {
+      val liveSet = liveRels.toSet
+      require(files.distinct.size == files.size && !files.exists(liveSet),
+        "adopted files must be distinct and not already in the table")
+      def dirAndName(p: String) = {
+        val i = p.lastIndexOf('/')
+        (p.substring(0, math.max(i, 0)), p.substring(i + 1))
+      }
+      val within = files.map(dirAndName)
+      require(within.distinct.size == within.size,
+        "adopted file basenames must be unique within each partition " +
+          "directory")
+    }
     writeZoneStats(name, files)
     // a lost commit race must never delete the user's source files:
     // reclaimAddedOnAbort stays off (the orphaned stats sidecars are
@@ -5067,7 +5165,9 @@ final class TableStore(private[tables] val spark: SparkSession,
           physSch(physSch.fieldIndex(f.source)).dataType))
         rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).toSeq
           .flatMap { case (dir, rs) =>
-            val hiveDir = if (id == 0) dir else dir.substring(dir.indexOf('/') + 1)
+            // last |fields| segments — see zoneIndexFor (adopted rels
+            // carry their absolute source path above the hive tail)
+            val hiveDir = dir.split('/').takeRight(fields.length).mkString("/")
             val row = parsePartitionValues(name, hiveDir, fields, dirTypes)
             val bounds = hiddenIdx.flatMap { case (f, i) =>
               if (row.isNullAt(i)) None

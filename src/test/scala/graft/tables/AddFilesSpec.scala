@@ -100,6 +100,92 @@ class AddFilesSpec extends SparkSpec {
     assert(st.readAppendedSince("t", v1).count() === 100L)
   }
 
+  private val psch = StructType(Seq(
+    StructField("k", LongType, nullable = true),
+    StructField("v", StringType, nullable = true),
+    StructField("region", StringType, nullable = true)))
+
+  private def hiveCorpus(dir: String): Unit =
+    spark.range(0, 600).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"),
+      element_at(typedLit(Seq("emea", "apac", "amer")),
+        (col("id") % 3 + 1).cast("int")).as("region"))
+      .repartition(2, col("region"))
+      .write.mode("overwrite").partitionBy("region").parquet(dir)
+
+  test("partitioned add_files: hive corpus adopts by reference, prunes") {
+    val root = tmpDir("adfp-")
+    val src = tmpDir("adfp-src-")
+    hiveCorpus(src)
+    val st = new TableStore(spark, root)
+    st.create("t", psch, partitionBy = Seq("region"), zoneCols = Seq("k"))
+    val added = st.addFiles("t", src)
+    assert(added.nonEmpty && added.forall(_.startsWith("/")))
+    assert(added.forall(_.contains("region=")),
+      "entries must carry their hive tails")
+    assert(dataDirParquetCount(root, "t") === 0L, "zero copy")
+    // full read-back with the partition column re-attached per directory
+    assert(st.read("t").count() === 600L)
+    val byRegion = st.read("t").groupBy("region").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRegion === Map("emea" -> 200L, "apac" -> 200L, "amer" -> 200L))
+    // DIRECTORY PRUNING works on adopted files: a partition-key
+    // equality scans only that directory's files
+    val q = st.read("t").filter(col("region") === "emea")
+    assert(q.count() === 200L)
+    val counts = q.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+          .location.asInstanceOf[ZoneMapFileIndex]
+    }.flatMap(_.lastScanCounts)
+    assert(counts.map(_._2).sum < counts.map(_._1).sum,
+      s"partition pruning must drop sibling dirs' files: $counts")
+    // native appends coexist with adopted files in the same partitions
+    st.append("t", Seq((9000L, "x", "emea")).toDF("k", "v", "region"))
+    assert(st.read("t").filter(col("region") === "emea").count() === 201L)
+    // CoW delete rewrites only touched files — adopted siblings survive
+    st.delete("t", col("k") === 3L)
+    assert(st.read("t").count() === 600L)
+    assert(st.read("t").filter(col("k") === 3L).count() === 0L)
+  }
+
+  test("partitioned add_files: partition_filter adopts a directory subset") {
+    val root = tmpDir("adfp-")
+    val src = tmpDir("adfp-src-")
+    hiveCorpus(src)
+    val st = new TableStore(spark, root)
+    st.create("t", psch, partitionBy = Seq("region"))
+    val added = st.addFiles("t", src, Map("region" -> "apac"))
+    assert(added.nonEmpty && added.forall(_.contains("region=apac")))
+    assert(st.read("t").count() === 200L)
+    // a second filtered adopt tails another partition in
+    st.addFiles("t", src, Map("region" -> "emea"))
+    assert(st.read("t").count() === 400L)
+    assert(st.read("t").select("region").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("apac", "emea"))
+    // unknown filter column is loud
+    val e = intercept[IllegalArgumentException](
+      st.addFiles("t", src, Map("nope" -> "x")))
+    assert(e.getMessage.contains("not a partition column"))
+  }
+
+  test("partitioned add_files via the SQL CALL face with partition_filter") {
+    val root = tmpDir("adfp-")
+    val src = tmpDir("adfp-src-")
+    hiveCorpus(src)
+    spark.conf.set("spark.sql.catalog.adfp",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.adfp.root", root)
+    new TableStore(spark, root).create("t", psch, partitionBy = Seq("region"))
+    val res = spark.sql(s"CALL adfp.system.add_files(`table` => 't', " +
+      s"source_dir => '$src', partition_filter => 'region=amer')").head()
+    assert(res.getLong(0) >= 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM adfp.t").head().getLong(0)
+      === 200L)
+    assert(spark.sql("SELECT DISTINCT region FROM adfp.t").head().getString(0)
+      === "amer")
+  }
+
   test("refusals: schema mismatch, rename, partitioned, collision") {
     val root = tmpDir("adf-")
     val src = tmpDir("adf-src-")
@@ -116,9 +202,16 @@ class AddFilesSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](st.addFiles("ren", src))
     assert(e2.getMessage.contains("rename"))
 
+    // hidden-transform layouts refuse (identity layouts adopt — see the
+    // partitioned-adoption tests); so does a flat source into an
+    // identity layout (not partition-directories deep)
     st.create("part", sch, partitionBy = Seq("bucket(4, k)"))
     val e3 = intercept[IllegalArgumentException](st.addFiles("part", src))
-    assert(e3.getMessage.contains("unpartitioned"))
+    assert(e3.getMessage.contains("identity"))
+    st.create("partid", StructType(sch.fields :+
+      StructField("p", StringType)), partitionBy = Seq("p"))
+    val e3b = intercept[IllegalArgumentException](st.addFiles("partid", src))
+    assert(e3b.getMessage.contains("partition"))
 
     st.create("coll", sch)
     st.addFiles("coll", src)

@@ -132,6 +132,51 @@ class ProceduresSpec extends SparkSpec {
     assert(r2.getLong(2) === 0L && r2.getLong(3) === 0L)
   }
 
+  test("CALL maintain_index: refresh + tombstone fold + recall drift report") {
+    import graft.ops.Similarity
+    val emb = spark.range(0, 200).select(col("id").as("vec_id"),
+      Similarity.quantize(transform(sequence(lit(1), lit(64)),
+        d => sin((col("id") + 1) * d.cast("double")))).as("embedding"),
+      (col("id") % 7).cast("int").as("label"))
+    spark.sql("DROP TABLE IF EXISTS gpr.micorpus")
+    store.create("micorpus", emb.schema)
+    store.append("micorpus", emb)
+    // first call = full build; the LSH index's recall on a clean corpus
+    // sits well above the floor → action "ok"
+    val r1 = spark.sql("CALL gpr.system.maintain_index(" +
+      "corpus => 'micorpus', `index` => 'miidx', kind => 'lsh', " +
+      "sample => 8, k => 5, recall_floor => 0.3)").head()
+    assert(r1.getLong(0) === 200L, "full build indexes the corpus")
+    assert(r1.getLong(3) === 40L, "8 samples x k=5 truth pairs")
+    assert(r1.getDouble(4) >= 0.3, s"recall ${r1.getDouble(4)} under floor")
+    assert(r1.getString(5) === "ok")
+    // corpus mutation → second call maintains incrementally AND folds
+    // the tombstone the maintenance itself wrote on the index
+    store.deleteMoR("micorpus", (150L until 200L).toDF("vec_id"),
+      Seq("vec_id"))
+    val r2 = spark.sql("CALL gpr.system.maintain_index(" +
+      "corpus => 'micorpus', `index` => 'miidx', kind => 'lsh', " +
+      "sample => 8, k => 5, recall_floor => 0.3)").head()
+    assert(r2.getLong(0) === 0L, "deletes alone re-index nothing")
+    assert(r2.getString(5) === "ok")
+    // an impossible floor flips the drift report, never throws
+    val r3 = spark.sql("CALL gpr.system.maintain_index(" +
+      "corpus => 'micorpus', `index` => 'miidx', kind => 'lsh', " +
+      "recall_floor => 1.01)").head()
+    assert(r3.getString(5) === "rebuild-recommended")
+    // IVF and PQ kinds run the same composite end-to-end
+    Seq("ivf", "pq").foreach { kind =>
+      val r = spark.sql("CALL gpr.system.maintain_index(" +
+        s"corpus => 'micorpus', `index` => 'mi$kind', kind => '$kind', " +
+        "sample => 4, k => 3, recall_floor => 0.0)").head()
+      assert(r.getLong(3) === 12L, s"$kind truth pairs")
+      assert(r.getString(5) === "ok", s"$kind with floor 0 is always ok")
+    }
+    val e = intercept[Exception](spark.sql("CALL gpr.system.maintain_index(" +
+      "corpus => 'micorpus', `index` => 'x', kind => 'nope')").head())
+    assert(e.getMessage.contains("unknown index kind"))
+  }
+
   test("CALL branch / tag / fast_forward drive the WAP flow") {
     spark.sql("CREATE TABLE gpr.b1 (k BIGINT)")
     store.append("b1", Seq(1L).toDF("k"))
