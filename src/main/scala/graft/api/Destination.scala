@@ -137,7 +137,16 @@ object Destination {
       maintainFiles = params.get("maintenance.files").contains("true"),
       maintainTargetBytes = posLong("maintenance.target_bytes",
         graft.tables.TableStore.DefaultTargetFileBytes),
-      maintainMinInputFiles = posInt("maintenance.min_input_files", 5))
+      maintainMinInputFiles = {
+        val n = posInt("maintenance.min_input_files", 5)
+        // compactSmallFiles refuses < 2 — rejecting here keeps the
+        // exact-cause-at-configure contract instead of silently failing
+        // every ack's pack into lastFilePack
+        if (n < 2) throw new IllegalArgumentException(
+          "parameter maintenance.min_input_files must be >= 2 " +
+            s"(packing one file merges nothing), got $n")
+        n
+      })
   }
 
   def open(spark: SparkSession, config: Config): DestinationStream = {

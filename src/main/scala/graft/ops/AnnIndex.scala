@@ -479,24 +479,32 @@ object AnnIndex {
     val corpus = store.read(corpusTable)
     // deterministic sample by portable hash rank (the hashSeeds rule):
     // stable across runs and engines, never degenerate on sparse ids
+    // queries feeds two plans and truth two actions — persist both so
+    // the brute-force corpus scan (the dominant cost) runs ONCE, as the
+    // routine-maintenance cost profile promises
     val queries = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(PortableHash.h60(col("vec_id")
         .cast(org.apache.spark.sql.types.StringType)), col("vec_id"))
       .limit(sample)
+      .persist()
     val truth = Similarity.bruteTopK(corpus, queries, k)
       .select("query_id", "vec_id")
-    val approx = (kind match {
-      case "lsh" => query(store, indexTable, queries, k)
-      case "ivf" => queryIvf(store, indexTable, queries, k)
-      case _     => queryPq(store, indexTable, queries, k)
-    }).select("query_id", "vec_id")
-    val nTrue = truth.count()
-    val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
-      .count()
-    val recall = if (nTrue == 0) 1.0 else hits.toDouble / nTrue
-    val action = if (recall >= recallFloor) "ok" else "rebuild-recommended"
-    (rows, before.toLong, after.toLong, nTrue, recall, action)
+      .persist()
+    try {
+      val approx = (kind match {
+        case "lsh" => query(store, indexTable, queries, k)
+        case "ivf" => queryIvf(store, indexTable, queries, k)
+        case _     => queryPq(store, indexTable, queries, k)
+      }).select("query_id", "vec_id")
+      val nTrue = truth.count()
+      val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .count()
+      val recall = if (nTrue == 0) 1.0 else hits.toDouble / nTrue
+      val action =
+        if (recall >= recallFloor) "ok" else "rebuild-recommended"
+      (rows, before.toLong, after.toLong, nTrue, recall, action)
+    } finally { truth.unpersist(); queries.unpersist(); () }
   }
 
   /** Incremental PQ gate — same shape as the LSH/IVF ones: codebooks

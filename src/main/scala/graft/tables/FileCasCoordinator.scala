@@ -97,17 +97,27 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
   }
 
   /** Create-exclusive write — the one primitive everything here is
-    * built on. Returns whether THIS call created the file. */
+    * built on. Returns whether THIS call created the file.
+    *
+    * On the local scheme the file appears ATOMICALLY WITH ITS FULL
+    * CONTENT: the value is written to a hidden temp file first and
+    * exposed by `link(2)` (create-exclusive with content) — a plain
+    * O_EXCL create-then-write would let a concurrent reader observe a
+    * created-but-empty entry and, for a transaction record, misread a
+    * committed transaction as aborted. Non-local schemes keep the
+    * FS's own create-exclusive (atomic creation on HDFS; conditional
+    * PUT — content-atomic by nature — is the documented backing for
+    * S3-style stores); [[txOutcome]] additionally refuses to decide
+    * from empty content there. */
   private def createExclusive(target: HPath, value: String): Boolean =
     try {
       if (fs.getScheme == "file") {
-        // RawLocalFileSystem's create(overwrite=false) is
-        // check-then-create; O_EXCL via java.nio is atomic
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(target.toUri.getPath),
-          value.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
+        val t = java.nio.file.Paths.get(target.toUri.getPath)
+        val tmp = t.resolveSibling(
+          s".tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp, value.getBytes("UTF-8"))
+        try { java.nio.file.Files.createLink(t, tmp); true }
+        finally { java.nio.file.Files.deleteIfExists(tmp); () }
       } else {
         val out = fs.create(target, false)
         try out.write(value.getBytes("UTF-8")) finally out.close()
@@ -128,13 +138,26 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     val cached = txCache.get(id)
     if (cached != null) return cached
     val p = txPath(id)
-    val content =
+    var content =
       if (fs.exists(p)) readEntry(p)
       else {
         fs.mkdirs(new HPath(base, TxDirName))
         createExclusive(p, "abort")
         readEntry(p) // ours or the committer's — decided either way
       }
+    // non-local schemes create-then-write, so a record can be visible
+    // before its bytes: NEVER decide (let alone cache) an outcome from
+    // empty content — retry briefly (an in-flight writer closes in
+    // ms), then fail LOUD. Silently reading empty as "aborted" would
+    // flip a committed transaction's outcome for this process forever.
+    var waits = 0
+    while (content.isEmpty && waits < 50) {
+      Thread.sleep(10); waits += 1; content = readEntry(p)
+    }
+    if (content.isEmpty) sys.error(
+      s"transaction record $p exists with no decided content " +
+        "(writer crashed between create and write?) — refusing to " +
+        "guess the outcome")
     val out =
       if (!content.startsWith("commit")) None
       else Some(content.linesIterator.drop(1).flatMap { l =>

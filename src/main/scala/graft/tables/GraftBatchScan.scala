@@ -658,8 +658,32 @@ private[tables] final class GraftMaskedReaderFactory(
                 case _ => false
               }))
           }
-        Seq((f.dirName, direct)) ++ mono
+        // the direct test keys by the field's RENDER (parameter-
+        // qualified — `bucket(16:k)`; identity's render IS the raw
+        // column name, whose recorded range IS its derived range): a
+        // sidecar written under a DIFFERENT spec generation's
+        // parameters simply misses the lookup and fails open, instead
+        // of comparing values from the wrong derivation domain
+        Seq((f.render, direct)) ++ mono
       }
+    }
+
+  /** A task whose partition value is NULL for a non-bucket layout field
+    * sourced on one of the entry's key columns holds ONLY rows whose
+    * key column is null there (identity/time/truncate derive null iff
+    * the source is null; bucket hashes null to a real id, so it never
+    * yields a null task value): equality keys are non-null on every
+    * column by construction (null-component keys are dropped at set
+    * build), so NO key of this entry can match any row of this task —
+    * the whole entry is skipped without reading a byte. Also what
+    * keeps the per-task mask BUDGET sound: without this, the null
+    * group would fail open on every range test and retain the entire
+    * pile the planner budgeted per-slice. */
+  private def nullGroupInapplicable(taskKey: Array[Any],
+      cols: Seq[String]): Boolean =
+    specFields.zipWithIndex.exists { case (f, i) =>
+      i < taskKey.length && taskKey(i) == null &&
+        !f.isInstanceOf[PartitionField.PBucket] && cols.contains(f.source)
     }
 
   private def keyGroupScopes(taskKey: Array[Any], cols: Seq[String],
@@ -706,17 +730,18 @@ private[tables] final class GraftMaskedReaderFactory(
             })
           }
           val set = new java.util.HashSet[UnsafeRow]()
-          e.files.foreach { case (path, len) =>
-            if (!skip(path)) {
-              bytesRead += len
-              flatRows(delFuncs(e.cols), pfOf(path, len)).foreach { r =>
-                if (!(0 until ks.length).exists(r.isNullAt) &&
-                    scopes.forall(_(r))) {
-                  set.add(proj(r).copy()); ()
+          if (!nullGroupInapplicable(part.keyVals, e.cols))
+            e.files.foreach { case (path, len) =>
+              if (!skip(path)) {
+                bytesRead += len
+                flatRows(delFuncs(e.cols), pfOf(path, len)).foreach { r =>
+                  if (!(0 until ks.length).exists(r.isNullAt) &&
+                      scopes.forall(_(r))) {
+                    set.add(proj(r).copy()); ()
+                  }
                 }
               }
             }
-          }
           // bloom prescreen for the probe loop: data rows are mostly
           // NOT deleted, and a bit-array miss is cheaper than a
           // HashSet walk — ~1.2 bytes/key at 1% fpp, false positives

@@ -34,7 +34,8 @@ private[tables] object GraftProcedures {
     "maintain_deletes", "rewrite_small_files", "maintain",
     "maintain_index", "add_variant_shred", "create_branch",
     "create_tag", "drop_ref", "fast_forward", "rollback_to_version",
-    "add_files", "migrate", "analyze", "create_view", "drop_view")
+    "add_files", "migrate", "snapshot", "analyze", "create_view",
+    "drop_view")
 
   def load(store: => TableStore, name: String): Option[UnboundProcedure] = {
     def p(parameters: Seq[ProcedureParameter], result: StructType)(
@@ -248,6 +249,16 @@ private[tables] object GraftProcedures {
         store.migrate(t, row.getUTF8String(1).toString, zoneCols = zc)
         Seq(store.currentRelPaths(t).size.toLong,
           store.currentVersion(t).toLong)
+      })
+      case "snapshot" => Some(p(
+        // zero-copy clone of source's CURRENT snapshot as an
+        // independent table (Iceberg's snapshot procedure): metadata +
+        // copied stat sidecars only, no data scan, no byte copied
+        Seq(in("source", StringType), in("dest", StringType)),
+        out("referenced_files" -> LongType, "version" -> LongType)) { row =>
+        val dst = row.getUTF8String(1).toString
+        val refs = store.snapshotTable(row.getUTF8String(0).toString, dst)
+        Seq(refs.size.toLong, store.currentVersion(dst).toLong)
       })
       case "analyze" => Some(p(
         Seq(in("table", StringType)),

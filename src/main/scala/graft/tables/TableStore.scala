@@ -1865,11 +1865,14 @@ final class TableStore(private[tables] val spark: SparkSession,
             !PartitionField.zoneDependent(f,
               sch0(sch0.fieldIndex(f.source)).dataType)
         }
+        // ranges key by f.render (parameter-qualified; identity render =
+        // the raw column name) so a respec'd transform cannot feed a
+        // wrong-domain range into the budget — it just misses
         def perTaskBytes(e: TableStore.SpjEqDelete): Long = {
           val full = e.files.map(_._2).sum
           val refined = budgetDims.filter(f => e.cols.contains(f.source))
             .flatMap(f =>
-              TableStore.maxPointBytes(e.files, e.ranges, f.dirName))
+              TableStore.maxPointBytes(e.files, e.ranges, f.render))
           if (refined.isEmpty) full else math.min(full, refined.min)
         }
         val totalBytes = eqSpecs.map(perTaskBytes).sum +
@@ -3100,6 +3103,76 @@ final class TableStore(private[tables] val spark: SparkSession,
     files
   }
 
+  /** Iceberg `snapshot` procedure: a ZERO-COPY clone of `src`'s current
+    * snapshot as an independent table `dst` — metadata only, no data
+    * scan, no byte copied. The clone's manifest references `src`'s
+    * current data files by ABSOLUTE path (the [[addFiles]] adoption
+    * mechanics); per-file stats and bloom sidecars are COPIED (tiny
+    * driver-side JSON/bitset files), so zone pruning, blooms and
+    * metadata-only aggregates work on the clone from the first query
+    * without a stats job. Future writes diverge: the clone's appends
+    * and CoW rewrites land in ITS own data dir; the source never sees
+    * them.
+    *
+    * Ownership (the Iceberg snapshot-table contract): the clone does
+    * NOT own the referenced files — and no physical deletion path here
+    * can touch them (expiry/orphan cleanup delete via `data/` dir
+    * listings; a clone's drop removes only its own tree). The REVERSE
+    * hazard is real and inherent: the SOURCE's `expireSnapshots` /
+    * `compact` + expiry may delete files the clone still references
+    * once the source no longer does. Pause source expiry while clones
+    * reference history, or `CALL compact` on the clone to rewrite it
+    * into files it owns (full independence).
+    *
+    * Constraints (checked, loud): `src` single-generation spec, no
+    * renames (adopted files carry old physical names otherwise), and
+    * NO pending merge-on-read deletes — adopting data files without
+    * their masks would resurrect deleted rows; run
+    * `materialize_deletes` first. Returns the adopted entries. */
+  def snapshotTable(src: String, dst: String): Seq[String] = {
+    require(exists(src), s"no table $src")
+    require(!exists(dst) && !viewExists(dst),
+      s"table or view $dst already exists")
+    require(pendingDeletes(src) == 0,
+      s"$src has pending merge-on-read deletes — a snapshot would adopt " +
+        "its data files WITHOUT their masks; CALL materialize_deletes " +
+        "first")
+    require(partitionSpecs(src).size <= 1,
+      s"snapshot of a repartitioned table is not supported; $src has " +
+        s"${partitionSpecs(src).size} spec generations")
+    val m = physMap(src)
+    val renamed = schema(src).fieldNames.filter(c => physOf(m, c) != c)
+    require(renamed.isEmpty,
+      "snapshot after a column rename would reference files whose " +
+        s"columns no longer match (renamed: ${renamed.mkString(", ")})")
+    create(dst, schema(src), partitionBy = partitionCols(src),
+      zoneCols = zoneCols(src), bloomCols = bloomCols(src),
+      bloomItems = bloomItems(src))
+    val rels = currentRelPaths(src)
+    val abs = rels.map(r =>
+      new HPath(dataDir(src), r).toUri.getPath)
+    // per-file stats/bloom sidecars copy driver-side (tiny); absence of
+    // any individual sidecar just loses that file's pruning, as always
+    val bcs = bloomCols(src)
+    rels.zip(abs).foreach { case (r, a) =>
+      val sp = statsPath(src, r)
+      if (fs.exists(sp)) writeString(statsPath(dst, a), readString(sp))
+      bcs.foreach { c =>
+        val bp = bloomPath(src, r, c)
+        if (fs.exists(bp)) {
+          val in = fs.open(bp)
+          val bytes = try in.readAllBytes() finally in.close()
+          writeBytes(bloomPath(dst, a, c), bytes)
+        }
+      }
+    }
+    if (abs.nonEmpty)
+      commitManifest(dst, currentVersion(dst), Set.empty, abs, abs,
+        meta = Map("operation" -> "snapshot", "source" -> src),
+        reclaimAddedOnAbort = false)
+    abs
+  }
+
   /** Iceberg `migrate` convenience: create a managed table FROM an
     * existing parquet directory's own schema and adopt its files by
     * reference ([[addFiles]]) — the whole migration is metadata + one
@@ -3296,7 +3369,14 @@ final class TableStore(private[tables] val spark: SparkSession,
           keys.schema(keys.schema.fieldIndex(f.source)).dataType)
     }
     // identity dims cluster on the raw column (derived == source);
-    // recording them once under the source name serves both lookups
+    // recording them once under the source name serves both lookups.
+    // Non-identity derived ranges key by the field's RENDER — the
+    // parameter-carrying spelling (`bucket(16:k)`), NOT the dirName
+    // (`k_bucket`): after a repartitionSpec changes a transform's
+    // parameter, a dirName-keyed range would compare values from a
+    // DIFFERENT derivation domain and wrongly skip applicable
+    // tombstones (resurrecting deleted rows); a render mismatch just
+    // misses the lookup and fails open.
     val derivedDims = dims.filterNot(_.isIdentity)
     val sortCols = dims.map(f =>
       if (f.isIdentity) col(s"`${f.source}`") else derivedCol(keys, f)) ++
@@ -3309,7 +3389,7 @@ final class TableStore(private[tables] val spark: SparkSession,
     val back = spark.read.parquet(out.toString)
     val statCols: Seq[(String, org.apache.spark.sql.Column)] =
       pCols.map(c => c -> col(s"`$c`")) ++
-        derivedDims.map(f => f.dirName -> derivedCol(back, f))
+        derivedDims.map(f => f.render -> derivedCol(back, f))
     val aggs = statCols.flatMap { case (_, c) => Seq(min(c), max(c)) }
     val rows = back.groupBy(input_file_name())
       .agg(aggs.head, aggs.tail: _*).collect()

@@ -175,6 +175,16 @@ class DestinationSpec extends SparkSpec {
     assert(store.currentRelPaths("t").size > 2)
   }
 
+  test("min_input_files below 2 is rejected at configure, not at pack time") {
+    val bad = Destination.configure(Map(
+      "store.root" -> "/tmp/x", "table" -> "t", "key.columns" -> "id",
+      "maintenance.files" -> "true",
+      "maintenance.min_input_files" -> "1"))
+    assert(bad.isFailure)
+    assert(bad.failed.get.getMessage.contains("min_input_files"),
+      s"exact-cause error expected, got: ${bad.failed.get.getMessage}")
+  }
+
   test("default min_input_files=5 amortizes packing instead of rewriting per ack") {
     val root = tmpDir("dest-pack-")
     val store = new TableStore(spark, root)

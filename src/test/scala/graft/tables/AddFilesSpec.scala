@@ -186,6 +186,67 @@ class AddFilesSpec extends SparkSpec {
       === "amer")
   }
 
+  test("snapshot: zero-copy clone, independent mutation, source untouched") {
+    val root = tmpDir("snap-")
+    val st = new TableStore(spark, root)
+    st.create("srct", sch, zoneCols = Seq("k"))
+    st.append("srct", (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")))
+    val srcRels = st.currentRelPaths("srct").toSet
+    val refs = st.snapshotTable("srct", "clone")
+    assert(refs.size === 4 && refs.forall(_.startsWith("/")))
+    assert(dataDirParquetCount(root, "clone") === 0L, "zero copy")
+    assert(st.read("clone").count() === 1000L)
+    // stats sidecars were COPIED — metadata-only count and zone pruning
+    // work without any stats job over the data
+    assert(st.rowCount("clone") === Some(1000L))
+    val pruned = st.read("clone").filter(col("k") >= 900L)
+    assert(pruned.count() === 100L)
+    assert(ZoneMapFileIndex.lastCountsOf(
+      st.read("clone").filter(col("k") >= 900L))._2 < 4)
+    // the clone mutates independently: CoW delete rewrites into ITS OWN
+    // data dir; the source's files and contents stay untouched
+    st.delete("clone", col("k") < 100L)
+    assert(st.read("clone").count() === 900L)
+    assert(st.read("srct").count() === 1000L)
+    assert(st.currentRelPaths("srct").toSet === srcRels)
+    assert(dataDirParquetCount(root, "clone") >= 1L,
+      "the clone's rewrite lands in its own tree")
+    // the source mutates independently too
+    st.append("srct", Seq((5000L, "x")).toDF("k", "v"))
+    assert(st.read("srct").count() === 1001L)
+    assert(st.read("clone").count() === 900L)
+    // clone expiry/drop never deletes the source's files
+    st.expireSnapshots("clone", 1)
+    st.drop("clone")
+    assert(st.read("srct").count() === 1001L)
+  }
+
+  test("snapshot: partitioned/bucketed source, MoR-pending refusal, SQL CALL") {
+    val root = tmpDir("snap-")
+    val st = new TableStore(spark, root)
+    val sch2 = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    st.create("bsrc", sch2, partitionBy = Seq("bucket(4:k)"))
+    st.append("bsrc", (0L until 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    spark.conf.set("spark.sql.catalog.snp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snp.root", root)
+    val r = spark.sql(
+      "CALL snp.system.snapshot(source => 'bsrc', dest => 'bclone')").head()
+    assert(r.getLong(0) >= 1L)
+    assert(st.read("bclone").count() === 400L)
+    // the clone keeps the bucket layout: partition-key equality prunes
+    assert(st.read("bclone").filter(col("k") === 7L).count() === 1L)
+    // pending MoR deletes refuse loudly (masks would be left behind)
+    st.deleteMoR("bsrc", Seq(3L).toDF("k"), Seq("k"))
+    val e = intercept[IllegalArgumentException](
+      st.snapshotTable("bsrc", "b2"))
+    assert(e.getMessage.contains("materialize_deletes"))
+    st.materializeDeletes("bsrc")
+    st.snapshotTable("bsrc", "b2")
+    assert(st.read("b2").count() === 399L)
+  }
+
   test("refusals: schema mismatch, rename, partitioned, collision") {
     val root = tmpDir("adf-")
     val src = tmpDir("adf-src-")

@@ -433,8 +433,9 @@ class SpjSpec extends SparkSpec {
     assert(e.ranges.nonEmpty,
       "layout-clustered sidecar must record per-file ranges")
     val totalSidecarBytes = e.files.map(_._2).sum
-    // the per-task budget charge is the worst single bucket, not the pile
-    val pt = TableStore.maxPointBytes(e.files, e.ranges, "k_bucket")
+    // the per-task budget charge is the worst single bucket, not the
+    // pile — ranges key by the parameter-qualified render
+    val pt = TableStore.maxPointBytes(e.files, e.ranges, "bucket(8:k)")
     assert(pt.exists(_ < totalSidecarBytes),
       s"point bytes $pt vs total $totalSidecarBytes")
     SpjMaskCache.reset()
@@ -461,6 +462,77 @@ class SpjSpec extends SparkSpec {
         s"one build read the whole pile: max=$maxB total=$totalSidecarBytes")
     } finally SpjMaskStats.enabled.set(false)
   }
+
+  test("sidecar ranges survive a respec: parameter-qualified keys fail open") {
+    // bucket(8,k) data, then repartitionSpec to bucket(16,k) BEFORE the
+    // delete: the sidecar clusters/records in the bucket-16 domain while
+    // the data (still spec-0) reads under bucket-8 key groups. A
+    // dirName-keyed range ('k_bucket') would compare bucket-16 values
+    // against bucket-8 task ids and wrongly skip applicable tombstone
+    // files — resurrecting deleted rows; render-keyed ranges
+    // ('bucket(16:k)') just miss the lookup and every file is read.
+    spark.sql("CREATE TABLE spj.rsp (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, k))")
+    val data = (0L until 2000L).map(i => (i % 500, i.toDouble))
+      .toDF("k", "v")
+    data.writeTo("spj.rsp").append()
+    store.repartitionSpec("rsp", Seq("bucket(16:k)"))
+    val delKeys = (0L until 120L)
+    val coalesce = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce, "false")
+    try store.deleteMoR("rsp", delKeys.toDF("k"), Seq("k"))
+    finally spark.conf.unset(coalesce)
+    val m = store.spjPlan("rsp").flatMap(_.mask).get
+    assert(m.eq.head.files.size > 1, "need a multi-file sidecar")
+    SpjMaskCache.reset()
+    withSpj {
+      val q = spark.sql("SELECT k, v FROM spj.rsp")
+      val rows = q.collect()
+      assert(finalPlan(q).contains("BatchScan"))
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq ===
+        data.filter(!$"k".isin(delKeys: _*)).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq,
+        "a cross-domain range lookup must fail open, never resurrect rows")
+    }
+  }
+
+  test("null key group: tombstone entries skip whole, rows stay exact") {
+    // identity layout with NULL partition values: the null group's rows
+    // all carry a null key there, which no (non-null) equality key can
+    // match — the build skips the ENTIRE entry for that task (zero
+    // bytes), which is also what keeps the per-task mask budget sound.
+    spark.sql("CREATE TABLE spj.ng (k BIGINT, region STRING, v DOUBLE) " +
+      "PARTITIONED BY (region)")
+    val regions = Seq("emea", "apac", null)
+    val data = (0L until 90L).map(i =>
+      (i, regions((i % 3).toInt), i.toDouble)).toDF("k", "region", "v")
+    data.writeTo("spj.ng").append()
+    store.deleteMoR("ng", Seq("emea").toDF("region"), Seq("region"))
+    SpjMaskCache.reset()
+    SpjMaskStats.reset()
+    SpjMaskStats.enabled.set(true)
+    try withSpj {
+      val q = spark.sql("SELECT k, v FROM spj.ng")
+      val rows = q.collect()
+      assert(finalPlan(q).contains("BatchScan"))
+      // emea rows masked; apac AND null-region rows survive
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq ===
+        data.filter($"region".isNull || $"region" =!= "emea").collect()
+          .map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq)
+      val (sumEq, _, _, _) = SpjMaskStats.snapshot()
+      val (sumB, _) = SpjMaskStats.eqBytesRead()
+      // the null group's build reads ZERO sidecar bytes and retains
+      // nothing (3 groups; only emea+apac read the single-file sidecar,
+      // and only emea retains its key)
+      assert(sumEq === 1L, s"retained keys: $sumEq")
+      assert(sumB <= 2 * m0TotalBytes(store, "ng"),
+        s"null group must not read the pile: $sumB")
+    } finally SpjMaskStats.enabled.set(false)
+  }
+
+  private def m0TotalBytes(st: TableStore, t: String): Long =
+    st.spjPlan(t).flatMap(_.mask).map(_.eq.flatMap(_.files).map(_._2).sum)
+      .getOrElse(0L)
 
   test("maxPointBytes: stabbing-weight arithmetic for the per-task budget") {
     val files = Seq(("d/a.parquet", 100L), ("d/b.parquet", 200L),
