@@ -915,6 +915,8 @@ object TableQueries {
       Some(TableQueries2.tblSqlDeltaSql)),
     Q("tbl_sql_merge_source", TableQueries2.tblSqlMergeSource,
       Some(TableQueries2.tblSqlMergeSourceSql)),
+    Q("tbl_snapshot", TableQueries2.tblSnapshot,
+      Some(TableQueries2.tblSnapshotSql)),
     Q("tbl_nested_evolution", TableQueries2.tblNestedEvolution,
       Some(TableQueries2.tblNestedEvolutionSql)),
     Q("tbl_pos_delete", TableQueries2.tblPosDelete,
@@ -1223,6 +1225,59 @@ object TableQueries2 {
       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM m WHERE NOT killed
       |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin
+
+  /** Zero-copy SNAPSHOT clone under the oracle (Iceberg's `snapshot`
+    * procedure): orders loads once, `CALL system.snapshot` clones it by
+    * reference (require()d: no byte under the clone's data dir, entries
+    * absolute), the CLONE takes a CoW delete while the SOURCE takes an
+    * append — both require()d invisible to the other side — and the
+    * gate returns the clone's final state (source rows minus the
+    * clone's delete, never the source's new row). */
+  private[ops] def tblSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.gsnp",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-snap")
+    spark.conf.set("spark.sql.catalog.gsnp.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val clone = s"orders_clone_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gsnp.$clone")
+    spark.sql(s"DROP TABLE IF EXISTS gsnp.$tbl")
+    spark.sql(s"""CREATE TABLE gsnp.$tbl (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      TBLPROPERTIES ('zone_cols'='o_orderkey')""")
+    val src = s"gsnp_src_$ident"
+    t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView(src)
+    spark.sql(s"INSERT INTO gsnp.$tbl SELECT * FROM $src")
+    val store = new graft.tables.TableStore(spark, root)
+    val srcRows = store.read(tbl).count()
+    val r = spark.sql(
+      s"CALL gsnp.system.snapshot(source => '$tbl', dest => '$clone')").head()
+    require(r.getLong(0) >= 1L, "clone must reference files")
+    require(store.currentRelPaths(clone).forall(_.startsWith("/")),
+      "clone entries must be by-reference (absolute)")
+    val cloneData = new java.io.File(s"$root/$clone/data")
+    require(!cloneData.exists() || cloneData.listFiles().forall(f =>
+        !f.getName.endsWith(".parquet")), "snapshot must copy nothing")
+    // diverge both sides; each mutation must be invisible to the other
+    spark.sql(s"DELETE FROM gsnp.$clone WHERE o_orderkey % 13 = 0")
+    spark.sql(s"INSERT INTO gsnp.$tbl VALUES " +
+      "(1000000000000, 1, 1.0)") // clear of MakeScale replica key space
+    require(store.read(tbl).count() == srcRows + 1,
+      "the source keeps all rows plus its own append")
+    require(store.read(clone).filter(col("o_orderkey") % 13 === 0)
+        .count() == 0L, "the clone's delete applied")
+    spark.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice
+      FROM gsnp.$clone
+      ORDER BY o_orderkey, o_custkey, o_totalprice""")
+  }
+
+  private[ops] val tblSnapshotSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 13 <> 0
+      |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
 
   /** `MERGE … WHEN NOT MATCHED BY SOURCE` under the oracle — the
     * sync-style mirror statement (Spark 4 clause; the reference
