@@ -487,11 +487,14 @@ object AnnIndex {
       .orderBy(PortableHash.h60(col("vec_id")
         .cast(org.apache.spark.sql.types.StringType)), col("vec_id"))
       .limit(sample)
-      .persist()
     val truth = Similarity.bruteTopK(corpus, queries, k)
       .select("query_id", "vec_id")
-      .persist()
+    // persists inside the try: a planning/execution failure between a
+    // persist and the finally would otherwise pin cached partitions for
+    // the session's lifetime
     try {
+      queries.persist()
+      truth.persist()
       val approx = (kind match {
         case "lsh" => query(store, indexTable, queries, k)
         case "ivf" => queryIvf(store, indexTable, queries, k)

@@ -96,6 +96,32 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
   }
 
+  /** Ledger entries are FRAMED (`<value>\n#end`) so create-then-write
+    * schemes cannot serve a truncated value as the pointer: a reader
+    * observing an unframed entry on a non-local scheme retries (a live
+    * writer closes in ms) and then accepts it as a legacy/crashed
+    * write — a crashed writer's partial value becomes a loudly-invalid
+    * head rather than silently resolving to "cleared" and letting a
+    * racer clobber the generation. The local scheme writes entries
+    * atomically with content (link(2)), so unframed = legacy =
+    * complete there. */
+  private def writeLedger(target: HPath, value: String): Boolean =
+    createExclusive(target, value + "\n#end")
+
+  private def readLedgerValue(p: HPath): String = {
+    def parse(raw: String): Option[String] =
+      if (raw.endsWith("#end"))
+        Some(raw.stripSuffix("#end").trim)
+      else if (fs.getScheme == "file") Some(raw)
+      else None
+    var raw = readEntry(p)
+    var waits = 0
+    while (parse(raw).isEmpty && waits < 50) {
+      Thread.sleep(10); waits += 1; raw = readEntry(p)
+    }
+    parse(raw).getOrElse(raw)
+  }
+
   /** Create-exclusive write — the one primitive everything here is
     * built on. Returns whether THIS call created the file.
     *
@@ -146,26 +172,35 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
         readEntry(p) // ours or the committer's — decided either way
       }
     // non-local schemes create-then-write, so a record can be visible
-    // before its bytes: NEVER decide (let alone cache) an outcome from
-    // empty content — retry briefly (an in-flight writer closes in
-    // ms), then fail LOUD. Silently reading empty as "aborted" would
-    // flip a committed transaction's outcome for this process forever.
+    // before (all of) its bytes: NEVER decide (let alone cache) an
+    // outcome from content that is not a COMPLETE record — a commit
+    // record ends with its `end` terminator line, an abort record is
+    // exactly "abort"; anything else is an in-flight write. Retry
+    // briefly (a live writer closes in ms), then fail LOUD. Deciding
+    // from a truncated read ("" or a commit prefix) would flip or
+    // corrupt a committed transaction's outcome for this process
+    // forever.
+    def complete(c: String): Boolean =
+      c == "abort" ||
+        (c.startsWith("commit") && c.linesIterator.toSeq.lastOption
+          .contains("end"))
     var waits = 0
-    while (content.isEmpty && waits < 50) {
+    while (!complete(content) && waits < 50) {
       Thread.sleep(10); waits += 1; content = readEntry(p)
     }
-    if (content.isEmpty) sys.error(
-      s"transaction record $p exists with no decided content " +
+    if (!complete(content)) sys.error(
+      s"transaction record $p exists without a complete decision " +
         "(writer crashed between create and write?) — refusing to " +
         "guess the outcome")
     val out =
-      if (!content.startsWith("commit")) None
-      else Some(content.linesIterator.drop(1).flatMap { l =>
-        l.split('\t') match {
-          case Array(t, m) => Some(t -> m)
-          case _ => None
-        }
-      }.toMap)
+      if (content == "abort") None
+      else Some(content.linesIterator.drop(1).takeWhile(_ != "end")
+        .flatMap { l =>
+          l.split('\t') match {
+            case Array(t, m) => Some(t -> m)
+            case _ => None
+          }
+        }.toMap)
     txCache.putIfAbsent(id, out)
     out
   }
@@ -183,7 +218,7 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     val rawGen = es.last._1
     var i = es.size - 1
     while (i >= 0) {
-      val v = readEntry(es(i)._2)
+      val v = readLedgerValue(es(i)._2)
       if (v.startsWith(TxPrefix)) {
         txOutcome(v.stripPrefix(TxPrefix)) match {
           case Some(mapping) =>
@@ -223,7 +258,7 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     if (cur != expected) return false
     val d = keyDir(table)
     if (n == 0L) fs.mkdirs(d)
-    val won = createExclusive(new HPath(d, s"commit-${n + 1}"), value)
+    val won = writeLedger(new HPath(d, s"commit-${n + 1}"), value)
     if (won) prune(table, n + 1)
     won
   }
@@ -248,7 +283,7 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
       cur == e && {
         val d = keyDir(t)
         if (n == 0L) fs.mkdirs(d)
-        val won = createExclusive(new HPath(d, s"commit-${n + 1}"),
+        val won = writeLedger(new HPath(d, s"commit-${n + 1}"),
           TxPrefix + txid)
         if (won) reserved += ((t, n + 1))
         won
@@ -262,8 +297,10 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
       txCache.putIfAbsent(txid, None)
       return false
     }
+    // `end` terminator = the completeness witness txOutcome requires
+    // before trusting a commit record on create-then-write schemes
     val content = "commit\n" +
-      swaps.map { case (t, _, n) => s"$t\t$n" }.mkString("\n")
+      swaps.map { case (t, _, n) => s"$t\t$n" }.mkString("\n") + "\nend"
     fs.mkdirs(new HPath(base, TxDirName))
     val committed = createExclusive(txPath(txid), content)
     if (!committed) return false // a racing observer decided the abort
@@ -274,7 +311,7 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     // a writer that already advanced past us is fine
     reserved.foreach { case (t, gen) =>
       swaps.find(_._1 == t).foreach { case (_, _, n) =>
-        createExclusive(new HPath(keyDir(t), s"commit-${gen + 1}"), n)
+        writeLedger(new HPath(keyDir(t), s"commit-${gen + 1}"), n)
         prune(t, gen + 1)
       }
     }

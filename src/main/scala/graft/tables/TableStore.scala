@@ -3145,9 +3145,20 @@ final class TableStore(private[tables] val spark: SparkSession,
     require(renamed.isEmpty,
       "snapshot after a column rename would reference files whose " +
         s"columns no longer match (renamed: ${renamed.mkString(", ")})")
+    require(!rowLineage(src),
+      s"$src tracks row lineage — its per-file id ranges are snapshot " +
+        "sidecars a by-reference clone cannot carry; copy-load instead")
     create(dst, schema(src), partitionBy = partitionCols(src),
       zoneCols = zoneCols(src), bloomCols = bloomCols(src),
       bloomItems = bloomItems(src))
+    // the clone carries the source's TABLE PROPERTIES wholesale
+    // (write modes, sort order, variant shreds, defaults — Iceberg's
+    // snapshot carries table metadata): without them the clone's
+    // future writes would silently diverge from the source's contract
+    // (e.g. a variant shred column left null instead of derived)
+    val props = properties(src)
+    if (props.nonEmpty)
+      setProperties(dst, props.map { case (k, v) => k -> Some(v) })
     val rels = currentRelPaths(src)
     val abs = rels.map(r =>
       new HPath(dataDir(src), r).toUri.getPath)
@@ -3341,7 +3352,8 @@ final class TableStore(private[tables] val spark: SparkSession,
     * then the raw keys), so each output file holds one narrow slice of
     * the partition-value space — Iceberg's partitioned-delete-files
     * shape. The recorded per-file min/max of each DERIVED dimension
-    * (by its dirName) lets an SPJ key-group task skip every sidecar
+    * (keyed by the field's parameter-qualified RENDER) lets an SPJ
+    * key-group task skip every sidecar
     * file but its own slice — bucket layouts included, because the
     * derived value itself is recorded (no monotonicity argument
     * needed); raw key ranges are recorded too, serving monotonic-

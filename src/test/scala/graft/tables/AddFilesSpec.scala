@@ -247,6 +247,37 @@ class AddFilesSpec extends SparkSpec {
     assert(st.read("b2").count() === 399L)
   }
 
+  test("snapshot carries table properties: clone writes keep the contract") {
+    val root = tmpDir("snap-")
+    val st = new TableStore(spark, root)
+    st.create("psrc", sch)
+    st.setProperties("psrc", Map(
+      "write.merge.mode" -> Some("merge-on-read"),
+      "write.sort-order" -> Some("k")))
+    st.append("psrc", (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    st.snapshotTable("psrc", "pclone")
+    val props = st.properties("pclone")
+    assert(props.get("write.merge.mode") === Some("merge-on-read"))
+    assert(props.get("write.sort-order") === Some("k"))
+    // the carried merge mode actually governs the clone's writes: an
+    // applyNet commits a tombstone + append, rewriting nothing
+    val before = st.currentRelPaths("pclone").toSet
+    st.applyNet("pclone", keys = Seq(3L).toDF("k"),
+      newRows = Seq((3L, "upd")).toDF("k", "v"), keyCols = Seq("k"))
+    assert(before.subsetOf(st.currentRelPaths("pclone").toSet),
+      "merge-on-read mode must carry to the clone")
+    assert(st.pendingDeletes("pclone") === 1)
+    assert(st.read("pclone").filter(col("k") === 3L).select("v")
+      .head().getString(0) === "upd")
+    // row-lineage sources refuse loudly (id ranges cannot carry)
+    st.create("lsrc", sch)
+    st.setProperties("lsrc", Map("row-lineage" -> Some("true")))
+    st.append("lsrc", Seq((1L, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](
+      st.snapshotTable("lsrc", "lclone"))
+    assert(e.getMessage.contains("lineage"))
+  }
+
   test("refusals: schema mismatch, rename, partitioned, collision") {
     val root = tmpDir("adf-")
     val src = tmpDir("adf-src-")
