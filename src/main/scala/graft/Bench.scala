@@ -93,9 +93,15 @@ object Bench {
       (1 to reps).foreach(_ => times += once())
       // sub-3s gates are the ones ambient-load spikes distort most (one
       // 300ms GC is a 1.5× "regression"): give them at least 3 samples
-      // so the min is a real steady-state estimate
-      while (times.forall(_ >= 0) && times.min < 3.0 &&
-          times.size < math.max(reps, 3))
+      // so the min is a real steady-state estimate. The big-gate
+      // analogue: ANY gate whose samples spread >1.5× max/min got hit
+      // by ambient load on at least one rep — keep sampling (bounded)
+      // until the spread closes or the cap documents it via rep_times.
+      def spreadWide = times.size >= 2 && times.min > 0 &&
+        times.max / times.min > 1.5
+      while (times.forall(_ >= 0) && times.size < 6 &&
+          ((times.min < 3.0 && times.size < math.max(reps, 3)) ||
+            spreadWide))
         times += once()
       // a failed query reports -1, never a plausible-looking partial time
       if (times.exists(_ < 0)) (q.name, -1.0, -1.0, Seq(-1.0))
@@ -121,7 +127,10 @@ object Bench {
     // headline keys LAST: the driver keeps only the tail of stdout, so a
     // leading total would be the first thing truncated away by a long
     // per-query map. The full line also lands in bench.json on disk.
-    val line = s"""{"queries":$qs,"rep_max":$spreads,"rep_times":$repTimes,"reps":$reps,"gc_sec":${f"$gcSec%.1f"},"peak_heap_mb":${f"$peakHeapMb%.0f"},"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    // reps_requested is the configured floor; the ACTUAL per-query
+    // sample count is each rep_times array's length (adaptive sampling
+    // above can exceed the floor) — named so no consumer divides by it
+    val line = s"""{"queries":$qs,"rep_max":$spreads,"rep_times":$repTimes,"reps_requested":$reps,"gc_sec":${f"$gcSec%.1f"},"peak_heap_mb":${f"$peakHeapMb%.0f"},"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
     println(line)
     // artifact path: explicit override, else the enclosing repo root
     // (walk up to build.sbt), else cwd — a bench run from a subdirectory

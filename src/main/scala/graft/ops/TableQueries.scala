@@ -1269,6 +1269,16 @@ object TableQueries2 {
       "the source keeps all rows plus its own append")
     require(store.read(clone).filter(col("o_orderkey") % 13 === 0)
         .count() == 0L, "the clone's delete applied")
+    // SOURCE-side maintenance must not break the clone: a CoW delete
+    // rewrites every adopted file on the source, expiry then drops the
+    // manifests that referenced them — the foreign-reference guard is
+    // the only thing keeping the clone's files on disk here
+    val cloneRows = store.read(clone).count()
+    spark.sql(s"DELETE FROM gsnp.$tbl WHERE o_orderkey % 2 = 0")
+    store.expireSnapshots(tbl, 1)
+    store.removeOrphans(tbl, 0L)
+    require(store.read(clone).count() == cloneRows,
+      "clone must read green after source expiry + orphan cleanup")
     spark.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice
       FROM gsnp.$clone
       ORDER BY o_orderkey, o_custkey, o_totalprice""")

@@ -35,11 +35,16 @@ object EqScaleCheck {
     // 10^8-key pile has naturally (what the skip machinery is for)
     val mods = Seq(1L, 3L, 5L, 7L)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("graft.eq.clusterFloorRows", "0") // sf0.1 generations
+    // are ~15k keys — under the small-batch floor; force the clustered
+    // shape a 10^8-key pile has naturally
     try mods.foreach { m =>
       store.deleteMoR("fact",
         li.select("k").distinct().filter(col("k") % 10 === m), Seq("k"))
-    } finally
+    } finally {
       spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.unset("graft.eq.clusterFloorRows")
+    }
     val mask = store.spjPlan("fact").flatMap(_.mask).get
     val pileBytes = mask.eq.flatMap(_.files).map(_._2).sum
     val pileFiles = mask.eq.map(_.files.size).sum

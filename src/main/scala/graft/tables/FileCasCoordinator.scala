@@ -48,9 +48,13 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * the record; if the record does not exist yet, the reader DECIDES
   * THE ABORT by create-exclusive-writing `abort` into it — of the
   * committer's `commit` and any reader's `abort` exactly one create
-  * wins, so every observer agrees forever (undecided in-flight
-  * transactions lose to concurrent readers, the standard optimistic
-  * outcome; the committer sees the abort and reports failure). An
+  * wins, so every observer agrees forever. A reader waits a short
+  * grace period before deciding the abort (a live committer lands its
+  * record within ms of the last reservation), and a committer whose
+  * DECIDE loses that race retries the whole transaction a bounded
+  * number of times — concurrent read load cannot starve multi-table
+  * commits, while sustained contention still surfaces as an ordinary
+  * CAS failure for the caller to rebase. An
   * aborted marker resolves to the PREVIOUS entry's value, so aborted
   * reservations leave no torn state — they only consume a generation
   * number. A crash at ANY point leaves either no record (aborted by
@@ -71,6 +75,16 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     * state reads of a repaired-but-still-marker head cost no FS reads. */
   private val txCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, String]]]()
+
+  /** Ledger entries are immutable once complete, so an accepted value is
+    * cached per path: repeat head() walks cost no FS reads, and — the
+    * case that motivated the cache — a legacy (pre-framing) entry on a
+    * non-local scheme pays its cannot-tell-from-in-flight retry window
+    * at most once per process instead of on every read. Bounded because
+    * pruning retires old paths while the cache would not. */
+  private val ledgerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val LedgerCacheMax = 4096
 
   private def keyDir(table: String): HPath = {
     require(table != TxDirName,
@@ -109,6 +123,8 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     createExclusive(target, value + "\n#end")
 
   private def readLedgerValue(p: HPath): String = {
+    val cached = ledgerCache.get(p.toString)
+    if (cached != null) return cached
     def parse(raw: String): Option[String] =
       if (raw.endsWith("#end"))
         Some(raw.stripSuffix("#end").trim)
@@ -119,7 +135,25 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     while (parse(raw).isEmpty && waits < 50) {
       Thread.sleep(10); waits += 1; raw = readEntry(p)
     }
-    parse(raw).getOrElse(raw)
+    val value = parse(raw).getOrElse {
+      // Unframed after the retry window on a non-local scheme. An EMPTY
+      // partial is the dangerous case: a writer that crashed between
+      // create and write would resolve as "cleared", letting a racing
+      // writer CAS from expected=None and silently discard the prior
+      // pointer — refuse to guess, exactly as txOutcome does for an
+      // incomplete record. A NON-empty unframed entry is accepted as a
+      // legacy (pre-framing) complete write: a torn non-empty value
+      // names a manifest that does not exist and fails loudly
+      // downstream, never silently.
+      if (raw.isEmpty) sys.error(
+        s"ledger entry $p is empty and unframed after the retry " +
+          "window (writer crashed between create and write?) — " +
+          "refusing to resolve it as a cleared pointer")
+      raw
+    }
+    if (ledgerCache.size >= LedgerCacheMax) ledgerCache.clear()
+    ledgerCache.putIfAbsent(p.toString, value)
+    value
   }
 
   /** Create-exclusive write — the one primitive everything here is
@@ -167,9 +201,19 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     var content =
       if (fs.exists(p)) readEntry(p)
       else {
-        fs.mkdirs(new HPath(base, TxDirName))
-        createExclusive(p, "abort")
-        readEntry(p) // ours or the committer's — decided either way
+        // Grace before turning reader into abort-decider: a live
+        // committer writes its record within ms of the last
+        // reservation, so waiting briefly lets in-flight swapAlls land
+        // instead of being starved by concurrent read load. Only after
+        // the record stays absent do we decide the abort.
+        var g = 0
+        while (!fs.exists(p) && g < 20) { Thread.sleep(10); g += 1 }
+        if (fs.exists(p)) readEntry(p)
+        else {
+          fs.mkdirs(new HPath(base, TxDirName))
+          createExclusive(p, "abort")
+          readEntry(p) // ours or the committer's — decided either way
+        }
       }
     // non-local schemes create-then-write, so a record can be visible
     // before (all of) its bytes: NEVER decide (let alone cache) an
@@ -276,6 +320,24 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
       case Seq((t, e, n)) => return swap(t, e, n) // no record needed
       case _ => ()
     }
+    // A lost DECIDE race (a reader aborted our in-flight reservations
+    // before the record landed) is retryable: the aborted markers walk
+    // back to the expected heads, so the same expecteds can still win.
+    // Bounded so sustained contention surfaces as a normal CAS failure
+    // (caller rebases) instead of an unbounded spin.
+    var attempt = 0
+    var decided = attemptSwapAll(swaps)
+    while (decided.isEmpty && attempt < 3) {
+      attempt += 1; decided = attemptSwapAll(swaps)
+    }
+    decided.getOrElse(false)
+  }
+
+  /** One transaction attempt. Some(result) = decided (committed or a
+    * genuine CAS loss); None = our DECIDE lost to a reader's abort —
+    * the one retryable outcome. */
+  private def attemptSwapAll(
+      swaps: Seq[(String, Option[String], String)]): Option[Boolean] = {
     val txid = java.util.UUID.randomUUID().toString
     val reserved = scala.collection.mutable.ListBuffer[(String, Long)]()
     val ok = swaps.sortBy(_._1).forall { case (t, e, _) =>
@@ -295,7 +357,7 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
       fs.mkdirs(new HPath(base, TxDirName))
       createExclusive(txPath(txid), "abort")
       txCache.putIfAbsent(txid, None)
-      return false
+      return Some(false)
     }
     // `end` terminator = the completeness witness txOutcome requires
     // before trusting a commit record on create-then-write schemes
@@ -303,7 +365,7 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
       swaps.map { case (t, _, n) => s"$t\t$n" }.mkString("\n") + "\nend"
     fs.mkdirs(new HPath(base, TxDirName))
     val committed = createExclusive(txPath(txid), content)
-    if (!committed) return false // a racing observer decided the abort
+    if (!committed) return None // a racing observer decided the abort
     txCache.putIfAbsent(txid,
       Some(swaps.map { case (t, _, n) => t -> n }.toMap))
     // best-effort repair: a normal head entry per table, so future
@@ -315,7 +377,7 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
         prune(t, gen + 1)
       }
     }
-    true
+    Some(true)
   }
 
   /** Best-effort ledger pruning: entries more than [[FileCasCoordinator.Keep]]

@@ -496,8 +496,20 @@ final class TableStore(private[tables] val spark: SparkSession,
       .filter(_ > 0).getOrElse(TableStore.DefaultBloomItems)
   }
 
-  def drop(name: String): Unit = {
+  def drop(name: String, force: Boolean = false): Unit = {
     requireNotInTx(s"drop($name)")
+    // dropping a SOURCE whose files a clone still references by
+    // absolute path would break the clone — same reachability check as
+    // expiry/orphan cleanup; `force` drops anyway (the caller accepts
+    // breaking the clones)
+    if (!force && exists(name)) {
+      val refd = foreignReferenced(name)
+      require(refd.isEmpty,
+        s"cannot drop $name: ${refd.size} of its data files are still " +
+          "referenced by another table's manifests (a CALL " +
+          "system.snapshot clone or cross-table add_files adoption) — " +
+          "drop or compact the referencing tables first, or force")
+    }
     // branch pointers may live in an external coordinator — clear them
     // BEFORE the refs dir (their registry) goes away with the table
     scala.util.Try(refs(name)).getOrElse(Map.empty).foreach {
@@ -712,7 +724,24 @@ final class TableStore(private[tables] val spark: SparkSession,
       s"namespace ${nsKey(ns)} is not empty " +
         s"(${inNs.size} tables, ${viewsInNs.size} views) — use CASCADE")
     viewsInNs.foreach(dropView)
-    inNs.foreach(drop)
+    // drop clones before their sources: a table whose files another
+    // live table still references refuses to drop, so iterate —
+    // each pass drops every currently-unreferenced table, which frees
+    // its sources for the next pass. Tables still referenced at the
+    // fixpoint are held by a table OUTSIDE the namespace: refuse loud
+    // (dropping them would break that outside clone).
+    var remaining = inNs
+    var progressed = true
+    while (remaining.nonEmpty && progressed) {
+      val (held, free) = remaining.partition(t => foreignReferenced(t).nonEmpty)
+      progressed = free.nonEmpty
+      free.foreach(t => drop(t))
+      remaining = held
+    }
+    require(remaining.isEmpty,
+      s"cannot cascade-drop namespace ${nsKey(ns)}: " +
+        s"${remaining.mkString(", ")} hold(s) files referenced by " +
+        "tables outside the namespace")
     // cascade also removes explicit markers of nested namespaces
     namespaces().filter(n => nsKey(n).startsWith(prefix))
       .foreach(n => fs.delete(nsMarker(n), false))
@@ -1626,18 +1655,9 @@ final class TableStore(private[tables] val spark: SparkSession,
         col("_metadata.row_index").as(TableStore.PosIdxCol))
     val idCols =
       if (!rowIds) Nil
-      else {
-        val (_, firsts) = readRowIds(name, version)
-        val virt =
-          if (firsts.isEmpty) lit(null).cast(LongType)
-          else element_at(
-            map(firsts.toSeq.sortBy(_._1).flatMap { case (r, f) =>
-              Seq(lit(r), lit(f)) }: _*),
-            element_at(split(col("_metadata.file_path"), "/data/"), -1)) +
-            col("_metadata.row_index")
-        Seq(coalesce(col(s"`${TableStore.RowIdCol}`"), virt)
-          .as(TableStore.RowIdCol))
-      }
+      else Seq(coalesce(col(s"`${TableStore.RowIdCol}`"),
+        virtualRowId(readRowIds(name, version)._2))
+        .as(TableStore.RowIdCol))
     raw.select(
       logicalProjection(name, sch, bundle.physSch) ++ posCols ++ idCols: _*)
   }
@@ -2796,15 +2816,8 @@ final class TableStore(private[tables] val spark: SparkSession,
       else StructType(physSch0.fields :+
         StructField(TableStore.RowIdCol, LongType, nullable = true))
     val idCols = rowIdsAt.toSeq.map { v =>
-      val (_, firsts) = readRowIds(name, v)
-      val virt =
-        if (firsts.isEmpty) lit(null).cast(LongType)
-        else element_at(
-          map(firsts.toSeq.sortBy(_._1).flatMap { case (r, f) =>
-            Seq(lit(r), lit(f)) }: _*),
-          element_at(split(col("_metadata.file_path"), "/data/"), -1)) +
-          col("_metadata.row_index")
-      coalesce(col(s"`${TableStore.RowIdCol}`"), virt)
+      coalesce(col(s"`${TableStore.RowIdCol}`"),
+        virtualRowId(readRowIds(name, v)._2))
         .as(TableStore.RowIdCol)
     }
     val dd = fs.makeQualified(dataDir(name)).toString
@@ -3114,15 +3127,26 @@ final class TableStore(private[tables] val spark: SparkSession,
     * and CoW rewrites land in ITS own data dir; the source never sees
     * them.
     *
-    * Ownership (the Iceberg snapshot-table contract): the clone does
-    * NOT own the referenced files — and no physical deletion path here
-    * can touch them (expiry/orphan cleanup delete via `data/` dir
-    * listings; a clone's drop removes only its own tree). The REVERSE
-    * hazard is real and inherent: the SOURCE's `expireSnapshots` /
-    * `compact` + expiry may delete files the clone still references
-    * once the source no longer does. Pause source expiry while clones
-    * reference history, or `CALL compact` on the clone to rewrite it
-    * into files it owns (full independence).
+    * Ownership (STRONGER than the Iceberg snapshot-table contract):
+    * the clone does NOT own the referenced files — and no physical
+    * deletion path on EITHER side can break the other. A clone's
+    * expiry/orphan cleanup deletes via its own `data/` listings and
+    * its drop removes only its own tree; the SOURCE's
+    * `expireSnapshots` / `removeOrphans` / `drop` consult
+    * [[foreignReferenced]] and SKIP (or refuse, for drop) files a
+    * clone's manifests still reference by absolute path — Iceberg's
+    * own snapshot procedure leaves that reverse direction as a
+    * documented data-loss hazard; owning both tables under one store
+    * root lets this engine close it. `CALL compact` on the clone
+    * rewrites it into files it owns, and expiring the clone's
+    * pre-compact history (which still references the source for time
+    * travel) then frees the source's files for reclamation.
+    *
+    * Row-lineage sources clone cleanly: the `.rowids` first-row-id
+    * sidecar carries by reference alongside the files (see the lineage
+    * block below), so `_row_id` is stable across the clone boundary
+    * and both sides keep assigning from the carried counter after
+    * divergence.
     *
     * Constraints (checked, loud): `src` single-generation spec, no
     * renames (adopted files carry old physical names otherwise), and
@@ -3145,9 +3169,6 @@ final class TableStore(private[tables] val spark: SparkSession,
     require(renamed.isEmpty,
       "snapshot after a column rename would reference files whose " +
         s"columns no longer match (renamed: ${renamed.mkString(", ")})")
-    require(!rowLineage(src),
-      s"$src tracks row lineage — its per-file id ranges are snapshot " +
-        "sidecars a by-reference clone cannot carry; copy-load instead")
     create(dst, schema(src), partitionBy = partitionCols(src),
       zoneCols = zoneCols(src), bloomCols = bloomCols(src),
       bloomItems = bloomItems(src))
@@ -3155,10 +3176,15 @@ final class TableStore(private[tables] val spark: SparkSession,
     // (write modes, sort order, variant shreds, defaults — Iceberg's
     // snapshot carries table metadata): without them the clone's
     // future writes would silently diverge from the source's contract
-    // (e.g. a variant shred column left null instead of derived)
+    // (e.g. a variant shred column left null instead of derived).
+    // row-lineage is EXCLUDED here and re-set after the adoption
+    // commit below: were it live during that commit, the adopted files
+    // would be assigned FRESH id ranges instead of carrying the
+    // source's — silently renumbering every row of the clone.
     val props = properties(src)
     if (props.nonEmpty)
-      setProperties(dst, props.map { case (k, v) => k -> Some(v) })
+      setProperties(dst, (props - "row-lineage")
+        .map { case (k, v) => k -> Some(v) })
     val rels = currentRelPaths(src)
     val abs = rels.map(r =>
       new HPath(dataDir(src), r).toUri.getPath)
@@ -3181,6 +3207,25 @@ final class TableStore(private[tables] val spark: SparkSession,
       commitManifest(dst, currentVersion(dst), Set.empty, abs, abs,
         meta = Map("operation" -> "snapshot", "source" -> src),
         reclaimAddedOnAbort = false)
+    // row lineage carries BY REFERENCE like the data files: the clone's
+    // `.rowids` sidecar maps each adopted ABSOLUTE entry to the
+    // source's first_row_id (files with MATERIALIZED ids need no entry
+    // — the physical column travels with the file), and `#next`
+    // continues the source's counter so the clone never re-issues a
+    // live id. Written before the property is re-enabled, so the
+    // adoption commit above could not have auto-assigned fresh ranges.
+    if (rowLineage(src)) {
+      if (abs.nonEmpty) {
+        val (srcNext, srcFirsts) = readRowIds(src, currentVersion(src))
+        val entries = rels.zip(abs)
+          .flatMap { case (r, a) => srcFirsts.get(r).map(a -> _) }
+          .sortBy(_._1)
+        writeString(rowIdsPath(dst, currentVersion(dst)),
+          (s"#next\t$srcNext" +:
+            entries.map { case (r, f) => s"$r\t$f" }).mkString("\n"))
+      }
+      setProperties(dst, Map("row-lineage" -> Some("true")))
+    }
     abs
   }
 
@@ -3393,8 +3438,28 @@ final class TableStore(private[tables] val spark: SparkSession,
     val sortCols = dims.map(f =>
       if (f.isIdentity) col(s"`${f.source}`") else derivedCol(keys, f)) ++
       pCols.map(c => col(s"`$c`"))
-    keys.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-      .write.parquet(out.toString)
+    // Small-batch floor: layout clustering pays a range shuffle plus a
+    // stats read-back pass — pure overhead for the common small CDC
+    // tombstone batch, whose WHOLE pile every key-group task can afford
+    // to read anyway (a 64k-key sidecar is ~1 MB). Count first (the
+    // keys frame is tombstone-sized and cached so the write does not
+    // recompute it) and write small batches as ONE sorted file — the
+    // single-file early-return below then skips the stats pass too.
+    // graft.eq.clusterFloorRows overrides (0 forces clustering; scale
+    // tools and the multi-slice specs use it).
+    val floor = spark.conf.getOption("graft.eq.clusterFloorRows")
+      .flatMap(_.toLongOption).getOrElse(TableStore.EqClusterFloorRows)
+    val cached = keys.persist()
+    try {
+      if (cached.count() <= floor) {
+        cached.coalesce(1).sortWithinPartitions(sortCols: _*)
+          .write.parquet(out.toString)
+        return rel
+      }
+      cached.repartitionByRange(sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .write.parquet(out.toString)
+    } finally { cached.unpersist(); () }
     val parquetFiles = listStatusRec(out)
       .count(_.getPath.getName.endsWith(".parquet"))
     if (parquetFiles < 2) return rel // one slice: nothing to ever skip
@@ -3524,6 +3589,32 @@ final class TableStore(private[tables] val spark: SparkSession,
       }
     }.toMap
     (next, m)
+  }
+
+  /** Virtual lineage-id column: per-file first_row_id lookup plus the
+    * scan's row ordinal. The lookup key is the `_metadata.file_path`
+    * segment after the LAST `/data/` — which is the sidecar's key
+    * verbatim for native relative entries, and the SOURCE-relative
+    * tail for snapshot-adopted absolute entries (whose sidecar keys
+    * are the absolute manifest spelling, normalized here the same
+    * way). Distinct entries colliding on the normalized key would make
+    * the lookup ambiguous — fail loud, never serve a wrong id. */
+  private def virtualRowId(firsts: Map[String, Long])
+      : org.apache.spark.sql.Column = {
+    if (firsts.isEmpty) return lit(null).cast(LongType)
+    def seg(r: String): String = {
+      val i = r.lastIndexOf("/data/")
+      if (i >= 0) r.substring(i + "/data/".length) else r
+    }
+    val keyed = firsts.toSeq.map { case (r, f) => seg(r) -> f }
+    require(keyed.map(_._1).distinct.size == keyed.size,
+      "row-lineage sidecar entries collide after /data/ normalization " +
+        "— cannot resolve virtual row ids unambiguously")
+    element_at(
+      map(keyed.sortBy(_._1).flatMap { case (r, f) =>
+        Seq(lit(r), lit(f)) }: _*),
+      element_at(split(col("_metadata.file_path"), "/data/"), -1)) +
+      col("_metadata.row_index")
   }
 
   /** The current snapshot with [[TableStore.RowIdCol]] surfaced — the
@@ -4678,9 +4769,11 @@ final class TableStore(private[tables] val spark: SparkSession,
     val referenced = listNames(d)
       .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
       .flatMap(m => readLines(new HPath(d, m))).toSet
+    val foreign = foreignReferenced(name)
     val cutoff = System.currentTimeMillis() - olderThanMs
     listStatusRec(dataDir(name))
       .filter(st => !referenced.contains(relativize(dataDir(name), st.getPath)))
+      .filter(st => !foreign.contains(st.getPath.toUri.getPath))
       .filter(_.getModificationTime < cutoff)
       .map { st =>
         val rel = relativize(dataDir(name), st.getPath)
@@ -4689,6 +4782,28 @@ final class TableStore(private[tables] val spark: SparkSession,
         bloomCols(name).foreach(c => fs.delete(bloomPath(name, rel, c), false))
         rel
       }
+  }
+
+  /** Absolute paths under `name`'s data dir that some OTHER table's
+    * manifests reference — files adopted by `CALL system.snapshot` (or
+    * cross-table `add_files`) by absolute path. Physical deletion on
+    * the SOURCE must skip them: without this, source `expire_snapshots`
+    * / `remove_orphans` after a clone silently breaks the clone — the
+    * one data-loss hazard round 11 documented. Cost is one read of
+    * every sibling table's manifest metadata (catalog-sized, not
+    * data-sized — the same order as the expiry's own manifest walk);
+    * only scheme-less-absolute manifest entries (the adoption spelling)
+    * are considered, and only those under this table's data dir. */
+  private def foreignReferenced(name: String): Set[String] = {
+    val mine = dataDir(name).toUri.getPath
+    val prefix = if (mine.endsWith("/")) mine else mine + "/"
+    tables().filterNot(_ == name).flatMap { t =>
+      val td = tdir(t)
+      listNames(td)
+        .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
+        .flatMap(m => readLines(new HPath(td, m)))
+        .filter(l => l.startsWith("/") && l.startsWith(prefix))
+    }.toSet
   }
 
   /** Snapshot expiry: drop manifests older than the last `keepLast` and
@@ -4731,9 +4846,15 @@ final class TableStore(private[tables] val spark: SparkSession,
       writeMetaFile(name, v, 0, inherited.toMap ++ commitMeta(name, v))
     }
     val live = keep.flatMap(m => readLines(new HPath(d, m))).toSet
-    // delete unreferenced data files, then the expired manifests
+    val foreign = foreignReferenced(name)
+    // delete unreferenced data files — unless a clone's manifests still
+    // reference them by absolute path ([[foreignReferenced]]): a
+    // source-side expiry must never break a `CALL system.snapshot`
+    // clone. Skipped files stay on disk until the clone drops or
+    // compacts into files it owns; re-running expiry then reclaims them.
     listFilesRec(dataDir(name))
       .filter(p => !live.contains(relativize(dataDir(name), p)))
+      .filter(p => !foreign.contains(p.toUri.getPath))
       .foreach { p =>
         val rel = relativize(dataDir(name), p)
         fs.delete(p, false)
@@ -6332,6 +6453,13 @@ object TableStore {
   val ChangeTypeCol: String = "_change_type"
   val CommitVersionCol: String = "_commit_version"
 
+  /** Tombstone batches at or below this row count skip layout
+    * clustering (one sorted sidecar file, no range shuffle, no stats
+    * pass): a ≤64k-key sidecar is ~1 MB — cheaper for every task to
+    * read whole than the clustering costs to write. Override per
+    * session with `graft.eq.clusterFloorRows`. */
+  val EqClusterFloorRows: Long = 65536L
+
   /** Marker inside a STAGED table's name (atomic CTAS/RTAS): staged
     * tables are full tables on disk but invisible to [[TableStore.tables]]
     * until published by rename ([[TableStore.renameTable]]) or swap
@@ -6368,11 +6496,14 @@ object TableStore {
     * `c` contains one value — what ONE identity-layout key-group task
     * retains after range-based file skipping (its partition value is a
     * point; every other file is skipped at mask-build time). None when
-    * any file lacks a range on `c` or any pair is non-comparable — the
-    * caller falls back to total bytes. The max over all points occurs
-    * at some interval start, so the O(n²) sweep over starts is exact;
-    * sidecar file counts are range-partitioner-sized (≤ shuffle
-    * partitions per entry), not data-file-sized. */
+    * any file lacks a range on `c` or a sort comparison hits a
+    * non-comparable pair — the caller falls back to total bytes. The
+    * max over all points occurs at some interval start, so a sorted
+    * endpoint sweep (starts before ends at equal coordinates, closed
+    * intervals) is exact in O(n log n) — a layout-clustered 100-TB
+    * pile's thousands of slices per entry must not trigger a quadratic
+    * driver stall (the brute-force-equivalence property is pinned in
+    * SpjSpec). */
   private[tables] def maxPointBytes(files: Seq[(String, Long)],
       ranges: Map[String, Map[String, (Any, Any)]], c: String): Option[Long] = {
     val iv = files.map { case (path, len) =>
@@ -6381,18 +6512,25 @@ object TableStore {
     }
     if (iv.exists(_.isEmpty) || iv.isEmpty) return None
     val list = iv.flatten
-    var best = 0L
-    list.foreach { case (mn, _, _) =>
-      var s = 0L
-      list.foreach { case (mn2, mx2, len2) =>
-        (ZoneStats.cmp(mn2, mn), ZoneStats.cmp(mx2, mn)) match {
-          case (Some(a), Some(b)) => if (a <= 0 && b >= 0) s += len2
-          case _ => return None // non-comparable pair: no refinement
+    final case class Ev(at: Any, start: Boolean, len: Long)
+    object NonComparable extends scala.util.control.ControlThrowable
+    val evs = list.flatMap { case (mn, mx, len) =>
+      Seq(Ev(mn, start = true, len), Ev(mx, start = false, len)) }
+    try {
+      val sorted = evs.sortWith { (a, b) =>
+        ZoneStats.cmp(a.at, b.at) match {
+          case Some(o) => if (o != 0) o < 0 else a.start && !b.start
+          case None => throw NonComparable
         }
       }
-      best = math.max(best, s)
-    }
-    Some(best)
+      var cur = 0L
+      var best = 0L
+      sorted.foreach { e =>
+        if (e.start) { cur += e.len; best = math.max(best, cur) }
+        else cur -= e.len
+      }
+      Some(best)
+    } catch { case NonComparable => None }
   }
 
   /** Pending merge-on-read delete state the SPJ batch reader must apply

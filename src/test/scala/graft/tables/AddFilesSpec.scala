@@ -269,13 +269,83 @@ class AddFilesSpec extends SparkSpec {
     assert(st.pendingDeletes("pclone") === 1)
     assert(st.read("pclone").filter(col("k") === 3L).select("v")
       .head().getString(0) === "upd")
-    // row-lineage sources refuse loudly (id ranges cannot carry)
+  }
+
+  test("snapshot of a row-lineage source: ids carry, stable post-divergence") {
+    val root = tmpDir("snap-lin-")
+    val st = new TableStore(spark, root)
     st.create("lsrc", sch)
     st.setProperties("lsrc", Map("row-lineage" -> Some("true")))
-    st.append("lsrc", Seq((1L, "a")).toDF("k", "v"))
-    val e = intercept[IllegalArgumentException](
-      st.snapshotTable("lsrc", "lclone"))
-    assert(e.getMessage.contains("lineage"))
+    st.append("lsrc", (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    st.append("lsrc", (10L until 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+    def ids(t: String): Map[Long, Long] =
+      st.readLineage(t).select("k", TableStore.RowIdCol).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcIds = ids("lsrc")
+    assert(srcIds.values.toSeq.sorted === (0L until 20L),
+      "source assigns dense ids across two commits")
+    st.snapshotTable("lsrc", "lclone")
+    assert(st.rowLineage("lclone"), "the clone tracks lineage")
+    assert(ids("lclone") === srcIds,
+      "every adopted row keeps its source _row_id")
+    // divergence: a CoW delete rewrites the touched files into the
+    // clone's own tree — surviving rows keep their ids (materialized
+    // through the rewrite), deleted ones vanish
+    st.delete("lclone", col("k") < 5L)
+    assert(ids("lclone") === srcIds.filter(_._1 >= 5L))
+    // fresh appends on the clone continue the CARRIED counter — a new
+    // row never re-issues an id the source already assigned
+    st.append("lclone", Seq((100L, "x")).toDF("k", "v"))
+    assert(ids("lclone")(100L) >= 20L)
+    // the source is untouched by all of it
+    assert(ids("lsrc") === srcIds)
+  }
+
+  test("source maintenance never breaks a clone: expiry, orphans, drop") {
+    val root = tmpDir("snap-guard-")
+    val st = new TableStore(spark, root)
+    st.create("xsrc", sch, zoneCols = Seq("k"))
+    st.append("xsrc", (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")))
+    st.snapshotTable("xsrc", "xclone")
+    // the source rewrites every adopted file (CoW delete), then expires
+    // its history: without the foreignReferenced guard this physically
+    // deleted the clone's files — the round-11 data-loss hazard
+    st.delete("xsrc", col("k") % 2L === 0L)
+    st.expireSnapshots("xsrc", 1)
+    assert(st.read("xclone").count() === 1000L,
+      "clone reads green after source expiry")
+    // orphan cleanup with a zero age guard must skip them too
+    st.removeOrphans("xsrc", 0L)
+    assert(st.read("xclone").count() === 1000L,
+      "clone reads green after source orphan cleanup")
+    // dropping the source refuses while a clone still references it
+    val e = intercept[IllegalArgumentException](st.drop("xsrc"))
+    assert(e.getMessage.contains("referenced"))
+    assert(st.read("xclone").count() === 1000L)
+    // compaction rewrites the clone into files it owns — but its
+    // HISTORY still references the source (time travel to pre-compact
+    // snapshots must keep working), so the source stays held until the
+    // clone expires that history
+    st.compact("xclone")
+    val e2 = intercept[IllegalArgumentException](st.drop("xsrc"))
+    assert(e2.getMessage.contains("referenced"))
+    st.expireSnapshots("xclone", 1)
+    st.drop("xsrc")
+    assert(st.read("xclone").count() === 1000L,
+      "a compacted clone survives its source's drop")
+  }
+
+  test("cascade namespace drop orders clones before their sources") {
+    val root = tmpDir("snap-ns-")
+    val st = new TableStore(spark, root)
+    st.create("a.src", sch)
+    st.append("a.src", (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v"))
+    st.snapshotTable("a.src", "a.clone")
+    // naive order would try a.clone's SOURCE first and refuse; the
+    // fixpoint drops the clone, then the freed source
+    assert(st.dropNamespace(Seq("a"), cascade = true))
+    assert(!st.exists("a.src") && !st.exists("a.clone"))
   }
 
   test("refusals: schema mismatch, rename, partitioned, collision") {

@@ -184,6 +184,77 @@ class DurableCasSpec extends SparkSpec {
     assert(fresh.current("y") === Some("y2"))
   }
 
+  test("an empty unframed ledger entry on a non-local scheme fails loud") {
+    // a writer that crashed between create and write leaves an empty
+    // unframed entry; resolving it as "cleared" would let a racing
+    // writer CAS from expected=None and silently discard the prior
+    // pointer — the reader must refuse instead
+    val dir = "mockfs:" + tmpDir("cas-torn-")
+    spark.sparkContext.hadoopConfiguration.setIfUnset(
+      "fs.mockfs.impl", classOf[MockFs].getName)
+    val c = new FileCasCoordinator(conf(), dir)
+    assert(c.swap("t", None, "m1"))
+    val fs = new HPath(dir).getFileSystem(conf())
+    fs.create(new HPath(new HPath(dir, "t"), "commit-2"), false).close()
+    val reader = new FileCasCoordinator(conf(), dir)
+    val e = intercept[RuntimeException](reader.current("t"))
+    assert(e.getMessage.contains("refusing"),
+      s"wanted the refuse-to-guess error, got: ${e.getMessage}")
+  }
+
+  test("legacy unframed entries resolve once, then serve from cache") {
+    // a complete pre-framing entry is indistinguishable from an
+    // in-flight write on a non-local scheme: the first read pays the
+    // retry window, but the accepted value is cached per path so the
+    // penalty is paid at most once per process
+    val dir = "mockfs:" + tmpDir("cas-legacy-")
+    val c = new FileCasCoordinator(conf(), dir)
+    assert(c.swap("t", None, "m1"))
+    val fs = new HPath(dir).getFileSystem(conf())
+    val out = fs.create(new HPath(new HPath(dir, "t"), "commit-2"), false)
+    try out.write("legacy-manifest".getBytes("UTF-8")) finally out.close()
+    val reader = new FileCasCoordinator(conf(), dir)
+    assert(reader.current("t") === Some("legacy-manifest")) // pays retry
+    val t0 = System.nanoTime()
+    assert(reader.current("t") === Some("legacy-manifest"))
+    val secondMs = (System.nanoTime() - t0) / 1e6
+    assert(secondMs < 400.0,
+      s"second read took ${secondMs}ms — unframed-entry retry not cached")
+  }
+
+  test("readers grace an in-flight transaction before deciding the abort") {
+    // a reservation whose record lands shortly after must COMMIT, not
+    // be aborted by the first concurrent reader — the starvation fix
+    val dir = tmpDir("cas-grace-")
+    val c = new FileCasCoordinator(conf(), dir)
+    assert(c.swap("x", None, "x1"))
+    val fs = new HPath(dir).getFileSystem(conf())
+    def frame(p: HPath, v: String): Unit = {
+      val out = fs.create(p, false)
+      try out.write((v + "\n#end").getBytes("UTF-8")) finally out.close()
+    }
+    frame(new HPath(new HPath(dir, "x"), "commit-2"), "tx:slow-tx")
+    val writer = new Thread(() => {
+      Thread.sleep(80) // inside the reader's grace window
+      fs.mkdirs(new HPath(dir, "_tx"))
+      // records self-terminate with `end` (NOT ledger-framed) and the
+      // local scheme exposes them ATOMICALLY WITH CONTENT via link(2),
+      // exactly as createExclusive does — a create-then-write here
+      // would be a torn state production never produces locally
+      val t = java.nio.file.Paths.get(dir, "_tx", "slow-tx")
+      val tmp = t.resolveSibling(".tmp-grace")
+      java.nio.file.Files.write(tmp, "commit\nx\tx9\nend".getBytes("UTF-8"))
+      java.nio.file.Files.createLink(t, tmp)
+      java.nio.file.Files.deleteIfExists(tmp)
+      ()
+    })
+    writer.start()
+    val reader = new FileCasCoordinator(conf(), dir)
+    assert(reader.current("x") === Some("x9"),
+      "reader aborted a transaction whose record landed within the grace")
+    writer.join()
+  }
+
   test("racing independent TableStore instances' multi-table transactions") {
     val root = "mockfs:" + tmpDir("cas-txstore-")
     fsProps.foreach { case (k, v) =>

@@ -421,12 +421,17 @@ class SpjSpec extends SparkSpec {
       .toDF("k", "v")
     data.writeTo("spj.rs").append()
     val delKeys = (0L until 500L)
-    // a test-sized pile coalesces to one file under AQE (fine — nothing
-    // to skip in one file); force the at-scale multi-slice shape
+    // a test-sized pile coalesces to one file under AQE and sits below
+    // the small-batch clustering floor (fine — nothing to skip in one
+    // file); force the at-scale multi-slice shape
     val coalesce = "spark.sql.adaptive.coalescePartitions.enabled"
     spark.conf.set(coalesce, "false")
+    spark.conf.set("graft.eq.clusterFloorRows", "0")
     try store.deleteMoR("rs", delKeys.toDF("k"), Seq("k"))
-    finally spark.conf.unset(coalesce)
+    finally {
+      spark.conf.unset(coalesce)
+      spark.conf.unset("graft.eq.clusterFloorRows")
+    }
     val m = store.spjPlan("rs").flatMap(_.mask).get
     val e = m.eq.head
     assert(e.files.size > 1, "need a multi-file sidecar to skip within")
@@ -480,8 +485,12 @@ class SpjSpec extends SparkSpec {
     val delKeys = (0L until 120L)
     val coalesce = "spark.sql.adaptive.coalescePartitions.enabled"
     spark.conf.set(coalesce, "false")
+    spark.conf.set("graft.eq.clusterFloorRows", "0")
     try store.deleteMoR("rsp", delKeys.toDF("k"), Seq("k"))
-    finally spark.conf.unset(coalesce)
+    finally {
+      spark.conf.unset(coalesce)
+      spark.conf.unset("graft.eq.clusterFloorRows")
+    }
     val m = store.spjPlan("rsp").flatMap(_.mask).get
     assert(m.eq.head.files.size > 1, "need a multi-file sidecar")
     SpjMaskCache.reset()
