@@ -39,6 +39,24 @@ object AnnIndex {
     * rows the index covers. */
   private val IndexedVersionProp = "ann.indexed-version"
 
+  /** Shared stamp on an index table AND its learned side table
+    * (IVF centroids / PQ codebooks) written by [[rebuildIndex]]'s
+    * staged swap: the two replaceTable publishes are individually
+    * atomic but not jointly, so the query paths require matching
+    * stamps — a reader racing the two-rename window fails loud instead
+    * of silently scanning an index against the wrong centroids or
+    * codebooks. Absent on both (pre-rebuild indexes) passes. */
+  private val BuildIdProp = "ann.build-id"
+
+  private def requirePaired(store: TableStore, indexTable: String,
+      sideTable: String): Unit = {
+    val a = store.properties(indexTable).get(BuildIdProp)
+    val b = store.properties(sideTable).get(BuildIdProp)
+    require(a == b,
+      s"ANN index $indexTable and $sideTable carry different build " +
+        "stamps (a rebuild swap is in flight?) — retry the query")
+  }
+
   /** Property on the INDEX table: the corpus table's identity token
     * ([[TableStore.tableUuid]]) the version pointer refers to. A bare
     * version is ambiguous across drop + re-create — if the new corpus's
@@ -297,6 +315,7 @@ object AnnIndex {
       k: Int, nprobe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    requirePaired(store, indexTable, s"${indexTable}_centroids")
     val cents = store.read(s"${indexTable}_centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
@@ -412,6 +431,7 @@ object AnnIndex {
       k: Int, rerank: Int = 50): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    requirePaired(store, indexTable, s"${indexTable}_codebooks")
     val rows = store.read(s"${indexTable}_codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val bySub = rows.groupBy(_._1)
@@ -508,6 +528,66 @@ object AnnIndex {
         if (recall >= recallFloor) "ok" else "rebuild-recommended"
       (rows, before.toLong, after.toLong, nTrue, recall, action)
     } finally { truth.unpersist(); queries.unpersist(); () }
+  }
+
+  /** Full re-seed + atomic publish — what a user runs when
+    * [[maintainIndex]] reports "rebuild-recommended": IVF centroids /
+    * PQ codebooks re-seed from the CURRENT corpus (the drifted
+    * distribution), the whole index builds fresh under a STAGED name,
+    * and the staged tables publish over the live ones via the same
+    * replace-table swap RTAS uses — readers never observe a missing or
+    * empty index, and no hand drop-and-recreate is needed. For kinds
+    * with a learned side table the two publishes are individually
+    * atomic; both tables carry a shared [[BuildIdProp]] stamp and the
+    * query paths refuse a mis-paired read loudly, so the two-rename
+    * window degrades to a retryable error, never a silent wrong scan.
+    * Returns the [[maintainIndex]] report measured on the REBUILT
+    * index (rows_indexed = the full rebuild's row count). */
+  def rebuildIndex(store: TableStore, corpusTable: String,
+      indexTable: String, kind: String, sample: Int = 8, k: Int = 5,
+      recallFloor: Double = 0.0): (Long, Long, Long, Long, Double, String) = {
+    require(store.exists(indexTable),
+      s"no index $indexTable to rebuild — CALL maintain_index builds one")
+    val stage = s"$indexTable${TableStore.StageMarker}rb-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val side = kind match {
+      case "ivf" => Some("_centroids")
+      case "pq"  => Some("_codebooks")
+      case "lsh" => None
+      case other => throw new IllegalArgumentException(
+        s"unknown index kind '$other' (lsh | ivf | pq)")
+    }
+    val buildId = java.util.UUID.randomUUID().toString
+    try {
+      // a fresh name has no coverage pointer → the refresh takes its
+      // full-build path, which re-seeds the side state from the head
+      val rows = kind match {
+        case "lsh" => refresh(store, corpusTable, stage)
+        case "ivf" => refreshIvf(store, corpusTable, stage)
+        case _     => refreshPq(store, corpusTable, stage)
+      }
+      store.setProperties(stage, Map(BuildIdProp -> Some(buildId)))
+      side.foreach(s => store.setProperties(s"$stage$s",
+        Map(BuildIdProp -> Some(buildId))))
+      store.replaceTable(stage, indexTable)
+      side.foreach { s =>
+        if (store.exists(s"$indexTable$s"))
+          store.replaceTable(s"$stage$s", s"$indexTable$s")
+        else store.renameTable(s"$stage$s", s"$indexTable$s")
+      }
+      val (_, before, after, nTrue, recall, action) =
+        maintainIndex(store, corpusTable, indexTable, kind, sample, k,
+          recallFloor)
+      (rows, before, after, nTrue, recall, action)
+    } catch {
+      case e: Throwable =>
+        // best-effort stage cleanup; the live index was never touched
+        // before its own replace succeeded
+        (stage +: side.map(s => s"$stage$s").toSeq).foreach { t =>
+          if (store.exists(t)) { scala.util.Try(store.drop(t, force = true)); () }
+        }
+        throw e
+    }
   }
 
   /** Incremental PQ gate — same shape as the LSH/IVF ones: codebooks

@@ -492,27 +492,94 @@ object Rel {
       | COUNT(*) AS n_rows
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Sketch aggregates: approx_count_distinct (HLL++) next to the exact
-    * count — rows-only gate (sketch estimates are engine-specific); the
-    * relative-error contract is asserted in RelSpec.
+  /** Sketch aggregates with a FULL oracle: the exact distinct count next
+    * to a KMV (k-minimum-values) estimate computed over the portable
+    * md5-derived 60-bit hash — every arithmetic step (k-th smallest
+    * distinct hash, one exact double product, one correctly-rounded
+    * division, floor) is reproduced verbatim in DuckDB, so unlike HLL
+    * the sketch ESTIMATE itself hash-matches across engines.
+    * approx_count_distinct (HLL++, engine-specific bytes) stays
+    * exercised in-gate: its 2% sketch's error contract is require()d
+    * here against the exact branch (and pinned again in RelSpec), but
+    * its estimates stay out of the compared output.
     *
-    * Exact and approx run as SEPARATE aggregations joined on the tiny
-    * group key: mixing them in one agg triggers Spark's single-distinct
-    * rewrite, which groups the HLL partials by (l_returnflag, l_partkey)
-    * — one ~3 KB sketch buffer per DISTINCT PAIR (~200k at sf0.1, ~5.5×
-    * that as the bench cost) instead of one per group. Split, the exact
-    * branch is a plain two-level distinct agg and the approx branch
-    * builds 3 sketches total; the join is a broadcast over 3 rows. */
+    * Scale shape: the KMV candidate set is reduced in TWO salted
+    * partial-aggregation levels (per-salt k-minima, then a merge of
+    * 64×k values per group) — never a per-group global sort, and never
+    * more than k longs per salt bucket carried past the first shuffle.
+    * The exact branch is a plain two-level distinct agg; HLL builds one
+    * sketch per group (kept OUT of the exact agg: mixing them triggers
+    * Spark's single-distinct rewrite, one ~3 KB sketch per distinct
+    * PAIR instead of per group). */
   private def q24(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
+    val k = 256
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-    val approx = li.groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
-    exact.join(broadcast(approx), Seq("l_returnflag"))
-      .orderBy("l_returnflag")
+    val chk = exact.join(
+      li.groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("a")),
+      Seq("l_returnflag")).collect()
+    chk.foreach { r =>
+      val ex = r.getAs[Long]("exact_parts").toDouble
+      val a = r.getAs[Long]("a").toDouble
+      require(ex == 0 || math.abs(a - ex) / ex < 0.1,
+        s"HLL estimate $a outside its error bound of exact $ex")
+    }
+    // distinct portable hashes; nulls out (Spark sorts them first,
+    // DuckDB last — and no engine's distinct-count includes them)
+    val hashes = li.filter(col("l_partkey").isNotNull)
+      .select(col("l_returnflag"),
+        PortableHash.h60(col("l_partkey").cast("string")).as("h"))
+      .distinct()
+    val perSalt = hashes
+      .groupBy(col("l_returnflag"), pmod(col("h"), lit(64L)).as("salt"))
+      .agg(slice(sort_array(collect_list(col("h"))), 1, k).as("mins"),
+        count(lit(1)).as("ndp"))
+    val merged = perSalt.groupBy("l_returnflag")
+      .agg(slice(sort_array(flatten(collect_list(col("mins")))), 1, k)
+        .as("mins"),
+        sum(col("ndp")).as("nd"))
+    // (k-1) * 2^60 is an EXACT double (small integer × power of two);
+    // the division and floor are single correctly-rounded IEEE ops —
+    // identical in any engine, which is what makes the estimate oracled
+    val kmv = merged.select(col("l_returnflag"),
+      when(col("nd") >= k,
+        floor(lit((k - 1).toDouble * 1152921504606846976.0d) /
+          element_at(col("mins"), k).cast("double")))
+        .otherwise(col("nd")).as("kmv_parts"))
+    val out = exact.join(kmv, Seq("l_returnflag")).orderBy("l_returnflag")
+    out.collect().foreach { r =>
+      val ex = r.getAs[Long]("exact_parts").toDouble
+      if (ex >= k)
+        require(math.abs(r.getAs[Long]("kmv_parts") - ex) / ex < 0.25,
+          s"KMV estimate ${r.getAs[Long]("kmv_parts")} outside 4-sigma " +
+            s"of exact $ex at k=$k")
+    }
+    out
+  }
+
+  private val q24Sql = {
+    val h = PortableHash.h60Sql("CAST(l_partkey AS VARCHAR)")
+    s"""WITH d AS (
+      |  SELECT DISTINCT l_returnflag, $h AS h
+      |  FROM lineitem WHERE l_partkey IS NOT NULL),
+      |r AS (
+      |  SELECT l_returnflag, h,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+      |  FROM d),
+      |e AS (
+      |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+      |  FROM lineitem GROUP BY 1)
+      |SELECT e.l_returnflag AS l_returnflag, e.exact_parts AS exact_parts,
+      |  CASE WHEN r.nd >= 256
+      |    THEN CAST(FLOOR(255.0 * 1152921504606846976.0
+      |      / CAST(r.h AS DOUBLE)) AS BIGINT)
+      |    ELSE r.nd END AS kmv_parts
+      |FROM e JOIN r ON e.l_returnflag = r.l_returnflag
+      |  AND r.rn = LEAST(256, r.nd)
+      |ORDER BY e.l_returnflag""".stripMargin
   }
 
   /** The exact branch of q24 on its own — deterministic, so it gets a full
@@ -1152,7 +1219,7 @@ object Rel {
     Q("q21_count_distinct", q21, Some(q21Sql)),
     Q("q22_having_topk", q22, Some(q22Sql)),
     Q("q23_salted_agg", q23, Some(q23Sql)),
-    Q("q24_approx_distinct", q24, None),
+    Q("q24_approx_distinct", q24, Some(q24Sql)),
     Q("q24_exact_distinct", q24e, Some(q24eSql)),
     Q("q25_scalar_breadth", q25, Some(q25Sql)),
     Q("q26_window_breadth", q26, Some(q26Sql)),

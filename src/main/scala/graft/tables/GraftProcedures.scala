@@ -32,7 +32,7 @@ private[tables] object GraftProcedures {
   def names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphans", "materialize_deletes", "rewrite_deletes",
     "maintain_deletes", "rewrite_small_files", "maintain",
-    "maintain_index", "add_variant_shred", "create_branch",
+    "maintain_index", "rebuild_index", "add_variant_shred", "create_branch",
     "create_tag", "drop_ref", "fast_forward", "rollback_to_version",
     "add_files", "migrate", "snapshot", "analyze", "create_view",
     "drop_view")
@@ -151,7 +151,7 @@ private[tables] object GraftProcedures {
         // brute-force drift report on a deterministic sample. `action`
         // says "rebuild-recommended" when recall fell below the floor —
         // the signal to re-seed IVF centroids / PQ codebooks after
-        // distribution shift (drop the index and call again).
+        // distribution shift (CALL rebuild_index does exactly that).
         Seq(in("corpus", StringType), in("index", StringType),
           inDef("kind", StringType, "'lsh'"),
           inDef("sample", IntegerType, "8"),
@@ -164,6 +164,32 @@ private[tables] object GraftProcedures {
           "action" -> StringType, "version" -> LongType)) { row =>
         val (rows, before, after, nTrue, recall, action) =
           graft.ops.AnnIndex.maintainIndex(store,
+            row.getUTF8String(0).toString, row.getUTF8String(1).toString,
+            row.getUTF8String(2).toString, row.getInt(3), row.getInt(4),
+            row.getDouble(5))
+        Seq(rows, before, after, nTrue, recall,
+          UTF8String.fromString(action),
+          store.currentVersion(row.getUTF8String(1).toString).toLong)
+      })
+      case "rebuild_index" => Some(p(
+        // closes maintain_index's "rebuild-recommended" loop: re-seed
+        // the learned state (IVF centroids / PQ codebooks) from the
+        // CURRENT corpus, build the whole index fresh under a staged
+        // name, publish by atomic table swap (readers never see a
+        // missing index), then report recall on the rebuilt index —
+        // same output shape as maintain_index
+        Seq(in("corpus", StringType), in("index", StringType),
+          inDef("kind", StringType, "'lsh'"),
+          inDef("sample", IntegerType, "8"),
+          inDef("k", IntegerType, "5"),
+          inDef("recall_floor", org.apache.spark.sql.types.DoubleType,
+            "0.0")),
+        out("rows_indexed" -> LongType, "entries_before" -> LongType,
+          "entries_after" -> LongType, "truth_pairs" -> LongType,
+          "recall" -> org.apache.spark.sql.types.DoubleType,
+          "action" -> StringType, "version" -> LongType)) { row =>
+        val (rows, before, after, nTrue, recall, action) =
+          graft.ops.AnnIndex.rebuildIndex(store,
             row.getUTF8String(0).toString, row.getUTF8String(1).toString,
             row.getUTF8String(2).toString, row.getInt(3), row.getInt(4),
             row.getDouble(5))

@@ -154,13 +154,43 @@ class RelSpec extends SparkSpec {
   }
 
   test("approx_count_distinct is within its error bound of exact") {
-    val got = SparkEntry.queries("q24_approx_distinct")(spark, dir).collect()
+    // direct HLL pin (the gate's output is now fully deterministic —
+    // exact + KMV — so the engine-specific HLL estimate lives here and
+    // in the gate's own require(), not in the compared output)
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
+    val li = Tables.t(spark, dir, "lineitem")
+    val got = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .collect()
+    assert(got.nonEmpty)
     got.foreach { r =>
       val exact = r.getAs[Long]("exact_parts").toDouble
       val approx = r.getAs[Long]("approx_parts").toDouble
       assert(math.abs(approx - exact) / exact < 0.1,
         s"approx $approx too far from exact $exact")
     }
+  }
+
+  test("KMV distinct sketch: estimator branches and determinism") {
+    val got = SparkEntry.queries("q24_approx_distinct")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val kmv = r.getAs[Long]("kmv_parts").toDouble
+      // below k=256 distinct values KMV is EXACT by construction (the
+      // sketch holds every distinct hash); at or above, the estimator
+      // must land within ~4 sigma. sf0.001 exercises the exact branch
+      // here; sf0.01 Verify and the 10x sweep exercise the estimator.
+      if (exact < 256) assert(kmv === exact,
+        s"KMV must be exact below k: $kmv vs $exact")
+      else assert(math.abs(kmv - exact) / exact < 0.25,
+        s"KMV $kmv too far from exact $exact")
+    }
+    // determinism: a second evaluation is bit-identical (no RNG, no
+    // accumulation-order dependence anywhere in the estimator)
+    val again = SparkEntry.queries("q24_approx_distinct")(spark, dir).collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
   /** The reference IT's SQL surface (T1–T6): INSERT INTO … VALUES with

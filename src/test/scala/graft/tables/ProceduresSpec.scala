@@ -177,6 +177,58 @@ class ProceduresSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown index kind"))
   }
 
+  test("CALL rebuild_index: re-seed recovers recall after distribution shift") {
+    import graft.ops.Similarity
+    def corpus(from: Long, until: Long)(
+        gen: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+          => org.apache.spark.sql.Column) =
+      spark.range(from, until).select(col("id").as("vec_id"),
+        Similarity.quantize(transform(sequence(lit(1), lit(64)),
+          d => gen(col("id"), d.cast("double")))).as("embedding"),
+        (col("id") % 7).cast("int").as("label"))
+    val a = corpus(0L, 1000L)((id, d) => sin((id + 1) * d))
+    spark.sql("DROP TABLE IF EXISTS gpr.rbcorpus")
+    store.create("rbcorpus", a.schema)
+    store.append("rbcorpus", a)
+    val call = "corpus => 'rbcorpus', `index` => 'rbidx', kind => 'pq', " +
+      "sample => 8, k => 5, recall_floor => 0.5"
+    val r1 = spark.sql(s"CALL gpr.system.maintain_index($call)").head()
+    assert(r1.getString(5) === "ok",
+      s"fresh PQ recall ${r1.getDouble(4)} must clear the floor")
+    // distribution SHIFT: the corpus is wholly replaced by OFFSET
+    // CLUSTERED vectors (16 cluster patterns + noise, all shifted far
+    // from the old range): the OLD codebooks, trained on full-swing
+    // zero-centered waves, cannot resolve the clusters, ADC ranking
+    // degrades and the drift report flips
+    val b = corpus(1000L, 2000L)((id, d) =>
+      lit(3.0) + sin((pmod(id, lit(16L)) * 31L + 7L) * d) +
+        sin(id * d) * 0.3)
+    store.append("rbcorpus", b)
+    store.deleteMoR("rbcorpus", (0L until 1000L).toDF("vec_id"), Seq("vec_id"))
+    val r2 = spark.sql(s"CALL gpr.system.maintain_index($call)").head()
+    assert(r2.getString(5) === "rebuild-recommended",
+      s"drifted recall ${r2.getDouble(4)} should fall below the floor")
+    // the rebuild re-seeds the codebooks from the CURRENT corpus and
+    // swaps atomically; recall recovers above the floor
+    val r3 = spark.sql(s"CALL gpr.system.rebuild_index($call)").head()
+    assert(r3.getLong(0) === 1000L, "full rebuild indexes the whole corpus")
+    assert(r3.getDouble(4) > r2.getDouble(4),
+      s"recall must recover: ${r2.getDouble(4)} -> ${r3.getDouble(4)}")
+    assert(r3.getString(5) === "ok",
+      s"rebuilt recall ${r3.getDouble(4)} must clear the floor")
+    // the swap left a paired build stamp: the query path accepts it,
+    // and a hand-broken pairing fails loud instead of mis-scanning
+    val q = graft.ops.AnnIndex.queryPq(store, "rbidx",
+      store.read("rbcorpus").limit(2), k = 3)
+    assert(q.count() === 6L)
+    store.setProperties("rbidx_codebooks",
+      Map("ann.build-id" -> Some("not-the-index-build")))
+    val e = intercept[IllegalArgumentException](
+      graft.ops.AnnIndex.queryPq(store, "rbidx",
+        store.read("rbcorpus").limit(1), k = 1).count())
+    assert(e.getMessage.contains("build"))
+  }
+
   test("CALL branch / tag / fast_forward drive the WAP flow") {
     spark.sql("CREATE TABLE gpr.b1 (k BIGINT)")
     store.append("b1", Seq(1L).toDF("k"))
