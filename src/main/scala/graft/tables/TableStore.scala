@@ -241,6 +241,17 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (fs.exists(d)) {
       require(overwrite, s"table $name already exists")
       requireNotInTx(s"overwrite-create($name)")
+      // overwrite deletes the whole dir — same clone-reachability guard
+      // as drop/rename/replace (only when the old dir is a LIVE table;
+      // crash debris has no manifests to reference)
+      if (exists(name)) {
+        val refd = foreignReferenced(name)
+        require(refd.isEmpty,
+          s"cannot overwrite-create $name: ${refd.size} of its data " +
+            "files are still referenced by another table's manifests " +
+            "(a snapshot clone or cross-table add_files adoption) — " +
+            "drop or compact the referencing tables first")
+      }
       // see drop(): external branch pointers outlive the dir otherwise
       scala.util.Try(refs(name)).getOrElse(Map.empty).foreach {
         case (r, ("branch", _)) => coord.clear(refKey(name, Some(r)))
@@ -534,6 +545,16 @@ final class TableStore(private[tables] val spark: SparkSession,
   def renameTable(name: String, to: String): Unit = {
     requireNotInTx(s"renameTable($name, $to)")
     require(exists(name), s"table $name does not exist")
+    // moving the directory would dangle a clone's ABSOLUTE references
+    // just as surely as deleting it — same reachability guard as drop
+    locally {
+      val refd = foreignReferenced(name)
+      require(refd.isEmpty,
+        s"cannot rename $name: ${refd.size} of its data files are still " +
+          "referenced by another table's manifests (a snapshot clone or " +
+          "cross-table add_files adoption) — drop or compact the " +
+          "referencing tables first")
+    }
     require(to.nonEmpty && !to.contains('/') && !to.contains('@'),
       s"invalid table name: $to")
     require(!fs.exists(tdir(to)) && coord.current(to).isEmpty,
@@ -581,6 +602,17 @@ final class TableStore(private[tables] val spark: SparkSession,
   def replaceTable(staged: String, target: String): Unit = {
     require(exists(staged), s"staged table $staged does not exist")
     require(exists(target), s"replace target $target does not exist")
+    // the target's old directory moves aside and is then deleted —
+    // either step dangles a clone's absolute references; same guard as
+    // drop/rename
+    locally {
+      val refd = foreignReferenced(target)
+      require(refd.isEmpty,
+        s"cannot replace $target: ${refd.size} of its data files are " +
+          "still referenced by another table's manifests (a snapshot " +
+          "clone or cross-table add_files adoption) — drop or compact " +
+          "the referencing tables first")
+    }
     val lock = new HPath(tdir(target), "_commit.lock")
     acquireLock(target, lock)
     val aside = s".$target${TableStore.StageMarker}replaced-" +

@@ -319,9 +319,17 @@ class AddFilesSpec extends SparkSpec {
     st.removeOrphans("xsrc", 0L)
     assert(st.read("xclone").count() === 1000L,
       "clone reads green after source orphan cleanup")
-    // dropping the source refuses while a clone still references it
+    // dropping the source refuses while a clone still references it —
+    // and so do rename / overwrite-create, which dangle the clone's
+    // absolute references just as surely as a delete
     val e = intercept[IllegalArgumentException](st.drop("xsrc"))
     assert(e.getMessage.contains("referenced"))
+    val er = intercept[IllegalArgumentException](
+      st.renameTable("xsrc", "xsrc2"))
+    assert(er.getMessage.contains("referenced"))
+    val eo = intercept[IllegalArgumentException](
+      st.create("xsrc", sch, overwrite = true))
+    assert(eo.getMessage.contains("referenced"))
     assert(st.read("xclone").count() === 1000L)
     // compaction rewrites the clone into files it owns — but its
     // HISTORY still references the source (time travel to pre-compact
