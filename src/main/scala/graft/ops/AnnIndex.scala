@@ -48,6 +48,15 @@ object AnnIndex {
     * codebooks. Absent on both (pre-rebuild indexes) passes. */
   private val BuildIdProp = "ann.build-id"
 
+  /** Call AFTER collecting the side table's rows: checking first would
+    * be a check-then-act race (a rebuild publishing between the check
+    * and the collect would serve mis-paired data with a clean stamp
+    * read). Checked after, the collected side rows are provably from
+    * the same build the index carries at this moment; the residual
+    * window (a swap between this check and the index scan's file reads)
+    * is the generic replace-table-vs-concurrent-reader window every
+    * RTAS consumer has, and it surfaces as missing files, not silent
+    * wrong results. */
   private def requirePaired(store: TableStore, indexTable: String,
       sideTable: String): Unit = {
     val a = store.properties(indexTable).get(BuildIdProp)
@@ -315,8 +324,9 @@ object AnnIndex {
       k: Int, nprobe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val centRows = store.read(s"${indexTable}_centroids").collect()
     requirePaired(store, indexTable, s"${indexTable}_centroids")
-    val cents = store.read(s"${indexTable}_centroids").collect()
+    val cents = centRows
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val qProbes = queries
@@ -431,8 +441,9 @@ object AnnIndex {
       k: Int, rerank: Int = 50): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val bookRows = store.read(s"${indexTable}_codebooks").collect()
     requirePaired(store, indexTable, s"${indexTable}_codebooks")
-    val rows = store.read(s"${indexTable}_codebooks").collect()
+    val rows = bookRows
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val bySub = rows.groupBy(_._1)
     val books = Array.tabulate(bySub.size)(s => bySub(s).sortBy(_._2).map(_._3))
@@ -558,6 +569,11 @@ object AnnIndex {
         s"unknown index kind '$other' (lsh | ivf | pq)")
     }
     val buildId = java.util.UUID.randomUUID().toString
+    // once the INDEX publish succeeds, the staged side table is the
+    // ONLY copy of the state matching the now-live index — a failure
+    // after that point must leave it on disk (re-running rebuild_index
+    // recovers), never clean it up
+    var indexPublished = false
     try {
       // a fresh name has no coverage pointer → the refresh takes its
       // full-build path, which re-seeds the side state from the head
@@ -570,6 +586,7 @@ object AnnIndex {
       side.foreach(s => store.setProperties(s"$stage$s",
         Map(BuildIdProp -> Some(buildId))))
       store.replaceTable(stage, indexTable)
+      indexPublished = true
       side.foreach { s =>
         if (store.exists(s"$indexTable$s"))
           store.replaceTable(s"$stage$s", s"$indexTable$s")
@@ -581,11 +598,15 @@ object AnnIndex {
       (rows, before, after, nTrue, recall, action)
     } catch {
       case e: Throwable =>
-        // best-effort stage cleanup; the live index was never touched
-        // before its own replace succeeded
-        (stage +: side.map(s => s"$stage$s").toSeq).foreach { t =>
-          if (store.exists(t)) { scala.util.Try(store.drop(t, force = true)); () }
-        }
+        // best-effort stage cleanup — ONLY while nothing has published
+        // (the live index is untouched until its own replace succeeds).
+        // After the index publish, leave the staged side table in place:
+        // queries fail loud on the stamp mismatch and a re-run of
+        // rebuild_index restores the pairing.
+        if (!indexPublished)
+          (stage +: side.map(s => s"$stage$s").toSeq).foreach { t =>
+            if (store.exists(t)) { scala.util.Try(store.drop(t, force = true)); () }
+          }
         throw e
     }
   }

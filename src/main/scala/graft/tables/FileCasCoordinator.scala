@@ -135,6 +135,7 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
     while (parse(raw).isEmpty && waits < 50) {
       Thread.sleep(10); waits += 1; raw = readEntry(p)
     }
+    var cacheable = true
     val value = parse(raw).getOrElse {
       // Unframed after the retry window on a non-local scheme. An EMPTY
       // partial is the dangerous case: a writer that crashed between
@@ -142,17 +143,33 @@ final class FileCasCoordinator(conf: Configuration, dir: String)
       // writer CAS from expected=None and silently discard the prior
       // pointer — refuse to guess, exactly as txOutcome does for an
       // incomplete record. A NON-empty unframed entry is accepted as a
-      // legacy (pre-framing) complete write: a torn non-empty value
-      // names a manifest that does not exist and fails loudly
-      // downstream, never silently.
+      // legacy (pre-framing) complete write — but only CACHED after a
+      // stability probe: caching a still-growing slow write would pin
+      // the torn prefix for the process lifetime, turning a transient
+      // race into a persistent wrong pointer (a torn value fails loud
+      // downstream either way; the probe keeps it healable).
       if (raw.isEmpty) sys.error(
         s"ledger entry $p is empty and unframed after the retry " +
           "window (writer crashed between create and write?) — " +
           "refusing to resolve it as a cleared pointer")
-      raw
+      Thread.sleep(200)
+      val again = readEntry(p)
+      if (again == raw) raw
+      else parse(again).getOrElse {
+        // changed and STILL unframed: a live slow writer — accept the
+        // newest content for this read but do not cache it
+        cacheable = false
+        if (again.isEmpty) sys.error(
+          s"ledger entry $p is empty and unframed after the retry " +
+            "window — refusing to resolve it as a cleared pointer")
+        again
+      }
     }
-    if (ledgerCache.size >= LedgerCacheMax) ledgerCache.clear()
-    ledgerCache.putIfAbsent(p.toString, value)
+    if (cacheable) {
+      if (ledgerCache.size >= LedgerCacheMax) ledgerCache.clear()
+      ledgerCache.putIfAbsent(p.toString, value)
+      ()
+    }
     value
   }
 

@@ -755,13 +755,24 @@ final class TableStore(private[tables] val spark: SparkSession,
     require((inNs.isEmpty && viewsInNs.isEmpty) || cascade,
       s"namespace ${nsKey(ns)} is not empty " +
         s"(${inNs.size} tables, ${viewsInNs.size} views) — use CASCADE")
+    // pre-check BEFORE anything drops: a refusal must leave the
+    // namespace fully intact, never half-dropped. References from
+    // INSIDE the namespace are fine (the fixpoint below orders them);
+    // any reference from outside refuses the whole cascade up front.
+    val nsMembers = inNs.toSet
+    inNs.foreach { t =>
+      val outside = foreignReferencingTables(t) -- nsMembers
+      require(outside.isEmpty,
+        s"cannot cascade-drop namespace ${nsKey(ns)}: $t's files are " +
+          s"referenced by ${outside.mkString(", ")} outside the " +
+          "namespace — nothing was dropped")
+    }
     viewsInNs.foreach(dropView)
     // drop clones before their sources: a table whose files another
     // live table still references refuses to drop, so iterate —
     // each pass drops every currently-unreferenced table, which frees
-    // its sources for the next pass. Tables still referenced at the
-    // fixpoint are held by a table OUTSIDE the namespace: refuse loud
-    // (dropping them would break that outside clone).
+    // its sources for the next pass. The pre-check above guarantees
+    // the fixpoint completes.
     var remaining = inNs
     var progressed = true
     while (remaining.nonEmpty && progressed) {
@@ -770,7 +781,7 @@ final class TableStore(private[tables] val spark: SparkSession,
       free.foreach(t => drop(t))
       remaining = held
     }
-    require(remaining.isEmpty,
+    require(remaining.isEmpty, // unreachable given the pre-check
       s"cannot cascade-drop namespace ${nsKey(ns)}: " +
         s"${remaining.mkString(", ")} hold(s) files referenced by " +
         "tables outside the namespace")
@@ -3247,8 +3258,15 @@ final class TableStore(private[tables] val spark: SparkSession,
     // live id. Written before the property is re-enabled, so the
     // adoption commit above could not have auto-assigned fresh ranges.
     if (rowLineage(src)) {
-      if (abs.nonEmpty) {
-        val (srcNext, srcFirsts) = readRowIds(src, currentVersion(src))
+      val (srcNext, srcFirsts) = readRowIds(src, currentVersion(src))
+      // an EMPTY source snapshot still carries its counter: without an
+      // empty commit + sidecar the clone would restart ids at 0 and
+      // re-issue ids the source's history already assigned
+      if (abs.isEmpty && srcNext > 0)
+        commitManifest(dst, currentVersion(dst), Set.empty, Nil, Nil,
+          meta = Map("operation" -> "snapshot", "source" -> src),
+          reclaimAddedOnAbort = false)
+      if (currentVersion(dst) > 0 && (abs.nonEmpty || srcNext > 0)) {
         val entries = rels.zip(abs)
           .flatMap { case (r, a) => srcFirsts.get(r).map(a -> _) }
           .sortBy(_._1)
@@ -4827,8 +4845,7 @@ final class TableStore(private[tables] val spark: SparkSession,
     * only scheme-less-absolute manifest entries (the adoption spelling)
     * are considered, and only those under this table's data dir. */
   private def foreignReferenced(name: String): Set[String] = {
-    val mine = dataDir(name).toUri.getPath
-    val prefix = if (mine.endsWith("/")) mine else mine + "/"
+    val prefix = dataDirPrefix(name)
     tables().filterNot(_ == name).flatMap { t =>
       val td = tdir(t)
       listNames(td)
@@ -4836,6 +4853,26 @@ final class TableStore(private[tables] val spark: SparkSession,
         .flatMap(m => readLines(new HPath(td, m)))
         .filter(l => l.startsWith("/") && l.startsWith(prefix))
     }.toSet
+  }
+
+  /** Which sibling TABLES reference files under `name`'s data dir — the
+    * names behind [[foreignReferenced]]'s paths; cascade-drop uses this
+    * to distinguish in-namespace references (orderable) from outside
+    * holders (refuse before anything drops). */
+  private def foreignReferencingTables(name: String): Set[String] = {
+    val prefix = dataDirPrefix(name)
+    tables().filterNot(_ == name).filter { t =>
+      val td = tdir(t)
+      listNames(td)
+        .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
+        .exists(m => readLines(new HPath(td, m))
+          .exists(l => l.startsWith("/") && l.startsWith(prefix)))
+    }.toSet
+  }
+
+  private def dataDirPrefix(name: String): String = {
+    val mine = dataDir(name).toUri.getPath
+    if (mine.endsWith("/")) mine else mine + "/"
   }
 
   /** Snapshot expiry: drop manifests older than the last `keepLast` and
@@ -6544,6 +6581,17 @@ object TableStore {
     }
     if (iv.exists(_.isEmpty) || iv.isEmpty) return None
     val list = iv.flatten
+    // The sweep's sort only compares O(n log n) PAIRS, so a
+    // non-comparable or cross-type pair could slip through undetected
+    // (wrong budget instead of the conservative fallback) — and a
+    // lossy mixed-type order (Long-vs-Double via double) is
+    // intransitive, which TimSort surfaces as an uncaught contract
+    // IllegalArgumentException. Require one runtime class across every
+    // endpoint up front: within a class ZoneStats.cmp is a total
+    // order; anything mixed falls back to total bytes.
+    val cls = list.head._1.getClass
+    if (!list.forall { case (mn, mx, _) =>
+        mn.getClass == cls && mx.getClass == cls }) return None
     final case class Ev(at: Any, start: Boolean, len: Long)
     object NonComparable extends scala.util.control.ControlThrowable
     val evs = list.flatMap { case (mn, mx, len) =>
@@ -6562,7 +6610,12 @@ object TableStore {
         else cur -= e.len
       }
       Some(best)
-    } catch { case NonComparable => None }
+    } catch {
+      case NonComparable => None
+      // a comparator contract violation inside the sort must degrade to
+      // the conservative fallback, never crash the planner
+      case _: IllegalArgumentException => None
+    }
   }
 
   /** Pending merge-on-read delete state the SPJ batch reader must apply

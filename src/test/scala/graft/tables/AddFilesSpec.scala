@@ -299,6 +299,15 @@ class AddFilesSpec extends SparkSpec {
     assert(ids("lclone")(100L) >= 20L)
     // the source is untouched by all of it
     assert(ids("lsrc") === srcIds)
+    // an EMPTY source snapshot still carries #next: a clone of a
+    // deleted-out table must not restart ids at 0 (re-issuing ids the
+    // source's history already assigned)
+    st.delete("lsrc", lit(true))
+    assert(st.read("lsrc").count() === 0L)
+    st.snapshotTable("lsrc", "lclone2")
+    st.append("lclone2", Seq((500L, "y")).toDF("k", "v"))
+    assert(ids("lclone2")(500L) >= 20L,
+      "empty-source clone must continue the carried counter")
   }
 
   test("source maintenance never breaks a clone: expiry, orphans, drop") {
@@ -354,6 +363,19 @@ class AddFilesSpec extends SparkSpec {
     // fixpoint drops the clone, then the freed source
     assert(st.dropNamespace(Seq("a"), cascade = true))
     assert(!st.exists("a.src") && !st.exists("a.clone"))
+    // an OUTSIDE holder refuses the cascade BEFORE anything drops — a
+    // refusal must leave the namespace fully intact, never half-gone
+    st.create("b.src", sch)
+    st.append("b.src", (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v"))
+    st.create("b.other", sch)
+    st.append("b.other", Seq((1L, "x")).toDF("k", "v"))
+    st.snapshotTable("b.src", "zclone")
+    val e = intercept[IllegalArgumentException](
+      st.dropNamespace(Seq("b"), cascade = true))
+    assert(e.getMessage.contains("outside the namespace"))
+    assert(st.exists("b.src") && st.exists("b.other"),
+      "a refused cascade drops NOTHING")
+    assert(st.read("zclone").count() === 50L)
   }
 
   test("refusals: schema mismatch, rename, partitioned, collision") {

@@ -567,6 +567,14 @@ class SpjSpec extends SparkSpec {
     assert(TableStore.maxPointBytes(files, Map(
       "a.parquet" -> rng(0L, 9L), "b.parquet" -> Map("k" -> (("x": Any),
         ("y": Any))), "c.parquet" -> rng(20L, 29L)), "k") === None)
+    // MIXED numeric types (Long vs Double, e.g. stats across a type
+    // widening) → conservative fallback: a lossy cross-type order is
+    // intransitive, so the sweep must refuse rather than mis-sort or
+    // crash the planner
+    assert(TableStore.maxPointBytes(files, Map(
+      "a.parquet" -> rng(0L, 9L),
+      "b.parquet" -> Map("k" -> ((10.0: Any), (19.0: Any))),
+      "c.parquet" -> rng(20L, 29L)), "k") === None)
   }
 
   test("zone-shifted read keeps applicable time-layout tombstones") {
