@@ -917,6 +917,8 @@ object TableQueries {
       Some(TableQueries2.tblSqlMergeSourceSql)),
     Q("tbl_snapshot", TableQueries2.tblSnapshot,
       Some(TableQueries2.tblSnapshotSql)),
+    Q("tbl_mview", TableQueries2.tblMview,
+      Some(TableQueries2.tblMviewSql)),
     Q("tbl_nested_evolution", TableQueries2.tblNestedEvolution,
       Some(TableQueries2.tblNestedEvolutionSql)),
     Q("tbl_pos_delete", TableQueries2.tblPosDelete,
@@ -2592,4 +2594,69 @@ object TableQueries2 {
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
+
+  /** Incrementally-maintained MATERIALIZED VIEW under the oracle: two
+    * thirds of orders load, `CALL create_mview` materializes per-status
+    * count + decimal-exact sum + min/max key, then the source takes an
+    * APPEND (the held-back third) and a CoW DELETE (which breaks min/max
+    * monotonicity → the dirty-group repair path) — each folded by `CALL
+    * refresh_mview` reading only the CHANGE FEED, require()d incremental
+    * (and a final no-op require()d "none"). The oracle reconstructs the
+    * final state as one pure GROUP BY — value-exact including the
+    * decimal sums, proving delta maintenance ≡ recompute on real data.
+    * At 100 TB this is the difference between folding one CDC batch and
+    * re-scanning the table per refresh. */
+  private[ops] def tblMview(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.gmvw",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-mview")
+    spark.conf.set("spark.sql.catalog.gmvw.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val mv = s"mv_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gmvw.$mv")
+    spark.sql(s"DROP TABLE IF EXISTS gmvw.$tbl")
+    spark.sql(s"""CREATE TABLE gmvw.$tbl (
+      o_orderkey BIGINT, o_orderstatus STRING,
+      o_totalprice DECIMAL(18,2))""")
+    val src = s"gmvw_src_$ident"
+    t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      .createOrReplaceTempView(src)
+    spark.sql(
+      s"INSERT INTO gmvw.$tbl SELECT * FROM $src WHERE o_orderkey % 3 <> 0")
+    val c = spark.sql(s"CALL gmvw.system.create_mview(mview => '$mv', " +
+      s"source => '$tbl', group_cols => 'o_orderstatus', " +
+      "aggs => 'sum:o_totalprice,min:o_orderkey,max:o_orderkey')").head()
+    require(c.getLong(0) >= 1L, "the view materializes at least one group")
+    // append the held-back third, fold it from the feed
+    spark.sql(
+      s"INSERT INTO gmvw.$tbl SELECT * FROM $src WHERE o_orderkey % 3 = 0")
+    val r1 = spark.sql(
+      s"CALL gmvw.system.refresh_mview(mview => '$mv')").head()
+    require(r1.getString(3) == "incremental" && r1.getLong(0) >= 1L,
+      s"append must fold incrementally, got $r1")
+    // CoW delete touching most groups' min keys → dirty-group repair
+    spark.sql(s"DELETE FROM gmvw.$tbl WHERE o_orderkey % 7 = 0")
+    val r2 = spark.sql(
+      s"CALL gmvw.system.refresh_mview(mview => '$mv')").head()
+    require(r2.getString(3) == "incremental",
+      s"delete must fold incrementally, got $r2")
+    val r3 = spark.sql(
+      s"CALL gmvw.system.refresh_mview(mview => '$mv')").head()
+    require(r3.getString(3) == "none", s"up-to-date view re-folds: $r3")
+    spark.sql(s"""SELECT o_orderstatus, cnt,
+      CAST(sum_o_totalprice AS DOUBLE) AS sum_price,
+      min_o_orderkey AS min_key, max_o_orderkey AS max_key
+      FROM gmvw.$mv ORDER BY o_orderstatus""")
+  }
+
+  private[ops] val tblMviewSql =
+    """SELECT o_orderstatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

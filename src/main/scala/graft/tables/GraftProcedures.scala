@@ -35,7 +35,7 @@ private[tables] object GraftProcedures {
     "maintain_index", "rebuild_index", "add_variant_shred", "create_branch",
     "create_tag", "drop_ref", "fast_forward", "rollback_to_version",
     "add_files", "migrate", "snapshot", "analyze", "create_view",
-    "drop_view")
+    "drop_view", "create_mview", "refresh_mview")
 
   def load(store: => TableStore, name: String): Option[UnboundProcedure] = {
     def p(parameters: Seq[ProcedureParameter], result: StructType)(
@@ -305,6 +305,36 @@ private[tables] object GraftProcedures {
           orReplace = row.getUTF8String(2).toString.trim
             .equalsIgnoreCase("true"))
         Seq(UTF8String.fromString(v))
+      })
+      case "create_mview" => Some(p(
+        // incrementally-maintained materialized aggregate view: one
+        // full aggregation now, change-feed deltas forever after
+        // (CALL refresh_mview). aggs: comma list of sum:c | min:c |
+        // max:c (count is always present; sums carry non-null counts)
+        Seq(in("mview", StringType), in("source", StringType),
+          in("group_cols", StringType), inDef("aggs", StringType, "''")),
+        out("groups" -> LongType)) { row =>
+        Seq(graft.tables.MaterializedView.create(store,
+          row.getUTF8String(0).toString, row.getUTF8String(1).toString,
+          row.getUTF8String(2).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          row.getUTF8String(3).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq))
+      })
+      case "refresh_mview" => Some(p(
+        // fold the source's changes since the last applied version in
+        // ONE atomic commit — cost proportional to the changed groups,
+        // never the source. full => rebuild (source rollback/recreate
+        // recovery)
+        Seq(in("mview", StringType),
+          inDef("full", StringType, "'false'")),
+        out("groups_changed" -> LongType, "from_version" -> LongType,
+          "to_version" -> LongType, "mode" -> StringType)) { row =>
+        val (n, from, to, mode) = graft.tables.MaterializedView.refresh(
+          store, row.getUTF8String(0).toString,
+          full = row.getUTF8String(1).toString.trim
+            .equalsIgnoreCase("true"))
+        Seq(n, from.toLong, to.toLong, UTF8String.fromString(mode))
       })
       case "drop_view" => Some(p(
         Seq(in("view", StringType)),

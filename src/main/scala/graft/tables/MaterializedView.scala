@@ -1,0 +1,244 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained MATERIALIZED AGGREGATE VIEWS over managed
+  * tables — the scale-correct alternative to re-running a group-by over
+  * 100 TB because one CDC batch landed.
+  *
+  * An MV is an ordinary managed table (queryable, snapshotted, oracled
+  * like any other) holding `GROUP BY groupCols` aggregates of a source
+  * table, plus table properties recording the definition and a commit
+  * META tag recording the source snapshot version the contents reflect.
+  * `refresh` reads the source's CHANGE FEED since that version — cost
+  * proportional to what CHANGED, never to the source —, folds signed
+  * per-group deltas, and applies them as ONE atomic commit on the MV
+  * (`applyNet`: touched groups replaced, dead groups deleted). The
+  * applied-version rides in the SAME commit's metadata, so a crash
+  * between commit and bookkeeping cannot double-apply a delta — the
+  * replay guard the streaming sink already uses (`lastMetaValue`).
+  *
+  * Aggregate algebra (the classic IVM rules):
+  *  - `cnt` (always present) and each `sum:c` fold additively from the
+  *    feed's signed rows; every sum carries its non-null count
+  *    (`cnt_c`) so a group whose remaining `c` values are all NULL
+  *    reports SQL-correct NULL, not 0.
+  *  - `min:c` / `max:c` fold monotonically under INSERTS
+  *    (`least`/`greatest`); a group that saw a DELETE is "dirty" and
+  *    recomputes from the current source snapshot, scoped to exactly
+  *    the dirty groups (a broadcast semi-join — with the source laid
+  *    out on the group columns this prunes to their files).
+  *
+  * NULL group keys refuse loudly at create and refresh: the atomic
+  * apply keys groups by equality, which cannot address a null tuple —
+  * and silently folding nulls into one group would diverge from the
+  * source's own GROUP BY semantics under per-engine null ordering. */
+object MaterializedView {
+
+  /** Commit-meta key on the MV: the source version its contents
+    * reflect (crash-safe — same commit as the data). */
+  val AppliedVersionMeta = "mv.applied-version"
+
+  private val SourceProp = "mv.source"
+  private val SourceUuidProp = "mv.source-uuid"
+  private val GroupColsProp = "mv.group-cols"
+  private val AggsProp = "mv.aggs"
+
+  private sealed trait Agg { def col: String }
+  private case class SumA(col: String) extends Agg
+  private case class MinA(col: String) extends Agg
+  private case class MaxA(col: String) extends Agg
+
+  private def parseAggs(specs: Seq[String]): Seq[Agg] =
+    specs.filterNot(_ == "count").map { s =>
+      s.split(":", 2) match {
+        case Array("sum", c) => SumA(c)
+        case Array("min", c) => MinA(c)
+        case Array("max", c) => MaxA(c)
+        case _ => throw new IllegalArgumentException(
+          s"unknown aggregate spec '$s' (count | sum:col | min:col | max:col)")
+      }
+    }
+
+  private def outName(a: Agg): String = a match {
+    case SumA(c) => s"sum_$c"
+    case MinA(c) => s"min_$c"
+    case MaxA(c) => s"max_$c"
+  }
+
+  /** The full aggregation — used for the initial build, dirty-group
+    * repair, and full refresh. `cnt` leads; every sum carries `cnt_c`. */
+  private def aggFrame(src: DataFrame, groupCols: Seq[String],
+      aggs: Seq[Agg]): DataFrame = {
+    val exprs: Seq[Column] = count(lit(1)).as("cnt") +: aggs.flatMap {
+      case SumA(c) => Seq(sum(col(s"`$c`")).as(s"sum_$c"),
+        count(col(s"`$c`")).as(s"cnt_$c"))
+      case MinA(c) => Seq(min(col(s"`$c`")).as(s"min_$c"))
+      case MaxA(c) => Seq(max(col(s"`$c`")).as(s"max_$c"))
+    }
+    src.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(exprs.head, exprs.tail: _*)
+  }
+
+  private def requireNoNullGroups(grouped: DataFrame,
+      groupCols: Seq[String], what: String): Unit = {
+    val anyNull = groupCols.map(c => col(s"`$c`").isNull).reduce(_ || _)
+    require(grouped.filter(anyNull).head(1).isEmpty,
+      s"$what contains NULL group-key values — a materialized view's " +
+        "atomic apply keys groups by equality, which cannot address a " +
+        "null tuple; filter or coalesce the source (refresh(full = " +
+        "true) skips a poisoned feed interval once the source is fixed)")
+  }
+
+  /** Create `mv` as the materialized `GROUP BY groupCols` of `source`
+    * with aggregates `aggSpecs` (`count` implicit; `sum:c` | `min:c` |
+    * `max:c`). One full aggregation job; returns the group count. */
+  def create(store: TableStore, mv: String, source: String,
+      groupCols: Seq[String], aggSpecs: Seq[String]): Long = {
+    require(groupCols.nonEmpty, "materialized view needs group columns")
+    val aggs = parseAggs(aggSpecs)
+    val sch = store.schema(source)
+    (groupCols ++ aggs.map(_.col)).foreach(c =>
+      require(sch.fieldNames.contains(c),
+        s"column $c not in source table $source"))
+    val srcV = store.currentVersion(source)
+    val full = aggFrame(store.read(source), groupCols, aggs)
+    requireNoNullGroups(full, groupCols, s"source table $source")
+    store.create(mv, full.schema)
+    store.setProperties(mv, Map(
+      SourceProp -> Some(source),
+      SourceUuidProp -> Some(store.tableUuid(source)),
+      GroupColsProp -> Some(groupCols.mkString(",")),
+      AggsProp -> Some(aggSpecs.mkString(","))))
+    store.append(mv, full,
+      meta = Map(AppliedVersionMeta -> srcV.toString))
+    store.read(mv).count()
+  }
+
+  /** Fold the source's changes since the last applied version into the
+    * MV — one atomic commit, cost proportional to the CHANGED groups.
+    * `full = true` recomputes everything (the recovery path after a
+    * source rollback or re-creation). Returns
+    * (groups changed, from version, to version, mode). */
+  def refresh(store: TableStore, mv: String,
+      full: Boolean = false): (Long, Int, Int, String) = {
+    val props = store.properties(mv)
+    val source = props.getOrElse(SourceProp, sys.error(
+      s"$mv is not a materialized view (no $SourceProp property)"))
+    val groupCols = props(GroupColsProp).split(",").toSeq
+    val aggs = parseAggs(props(AggsProp).split(",").toSeq
+      .filter(_.nonEmpty))
+    val from = store.lastMetaValue(mv, AppliedVersionMeta)
+      .flatMap(_.toIntOption).getOrElse(0)
+    val to = store.currentVersion(source)
+    val sameIncarnation =
+      props.get(SourceUuidProp).contains(store.tableUuid(source))
+
+    if (full || !sameIncarnation || to < from) {
+      require(full,
+        if (!sameIncarnation)
+          s"source $source was re-created since $mv was built — " +
+            "refresh(full = true) rebuilds against the new incarnation"
+        else
+          s"source $source rolled back ($to) behind $mv's applied " +
+            s"version ($from) — refresh(full = true) rebuilds")
+      // full rebuild: every current group re-aggregates; groups that
+      // vanished since the last apply are deleted (old ∪ new keys)
+      val fresh = aggFrame(store.read(source), groupCols, aggs)
+      requireNoNullGroups(fresh, groupCols, s"source table $source")
+      val touchedKeys = store.read(mv)
+        .select(groupCols.map(c => col(s"`$c`")): _*)
+        .union(fresh.select(groupCols.map(c => col(s"`$c`")): _*))
+        .distinct()
+      val n = touchedKeys.count()
+      store.applyNet(mv, touchedKeys, fresh, groupCols,
+        meta = Map(AppliedVersionMeta -> to.toString))
+      if (!sameIncarnation) store.setProperties(mv,
+        Map(SourceUuidProp -> Some(store.tableUuid(source))))
+      return (n, from, to, "full")
+    }
+    if (to == from) return (0L, from, to, "none")
+
+    val feed = store.changeFeed(source, from, to)
+    val ins = col(TableStore.ChangeTypeCol) === "insert"
+    val sgn = when(ins, 1L).otherwise(-1L)
+    val dExprs: Seq[Column] = Seq(
+      sum(sgn).as("_d_cnt"),
+      max(when(ins, 0).otherwise(1)).as("_d_dirty")) ++
+      aggs.flatMap {
+        case SumA(c) => Seq(
+          sum(when(col(s"`$c`").isNotNull, sgn * col(s"`$c`"))).as(s"_d_sum_$c"),
+          sum(when(col(s"`$c`").isNotNull, sgn).otherwise(0L)).as(s"_d_cnt_$c"))
+        case MinA(c) => Seq(min(when(ins, col(s"`$c`"))).as(s"_d_min_$c"))
+        case MaxA(c) => Seq(max(when(ins, col(s"`$c`"))).as(s"_d_max_$c"))
+      }
+    val delta = feed.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(dExprs.head, dExprs.tail: _*).persist()
+    try {
+      requireNoNullGroups(delta, groupCols,
+        s"change feed of $source ($from, $to]")
+      val changed = delta.count()
+      // an empty interval (metadata-only commits) applies nothing and
+      // stamps nothing: re-walking it next refresh costs one metadata
+      // pass, while an empty commit would grow MV history for no data
+      if (changed == 0) return (0L, from, to, "none")
+      locally {
+        val mvSch = store.schema(mv)
+        def zero(c: String) = lit(0).cast(mvSch(mvSch.fieldIndex(c)).dataType)
+        val hasMinMax = aggs.exists {
+          case _: MinA | _: MaxA => true; case _ => false }
+        val old = store.read(mv)
+        val joined = delta.join(old, groupCols, "left")
+        val dirty = hasMinMax && { // deletes break min/max monotonicity
+          delta.filter(col("_d_dirty") === 1).head(1).nonEmpty
+        }
+        val dirtyKeys: Option[DataFrame] =
+          if (!dirty) None
+          else Some(delta.filter(col("_d_dirty") === 1)
+            .select(groupCols.map(c => col(s"`$c`")): _*).persist())
+        // clean-path merge (for min/max MVs: only groups with no delete)
+        val cleanBase =
+          if (!dirty) joined
+          else joined.filter(col("_d_dirty") === 0)
+        val mergedCols: Seq[Column] =
+          groupCols.map(c => col(s"`$c`")) ++
+            Seq((coalesce(col("cnt"), lit(0L)) + col("_d_cnt")).as("cnt")) ++
+            aggs.flatMap {
+              case SumA(c) =>
+                val nn = (coalesce(col(s"`cnt_$c`"), lit(0L)) +
+                  col(s"`_d_cnt_$c`")).as(s"cnt_$c")
+                val s = when(coalesce(col(s"`cnt_$c`"), lit(0L)) +
+                    col(s"`_d_cnt_$c`") === 0L, lit(null))
+                  .otherwise(coalesce(col(s"`sum_$c`"), zero(s"sum_$c")) +
+                    coalesce(col(s"`_d_sum_$c`"), zero(s"sum_$c")))
+                  .cast(mvSch(mvSch.fieldIndex(s"sum_$c")).dataType)
+                  .as(s"sum_$c")
+                Seq(s, nn)
+              case MinA(c) =>
+                Seq(least(col(s"`min_$c`"), col(s"`_d_min_$c`"))
+                  .as(s"min_$c"))
+              case MaxA(c) =>
+                Seq(greatest(col(s"`max_$c`"), col(s"`_d_max_$c`"))
+                  .as(s"max_$c"))
+            }
+        val cleanMerged = cleanBase.select(mergedCols: _*)
+          .filter(col("cnt") > 0L)
+        val newRows = dirtyKeys match {
+          case None => cleanMerged
+          case Some(dk) => cleanMerged.unionByName(
+            // group-scoped repair: re-aggregate exactly the dirty groups
+            // from the current source snapshot
+            aggFrame(store.read(source)
+              .join(broadcast(dk), groupCols, "left_semi"),
+              groupCols, aggs))
+        }
+        val touchedKeys = delta.select(groupCols.map(c => col(s"`$c`")): _*)
+        store.applyNet(mv, touchedKeys, newRows, groupCols,
+          meta = Map(AppliedVersionMeta -> to.toString))
+        dirtyKeys.foreach(dk => { dk.unpersist(); () })
+      }
+      (changed, from, to, "incremental")
+    } finally { delta.unpersist(); () }
+  }
+}

@@ -1,0 +1,140 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Incremental materialized aggregate views: delta refresh from the
+  * change feed must equal a from-scratch recompute after EVERY kind of
+  * source mutation, including the IVM corner cases (group death,
+  * all-null sums, min/max under deletes). */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = tmpDir("mv-")
+  spark.conf.set("spark.sql.catalog.gmv", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gmv.root", root)
+  private def store = new TableStore(spark, root)
+
+  private def recompute(src: String): DataFrame =
+    store.read(src).groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x")).as("sum_x"), count(col("x")).as("cnt_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+
+  private def assertMatches(mv: String, src: String): Unit = {
+    val got = store.read(mv)
+      .select("g", "cnt", "sum_x", "cnt_x", "min_y", "max_y")
+      .collect().map(_.toString).sorted.toSeq
+    val want = recompute(src).collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+  }
+
+  test("incremental refresh equals recompute through every mutation kind") {
+    val rows = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("a", 1L, 10L), ("a", 2L, 20L), ("b", 5L, 5L), ("b", null, 7L))
+    store.create("src", rows.toDF("g", "x", "y").schema)
+    store.append("src", rows.toDF("g", "x", "y"))
+    val groups = MaterializedView.create(store, "mv", "src",
+      Seq("g"), Seq("sum:x", "min:y", "max:y"))
+    assert(groups === 2L)
+    assertMatches("mv", "src")
+    // no changes → none, nothing committed
+    val v0 = store.currentVersion("mv")
+    assert(MaterializedView.refresh(store, "mv") === ((0L, 2, 2, "none")))
+    assert(store.currentVersion("mv") === v0)
+    // pure append: existing group grows, a NEW group is born
+    store.append("src", Seq[(String, java.lang.Long, java.lang.Long)](
+      ("a", 4L, 5L), ("c", 9L, 9L)).toDF("g", "x", "y"))
+    val (n1, _, _, m1) = MaterializedView.refresh(store, "mv")
+    assert(n1 === 2L && m1 === "incremental")
+    assertMatches("mv", "src")
+    // CoW delete killing group c entirely AND removing group a's min y —
+    // the dirty-group repair path for min/max
+    store.delete("src", col("g") === "c" ||
+      (col("g") === "a" && col("y") === 5L))
+    val (n2, _, _, _) = MaterializedView.refresh(store, "mv")
+    assert(n2 === 2L)
+    assertMatches("mv", "src")
+    assert(store.read("mv").filter(col("g") === "c").count() === 0L,
+      "a dead group leaves the view")
+    // merge-on-read tombstone (pending at refresh time)
+    store.deleteMoR("src", Seq(2L).toDF("x"), Seq("x"))
+    MaterializedView.refresh(store, "mv")
+    assertMatches("mv", "src")
+    // sum null semantics: group b loses its only non-null x — the sum
+    // must go NULL (not 0), which the non-null companion count carries
+    store.delete("src", col("g") === "b" && col("x") === 5L)
+    MaterializedView.refresh(store, "mv")
+    assertMatches("mv", "src")
+    val bRow = store.read("mv").filter(col("g") === "b").head()
+    assert(bRow.isNullAt(bRow.fieldIndex("sum_x")),
+      "an all-null group sums to NULL, never 0")
+    // idempotent afterwards
+    assert(MaterializedView.refresh(store, "mv")._4 === "none")
+  }
+
+  test("clean min/max merge stays incremental when no delete touched them") {
+    val rows = Seq(("a", 1L, 10L), ("b", 2L, 20L))
+    store.create("src2", rows.toDF("g", "x", "y").schema)
+    store.append("src2", rows.toDF("g", "x", "y"))
+    MaterializedView.create(store, "mv2", "src2",
+      Seq("g"), Seq("sum:x", "min:y", "max:y"))
+    // inserts only: least/greatest fold without touching the source
+    store.append("src2", Seq(("a", 7L, 3L), ("b", 1L, 99L))
+      .toDF("g", "x", "y"))
+    val (n, _, _, mode) = MaterializedView.refresh(store, "mv2")
+    assert(n === 2L && mode === "incremental")
+    val a = store.read("mv2").filter(col("g") === "a").head()
+    assert(a.getAs[Long]("min_y") === 3L && a.getAs[Long]("max_y") === 10L)
+    val b = store.read("mv2").filter(col("g") === "b").head()
+    assert(b.getAs[Long]("min_y") === 20L && b.getAs[Long]("max_y") === 99L)
+  }
+
+  test("null group keys refuse loudly; stale incarnation needs full") {
+    val rows = Seq(("a", 1L, 1L)).toDF("g", "x", "y")
+    store.create("src3", rows.schema)
+    store.append("src3", rows)
+    MaterializedView.create(store, "mv3", "src3", Seq("g"), Seq("sum:x"))
+    store.append("src3",
+      Seq[(String, java.lang.Long, java.lang.Long)]((null, 2L, 2L))
+        .toDF("g", "x", "y"))
+    val e = intercept[IllegalArgumentException](
+      MaterializedView.refresh(store, "mv3"))
+    assert(e.getMessage.contains("NULL group-key"))
+    // even after the source is fixed, the FEED INTERVAL still carries
+    // the null-group rows — incremental stays refused; full refresh
+    // (which aggregates the current snapshot, not the feed) recovers
+    store.delete("src3", col("g").isNull)
+    val e1b = intercept[IllegalArgumentException](
+      MaterializedView.refresh(store, "mv3"))
+    assert(e1b.getMessage.contains("NULL group-key"))
+    assert(MaterializedView.refresh(store, "mv3", full = true)._4 === "full")
+    store.drop("src3", force = true)
+    store.create("src3", rows.schema)
+    store.append("src3", Seq(("z", 42L, 1L)).toDF("g", "x", "y"))
+    val e2 = intercept[RuntimeException](
+      MaterializedView.refresh(store, "mv3"))
+    assert(e2.getMessage.contains("re-created"))
+    val (_, _, _, mode) = MaterializedView.refresh(store, "mv3", full = true)
+    assert(mode === "full")
+    val got = store.read("mv3").select("g", "cnt", "sum_x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("z", 1L, 42L)))
+  }
+
+  test("SQL faces: CALL create_mview / refresh_mview") {
+    spark.sql("CREATE TABLE gmv.src4 (g STRING, x BIGINT, y BIGINT)")
+    spark.sql("INSERT INTO gmv.src4 VALUES ('a', 1, 1), ('a', 2, 2), ('b', 3, 3)")
+    val c = spark.sql("CALL gmv.system.create_mview(mview => 'mv4', " +
+      "source => 'src4', group_cols => 'g', aggs => 'sum:x')").head()
+    assert(c.getLong(0) === 2L)
+    spark.sql("INSERT INTO gmv.src4 VALUES ('b', 10, 4)")
+    val r = spark.sql("CALL gmv.system.refresh_mview(mview => 'mv4')").head()
+    assert(r.getLong(0) === 1L && r.getString(3) === "incremental")
+    assert(spark.sql("SELECT sum_x FROM gmv.mv4 WHERE g = 'b'")
+      .head().getLong(0) === 13L)
+    // the MV is an ordinary queryable table with history
+    assert(spark.sql("SELECT count(*) FROM gmv.mv4").head().getLong(0) === 2L)
+  }
+}
