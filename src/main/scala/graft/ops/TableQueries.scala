@@ -2637,12 +2637,16 @@ object TableQueries2 {
       s"CALL gmvw.system.refresh_mview(mview => '$mv')").head()
     require(r1.getString(3) == "incremental" && r1.getLong(0) >= 1L,
       s"append must fold incrementally, got $r1")
-    // CoW delete touching most groups' min keys → dirty-group repair
+    // CoW delete touching most groups' min keys. The COST-BASED
+    // refresh picks its plan from metadata: a table-wide rewrite scope
+    // recomputes (full-auto), a pruned one folds deltas — either way
+    // the oracle must match. The forced-delta plan is value-pinned in
+    // MaterializedViewSpec; the policy itself in its cost test.
     spark.sql(s"DELETE FROM gmvw.$tbl WHERE o_orderkey % 7 = 0")
     val r2 = spark.sql(
       s"CALL gmvw.system.refresh_mview(mview => '$mv')").head()
-    require(r2.getString(3) == "incremental",
-      s"delete must fold incrementally, got $r2")
+    require(Set("incremental", "full-auto")(r2.getString(3)),
+      s"delete must fold (either plan), got $r2")
     val r3 = spark.sql(
       s"CALL gmvw.system.refresh_mview(mview => '$mv')").head()
     require(r3.getString(3) == "none", s"up-to-date view re-folds: $r3")

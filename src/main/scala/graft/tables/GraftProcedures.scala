@@ -323,17 +323,22 @@ private[tables] object GraftProcedures {
       })
       case "refresh_mview" => Some(p(
         // fold the source's changes since the last applied version in
-        // ONE atomic commit — cost proportional to the changed groups,
-        // never the source. full => rebuild (source rollback/recreate
-        // recovery)
+        // ONE atomic commit. COST-BASED: when metadata says the delta
+        // would read more than the table (table-wide rewrite, scattered
+        // tombstones), it recomputes instead (mode "full-auto"); auto
+        // => 'false' forces the delta plan. full => rebuild (also the
+        // source rollback/recreate recovery)
         Seq(in("mview", StringType),
-          inDef("full", StringType, "'false'")),
+          inDef("full", StringType, "'false'"),
+          inDef("auto", StringType, "'true'")),
         out("groups_changed" -> LongType, "from_version" -> LongType,
           "to_version" -> LongType, "mode" -> StringType)) { row =>
         val (n, from, to, mode) = graft.tables.MaterializedView.refresh(
           store, row.getUTF8String(0).toString,
           full = row.getUTF8String(1).toString.trim
-            .equalsIgnoreCase("true"))
+            .equalsIgnoreCase("true"),
+          auto = !row.getUTF8String(2).toString.trim
+            .equalsIgnoreCase("false"))
         Seq(n, from.toLong, to.toLong, UTF8String.fromString(mode))
       })
       case "drop_view" => Some(p(

@@ -122,7 +122,8 @@ object MaterializedView {
     * source rollback or re-creation). Returns
     * (groups changed, from version, to version, mode). */
   def refresh(store: TableStore, mv: String,
-      full: Boolean = false): (Long, Int, Int, String) = {
+      full: Boolean = false,
+      auto: Boolean = true): (Long, Int, Int, String) = {
     val props = store.properties(mv)
     val source = props.getOrElse(SourceProp, sys.error(
       s"$mv is not a materialized view (no $SourceProp property)"))
@@ -134,31 +135,55 @@ object MaterializedView {
     val to = store.currentVersion(source)
     val sameIncarnation =
       props.get(SourceUuidProp).contains(store.tableUuid(source))
+    if (!full && (!sameIncarnation || to < from)) sys.error(
+      if (!sameIncarnation)
+        s"source $source was re-created since $mv was built — " +
+          "refresh(full = true) rebuilds against the new incarnation"
+      else
+        s"source $source rolled back ($to) behind $mv's applied " +
+          s"version ($from) — refresh(full = true) rebuilds")
+    if (to == from && !full) return (0L, from, to, "none")
 
-    if (full || !sameIncarnation || to < from) {
-      require(full,
-        if (!sameIncarnation)
-          s"source $source was re-created since $mv was built — " +
-            "refresh(full = true) rebuilds against the new incarnation"
-        else
-          s"source $source rolled back ($to) behind $mv's applied " +
-            s"version ($from) — refresh(full = true) rebuilds")
-      // full rebuild: every current group re-aggregates; groups that
-      // vanished since the last apply are deleted (old ∪ new keys)
-      val fresh = aggFrame(store.read(source), groupCols, aggs)
-      requireNoNullGroups(fresh, groupCols, s"source table $source")
-      val touchedKeys = store.read(mv)
-        .select(groupCols.map(c => col(s"`$c`")): _*)
-        .union(fresh.select(groupCols.map(c => col(s"`$c`")): _*))
-        .distinct()
-      val n = touchedKeys.count()
-      store.applyNet(mv, touchedKeys, fresh, groupCols,
-        meta = Map(AppliedVersionMeta -> to.toString))
-      if (!sameIncarnation) store.setProperties(mv,
-        Map(SourceUuidProp -> Some(store.tableUuid(source))))
-      return (n, from, to, "full")
+    // COST-BASED plan choice (`auto`): the delta path reads the feed's
+    // change scope (plus one source pass of dirty-group repair when a
+    // mutation breaks min/max monotonicity); recompute reads the source
+    // once. When metadata says the delta would read MORE than the
+    // table — a table-wide CoW rewrite, a scattered tombstone masking
+    // most files — fold-by-delta is the strictly worse plan and the
+    // refresh recomputes instead (measured: a scattered 500-key
+    // tombstone on 60M rows folded 125 s by delta vs 7 s by recompute,
+    // MvScaleCheck). The estimate is conservative; pruning can only
+    // make the delta cheaper than quoted, never the fallback wrong.
+    val hasMinMax = aggs.exists {
+      case _: MinA | _: MaxA => true; case _ => false }
+    val fullMode: Option[String] =
+      if (full) Some("full")
+      else if (!auto) None
+      else {
+        val (scope, total, mutated) =
+          store.changeScopeBytes(source, from, to)
+        val repair = if (hasMinMax && mutated) total else 0L
+        if (total > 0L && scope + repair > total) Some("full-auto")
+        else None
+      }
+    fullMode match {
+      case Some(mode) =>
+        // full rebuild: every current group re-aggregates; groups that
+        // vanished since the last apply are deleted (old ∪ new keys)
+        val fresh = aggFrame(store.read(source), groupCols, aggs)
+        requireNoNullGroups(fresh, groupCols, s"source table $source")
+        val touchedKeys = store.read(mv)
+          .select(groupCols.map(c => col(s"`$c`")): _*)
+          .union(fresh.select(groupCols.map(c => col(s"`$c`")): _*))
+          .distinct()
+        val n = touchedKeys.count()
+        store.applyNet(mv, touchedKeys, fresh, groupCols,
+          meta = Map(AppliedVersionMeta -> to.toString))
+        if (!sameIncarnation) store.setProperties(mv,
+          Map(SourceUuidProp -> Some(store.tableUuid(source))))
+        return (n, from, to, mode)
+      case None => ()
     }
-    if (to == from) return (0L, from, to, "none")
 
     val feed = store.changeFeed(source, from, to)
     val ins = col(TableStore.ChangeTypeCol) === "insert"
@@ -186,8 +211,6 @@ object MaterializedView {
       locally {
         val mvSch = store.schema(mv)
         def zero(c: String) = lit(0).cast(mvSch(mvSch.fieldIndex(c)).dataType)
-        val hasMinMax = aggs.exists {
-          case _: MinA | _: MaxA => true; case _ => false }
         val old = store.read(mv)
         val joined = delta.join(old, groupCols, "left")
         val dirty = hasMinMax && { // deletes break min/max monotonicity

@@ -2732,6 +2732,49 @@ final class TableStore(private[tables] val spark: SparkSession,
       .drop("__n_types")
   }
 
+  /** Metadata-only estimate of [[changeFeed]]'s READ SCOPE over
+    * `(from, to]`: (bytes the feed would open, the live table's total
+    * bytes at `to`, whether any commit mutates). Per commit: added +
+    * removed file bytes (the exceptAll net-change inputs), plus the
+    * shared files TWICE when the commit introduces delete entries (the
+    * masked pre/post reads). Costs one consolidated-stats read per
+    * version — no file opened. A consumer folding deltas (e.g.
+    * materialized-view refresh) compares scope against total to decide
+    * whether recompute is the cheaper plan; (0, 0, _) = stats
+    * unavailable, no estimate. The estimate is deliberately
+    * CONSERVATIVE: zone/bloom pruning may read less than the quoted
+    * scope, so a fallback triggered by it never picks a plan worse
+    * than one table scan. */
+  private[graft] def changeScopeBytes(name: String, from: Int,
+      to: Int): (Long, Long, Boolean) = {
+    def lens(v: Int): Map[String, Long] =
+      if (v <= 0) Map.empty
+      else readConsolidated(name, v).map(_.lens).getOrElse(Map.empty)
+    val now = lens(to)
+    if (now.isEmpty && to > 0) return (0L, 0L, false)
+    var scope = 0L
+    var mutated = false
+    committedVersionsBetween(name, from, to).foreach { v =>
+      val parent = commitParent(name, v).getOrElse(v - 1)
+      val cur = relPathsOf(name, v)
+      val prev = if (parent <= 0) Nil else relPathsOf(name, parent)
+      val curS = cur.toSet
+      val prevS = prev.toSet
+      val l = lens(v)
+      val lp = lens(parent)
+      val added = cur.filterNot(prevS)
+      val removed = prev.filterNot(curS)
+      val newDel = readDeleteEntries(name, v).toSet --
+        readDeleteEntries(name, parent).toSet
+      scope += added.map(l.getOrElse(_, 0L)).sum +
+        removed.map(lp.getOrElse(_, 0L)).sum
+      if (newDel.nonEmpty)
+        scope += 2L * cur.filter(prevS).map(l.getOrElse(_, 0L)).sum
+      if (removed.nonEmpty || newDel.nonEmpty) mutated = true
+    }
+    (scope, now.values.sum, mutated)
+  }
+
   /** Some(addedFiles) iff commit `v` is a PURE append — removed no file
     * and introduced no delete entry — so its changes are exactly its
     * added files as inserts (file-splittable for streaming admission

@@ -30,7 +30,10 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("incremental refresh equals recompute through every mutation kind") {
+  test("delta refresh equals recompute through every mutation kind (auto off)") {
+    // auto=false pins the DELTA algebra itself on every mutation kind;
+    // the cost-based policy that may choose recompute is pinned below
+    def refresh() = MaterializedView.refresh(store, "mv", auto = false)
     val rows = Seq[(String, java.lang.Long, java.lang.Long)](
       ("a", 1L, 10L), ("a", 2L, 20L), ("b", 5L, 5L), ("b", null, 7L))
     store.create("src", rows.toDF("g", "x", "y").schema)
@@ -41,37 +44,37 @@ class MaterializedViewSpec extends SparkSpec {
     assertMatches("mv", "src")
     // no changes → none, nothing committed
     val v0 = store.currentVersion("mv")
-    assert(MaterializedView.refresh(store, "mv") === ((0L, 2, 2, "none")))
+    assert(refresh() === ((0L, 2, 2, "none")))
     assert(store.currentVersion("mv") === v0)
     // pure append: existing group grows, a NEW group is born
     store.append("src", Seq[(String, java.lang.Long, java.lang.Long)](
       ("a", 4L, 5L), ("c", 9L, 9L)).toDF("g", "x", "y"))
-    val (n1, _, _, m1) = MaterializedView.refresh(store, "mv")
+    val (n1, _, _, m1) = refresh()
     assert(n1 === 2L && m1 === "incremental")
     assertMatches("mv", "src")
     // CoW delete killing group c entirely AND removing group a's min y —
     // the dirty-group repair path for min/max
     store.delete("src", col("g") === "c" ||
       (col("g") === "a" && col("y") === 5L))
-    val (n2, _, _, _) = MaterializedView.refresh(store, "mv")
+    val (n2, _, _, _) = refresh()
     assert(n2 === 2L)
     assertMatches("mv", "src")
     assert(store.read("mv").filter(col("g") === "c").count() === 0L,
       "a dead group leaves the view")
     // merge-on-read tombstone (pending at refresh time)
     store.deleteMoR("src", Seq(2L).toDF("x"), Seq("x"))
-    MaterializedView.refresh(store, "mv")
+    refresh()
     assertMatches("mv", "src")
     // sum null semantics: group b loses its only non-null x — the sum
     // must go NULL (not 0), which the non-null companion count carries
     store.delete("src", col("g") === "b" && col("x") === 5L)
-    MaterializedView.refresh(store, "mv")
+    refresh()
     assertMatches("mv", "src")
     val bRow = store.read("mv").filter(col("g") === "b").head()
     assert(bRow.isNullAt(bRow.fieldIndex("sum_x")),
       "an all-null group sums to NULL, never 0")
     // idempotent afterwards
-    assert(MaterializedView.refresh(store, "mv")._4 === "none")
+    assert(refresh()._4 === "none")
   }
 
   test("clean min/max merge stays incremental when no delete touched them") {
@@ -100,14 +103,14 @@ class MaterializedViewSpec extends SparkSpec {
       Seq[(String, java.lang.Long, java.lang.Long)]((null, 2L, 2L))
         .toDF("g", "x", "y"))
     val e = intercept[IllegalArgumentException](
-      MaterializedView.refresh(store, "mv3"))
+      MaterializedView.refresh(store, "mv3", auto = false))
     assert(e.getMessage.contains("NULL group-key"))
     // even after the source is fixed, the FEED INTERVAL still carries
     // the null-group rows — incremental stays refused; full refresh
     // (which aggregates the current snapshot, not the feed) recovers
     store.delete("src3", col("g").isNull)
     val e1b = intercept[IllegalArgumentException](
-      MaterializedView.refresh(store, "mv3"))
+      MaterializedView.refresh(store, "mv3", auto = false))
     assert(e1b.getMessage.contains("NULL group-key"))
     assert(MaterializedView.refresh(store, "mv3", full = true)._4 === "full")
     store.drop("src3", force = true)
@@ -121,6 +124,34 @@ class MaterializedViewSpec extends SparkSpec {
     val got = store.read("mv3").select("g", "cnt", "sum_x").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq(("z", 1L, 42L)))
+  }
+
+  test("cost-based refresh: big mutations recompute, small appends fold") {
+    val rows = (0L until 2000L).map(i => (s"g${i % 10}", i, i))
+      .toDF("g", "x", "y")
+    store.create("src5", rows.schema)
+    store.append("src5", rows)
+    MaterializedView.create(store, "mv5", "src5",
+      Seq("g"), Seq("sum:x", "min:y"))
+    // a one-row append: feed scope ≪ table → the delta plan folds
+    store.append("src5", Seq(("g1", 1L, 1L)).toDF("g", "x", "y"))
+    assert(MaterializedView.refresh(store, "mv5")._4 === "incremental")
+    // a table-wide CoW delete: metadata says the delta would read the
+    // rewrite scope twice PLUS a min/max repair pass — more than one
+    // table scan, so the refresh recomputes instead (mode full-auto)
+    store.delete("src5", col("x") % 2L === 0L)
+    val (_, _, _, mode) = MaterializedView.refresh(store, "mv5")
+    assert(mode === "full-auto",
+      "a change scope above one table scan must pick recompute")
+    // either plan lands on the same values: x and g share parity, so
+    // even groups die entirely and odd groups keep all 200 rows
+    // (g1 also has the folded append row)
+    val got = store.read("mv5").select("g", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("g1") === 201L && got("g3") === 200L && !got.contains("g0"),
+      s"recompute path values wrong: $got")
+    // quiet again afterwards
+    assert(MaterializedView.refresh(store, "mv5")._4 === "none")
   }
 
   test("SQL faces: CALL create_mview / refresh_mview") {
