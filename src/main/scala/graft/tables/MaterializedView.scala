@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   *    reports SQL-correct NULL, not 0.
   *  - `min:c` / `max:c` fold monotonically under INSERTS
   *    (`least`/`greatest`); a group that saw a DELETE is "dirty" and
-  *    recomputes from the current source snapshot, scoped to exactly
-  *    the dirty groups (a broadcast semi-join — with the source laid
-  *    out on the group columns this prunes to their files).
+  *    recomputes from the PINNED source snapshot, scoped to exactly
+  *    the dirty groups — a small dirty set on one group column becomes
+  *    an IN filter that file-prunes through the zone-indexed scan,
+  *    bigger sets a broadcast semi-join.
   *
   * NULL group keys refuse loudly at create and refresh: the atomic
   * apply keys groups by equality, which cannot address a null tuple —
@@ -60,12 +61,6 @@ object MaterializedView {
           s"unknown aggregate spec '$s' (count | sum:col | min:col | max:col)")
       }
     }
-
-  private def outName(a: Agg): String = a match {
-    case SumA(c) => s"sum_$c"
-    case MinA(c) => s"min_$c"
-    case MaxA(c) => s"max_$c"
-  }
 
   /** The full aggregation — used for the initial build, dirty-group
     * repair, and full refresh. `cnt` leads; every sum carries `cnt_c`. */
@@ -102,17 +97,25 @@ object MaterializedView {
     (groupCols ++ aggs.map(_.col)).foreach(c =>
       require(sch.fieldNames.contains(c),
         s"column $c not in source table $source"))
+    // pin the snapshot: the build must aggregate EXACTLY the version
+    // the applied-version tag records — reading "current" would let a
+    // concurrent source commit land in the contents yet be re-folded
+    // by the first refresh
     val srcV = store.currentVersion(source)
-    val full = aggFrame(store.read(source), groupCols, aggs)
-    requireNoNullGroups(full, groupCols, s"source table $source")
-    store.create(mv, full.schema)
-    store.setProperties(mv, Map(
-      SourceProp -> Some(source),
-      SourceUuidProp -> Some(store.tableUuid(source)),
-      GroupColsProp -> Some(groupCols.mkString(",")),
-      AggsProp -> Some(aggSpecs.mkString(","))))
-    store.append(mv, full,
-      meta = Map(AppliedVersionMeta -> srcV.toString))
+    val full = aggFrame(
+      if (srcV <= 0) store.read(source) else store.readVersion(source, srcV),
+      groupCols, aggs).persist() // null-check + write: ONE aggregation
+    try {
+      requireNoNullGroups(full, groupCols, s"source table $source")
+      store.create(mv, full.schema)
+      store.setProperties(mv, Map(
+        SourceProp -> Some(source),
+        SourceUuidProp -> Some(store.tableUuid(source)),
+        GroupColsProp -> Some(groupCols.mkString(",")),
+        AggsProp -> Some(aggSpecs.mkString(","))))
+      store.append(mv, full,
+        meta = Map(AppliedVersionMeta -> srcV.toString))
+    } finally { full.unpersist(); () }
     store.read(mv).count()
   }
 
@@ -130,9 +133,23 @@ object MaterializedView {
     val groupCols = props(GroupColsProp).split(",").toSeq
     val aggs = parseAggs(props(AggsProp).split(",").toSeq
       .filter(_.nonEmpty))
-    val from = store.lastMetaValue(mv, AppliedVersionMeta)
-      .flatMap(_.toIntOption).getOrElse(0)
+    // a missing applied-version tag NEVER defaults: create always
+    // stamps it and expiry carries tags forward, so absence means the
+    // MV's contents have unknown provenance (e.g. a snapshot clone —
+    // table PROPERTIES carry but commit META does not) and folding a
+    // guessed interval would silently double every count and sum
+    val fromOpt = store.lastMetaValue(mv, AppliedVersionMeta)
+      .flatMap(_.toIntOption)
+    if (fromOpt.isEmpty && !full) sys.error(
+      s"$mv carries no $AppliedVersionMeta commit tag (a snapshot " +
+        "clone of a view?) — refresh(full = true) re-baselines it")
+    val from = fromOpt.getOrElse(-1)
     val to = store.currentVersion(source)
+    // every source read below is PINNED to `to`: the applied-version
+    // tag must describe exactly what was folded, and a concurrent
+    // source commit landing mid-refresh must stay in the NEXT interval
+    def sourceAt: org.apache.spark.sql.DataFrame =
+      if (to <= 0) store.read(source) else store.readVersion(source, to)
     val sameIncarnation =
       props.get(SourceUuidProp).contains(store.tableUuid(source))
     if (!full && (!sameIncarnation || to < from)) sys.error(
@@ -144,44 +161,53 @@ object MaterializedView {
           s"version ($from) — refresh(full = true) rebuilds")
     if (to == from && !full) return (0L, from, to, "none")
 
-    // COST-BASED plan choice (`auto`): the delta path reads the feed's
-    // change scope (plus one source pass of dirty-group repair when a
-    // mutation breaks min/max monotonicity); recompute reads the source
-    // once. When metadata says the delta would read MORE than the
-    // table — a table-wide CoW rewrite, a scattered tombstone masking
-    // most files — fold-by-delta is the strictly worse plan and the
-    // refresh recomputes instead (measured: a scattered 500-key
-    // tombstone on 60M rows folded 125 s by delta vs 7 s by recompute,
-    // MvScaleCheck). The estimate is conservative; pruning can only
-    // make the delta cheaper than quoted, never the fallback wrong.
+    // COST-BASED plan choice (`auto`): the delta path's dominant cost
+    // is the feed's change scope (the bytes the net-change reads);
+    // recompute reads the source once. When metadata says the feed
+    // alone would read MORE than the table — a table-wide CoW rewrite,
+    // a scattered tombstone masking most files, a compaction whose
+    // exceptAll nets to zero but reads everything — fold-by-delta is
+    // the strictly worse plan and the refresh recomputes instead
+    // (measured: a scattered 500-key tombstone
+    // on 60M rows folded 74 s by delta vs 4.2 s by recompute,
+    // MvScaleCheck). Min/max
+    // repair is NOT charged here: when it fires it costs at most what
+    // recompute costs, the feed was already cheap by this test, and
+    // the repair scan file-prunes on clustered sources (below) — so a
+    // small clustered delete keeps the genuinely group-scoped path.
+    // The estimate is conservative; pruning can only make the delta
+    // cheaper than quoted, never the fallback wrong.
     val hasMinMax = aggs.exists {
       case _: MinA | _: MaxA => true; case _ => false }
     val fullMode: Option[String] =
       if (full) Some("full")
       else if (!auto) None
       else {
-        val (scope, total, mutated) =
-          store.changeScopeBytes(source, from, to)
-        val repair = if (hasMinMax && mutated) total else 0L
-        if (total > 0L && scope + repair > total) Some("full-auto")
-        else None
+        val (scope, total, _) = store.changeScopeBytes(source, from, to)
+        if (total > 0L && scope > total) Some("full-auto") else None
       }
     fullMode match {
       case Some(mode) =>
         // full rebuild: every current group re-aggregates; groups that
-        // vanished since the last apply are deleted (old ∪ new keys)
-        val fresh = aggFrame(store.read(source), groupCols, aggs)
-        requireNoNullGroups(fresh, groupCols, s"source table $source")
-        val touchedKeys = store.read(mv)
-          .select(groupCols.map(c => col(s"`$c`")): _*)
-          .union(fresh.select(groupCols.map(c => col(s"`$c`")): _*))
-          .distinct()
-        val n = touchedKeys.count()
-        store.applyNet(mv, touchedKeys, fresh, groupCols,
-          meta = Map(AppliedVersionMeta -> to.toString))
-        if (!sameIncarnation) store.setProperties(mv,
-          Map(SourceUuidProp -> Some(store.tableUuid(source))))
-        return (n, from, to, mode)
+        // vanished since the last apply are deleted (old ∪ new keys).
+        // Persisted: the null check, the key union, and the apply must
+        // share ONE source aggregation, not re-run it per action.
+        val fresh = aggFrame(sourceAt, groupCols, aggs).persist()
+        try {
+          requireNoNullGroups(fresh, groupCols, s"source table $source")
+          val touchedKeys = store.read(mv)
+            .select(groupCols.map(c => col(s"`$c`")): _*)
+            .union(fresh.select(groupCols.map(c => col(s"`$c`")): _*))
+            .distinct().persist()
+          try {
+            val n = touchedKeys.count()
+            store.applyNet(mv, touchedKeys, fresh, groupCols,
+              meta = Map(AppliedVersionMeta -> to.toString))
+            if (!sameIncarnation) store.setProperties(mv,
+              Map(SourceUuidProp -> Some(store.tableUuid(source))))
+            return (n, from, to, mode)
+          } finally { touchedKeys.unpersist(); () }
+        } finally { fresh.unpersist(); () }
       case None => ()
     }
 
@@ -247,19 +273,29 @@ object MaterializedView {
             }
         val cleanMerged = cleanBase.select(mergedCols: _*)
           .filter(col("cnt") > 0L)
-        val newRows = dirtyKeys match {
-          case None => cleanMerged
-          case Some(dk) => cleanMerged.unionByName(
-            // group-scoped repair: re-aggregate exactly the dirty groups
-            // from the current source snapshot
-            aggFrame(store.read(source)
-              .join(broadcast(dk), groupCols, "left_semi"),
-              groupCols, aggs))
-        }
-        val touchedKeys = delta.select(groupCols.map(c => col(s"`$c`")): _*)
-        store.applyNet(mv, touchedKeys, newRows, groupCols,
-          meta = Map(AppliedVersionMeta -> to.toString))
-        dirtyKeys.foreach(dk => { dk.unpersist(); () })
+        try {
+          val newRows = dirtyKeys match {
+            case None => cleanMerged
+            case Some(dk) =>
+              // group-scoped repair: re-aggregate exactly the dirty
+              // groups from the PINNED source snapshot. A small dirty
+              // set on a single group column becomes an IN filter —
+              // which reaches the zone-indexed scan and file-prunes on
+              // sources laid out by the group column — the genuinely
+              // group-scoped path; bigger sets fall back to a
+              // broadcast semi-join (exact, but scans candidates).
+              val dirtySrc =
+                if (groupCols.size == 1 && dk.count() <= 512L) {
+                  val vals = dk.collect().map(_.get(0))
+                  sourceAt.filter(
+                    col(s"`${groupCols.head}`").isin(vals: _*))
+                } else sourceAt.join(broadcast(dk), groupCols, "left_semi")
+              cleanMerged.unionByName(aggFrame(dirtySrc, groupCols, aggs))
+          }
+          val touchedKeys = delta.select(groupCols.map(c => col(s"`$c`")): _*)
+          store.applyNet(mv, touchedKeys, newRows, groupCols,
+            meta = Map(AppliedVersionMeta -> to.toString))
+        } finally { dirtyKeys.foreach(dk => { dk.unpersist(); () }) }
       }
       (changed, from, to, "incremental")
     } finally { delta.unpersist(); () }

@@ -54,12 +54,17 @@ object MvScaleCheck {
     // the alternative: full re-aggregation + full view swap
     val (_, tFull) = timed(MaterializedView.refresh(store, "mv",
       full = true))
-    // regime 2: a scattered 500-key MoR tombstone. FORCED delta pays
-    // the masked-feed scan + dirty-group min/max repair; the cost-based
-    // default (auto) sees scope > table in metadata and recomputes
+    // regime 2, measured BOTH ways on two alike scattered tombstone
+    // batches: first FORCED delta (auto=false — masked-feed scan +
+    // dirty-group min/max repair), then the cost-based default, which
+    // sees scope > table in metadata and recomputes instead
     store.deleteMoR("fact",
       (1L to 500L).map(k => k * 7L).toDF("k"), Seq("k"))
-    val (sc, tot, _) = store.changeScopeBytes("fact", r1._3, // post-append
+    val (rF, tForced) = timed(
+      MaterializedView.refresh(store, "mv", auto = false))
+    store.deleteMoR("fact",
+      (1L to 500L).map(k => k * 11L + 3L).toDF("k"), Seq("k"))
+    val (sc, tot, _) = store.changeScopeBytes("fact", rF._3,
       store.currentVersion("fact"))
     val (r2, tDelete) = timed(MaterializedView.refresh(store, "mv"))
     // exactness after everything
@@ -77,7 +82,8 @@ object MvScaleCheck {
     println(f"[mvscale] rows=$nRows groups=$groups create=$tCreate%.2fs | " +
       f"append-fold=$tAppend%.2fs (touched=${r1._1}) vs " +
       f"full=$tFull%.2fs -> ${tFull / tAppend}%.1fx | " +
-      f"scattered-delete: scope=${sc / 1048576}%dMB vs table=" +
+      f"scattered-delete forced-delta=$tForced%.2fs " +
+      f"(mode=${rF._4}) vs policy: scope=${sc / 1048576}%dMB > table=" +
       f"${tot / 1048576}%dMB -> mode=${r2._4} in $tDelete%.2fs | " +
       s"exact=$exact")
     spark.stop()

@@ -2747,25 +2747,35 @@ final class TableStore(private[tables] val spark: SparkSession,
     * than one table scan. */
   private[graft] def changeScopeBytes(name: String, from: Int,
       to: Int): (Long, Long, Boolean) = {
-    def lens(v: Int): Map[String, Long] =
+    // memoized: consecutive commits share a (parent, child) version, so
+    // without the cache every consolidated-stats file and manifest in
+    // the interval would parse twice — double the driver FS round-trips
+    // on a path that runs per refresh
+    val lensMemo = scala.collection.mutable.Map.empty[Int, Map[String, Long]]
+    val relsMemo = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    def lens(v: Int): Map[String, Long] = lensMemo.getOrElseUpdate(v,
       if (v <= 0) Map.empty
-      else readConsolidated(name, v).map(_.lens).getOrElse(Map.empty)
+      else readConsolidated(name, v).map(_.lens).getOrElse(Map.empty))
+    def rels(v: Int): Seq[String] = relsMemo.getOrElseUpdate(v,
+      if (v <= 0) Nil else relPathsOf(name, v))
+    val delMemo = scala.collection.mutable.Map.empty[Int, Set[DeleteEntry]]
+    def dels(v: Int): Set[DeleteEntry] = delMemo.getOrElseUpdate(v,
+      if (v <= 0) Set.empty else readDeleteEntries(name, v).toSet)
     val now = lens(to)
     if (now.isEmpty && to > 0) return (0L, 0L, false)
     var scope = 0L
     var mutated = false
     committedVersionsBetween(name, from, to).foreach { v =>
       val parent = commitParent(name, v).getOrElse(v - 1)
-      val cur = relPathsOf(name, v)
-      val prev = if (parent <= 0) Nil else relPathsOf(name, parent)
+      val cur = rels(v)
+      val prev = rels(parent)
       val curS = cur.toSet
       val prevS = prev.toSet
       val l = lens(v)
       val lp = lens(parent)
       val added = cur.filterNot(prevS)
       val removed = prev.filterNot(curS)
-      val newDel = readDeleteEntries(name, v).toSet --
-        readDeleteEntries(name, parent).toSet
+      val newDel = dels(v) -- dels(parent)
       scope += added.map(l.getOrElse(_, 0L)).sum +
         removed.map(lp.getOrElse(_, 0L)).sum
       if (newDel.nonEmpty)

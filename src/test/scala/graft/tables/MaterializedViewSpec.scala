@@ -154,6 +154,32 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MaterializedView.refresh(store, "mv5")._4 === "none")
   }
 
+  test("a snapshot-cloned view refuses delta refresh until re-baselined") {
+    // table PROPERTIES carry through CALL snapshot but commit META does
+    // not: the clone has no applied-version tag, and guessing one (the
+    // old getOrElse(0)) would re-fold the whole source history onto
+    // already-full contents — silently doubling every count and sum
+    val rows = Seq(("a", 1L, 1L), ("b", 2L, 2L)).toDF("g", "x", "y")
+    store.create("src6", rows.schema)
+    store.append("src6", rows)
+    MaterializedView.create(store, "mv6", "src6", Seq("g"), Seq("sum:x"))
+    store.snapshotTable("mv6", "mv6c")
+    val e = intercept[RuntimeException](
+      MaterializedView.refresh(store, "mv6c"))
+    assert(e.getMessage.contains("re-baselines"))
+    // full refresh re-baselines the clone against the live source
+    store.append("src6", Seq(("a", 10L, 3L)).toDF("g", "x", "y"))
+    assert(MaterializedView.refresh(store, "mv6c", full = true)._4 === "full")
+    val got = store.read("mv6c").select("g", "cnt", "sum_x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === Seq(("a", 2L, 11L), ("b", 1L, 2L)))
+    // and from then on it folds deltas like any view
+    store.append("src6", Seq(("b", 5L, 4L)).toDF("g", "x", "y"))
+    assert(MaterializedView.refresh(store, "mv6c")._4 === "incremental")
+    assert(store.read("mv6c").filter(col("g") === "b").head()
+      .getAs[Long]("sum_x") === 7L)
+  }
+
   test("SQL faces: CALL create_mview / refresh_mview") {
     spark.sql("CREATE TABLE gmv.src4 (g STRING, x BIGINT, y BIGINT)")
     spark.sql("INSERT INTO gmv.src4 VALUES ('a', 1, 1), ('a', 2, 2), ('b', 3, 3)")
