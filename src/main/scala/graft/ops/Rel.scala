@@ -561,7 +561,12 @@ object Rel {
           s"KMV estimate ${r.getAs[Long]("kmv_parts")} outside 4-sigma " +
             s"of exact $ex at k=$k")
     }
-    exact.unpersist() // out is materialized; the caller reads its cache
+    // both caches release here: holding `out` for the caller would leak
+    // one cached frame per invocation (the bench resamples gates up to
+    // 6×) — re-executing the 3-row plan costs less than a session-long
+    // cache entry
+    exact.unpersist()
+    out.unpersist()
     out
   }
 

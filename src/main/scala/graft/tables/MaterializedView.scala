@@ -41,26 +41,45 @@ object MaterializedView {
     * reflect (crash-safe — same commit as the data). */
   val AppliedVersionMeta = "mv.applied-version"
 
-  private val SourceProp = "mv.source"
-  private val SourceUuidProp = "mv.source-uuid"
-  private val GroupColsProp = "mv.group-cols"
-  private val AggsProp = "mv.aggs"
+  private[tables] val SourceProp = "mv.source"
+  private[tables] val SourceUuidProp = "mv.source-uuid"
+  private[tables] val GroupColsProp = "mv.group-cols"
+  private[tables] val AggsProp = "mv.aggs"
+  private[tables] val FilterProp = "mv.filter"
 
-  private sealed trait Agg { def col: String }
-  private case class SumA(col: String) extends Agg
-  private case class MinA(col: String) extends Agg
-  private case class MaxA(col: String) extends Agg
+  private[tables] sealed trait Agg { def col: String }
+  private[tables] case class SumA(col: String) extends Agg
+  private[tables] case class MinA(col: String) extends Agg
+  private[tables] case class MaxA(col: String) extends Agg
 
-  private def parseAggs(specs: Seq[String]): Seq[Agg] =
+  /** `avg:c` stores EXACTLY the state `sum:c` stores (the sum and its
+    * non-null count — avg is derived at read/rewrite time, the classic
+    * IVM decomposition), so both parse to [[SumA]]; duplicate stored
+    * columns (e.g. `sum:c,avg:c`) collapse. Unknown specs refuse
+    * loudly — a silently-dropped aggregate would make the view lie. */
+  private[tables] def parseAggs(specs: Seq[String]): Seq[Agg] =
     specs.filterNot(_ == "count").map { s =>
       s.split(":", 2) match {
         case Array("sum", c) => SumA(c)
+        case Array("avg", c) => SumA(c)
         case Array("min", c) => MinA(c)
         case Array("max", c) => MaxA(c)
         case _ => throw new IllegalArgumentException(
-          s"unknown aggregate spec '$s' (count | sum:col | min:col | max:col)")
+          s"unknown aggregate spec '$s' " +
+            "(count | sum:col | avg:col | min:col | max:col)")
       }
-    }
+    }.distinct
+
+  /** An explicitly EMPTY frame with `source`'s schema — what "the
+    * source at version 0" means. Reading the live table instead would
+    * race a concurrent first commit into the contents while the
+    * applied-version tag still says 0, double-counting on the first
+    * refresh. */
+  private def emptyAt(store: TableStore, source: String): DataFrame = {
+    val s = store.sparkSession
+    s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      store.schema(source))
+  }
 
   /** The full aggregation — used for the initial build, dirty-group
     * repair, and full refresh. `cnt` leads; every sum carries `cnt_c`. */
@@ -87,24 +106,34 @@ object MaterializedView {
   }
 
   /** Create `mv` as the materialized `GROUP BY groupCols` of `source`
-    * with aggregates `aggSpecs` (`count` implicit; `sum:c` | `min:c` |
-    * `max:c`). One full aggregation job; returns the group count. */
+    * (optionally `WHERE where` — a definition-time row filter applied
+    * before aggregation, on the build, every delta fold, and every
+    * repair/recompute) with aggregates `aggSpecs` (`count` implicit;
+    * `sum:c` | `avg:c` | `min:c` | `max:c`). One full aggregation job;
+    * returns the group count. */
   def create(store: TableStore, mv: String, source: String,
-      groupCols: Seq[String], aggSpecs: Seq[String]): Long = {
+      groupCols: Seq[String], aggSpecs: Seq[String],
+      where: Option[String] = None): Long = {
     require(groupCols.nonEmpty, "materialized view needs group columns")
     val aggs = parseAggs(aggSpecs)
     val sch = store.schema(source)
     (groupCols ++ aggs.map(_.col)).foreach(c =>
       require(sch.fieldNames.contains(c),
         s"column $c not in source table $source"))
+    require(where.forall(_.trim.nonEmpty),
+      "empty WHERE — omit the argument for an unfiltered view")
     // pin the snapshot: the build must aggregate EXACTLY the version
     // the applied-version tag records — reading "current" would let a
     // concurrent source commit land in the contents yet be re-folded
-    // by the first refresh
+    // by the first refresh. Version 0 is an EXPLICITLY empty frame for
+    // the same reason: a first commit racing the build must stay in
+    // the first refresh's interval, not leak into the contents.
     val srcV = store.currentVersion(source)
-    val full = aggFrame(
-      if (srcV <= 0) store.read(source) else store.readVersion(source, srcV),
-      groupCols, aggs).persist() // null-check + write: ONE aggregation
+    val base = applyFilter(
+      if (srcV <= 0) emptyAt(store, source)
+      else store.readVersion(source, srcV), where)
+    val full = aggFrame(base, groupCols, aggs)
+      .persist() // null-check + write: ONE aggregation
     try {
       requireNoNullGroups(full, groupCols, s"source table $source")
       store.create(mv, full.schema)
@@ -112,12 +141,60 @@ object MaterializedView {
         SourceProp -> Some(source),
         SourceUuidProp -> Some(store.tableUuid(source)),
         GroupColsProp -> Some(groupCols.mkString(",")),
-        AggsProp -> Some(aggSpecs.mkString(","))))
+        AggsProp -> Some(aggSpecs.mkString(",")),
+        FilterProp -> where))
       store.append(mv, full,
         meta = Map(AppliedVersionMeta -> srcV.toString))
     } finally { full.unpersist(); () }
+    // registry marker LAST — the rewrite rule may only discover a view
+    // whose definition and contents are fully published
+    store.mvMarkerWrite(source, mv)
     store.read(mv).count()
   }
+
+  /** The definition-time row filter; parsed (and thus validated) by
+    * Dataset analysis eagerly at each application site. */
+  private def applyFilter(df: DataFrame, where: Option[String]): DataFrame =
+    where.fold(df)(f => df.filter(expr(f)))
+
+  /** Resolved definition for the transparent query rewrite
+    * ([[MvRewriteRule]]): group columns plus which source columns have
+    * stored sum(+count) / min / max state, and the view's schema for
+    * exact result-type checks. */
+  private[tables] final case class MvDef(mv: String, groupCols: Seq[String],
+      sumCols: Set[String], minCols: Set[String], maxCols: Set[String],
+      schema: org.apache.spark.sql.types.StructType)
+
+  /** The first registered view of `source` whose contents are FRESH at
+    * exactly `atVersion` (the applied-version commit tag), bound to the
+    * CURRENT incarnation of the source, and unfiltered — the only state
+    * in which scanning the view is provably equivalent to aggregating
+    * the source snapshot the plan was built against. Marker-driven: one
+    * directory listing to find candidates, a few metadata reads to
+    * verify each; a marker whose view is gone self-heals away. */
+  private[tables] def freshViewFor(store: TableStore, source: String,
+      atVersion: Int): Option[MvDef] =
+    store.mvMarkersOf(source).iterator.flatMap { mv =>
+      if (!store.exists(mv)) { store.mvMarkerDelete(source, mv); None }
+      else scala.util.Try {
+        val props = store.properties(mv)
+        val ok = props.get(SourceProp).contains(source) &&
+          props.get(SourceUuidProp).contains(store.tableUuid(source)) &&
+          !props.get(FilterProp).exists(_.trim.nonEmpty) &&
+          store.lastMetaValue(mv, AppliedVersionMeta)
+            .flatMap(_.toIntOption).contains(atVersion)
+        if (!ok) None
+        else {
+          val aggs = parseAggs(
+            props(AggsProp).split(",").toSeq.filter(_.nonEmpty))
+          Some(MvDef(mv, props(GroupColsProp).split(",").toSeq,
+            aggs.collect { case SumA(c) => c }.toSet,
+            aggs.collect { case MinA(c) => c }.toSet,
+            aggs.collect { case MaxA(c) => c }.toSet,
+            store.schema(mv)))
+        }
+      }.toOption.flatten
+    }.nextOption()
 
   /** Fold the source's changes since the last applied version into the
     * MV — one atomic commit, cost proportional to the CHANGED groups.
@@ -145,11 +222,16 @@ object MaterializedView {
         "clone of a view?) — refresh(full = true) re-baselines it")
     val from = fromOpt.getOrElse(-1)
     val to = store.currentVersion(source)
+    val where = props.get(FilterProp).filter(_.trim.nonEmpty)
     // every source read below is PINNED to `to`: the applied-version
     // tag must describe exactly what was folded, and a concurrent
     // source commit landing mid-refresh must stay in the NEXT interval
-    def sourceAt: org.apache.spark.sql.DataFrame =
-      if (to <= 0) store.read(source) else store.readVersion(source, to)
+    // (version 0 = explicitly empty, never the live table). The
+    // definition filter applies HERE, so repair and recompute see
+    // exactly the rows the delta folds see.
+    def sourceAt: org.apache.spark.sql.DataFrame = applyFilter(
+      if (to <= 0) emptyAt(store, source) else store.readVersion(source, to),
+      where)
     val sameIncarnation =
       props.get(SourceUuidProp).contains(store.tableUuid(source))
     if (!full && (!sameIncarnation || to < from)) sys.error(
@@ -211,7 +293,11 @@ object MaterializedView {
       case None => ()
     }
 
-    val feed = store.changeFeed(source, from, to)
+    // the definition filter drops non-qualifying CHANGES symmetrically:
+    // an insert outside the filter never entered the view, so its
+    // delete must not leave it either — filtering the signed feed IS
+    // the filtered-view IVM rule
+    val feed = applyFilter(store.changeFeed(source, from, to), where)
     val ins = col(TableStore.ChangeTypeCol) === "insert"
     val sgn = when(ins, 1L).otherwise(-1L)
     val dExprs: Seq[Column] = Seq(

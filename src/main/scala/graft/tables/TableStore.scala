@@ -521,6 +521,12 @@ final class TableStore(private[tables] val spark: SparkSession,
           "system.snapshot clone or cross-table add_files adoption) — " +
           "drop or compact the referencing tables first, or force")
     }
+    // retract this holder's _refby_ markers from its sources (O(own
+    // manifests) — keeps the sources' guards on the marker fast path;
+    // a missed retraction, e.g. after a rename, is only a slow guard)
+    sourceTablesOf(manifestEntries(tdir(name)).filter(_.startsWith("/")))
+      .filterNot(_ == name)
+      .foreach(src => fs.delete(refByMarker(src, name), false))
     // branch pointers may live in an external coordinator — clear them
     // BEFORE the refs dir (their registry) goes away with the table
     scala.util.Try(refs(name)).getOrElse(Map.empty).foreach {
@@ -755,36 +761,56 @@ final class TableStore(private[tables] val spark: SparkSession,
     require((inNs.isEmpty && viewsInNs.isEmpty) || cascade,
       s"namespace ${nsKey(ns)} is not empty " +
         s"(${inNs.size} tables, ${viewsInNs.size} views) — use CASCADE")
+    // ONE pass over every root dir's manifests builds the reference
+    // graph (holder → members it references); the outside-holder
+    // pre-check, the cycle dry-run, AND the drop ordering all read this
+    // in-memory graph — O(all manifests) once, not
+    // O(passes × tables × all-manifests) of re-sweeping per member per
+    // fixpoint pass. Holders include STAGED/aside dirs (a mid-publish
+    // adoption counts as an outside holder).
+    val nsMembers = inNs.toSet
+    val graph: Map[String, Set[String]] =
+      referenceHolders("").flatMap { case (h, td) =>
+        val refs = sourceTablesOf(
+          manifestEntries(td).filter(_.startsWith("/"))) & nsMembers
+        if (refs.isEmpty) None else Some(h -> refs)
+      }.toMap
     // pre-check BEFORE anything drops: a refusal must leave the
     // namespace fully intact, never half-dropped. References from
-    // INSIDE the namespace are fine (the fixpoint below orders them);
-    // any reference from outside refuses the whole cascade up front.
-    val nsMembers = inNs.toSet
-    inNs.foreach { t =>
-      val outside = foreignReferencingTables(t) -- nsMembers
-      require(outside.isEmpty,
-        s"cannot cascade-drop namespace ${nsKey(ns)}: $t's files are " +
-          s"referenced by ${outside.mkString(", ")} outside the " +
-          "namespace — nothing was dropped")
+    // INSIDE the namespace are orderable (below); any reference from
+    // outside refuses the whole cascade up front.
+    graph.foreach { case (h, refs) =>
+      require(nsMembers.contains(h),
+        s"cannot cascade-drop namespace ${nsKey(ns)}: " +
+          s"${refs.toSeq.sorted.mkString(", ")}'s files are referenced " +
+          s"by $h outside the namespace — nothing was dropped")
     }
-    viewsInNs.foreach(dropView)
-    // drop clones before their sources: a table whose files another
-    // live table still references refuses to drop, so iterate —
-    // each pass drops every currently-unreferenced table, which frees
-    // its sources for the next pass. The pre-check above guarantees
-    // the fixpoint completes.
-    var remaining = inNs
+    // DRY-RUN the clones-before-sources ordering before any view or
+    // table drops: a reference cycle INSIDE the namespace (mutual
+    // snapshot/add_files adoption) passes the outside-holder check yet
+    // can never be ordered — detected here, while everything is intact,
+    // instead of stalling mid-drop with the views already gone.
+    val dropOrder = Vector.newBuilder[String]
+    var remaining = inNs.toVector
     var progressed = true
     while (remaining.nonEmpty && progressed) {
-      val (held, free) = remaining.partition(t => foreignReferenced(t).nonEmpty)
+      val rem = remaining.toSet
+      val (held, free) = remaining.partition(t =>
+        graph.exists { case (h, refs) => h != t && rem(h) && refs(t) })
       progressed = free.nonEmpty
-      free.foreach(t => drop(t))
+      dropOrder ++= free
       remaining = held
     }
-    require(remaining.isEmpty, // unreachable given the pre-check
+    require(remaining.isEmpty,
       s"cannot cascade-drop namespace ${nsKey(ns)}: " +
-        s"${remaining.mkString(", ")} hold(s) files referenced by " +
-        "tables outside the namespace")
+        s"${remaining.sorted.mkString(", ")} reference each other's " +
+        "files in a cycle (mutual snapshot/add_files adoption) — " +
+        "compact or drop one of them first; nothing was dropped")
+    viewsInNs.foreach(dropView)
+    // clones drop before their sources, per the dry-run order; each
+    // drop() re-checks its own reachability guard (marker-gated, so
+    // never-adopted members stay O(1))
+    dropOrder.result().foreach(t => drop(t))
     // cascade also removes explicit markers of nested namespaces
     namespaces().filter(n => nsKey(n).startsWith(prefix))
       .foreach(n => fs.delete(nsMarker(n), false))
@@ -1842,7 +1868,8 @@ final class TableStore(private[tables] val spark: SparkSession,
       cons.map(_.rows).filter(rows => rels.forall(rows.contains))
         .map(rows => rels.map(rows).sum),
       colBounds,
-      buckets)
+      buckets,
+      owner = Some((this, name, version)))
     TableStore.ZoneIndexBundle(idx, pFields, dirTypes, pSchema, dataSch, physSch)
   }
 
@@ -3203,6 +3230,10 @@ final class TableStore(private[tables] val spark: SparkSession,
           "directory")
     }
     writeZoneStats(name, files)
+    // record the adoption on any sibling SOURCE table BEFORE the commit
+    // publishes: the reachability guards' marker fast path must never
+    // miss an in-flight adoption
+    writeRefByMarkers(name, files)
     // a lost commit race must never delete the user's source files:
     // reclaimAddedOnAbort stays off (the orphaned stats sidecars are
     // harmless and unreferenced)
@@ -3299,6 +3330,9 @@ final class TableStore(private[tables] val spark: SparkSession,
         }
       }
     }
+    // marker BEFORE the adoption commit (guards' fast path, see
+    // [[refByMarker]])
+    writeRefByMarkers(dst, abs)
     if (abs.nonEmpty)
       commitManifest(dst, currentVersion(dst), Set.empty, abs, abs,
         meta = Map("operation" -> "snapshot", "source" -> src),
@@ -4897,31 +4931,143 @@ final class TableStore(private[tables] val spark: SparkSession,
     * data-sized — the same order as the expiry's own manifest walk);
     * only scheme-less-absolute manifest entries (the adoption spelling)
     * are considered, and only those under this table's data dir. */
-  private def foreignReferenced(name: String): Set[String] = {
-    val prefix = dataDirPrefix(name)
-    tables().filterNot(_ == name).flatMap { t =>
-      val td = tdir(t)
-      listNames(td)
-        .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
-        .flatMap(m => readLines(new HPath(td, m)))
-        .filter(l => l.startsWith("/") && l.startsWith(prefix))
-    }.toSet
-  }
+  private def foreignReferenced(name: String): Set[String] =
+    if (!hasRefByMarkers(name)) Set.empty
+    else {
+      val prefix = dataDirPrefix(name)
+      referenceHolders(name).flatMap { case (_, td) =>
+        manifestEntries(td)
+          .filter(l => l.startsWith("/") && l.startsWith(prefix))
+      }.toSet
+    }
 
-  /** Which sibling TABLES reference files under `name`'s data dir — the
+  /** Which sibling holders reference files under `name`'s data dir — the
     * names behind [[foreignReferenced]]'s paths; cascade-drop uses this
     * to distinguish in-namespace references (orderable) from outside
-    * holders (refuse before anything drops). */
-  private def foreignReferencingTables(name: String): Set[String] = {
-    val prefix = dataDirPrefix(name)
-    tables().filterNot(_ == name).filter { t =>
-      val td = tdir(t)
+    * holders (refuse before anything drops). Marker-gated like
+    * [[foreignReferenced]]. */
+  private def foreignReferencingTables(name: String): Set[String] =
+    if (!hasRefByMarkers(name)) Set.empty
+    else {
+      val prefix = dataDirPrefix(name)
+      referenceHolders(name).collect { case (h, td)
+          if manifestEntries(td)
+            .exists(l => l.startsWith("/") && l.startsWith(prefix)) => h
+      }.toSet
+    }
+
+  // ---- materialized-view registry markers --------------------------------
+  //
+  // `_mvof_<mv>` under the SOURCE table's dir, written by
+  // MaterializedView.create: lets the transparent query-rewrite rule
+  // ([[MvRewriteRule]]) find candidate views for a scanned table in ONE
+  // directory listing — no catalog sweep, correct across store
+  // instances (the marker is durable metadata, not session state). The
+  // marker is only a HINT: the rule re-reads the view's definition and
+  // freshness before rewriting, so a stale marker (view dropped) just
+  // costs the verification read — and is self-healed there.
+
+  private def mvMarkerPath(source: String, mv: String): HPath =
+    new HPath(tdir(source), s"_mvof_$mv")
+
+  private[tables] def mvMarkerWrite(source: String, mv: String): Unit = {
+    val p = mvMarkerPath(source, mv)
+    if (!fs.exists(p)) writeString(p, mv)
+  }
+
+  private[tables] def mvMarkerDelete(source: String, mv: String): Unit = {
+    fs.delete(mvMarkerPath(source, mv), false)
+    ()
+  }
+
+  private[tables] def mvMarkersOf(source: String): Seq[String] = {
+    val d = tdir(source)
+    if (!fs.exists(d)) Nil
+    else listNames(d).filter(_.startsWith("_mvof_"))
+      .map(_.stripPrefix("_mvof_"))
+  }
+
+  /** LOGICAL column name behind a physical one — None when the physical
+    * name is not (or no longer) a column; identity when never renamed. */
+  private[tables] def logicalNameOfPhys(name: String,
+      phys: String): Option[String] = {
+    val m = physMap(name)
+    schema(name).fieldNames.find(l => physOf(m, l) == phys)
+  }
+
+  /** The `_refby_<holder>` marker under the SOURCE table's dir: its
+    * presence means "some holder MAY reference files in this table's
+    * data dir by absolute path". The reachability guards
+    * ([[foreignReferenced]]/[[foreignReferencingTables]]) consult the
+    * marker FIRST: a table that was never adopted from carries none,
+    * and the guard is ONE directory listing — so drop / rename /
+    * replace / overwrite-create / expiry on never-cloned tables cost
+    * O(1) catalog metadata instead of a full sibling-manifest sweep
+    * (a 10k-table catalog no longer pays 10k manifest walks per drop).
+    * Markers are written BEFORE the adopting commit publishes
+    * ([[addFiles]]/[[snapshotTable]]), so the fast path can never miss
+    * an in-flight adoption; the sweep stays the authoritative answer
+    * whenever a marker exists. A STALE marker (holder dropped through a
+    * crash, renamed, or replaced) only demotes that source back to the
+    * sweep — never wrong, just slower — and [[drop]] removes its own
+    * markers on the common path. */
+  private def refByMarker(source: String, holder: String): HPath =
+    new HPath(tdir(source), s"_refby_$holder")
+
+  private def hasRefByMarkers(name: String): Boolean = {
+    val d = tdir(name)
+    fs.exists(d) && listNames(d).exists(_.startsWith("_refby_"))
+  }
+
+  /** Record, under every sibling table whose data dir `absPaths` reach
+    * into, that `holder` holds references — call BEFORE the adopting
+    * commit. */
+  private def writeRefByMarkers(holder: String, absPaths: Seq[String]): Unit =
+    sourceTablesOf(absPaths).filterNot(_ == holder).foreach { src =>
+      val p = refByMarker(src, holder)
+      if (!fs.exists(p)) writeString(p, holder)
+    }
+
+  /** Store tables owning `absPaths` (scheme-less absolute): the segment
+    * between the store root and the first `/data/` is the table name
+    * (names cannot contain '/'). */
+  private def sourceTablesOf(absPaths: Seq[String]): Set[String] = {
+    val rootP = rootPath.toUri.getPath.stripSuffix("/") + "/"
+    absPaths.iterator.flatMap { p =>
+      if (!p.startsWith(rootP)) None
+      else {
+        val rel = p.substring(rootP.length)
+        val i = rel.indexOf("/data/")
+        if (i <= 0) None else Some(rel.substring(0, i))
+      }
+    }.toSet.filter(t => fs.exists(tdir(t)))
+  }
+
+  /** Every root directory that can hold manifest references, except
+    * `name` itself: live tables AND staged/aside dirs — a staged
+    * snapshot adoption or rebuild_index's staging window holds
+    * absolute references before it has a coordinator pointer, and the
+    * guard must see them (deleting a source file mid-publish is the
+    * exact hazard the guard closes). Marker files (`_ns_`/`_view_`/
+    * `_refby_` …) are files, not dirs. */
+  private def referenceHolders(name: String): Seq[(String, HPath)] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(_ == name)
+      .map(n => n -> new HPath(rootPath, n))
+
+  /** All manifest entries under a holder dir; tolerant of the dir
+    * vanishing mid-walk (replace-aside dirs are deleted concurrently —
+    * a vanished holder holds no references). */
+  private def manifestEntries(td: HPath): Seq[String] =
+    scala.util.Try {
       listNames(td)
         .filter(f => f.startsWith("manifest-") && f.endsWith(".txt"))
-        .exists(m => readLines(new HPath(td, m))
-          .exists(l => l.startsWith("/") && l.startsWith(prefix)))
-    }.toSet
-  }
+        .flatMap(m => scala.util.Try(readLines(new HPath(td, m)))
+          .getOrElse(Nil))
+    }.getOrElse(Nil)
 
   private def dataDirPrefix(name: String): String = {
     val mine = dataDir(name).toUri.getPath

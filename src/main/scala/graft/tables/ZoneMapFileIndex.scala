@@ -276,7 +276,12 @@ final class ZoneMapFileIndex(
     val totalRows: Option[Long] = None,
     val columnBounds: Map[String, (Any, Any)] = Map.empty,
     buckets: Map[String, Map[String, (Int, Int, org.apache.spark.sql.types.DataType)]] =
-      Map.empty) extends FileIndex {
+      Map.empty,
+    /** (store, table, pinned version) this index was planned for — lets
+      * plan rules ([[MvRewriteRule]]) identify the scanned table and the
+      * exact snapshot behind a V1 relation; None for ad-hoc indexes. */
+    val owner: Option[(TableStore, String, Int)] = None)
+  extends FileIndex {
 
   /** Unpartitioned: one anonymous group holding every file. */
   def this(statuses: Seq[FileStatus],

@@ -378,6 +378,66 @@ class AddFilesSpec extends SparkSpec {
     assert(st.read("zclone").count() === 50L)
   }
 
+  test("cascade refuses an in-namespace reference CYCLE before anything drops") {
+    val root = tmpDir("snap-cyc-")
+    val st = new TableStore(spark, root)
+    st.create("cyc.t1", sch)
+    st.append("cyc.t1", (0L until 40L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // t2 references t1 (snapshot adoption) …
+    st.snapshotTable("cyc.t1", "cyc.t2")
+    st.append("cyc.t2", Seq((100L, "own")).toDF("k", "v"))
+    // … and t1 references t2 (cross-table add_files of t2's OWN files):
+    // a cycle no clones-before-sources ordering can resolve
+    st.addFiles("cyc.t1", Paths.get(root, "cyc.t2", "data").toString)
+    st.createView("cyc.v", "SELECT 1 AS one")
+    val e = intercept[IllegalArgumentException](
+      st.dropNamespace(Seq("cyc"), cascade = true))
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+    // the refusal fired during the DRY RUN — tables AND views intact
+    assert(st.exists("cyc.t1") && st.exists("cyc.t2"))
+    assert(st.viewExists("cyc.v"), "views must survive a refused cascade")
+    assert(st.read("cyc.t1").count() === 41L)
+    // breaking the cycle (compact t1 into its own files + expire the
+    // adopting history) lets the cascade order and complete
+    st.compact("cyc.t1")
+    st.expireSnapshots("cyc.t1", 1)
+    assert(st.dropNamespace(Seq("cyc"), cascade = true))
+    assert(!st.exists("cyc.t1") && !st.exists("cyc.t2") &&
+      !st.viewExists("cyc.v"))
+  }
+
+  test("referenced-by markers: O(1) guard fast path, adoption writes, drop retracts") {
+    val root = tmpDir("refby-")
+    val st = new TableStore(spark, root)
+    st.create("plain", sch)
+    st.append("plain", Seq((1L, "a")).toDF("k", "v"))
+    def markers(t: String): Seq[String] = {
+      val d = Paths.get(root, t)
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_refby_")).toSeq
+      } finally s.close()
+    }
+    // never-adopted table: no marker — the reachability guards answer
+    // from ONE listing (the at-scale point: drop/rename on a 10k-table
+    // catalog without 10k manifest sweeps)
+    assert(markers("plain").isEmpty)
+    st.create("src2", sch)
+    st.append("src2", (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+    st.snapshotTable("src2", "clone2")
+    assert(markers("src2") === Seq("_refby_clone2"),
+      "adoption records itself under the SOURCE")
+    assert(markers("plain").isEmpty, "unrelated tables stay unmarked")
+    intercept[IllegalArgumentException](st.drop("src2"))
+    // dropping the holder retracts its marker; the source is free again
+    st.drop("clone2")
+    assert(markers("src2").isEmpty, "drop retracts the holder's marker")
+    st.drop("src2")
+    assert(!st.exists("src2"))
+  }
+
   test("refusals: schema mismatch, rename, partitioned, collision") {
     val root = tmpDir("adf-")
     val src = tmpDir("adf-src-")
