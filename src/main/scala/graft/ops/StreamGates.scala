@@ -789,6 +789,76 @@ object StreamGates {
       |FROM orders WHERE o_totalprice > 1000.0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** STREAMING materialized-view maintenance under the oracle: the
+    * table sink runs with `maintainViews=true`, so every micro-batch's
+    * append AND the registered view's delta fold publish as ONE atomic
+    * multi-table transaction ([[graft.streaming.GraftTableSink]] →
+    * [[graft.tables.MaterializedView.refreshAllFor]]). Four staged
+    * micro-batches land; the gate re-runs the stream against the same
+    * checkpoint (nothing re-delivered — NEITHER table may advance,
+    * exactly-once for append and fold alike), require()s the view is
+    * FRESH (applied-version == source version), and the compared output
+    * reads the VIEW — so the oracle certifies that four per-batch
+    * incremental folds equal the one-shot GROUP BY over the whole load.
+    * At 100 TB this is a continuously-fresh rollup whose per-batch cost
+    * tracks the batch, not the table. */
+  private def stMview(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir, "smv")
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    stage(spark, ord, "o_orderkey", 4, s"$b/in",
+      fingerprint(spark, dir, "orders", "mv-okey-range-4"))
+    rm(spark, s"$b/store"); rm(spark, s"$b/ckpt")
+    val store = new TableStore(spark, s"$b/store")
+    val inSchema = spark.read.parquet(s"$b/in").schema
+    store.create("facts", inSchema
+      .add("band", org.apache.spark.sql.types.LongType))
+    graft.tables.MaterializedView.create(store, "facts_mv", "facts",
+      Seq("band"),
+      Seq("sum:o_totalprice", "min:o_orderkey", "max:o_orderkey"))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    def run(): Unit = {
+      val q = ss.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$b/in")
+        .withColumn("band", col("o_custkey") % 10L)
+        .writeStream.format("graft-table")
+        .option("root", s"$b/store").option("table", "facts")
+        .option("maintainViews", "true")
+        .option("checkpointLocation", s"$b/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val (tVer, mvVer) =
+      (store.currentVersion("facts"), store.currentVersion("facts_mv"))
+    run() // same checkpoint: re-delivers nothing — neither table advances
+    require(store.currentVersion("facts") == tVer &&
+      store.currentVersion("facts_mv") == mvVer,
+      "a replayed stream must advance NEITHER the facts nor the view")
+    require(store.lastMetaValue("facts_mv",
+        graft.tables.MaterializedView.AppliedVersionMeta)
+      .map(_.toInt).contains(store.currentVersion("facts")),
+      "per-batch maintenance must leave the view FRESH")
+    require(mvVer >= 4,
+      s"four micro-batches fold as four view commits, got v$mvVer")
+    store.read("facts_mv")
+      .select(col("band"), col("cnt"),
+        col("sum_o_totalprice").cast("double").as("sum_price"),
+        col("min_o_orderkey").as("min_key"),
+        col("max_o_orderkey").as("max_key"))
+      .orderBy("band")
+  }
+
+  private val stMviewSql =
+    """SELECT o_custkey % 10 AS band, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
+
   /** The row-level CHANGE FEED as a streaming source under the oracle
     * ([[graft.streaming.GraftTableSource]] with `changeFeed=true`): the
     * same four-commit lifecycle the batch `tbl_changelog` gate replays —
@@ -1031,6 +1101,7 @@ object StreamGates {
     Q("st_table_source", stTableSource, Some(stTableSourceSql)),
     Q("st_table_source_mor", stTableSourceMor, Some(stTableSourceMorSql)),
     Q("st_table_sink", stTableSink, Some(stTableSinkSql)),
+    Q("st_mview", stMview, Some(stMviewSql)),
     Q("st_change_feed", stChangeFeed, Some(stChangeFeedSql)),
     Q("st_fanout", stFanout, Some(stFanoutSql)),
     Q("st_cdc_multi", stCdcMulti, Some(stCdcMultiSql)))

@@ -919,6 +919,8 @@ object TableQueries {
       Some(TableQueries2.tblSnapshotSql)),
     Q("tbl_mview", TableQueries2.tblMview,
       Some(TableQueries2.tblMviewSql)),
+    Q("tbl_mview_rewrite", TableQueries2.tblMviewRewrite,
+      Some(TableQueries2.tblMviewRewriteSql)),
     Q("tbl_nested_evolution", TableQueries2.tblNestedEvolution,
       Some(TableQueries2.tblNestedEvolutionSql)),
     Q("tbl_pos_delete", TableQueries2.tblPosDelete,
@@ -2662,5 +2664,90 @@ object TableQueries2 {
       |    AS sum_price,
       |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       |FROM orders WHERE o_orderkey % 7 <> 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** TRANSPARENT materialized-view consumption under the oracle: the
+    * user's plain `GROUP BY` SQL — never naming the view — plans onto a
+    * FRESH MV ([[graft.tables.MvRewriteRule]]) with ZERO source data
+    * files read (require()d: no V2 source scan survives optimization;
+    * the only file relation is the view's), a STALE view provably falls
+    * back to the scan (require()d after the source moves ahead), and a
+    * `CALL refresh_mview` re-arms the rewrite. The compared output runs
+    * through the REWRITTEN plan, so the DuckDB oracle certifies the
+    * served values — count, decimal-exact sum, IEEE-exact avg (exact
+    * integer sum ÷ count, one double division in both engines), min and
+    * max — not just the plan shape. At 100 TB this is the payoff of
+    * maintaining the view: dashboards keep their SQL and stop paying
+    * the source scan whenever the view is current. */
+  private[ops] def tblMviewRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.gmvr",
+      classOf[graft.tables.GraftCatalog].getName)
+    val root = Scratch.dir("tbl-mview-rewrite")
+    spark.conf.set("spark.sql.catalog.gmvr.root", root)
+    val ident = Scratch.tag(dir).replace('.', '_')
+    val tbl = s"orders_$ident"
+    val mv = s"mvr_$ident"
+    spark.sql(s"DROP TABLE IF EXISTS gmvr.$mv")
+    spark.sql(s"DROP TABLE IF EXISTS gmvr.$tbl")
+    spark.sql(s"""CREATE TABLE gmvr.$tbl (
+      o_orderkey BIGINT, o_orderstatus STRING,
+      o_totalprice DECIMAL(18,2))""")
+    val src = s"gmvr_src_$ident"
+    t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      .createOrReplaceTempView(src)
+    spark.sql(
+      s"INSERT INTO gmvr.$tbl SELECT * FROM $src WHERE o_orderkey % 3 <> 0")
+    spark.sql(s"CALL gmvr.system.create_mview(mview => '$mv', " +
+      s"source => '$tbl', group_cols => 'o_orderstatus', " +
+      "aggs => 'sum:o_totalprice,avg:o_orderkey,min:o_orderkey," +
+      "max:o_orderkey')")
+    val q = s"""SELECT o_orderstatus, count(*) AS cnt,
+      CAST(sum(o_totalprice) AS DOUBLE) AS sum_price,
+      avg(o_orderkey) AS avg_key,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM gmvr.$tbl GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    def scansSource(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case s: DataSourceV2ScanRelation => s }.nonEmpty
+    def requireServed(df: DataFrame): Unit = {
+      require(!scansSource(df),
+        "a FRESH view must serve the plain GROUP BY — no source scan")
+      val roots = df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      require(roots.nonEmpty && roots.forall(_.contains(s"/$mv/")),
+        s"the rewritten plan must read ONLY the view's files, got $roots")
+    }
+    requireServed(spark.sql(q))
+    // the source moves ahead: the SAME SQL text must fall back to the
+    // scan (and see the rows the view does not hold) — staleness can
+    // never change results, only whether the shortcut applies
+    spark.sql(
+      s"INSERT INTO gmvr.$tbl SELECT * FROM $src WHERE o_orderkey % 3 = 0")
+    val stale = spark.sql(q)
+    require(scansSource(stale), "a STALE view must never serve the query")
+    val r = spark.sql(
+      s"CALL gmvr.system.refresh_mview(mview => '$mv')").head()
+    require(r.getString(3) == "incremental" && r.getLong(0) >= 1L,
+      s"the append folds incrementally, got $r")
+    val served = spark.sql(q)
+    requireServed(served)
+    served
+  }
+
+  private[ops] val tblMviewRewriteSql =
+    """SELECT o_orderstatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  CAST(SUM(o_orderkey) AS DOUBLE) / COUNT(o_orderkey) AS avg_key,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

@@ -96,7 +96,9 @@ final class GraftTableSourceProvider
           .map(b => f"$b%02x").mkString.take(12)
       })
       .getOrElse("append")
-    new GraftTableSink(store, table, sinkId)
+    new GraftTableSink(store, table, sinkId,
+      maintainViews = parameters.get("maintainViews")
+        .exists(_.trim.equalsIgnoreCase("true")))
   }
 
   private def storeOf(ctx: SQLContext,
@@ -138,9 +140,22 @@ final class GraftTableSourceProvider
   * batch id in commit metadata for restart idempotence. The micro-batch
   * is handed to the distributed append via its ALREADY-PLANNED
   * incremental-execution RDD ([[Bridge.batchFrame]]) — never collected,
-  * never re-planned. */
+  * never re-planned.
+  *
+  * `maintainViews`: fold the batch into every registered materialized
+  * view of the sink table INSIDE the same transaction — the append and
+  * all view folds publish as ONE atomic multi-table commit
+  * ([[TableStore.transaction]]), so a reader can never see the facts
+  * ahead of the rollup. Exactly-once composes: a crash between the
+  * transaction's publish and the checkpoint commit re-delivers the
+  * batch, the batch-id tag skips the APPEND, and with nothing new
+  * appended the views' applied-version interval is empty — nothing
+  * folds twice. At 100 TB this turns "refresh the dashboard rollups"
+  * from a scheduled scan into a per-batch delta whose cost tracks the
+  * batch, not the table. */
 final class GraftTableSink(store: TableStore, table: String,
-    sinkId: String) extends org.apache.spark.sql.execution.streaming.Sink {
+    sinkId: String, maintainViews: Boolean = false)
+  extends org.apache.spark.sql.execution.streaming.Sink {
 
   private val tag = s"graft.stream.appendBatchId.$sinkId"
 
@@ -162,8 +177,17 @@ final class GraftTableSink(store: TableStore, table: String,
           "sinkId (set a distinct sinkId per query, or let it derive " +
           "from checkpointLocation)")
     if (lastApplied.exists(_ >= batchId)) () // replay: already durable
-    else store.append(table, Bridge.batchFrame(data),
-      meta = Map(tag -> batchId.toString))
+    else if (!maintainViews)
+      store.append(table, Bridge.batchFrame(data),
+        meta = Map(tag -> batchId.toString))
+    else store.transaction { tx =>
+      tx.append(table, Bridge.batchFrame(data),
+        meta = Map(tag -> batchId.toString))
+      // read-your-writes: the folds see the buffered append and publish
+      // with it atomically
+      graft.tables.MaterializedView.refreshAllFor(tx, table)
+      ()
+    }
   }
 
   override def toString: String = s"GraftTableSink[$table]"

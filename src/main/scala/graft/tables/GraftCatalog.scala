@@ -117,6 +117,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // path so managed-table scans report metadata size/rows to the
       // join planner (idempotent per session)
       org.apache.spark.sql.graftshim.ReportV1ScanStatsRule.register(s)
+      // transparent MV consumption on the SQL path (idempotent)
+      MvRewriteRule.register(s)
     }
     cached._2
   }
@@ -540,6 +542,11 @@ private[tables] final class GraftSqlTable(store: TableStore, tbl: String,
     else Array(GraftFileMetaColumn, GraftPosMetaColumn)
 
   override def name(): String = tbl
+
+  /** Identity for plan rules ([[MvRewriteRule]]): the owning store, the
+    * store-level table name, and the pinned version (None = current). */
+  private[tables] def mvSource: (TableStore, String, Option[Int]) =
+    (store, tbl, versionAt)
 
   override def schema(): StructType = store.schema(tbl)
 

@@ -309,17 +309,22 @@ private[tables] object GraftProcedures {
       case "create_mview" => Some(p(
         // incrementally-maintained materialized aggregate view: one
         // full aggregation now, change-feed deltas forever after
-        // (CALL refresh_mview). aggs: comma list of sum:c | min:c |
-        // max:c (count is always present; sums carry non-null counts)
+        // (CALL refresh_mview). aggs: comma list of sum:c | avg:c |
+        // min:c | max:c (count is always present; sums carry non-null
+        // counts). where: optional definition-time row filter (a SQL
+        // boolean expression over the source's columns)
         Seq(in("mview", StringType), in("source", StringType),
-          in("group_cols", StringType), inDef("aggs", StringType, "''")),
+          in("group_cols", StringType), inDef("aggs", StringType, "''"),
+          inDef("where", StringType, "''")),
         out("groups" -> LongType)) { row =>
         Seq(graft.tables.MaterializedView.create(store,
           row.getUTF8String(0).toString, row.getUTF8String(1).toString,
           row.getUTF8String(2).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq,
           row.getUTF8String(3).toString.split(",").map(_.trim)
-            .filter(_.nonEmpty).toSeq))
+            .filter(_.nonEmpty).toSeq,
+          where = Option(row.getUTF8String(4).toString.trim)
+            .filter(_.nonEmpty)))
       })
       case "refresh_mview" => Some(p(
         // fold the source's changes since the last applied version in

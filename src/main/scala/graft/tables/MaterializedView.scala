@@ -196,6 +196,29 @@ object MaterializedView {
       }.toOption.flatten
     }.nextOption()
 
+  /** Fold `source`'s pending changes into EVERY registered view of it —
+    * the per-batch maintenance step of a streaming sink
+    * ([[graft.streaming.GraftTableSink]] with `maintainViews`): run
+    * inside the sink's transaction, the source append and all view
+    * folds publish as ONE atomic multi-table commit, and the
+    * applied-version interval algebra makes a crash-window replay fold
+    * nothing twice. Marker-driven discovery (one listing); views whose
+    * marker is stale (dropped, re-pointed) are skipped via the same
+    * verification [[freshViewFor]] uses. Returns the refreshed names. */
+  def refreshAllFor(store: TableStore, source: String): Seq[String] =
+    store.mvMarkersOf(source).flatMap { mv =>
+      if (!store.exists(mv)) { store.mvMarkerDelete(source, mv); None }
+      else {
+        val props = store.properties(mv)
+        if (!props.get(SourceProp).contains(source) ||
+          !props.get(SourceUuidProp).contains(store.tableUuid(source))) None
+        else {
+          refresh(store, mv)
+          Some(mv)
+        }
+      }
+    }
+
   /** Fold the source's changes since the last applied version into the
     * MV — one atomic commit, cost proportional to the CHANGED groups.
     * `full = true` recomputes everything (the recovery path after a

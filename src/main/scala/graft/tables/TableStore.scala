@@ -1708,6 +1708,7 @@ final class TableStore(private[tables] val spark: SparkSession,
       else StructType(bundle.dataSch.fields :+
         StructField(TableStore.RowIdCol, LongType, nullable = true))
     MetadataAggregateRule.register(spark)
+    MvRewriteRule.register(spark)
     val rel = HadoopFsRelation(idx, pSchema, dataSch, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     val raw = Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))

@@ -90,4 +90,79 @@ class StreamRestartSpec extends SparkSpec {
     assert(store.read("t").count() === 31)
     assert(store.lastMetaValue("t", lastBatch) === Some("3"))
   }
+
+  test("maintainViews sink: per-batch MV folds, atomic with the append, replay-safe") {
+    import graft.tables.MaterializedView
+    val base = tmpDir("mv-stream-")
+    val root = s"$base/store"
+    val store = new TableStore(spark, root)
+    val rows0 = Seq(("a", 0L)).toDF("g", "x")
+    store.create("st", rows0.schema)
+    MaterializedView.create(store, "st_mv", "st", Seq("g"), Seq("sum:x"))
+    // stage 3 single-file micro-batches, mtimes ascending
+    val in = s"$base/in"
+    def stage(i: Int, rows: Seq[(String, Long)]): Unit = {
+      rows.toDF("g", "x").coalesce(1).write.parquet(s"$in/f$i")
+      val dir = new java.io.File(s"$in/f$i")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val tgt = new java.io.File(in, f"part-$i%03d.parquet")
+        assert(f.renameTo(tgt)); tgt.setLastModified(1000000000000L + i * 1000L)
+        ()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+    stage(0, Seq(("a", 1L), ("b", 2L)))
+    stage(1, Seq(("a", 3L)))
+    stage(2, Seq(("c", 5L), ("b", 7L)))
+    val ckpt = s"$base/ckpt"
+    def runOnce(): Unit = {
+      val sch = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream.format("graft-table")
+        .option("root", root).option("table", "st")
+        .option("sinkId", "mvst").option("maintainViews", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def mvContents: Seq[(String, Long, Long)] = store.read("st_mv")
+      .select("g", "cnt", "sum_x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    def recomputed: Seq[(String, Long, Long)] = store.read("st")
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum(col("x")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    runOnce()
+    // the view tracked every batch: FRESH (applied == source version)
+    // and value-identical to a recompute
+    assert(mvContents === recomputed)
+    assert(store.lastMetaValue("st_mv", MaterializedView.AppliedVersionMeta)
+      .map(_.toInt) === Some(store.currentVersion("st")),
+      "per-batch maintenance leaves the view FRESH")
+    val tVer = store.currentVersion("st")
+    val mvVer = store.currentVersion("st_mv")
+    // crash window: the transaction published, the checkpoint marker
+    // didn't — the replayed batch must fold NOTHING twice on either table
+    val commits = new java.io.File(ckpt, "commits")
+    val last = commits.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).map(_.toInt).max
+    assert(new java.io.File(commits, last.toString).delete())
+    val crc = new java.io.File(commits, s".$last.crc")
+    if (crc.exists()) { assert(crc.delete()); () }
+    runOnce()
+    assert(store.currentVersion("st") === tVer,
+      "replayed batch must not re-append")
+    assert(store.currentVersion("st_mv") === mvVer,
+      "replayed batch must not re-fold the view")
+    assert(mvContents === recomputed)
+    // a genuinely new batch folds, atomically with its append
+    stage(3, Seq(("a", 10L), ("d", 1L)))
+    runOnce()
+    assert(mvContents === recomputed)
+    assert(store.read("st_mv").filter(col("g") === "d").count() === 1L)
+    assert(store.lastMetaValue("st_mv", MaterializedView.AppliedVersionMeta)
+      .map(_.toInt) === Some(store.currentVersion("st")))
+  }
 }

@@ -180,6 +180,146 @@ class MaterializedViewSpec extends SparkSpec {
       .getAs[Long]("sum_x") === 7L)
   }
 
+  // ---- transparent rewrite -----------------------------------------------
+
+  private def scansV2(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+    }.nonEmpty
+
+  private def v1ScanRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+
+  test("transparent rewrite: plain GROUP BY plans onto a FRESH view, zero source reads") {
+    spark.sql("CREATE TABLE gmv.rw (g STRING, x BIGINT, d DECIMAL(12,2))")
+    spark.sql("INSERT INTO gmv.rw VALUES ('a', 1, 1.50), ('a', 2, 2.25), " +
+      "('b', 3, 10.00), ('b', null, 4.75)")
+    spark.sql("CALL gmv.system.create_mview(mview => 'rwmv', " +
+      "source => 'rw', group_cols => 'g', " +
+      "aggs => 'sum:x,avg:d,min:x,max:x')")
+    val q = "SELECT g, count(*) AS cnt, count(x) AS cx, sum(x) AS sx, " +
+      "avg(d) AS ad, min(x) AS mn, max(x) AS mx " +
+      "FROM gmv.rw GROUP BY g ORDER BY g"
+    val df = spark.sql(q)
+    // the plan READS THE VIEW: no V2 source scan survives, and the only
+    // file relation is the view's
+    assert(!scansV2(df), df.queryExecution.optimizedPlan.toString)
+    val roots = v1ScanRoots(df)
+    assert(roots.nonEmpty && roots.forall(_.contains("/rwmv/")),
+      s"expected only view files, got $roots")
+    // …and produces EXACTLY the values the scan would (avg included:
+    // decimal divide + cast replicate Spark's Average lowering)
+    val got = df.collect().toSeq
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val want = try {
+      val w = spark.sql(q)
+      assert(scansV2(w), "disabled rewrite must keep the source scan")
+      w.collect().toSeq
+    } finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(got === want)
+    // a query the view cannot answer keeps the scan: WHERE over rows
+    assert(scansV2(spark.sql(
+      "SELECT g, count(*) AS c FROM gmv.rw WHERE x > 1 GROUP BY g")))
+    // DISTINCT aggregates keep the scan
+    assert(scansV2(spark.sql(
+      "SELECT g, count(DISTINCT x) AS c FROM gmv.rw GROUP BY g")))
+    // different grouping keeps the scan
+    assert(scansV2(spark.sql(
+      "SELECT x, count(*) AS c FROM gmv.rw GROUP BY x")))
+  }
+
+  test("transparent rewrite: stale view falls back, refresh re-arms it") {
+    spark.sql("CREATE TABLE gmv.rw2 (g STRING, x BIGINT)")
+    spark.sql("INSERT INTO gmv.rw2 VALUES ('a', 1), ('b', 2)")
+    spark.sql("CALL gmv.system.create_mview(mview => 'rw2mv', " +
+      "source => 'rw2', group_cols => 'g', aggs => 'sum:x')")
+    val q = "SELECT g, sum(x) AS sx FROM gmv.rw2 GROUP BY g ORDER BY g"
+    assert(!scansV2(spark.sql(q)), "fresh view serves the query")
+    // source moves ahead → the view is STALE → the query must scan (and
+    // see the new row the view does not hold)
+    spark.sql("INSERT INTO gmv.rw2 VALUES ('c', 9)")
+    val stale = spark.sql(q)
+    assert(scansV2(stale), "a stale view must never serve the query")
+    assert(stale.collect().map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    // refresh re-arms the rewrite, values carry the fold
+    spark.sql("CALL gmv.system.refresh_mview(mview => 'rw2mv')")
+    val df = spark.sql(q)
+    assert(!scansV2(df), "a refreshed view serves again")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 1L), ("b", 2L), ("c", 9L)))
+  }
+
+  test("transparent rewrite covers the programmatic read path too") {
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("g", "x")
+    store.create("src8", rows.schema)
+    store.append("src8", rows)
+    MaterializedView.create(store, "mv8", "src8", Seq("g"), Seq("avg:x"))
+    val df = store.read("src8").groupBy("g")
+      .agg(count(lit(1)).as("cnt"), avg(col("x")).as("ax"))
+      .orderBy("g")
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("/mv8/")),
+      s"V1 path must rewrite too: ${df.inputFiles.mkString(",")}")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2))).toSeq === Seq(("a", 2L, 1.5d), ("b", 1L, 5.0d)))
+    // avg:x stored the sum/cnt PAIR (no separate state)
+    val sch = store.schema("mv8").fieldNames.toSeq
+    assert(sch.contains("sum_x") && sch.contains("cnt_x"))
+  }
+
+  test("filtered view: WHERE folds symmetrically; never serves unfiltered queries") {
+    val rows = Seq(("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L))
+      .toDF("g", "x")
+    store.create("src9", rows.schema)
+    store.append("src9", rows)
+    MaterializedView.create(store, "mv9", "src9", Seq("g"),
+      Seq("sum:x", "min:x"), where = Some("x % 2 = 0"))
+    def want: Seq[String] = store.read("src9").filter(expr("x % 2 = 0"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"),
+        count(col("x")).as("cnt_x"), min(col("x")).as("min_x"))
+      .collect().map(_.toString).sorted.toSeq
+    def got: Seq[String] = store.read("mv9")
+      .select("g", "cnt", "sum_x", "cnt_x", "min_x")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    // append odd+even rows: only qualifying CHANGES fold
+    store.append("src9", Seq(("a", 7L), ("a", 8L), ("c", 6L)).toDF("g", "x"))
+    assert(MaterializedView.refresh(store, "mv9", auto = false)._4
+      === "incremental")
+    assert(got === want)
+    // delete an even row (dirty min repair under the filter)
+    store.delete("src9", col("x") === 4L)
+    MaterializedView.refresh(store, "mv9", auto = false)
+    assert(got === want)
+    // delete of filter-EXCLUDED rows only: nothing qualifies, no commit
+    store.delete("src9", col("x") === 7L)
+    assert(MaterializedView.refresh(store, "mv9", auto = false)._4 === "none")
+    // a filtered view must never serve the plain (unfiltered) GROUP BY
+    val plain = store.read("src9").groupBy("g")
+      .agg(sum(col("x")).as("sum_x"))
+    assert(plain.inputFiles.exists(_.contains("/src9/")),
+      "filtered views are maintenance-only — no transparent rewrite")
+  }
+
+  test("unsupported aggregate specs refuse loudly") {
+    val rows = Seq(("a", 1L)).toDF("g", "x")
+    store.create("srcA", rows.schema)
+    store.append("srcA", rows)
+    val e = intercept[IllegalArgumentException](MaterializedView.create(
+      store, "mvA", "srcA", Seq("g"), Seq("median:x")))
+    assert(e.getMessage.contains("unknown aggregate spec"))
+    val e2 = intercept[IllegalArgumentException](MaterializedView.create(
+      store, "mvA", "srcA", Seq("g"), Seq("sum:x"), where = Some("  ")))
+    assert(e2.getMessage.contains("empty WHERE"))
+  }
+
   test("SQL faces: CALL create_mview / refresh_mview") {
     spark.sql("CREATE TABLE gmv.src4 (g STRING, x BIGINT, y BIGINT)")
     spark.sql("INSERT INTO gmv.src4 VALUES ('a', 1, 1), ('a', 2, 2), ('b', 3, 3)")
