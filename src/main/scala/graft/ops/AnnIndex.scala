@@ -40,31 +40,50 @@ object AnnIndex {
   private val IndexedVersionProp = "ann.indexed-version"
 
   /** Shared stamp on an index table AND its learned side table
-    * (IVF centroids / PQ codebooks) written by [[rebuildIndex]]'s
-    * staged swap: the two replaceTable publishes are individually
-    * atomic but not jointly, so the query paths require matching
-    * stamps — a reader racing the two-rename window fails loud instead
-    * of silently scanning an index against the wrong centroids or
-    * codebooks. Absent on both (pre-rebuild indexes) passes. */
+    * (IVF centroids / PQ codebooks), written by [[rebuildIndex]] as
+    * COMMIT METADATA of the two replacement commits — which publish in
+    * ONE multi-table transaction, so the stamps (and the contents they
+    * ride with) can never diverge. The pairing check is therefore an
+    * ASSERTION against out-of-band mutation, no longer a retryable
+    * race window; property-carried stamps from older staged-swap
+    * rebuilds are honored as a fallback. Absent on both passes. */
   private val BuildIdProp = "ann.build-id"
 
-  /** Call AFTER collecting the side table's rows: checking first would
-    * be a check-then-act race (a rebuild publishing between the check
-    * and the collect would serve mis-paired data with a clean stamp
-    * read). Checked after, the collected side rows are provably from
-    * the same build the index carries at this moment; the residual
-    * window (a swap between this check and the index scan's file reads)
-    * is the generic replace-table-vs-concurrent-reader window every
-    * RTAS consumer has, and it surfaces as missing files, not silent
-    * wrong results. */
+  private def buildStampOf(store: TableStore, t: String): Option[String] =
+    store.lastMetaValue(t, BuildIdProp)
+      .orElse(store.properties(t).get(BuildIdProp))
+
+  /** Call AFTER collecting the side table's rows (checking first would
+    * be a check-then-act race against a concurrent rebuild). With the
+    * atomic paired publish this cannot fire from a rebuild at all —
+    * both stamps land in one transaction — it guards against tables
+    * paired by hand or mutated outside the index machinery. */
   private def requirePaired(store: TableStore, indexTable: String,
       sideTable: String): Unit = {
-    val a = store.properties(indexTable).get(BuildIdProp)
-    val b = store.properties(sideTable).get(BuildIdProp)
+    val a = buildStampOf(store, indexTable)
+    val b = buildStampOf(store, sideTable)
     require(a == b,
       s"ANN index $indexTable and $sideTable carry different build " +
-        "stamps (a rebuild swap is in flight?) — retry the query")
+        "stamps — the pair was mutated outside maintain/rebuild_index; " +
+        "CALL rebuild_index to restore the pairing")
   }
+
+  /** Coverage pointer duplicated into the index commits' METADATA: the
+    * property write ([[IndexedVersionProp]]) lands after the append
+    * commit, so a crash between them would leave an index whose
+    * CONTENTS cover the head while its pointer lags — the next refresh
+    * would re-sign the gap and duplicate those vectors. The commit-meta
+    * copy rides the append itself; [[indexedVersionOf]] trusts
+    * whichever channel is FURTHER for the same corpus incarnation and
+    * self-heals the property. (Delete-only deltas advance the pointer
+    * property-only — safely: re-running a tombstone is idempotent.) */
+  private val CoveredVersionMeta = "ann.covered-version"
+  private val CoveredUuidMeta = "ann.covered-uuid"
+
+  private def coverageMeta(corpusV: Int, corpusUuid: String,
+      extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map(CoveredVersionMeta -> corpusV.toString,
+      CoveredUuidMeta -> corpusUuid) ++ extra
 
   /** Property on the INDEX table: the corpus table's identity token
     * ([[TableStore.tableUuid]]) the version pointer refers to. A bare
@@ -76,13 +95,28 @@ object AnnIndex {
 
   /** Version of `corpusUuid`'s corpus that `indexTable` covers; 0 when
     * the index doesn't exist, predates the uuid stamp, or was built
-    * against a DIFFERENT incarnation of the corpus (→ full rebuild). */
+    * against a DIFFERENT incarnation of the corpus (→ full rebuild).
+    * Reads BOTH channels — the property cache and the crash-safe
+    * commit-meta copy ([[CoveredVersionMeta]]) — takes the further one
+    * for this incarnation, and repairs a lagging property in place. */
   private def indexedVersionOf(store: TableStore, corpusUuid: String,
       indexTable: String): Int = {
     if (!store.exists(indexTable)) return 0
     val props = store.properties(indexTable)
-    if (!props.get(IndexedUuidProp).contains(corpusUuid)) 0
-    else props.get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
+    val propV =
+      if (!props.get(IndexedUuidProp).contains(corpusUuid)) 0
+      else props.get(IndexedVersionProp).flatMap(_.toIntOption).getOrElse(0)
+    val metaV =
+      if (!store.lastMetaValue(indexTable, CoveredUuidMeta)
+        .contains(corpusUuid)) 0
+      else store.lastMetaValue(indexTable, CoveredVersionMeta)
+        .flatMap(_.toIntOption).getOrElse(0)
+    if (metaV > propV) { // crash between append and property write
+      store.setProperties(indexTable,
+        Map(IndexedVersionProp -> Some(metaV.toString),
+          IndexedUuidProp -> Some(corpusUuid)))
+      metaV
+    } else propV
   }
 
   private def indexRows(corpus: DataFrame): DataFrame =
@@ -198,7 +232,8 @@ object AnnIndex {
       // range-clustered by bucket: each probe's files are contiguous and
       // zone stats carry tight bucket bounds per file
       if (n > 0) store.append(indexTable,
-        rows.repartitionByRange(8, col("bucket")))
+        rows.repartitionByRange(8, col("bucket")),
+        meta = coverageMeta(corpusV, corpusUuid))
       store.setProperties(indexTable,
         Map(IndexedVersionProp -> Some(corpusV.toString),
           IndexedUuidProp -> Some(corpusUuid)))
@@ -309,7 +344,8 @@ object AnnIndex {
         store.create(indexTable, rows.schema, overwrite = true,
           zoneCols = Seq("cell"))
       if (n > 0)
-        store.append(indexTable, rows.repartitionByRange(8, col("cell")))
+        store.append(indexTable, rows.repartitionByRange(8, col("cell")),
+          meta = coverageMeta(corpusV, corpusUuid))
       store.setProperties(indexTable,
         Map(IndexedVersionProp -> Some(corpusV.toString),
           IndexedUuidProp -> Some(corpusUuid)))
@@ -425,7 +461,8 @@ object AnnIndex {
         store.create(indexTable, rows.schema, overwrite = true,
           zoneCols = Seq("vec_id"))
       if (n > 0) store.append(indexTable,
-        rows.repartitionByRange(8, col("vec_id")))
+        rows.repartitionByRange(8, col("vec_id")),
+        meta = coverageMeta(corpusV, corpusUuid))
       store.setProperties(indexTable,
         Map(IndexedVersionProp -> Some(corpusV.toString),
           IndexedUuidProp -> Some(corpusUuid)))
@@ -541,19 +578,22 @@ object AnnIndex {
     } finally { truth.unpersist(); queries.unpersist(); () }
   }
 
-  /** Full re-seed + atomic publish — what a user runs when
+  /** Full re-seed + ATOMIC paired publish — what a user runs when
     * [[maintainIndex]] reports "rebuild-recommended": IVF centroids /
     * PQ codebooks re-seed from the CURRENT corpus (the drifted
     * distribution), the whole index builds fresh under a STAGED name,
-    * and the staged tables publish over the live ones via the same
-    * replace-table swap RTAS uses — readers never observe a missing or
-    * empty index, and no hand drop-and-recreate is needed. For kinds
-    * with a learned side table the two publishes are individually
-    * atomic; both tables carry a shared [[BuildIdProp]] stamp and the
-    * query paths refuse a mis-paired read loudly, so the two-rename
-    * window degrades to a retryable error, never a silent wrong scan.
-    * Returns the [[maintainIndex]] report measured on the REBUILT
-    * index (rows_indexed = the full rebuild's row count). */
+    * and then the live index AND its learned side table are replaced
+    * in ONE multi-table transaction ([[TableStore.overwriteAll]] under
+    * [[TableStore.transaction]] — both pointer swaps publish through
+    * one swapAll). The shared [[BuildIdProp]] stamp and the coverage
+    * pointer ride the SAME commits' metadata, so no crash ordering can
+    * mis-pair the tables or lag the pointer; a concurrent query keeps
+    * serving the PRIOR snapshot (its files survive until expiry —
+    * there is no missing-file window, unlike a directory swap), and
+    * the pairing check demotes to an assertion. Cost: the staged build
+    * is copied once into the live tables' dirs — index-sized, the
+    * price of transactional publication. Returns the [[maintainIndex]]
+    * report measured on the REBUILT index. */
   def rebuildIndex(store: TableStore, corpusTable: String,
       indexTable: String, kind: String, sample: Int = 8, k: Int = 5,
       recallFloor: Double = 0.0): (Long, Long, Long, Long, Double, String) = {
@@ -569,11 +609,6 @@ object AnnIndex {
         s"unknown index kind '$other' (lsh | ivf | pq)")
     }
     val buildId = java.util.UUID.randomUUID().toString
-    // once the INDEX publish succeeds, the staged side table is the
-    // ONLY copy of the state matching the now-live index — a failure
-    // after that point must leave it on disk (re-running rebuild_index
-    // recovers), never clean it up
-    var indexPublished = false
     try {
       // a fresh name has no coverage pointer → the refresh takes its
       // full-build path, which re-seeds the side state from the head
@@ -582,32 +617,52 @@ object AnnIndex {
         case "ivf" => refreshIvf(store, corpusTable, stage)
         case _     => refreshPq(store, corpusTable, stage)
       }
-      store.setProperties(stage, Map(BuildIdProp -> Some(buildId)))
-      side.foreach(s => store.setProperties(s"$stage$s",
-        Map(BuildIdProp -> Some(buildId))))
-      store.replaceTable(stage, indexTable)
-      indexPublished = true
-      side.foreach { s =>
-        if (store.exists(s"$indexTable$s"))
-          store.replaceTable(s"$stage$s", s"$indexTable$s")
-        else store.renameTable(s"$stage$s", s"$indexTable$s")
+      val stageProps = store.properties(stage)
+      val coverage = for {
+        v <- stageProps.get(IndexedVersionProp)
+        u <- stageProps.get(IndexedUuidProp)
+      } yield (v, u)
+      val clusterCol = kind match {
+        case "lsh" => "bucket"
+        case "ivf" => "cell"
+        case _     => "vec_id"
+      }
+      store.transaction { tx =>
+        val meta = Map(BuildIdProp -> buildId) ++
+          coverage.map { case (v, u) =>
+            Map(CoveredVersionMeta -> v, CoveredUuidMeta -> u)
+          }.getOrElse(Map.empty)
+        tx.overwriteAll(indexTable,
+          store.read(stage).repartitionByRange(8, col(clusterCol)),
+          meta = meta)
+        side.foreach { s =>
+          val sideDf = store.read(s"$stage$s")
+          if (!tx.exists(s"$indexTable$s"))
+            tx.create(s"$indexTable$s", sideDf.schema)
+          tx.overwriteAll(s"$indexTable$s", sideDf,
+            meta = Map(BuildIdProp -> buildId))
+        }
+        ()
+      }
+      // property CACHE of the coverage pointer — the commit-meta copy
+      // published atomically above is authoritative after any crash
+      // (indexedVersionOf self-heals from it)
+      coverage.foreach { case (v, u) =>
+        store.setProperties(indexTable,
+          Map(IndexedVersionProp -> Some(v), IndexedUuidProp -> Some(u)))
       }
       val (_, before, after, nTrue, recall, action) =
         maintainIndex(store, corpusTable, indexTable, kind, sample, k,
           recallFloor)
       (rows, before, after, nTrue, recall, action)
-    } catch {
-      case e: Throwable =>
-        // best-effort stage cleanup — ONLY while nothing has published
-        // (the live index is untouched until its own replace succeeds).
-        // After the index publish, leave the staged side table in place:
-        // queries fail loud on the stamp mismatch and a re-run of
-        // rebuild_index restores the pairing.
-        if (!indexPublished)
-          (stage +: side.map(s => s"$stage$s").toSeq).foreach { t =>
-            if (store.exists(t)) { scala.util.Try(store.drop(t, force = true)); () }
-          }
-        throw e
+    } finally {
+      // stage cleanup is ALWAYS safe: nothing live references the
+      // staged dirs (the publish copied their contents) — a failure
+      // before publish just drops the partial build, the live pair
+      // untouched
+      (stage +: side.map(s => s"$stage$s").toSeq).foreach { t =>
+        if (store.exists(t)) { scala.util.Try(store.drop(t, force = true)); () }
+      }
     }
   }
 

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Proj
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.{DataType, NumericType}
 
 /** TRANSPARENT materialized-view consumption: an optimizer rule that
@@ -25,9 +25,13 @@ import org.apache.spark.sql.types.{DataType, NumericType}
   *
   * Equivalence, not heuristics — the rewrite fires only when ALL of:
   *
-  *  - the aggregate has grouping columns, each a bare column of the
-  *    scanned table, and the set matches the view's `GROUP BY` set
-  *    exactly (order-free);
+  *  - the aggregate's grouping columns are bare columns of the scanned
+  *    table whose set either matches the view's `GROUP BY` set exactly
+  *    (order-free — the view reads as-is) or is a SUBSET of it,
+  *    including the empty set for a global aggregate (the ROLLUP
+  *    property: the view re-aggregates — count(*) = sum(cnt), sum of
+  *    sums, min of mins — still over view-sized data; float/double
+  *    sums are excluded there, their re-fold is not bit-stable);
   *  - every output expression maps to stored view state: a grouping
   *    column; `count(<non-null literal>)` → `cnt`; `count(c)` /
   *    `sum(c)` / `avg(c)` → the `sum:c|avg:c` pair (`avg` re-derives as
@@ -61,13 +65,14 @@ import org.apache.spark.sql.types.{DataType, NumericType}
 object MvRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case agg @ Aggregate(grouping, aggExprs, child, _)
-        if grouping.nonEmpty && aggExprs.nonEmpty =>
+    case agg @ Aggregate(_, aggExprs, child, _) if aggExprs.nonEmpty =>
       rewrite(agg, child).getOrElse(agg)
   }
 
   /** What one aggregate-output expression reads from the view. */
   private sealed trait Out
+  /** A grouping key (pass-through column of the view). */
+  private case class GroupCol(name: String) extends Out
   private case class ViewCol(name: String) extends Out
   private case class AvgOf(c: String, resultType: DataType) extends Out
   /** A deterministic CAST wrapped around a mapped aggregate — the shape
@@ -105,17 +110,40 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case Some(d) => d
       case None => return None
     }
-    if (mv.groupCols.toSet != groupNames.toSet ||
-      mv.groupCols.size != groupNames.distinct.size) return None
+    // exact-grouping match reads the view as-is; a STRICT SUBSET of the
+    // view's keys (including the empty set — a global aggregate)
+    // re-aggregates the view: count(*) = sum(cnt), sum = sum of sums,
+    // min/max of mins/maxes, avg from the re-summed pair — the classic
+    // rollup property of distributive/algebraic aggregates. Anything
+    // not a subset keeps the scan.
+    val qKeys = groupNames.distinct.toSet
+    val isExact = qKeys == mv.groupCols.toSet &&
+      mv.groupCols.size == groupNames.distinct.size
+    if (!isExact && !qKeys.subsetOf(mv.groupCols.toSet)) return None
     // map every output expression to stored view state, type-exact
     val outs: Seq[Out] = agg.aggregateExpressions.map(e =>
       outOf(e, groupAttrIds, child, store, tbl, mv) match {
         case Some(o) => o
         case None => return None
       })
+    // re-aggregating FLOAT/DOUBLE sums is accumulation-order-dependent
+    // (sum of partial sums ≠ the scan's fold, bit-wise) — those rollups
+    // keep the scan; integral and decimal sums re-fold exactly
+    def sumColOf(o: Out): Option[String] = o match {
+      case ViewCol(n) if n.startsWith("sum_") => Some(n)
+      case AvgOf(c, _) => Some(s"sum_$c")
+      case CastOf(inner, _) => sumColOf(inner)
+      case _ => None
+    }
+    if (!isExact && outs.exists(o => sumColOf(o).exists(n =>
+      mv.schema.fields.find(_.name == n).exists(f =>
+        f.dataType == org.apache.spark.sql.types.DoubleType ||
+          f.dataType == org.apache.spark.sql.types.FloatType))))
+      return None
     // assemble the replacement: the view read plus derived columns,
     // analyzed in DataFrame-land, grafted under the original output ids
     def toCol(o: Out): Column = o match {
+      case GroupCol(n) => col(s"`$n`")
       case ViewCol(n) => col(s"`$n`")
       case AvgOf(c, rt) =>
         // EXACTLY Spark's Average lowering: Divide(sum, cnt) under the
@@ -124,12 +152,60 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         (col(s"`sum_$c`") / col(s"`cnt_$c`")).cast(rt)
       case CastOf(inner, to) => toCol(inner).cast(to)
     }
+    // rollup shape: each stored column re-aggregates; the cast back to
+    // the stored sum type keeps the avg division and the output types
+    // identical to the single-level plan's
+    def sumType(n: String): DataType =
+      mv.schema(mv.schema.fieldIndex(n)).dataType
+    def toRoll(o: Out): Column = o match {
+      case GroupCol(n) => col(s"`$n`") // resolved against the grouped frame
+      case ViewCol(n) if n == "cnt" || n.startsWith("cnt_") =>
+        coalesce(org.apache.spark.sql.functions.sum(col(s"`$n`")), lit(0L))
+      case ViewCol(n) if n.startsWith("sum_") =>
+        org.apache.spark.sql.functions.sum(col(s"`$n`")).cast(sumType(n))
+      case ViewCol(n) if n.startsWith("min_") =>
+        org.apache.spark.sql.functions.min(col(s"`$n`"))
+      case ViewCol(n) if n.startsWith("max_") =>
+        org.apache.spark.sql.functions.max(col(s"`$n`"))
+      case AvgOf(c, rt) =>
+        (org.apache.spark.sql.functions.sum(col(s"`sum_$c`"))
+          .cast(sumType(s"sum_$c")) /
+          coalesce(org.apache.spark.sql.functions.sum(col(s"`cnt_$c`")),
+            lit(0L))).cast(rt)
+      case CastOf(inner, to) => toRoll(inner).cast(to)
+      case ViewCol(n) => col(s"`$n`") // group key addressed as ViewCol
+    }
     val projected = scala.util.Try {
       val mvDf = store.read(mv.mv)
-      val cols: Seq[Column] = outs.zipWithIndex.map {
-        case (o, i) => toCol(o).as(s"_mv_$i")
+      if (isExact)
+        mvDf.select(outs.zipWithIndex.map {
+          case (o, i) => toCol(o).as(s"_mv_$i") }: _*)
+          .queryExecution.analyzed
+      else {
+        val keys = groupNames.distinct.map(n => col(s"`$n`"))
+        val (aggOuts, keyOuts) = outs.zipWithIndex.partition {
+          case (GroupCol(_), _) => false
+          case _ => true
+        }
+        val base =
+          if (aggOuts.isEmpty)
+            // SELECT keys only: GROUP BY over the view's keys. An
+            // explicit Aggregate, NOT .distinct() — the grafted plan
+            // skips the main optimizer batches, and a raw Deduplicate
+            // node would reach physical planning unlowered.
+            mvDf.groupBy(keys: _*)
+              .agg(org.apache.spark.sql.functions.max(lit(1)).as("_mv_one"))
+          else {
+            val aggCols = aggOuts.map { case (o, i) =>
+              toRoll(o).as(s"_mv_$i") }
+            mvDf.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+          }
+        val _ = keyOuts // keys are addressed by name below
+        base.select(outs.zipWithIndex.map {
+          case (GroupCol(n), i) => col(s"`$n`").as(s"_mv_$i")
+          case (_, i) => col(s"`_mv_$i`")
+        }: _*).queryExecution.analyzed
       }
-      mvDf.select(cols: _*).queryExecution.analyzed
     }.toOption match {
       case Some(p) => p
       case None => return None
@@ -174,6 +250,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def viewCol(name: String, want: DataType): Option[Out] =
       mv.schema.fields.find(_.name == name)
         .filter(_.dataType == want).map(_ => ViewCol(name))
+    def groupCol(name: String, want: DataType): Option[Out] =
+      mv.schema.fields.find(_.name == name)
+        .filter(_.dataType == want).map(_ => GroupCol(name))
     def srcCol(a: Attribute): Option[String] =
       columnNameOf(child, a, store, tbl)
     def aggOut(fn: Expression, want: DataType): Option[Out] = fn match {
@@ -204,9 +283,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
     e match {
       case a: Attribute if groupIds.contains(a.exprId) =>
-        srcCol(a).flatMap(viewCol(_, a.dataType))
+        srcCol(a).flatMap(groupCol(_, a.dataType))
       case Alias(a: Attribute, _) if groupIds.contains(a.exprId) =>
-        srcCol(a).flatMap(viewCol(_, a.dataType))
+        srcCol(a).flatMap(groupCol(_, a.dataType))
       case Alias(ae @ AggregateExpression(fn, Complete, false, None, _), _) =>
         aggOut(fn, ae.dataType)
       case Alias(Cast(ae @ AggregateExpression(fn, Complete, false, None, _),

@@ -2055,6 +2055,45 @@ final class TableStore(private[tables] val spark: SparkSession,
 
   def currentVersion(name: String): Int = versionOf(currentManifest(name))
 
+  /** CONSISTENT multi-table read: pinned frames over a version set that
+    * was simultaneously current at one instant — what a reader joining
+    * N tables needs against concurrent multi-table [[transaction]]s,
+    * whose pointer publishes land one CAS at a time (a plain
+    * `read(a).join(read(b))` racing the window between those CASes can
+    * observe table A after a transaction and B before it: version
+    * skew, a half-visible transaction).
+    *
+    * Optimistic double-read validation, no locks, no writer stalls:
+    * read every pointer, pin, read every pointer AGAIN — if nothing
+    * moved, each table's version was current for the whole interval
+    * between its two reads, and those intervals all overlap (every
+    * first read precedes every second read), so the vector was current
+    * at any instant in the intersection. A mover retries; a transaction
+    * publishing mid-pass moves ALL its tables, so the next pass sees
+    * the transaction whole. The returned frames are PINNED
+    * ([[readVersion]] — manifests immutable, files retained until
+    * expiry), so downstream jobs can run long after later commits land.
+    * Cost: 2 pointer reads per table per attempt — catalog metadata,
+    * never data. */
+  def readConsistent(names: Seq[String],
+      maxAttempts: Int = 8): Map[String, DataFrame] = {
+    require(names.nonEmpty, "readConsistent needs at least one table")
+    val distinctNames = names.distinct
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val v1 = distinctNames.map(t => t -> currentVersion(t))
+      val frames = v1.map { case (t, v) => t -> readVersion(t, v) }.toMap
+      val v2 = distinctNames.map(t => t -> currentVersion(t))
+      if (v1 == v2) return frames
+    }
+    throw new IllegalStateException(
+      s"readConsistent(${distinctNames.mkString(", ")}) could not " +
+        s"validate a stable version set in $maxAttempts attempts — " +
+        "commit pressure across these tables is continuous; raise " +
+        "maxAttempts or quiesce the writers")
+  }
+
   /** Latest committed snapshot at or before `tsMillis` — `TIMESTAMP AS
     * OF` resolution. Commit times come from manifest file mtimes (the
     * store's only clock; Iceberg records them in snapshot metadata —
@@ -3378,6 +3417,28 @@ final class TableStore(private[tables] val spark: SparkSession,
     create(name, sch, zoneCols = zoneCols, bloomCols = bloomCols)
     addFiles(name, sourceDir)
     ()
+  }
+
+  /** Replace the table's ENTIRE contents with `df` in ONE snapshot
+    * commit — no directory surgery: the fresh files land in the
+    * table's own data dir, and the commit removes every current entry
+    * while adding them. Unlike [[replaceTable]] (RTAS's staged-dir
+    * swap) this is an ordinary commit, so it is TRANSACTION-SAFE
+    * (inside [[transaction]] the publish rides the multi-table
+    * swapAll — N derived tables can republish atomically), concurrent
+    * readers keep serving the pinned prior snapshot (whose files
+    * remain until expiry — time travel across the replacement works),
+    * and a lost race surfaces as a normal commit conflict. The cost
+    * is one write of `df` into the table's dir — metadata-swap-free
+    * replacement stays [[replaceTable]]'s job. */
+  def overwriteAll(name: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): Unit = {
+    materializeDeletes(name)
+    val baseManifest = currentManifest(name)
+    val base = versionOf(baseManifest)
+    val rels = readLines(new HPath(tdir(name), baseManifest))
+    val fresh = writeDataFiles(name, alignTo(name, schema(name), df))
+    commitManifest(name, base, rels.toSet, fresh, fresh, meta = meta)
   }
 
   /** Overwrite-by-filter (`INSERT OVERWRITE t PARTITION(...)` static

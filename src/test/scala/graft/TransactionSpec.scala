@@ -275,4 +275,56 @@ class TransactionSpec extends SparkSpec {
     }
     assert(rows(outside, "t") === Seq((1L, "a"), (2L, "b")))
   }
+
+  test("readConsistent: no reader observes a half-visible transaction; frames stay pinned") {
+    val root = tmpDir("txn-rc-")
+    val st = new TableStore(spark, root)
+    st.create("rc_facts", schema)
+    st.create("rc_tally", schema)
+    st.transaction { tx =>
+      tx.append("rc_facts", Seq((0L, "seed")).toDF("id", "v"))
+      tx.append("rc_tally", Seq((0L, "seed")).toDF("id", "v"))
+    }
+    // pinned-ness first (deterministic): a consistent read taken NOW
+    // must keep serving the same snapshot after later commits land
+    val pinned = st.readConsistent(Seq("rc_facts", "rc_tally"))
+    assert(pinned("rc_facts").count() === 1L)
+    st.transaction { tx =>
+      tx.append("rc_facts", Seq((1L, "later")).toDF("id", "v"))
+      tx.append("rc_tally", Seq((1L, "later")).toDF("id", "v"))
+    }
+    assert(pinned("rc_facts").count() === 1L,
+      "a consistent read is PINNED — later commits must not leak in")
+    assert(st.read("rc_facts").count() === 2L)
+    // concurrency: a writer keeps the invariant count(facts)==count(tally)
+    // transactionally; every consistent read must observe it — a plain
+    // read pair racing the publish window could not promise this
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val writer = new Thread(() => {
+      var i = 2L
+      try while (!stop.get() && i < 60L) {
+        st.transaction { tx =>
+          tx.append("rc_facts", Seq((i, "w")).toDF("id", "v"))
+          tx.append("rc_tally", Seq((i, "w")).toDF("id", "v"))
+        }
+        i += 1
+      } catch { case e: Throwable => writerErr.set(e) }
+    })
+    writer.start()
+    try {
+      (1 to 25).foreach { _ =>
+        val fs = st.readConsistent(Seq("rc_facts", "rc_tally"))
+        val (nf, nt) = (fs("rc_facts").count(), fs("rc_tally").count())
+        assert(nf === nt,
+          s"half-visible transaction observed: facts=$nf tally=$nt")
+      }
+    } finally { stop.set(true); writer.join() }
+    assert(writerErr.get() === null,
+      s"writer failed: ${writerErr.get()}")
+    // exhausted validation fails loud, not silently skewed
+    val e = intercept[IllegalStateException](
+      st.readConsistent(Seq("rc_facts", "rc_tally"), maxAttempts = 0))
+    assert(e.getMessage.contains("readConsistent"))
+  }
 }

@@ -256,6 +256,49 @@ class MaterializedViewSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 2L), ("c", 9L)))
   }
 
+  test("rollup rewrite: a SUBSET of the view's keys (and the global aggregate) re-aggregate the view") {
+    spark.sql("CREATE TABLE gmv.rw3 (g STRING, h STRING, x BIGINT, " +
+      "d DECIMAL(12,2))")
+    spark.sql("INSERT INTO gmv.rw3 VALUES " +
+      "('a','p',1,1.10), ('a','q',2,2.20), ('b','p',3,3.30), " +
+      "('b','q',4,4.40), ('b','q',null,5.50)")
+    spark.sql("CALL gmv.system.create_mview(mview => 'rw3mv', " +
+      "source => 'rw3', group_cols => 'g,h', " +
+      "aggs => 'sum:x,avg:d,min:x,max:x')")
+    def check(q: String): Unit = {
+      val df = spark.sql(q)
+      assert(!scansV2(df), s"must rewrite: $q\n" +
+        df.queryExecution.optimizedPlan.toString)
+      val got = df.collect().toSeq
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      val want = try spark.sql(q).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+      assert(got === want, s"rollup values diverge for: $q")
+    }
+    // exact grouping (both keys, any order)
+    check("SELECT h, g, count(*) AS c, sum(x) AS sx FROM gmv.rw3 " +
+      "GROUP BY h, g ORDER BY h, g")
+    // subset grouping: re-aggregates the view (count=sum cnt, sum of
+    // sums, min of mins, avg from the re-summed decimal pair)
+    check("SELECT g, count(*) AS c, count(x) AS cx, sum(x) AS sx, " +
+      "avg(d) AS ad, min(x) AS mn, max(x) AS mx FROM gmv.rw3 " +
+      "GROUP BY g ORDER BY g")
+    // keys-only subset (SELECT DISTINCT shape)
+    check("SELECT g FROM gmv.rw3 GROUP BY g ORDER BY g")
+    // GLOBAL aggregate: empty grouping re-aggregates everything
+    check("SELECT count(*) AS c, sum(x) AS sx, avg(d) AS ad, " +
+      "min(x) AS mn FROM gmv.rw3")
+    // empty-source semantics: global over an empty table is ONE row of
+    // zero/nulls — through the view too
+    spark.sql("CREATE TABLE gmv.rw4 (g STRING, x BIGINT)")
+    spark.sql("CALL gmv.system.create_mview(mview => 'rw4mv', " +
+      "source => 'rw4', group_cols => 'g', aggs => 'sum:x')")
+    check("SELECT count(*) AS c, sum(x) AS sx FROM gmv.rw4")
+    // a non-subset grouping keeps the scan
+    assert(scansV2(spark.sql(
+      "SELECT x, count(*) AS c FROM gmv.rw3 GROUP BY x")))
+  }
+
   test("transparent rewrite covers the programmatic read path too") {
     val rows = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("g", "x")
     store.create("src8", rows.schema)
@@ -306,6 +349,48 @@ class MaterializedViewSpec extends SparkSpec {
       .agg(sum(col("x")).as("sum_x"))
     assert(plain.inputFiles.exists(_.contains("/src9/")),
       "filtered views are maintenance-only — no transparent rewrite")
+  }
+
+  test("dirty-group repair FILE-PRUNES on a hidden-partitioned (bucketed) source") {
+    // SCALE claim pinned: the min/max repair re-aggregates exactly the
+    // dirty groups from the pinned snapshot, and on a source laid out
+    // bucket(8, g) the small-dirty-set IN filter reaches the scan as a
+    // bucket-arithmetic probe — whole directories of clean groups are
+    // never read. Functional equality on the hidden-partitioned source
+    // plus a scan-count pin of the exact filter shape the repair issues.
+    val rows = (0L until 4000L).map(i => (s"g${i % 40}", i, i))
+      .toDF("g", "x", "y")
+    store.create("srcB", rows.schema, partitionBy = Seq("bucket(8,g)"))
+    store.append("srcB", rows)
+    MaterializedView.create(store, "mvB", "srcB",
+      Seq("g"), Seq("sum:x", "min:y"))
+    // delete ONE group's minimum rows → the dirty set is {g7} and the
+    // repair path must fire (min broke monotonicity)
+    store.delete("srcB", col("g") === "g7" && col("y") < 500L)
+    assert(MaterializedView.refresh(store, "mvB", auto = false)._4
+      === "incremental")
+    val got = store.read("mvB").select("g", "cnt", "sum_x", "min_y")
+      .collect().map(_.toString).sorted.toSeq
+    val want = store.read("srcB").groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"),
+        min(col("y")).as("min_y"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want,
+      "repair on a bucketed source must equal recompute")
+    // the repair's scan shape: single-group IN filter over the bucketed
+    // layout — bucket arithmetic prunes the other buckets' files
+    val shape = store.read("srcB").filter(col("g").isin("g7"))
+    shape.count()
+    val counts = shape.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.asInstanceOf[ZoneMapFileIndex]
+    }.flatMap(_.lastScanCounts)
+    val (cand, surv) = (counts.map(_._1).sum, counts.map(_._2).sum)
+    assert(cand >= 8, s"bucketed layout should hold >=8 files, got $cand")
+    assert(surv * 4 <= cand,
+      s"the dirty-group probe must file-prune: $surv of $cand files read")
   }
 
   test("unsupported aggregate specs refuse loudly") {

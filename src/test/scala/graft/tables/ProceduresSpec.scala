@@ -216,17 +216,57 @@ class ProceduresSpec extends SparkSpec {
       s"recall must recover: ${r2.getDouble(4)} -> ${r3.getDouble(4)}")
     assert(r3.getString(5) === "ok",
       s"rebuilt recall ${r3.getDouble(4)} must clear the floor")
-    // the swap left a paired build stamp: the query path accepts it,
-    // and a hand-broken pairing fails loud instead of mis-scanning
+    // the atomic publish left a paired build stamp in both tables'
+    // commit metadata: the query path accepts it, and an out-of-band
+    // mutation that breaks the pairing fails loud instead of
+    // mis-scanning (stamps ride commits now, so the break must too)
     val q = graft.ops.AnnIndex.queryPq(store, "rbidx",
       store.read("rbcorpus").limit(2), k = 3)
     assert(q.count() === 6L)
-    store.setProperties("rbidx_codebooks",
-      Map("ann.build-id" -> Some("not-the-index-build")))
+    store.append("rbidx_codebooks", store.read("rbidx_codebooks").limit(0),
+      meta = Map("ann.build-id" -> "not-the-index-build"))
     val e = intercept[IllegalArgumentException](
       graft.ops.AnnIndex.queryPq(store, "rbidx",
         store.read("rbcorpus").limit(1), k = 1).count())
     assert(e.getMessage.contains("build"))
+  }
+
+  test("rebuild_index publishes index + side table ATOMICALLY: concurrent queries never mis-pair") {
+    import graft.ops.{AnnIndex, Similarity}
+    val emb = spark.range(0L, 200L).select(col("id").as("vec_id"),
+      Similarity.quantize(transform(sequence(lit(1), lit(16)),
+        d => sin((col("id") + 1) * d.cast("double")))).as("embedding"),
+      (col("id") % 5).cast("int").as("label"))
+    store.create("rccorpus", emb.schema, overwrite = true)
+    store.append("rccorpus", emb)
+    assert(AnnIndex.refreshIvf(store, "rccorpus", "rcidx") === 200L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val probe = store.read("rccorpus").filter(col("vec_id") < 2L)
+      .collect() // driver-side probe rows: the loop re-wraps them
+    val probeDf = spark.createDataFrame(
+      java.util.Arrays.asList(probe: _*), emb.schema)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try { AnnIndex.queryIvf(store, "rcidx", probeDf, k = 2).count(); () }
+        catch { case e: Throwable => errs.add(e); () }
+      }
+    })
+    reader.start()
+    try {
+      // two back-to-back rebuilds while the query loop runs: the index
+      // and its centroids publish in ONE transaction, so no read can
+      // observe a mis-paired (or missing) state — the old two-rename
+      // window is gone, and prior-snapshot files survive the publish
+      (1 to 2).foreach { _ =>
+        AnnIndex.rebuildIndex(store, "rccorpus", "rcidx", "ivf",
+          sample = 2, k = 2)
+      }
+    } finally { stop.set(true); reader.join() }
+    import scala.jdk.CollectionConverters._
+    assert(errs.isEmpty,
+      s"concurrent queries across the atomic publish must all succeed; " +
+        s"got: ${errs.asScala.take(3).map(_.toString).mkString(" | ")}")
   }
 
   test("CALL branch / tag / fast_forward drive the WAP flow") {
