@@ -360,7 +360,14 @@ object AnnIndex {
       k: Int, nprobe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val centRows = store.read(s"${indexTable}_centroids").collect()
+    // ONE consistent snapshot pins the centroids AND the index rows —
+    // a rebuild publishing mid-query (its transaction moves both
+    // pointers together) can no longer slip new index rows under
+    // old-collected centroids: the pinned pair is from one instant,
+    // and pinned manifests stay readable regardless of later commits
+    val pinned = store.readConsistent(
+      Seq(indexTable, s"${indexTable}_centroids"))
+    val centRows = pinned(s"${indexTable}_centroids").collect()
     requirePaired(store, indexTable, s"${indexTable}_centroids")
     val cents = centRows
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -375,7 +382,7 @@ object AnnIndex {
     try {
       val probeCells = qProbes.select("cell").distinct()
         .collect().map(_.getLong(0)).toSeq
-      store.read(indexTable)
+      pinned(indexTable)
         .filter(col("cell").isin(probeCells: _*))
         .join(broadcast(qProbes), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
@@ -478,7 +485,11 @@ object AnnIndex {
       k: Int, rerank: Int = 50): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val bookRows = store.read(s"${indexTable}_codebooks").collect()
+    // pin codebooks + index rows to ONE consistent snapshot (see
+    // queryIvf) — both scan phases below read the pinned frame
+    val pinned = store.readConsistent(
+      Seq(indexTable, s"${indexTable}_codebooks"))
+    val bookRows = pinned(s"${indexTable}_codebooks").collect()
     requirePaired(store, indexTable, s"${indexTable}_codebooks")
     val rows = bookRows
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
@@ -486,7 +497,7 @@ object AnnIndex {
     val books = Array.tabulate(bySub.size)(s => bySub(s).sortBy(_._2).map(_._3))
     val ql = queries.select(col("vec_id").as("query_id"),
       Similarity.pqLuts(col("embedding"), books).as("luts"))
-    val cand = store.read(indexTable)
+    val cand = pinned(indexTable)
       .select(col("vec_id"), col("label"), col("codes")) // NOT embedding
       .crossJoin(broadcast(ql))
       .filter(col("vec_id") =!= col("query_id"))
@@ -503,7 +514,7 @@ object AnnIndex {
       .select(col("query_id"), col("c").getField("id").as("vec_id"))
     val qv = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
-    val rer = store.read(indexTable)
+    val rer = pinned(indexTable)
       .select(col("vec_id"), col("embedding"), col("label"))
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(qv), Seq("query_id"))

@@ -2705,9 +2705,16 @@ object TableQueries2 {
       s"source => '$tbl', group_cols => 'o_orderstatus', " +
       "aggs => 'sum:o_totalprice,avg:o_orderkey,min:o_orderkey," +
       "max:o_orderkey')")
+    // avg over BIGINT spelled as exact-sum ÷ count: Spark's avg() on
+    // integral input accumulates in DOUBLE, which the view's exact Long
+    // sum is NOT guaranteed bit-equal to — the rule refuses that map
+    // (avg serves only decimal inputs), and the explicit spelling both
+    // engines compute identically ALSO exercises the generalized
+    // scalar-over-aggregates matching (cast + divide re-applied over
+    // the substituted view columns)
     val q = s"""SELECT o_orderstatus, count(*) AS cnt,
       CAST(sum(o_totalprice) AS DOUBLE) AS sum_price,
-      avg(o_orderkey) AS avg_key,
+      CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_key,
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       FROM gmvr.$tbl GROUP BY o_orderstatus ORDER BY o_orderstatus"""
     def scansSource(df: DataFrame): Boolean =

@@ -28,6 +28,7 @@ import org.apache.spark.sql.SparkSession
 object GuardScaleCheck {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(400)
+    require(n >= 20, s"need a catalog of at least 20 tables, got $n")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
@@ -50,8 +51,9 @@ object GuardScaleCheck {
     // one clone pair somewhere in the middle: t7 is referenced
     store.snapshotTable("t7", "t7_clone")
 
-    // 1. never-cloned table: marker fast path — flat in N
-    val (_, dPlain) = timed(store.drop("t123"))
+    // 1. never-cloned table: marker fast path — flat in N (victim
+    // derived from the catalog size, never the cloned t7)
+    val (_, dPlain) = timed(store.drop(s"t${n / 2}"))
     // 2. cloned source: marker present → full authoritative sweep
     val (_, dHeld) = timed {
       try { store.drop("t7"); sys.error("t7 drop must refuse") }

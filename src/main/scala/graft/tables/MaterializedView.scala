@@ -165,22 +165,34 @@ object MaterializedView {
       sumCols: Set[String], minCols: Set[String], maxCols: Set[String],
       schema: org.apache.spark.sql.types.StructType)
 
-  /** The first registered view of `source` whose contents are FRESH at
-    * exactly `atVersion` (the applied-version commit tag), bound to the
-    * CURRENT incarnation of the source, and unfiltered — the only state
-    * in which scanning the view is provably equivalent to aggregating
-    * the source snapshot the plan was built against. Marker-driven: one
-    * directory listing to find candidates, a few metadata reads to
-    * verify each; a marker whose view is gone self-heals away. */
-  private[tables] def freshViewFor(store: TableStore, source: String,
-      atVersion: Int): Option[MvDef] =
-    store.mvMarkersOf(source).iterator.flatMap { mv =>
+  /** Marker-walk scaffold shared by the rewrite rule and the streaming
+    * folds: every registered view of `source` that exists, points back
+    * at `source`, and is bound to its CURRENT incarnation — with its
+    * verified property bag. One directory listing to find candidates;
+    * a marker whose view is gone self-heals away. */
+  private def candidatesOf(store: TableStore,
+      source: String): Seq[(String, Map[String, String])] =
+    store.mvMarkersOf(source).flatMap { mv =>
       if (!store.exists(mv)) { store.mvMarkerDelete(source, mv); None }
       else scala.util.Try {
         val props = store.properties(mv)
-        val ok = props.get(SourceProp).contains(source) &&
-          props.get(SourceUuidProp).contains(store.tableUuid(source)) &&
-          !props.get(FilterProp).exists(_.trim.nonEmpty) &&
+        if (props.get(SourceProp).contains(source) &&
+          props.get(SourceUuidProp).contains(store.tableUuid(source)))
+          Some(mv -> props)
+        else None
+      }.toOption.flatten
+    }
+
+  /** The first registered view of `source` whose contents are FRESH at
+    * exactly `atVersion` (the applied-version commit tag) and
+    * unfiltered — the only state in which scanning the view is provably
+    * equivalent to aggregating the source snapshot the plan was built
+    * against. */
+  private[tables] def freshViewFor(store: TableStore, source: String,
+      atVersion: Int): Option[MvDef] =
+    candidatesOf(store, source).iterator.flatMap { case (mv, props) =>
+      scala.util.Try {
+        val ok = !props.get(FilterProp).exists(_.trim.nonEmpty) &&
           store.lastMetaValue(mv, AppliedVersionMeta)
             .flatMap(_.toIntOption).contains(atVersion)
         if (!ok) None
@@ -206,17 +218,9 @@ object MaterializedView {
     * marker is stale (dropped, re-pointed) are skipped via the same
     * verification [[freshViewFor]] uses. Returns the refreshed names. */
   def refreshAllFor(store: TableStore, source: String): Seq[String] =
-    store.mvMarkersOf(source).flatMap { mv =>
-      if (!store.exists(mv)) { store.mvMarkerDelete(source, mv); None }
-      else {
-        val props = store.properties(mv)
-        if (!props.get(SourceProp).contains(source) ||
-          !props.get(SourceUuidProp).contains(store.tableUuid(source))) None
-        else {
-          refresh(store, mv)
-          Some(mv)
-        }
-      }
+    candidatesOf(store, source).map { case (mv, _) =>
+      refresh(store, mv)
+      mv
     }
 
   /** Fold the source's changes since the last applied version into the

@@ -3,14 +3,14 @@ package graft.tables
 import scala.annotation.tailrec
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, ExprId, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.functions.{coalesce, col, lit}
-import org.apache.spark.sql.types.{DataType, NumericType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType}
 
 /** TRANSPARENT materialized-view consumption: an optimizer rule that
   * rewrites a plain aggregate plan — the SQL text the user would write
@@ -30,16 +30,30 @@ import org.apache.spark.sql.types.{DataType, NumericType}
   *    (order-free — the view reads as-is) or is a SUBSET of it,
   *    including the empty set for a global aggregate (the ROLLUP
   *    property: the view re-aggregates — count(*) = sum(cnt), sum of
-  *    sums, min of mins — still over view-sized data; float/double
-  *    sums are excluded there, their re-fold is not bit-stable);
-  *  - every output expression maps to stored view state: a grouping
-  *    column; `count(<non-null literal>)` → `cnt`; `count(c)` /
-  *    `sum(c)` / `avg(c)` → the `sum:c|avg:c` pair (`avg` re-derives as
-  *    `sum/cnt` with the exact Divide+cast shape Spark's own Average
-  *    lowers to, so values — including decimal rounding — are
-  *    identical); `min(c)` / `max(c)` → `min:c`/`max:c`. No DISTINCT,
-  *    no FILTER clauses, and every result type must match the view
-  *    column exactly;
+  *    sums, min of mins — still over view-sized data);
+  *  - every output expression is a DETERMINISTIC scalar over mapped
+  *    aggregates and grouping columns: each `count(<non-null
+  *    literal>)` / `count(c)` / `sum(c)` / `avg(c)` / `min(c)` /
+  *    `max(c)` inside it maps to stored view state (no DISTINCT, no
+  *    FILTER clauses), and the surrounding scalar structure — casts,
+  *    arithmetic, ratios like `sum(a)/count(b)` — is re-applied
+  *    verbatim over the substituted columns, which is value-exact
+  *    because the inputs are;
+  *  - aggregate result types are EXACT-ONLY where incremental folding
+  *    must be bit-stable: `sum` maps for integral (modular arithmetic
+  *    — associative even under wrap) and decimal (exact) inputs;
+  *    float/double sums never map — the view's incrementally-folded
+  *    partial sums are not bit-equal to a scan's fold, so serving them
+  *    would let freshness change results. `avg` maps for DECIMAL
+  *    inputs only (Spark's Average accumulates non-decimal input in
+  *    DOUBLE, which the stored exact sum can diverge from in ulps or
+  *    overflow); the decimal re-derivation `(sum_c / cnt_c) cast
+  *    avg-type` is Spark's own Average lowering, rounding included.
+  *    `min`/`max`/`count` map for any type. (Small-precision decimals
+  *    — sum p ≤ 8, avg p ≤ 11 — are pre-lowered by Spark's
+  *    DecimalAggregates into unscaled-long/double shapes before this
+  *    batch runs; those keep the scan under the same policy, since
+  *    the lowered accumulation is no longer the stored exact sum);
   *  - the scan is the bare table under row-preserving nodes only
   *    (deterministic Project / SubqueryAlias — any Filter, join, limit
   *    or sample keeps the scan), identified through either read path:
@@ -61,7 +75,8 @@ import org.apache.spark.sql.types.{DataType, NumericType}
   * listing is the first touch — a table with no registered view pays
   * ONE directory listing. Registered per-session like
   * [[MetadataAggregateRule]]; disable with
-  * `spark.graft.mv.rewrite.enabled=false`. */
+  * `spark.graft.mv.rewrite.enabled=false` (read from the ACTIVE
+  * session, so the querying session's setting governs). */
 object MvRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
@@ -69,96 +84,90 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       rewrite(agg, child).getOrElse(agg)
   }
 
-  /** What one aggregate-output expression reads from the view. */
+  /** What one mapped aggregate reads from the view. */
   private sealed trait Out
-  /** A grouping key (pass-through column of the view). */
-  private case class GroupCol(name: String) extends Out
   private case class ViewCol(name: String) extends Out
   private case class AvgOf(c: String, resultType: DataType) extends Out
-  /** A deterministic CAST wrapped around a mapped aggregate — the shape
-    * CollapseProject leaves behind for `CAST(sum(x) AS DOUBLE)`-style
-    * outputs; the same cast applies to the view column, value-exact
-    * because the inputs are. */
-  private case class CastOf(inner: Out, to: DataType) extends Out
 
   private def rewrite(agg: Aggregate, child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val (store, tbl, pinned) = scanOf(child) match {
+    val (store, tbl, pinnedV) = scanOf(child) match {
       case Some(t) => t
       case None => return None
     }
-    if (!store.sparkSession.conf
+    val session =
+      SparkSession.getActiveSession.getOrElse(store.sparkSession)
+    if (!session.conf
         .get("spark.graft.mv.rewrite.enabled", "true").toBoolean) return None
     // group keys: bare columns of the scanned table, resolved by name
-    val groupNames: Seq[String] = agg.groupingExpressions.map {
-      case a: Attribute => columnNameOf(child, a, store, tbl)
-      case _ => None
-    } match {
-      case names if names.forall(_.isDefined) => names.map(_.get)
-      case _ => return None
-    }
-    // cheap structural pre-pass: every output must LOOK mappable before
-    // any metadata is read
-    val groupAttrIds = agg.groupingExpressions.collect {
-      case a: Attribute => a.exprId }.toSet
-    if (!agg.aggregateExpressions.forall(e => shapeOk(e, groupAttrIds)))
-      return None
+    val groupResolved: Seq[(Attribute, String)] =
+      agg.groupingExpressions.map {
+        case a: Attribute =>
+          columnNameOf(child, a, store, tbl) match {
+            case Some(n) => (a, n)
+            case None => return None
+          }
+        case _ => return None
+      }
+    val groupNameOf: Map[ExprId, String] =
+      groupResolved.map { case (a, n) => a.exprId -> n }.toMap
+    val groupNames = groupResolved.map(_._2)
+    // cheap structural pre-pass: every output must LOOK mappable
+    // (deterministic scalar over well-shaped aggregates and grouping
+    // attrs) before any metadata is read
+    if (!agg.aggregateExpressions.forall(e =>
+      shapeOk(e, groupNameOf.keySet))) return None
     if (store.mvMarkersOf(tbl).isEmpty) return None // ONE listing, common case
-    val atVersion = pinned.getOrElse(
+    val atVersion = pinnedV.getOrElse(
       scala.util.Try(store.currentVersion(tbl)).getOrElse(return None))
     val mv = MaterializedView.freshViewFor(store, tbl, atVersion) match {
       case Some(d) => d
       case None => return None
     }
-    // exact-grouping match reads the view as-is; a STRICT SUBSET of the
-    // view's keys (including the empty set — a global aggregate)
-    // re-aggregates the view: count(*) = sum(cnt), sum = sum of sums,
-    // min/max of mins/maxes, avg from the re-summed pair — the classic
-    // rollup property of distributive/algebraic aggregates. Anything
-    // not a subset keeps the scan.
+    // exact-grouping match reads the view as-is; a SUBSET of its keys
+    // (incl. empty — global aggregates) re-aggregates it (rollup)
     val qKeys = groupNames.distinct.toSet
-    val isExact = qKeys == mv.groupCols.toSet &&
-      mv.groupCols.size == groupNames.distinct.size
+    val isExact = qKeys == mv.groupCols.toSet
     if (!isExact && !qKeys.subsetOf(mv.groupCols.toSet)) return None
-    // map every output expression to stored view state, type-exact
-    val outs: Seq[Out] = agg.aggregateExpressions.map(e =>
-      outOf(e, groupAttrIds, child, store, tbl, mv) match {
-        case Some(o) => o
-        case None => return None
-      })
-    // re-aggregating FLOAT/DOUBLE sums is accumulation-order-dependent
-    // (sum of partial sums ≠ the scan's fold, bit-wise) — those rollups
-    // keep the scan; integral and decimal sums re-fold exactly
-    def sumColOf(o: Out): Option[String] = o match {
-      case ViewCol(n) if n.startsWith("sum_") => Some(n)
-      case AvgOf(c, _) => Some(s"sum_$c")
-      case CastOf(inner, _) => sumColOf(inner)
-      case _ => None
-    }
-    if (!isExact && outs.exists(o => sumColOf(o).exists(n =>
-      mv.schema.fields.find(_.name == n).exists(f =>
-        f.dataType == org.apache.spark.sql.types.DoubleType ||
-          f.dataType == org.apache.spark.sql.types.FloatType))))
+    // group columns must exist in the view with the exact source type
+    if (!groupResolved.forall { case (a, n) =>
+      mv.schema.fields.find(_.name == n).exists(_.dataType == a.dataType) })
       return None
-    // assemble the replacement: the view read plus derived columns,
-    // analyzed in DataFrame-land, grafted under the original output ids
-    def toCol(o: Out): Column = o match {
-      case GroupCol(n) => col(s"`$n`")
-      case ViewCol(n) => col(s"`$n`")
-      case AvgOf(c, rt) =>
-        // EXACTLY Spark's Average lowering: Divide(sum, cnt) under the
-        // session's arithmetic rules, cast to Average's result type —
-        // decimal precision/rounding included
-        (col(s"`sum_$c`") / col(s"`cnt_$c`")).cast(rt)
-      case CastOf(inner, to) => toCol(inner).cast(to)
+    // collect DISTINCT aggregates across all outputs; map each to
+    // stored state, type-exact
+    val distinctAggs = scala.collection.mutable.ArrayBuffer
+      .empty[(AggregateExpression, Out)]
+    def slotOf(ae: AggregateExpression): Option[Int] = {
+      val i = distinctAggs.indexWhere(_._1.semanticEquals(ae))
+      if (i >= 0) Some(i)
+      else aggOut(ae, mv).map { o => distinctAggs += ((ae, o));
+        distinctAggs.size - 1 }
     }
-    // rollup shape: each stored column re-aggregates; the cast back to
-    // the stored sum type keeps the avg division and the output types
-    // identical to the single-level plan's
+    agg.aggregateExpressions.foreach {
+      case _: Attribute => ()
+      case Alias(c, _) =>
+        c.foreach {
+          case ae: AggregateExpression =>
+            if (slotOf(ae).isEmpty) return None
+          case _ => ()
+        }
+      case _ => return None
+    }
+    // assemble the replacement in DataFrame-land (analyzed, then
+    // grafted under the original output ids). Exact: the view as-is
+    // plus derived slot columns; rollup: groupBy(subset keys) with
+    // re-aggregated slots.
     def sumType(n: String): DataType =
       mv.schema(mv.schema.fieldIndex(n)).dataType
-    def toRoll(o: Out): Column = o match {
-      case GroupCol(n) => col(s"`$n`") // resolved against the grouped frame
+    def slotExact(o: Out): Column = o match {
+      case ViewCol(n) => col(s"`$n`")
+      case AvgOf(c, rt) =>
+        // EXACTLY Spark's Average lowering for decimal: Divide(sum,
+        // cnt) under the session's arithmetic rules, cast to Average's
+        // result type — precision and rounding included
+        (col(s"`sum_$c`") / col(s"`cnt_$c`")).cast(rt)
+    }
+    def slotRoll(o: Out): Column = o match {
       case ViewCol(n) if n == "cnt" || n.startsWith("cnt_") =>
         coalesce(org.apache.spark.sql.functions.sum(col(s"`$n`")), lit(0L))
       case ViewCol(n) if n.startsWith("sum_") =>
@@ -172,125 +181,138 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           .cast(sumType(s"sum_$c")) /
           coalesce(org.apache.spark.sql.functions.sum(col(s"`cnt_$c`")),
             lit(0L))).cast(rt)
-      case CastOf(inner, to) => toRoll(inner).cast(to)
-      case ViewCol(n) => col(s"`$n`") // group key addressed as ViewCol
+      case ViewCol(n) => col(s"`$n`") // unreachable for stored columns
     }
     val projected = scala.util.Try {
       val mvDf = store.read(mv.mv)
-      if (isExact)
-        mvDf.select(outs.zipWithIndex.map {
-          case (o, i) => toCol(o).as(s"_mv_$i") }: _*)
+      val keyCols = groupNames.distinct.map(n => col(s"`$n`"))
+      if (isExact) {
+        val cols = keyCols ++ distinctAggs.zipWithIndex.map {
+          case ((_, o), k) => slotExact(o).as(s"_mv_a_$k") }
+        mvDf.select(cols: _*).queryExecution.analyzed
+      } else {
+        val slots = distinctAggs.zipWithIndex.map {
+          case ((_, o), k) => slotRoll(o).as(s"_mv_a_$k") }
+        val aggCols =
+          // keys-only query (SELECT g … GROUP BY g): an explicit
+          // Aggregate, NOT .distinct() — the grafted plan skips the
+          // main optimizer batches, and a raw Deduplicate node would
+          // reach physical planning unlowered
+          if (slots.isEmpty)
+            Seq(org.apache.spark.sql.functions.max(lit(1)).as("_mv_one"))
+          else slots.toSeq
+        mvDf.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
           .queryExecution.analyzed
-      else {
-        val keys = groupNames.distinct.map(n => col(s"`$n`"))
-        val (aggOuts, keyOuts) = outs.zipWithIndex.partition {
-          case (GroupCol(_), _) => false
-          case _ => true
-        }
-        val base =
-          if (aggOuts.isEmpty)
-            // SELECT keys only: GROUP BY over the view's keys. An
-            // explicit Aggregate, NOT .distinct() — the grafted plan
-            // skips the main optimizer batches, and a raw Deduplicate
-            // node would reach physical planning unlowered.
-            mvDf.groupBy(keys: _*)
-              .agg(org.apache.spark.sql.functions.max(lit(1)).as("_mv_one"))
-          else {
-            val aggCols = aggOuts.map { case (o, i) =>
-              toRoll(o).as(s"_mv_$i") }
-            mvDf.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
-          }
-        val _ = keyOuts // keys are addressed by name below
-        base.select(outs.zipWithIndex.map {
-          case (GroupCol(n), i) => col(s"`$n`").as(s"_mv_$i")
-          case (_, i) => col(s"`_mv_$i`")
-        }: _*).queryExecution.analyzed
       }
     }.toOption match {
       case Some(p) => p
       case None => return None
     }
-    if (projected.output.map(_.dataType) != agg.output.map(_.dataType))
+    val keyAttr: Map[String, Attribute] =
+      projected.output.filter(a => qKeys.contains(a.name))
+        .map(a => a.name -> a).toMap
+    val slotAttr: Map[Int, Attribute] = distinctAggs.indices.flatMap(k =>
+      projected.output.find(_.name == s"_mv_a_$k").map(k -> _)).toMap
+    if (keyAttr.size != qKeys.size || slotAttr.size != distinctAggs.size)
+      return None
+    // graft: every output's scalar structure re-applies verbatim over
+    // the substituted view columns, under the ORIGINAL output ids
+    def substituted(c: Expression): Expression = c.transform {
+      case ae: AggregateExpression =>
+        slotAttr(distinctAggs.indexWhere(_._1.semanticEquals(ae)))
+      case a: Attribute if groupNameOf.contains(a.exprId) =>
+        keyAttr(groupNameOf(a.exprId))
+    }
+    val projList: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute =>
+        Alias(keyAttr(groupNameOf(a.exprId)), a.name)(
+          exprId = a.exprId, qualifier = a.qualifier)
+      case al @ Alias(c, n) =>
+        val sub = substituted(c)
+        // belt-and-suspenders: nothing unsubstituted may remain
+        if (sub.exists(_.isInstanceOf[AggregateExpression]) ||
+          !sub.references.subsetOf(
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(
+              projected.output)))
+          return None
+        Alias(sub, n)(exprId = al.exprId, qualifier = al.qualifier)
+      case _ => return None
+    }
+    val out = Project(projList, projected)
+    if (out.output.map(_.dataType) != agg.output.map(_.dataType))
       return None
     logInfo(s"rewrote GROUP BY over $tbl@v$atVersion onto materialized " +
-      s"view ${mv.mv}")
-    Some(Project(agg.output.zip(projected.output).map { case (o, n) =>
-      Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-    }, projected))
+      s"view ${mv.mv}" + (if (isExact) "" else " (rollup)"))
+    Some(out)
   }
 
-  /** Structural screen for one output expression — no metadata needed.
-    * A deterministic Cast directly over the aggregate also qualifies
-    * (CollapseProject folds `CAST(sum(x) AS DOUBLE)` selects into the
-    * Aggregate's own output list). */
-  private def shapeOk(e: NamedExpression,
-      groupIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
-      : Boolean = {
-    def aggShape(fn: Expression): Boolean = fn match {
-      case c: Count => c.children.nonEmpty
-      case _: Sum | _: Min | _: Max | _: Average => true
-      case _ => false
-    }
+  /** Structural screen for one output expression — no metadata needed:
+    * a grouping attribute, or a deterministic scalar whose aggregate
+    * leaves are well-shaped (Complete, non-distinct, unfiltered,
+    * supported function) and whose non-aggregate references are all
+    * grouping attributes. */
+  private def shapeOk(e: NamedExpression, groupIds: Set[ExprId]): Boolean =
     e match {
       case a: Attribute => groupIds.contains(a.exprId)
-      case Alias(a: Attribute, _) => groupIds.contains(a.exprId)
-      case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-        aggShape(fn)
-      case Alias(Cast(AggregateExpression(fn, Complete, false, None, _),
-          _, _, _), _) => aggShape(fn)
+      case Alias(c, _) if c.deterministic =>
+        val aggsOk = c.collect { case ae: AggregateExpression => ae }
+          .forall {
+            case AggregateExpression(fn, Complete, false, None, _) =>
+              fn match {
+                case cnt: Count => cnt.children.nonEmpty
+                case _: Sum | _: Min | _: Max | _: Average => true
+                case _ => false
+              }
+            case _ => false
+          }
+        // references OUTSIDE aggregate subtrees must be grouping attrs
+        val stripped = c.transform {
+          case ae: AggregateExpression => Literal(null, ae.dataType)
+        }
+        aggsOk && stripped.references.forall(a => groupIds.contains(a.exprId))
       case _ => false
     }
-  }
 
-  /** Map one output expression to view state; None = not rewritable. */
-  private def outOf(e: NamedExpression,
-      groupIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
-      child: LogicalPlan, store: TableStore, tbl: String,
+  /** Map one aggregate to view state; None = not rewritable. Exactness
+    * policy lives here (see the class doc): sums only for integral /
+    * decimal inputs, avg only for decimal. */
+  private def aggOut(ae: AggregateExpression,
       mv: MaterializedView.MvDef): Option[Out] = {
     def viewCol(name: String, want: DataType): Option[Out] =
       mv.schema.fields.find(_.name == name)
         .filter(_.dataType == want).map(_ => ViewCol(name))
-    def groupCol(name: String, want: DataType): Option[Out] =
-      mv.schema.fields.find(_.name == name)
-        .filter(_.dataType == want).map(_ => GroupCol(name))
-    def srcCol(a: Attribute): Option[String] =
-      columnNameOf(child, a, store, tbl)
-    def aggOut(fn: Expression, want: DataType): Option[Out] = fn match {
-      case c: Count
-          if c.children.forall(ch => ch.foldable &&
-            ch.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-              != null) =>
-        viewCol("cnt", want)
-      case Count(Seq(a: AttributeReference)) =>
-        srcCol(a).filter(mv.sumCols)
-          .flatMap(cn => viewCol(s"cnt_$cn", want))
-      case Sum(a: AttributeReference, _) =>
-        srcCol(a).filter(mv.sumCols)
-          .flatMap(cn => viewCol(s"sum_$cn", want))
-      case Min(a: AttributeReference) =>
-        srcCol(a).filter(mv.minCols)
-          .flatMap(cn => viewCol(s"min_$cn", want))
-      case Max(a: AttributeReference) =>
-        srcCol(a).filter(mv.maxCols)
-          .flatMap(cn => viewCol(s"max_$cn", want))
-      case Average(a: AttributeReference, _)
-          if a.dataType.isInstanceOf[NumericType] =>
-        srcCol(a).filter(mv.sumCols)
-          .filter(cn => mv.schema.fieldNames.contains(s"sum_$cn") &&
-            mv.schema.fieldNames.contains(s"cnt_$cn"))
-          .map(cn => AvgOf(cn, want))
-      case _ => None
+    def exactSummable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false // float/double folds are not bit-stable
     }
-    e match {
-      case a: Attribute if groupIds.contains(a.exprId) =>
-        srcCol(a).flatMap(groupCol(_, a.dataType))
-      case Alias(a: Attribute, _) if groupIds.contains(a.exprId) =>
-        srcCol(a).flatMap(groupCol(_, a.dataType))
-      case Alias(ae @ AggregateExpression(fn, Complete, false, None, _), _) =>
-        aggOut(fn, ae.dataType)
-      case Alias(Cast(ae @ AggregateExpression(fn, Complete, false, None, _),
-          dt, _, _), _) =>
-        aggOut(fn, ae.dataType).map(CastOf(_, dt))
+    ae match {
+      case AggregateExpression(fn, Complete, false, None, _) => fn match {
+        case c: Count
+            if c.children.forall(ch => ch.foldable &&
+              ch.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+                != null) =>
+          viewCol("cnt", ae.dataType)
+        case Count(Seq(a: AttributeReference)) =>
+          Some(a.name).filter(mv.sumCols)
+            .flatMap(cn => viewCol(s"cnt_$cn", ae.dataType))
+        case Sum(a: AttributeReference, _) if exactSummable(a.dataType) =>
+          Some(a.name).filter(mv.sumCols)
+            .flatMap(cn => viewCol(s"sum_$cn", ae.dataType))
+        case Min(a: AttributeReference) =>
+          Some(a.name).filter(mv.minCols)
+            .flatMap(cn => viewCol(s"min_$cn", ae.dataType))
+        case Max(a: AttributeReference) =>
+          Some(a.name).filter(mv.maxCols)
+            .flatMap(cn => viewCol(s"max_$cn", ae.dataType))
+        case Average(a: AttributeReference, _)
+            if a.dataType.isInstanceOf[DecimalType] =>
+          Some(a.name).filter(mv.sumCols)
+            .filter(cn => mv.schema.fieldNames.contains(s"sum_$cn") &&
+              mv.schema.fieldNames.contains(s"cnt_$cn"))
+            .map(cn => AvgOf(cn, ae.dataType))
+        case _ => None
+      }
       case _ => None
     }
   }

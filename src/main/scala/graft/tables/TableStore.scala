@@ -237,6 +237,14 @@ final class TableStore(private[tables] val spark: SparkSession,
     require(!viewExists(name), s"a view named $name already exists")
     require(!schema.fieldNames.contains(TableStore.RowIdCol),
       s"${TableStore.RowIdCol} is the reserved row-lineage column")
+    // a root with NO table directories yet is marker-capable (the
+    // guards may fast-path — nothing can predate the markers); a root
+    // already holding tables but no stamp is a LEGACY catalog whose
+    // adoptions may predate markers — it stays on the full sweep
+    // forever (nothing backfills)
+    if (!fs.exists(rootPath)) { fs.mkdirs(rootPath); stampRefByCapable() }
+    else if (!fs.exists(refByCapableMarker) && referenceHolders("").isEmpty)
+      stampRefByCapable()
     val d = tdir(name)
     if (fs.exists(d)) {
       require(overwrite, s"table $name already exists")
@@ -521,12 +529,16 @@ final class TableStore(private[tables] val spark: SparkSession,
           "system.snapshot clone or cross-table add_files adoption) — " +
           "drop or compact the referencing tables first, or force")
     }
-    // retract this holder's _refby_ markers from its sources (O(own
-    // manifests) — keeps the sources' guards on the marker fast path;
-    // a missed retraction, e.g. after a rename, is only a slow guard)
-    sourceTablesOf(manifestEntries(tdir(name)).filter(_.startsWith("/")))
+    // this holder's sources, computed BEFORE its manifests vanish —
+    // but the markers retract only AFTER the directory delete: the
+    // reverse order would open a crash/race window where a still-live
+    // holder's source reads as unmarked (fast path → "unreferenced" →
+    // deletable), the exact hazard the guard closes. A crash between
+    // the delete and the retraction leaves only a STALE marker — a
+    // slow guard, never a wrong one.
+    val refSources = sourceTablesOf(
+      manifestEntries(tdir(name)).filter(_.startsWith("/")))
       .filterNot(_ == name)
-      .foreach(src => fs.delete(refByMarker(src, name), false))
     // branch pointers may live in an external coordinator — clear them
     // BEFORE the refs dir (their registry) goes away with the table
     scala.util.Try(refs(name)).getOrElse(Map.empty).foreach {
@@ -534,6 +546,7 @@ final class TableStore(private[tables] val spark: SparkSession,
       case _ => ()
     }
     fs.delete(tdir(name), true)
+    refSources.foreach(src => fs.delete(refByMarker(src, name), false))
     coord.clear(name)
     catalogCache -= name
     nestedCache -= name
@@ -719,7 +732,7 @@ final class TableStore(private[tables] val spark: SparkSession,
   def createNamespace(ns: Seq[String], props: Map[String, String]): Unit = {
     validateNamespace(ns)
     require(!namespaceExists(ns), s"namespace ${nsKey(ns)} already exists")
-    if (!fs.exists(rootPath)) { fs.mkdirs(rootPath); () }
+    if (!fs.exists(rootPath)) { fs.mkdirs(rootPath); stampRefByCapable() }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     props.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v); () }
@@ -841,7 +854,7 @@ final class TableStore(private[tables] val spark: SparkSession,
     require(sql != null && sql.trim.nonEmpty, "view SQL must be non-empty")
     require(!exists(name), s"a table named $name already exists")
     require(orReplace || !viewExists(name), s"view $name already exists")
-    if (!fs.exists(rootPath)) { fs.mkdirs(rootPath); () }
+    if (!fs.exists(rootPath)) { fs.mkdirs(rootPath); stampRefByCapable() }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("sql", sql)
@@ -2079,13 +2092,18 @@ final class TableStore(private[tables] val spark: SparkSession,
       maxAttempts: Int = 8): Map[String, DataFrame] = {
     require(names.nonEmpty, "readConsistent needs at least one table")
     val distinctNames = names.distinct
+    // validation compares (incarnation uuid, version) pairs, not bare
+    // version numbers: a drop + re-create replaying to the same version
+    // count between the two reads would otherwise ABA-validate a
+    // mixed-incarnation set
+    def vector(): Seq[(String, String, Int)] =
+      distinctNames.map(t => (t, tableUuid(t), currentVersion(t)))
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val v1 = distinctNames.map(t => t -> currentVersion(t))
-      val frames = v1.map { case (t, v) => t -> readVersion(t, v) }.toMap
-      val v2 = distinctNames.map(t => t -> currentVersion(t))
-      if (v1 == v2) return frames
+      val v1 = vector()
+      val frames = v1.map { case (t, _, v) => t -> readVersion(t, v) }.toMap
+      if (v1 == vector()) return frames
     }
     throw new IllegalStateException(
       s"readConsistent(${distinctNames.mkString(", ")}) could not " +
@@ -5076,7 +5094,20 @@ final class TableStore(private[tables] val spark: SparkSession,
   private def refByMarker(source: String, holder: String): HPath =
     new HPath(tdir(source), s"_refby_$holder")
 
+  /** Root-level capability stamp: written when a store ROOT is first
+    * created by marker-aware code. A root WITHOUT it may hold
+    * adoptions from before markers existed (nothing backfills them),
+    * so the guards on such catalogs never fast-path — legacy roots
+    * keep the full authoritative sweep, new roots get O(1) guards.
+    * One existence probe per guarded operation. */
+  private def refByCapableMarker: HPath =
+    new HPath(rootPath, "_refby_capable")
+
+  private[tables] def stampRefByCapable(): Unit =
+    if (!fs.exists(refByCapableMarker)) writeString(refByCapableMarker, "1")
+
   private def hasRefByMarkers(name: String): Boolean = {
+    if (!fs.exists(refByCapableMarker)) return true // legacy root: sweep
     val d = tdir(name)
     fs.exists(d) && listNames(d).exists(_.startsWith("_refby_"))
   }

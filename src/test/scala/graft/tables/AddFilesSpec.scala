@@ -436,6 +436,17 @@ class AddFilesSpec extends SparkSpec {
     assert(markers("src2").isEmpty, "drop retracts the holder's marker")
     st.drop("src2")
     assert(!st.exists("src2"))
+    // LEGACY catalogs never fast-path: a root without the capability
+    // stamp may hold pre-marker adoptions, so the guards always sweep
+    // there — simulate by removing the stamp AND the adoption's marker
+    st.create("src3", sch)
+    st.append("src3", Seq((1L, "a")).toDF("k", "v"))
+    st.snapshotTable("src3", "clone3")
+    assert(Files.deleteIfExists(Paths.get(root, "src3", "_refby_clone3")))
+    assert(Files.deleteIfExists(Paths.get(root, "_refby_capable")))
+    val e3 = intercept[IllegalArgumentException](st.drop("src3"))
+    assert(e3.getMessage.contains("referenced"),
+      "an unstamped (legacy) root must keep the authoritative sweep")
   }
 
   test("refusals: schema mismatch, rename, partitioned, collision") {

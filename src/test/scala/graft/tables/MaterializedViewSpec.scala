@@ -285,6 +285,11 @@ class MaterializedViewSpec extends SparkSpec {
       "GROUP BY g ORDER BY g")
     // keys-only subset (SELECT DISTINCT shape)
     check("SELECT g FROM gmv.rw3 GROUP BY g ORDER BY g")
+    // arbitrary SCALAR structure over mapped aggregates re-applies
+    // verbatim over the substituted view columns (ratio + cast + key
+    // arithmetic in one output)
+    check("SELECT g, CAST(sum(x) AS DOUBLE) / count(x) AS r, " +
+      "concat(g, '!') AS gx FROM gmv.rw3 GROUP BY g ORDER BY g")
     // GLOBAL aggregate: empty grouping re-aggregates everything
     check("SELECT count(*) AS c, sum(x) AS sx, avg(d) AS ad, " +
       "min(x) AS mn FROM gmv.rw3")
@@ -300,21 +305,48 @@ class MaterializedViewSpec extends SparkSpec {
   }
 
   test("transparent rewrite covers the programmatic read path too") {
-    val rows = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("g", "x")
+    // decimal(12,2): ABOVE Spark's DecimalAggregates threshold — small
+    // precisions get pre-lowered to avg(UnscaledValue(d)) in the main
+    // optimizer (double-accumulated), which the rule refuses by the
+    // same exactness policy as integral avg (boundary pinned below)
+    val rows = Seq(("a", 1L, "1.50"), ("a", 2L, "2.50"), ("b", 5L, "9.00"))
+      .toDF("g", "x", "d0")
+      .withColumn("d", col("d0").cast("decimal(12,2)")).drop("d0")
     store.create("src8", rows.schema)
     store.append("src8", rows)
-    MaterializedView.create(store, "mv8", "src8", Seq("g"), Seq("avg:x"))
+    MaterializedView.create(store, "mv8", "src8", Seq("g"),
+      Seq("sum:x", "avg:d"))
     val df = store.read("src8").groupBy("g")
-      .agg(count(lit(1)).as("cnt"), avg(col("x")).as("ax"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sx"),
+        avg(col("d")).as("ad"))
       .orderBy("g")
     assert(df.inputFiles.nonEmpty &&
       df.inputFiles.forall(_.contains("/mv8/")),
       s"V1 path must rewrite too: ${df.inputFiles.mkString(",")}")
     assert(df.collect().map(r => (r.getString(0), r.getLong(1),
-      r.getDouble(2))).toSeq === Seq(("a", 2L, 1.5d), ("b", 1L, 5.0d)))
-    // avg:x stored the sum/cnt PAIR (no separate state)
+      r.getLong(2), r.getDecimal(3).toPlainString)).toSeq ===
+      Seq(("a", 2L, 3L, "2.000000"), ("b", 1L, 5L, "9.000000")))
+    // avg:d stored the sum/cnt PAIR (no separate state)
     val sch = store.schema("mv8").fieldNames.toSeq
-    assert(sch.contains("sum_x") && sch.contains("cnt_x"))
+    assert(sch.contains("sum_d") && sch.contains("cnt_d"))
+    // avg over an INTEGRAL column must KEEP the scan: Spark's Average
+    // accumulates non-decimal input in DOUBLE — the view's exact Long
+    // sum is not guaranteed bit-equal (ulps past 2^53, wrap on
+    // overflow), and freshness must never change results
+    val keep = store.read("src8").groupBy("g").agg(avg(col("x")).as("ax"))
+    assert(keep.inputFiles.exists(_.contains("/src8/")),
+      "integral avg is excluded from the rewrite by policy")
+    // SMALL-precision decimal avg gets DecimalAggregates-lowered to a
+    // double-accumulated avg(UnscaledValue(d)) before our batch — the
+    // same policy refuses it (the child is no longer a bare column)
+    val rows2 = Seq(("a", "1.50")).toDF("g", "d0")
+      .withColumn("ds", col("d0").cast("decimal(10,2)")).drop("d0")
+    store.create("src8s", rows2.schema)
+    store.append("src8s", rows2)
+    MaterializedView.create(store, "mv8s", "src8s", Seq("g"), Seq("avg:ds"))
+    val keep2 = store.read("src8s").groupBy("g").agg(avg(col("ds")).as("ad"))
+    assert(keep2.inputFiles.exists(_.contains("/src8s/")),
+      "DecimalAggregates-lowered avg keeps the scan by policy")
   }
 
   test("filtered view: WHERE folds symmetrically; never serves unfiltered queries") {
