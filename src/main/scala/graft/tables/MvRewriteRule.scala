@@ -3,7 +3,7 @@ package graft.tables
 import scala.annotation.tailrec
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, ExprId, Expression, Literal, NamedExpression, UnscaledValue}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -49,11 +49,12 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType,
   *    DOUBLE, which the stored exact sum can diverge from in ulps or
   *    overflow); the decimal re-derivation `(sum_c / cnt_c) cast
   *    avg-type` is Spark's own Average lowering, rounding included.
-  *    `min`/`max`/`count` map for any type. (Small-precision decimals
-  *    — sum p ≤ 8, avg p ≤ 11 — are pre-lowered by Spark's
-  *    DecimalAggregates into unscaled-long/double shapes before this
-  *    batch runs; those keep the scan under the same policy, since
-  *    the lowered accumulation is no longer the stored exact sum);
+  *    `min`/`max`/`count` map for any type. Small-precision decimals
+  *    get pre-lowered by Spark's DecimalAggregates before this batch
+  *    runs: the lowered SUM (p ≤ 8, `MakeDecimal(sum(UnscaledValue))`
+  *    — an exact modular long fold) maps via the stored sum's
+  *    unscaled value, while the lowered AVG (p ≤ 11, double-
+  *    accumulated) keeps the scan under the same policy;
   *  - the scan is the bare table under row-preserving nodes only
   *    (deterministic Project / SubqueryAlias — any Filter, join, limit
   *    or sample keeps the scan), identified through either read path:
@@ -88,6 +89,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private sealed trait Out
   private case class ViewCol(name: String) extends Out
   private case class AvgOf(c: String, resultType: DataType) extends Out
+  /** DecimalAggregates-lowered small-precision sum
+    * (`MakeDecimal(sum(UnscaledValue(d)))`): the inner long sum is
+    * EXACT (modular), and the stored decimal sum's unscaled value
+    * reproduces it — `sum_c × 10^scale` is integral-valued and fits a
+    * long by the same p+10 ≤ 18 bound the lowering requires. The
+    * MakeDecimal wrapper is ordinary scalar structure and re-applies
+    * via the generic substitution. */
+  private case class UnscaledSumOf(c: String, scale: Int) extends Out
 
   private def rewrite(agg: Aggregate, child: LogicalPlan)
       : Option[LogicalPlan] = {
@@ -159,6 +168,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // re-aggregated slots.
     def sumType(n: String): DataType =
       mv.schema(mv.schema.fieldIndex(n)).dataType
+    def unscaled(c: String, scale: Int): Column =
+      (col(s"`sum_$c`") * lit(java.math.BigDecimal.TEN.pow(scale)))
+        .cast(org.apache.spark.sql.types.LongType)
     def slotExact(o: Out): Column = o match {
       case ViewCol(n) => col(s"`$n`")
       case AvgOf(c, rt) =>
@@ -166,6 +178,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         // cnt) under the session's arithmetic rules, cast to Average's
         // result type — precision and rounding included
         (col(s"`sum_$c`") / col(s"`cnt_$c`")).cast(rt)
+      case UnscaledSumOf(c, scale) => unscaled(c, scale)
     }
     def slotRoll(o: Out): Column = o match {
       case ViewCol(n) if n == "cnt" || n.startsWith("cnt_") =>
@@ -181,6 +194,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           .cast(sumType(s"sum_$c")) /
           coalesce(org.apache.spark.sql.functions.sum(col(s"`cnt_$c`")),
             lit(0L))).cast(rt)
+      case UnscaledSumOf(c, scale) =>
+        // sum of per-group unscaled longs — modular, identical to the
+        // lowered single-level fold
+        org.apache.spark.sql.functions.sum(unscaled(c, scale))
+          .cast(org.apache.spark.sql.types.LongType)
       case ViewCol(n) => col(s"`$n`") // unreachable for stored columns
     }
     val projected = scala.util.Try {
@@ -299,6 +317,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case Sum(a: AttributeReference, _) if exactSummable(a.dataType) =>
           Some(a.name).filter(mv.sumCols)
             .flatMap(cn => viewCol(s"sum_$cn", ae.dataType))
+        case Sum(UnscaledValue(a: AttributeReference), _)
+            if ae.dataType == LongType &&
+              a.dataType.isInstanceOf[DecimalType] =>
+          // DecimalAggregates-lowered small-precision decimal sum
+          Some(a.name).filter(mv.sumCols).flatMap { cn =>
+            mv.schema.fields.find(_.name == s"sum_$cn")
+              .filter(_.dataType.isInstanceOf[DecimalType])
+              .map(_ => UnscaledSumOf(cn,
+                a.dataType.asInstanceOf[DecimalType].scale))
+          }
         case Min(a: AttributeReference) =>
           Some(a.name).filter(mv.minCols)
             .flatMap(cn => viewCol(s"min_$cn", ae.dataType))

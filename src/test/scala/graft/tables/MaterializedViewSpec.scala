@@ -339,14 +339,30 @@ class MaterializedViewSpec extends SparkSpec {
     // SMALL-precision decimal avg gets DecimalAggregates-lowered to a
     // double-accumulated avg(UnscaledValue(d)) before our batch — the
     // same policy refuses it (the child is no longer a bare column)
-    val rows2 = Seq(("a", "1.50")).toDF("g", "d0")
-      .withColumn("ds", col("d0").cast("decimal(10,2)")).drop("d0")
+    val rows2 = Seq(("a", "1.50"), ("a", "2.25"), ("b", "4.00"))
+      .toDF("g", "d0")
+      .withColumn("ds", col("d0").cast("decimal(8,2)")).drop("d0")
     store.create("src8s", rows2.schema)
     store.append("src8s", rows2)
     MaterializedView.create(store, "mv8s", "src8s", Seq("g"), Seq("avg:ds"))
     val keep2 = store.read("src8s").groupBy("g").agg(avg(col("ds")).as("ad"))
     assert(keep2.inputFiles.exists(_.contains("/src8s/")),
       "DecimalAggregates-lowered avg keeps the scan by policy")
+    // …but the lowered SUM shape (MakeDecimal over an unscaled-long
+    // fold — exact modular arithmetic) DOES map, via the stored sum's
+    // unscaled value; rollup to the global aggregate included
+    val low = store.read("src8s").groupBy("g").agg(sum(col("ds")).as("sd"))
+      .orderBy("g")
+    assert(low.inputFiles.nonEmpty &&
+      low.inputFiles.forall(_.contains("/mv8s/")),
+      s"lowered decimal sum must serve: ${low.inputFiles.mkString(",")}")
+    assert(low.collect().map(r => (r.getString(0),
+      r.getDecimal(1).toPlainString)).toSeq ===
+      Seq(("a", "3.75"), ("b", "4.00")))
+    val lowG = store.read("src8s").agg(sum(col("ds")).as("sd"))
+    assert(lowG.inputFiles.forall(_.contains("/mv8s/")),
+      "global rollup of the lowered sum serves too")
+    assert(lowG.head().getDecimal(0).toPlainString === "7.75")
   }
 
   test("filtered view: WHERE folds symmetrically; never serves unfiltered queries") {
