@@ -32,6 +32,23 @@ object Profile {
       df.queryExecution.executedPlan // force analysis + optimization + planning
       println(f"[profile] $name plan$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // per-micro-batch duration breakdown (streaming gates): durationMs has
+    // triggerExecution / queryPlanning / addBatch / walCommit / commitOffsets
+    if (args.contains("streamprog")) spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          import scala.jdk.CollectionConverters._
+          val d = p.durationMs.asScala.toSeq.sortBy(-_._2)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          println(s"[profile] batch ${p.batchId} rows=${p.numInputRows} $d")
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     if (args.contains("stages")) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
