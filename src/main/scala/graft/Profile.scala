@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Dev-only (see [[Profile]]): dumps each micro-batch's durationMs
+  * breakdown (triggerExecution / queryPlanning / getBatch / addBatch /
+  * walCommit / commitOffsets / latestOffset). */
+final class BatchDumpListener
+  extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    import scala.jdk.CollectionConverters._
+    val d = p.durationMs.asScala.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"$k=$v" }.mkString(" ")
+    println(s"[profile] batch ${p.batchId} rows=${p.numInputRows} $d")
+  }
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+}
+
 /** Dev-only: time one registered query and dump its formatted plan.
   * Usage: runMain graft.Profile <queryName> <sfDir> [explain]
   */
@@ -12,6 +29,9 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (args.contains("streamprog"))
+      builder.config("spark.sql.streaming.streamingQueryListeners",
+        classOf[BatchDumpListener].getName)
     // dev knob: SPARK_GRAFT_CONF="k=v,k=v" to try conf variations
     // (no commas inside values; a token without '=' fails loudly)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.nonEmpty)
@@ -32,23 +52,10 @@ object Profile {
       df.queryExecution.executedPlan // force analysis + optimization + planning
       println(f"[profile] $name plan$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    // per-micro-batch duration breakdown (streaming gates): durationMs has
-    // triggerExecution / queryPlanning / addBatch / walCommit / commitOffsets
-    if (args.contains("streamprog")) spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-          val p = e.progress
-          import scala.jdk.CollectionConverters._
-          val d = p.durationMs.asScala.toSeq.sortBy(-_._2)
-            .map { case (k, v) => s"$k=$v" }.mkString(" ")
-          println(s"[profile] batch ${p.batchId} rows=${p.numInputRows} $d")
-        }
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-      })
+    // per-micro-batch duration breakdown (streaming gates) — registered
+    // through the conf so gate-created child sessions (spark.newSession)
+    // inherit it; a listener added to THIS session's manager would miss
+    // their streams entirely
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     if (args.contains("stages")) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
