@@ -25,6 +25,13 @@ object Bench {
       // comes around its classes may have been evicted and recompiled —
       // raise the cap so the warmup's compilation actually persists
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // local `file:` scheme without per-create fork/exec chmod and
+      // without crc sidecars (graft.fs.FastLocalFs) — remote schemes
+      // (HDFS/S3A, the 100 TB deployment) never resolve these keys
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.fs.FastRawLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.fs.FastLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/parquet-reader warmup outside any query's timing — runs

@@ -29,6 +29,10 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.fs.FastRawLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.fs.FastLocalFs].getName)
     if (args.contains("streamprog"))
       builder.config("spark.sql.streaming.streamingQueryListeners",
         classOf[BatchDumpListener].getName)

@@ -19,6 +19,12 @@ object Verify {
       // type-exact and DuckDB emits timestamp[us] for the µs fixtures
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // same local-FS fast path as Bench: results are byte-identical,
+      // only the fork/exec-per-file overhead goes away
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.fs.FastRawLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.fs.FastLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -149,8 +149,11 @@ final class TableStore(private[tables] val spark: SparkSession,
     * a second one for the `.crc` sidecar — measured ~8.5 ms per write
     * vs ~0.1 ms via java.nio — so local writes go through nio (and
     * drop any stale `.crc` a pre-nio write may have left, or later
-    * Hadoop reads of the same path would fail checksum). Object-store
-    * schemes keep the plain FS path. */
+    * Hadoop reads of the same path would fail checksum). Tradeoff,
+    * stated: the nio path writes no `.crc`, and [[readString]]'s nio
+    * fast path bypasses the checksum layer — local metadata reads
+    * trade CRC corruption detection for not forking; object-store
+    * schemes keep the plain FS path and its integrity machinery. */
   private def writeBytesTo(p: HPath, bytes: Array[Byte]): Unit =
     if (fs.getScheme == "file") {
       val target = java.nio.file.Paths.get(p.toUri.getPath)
@@ -158,8 +161,9 @@ final class TableStore(private[tables] val spark: SparkSession,
       if (dir != null && !java.nio.file.Files.isDirectory(dir))
         java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(target, bytes)
-      java.nio.file.Files.deleteIfExists(
-        dir.resolve(s".${p.getName}.crc"))
+      if (dir != null) // a parentless (root) target has no crc sibling
+        java.nio.file.Files.deleteIfExists(
+          dir.resolve(s".${p.getName}.crc"))
       ()
     } else {
       val out = fs.create(p, true)
@@ -216,9 +220,11 @@ final class TableStore(private[tables] val spark: SparkSession,
     if (fs.getScheme == "file") {
       // the java.nio move happens behind Hadoop's ChecksumFileSystem, so
       // a stale `.<name>.crc` sidecar (from a direct fs.create of p, e.g.
-      // _schema.json at create time) would fail every later read with a
-      // ChecksumException — drop the sidecars; readString verifies only
-      // when a crc exists
+      // _schema.json at create time) would fail any checksum-layer read
+      // with a ChecksumException — drop the sidecars. (readString itself
+      // now bypasses the checksum layer on `file:` — see writeBytesTo's
+      // tradeoff note — but non-nio readers of the same path still go
+      // through it.)
       def crcOf(f: HPath) = new HPath(f.getParent, s".${f.getName}.crc")
       fs.delete(crcOf(p), false)
       java.nio.file.Files.move(
@@ -2051,16 +2057,24 @@ final class TableStore(private[tables] val spark: SparkSession,
     * Hadoop's local filesystem, per-file permission lookups that shell
     * out) — measured ~4.5 ms/file vs ~0.05 ms/file for the walk, which
     * made every staged-commit promotion O(files × fork/exec). Callers
-    * only ever use path + length, never locations. */
+    * use path, length, and modification time — never block locations.
+    * Non-`file` schemes keep `fs.listFiles(dir, true)`: on object
+    * stores that is ONE flat listing, where a per-directory BFS would
+    * pay one RPC per directory of a deep tree. */
   private def listStatusRec(dir: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
     if (!fs.exists(dir)) return Nil
     val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-    val q = new java.util.ArrayDeque[HPath]()
-    q.add(dir)
-    while (!q.isEmpty) {
-      fs.listStatus(q.poll()).foreach { st =>
-        if (st.isDirectory) q.add(st.getPath) else buf += st
+    if (fs.getScheme == "file") {
+      val q = new java.util.ArrayDeque[HPath]()
+      q.add(dir)
+      while (!q.isEmpty) {
+        fs.listStatus(q.poll()).foreach { st =>
+          if (st.isDirectory) q.add(st.getPath) else buf += st
+        }
       }
+    } else {
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) buf += it.next()
     }
     buf.result()
   }
