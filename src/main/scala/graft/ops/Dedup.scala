@@ -730,9 +730,13 @@ object Dedup {
         transform(sequence(lit(0), size(col("toks")) - k),
           i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
         .as(Seq("pos", "g")))
+    // "seen in MORE THAN ONE document" ⟺ min(doc_id) ≠ max(doc_id):
+    // min/max are plain partial-aggregable state, where count_distinct
+    // plans an Expand + two-phase distinct aggregate over every
+    // (g, doc_id) pair — same answer, one less pass over the windows
     val dup = grams.groupBy("g")
-      .agg(min("doc_id").as("keeper"), count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
+      .agg(min("doc_id").as("keeper"), max("doc_id").as("mx"))
+      .filter(col("mx") > col("keeper"))
       .select("g", "keeper")
     val covered = grams.join(dup, "g")
       .filter(col("doc_id") =!= col("keeper"))

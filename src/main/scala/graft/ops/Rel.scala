@@ -517,6 +517,11 @@ object Rel {
   private def q24(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val k = 256
+    // examined for a single-pass exact+HLL aggregate (one scan, no
+    // join): measured SLOWER — mixing distinct and non-distinct
+    // aggregates plans an Expand that doubles the rows through the
+    // first exchange, costing more than the second scan saves
+    // (3.4 s → 5.4 s at sf0.1) — so the two-scan shape stays
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact_parts")).persist()
     val chk = exact.join(

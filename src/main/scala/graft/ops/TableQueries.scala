@@ -1460,12 +1460,17 @@ object TableQueries2 {
     val dim = s"customer_$ident"
     spark.sql(s"DROP TABLE IF EXISTS gspj.$fact")
     spark.sql(s"DROP TABLE IF EXISTS gspj.$dim")
+    // hash write distribution (same guard tblSpjIdentity/tblSpjTemporal
+    // carry): one task's files per bucket dir instead of every insert
+    // task spraying a tiny file into all 16 — 16 files, not ~16×tasks
     spark.sql(s"""CREATE TABLE gspj.$fact (
       o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
-      PARTITIONED BY (bucket(16, o_custkey))""")
+      PARTITIONED BY (bucket(16, o_custkey))
+      TBLPROPERTIES ('write.distribution-mode'='hash')""")
     spark.sql(s"""CREATE TABLE gspj.$dim (
       c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
-      PARTITIONED BY (bucket(16, c_custkey))""")
+      PARTITIONED BY (bucket(16, c_custkey))
+      TBLPROPERTIES ('write.distribution-mode'='hash')""")
     val srcF = s"gspj_fact_$ident"
     val srcD = s"gspj_dim_$ident"
     t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")

@@ -89,9 +89,18 @@ object Text {
       .filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(split(col(textCol), "\n")))
       .toDF(idCol, "pos", "line")
-    val boiler = lines.groupBy("line")
-      .agg(countDistinct(col(idCol)).as("df"))
-      .filter(col("df") >= minDocs)
+    // the common minDocs=2 threshold is just "appears in ≥2 distinct
+    // docs" ⟺ min(id) ≠ max(id): plain partial-aggregable min/max
+    // instead of count_distinct's Expand + two-phase distinct aggregate;
+    // higher thresholds keep the honest distinct count
+    val boiler = (if (minDocs <= 2)
+        lines.groupBy("line")
+          .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+          .filter(if (minDocs == 2) col("mx") > col("mn") else lit(true))
+      else
+        lines.groupBy("line")
+          .agg(countDistinct(col(idCol)).as("df"))
+          .filter(col("df") >= minDocs))
       .select("line")
     lines.join(boiler, Seq("line"), "left_anti")
       .groupBy(idCol)
@@ -307,8 +316,11 @@ object Text {
       .select(col("doc_id"), explode_outer(col("toks")).as("term"))
     val nDocs = docs.count()
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency FROM tf: tf's rows are exactly the distinct
+    // (doc, term) pairs, so counting them per term equals the
+    // distinct-doc count — drops the second explode + a full
+    // (doc, term) distinct exchange from the plan
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .select(col("doc_id").as("query_id"),
         (col("tf") * log(lit(nDocs.toDouble + 1) / (col("df") + 1))).as("score"),
